@@ -1,0 +1,374 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{ServiceRegistry, Graph => GGraph}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sinks.{InsertOrUpdate, UpsertConfig}
+import graft.sources.{ParquetCatalog, Select, Tables}
+import graft.streaming.EventWindows
+import graft.functions.{TextFunctions => T}
+
+/** The driver-contract query inventory: one named query per operator /
+  * capability from SURVEY.md §2, each with a DuckDB-equivalent oracle in
+  * [[oracles]]. Conventions for hash-stable oracle comparison:
+  *  - every query ends in a deterministic ORDER BY (total order);
+  *  - column names are identical on both sides;
+  *  - counts are BIGINT on both sides (Spark `count` is long; DuckDB
+  *    `len`/`row_number` results are cast explicitly);
+  *  - sums over many double rows go through an exact DECIMAL accumulation
+  *    (`sum(cast(x as decimal))`) then back to double, because float
+  *    addition is order-dependent and Spark/DuckDB would otherwise differ
+  *    in the last bits; inputs are 2-dp money values so the decimal cast is
+  *    loss-free;
+  *  - timestamps never appear raw in outputs (tz-encoding differs between
+  *    writers) — they are emitted as epoch seconds or DATE.
+  */
+object Queries {
+
+  private def tab(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events.ts is parquet timestamp[ns]; Spark reads it as long nanos under
+    * this legacy flag (set lazily so any session can run events queries). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tab(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // ---------------------------------------------------------------- core ops
+
+  /** `Select` through the Graph/Chain kernel (SURVEY §2.1 row 1 + §2.2). */
+  private def selectSql(s: SparkSession, dir: String): DataFrame = {
+    val g = GGraph(Select(
+      "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment;\n"))
+    g.run(s, ServiceRegistry(Map("sql.backend" -> ParquetCatalog(dir))))
+  }
+
+  private def selectLimit(s: SparkSession, dir: String): DataFrame = {
+    val g = GGraph(Select(
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      limit = 100))
+    g.run(s, ServiceRegistry(Map("sql.backend" -> ParquetCatalog(dir))))
+  }
+
+  /** `use_labels=True` projection (readers.py:66). */
+  private def selectLabels(s: SparkSession, dir: String): DataFrame =
+    Select.labeled(tab(s, dir, "nation"), "nation")
+      .orderBy("nation_n_nationkey")
+
+  /** InsertOrUpdate as a set-oriented merge with deterministic clock. */
+  private def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = tab(s, dir, "orders")
+    val t0 = to_timestamp(lit("2025-01-01 00:00:00"))
+    val t1 = to_timestamp(lit("2026-01-01 00:00:00"))
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        t0.as("created_at"), t0.as("updated_at"))
+    val updates = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    val cfg = UpsertConfig(discriminant = Seq("o_orderkey"), clock = Some(t1))
+    InsertOrUpdate.merge(target, updates, cfg).target
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        unix_timestamp(col("created_at")).as("created_at_s"),
+        unix_timestamp(col("updated_at")).as("updated_at_s"))
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------ relational breadth
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).cast("decimal(24,6)")).cast("double")
+          .as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: selective dim filter broadcast into the fact join. */
+  private def q3Top10(s: SparkSession, dir: String): DataFrame = {
+    val c = tab(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tab(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+    val l = tab(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(24,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+  }
+
+  private def filterProject(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "part")
+      .filter(col("p_size") < 15 && col("p_type").isin("PROMO", "ECONOMY"))
+      .select(col("p_partkey"), upper(col("p_name")).as("p_name_up"),
+        col("p_size"))
+      .orderBy("p_partkey")
+
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    tab(s, dir, "customer")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rn")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  private def setIntersect(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(tab(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  private def setExcept(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .except(tab(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  private def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tab(s, dir, "customer")
+    val o = tab(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val su = tab(s, dir, "supplier")
+    val n = tab(s, dir, "nation").filter(col("n_regionkey") === 0)
+    su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  // ------------------------------------------------------------ LLM pipeline
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByFingerprint(tab(s, dir, "documents"), "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "documents")
+      .select(col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.langId(col("text")).as("lang_id"),
+        T.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private def similarityTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id",
+        "query_id", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val payload = Multimodal.asBinaryPayload(docs, "text", "text/plain")
+    Multimodal.decodeFeatures(payload, "payload")
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  private def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    EventWindows.tumbling(events(s, dir), "ts", "1 hour")
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy("bucket_start", "event_type")
+
+  // ------------------------------------------------------------ the contract
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "select_sql" -> selectSql _,
+    "select_limit" -> selectLimit _,
+    "select_labels" -> selectLabels _,
+    "upsert_merge" -> upsertMerge _,
+    "q1_agg" -> q1Agg _,
+    "q3_top10" -> q3Top10 _,
+    "filter_project" -> filterProject _,
+    "window_rank" -> windowRank _,
+    "set_intersect" -> setIntersect _,
+    "set_except" -> setExcept _,
+    "anti_join" -> antiJoin _,
+    "semi_join" -> semiJoin _,
+    "dedup_exact" -> dedupExact _,
+    "text_stats" -> textStats _,
+    "similarity_topk" -> similarityTopK _,
+    "multimodal_decode" -> multimodalDecode _,
+    "events_tumbling" -> eventsTumbling _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "select_sql" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "select_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "select_labels" ->
+      """SELECT n_nationkey AS nation_n_nationkey, n_name AS nation_n_name,
+        |n_regionkey AS nation_n_regionkey FROM nation
+        |ORDER BY nation_n_nationkey""".stripMargin,
+    "upsert_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |         TIMESTAMP '2025-01-01 00:00:00' AS created_at,
+        |         TIMESTAMP '2025-01-01 00:00:00' AS updated_at
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |u AS (
+        |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+        |         'U' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+        |       ELSE t.o_totalprice END AS o_totalprice,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+        |       ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CAST(epoch(CASE WHEN t.o_orderkey IS NOT NULL THEN t.created_at
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END) AS BIGINT) AS created_at_s,
+        |  CAST(epoch(CASE WHEN u.o_orderkey IS NOT NULL
+        |       THEN TIMESTAMP '2026-01-01 00:00:00'
+        |       ELSE t.updated_at END) AS BIGINT) AS updated_at_s
+        |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+        |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top10" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "filter_project" ->
+      """SELECT p_partkey, upper(p_name) AS p_name_up, p_size FROM part
+        |WHERE p_size < 15 AND p_type IN ('PROMO','ECONOMY')
+        |ORDER BY p_partkey""".stripMargin,
+    "window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal, rn FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM nation
+        |  WHERE n_nationkey = s_nationkey AND n_regionkey = 0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(toks) END AS n_tokens,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |       WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |       WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |       WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |       WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |       ELSE 'zh' END AS lang_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "similarity_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_dot_product(qv, v) /
+        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  GREATEST(1, CAST(TRUNC(SQRT(CAST(n AS DOUBLE))) AS INTEGER)) AS width,
+        |  GREATEST(1, CAST(n // GREATEST(1, CAST(TRUNC(SQRT(CAST(n AS DOUBLE))) AS BIGINT)) AS INTEGER)) AS height,
+        |  CAST(n AS BIGINT) AS n_bytes
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "events_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_start,
+        |  event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch primitives for near-duplicate detection: word shingles,
+  * MinHash signatures, SimHash. All native Column expressions over
+  * `xxhash64` (codegen'd); signatures are computed in one pass over each
+  * document with no shuffle — the shuffle happens only later, on the short
+  * LSH band keys (see [[graft.operators.Dedup]]), which is what makes the
+  * scheme viable at 100 TB.
+  */
+object HashFunctions {
+
+  /** Large prime < 2^61 for the universal-hash family h(x) = (a·x + b) mod p. */
+  val Prime: Long = 2305843009213693951L // 2^61 - 1
+
+  /** Deterministic (a, b) coefficient pairs from a fixed seed. */
+  def coefficients(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n) {
+      (math.abs(rng.nextLong()) % (Prime - 1) + 1, math.abs(rng.nextLong()) % Prime)
+    }
+  }
+
+  /** Word n-gram shingles of a token array: `n` consecutive tokens joined by
+    * a single space. Shorter docs yield their full token string as the one
+    * shingle. Distinct-ified (shingle *sets* feed Jaccard). */
+  def wordShingles(tokens: Column, n: Int): Column = {
+    val count = size(tokens)
+    val starts = sequence(lit(0), greatest(count - n, lit(0)))
+    array_distinct(
+      when(count <= n, array(concat_ws(" ", tokens)))
+        .otherwise(transform(starts, i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column = {
+    val len = length(text)
+    val starts = sequence(lit(1), greatest(len - n + 1, lit(1)))
+    array_distinct(
+      when(len <= n, array(text))
+        .otherwise(transform(starts, i => text.substr(i, lit(n)))))
+  }
+
+  /** Non-negative 61-bit base hash of each shingle. */
+  private def baseHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
+
+  /** MinHash signature: array of `numHashes` minima of (a_i·h(x)+b_i) mod p
+    * over the shingle set. One pass, no shuffle. */
+  def minHash(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val hs = baseHashes(shingles)
+    val mins = coefficients(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * a + b, lit(Prime))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of
+    * `numHashes/bands` values, each group reduced to one 64-bit key.
+    * Docs sharing ANY band key are candidate near-duplicates. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      val bandSlice = slice(signature, b * rowsPerBand + 1, rowsPerBand)
+      struct(lit(b).as("band"), xxhash64(concat_ws(",", bandSlice)).as("key"))
+    }
+    array(keys: _*)
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union === 0, lit(0.0)).otherwise(inter / union.cast("double"))
+  }
+
+  /** 64-bit SimHash over a token array: per bit position, sum +1/−1 votes
+    * from each token's xxhash64, take the sign. Near-duplicates have small
+    * Hamming distance between SimHashes. Expressed as a fold over tokens
+    * with a 64-slot vote accumulator — JVM-native, single pass. */
+  def simHash(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(
+            call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      }
+    )
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash LSH keys: the 64 bits split into `chunks` pieces; two hashes
+    * within Hamming distance `chunks − 1` share at least one chunk. */
+  def simHashChunks(sim: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(sim, c * width).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+  }
+}

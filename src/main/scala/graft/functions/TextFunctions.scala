@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * The reference delegates all scalar computation to user SQL / user Python
+  * nodes (SURVEY.md §2.3 "Scalar functions"); here the north-star extension
+  * supplies them natively. Everything is built from
+  * `org.apache.spark.sql.functions` (codegen'd or JVM-native higher-order
+  * functions) — no Scala UDFs, so plans stay whole-stage-codegen friendly
+  * and column pruning / filter pushdown are preserved.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. `split` on `\s+` after trimming, so leading /
+    * trailing blanks don't produce empty tokens. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Token count (whitespace tokenizer). Empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: number of matches of a GPT-2-style pre-tokenizer
+    * regex (word pieces, numbers, punctuation runs). A cheap proxy for a real
+    * tokenizer's token count on ASCII-ish text. */
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(
+      regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")), lit(0))
+
+  /** Number of non-overlapping occurrences of `needle` in `text`, computed
+    * by length differencing — portable across engines (same formula works in
+    * ANSI SQL, used by the DuckDB oracles). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast-able trivially, deterministic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Count of tokens that are markers for `lang`. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = langMarkers(lang)
+    size(filter(tokens(lower(text)), t => markers.map(m => t === lit(m)).reduce(_ || _)))
+  }
+
+  /** Language-ID: argmax of marker-token counts, `und` when all zero.
+    * Ties break by the fixed language order below (deterministic). */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "es", "fr", "de", "zh")
+    val scores = langs.map(l => langScore(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und"): Column) {
+      case ((l, s), elseCol) => when(s === best && best > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          length(text).cast("double"))
+
+  /** Ratio of English stopwords among tokens (0 for empty). */
+  def stopwordRatio(text: Column): Column = {
+    val cnt = langScore(text, "en")
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(cnt.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * presence of stopwords. Deterministic; weights are arbitrary but fixed. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.4 + punct * 0.3 + stop * 0.3, 6)
+  }
+
+  /** Document fingerprint: md5 hex of the normalized text (lowercased,
+    * whitespace collapsed). md5 is bit-identical across engines, so exact
+    * dedup on the fingerprint is oracle-checkable. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling polynomial hash (base 31, natural Long overflow) over the
+    * normalized text — the classic Rabin-Karp document fingerprint, as a
+    * native Catalyst expression chain (aggregate over characters would be
+    * slow; xxhash64 is the codegen'd stand-in Spark ships). */
+  def rollingFingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB shape: signatures are computed scan-side in one pass (no UDFs,
+  * no driver collection); the only shuffles are (a) the group-by on short
+  * keys for exact dedup and (b) the band-key exchange for LSH candidate
+  * generation. Candidate buckets are size-capped so one degenerate key
+  * cannot quadratically blow up a task (skew guard).
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per key set, the one with the minimal
+    * `keepBy` value (deterministic, unlike `dropDuplicates` which keeps an
+    * arbitrary row). Single hash-aggregate shuffle on the dedup keys;
+    * map-side partial aggregation halves the exchange. */
+  def exact(df: DataFrame, keys: Seq[String], keepBy: String): DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols: _*)
+      .agg(min(col(keepBy)).as(keepBy))
+      .join(df, keys :+ keepBy, "inner")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Exact dedup by content fingerprint (md5 of normalized text): the
+    * 100 TB-friendly variant — the shuffle key is 32 bytes instead of the
+    * document body. */
+  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", T.fingerprint(col(textCol)))
+    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** Candidate pairs from any exploded (id, key) relation: self-join within
+    * key buckets, capped at `maxBucket` ids per key to guard against skew
+    * (a degenerate key — empty docs, boilerplate — would otherwise create a
+    * quadratic bucket; the cap drops only those keys, and typical
+    * near-duplicates co-occur in several bands so recall survives). */
+  private def pairsFromBuckets(keyed: DataFrame, idCol: String,
+                               maxBucket: Int): DataFrame = {
+    val sized = keyed
+      .withColumn("__bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__key")))
+      .filter(col("__bucket_n") <= maxBucket)
+    val a = sized.select(col("__key"), col(idCol).as("id_a"))
+    val b = sized.select(col("__key"), col(idCol).as("id_b"))
+    a.join(b, Seq("__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate pairs over a text column.
+    *
+    * shingle → minhash signature → band keys → bucket join → exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    * Only the (id, bandKey) pairs and the final candidate ids are shuffled;
+    * signatures/shingles are recomputed or carried per side as needed.
+    */
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df
+      .select(col(idCol), T.tokens(lower(col(textCol))).as("__tokens"))
+      .withColumn("__shingles", H.wordShingles(col("__tokens"), shingleSize))
+      .withColumn("__sig", H.minHash(col("__shingles"), numHashes))
+    val keyed = withSig
+      .select(col(idCol), explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
+      .select(col(idCol), col("__band").cast("string").as("__key"))
+    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val shingles = withSig.select(col(idCol), col("__shingles"))
+    pairs
+      .join(shingles.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("__shingles", "__sh_a"), Seq("id_a"))
+      .join(shingles.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("__shingles", "__sh_b"), Seq("id_b"))
+      .withColumn("jaccard", H.jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit sketch, chunk-LSH candidates,
+    * exact Hamming verification ≤ maxHamming. */
+  def simHash(df: DataFrame, textCol: String, idCol: String,
+              chunks: Int = 4, maxHamming: Int = 3,
+              maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
+    val withSim = df.select(
+      col(idCol), H.simHash(T.tokens(lower(col(textCol)))).as("__sim"))
+    val keyed = withSim
+      .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
+      .select(col(idCol), col("__c").cast("string").as("__key"))
+    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val sims = withSim
+    pairs
+      .join(sims.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("__sim", "__sim_a"), Seq("id_a"))
+      .join(sims.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("__sim", "__sim_b"), Seq("id_b"))
+      .withColumn("hamming", H.hamming(col("__sim_a"), col("__sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
+    * minimum shingle hash — documents sharing their rarest-hashed shingle
+    * collide), then exact verification. For corpora where full MinHash is
+    * overkill. */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.5,
+                   blockingHashes: Int = 8, maxBucket: Int = 1000): DataFrame =
+    minHashLsh(df, textCol, idCol, shingleSize,
+      numHashes = blockingHashes, bands = blockingHashes,
+      threshold = threshold, maxBucket = maxBucket)
+
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucketing then exact
+    * cosine verification ≥ threshold. See [[Similarity]] for search. */
+  def embeddingCosine(df: DataFrame, vecCol: String, idCol: String,
+                      threshold: Double = 0.95, nPlanes: Int = 12,
+                      dim: Int = 64, maxBucket: Int = 2000): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val planes = V.hyperplanes(nPlanes, dim)
+    val keyed = df.select(
+      col(idCol),
+      V.signBucket(col(vecCol), planes).cast("string").as("__key"))
+    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed(vecCol, "__v_a"), Seq("id_a"))
+      .join(vecs.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed(vecCol, "__v_b"), Seq("id_b"))
+      .withColumn("cosine", V.cosine(col("__v_a"), col("__v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with a typed metadata struct riding alongside. The
+  * Spark-side mechanics — schema, partition-parallel batched decode,
+  * feature extraction shape — are real and tested; the codec itself is a
+  * clearly-marked DETERMINISTIC STUB (`fakeDecode`) because no image/audio
+  * libraries exist in this container. Swapping in a real decoder only
+  * replaces the body of `fakeDecode`; every plan around it is unchanged.
+  */
+object Multimodal {
+
+  /** Schema of a decoded-media feature row. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)
+  ))
+
+  /** Wrap a string column as an opaque binary payload + metadata — the shape
+    * a real pipeline gets from `spark.read.format("binaryFile")` or a
+    * parquet `binary` column. Used by tests to fabricate media rows. */
+  def asBinaryPayload(df: DataFrame, srcCol: String, mime: String): DataFrame =
+    df.withColumn("payload", encode(col(srcCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(mime).as("mime"),
+        octet_length(encode(col(srcCol), "UTF-8")).cast("long").as("n_bytes")))
+
+  /** DETERMINISTIC STUB decoder: stands in for a real image decode
+    * (`???` in spirit). Derives fake width/height from the byte length and a
+    * fake mean intensity from the byte sum — fully deterministic so tests
+    * and oracles are stable. A real implementation would decode `bytes` with
+    * an imaging library inside the same per-partition loop. */
+  def fakeDecode(bytes: Array[Byte]): Row = {
+    val n = bytes.length.toLong
+    val width = math.max(1, math.sqrt(n.toDouble).toInt)
+    val height = math.max(1, (n / math.max(width, 1)).toInt)
+    val mean =
+      if (n == 0) 0.0
+      else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / n
+    Row(width, height, n, mean)
+  }
+
+  /** Partition-parallel decode/feature-extract: the Scala analog of a
+    * `mapInPandas` batch UDF — one iterator per partition, batch-shaped,
+    * no driver involvement. Appends the [[featureSchema]] fields. */
+  def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ featureSchema.fields)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(payloadIdx) match {
+          case b: Array[Byte] => b
+          case null => Array.empty[Byte]
+        }
+        val f = fakeDecode(bytes)
+        Row.fromSeq(r.toSeq ++ f.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sampling stub for video-like payloads: split the payload into
+    * `frames` equal byte slices ("frames"), explode one row per sampled
+    * frame with its index — the real partitioning/explode shape of a video
+    * pipeline, with slicing standing in for frame extraction. */
+  def sampleFrames(df: DataFrame, payloadCol: String, frames: Int): DataFrame = {
+    val frameIdx = sequence(lit(0), lit(frames - 1))
+    val total = octet_length(col(payloadCol))
+    df.withColumn("frame_id", explode(frameIdx))
+      .withColumn("frame_bytes",
+        col(payloadCol).substr(
+          (col("frame_id") * (total / frames) + 1).cast("int"),
+          greatest((total / frames).cast("int"), lit(1))))
+  }
+}

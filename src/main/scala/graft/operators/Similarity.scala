@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths (north-star extension, SURVEY.md §7.2 step 6):
+  *  - [[bruteForceTopK]]: exact baseline — a single scan scoring every
+  *    vector against the (broadcast) query batch; correct at any scale but
+  *    O(N·Q). Use when Q is small or as the verification oracle.
+  *  - [[lshTopK]]: sign-random-projection buckets (an IVF-style coarse
+  *    quantizer with 2^planes cells); each query probes only its own cell
+  *    plus the `probes` nearest cells (Hamming-adjacent), so the scored
+  *    fraction is ~ (1+probes)/2^planes of the corpus. The corpus can be
+  *    pre-partitioned (bucketed) by cell id so a probe is a partition-local
+  *    lookup — no full scan, no full shuffle at 100 TB.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` is expected to
+    * be small (it is broadcast); the corpus is never shuffled — scoring and
+    * per-partition top-k happen map-side, the final top-k is a k·Q-row
+    * window. Returns (queryIdCol, idCol, cosine, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, queryIdCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol), col(vecCol).as("__qvec"))
+    val scored = corpus
+      .join(broadcast(q))
+      .withColumn("cosine", V.cosine(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are assigned
+    * sign-projection cells; queries probe their own cell and every cell at
+    * Hamming distance 1 (`probes` ≤ nPlanes extra cells). Same output shape
+    * as [[bruteForceTopK]]; recall < 1 by construction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, queryIdCol: String,
+              k: Int, nPlanes: Int = 8, dim: Int = 64,
+              probes: Int = 8): DataFrame = {
+    val planes = V.hyperplanes(nPlanes, dim)
+    val c = corpus.withColumn("__cell", V.signBucket(col(vecCol), planes))
+    // query probes: own cell + cells with one flipped bit
+    val probeCells = array(
+      (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
+    val q = queries
+      .select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
+      .withColumn("__cell", explode(transform(probeCells,
+        flip => col("__qcell").bitwiseXOR(flip))))
+      .drop("__qcell")
+    val scored = c
+      .join(broadcast(q), Seq("__cell"))
+      .withColumn("cosine", V.cosine(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.core.{JdbcEngine, Operation, ProhibitedOperationError, UnrecoverableOperationalError}
+
+/** JDBC backend for [[InsertOrUpdate]]: distributed batched upserts via
+  * `INSERT … ON CONFLICT (discriminant) DO UPDATE` (Postgres dialect — the
+  * only engine the reference exercises, `/root/reference/docker-compose.yml:7-12`).
+  *
+  * Replaces the reference's 1-connection/1-thread writer with its per-row
+  * `SELECT … LIMIT 1` probe (`writers.py:161-165`, 2+ round-trips per row)
+  * with one connection **per partition** and one statement batch per
+  * `bufferSize` rows — the database resolves insert-vs-update atomically, so
+  * no read-before-write race and N-way write parallelism. Transaction
+  * granularity matches the reference: commit per buffer flush
+  * (`writers.py:88-95`), final partial batch flushed at partition end
+  * (`writers.py:70-72`), so re-running converges (at-least-once + upsert
+  * keys = the reference's idempotence model, SURVEY.md §4.2).
+  */
+object JdbcUpsert {
+
+  def write(df: DataFrame, engine: JdbcEngine, table: String,
+            cfg: UpsertConfig = UpsertConfig()): Unit = {
+    val canInsert = cfg.allowedOperations.contains(Operation.Insert)
+    val canUpdate = cfg.allowedOperations.contains(Operation.Update)
+    if (!canInsert && !canUpdate)
+      throw new ProhibitedOperationError(
+        "Neither INSERT nor UPDATE operations are allowed by this transformation.")
+
+    val columns = df.columns.toSeq
+    require(cfg.discriminant.forall(columns.contains),
+      s"rows missing discriminant columns ${cfg.discriminant.filterNot(columns.contains)}")
+    val (sql, bindOrder) = upsertSql(table, columns, cfg, canInsert, canUpdate)
+    val props = engine
+    val bufferSize = cfg.bufferSize
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect(props)
+        try {
+          conn.setAutoCommit(false)
+          val stmt = conn.prepareStatement(sql)
+          try {
+            var n = 0
+            rows.foreach { row =>
+              bind(stmt, row, bindOrder)
+              stmt.addBatch()
+              n += 1
+              if (n >= bufferSize) { stmt.executeBatch(); conn.commit(); n = 0 }
+            }
+            if (n > 0) { stmt.executeBatch(); conn.commit() }
+          } finally stmt.close()
+        } catch {
+          case e: java.sql.SQLException =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Postgres upsert statement honoring `allowedOperations`:
+    * both → `ON CONFLICT … DO UPDATE`; insert-only → `DO NOTHING`;
+    * update-only → a plain `UPDATE … WHERE` (no insert path).
+    * Returns the SQL plus the column order its `?` placeholders bind in. */
+  private[sinks] def upsertSql(table: String, columns: Seq[String],
+                               cfg: UpsertConfig, canInsert: Boolean,
+                               canUpdate: Boolean): (String, Seq[String]) = {
+    val disc = cfg.discriminant
+    val quoted = columns.map(quote)
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    if (!canInsert) {
+      val setCols = columns.filterNot(disc.contains)
+      val sql =
+        s"UPDATE ${quote(table)} SET ${setCols.map(c => s"${quote(c)} = ?").mkString(", ")}" +
+          s" WHERE ${disc.map(c => s"${quote(c)} = ?").mkString(" AND ")}"
+      (sql, setCols ++ disc)
+    } else {
+      val base =
+        s"INSERT INTO ${quote(table)} (${quoted.mkString(", ")}) VALUES ($placeholders)"
+      val conflict = s" ON CONFLICT (${disc.map(quote).mkString(", ")})"
+      if (!canUpdate) (base + conflict + " DO NOTHING", columns)
+      else {
+        val set = columns
+          .filterNot(c => disc.contains(c) || cfg.insertOnlyFields.contains(c))
+          .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}")
+        (base + conflict + s" DO UPDATE SET ${set.mkString(", ")}", columns)
+      }
+    }
+  }
+
+  private def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  private def connect(engine: JdbcEngine): Connection =
+    try {
+      Class.forName(engine.driver)
+      DriverManager.getConnection(engine.url, engine.user, engine.password)
+    } catch {
+      case e: Exception =>
+        // Connection failure at setup is fatal (`writers.py:47-51`).
+        throw new UnrecoverableOperationalError(
+          s"Could not create JDBC connection: ${e.getMessage}", e)
+    }
+
+  private def bind(stmt: PreparedStatement, row: Row, columns: Seq[String]): Unit =
+    columns.zipWithIndex.foreach { case (c, i) =>
+      val v = row.get(row.fieldIndex(c))
+      v match {
+        case null => stmt.setObject(i + 1, null)
+        case t: Timestamp => stmt.setTimestamp(i + 1, t)
+        case other => stmt.setObject(i + 1, other)
+      }
+    }
+}

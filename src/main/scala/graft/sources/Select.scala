@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{JdbcEngine, RunContext, SourceNode}
+
+/** Configuration mirroring the reference `Select` options
+  * (`/root/reference/bonobo_sqlalchemy/readers.py:45-49`):
+  * `query` (positional, default `'SELECT 1'`), `pack_size=1000`, `limit`.
+  *
+  * `packSize` maps to the JDBC `fetchsize` (rows per DB round-trip) — the
+  * reference's serial LIMIT/OFFSET page loop (`readers.py:59-77`) is replaced
+  * by the driver-side cursor batching plus, when partition options are given,
+  * fully parallel partitioned reads. `limit` maps to `.limit(n)`, which
+  * Catalyst pushes down (`LimitPushDown`).
+  *
+  * The reference's single-pack pagination bug (`readers.py:55,63` — stops
+  * after one page when `limit` is unset; see SURVEY.md §2.1) is NOT
+  * reproduced: per the documented intent (`readers.py:9`), reads are
+  * exhaustive.
+  */
+final case class SelectConfig(
+    query: String = "SELECT 1",
+    packSize: Int = 1000,
+    limit: Option[Long] = None,
+    useLabels: Boolean = false)
+
+/** Where a `Select` runs its SQL. The reference has one backend (a live
+  * SQLAlchemy engine); the rebuild splits it so the JDBC path stays
+  * compilable while local tests run on the parquet fixtures
+  * (SURVEY.md §7.5 "JDBC unavailability in harness").
+  */
+sealed trait SqlBackend extends Serializable
+
+/** A directory of `<table>.parquet` files exposed as SQL tables. */
+final case class ParquetCatalog(dir: String, tables: Seq[String] = Tables.all)
+    extends SqlBackend
+
+/** A live JDBC database (the reference's SQLAlchemy engine). */
+final case class JdbcBackend(engine: JdbcEngine) extends SqlBackend
+
+/** Spark-native `Select`: executes a user SQL string against a backend.
+  *
+  * Mirrors `readers.py:51-77`: the query string is sanitized by stripping
+  * trailing ``' \n;'`` (`readers.py:52`); schema is resolved at plan time
+  * (strictly stronger than the reference's first-row field inference at
+  * `readers.py:73-74` — empty results still carry a schema; divergence
+  * documented in SURVEY.md §7.4).
+  */
+final case class Select(
+    config: SelectConfig,
+    backendService: String = "sql.backend")
+    extends SourceNode {
+
+  override def apply(ctx: RunContext): DataFrame =
+    Select.run(ctx.spark, ctx.services[SqlBackend](backendService), config)
+}
+
+object Select {
+  def apply(query: String): Select = Select(SelectConfig(query))
+  def apply(query: String, limit: Long): Select =
+    Select(SelectConfig(query, limit = Some(limit)))
+
+  /** `query.strip(' \n;')` (`readers.py:52`). */
+  def sanitize(query: String): String = {
+    val strip = Set(' ', '\n', ';')
+    query.dropWhile(strip).reverse.dropWhile(strip).reverse
+  }
+
+  def run(spark: SparkSession, backend: SqlBackend, cfg: SelectConfig): DataFrame = {
+    val sql = sanitize(cfg.query)
+    val df = backend match {
+      case ParquetCatalog(dir, tables) =>
+        Tables.registerViews(spark, dir, tables)
+        spark.sql(sql)
+      case JdbcBackend(e) =>
+        spark.read
+          .format("jdbc")
+          .options(e.options)
+          .option("query", sql)
+          .option("fetchsize", cfg.packSize)
+          .load()
+    }
+    cfg.limit.fold(df)(n => df.limit(n.toInt))
+  }
+
+  /** Labeled projection reproducing `use_labels=True` (`readers.py:66`):
+    * every column is renamed `<table>_<column>`. In the reference SQLAlchemy
+    * derives the table prefix; here the caller names it (the rebuild cannot
+    * reverse-engineer source tables out of arbitrary SQL — divergence noted).
+    */
+  def labeled(df: DataFrame, table: String): DataFrame =
+    df.toDF(df.columns.map(c => s"${table}_$c").toIndexedSeq: _*)
+}

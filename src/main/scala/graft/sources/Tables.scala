@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Helpers for the parquet fixture layout (`/root/repo/TESTDATA.md`):
+  * one `<name>.parquet` per table under a scale-factor directory.
+  */
+object Tables {
+  /** The harness star schema + LLM-pipeline tables (FIXTURES.md §2). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, table: String): String = s"$dir/$table.parquet"
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(path(dir, table))
+
+  /** Register each existing table as a temp view so `spark.sql` queries see
+    * the same names the DuckDB oracle does. Idempotent. */
+  def registerViews(spark: SparkSession, dir: String,
+                    tables: Seq[String] = all): Unit =
+    tables.foreach { t =>
+      val p = path(dir, t)
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p).createOrReplaceTempView(t)
+    }
+}
