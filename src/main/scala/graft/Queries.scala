@@ -62,17 +62,7 @@ object Queries {
 
   /** InsertOrUpdate as a set-oriented merge with deterministic clock. */
   private def upsertMerge(s: SparkSession, dir: String): DataFrame = {
-    val o = tab(s, dir, "orders")
-    val t0 = to_timestamp(lit("2025-01-01 00:00:00"))
-    val t1 = to_timestamp(lit("2026-01-01 00:00:00"))
-    val target = o.filter(col("o_orderkey") % 3 =!= 0)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
-        t0.as("created_at"), t0.as("updated_at"))
-    val updates = o.filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"),
-        (col("o_totalprice") + 10.0).as("o_totalprice"),
-        lit("U").as("o_orderstatus"))
-    val cfg = UpsertConfig(discriminant = Seq("o_orderkey"), clock = Some(t1))
+    val (target, updates, cfg) = upsertParts(s, dir)
     InsertOrUpdate.merge(target, updates, cfg).target
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
         unix_timestamp(col("created_at")).as("created_at_s"),
@@ -140,13 +130,15 @@ object Queries {
       .orderBy("nk")
 
   private def setExcept(s: SparkSession, dir: String): DataFrame =
-    tab(s, dir, "customer").select(col("c_nationkey").as("nk"))
-      .except(tab(s, dir, "supplier").select(col("s_nationkey").as("nk")))
-      .orderBy("nk")
+    tab(s, dir, "part").select(col("p_size").as("v"))
+      .except(tab(s, dir, "customer").select(col("c_nationkey").as("v")))
+      .orderBy("v")
 
   private def antiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = tab(s, dir, "customer")
     val o = tab(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01")
+        && col("o_orderdate") < lit("1995-07-01"))
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -201,6 +193,189 @@ object Queries {
         round(col("total_value"), 6).as("total_value"))
       .orderBy("bucket_start", "event_type")
 
+  // ------------------------------------------------- batch 2: breadth + LLM
+
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private def scalarString(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "part").select(
+      col("p_partkey"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      substring(col("p_name"), 1, 12).as("name12"),
+      length(col("p_name")).cast("long").as("name_len"),
+      upper(col("p_name")).as("name_up"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      expr("replace(p_type, 'O', '0')").as("type_sub"))
+      .orderBy("p_partkey")
+
+  private def scalarDateMath(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      datediff(to_date(lit("1998-01-01")), col("o_orderdate").cast("date"))
+        .cast("long").as("days_to_98"),
+      abs(col("o_totalprice") - 150000.0).as("abs_delta"),
+      floor(col("o_totalprice")).cast("long").as("price_floor"),
+      ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+      round(col("o_totalprice") / 7.0, 3).as("price_div"),
+      sqrt(col("o_totalprice")).as("price_sqrt"),
+      (col("o_orderkey") % 7).as("key_mod"))
+      .orderBy("o_orderkey")
+
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      col("event_type"))
+      .orderBy("event_id")
+
+  private def arrayOps(s: SparkSession, dir: String): DataFrame = {
+    val toks = T.tokens(lower(col("text")))
+    tab(s, dir, "documents").select(
+      col("doc_id"),
+      sort_array(array_distinct(toks)).as("toks_sorted"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      array_contains(toks, "the").as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  private def unionAll(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "customer")
+      .select(col("c_name").as("name"), lit("customer").as("kind"))
+      .unionAll(tab(s, dir, "supplier")
+        .select(col("s_name").as("name"), lit("supplier").as("kind")))
+      .orderBy("name", "kind")
+
+  private def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "lineitem").agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_partkey")).as("n_part"),
+      count(lit(1)).as("n_rows"))
+
+  private def topkOrders(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_totalprice")
+
+  private def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    EventWindows.sliding(events(s, dir), "ts", "1 hour", "30 minutes")
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy("bucket_start", "event_type")
+
+  private def eventsSessions(s: SparkSession, dir: String): DataFrame =
+    EventWindows.sessions(events(s, dir), "ts", "6 hours")
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy("user_id", "session_start_us")
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tab(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, threshold = 0.1)
+      .orderBy("id_a", "id_b")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "documents").select(
+      col("doc_id"),
+      round(T.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(T.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      T.qualityScore(col("text")).as("quality"),
+      T.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+      .orderBy("doc_id")
+
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val payload = Multimodal.asBinaryPayload(tab(s, dir, "documents"),
+      "text", "text/plain")
+    // frame bytes are compared via their hex encoding: DuckDB cannot slice
+    // BLOBs, so the oracle slices hex(payload) instead — md5(hex) matches
+    // iff the byte slices match.
+    Multimodal.sampleFrames(payload, "payload", 4)
+      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+        octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+        md5(hex(col("frame_bytes"))).as("frame_md5"))
+      .orderBy("doc_id", "frame_id")
+  }
+
+  private def upsertInsertOnly(s: SparkSession, dir: String): DataFrame = {
+    val (target, updates, cfg0) = upsertParts(s, dir)
+    val cfg = cfg0.copy(allowedOperations = Set(graft.core.Operation.Insert))
+    InsertOrUpdate.merge(target, updates, cfg).target
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        unix_timestamp(col("created_at")).as("created_at_s"),
+        unix_timestamp(col("updated_at")).as("updated_at_s"))
+      .orderBy("o_orderkey")
+  }
+
+  private def upsertErrors(s: SparkSession, dir: String): DataFrame = {
+    val (target, updates, cfg0) = upsertParts(s, dir)
+    val cfg = cfg0.copy(allowedOperations = Set(graft.core.Operation.Insert))
+    InsertOrUpdate.merge(target, updates, cfg).errors
+      .orderBy("o_orderkey")
+  }
+
+  private def upsertParts(s: SparkSession, dir: String) = {
+    val o = tab(s, dir, "orders")
+    val t0 = to_timestamp(lit("2025-01-01 00:00:00"))
+    val t1 = to_timestamp(lit("2026-01-01 00:00:00"))
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        t0.as("created_at"), t0.as("updated_at"))
+    val updates = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    (target, updates,
+      UpsertConfig(discriminant = Seq("o_orderkey"), clock = Some(t1)))
+  }
+
+  // -------------------------------------- rows-only (no SQL-expressible oracle)
+
+  /** MinHash-LSH pairs: signatures depend on the engine's hash family, so
+    * there is no cross-engine SQL oracle; correctness is covered by the
+    * ScalaTest property (LSH pairs ⊆ exact-Jaccard pairs). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(tab(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.1)
+      .orderBy("id_a", "id_b")
+
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(tab(s, dir, "documents"), "text", "doc_id",
+        chunks = 4, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private def embcosPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(tab(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, nPlanes = 4, tables = 8)
+      .orderBy("id_a", "id_b")
+
+  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    Similarity.lshTopK(corpus, queries, "embedding", "vec_id", "query_id",
+        k = 10, nPlanes = 8, dim = 64)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,7 +395,27 @@ object Queries {
     "text_stats" -> textStats _,
     "similarity_topk" -> similarityTopK _,
     "multimodal_decode" -> multimodalDecode _,
-    "events_tumbling" -> eventsTumbling _
+    "events_tumbling" -> eventsTumbling _,
+    "rollup_agg" -> rollupAgg _,
+    "cube_agg" -> cubeAgg _,
+    "scalar_string" -> scalarString _,
+    "scalar_datemath" -> scalarDateMath _,
+    "json_extract" -> jsonExtract _,
+    "array_ops" -> arrayOps _,
+    "union_all" -> unionAll _,
+    "distinct_agg" -> distinctAgg _,
+    "topk_orders" -> topkOrders _,
+    "events_sliding" -> eventsSliding _,
+    "events_sessions" -> eventsSessions _,
+    "ngram_pairs" -> ngramPairs _,
+    "text_quality" -> textQuality _,
+    "multimodal_frames" -> multimodalFrames _,
+    "upsert_insert_only" -> upsertInsertOnly _,
+    "upsert_errors" -> upsertErrors _,
+    "minhash_pairs" -> minhashPairs _,
+    "simhash_pairs" -> simhashPairs _,
+    "embcos_pairs" -> embcosPairs _,
+    "lsh_topk" -> lshTopK _
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,12 +491,14 @@ object Queries {
         |INTERSECT SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
     "set_except" ->
-      """SELECT c_nationkey AS nk FROM customer
-        |EXCEPT SELECT s_nationkey AS nk FROM supplier
-        |ORDER BY nk""".stripMargin,
+      """SELECT p_size AS v FROM part
+        |EXCEPT SELECT c_nationkey AS v FROM customer
+        |ORDER BY v""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "semi_join" ->
       """SELECT s_suppkey, s_name FROM supplier
@@ -369,6 +566,169 @@ object Queries {
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_start,
         |  event_type, COUNT(*) AS n,
         |  ROUND(SUM(value), 6) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "scalar_string" ->
+      """SELECT p_partkey,
+        |  p_brand || '-' || p_type AS brand_type,
+        |  substr(p_name, 1, 12) AS name12,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  upper(p_name) AS name_up,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  replace(p_type, 'O', '0') AS type_sub
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_datemath" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |  abs(o_totalprice - 150000.0) AS abs_delta,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  round(o_totalprice / 7.0, 3) AS price_div,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  o_orderkey % 7 AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "array_ops" ->
+      """SELECT doc_id,
+        |  list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS toks_sorted,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_uniq,
+        |  list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'the') AS has_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "union_all" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        |ORDER BY name, kind""".stripMargin,
+    "distinct_agg" ->
+      """SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, t) AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, t) - INTERVAL 30 MINUTE AS ws, event_type, value FROM e)
+        |SELECT CAST(epoch(ws) AS BIGINT) AS bucket_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |              OR t - lag(t) OVER w >= INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (
+        |  SELECT user_id, t, value,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(epoch_us(min(t)) AS BIGINT) AS session_start_us,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "ngram_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t)
+        |SELECT id_a, id_b, inter, x.n + y.n - inter AS uni,
+        |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+        |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text, praw, ntok,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |         ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END AS sraw
+        |  FROM q)
+        |SELECT doc_id,
+        |  round(praw, 6) AS punct_ratio,
+        |  round(sraw, 6) AS stop_ratio,
+        |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |        + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |        + least(sraw * 4.0, 1.0) * 0.3, 6) AS quality,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpeish
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, ph, n, unnest(range(0, 4)) AS frame_id FROM b),
+        |c AS (
+        |  SELECT doc_id, frame_id,
+        |    substring(ph, 2 * (CAST(TRUNC(frame_id * (n / 4.0) + 1) AS INT) - 1) + 1,
+        |              2 * GREATEST(CAST(TRUNC(n / 4.0) AS INT), 1)) AS fh
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |  CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+        |  md5(fh) AS frame_md5
+        |FROM c ORDER BY doc_id, frame_id""".stripMargin,
+    "upsert_insert_only" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |         TIMESTAMP '2025-01-01 00:00:00' AS stamp
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |u AS (
+        |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+        |         'U' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice
+        |       ELSE u.o_totalprice END AS o_totalprice,
+        |  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderstatus
+        |       ELSE u.o_orderstatus END AS o_orderstatus,
+        |  CAST(epoch(CASE WHEN t.o_orderkey IS NOT NULL THEN t.stamp
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END) AS BIGINT) AS created_at_s,
+        |  CAST(epoch(CASE WHEN t.o_orderkey IS NOT NULL THEN t.stamp
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END) AS BIGINT) AS updated_at_s
+        |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "upsert_errors" ->
+      """SELECT 'ProhibitedOperationError: UPDATE operations are not allowed by this transformation.' AS error,
+        |  o_orderkey
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** Large prime < 2^61 for the universal-hash family h(x) = (a·x + b) mod p. */
-  val Prime: Long = 2305843009213693951L // 2^61 - 1
+  /** Mersenne prime 2^31−1 for the universal-hash family h(x) = (a·x + b)
+    * mod p. 31-bit (not 61-bit) so a·x stays < 2^62 — Spark 4 runs ANSI
+    * mode by default and a 61-bit family would overflow LongType. */
+  val Prime: Long = 2147483647L // 2^31 - 1
 
   /** Deterministic (a, b) coefficient pairs from a fixed seed. */
   def coefficients(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {

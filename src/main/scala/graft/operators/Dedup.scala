@@ -107,6 +107,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Exact n-gram Jaccard pairs via a shingle-inverted-index self-join:
+    * explode distinct shingles, join on the shingle, count shared shingles
+    * per pair (the intersection), then |union| = |A|+|B|−|A∩B| — all exact
+    * integer arithmetic, so the result is engine-independent (DuckDB
+    * oracle-checkable, unlike MinHash whose signatures depend on the hash
+    * family). `maxDf` drops shingles appearing in more than that many docs
+    * (stop-shingles) — the skew guard that keeps the self-join from going
+    * quadratic on boilerplate at 100 TB; 0 disables. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.1,
+                        maxDf: Long = 0L): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)).as("__sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val filtered =
+      if (maxDf <= 0) sh
+      else {
+        val df_ = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+        sh.join(df_.select("__sh"), Seq("__sh"), "left_semi")
+      }
+    val a = filtered.select(col(idCol).as("id_a"), col("__sh"))
+    val b = filtered.select(col(idCol).as("id_b"), col("__sh"))
+    val inter = a.join(b, Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
     * minimum shingle hash — documents sharing their rarest-hashed shingle
     * collide), then exact verification. For corpora where full MinHash is
@@ -119,15 +156,24 @@ object Dedup {
       threshold = threshold, maxBucket = maxBucket)
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucketing then exact
-    * cosine verification ≥ threshold. See [[Similarity]] for search. */
+    * cosine verification ≥ threshold. `tables` independent hyperplane sets
+    * OR-amplify recall (a pair is a candidate if it collides in ANY table:
+    * recall = 1−(1−p^nPlanes)^tables for per-plane agreement p) — a single
+    * table's recall collapses for thresholds below ~0.9. Candidate volume
+    * scales linearly with `tables`; the exact-cosine filter keeps the
+    * output sound regardless. See [[Similarity]] for search. */
   def embeddingCosine(df: DataFrame, vecCol: String, idCol: String,
                       threshold: Double = 0.95, nPlanes: Int = 12,
-                      dim: Int = 64, maxBucket: Int = 2000): DataFrame = {
+                      dim: Int = 64, tables: Int = 4,
+                      maxBucket: Int = 2000): DataFrame = {
     import graft.functions.{VectorFunctions => V}
-    val planes = V.hyperplanes(nPlanes, dim)
-    val keyed = df.select(
-      col(idCol),
-      V.signBucket(col(vecCol), planes).cast("string").as("__key"))
+    val keys = (0 until tables).map { t =>
+      val planes = V.hyperplanes(nPlanes, dim, seed = 42L + t)
+      struct(lit(t).as("table"), V.signBucket(col(vecCol), planes).as("bucket"))
+    }
+    val keyed = df
+      .select(col(idCol), explode(array(keys: _*)).as("__k"))
+      .select(col(idCol), col("__k").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
     val vecs = df.select(col(idCol), col(vecCol))
     pairs

@@ -66,7 +66,7 @@ object JdbcUpsert {
     * both → `ON CONFLICT … DO UPDATE`; insert-only → `DO NOTHING`;
     * update-only → a plain `UPDATE … WHERE` (no insert path).
     * Returns the SQL plus the column order its `?` placeholders bind in. */
-  private[sinks] def upsertSql(table: String, columns: Seq[String],
+  private[graft] def upsertSql(table: String, columns: Seq[String],
                                cfg: UpsertConfig, canInsert: Boolean,
                                canUpdate: Boolean): (String, Seq[String]) = {
     val disc = cfg.discriminant

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src(rows: Seq[(Int, String)]): SourceNode =
+    (_: RunContext) => rows.toDF("id", "value")
+
+  test("empty chain is identity (Graph() with no nodes is legal)") {
+    val g = Graph(src(Seq(1 -> "a", 2 -> "b")))
+    g.run(spark).collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+  }
+
+  test("chain composes nodes in order") {
+    val g = Graph(src(Seq(1 -> "a", 2 -> "b", 3 -> "c")))
+      .add((df: DataFrame) => df.filter(col("id") > 1))
+      .add((df: DataFrame) => df.withColumn("id2", col("id") * 2))
+    val out = g.run(spark).orderBy("id").collect()
+    out.map(_.getInt(0)) shouldBe Array(2, 3)
+    out.map(_.getInt(2)) shouldBe Array(4, 6)
+  }
+
+  test("nodes can fan out 1->N (generator analog = flatMap/explode)") {
+    val g = Graph(src(Seq(2 -> "x")))
+      .add((df: DataFrame) =>
+        df.withColumn("i", explode(sequence(lit(0), col("id")))))
+    g.run(spark).count() shouldBe 3
+  }
+
+  test("service resolution failure is fatal and names the missing service") {
+    val ex = intercept[UnrecoverableOperationalError] {
+      ServiceRegistry(Map("a" -> 1)).apply[String]("missing")
+    }
+    ex.getMessage should include("missing")
+    ex.getMessage should include("a")
+  }
+
+  test("JdbcEngine.postgres: overrides > env > defaults (util.py:26-31)") {
+    val env = Map("POSTGRES_HOST" -> "envhost", "POSTGRES_PORT" -> "5555")
+    val e = JdbcEngine.postgres(
+      overrides = Map("host" -> "ovrhost"),
+      getenv = env.get)
+    e.url shouldBe "jdbc:postgresql://ovrhost:5555/postgres?client_encoding=utf8"
+    e.user shouldBe "postgres"
+    val d = JdbcEngine.postgres(getenv = _ => None)
+    d.url shouldBe "jdbc:postgresql://localhost:5432/postgres?client_encoding=utf8"
+  }
+
+  test("Operation default allowed set is (INSERT, UPDATE) (writers.py:29-34)") {
+    Operation.defaultAllowed shouldBe Set(Operation.Insert, Operation.Update)
+  }
+}

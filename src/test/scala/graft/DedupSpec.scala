@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "  the   quick brown fox jumps over the lazy dog ") // ws-normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the minimal keepBy row per key") {
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("k", "id")
+    val out = Dedup.exact(df, Seq("k"), "id").orderBy("k").collect()
+    out.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 1L), ("b", 2L))
+  }
+
+  test("fingerprint dedup collapses exact + whitespace-normalized dups") {
+    val kept = Dedup.exactByFingerprint(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(0L, 1L, 2L)
+  }
+
+  test("minhash LSH finds the constructed near-dup pair, and every reported " +
+    "pair meets the exact-jaccard threshold (soundness)") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.3)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got should contain(0L -> 1L)  // 8/10 shared 3-gram shingles
+    got should contain(0L -> 3L)  // identical
+    pairs.select("jaccard").as[Double].collect().foreach(_ should be >= 0.3)
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dups within bound") {
+    val pairs = Dedup.simHash(docs, "text", "doc_id", chunks = 4, maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.find(p => p._1 == 0L && p._2 == 3L).map(_._3) shouldBe Some(0)
+    got.foreach(_._3 should be <= 3)
+  }
+
+  test("ngramJaccardPairs computes exact intersection/union counts") {
+    val two = Seq(
+      (0L, "a b c d"),  // 3-shingles: {a b c, b c d}
+      (1L, "a b c e")   // 3-shingles: {a b c, b c e}
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(two, "text", "doc_id",
+      shingleSize = 3, threshold = 0.0).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(2), r.getLong(3), r.getDouble(4)) shouldBe ((1L, 3L, 0.333333))
+  }
+
+  test("maxDf drops stop-shingles from candidate generation (skew guard)") {
+    val boiler = (0L to 9L).map(i => (i, s"same boilerplate everywhere $i"))
+      .toDF("doc_id", "text")
+    // every doc shares 'same boilerplate everywhere'; df=10 > maxDf=5 -> no pairs
+    val out = Dedup.ngramJaccardPairs(boiler, "text", "doc_id",
+      shingleSize = 3, threshold = 0.0, maxDf = 5)
+    out.count() shouldBe 0
+  }
+
+  test("embedding cosine dedup reports only pairs above threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosine(vecs, "embedding", "vec_id",
+      threshold = 0.9, nPlanes = 4, dim = 4, tables = 8)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got shouldBe Set(0L -> 1L)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventWindows
+
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (ts("2024-01-01 00:05:00"), "click", 1.0, 7L),
+    (ts("2024-01-01 00:55:00"), "click", 2.0, 7L),
+    (ts("2024-01-01 01:05:00"), "click", 4.0, 7L),
+    (ts("2024-01-01 01:05:00"), "view", 8.0, 8L)
+  ).toDF("ts", "event_type", "value", "user_id")
+
+  test("tumbling windows bucket by hour") {
+    val out = EventWindows.tumbling(events, "ts", "1 hour")
+      .select(col("window.start").cast("string").as("w"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("event_type", "w")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows should contain("2024-01-01 00:00:00" , "click", 2L, 3.0)
+    rows should contain("2024-01-01 01:00:00", "click", 1L, 4.0)
+    rows should contain("2024-01-01 01:00:00", "view", 1L, 8.0)
+  }
+
+  test("sliding windows double-count into overlapping panes") {
+    val out = EventWindows.sliding(events, "ts", "1 hour", "30 minutes")
+    // each event appears in exactly 2 windows
+    out.agg(sum("n")).head().getLong(0) shouldBe events.count() * 2
+  }
+
+  test("session windows split at >= gap and merge within") {
+    val sess = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:04:00"), 1L, 1.0),  // 4 min gap -> same session
+      (ts("2024-01-01 00:09:30"), 1L, 1.0),  // 5.5 min gap -> new session? no: gap 5m30s >= 5m
+      (ts("2024-01-01 02:00:00"), 2L, 1.0)
+    ).toDF("ts", "user_id", "value")
+    val out = EventWindows.sessions(sess, "ts", "5 minutes")
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id", "n_events").as[(Long, Long)].collect()
+    out shouldBe Array((1L, 1L), (1L, 2L), (2L, 1L))
+  }
+
+  test("streaming: tumbling agg with watermark over MemoryStream " +
+    "(real Structured Streaming micro-batch execution)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventWindows.tumbling(
+      EventWindows.withLateDataBound(sdf, "ts", "10 minutes"), "ts", "1 hour")
+    val q = agg.writeStream
+      .format("memory").queryName("ew_tumbling").outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01 00:05:00"), "click", 1.0),
+        (ts("2024-01-01 00:15:00"), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ew_tumbling")
+        .select("event_type", "n", "total_value").collect()
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe
+        Array(("click", 2L, 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming: end-of-stream flush semantics via foreachBatch upsert " +
+    "(writers.py:70-72 epoch-commit analog)") {
+    import graft.sinks.{InsertOrUpdate, UpsertConfig}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    var snapshot = Seq.empty[(Int, String)].toDF("id", "value")
+    val cfg = UpsertConfig(clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val q = mem.toDF().toDF("id", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapshot = InsertOrUpdate.merge(snapshot, batch, cfg).target
+          .localCheckpoint(eager = true)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      mem.addData((2, "b2"), (3, "c"))
+      q.processAllAvailable()
+      snapshot.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))) shouldBe
+        Array((1, "a"), (2, "b2"), (3, "c"))
+    } finally q.stop()
+  }
+}

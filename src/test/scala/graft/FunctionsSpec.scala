@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: blank counts 0, whitespace runs collapse") {
+    val df = Seq("", "   ", "one", "a  b\t c").toDF("t")
+      .select(T.tokenCount(col("t")).as("n"))
+    df.as[Int].collect() shouldBe Array(0, 0, 1, 3)
+  }
+
+  test("langId picks the dominant marker language, 'und' when none") {
+    val df = Seq(
+      "the cat and the dog is of to",
+      "el que la de es",
+      "xyz qqq zzz").toDF("t").select(T.langId(col("t")).as("l"))
+    df.as[String].collect() shouldBe Array("en", "es", "und")
+  }
+
+  test("punctRatio and stopwordRatio bounds") {
+    val r = Seq("a, b. c!").toDF("t")
+      .select(T.punctRatio(col("t")).as("p"), T.stopwordRatio(col("t")).as("s"))
+      .head()
+    r.getDouble(0) shouldBe (3.0 / 8.0) +- 1e-9
+    r.getDouble(1) shouldBe 0.0
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val fps = Seq("A  B c", "a b C", "totally different")
+      .toDF("t").select(T.fingerprint(col("t"))).as[String].collect()
+    fps(0) shouldBe fps(1)
+    fps(2) should not be fps(0)
+  }
+
+  test("wordShingles: short docs collapse to one whole-string shingle") {
+    val sh = Seq("a b", "a b c d").toDF("t")
+      .select(H.wordShingles(T.tokens(col("t")), 3).as("s"))
+      .as[Seq[String]].collect()
+    sh(0) shouldBe Seq("a b")
+    sh(1).toSet shouldBe Set("a b c", "b c d")
+  }
+
+  test("minHash is deterministic and equal signatures for equal shingle sets") {
+    val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
+      .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    sigs(0) shouldBe sigs(1)
+    sigs(0) should not be sigs(2)
+    sigs(0).length shouldBe 16
+  }
+
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d")))
+      .toDF("x", "y", "z")
+      .select(H.jaccard(col("x"), col("y")).as("same"),
+        H.jaccard(col("x"), col("z")).as("disj"))
+    val r = df.head()
+    r.getDouble(0) shouldBe 1.0
+    r.getDouble(1) shouldBe 0.0
+  }
+
+  test("simHash: equal token streams get hamming 0; hamming is symmetric bit count") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("s", "t")
+      .select(H.hamming(H.simHash(T.tokens(col("s"))),
+        H.simHash(T.tokens(col("t")))).as("h"))
+    val h = df.as[Long].collect()
+    h(0) shouldBe 0L
+    h(1) should be > 0L
+  }
+
+  test("vector math: cosine/l2/dot on known vectors; zero vector -> null cosine") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f))
+    ).toDF("a", "b").select(
+      V.cosine(col("a"), col("b")).as("cos"),
+      V.l2(col("a"), col("b")).as("l2"))
+    val rows = df.collect()
+    rows(0).getDouble(0) shouldBe 0.0 +- 1e-9
+    rows(1).getDouble(0) shouldBe 1.0 +- 1e-9
+    assert(rows(2).isNullAt(0))
+    rows(0).getDouble(1) shouldBe math.sqrt(2) +- 1e-9
+  }
+
+  test("signBucket packs plane signs deterministically") {
+    val planes = V.hyperplanes(4, 2, seed = 7L)
+    val df = Seq(Tuple1(Array(1.0f, 0.5f))).toDF("v")
+      .select(V.signBucket(col("v"), planes).as("b"))
+    val b1 = df.as[Long].head()
+    val b2 = df.as[Long].head()
+    b1 shouldBe b2
+    b1 should (be >= 0L and be < 16L)
+  }
+}

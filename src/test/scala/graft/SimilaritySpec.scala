@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (12L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (13L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private val queries = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("query_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val out = Similarity.bruteForceTopK(corpus, queries,
+      "embedding", "vec_id", "query_id", k = 3).orderBy("rank").collect()
+    out.map(_.getLong(1)) shouldBe Array(10L, 11L, 12L)
+    out.map(_.getInt(3)) shouldBe Array(1, 2, 3)
+    out.head.getDouble(2) shouldBe 1.0 +- 1e-9
+  }
+
+  test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +
+    "(approximation loses candidates, never mis-scores them)") {
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "embedding", "vec_id", "query_id", k = 4)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(corpus, queries,
+      "embedding", "vec_id", "query_id", k = 4, nPlanes = 4, dim = 4)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    lsh should not be empty
+    lsh.foreach { case (id, cos) => cos shouldBe brute(id) +- 1e-9 }
+    // the query's own-direction nearest neighbor shares all sign buckets
+    lsh.map(_._1) should contain(10L)
+  }
+}
