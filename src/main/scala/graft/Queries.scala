@@ -362,7 +362,7 @@ object Queries {
 
   private def embcosPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(tab(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, nPlanes = 4, tables = 8)
+        threshold = 0.4, nPlanes = 8, tables = 12)
       .orderBy("id_a", "id_b")
 
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {

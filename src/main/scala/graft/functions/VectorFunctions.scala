@@ -23,11 +23,16 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in f64; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    val denom = norm(ad) * norm(bd)
-    when(denom === 0.0, lit(null).cast("double")).otherwise(dot(ad, bd) / denom)
+  def cosine(a: Column, b: Column): Column =
+    cosineGivenNorms(a, b, norm(toDouble(a)), norm(toDouble(b)))
+
+  /** Cosine with precomputed norms — identical arithmetic to [[cosine]]
+    * (dot/(na·nb)), but lets pair-join operators compute each row's norm
+    * once instead of once per candidate pair. */
+  def cosineGivenNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(toDouble(a), toDouble(b)) / denom)
   }
 
   /** Euclidean (L2) distance in f64. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 
@@ -65,15 +66,34 @@ object Dedup {
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol), T.tokens(lower(col(textCol))).as("__tokens"))
-      .withColumn("__shingles", H.wordShingles(col("__tokens"), shingleSize))
-      .withColumn("__sig", H.minHash(col("__shingles"), numHashes))
+    // Shingling is the expensive scan-side computation and is consumed by
+    // three branches (signature aggregation + both verification joins);
+    // persist it once instead of recomputing per branch. MEMORY_AND_DISK:
+    // at cluster scale this relation exceeds memory and spills, which is
+    // still far cheaper than re-tokenizing the corpus per branch.
+    val shingled = df.select(col(idCol),
+      H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Signature via explode + 64 codegen'd min-aggregates instead of a
+    // higher-order-function fold: HOF lambdas are interpreted per element,
+    // while hash-aggregate min() runs inside whole-stage codegen with
+    // map-side partial aggregation — same values, ~an order of magnitude
+    // cheaper at scale.
+    val exploded = shingled
+      .select(col(idCol), explode(col("__shingles")).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(H.Prime)))
+    val minCols = H.coefficients(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(H.Prime))).as(s"__m$i")
+    }
+    val withSig = exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
     val keyed = withSig
       .select(col(idCol), explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
       .select(col(idCol), col("__band").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
-    val shingles = withSig.select(col(idCol), col("__shingles"))
+    val shingles = shingled.select(col(idCol), col("__shingles"))
     pairs
       .join(shingles.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("__shingles", "__sh_a"), Seq("id_a"))
@@ -85,13 +105,28 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit sketch, chunk-LSH candidates,
-    * exact Hamming verification ≤ maxHamming. */
+    * exact Hamming verification ≤ maxHamming. The sketch is computed by
+    * exploding tokens and running 64 codegen'd bit-count sum-aggregates
+    * (same values as [[graft.functions.HashFunctions.simHash]], which folds
+    * per row with interpreted lambdas — kept as the scalar API). */
   def simHash(df: DataFrame, textCol: String, idCol: String,
               chunks: Int = 4, maxHamming: Int = 3,
               maxBucket: Int = 10000): DataFrame = {
     require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
-    val withSim = df.select(
-      col(idCol), H.simHash(T.tokens(lower(col(textCol)))).as("__sim"))
+    val toks = df
+      .select(col(idCol), explode(T.tokens(lower(col(textCol)))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitCols = (0 until 64).map(i =>
+      sum(shiftright(col("__h"), i).bitwiseAND(1)).as(s"__b$i"))
+    val agg = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__cnt"), bitCols: _*)
+    // bit i set iff strictly more +1 votes than −1 votes: 2·ones > n
+    val sim = (0 until 64).map(i =>
+      when(col(s"__b$i") * 2 > col("__cnt"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    // consumed by the chunk-LSH branch and both verification joins
+    val withSim = agg.select(col(idCol), sim.as("__sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = withSim
       .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
       .select(col(idCol), col("__c").cast("string").as("__key"))
@@ -118,9 +153,21 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
                         maxDf: Long = 0L): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)).as("__sh"))
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    // Set sizes ride along with the exploded shingles, so no extra sizes
+    // join is needed after the pair aggregation; the two join inputs are
+    // identical subplans, so the shingle-key exchange is computed once and
+    // reused (ReusedExchange) rather than re-scanned.
+    // Persist at the ARRAY level: the shingle HOF runs exactly once per
+    // document; the size() projection and both join-side explodes then read
+    // the cached arrays (projection collapse would otherwise re-run the HOF
+    // for each consumer).
+    val shingled = df
+      .select(col(idCol),
+        H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingled
+      .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
+        explode(col("__shs")).as("__sh"))
     val filtered =
       if (maxDf <= 0) sh
       else {
@@ -128,15 +175,12 @@ object Dedup {
           .filter(col("__df") <= maxDf)
         sh.join(df_.select("__sh"), Seq("__sh"), "left_semi")
       }
-    val a = filtered.select(col(idCol).as("id_a"), col("__sh"))
-    val b = filtered.select(col(idCol).as("id_b"), col("__sh"))
-    val inter = a.join(b, Seq("__sh"))
+    val a = filtered.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
+    val b = filtered.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+    a.join(b, Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "__na", "__nb")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
@@ -175,13 +219,14 @@ object Dedup {
       .select(col(idCol), explode(array(keys: _*)).as("__k"))
       .select(col(idCol), col("__k").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
-    val vecs = df.select(col(idCol), col(vecCol))
+    // norms once per row, not once per candidate pair
+    val vecs = df.select(col(idCol), col(vecCol),
+      V.norm(V.toDouble(col(vecCol))).as("__nrm"))
     pairs
-      .join(vecs.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed(vecCol, "__v_a"), Seq("id_a"))
-      .join(vecs.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed(vecCol, "__v_b"), Seq("id_b"))
-      .withColumn("cosine", V.cosine(col("__v_a"), col("__v_b")))
+      .join(vecs.toDF("id_a", "__v_a", "__n_a"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "__v_b", "__n_b"), Seq("id_b"))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col("__v_a"), col("__v_b"), col("__n_a"), col("__n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -28,11 +28,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
-    val q = queries.select(
-      col(queryIdCol), col(vecCol).as("__qvec"))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      V.norm(V.toDouble(col(vecCol))).as("__qn"))
     val scored = corpus
+      .withColumn("__cn", V.norm(V.toDouble(col(vecCol))))
       .join(broadcast(q))
-      .withColumn("cosine", V.cosine(col(vecCol), col("__qvec")))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored
@@ -51,19 +53,23 @@ object Similarity {
               k: Int, nPlanes: Int = 8, dim: Int = 64,
               probes: Int = 8): DataFrame = {
     val planes = V.hyperplanes(nPlanes, dim)
-    val c = corpus.withColumn("__cell", V.signBucket(col(vecCol), planes))
+    val c = corpus
+      .withColumn("__cell", V.signBucket(col(vecCol), planes))
+      .withColumn("__cn", V.norm(V.toDouble(col(vecCol))))
     // query probes: own cell + cells with one flipped bit
     val probeCells = array(
       (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
     val q = queries
-      .select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .select(col(queryIdCol), col(vecCol).as("__qvec"),
+        V.norm(V.toDouble(col(vecCol))).as("__qn"))
       .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
       .withColumn("__cell", explode(transform(probeCells,
         flip => col("__qcell").bitwiseXOR(flip))))
       .drop("__qcell")
     val scored = c
       .join(broadcast(q), Seq("__cell"))
-      .withColumn("cosine", V.cosine(col(vecCol), col("__qvec")))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored
