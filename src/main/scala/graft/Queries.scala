@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{ServiceRegistry, Graph => GGraph}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Joins, Multimodal, Similarity}
 import graft.sinks.{InsertOrUpdate, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
@@ -345,6 +345,56 @@ object Queries {
       UpsertConfig(discriminant = Seq("o_orderkey"), clock = Some(t1)))
   }
 
+  // ------------------------------------------------- batch 3: joins + analytics
+
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    Joins.saltedCountSum(tab(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", salts = 16)
+      .orderBy("l_returnflag")
+
+  private def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    tab(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    val g = GGraph(Select(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+    g.run(s, ServiceRegistry(Map("sql.backend" -> ParquetCatalog(dir))))
+  }
+
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+      .orderBy("o_orderstatus")
+
   // -------------------------------------- rows-only (no SQL-expressible oracle)
 
   /** MinHash-LSH pairs: signatures depend on the engine's hash family, so
@@ -412,6 +462,11 @@ object Queries {
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
     "upsert_errors" -> upsertErrors _,
+    "asof_join" -> asofJoin _,
+    "salted_agg" -> saltedAgg _,
+    "window_frames" -> windowFrames _,
+    "grouping_sets" -> groupingSets _,
+    "percentiles" -> percentiles _,
     "minhash_pairs" -> minhashPairs _,
     "simhash_pairs" -> simhashPairs _,
     "embcos_pairs" -> embcosPairs _,
@@ -729,6 +784,39 @@ object Queries {
         |  o_orderkey
         |FROM orders
         |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(epoch_us(p.t) AS BIGINT) AS ts_us,
+        |  c.click_id, CAST(epoch_us(c.ct) AS BIGINT) AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t
+        |ORDER BY event_id""".stripMargin,
+    "salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_l_quantity
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

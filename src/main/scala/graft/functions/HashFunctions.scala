@@ -27,8 +27,15 @@ object HashFunctions {
 
   /** Word n-gram shingles of a token array: `n` consecutive tokens joined by
     * a single space. Shorter docs yield their full token string as the one
-    * shingle. Distinct-ified (shingle *sets* feed Jaccard). */
-  def wordShingles(tokens: Column, n: Int): Column = {
+    * shingle. Distinct-ified (shingle *sets* feed Jaccard). Backed by the
+    * native [[WordShingleExpr]] — one compiled loop per document instead of
+    * an interpreted higher-order-function lambda per shingle element. */
+  def wordShingles(tokens: Column, n: Int): Column = WordShingleExpr(tokens, n)
+
+  /** The declarative (built-in-functions-only) formulation of
+    * [[wordShingles]]; value-equivalent, kept as the cross-checked spec for
+    * the native expression (see `FunctionsSpec`). */
+  def wordShinglesHof(tokens: Column, n: Int): Column = {
     val count = size(tokens)
     val starts = sequence(lit(0), greatest(count - n, lit(0)))
     array_distinct(

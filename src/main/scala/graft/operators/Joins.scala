@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes beyond Spark's built-ins: as-of (time-travel) joins and a
+  * skew-defeating salted equi-join. Both are pure DataFrame compositions —
+  * no custom physical operators — chosen for their scale behavior.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the single right row with the
+    * greatest `rightTs` ≤ the left row's `leftTs`, matching on `keys`
+    * (backward as-of, the market-data/event-attribution semantic).
+    *
+    * Implementation is the scalable union-and-carry pattern, NOT a per-row
+    * range probe: tag both inputs, union them, and run ONE window pass
+    * partitioned by key and ordered by (ts, side) where right rows sort
+    * before left rows at equal timestamps (so `ts_right == ts_left`
+    * matches). `last(_, ignoreNulls)` over an unbounded-preceding frame
+    * carries the latest right payload forward into each left row. Cost: a
+    * single shuffle+sort on the key — the same price as one sort-merge
+    * join — with no range-explosion, no skew amplification beyond the key
+    * distribution itself.
+    *
+    * Right columns (except keys/ts) are appended with `rightPrefix`; left
+    * rows with no prior right row get nulls (left-outer semantics).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPrefix: String = ""): DataFrame = {
+    val payloadCols =
+      right.columns.filterNot(c => keys.contains(c)).toSeq
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => payloadCols.map(rightPrefix + _).contains(c)),
+      "right payload columns collide with left columns; set rightPrefix")
+
+    // must be a NULL of struct type, not a struct of nulls — last(ignoreNulls)
+    // skips only genuinely-null payloads
+    val nullPayload = lit(null).cast(org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType))))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", nullPayload)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(payloadCols.map(col): _*))
+      .select((keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
+        leftCols.filterNot(c => keys.contains(c)).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val unioned = l.select((keys.map(col) :+ col("__ts") :+ col("__side") :+
+      col("__payload")) ++ leftCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(r)
+
+    // __payload as final sort key: right rows sharing a timestamp resolve
+    // deterministically (struct ordering = field order) instead of by
+    // partition-internal row order
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val out = leftCols.map(col) ++ payloadCols.map(c =>
+      col(s"__match.`$c`").as(rightPrefix + c))
+    carried.select(out: _*)
+  }
+
+  /** Salted aggregation: two-phase group-by for skewed keys. Phase 1 groups
+    * on (key, random-salt-of-`salts`) computing partial aggregates — the hot
+    * key's rows spread over `salts` reducers; phase 2 combines the partials
+    * on the key alone. Only associative aggregates compose this way; the
+    * helper exposes count and sum, the common skew victims. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
+                     salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__pc"), sum(col(sumCol)).as("__ps"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__pc")).as("n"), sum(col("__ps")).as(s"sum_$sumCol"))
+  }
+
+  /** Salted equi-join for a skewed LEFT side against a small-ish right
+    * side: left rows get a random salt in [0, salts); the right side is
+    * replicated `salts` times with each salt value; the join key becomes
+    * (key, salt), spreading one hot key over `salts` tasks. Right side
+    * grows `salts`-fold — use when right is the dimension side and AQE's
+    * skew handling isn't available (e.g. a non-shuffle-join plan). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val r = right
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` constructor; the blessed
+  * conversion lives in `private[sql]` ExpressionUtils. This bridge sits in a
+  * subpackage of `org.apache.spark.sql` to re-export the two conversions a
+  * library of custom Catalyst expressions needs. (The standard technique
+  * for Spark extension libraries that ship native expressions.)
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -44,6 +44,15 @@ class FunctionsSpec extends SparkSpec {
     sh(1).toSet shouldBe Set("a b c", "b c d")
   }
 
+  test("native WordShingleExpr matches the declarative HOF spec on edge cases") {
+    val df = Seq("", "a", "a b", "a b c", "a b c d e", "x x x x", "a  b   c d")
+      .toDF("t")
+    val native = df.select(H.wordShingles(T.tokens(col("t")), 3).as("s"))
+    val hof = df.select(H.wordShinglesHof(T.tokens(col("t")), 3).as("s"))
+    native.collect().map(_.getSeq[String](0)) shouldBe
+      hof.collect().map(_.getSeq[String](0))
+  }
+
   test("minHash is deterministic and equal signatures for equal shingle sets") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))

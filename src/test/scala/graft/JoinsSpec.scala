@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin attaches the latest right row at-or-before each left row") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t1"),  // matches 10:00 quote
+      (1L, ts("2024-01-01 11:00:00"), "t2"),  // equal ts -> matches 11:00 quote
+      (2L, ts("2024-01-01 10:00:00"), "t3"),  // before any quote -> null
+      (3L, ts("2024-01-01 12:00:00"), "t4")   // key with no quotes -> null
+    ).toDF("key", "tts", "trade_id")
+    val out = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts")
+      .orderBy("trade_id").collect()
+    out.map(r => (r.getString(2), if (r.isNullAt(4)) null else r.getDouble(4))) shouldBe
+      Array(("t1", 100.0), ("t2", 110.0), ("t3", null), ("t4", null))
+    // right ts travels with the payload
+    out(0).getTimestamp(3) shouldBe ts("2024-01-01 10:00:00")
+  }
+
+  test("asOfJoin output schema = left columns + right payload") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "lts", "lv")
+    val r = Seq((1L, ts("2023-12-31 00:00:00"), 9)).toDF("k", "rts", "rv")
+    Joins.asOfJoin(l, r, Seq("k"), "lts", "rts").columns.toSeq shouldBe
+      Seq("k", "lts", "lv", "rts", "rv")
+  }
+
+  test("saltedCountSum equals the plain group-by") {
+    val li = sources.Tables.load(spark, sf, "lineitem")
+    val salted = Joins.saltedCountSum(li, Seq("l_returnflag"), "l_quantity")
+      .orderBy("l_returnflag").collect()
+    val plain = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("l_quantity").as("s"))
+      .orderBy("l_returnflag").collect()
+    salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe
+      plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+  }
+
+  test("saltedJoin equals the plain equi-join") {
+    val li = sources.Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    val p = sources.Tables.load(spark, sf, "part").select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val salted = Joins.saltedJoin(li, p, "l_partkey", salts = 8)
+    val plain = li.join(p, Seq("l_partkey"))
+    salted.count() shouldBe plain.count()
+    salted.exceptAll(plain).count() shouldBe 0
+  }
+}
