@@ -24,6 +24,14 @@ trait Node extends Serializable {
 object Node {
   /** Lift a context-free `DataFrame => DataFrame` into a node. */
   def apply(f: DataFrame => DataFrame): Node = (in, _) => f(in)
+
+  /** Console sink for inspection — `bonobo.PrettyPrinter()` analog
+    * (`examples/sequel_extract.py:12`). Pass-through: rows continue
+    * downstream, as in the reference. */
+  def prettyPrinter(numRows: Int = 20): Node = (in, _) => {
+    in.show(numRows, truncate = false)
+    in
+  }
 }
 
 /** A source node: produces a DataFrame from nothing (the reference's

@@ -23,7 +23,17 @@ final case class SelectConfig(
     query: String = "SELECT 1",
     packSize: Int = 1000,
     limit: Option[Long] = None,
-    useLabels: Boolean = false)
+    useLabels: Boolean = false,
+    /** Parallel JDBC read spec: (column, lowerBound, upperBound,
+      * numPartitions). Replaces the reference's serial LIMIT/OFFSET page
+      * loop (`readers.py:59-77`) with N concurrent range-partitioned
+      * cursors — the difference between a single-connection drain and a
+      * cluster-wide ingest at 100 TB. */
+    partition: Option[JdbcPartitioning] = None)
+
+/** Range partitioning for parallel JDBC scans. */
+final case class JdbcPartitioning(
+    column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
 
 /** Where a `Select` runs its SQL. The reference has one backend (a live
   * SQLAlchemy engine); the rebuild splits it so the JDBC path stays
@@ -77,11 +87,28 @@ object Select {
         spark.read
           .format("jdbc")
           .options(e.options)
-          .option("query", sql)
-          .option("fetchsize", cfg.packSize)
+          .options(jdbcOptions(cfg))
           .load()
     }
     cfg.limit.fold(df)(n => df.limit(n.toInt))
+  }
+
+  /** The JDBC option map a [[SelectConfig]] resolves to (unit-testable
+    * without a live database). Partitioned reads use `dbtable` with a
+    * subquery alias — Spark requires partition options with `dbtable`,
+    * not `query`. */
+  private[graft] def jdbcOptions(cfg: SelectConfig): Map[String, String] = {
+    val sql = sanitize(cfg.query)
+    val base = Map("fetchsize" -> cfg.packSize.toString)
+    cfg.partition match {
+      case None => base + ("query" -> sql)
+      case Some(p) => base ++ Map(
+        "dbtable" -> s"($sql) graft_select",
+        "partitionColumn" -> p.column,
+        "lowerBound" -> p.lowerBound.toString,
+        "upperBound" -> p.upperBound.toString,
+        "numPartitions" -> p.numPartitions.toString)
+    }
   }
 
   /** Labeled projection reproducing `use_labels=True` (`readers.py:66`):

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Stateful streaming building blocks beyond windowed aggregation.
+  *
+  * The reference engine is an unbounded arrival-order push stream whose
+  * only state is the write buffer (SURVEY.md §2.3 "Streaming"); these are
+  * the Structured-Streaming-native equivalents a large pipeline needs.
+  */
+object StreamOps {
+
+  /** Streaming exact dedup: drop rows whose `keys` were already seen,
+    * with state bounded by the watermark (older keys are evicted — late
+    * duplicates beyond `delay` pass through, the standard trade-off).
+    * Works on both batch and streaming frames. */
+  def dedupeStream(df: DataFrame, keys: Seq[String], tsCol: String,
+                   delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
+    * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
+    * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.
+    * Returns the StreamingQuery; caller stops it. */
+  def upsertSink(stream: DataFrame)(
+      applyBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      applyBatch(b, id)
+    }.start()
+}

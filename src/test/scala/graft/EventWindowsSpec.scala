@@ -70,6 +70,23 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: watermark-bounded exact dedup drops in-window duplicates") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val deduped = StreamOps.dedupeStream(
+      mem.toDF().toDF("ts", "k"), Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("so_dedup").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:01:00"), 2L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:00:00"), 1L)) // exact duplicate row
+      q.processAllAvailable()
+      spark.table("so_dedup").count() shouldBe 2
+    } finally q.stop()
+  }
+
   test("streaming: end-of-stream flush semantics via foreachBatch upsert " +
     "(writers.py:70-72 epoch-commit analog)") {
     import graft.sinks.{InsertOrUpdate, UpsertConfig}

@@ -38,6 +38,17 @@ class SelectSpec extends SparkSpec {
     full should be > 1000L
   }
 
+  test("JDBC option map: serial query mode vs range-partitioned parallel mode") {
+    val serial = Select.jdbcOptions(SelectConfig("SELECT * FROM t;", packSize = 500))
+    serial shouldBe Map("fetchsize" -> "500", "query" -> "SELECT * FROM t")
+    val par = Select.jdbcOptions(SelectConfig("SELECT * FROM t",
+      partition = Some(JdbcPartitioning("id", 0L, 1000000L, 32))))
+    par("dbtable") shouldBe "(SELECT * FROM t) graft_select"
+    par("partitionColumn") shouldBe "id"
+    par("numPartitions") shouldBe "32"
+    par.keySet should not contain "query"
+  }
+
   test("labeled projection = use_labels aliasing (readers.py:66)") {
     val df = Tables.load(spark, sf, "region")
     Select.labeled(df, "region").columns.toSeq shouldBe
