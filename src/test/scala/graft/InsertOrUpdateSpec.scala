@@ -28,6 +28,25 @@ class InsertOrUpdateSpec extends SparkSpec {
     merged.errors.count() shouldBe 0
   }
 
+  /** The reference's scenario 3 (`tests/test_integration.py:190-207`):
+    * table_1 -> Select -> InsertOrUpdate(table_2) -> Select, golden compare —
+    * reproduced at the file level (parquet snapshots stand in for tables). */
+  test("golden DB->DB copy round-trip through parquet snapshots") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val generated = (0 until 10).map(i => (i, s"value for $i"))
+    // write table_1
+    InsertOrUpdate.merge(Seq.empty[(Int, String)].toDF("id", "value"),
+        generated.toDF("id", "value"), cfg)
+      .target.write.parquet(s"$tmp/table_1")
+    // copy table_1 -> table_2 via read + merge
+    val t1 = spark.read.parquet(s"$tmp/table_1")
+    InsertOrUpdate.merge(Seq.empty[(Int, String)].toDF("id", "value"), t1, cfg)
+      .target.write.parquet(s"$tmp/table_2")
+    val got = spark.read.parquet(s"$tmp/table_2").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    got.toSeq shouldBe generated
+  }
+
   test("upsert is idempotent: applying the same batch twice == once") {
     val target = Seq((1, "old"), (2, "old")).toDF("id", "value")
     val updates = Seq((2, "new"), (3, "new")).toDF("id", "value")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sinks.{InsertOrUpdate, UpsertConfig}
+
+/** ScalaCheck properties over the upsert merge (SURVEY.md §7.2 step 7):
+  * the reference's implicit at-least-once contract — re-applying a batch
+  * must converge — plus the column-intersection laws. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling harness (scalatestplus bridge is not on the
+    * offline classpath; plain ScalaCheck generators sampled over fixed
+    * seeds give the same coverage reproducibly). */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (0 until 25).foreach { i =>
+      val a = ga.apply(Gen.Parameters.default, Seed(42L + i)).get
+      val b = gb.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      body(a, b)
+    }
+
+  private val cfg = UpsertConfig(
+    clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+
+  private val rowsGen: Gen[List[(Int, String)]] = for {
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(0, 15)
+      v <- Gen.alphaStr.map(_.take(6))
+    } yield (id, v))
+  } yield rows
+
+  private def dedupByKey(rows: List[(Int, String)]): List[(Int, String)] =
+    rows.groupBy(_._1).map { case (_, vs) => vs.head }.toList
+
+  test("property: upsert is idempotent — merge(merge(t,u),u) == merge(t,u)") {
+    forAll(rowsGen, rowsGen) { (t0, u0) =>
+      val target = dedupByKey(t0).toDF("id", "value")
+      val updates = dedupByKey(u0).toDF("id", "value")
+      val once = InsertOrUpdate.merge(target, updates, cfg).target
+      val twice = InsertOrUpdate.merge(once, updates, cfg).target
+      val a = once.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      val b = twice.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      a shouldBe b
+    }
+  }
+
+  test("property: merged key set = target keys ∪ update keys; update wins on overlap") {
+    forAll(rowsGen, rowsGen) { (t0, u0) =>
+      val t = dedupByKey(t0)
+      val u = dedupByKey(u0)
+      val merged = InsertOrUpdate
+        .merge(t.toDF("id", "value"), u.toDF("id", "value"), cfg).target
+        .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+      merged.keySet shouldBe (t.map(_._1).toSet ++ u.map(_._1).toSet)
+      val um = u.toMap
+      merged.foreach { case (k, v) =>
+        if (um.contains(k)) v shouldBe um(k)
+        else v shouldBe t.toMap.apply(k)
+      }
+    }
+  }
+
+  test("property: written-rows output = the update batch's effect, errors empty " +
+    "when both operations allowed") {
+    forAll(rowsGen, rowsGen) { (t0, u0) =>
+      val t = dedupByKey(t0)
+      val u = dedupByKey(u0)
+      val res = InsertOrUpdate.merge(t.toDF("id", "value"), u.toDF("id", "value"), cfg)
+      res.written.count() shouldBe u.size.toLong
+      res.errors.count() shouldBe 0L
+    }
+  }
+}
