@@ -397,6 +397,16 @@ object Queries {
 
   // -------------------------------------- rows-only (no SQL-expressible oracle)
 
+  /** HLL++ sketch counts (approx_count_distinct): engine-specific sketch —
+    * no cross-engine oracle; `FunctionsSpec`-adjacent accuracy bound is
+    * asserted in tests. Exact counts ride along for self-evidence. */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+      countDistinct(col("l_suppkey")).as("exact_supp"),
+      approx_count_distinct(col("l_partkey")).as("approx_part"),
+      countDistinct(col("l_partkey")).as("exact_part"))
+
   /** MinHash-LSH pairs: signatures depend on the engine's hash family, so
     * there is no cross-engine SQL oracle; correctness is covered by the
     * ScalaTest property (LSH pairs ⊆ exact-Jaccard pairs). */
@@ -467,6 +477,7 @@ object Queries {
     "window_frames" -> windowFrames _,
     "grouping_sets" -> groupingSets _,
     "percentiles" -> percentiles _,
+    "approx_distinct" -> approxDistinct _,
     "minhash_pairs" -> minhashPairs _,
     "simhash_pairs" -> simhashPairs _,
     "embcos_pairs" -> embcosPairs _,

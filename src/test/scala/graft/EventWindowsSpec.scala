@@ -70,6 +70,29 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: session windows merge/split across micro-batches " +
+    "(stateful session_window under update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val agg = EventWindows.sessions(
+      EventWindows.withLateDataBound(
+        mem.toDF().toDF("ts", "user_id", "value"), "ts", "1 minute"),
+      "ts", "5 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("ew_sessions").outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // second batch extends the same session (gap 2 min < 5 min)
+      mem.addData((ts("2024-01-01 00:02:00"), 1L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ew_sessions")
+        .select("user_id", "n_events", "total_value").collect()
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) shouldBe
+        Array((1L, 2L, 3.0))
+    } finally q.stop()
+  }
+
   test("streaming: watermark-bounded exact dedup drops in-window duplicates") {
     import graft.streaming.StreamOps
     implicit val sqlCtx = spark.sqlContext

@@ -96,6 +96,15 @@ class FunctionsSpec extends SparkSpec {
     rows(0).getDouble(1) shouldBe math.sqrt(2) +- 1e-9
   }
 
+  test("approx_count_distinct lands within 5% of exact on the fixtures") {
+    val li = sources.Tables.load(spark, sf, "lineitem")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    math.abs(a - e) / e should be < 0.05
+  }
+
   test("signBucket packs plane signs deterministically") {
     val planes = V.hyperplanes(4, 2, seed = 7L)
     val df = Seq(Tuple1(Array(1.0f, 0.5f))).toDF("v")
