@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math over `array<float>` /
+  * `array<double>` columns. Arithmetic is bit-identical to the
+  * higher-order-function formulations in [[VectorFunctions]] (left-to-right
+  * f64 accumulation over float-widened elements) — required so the DuckDB
+  * oracle comparisons keep hash-matching — but runs as one compiled loop
+  * per row instead of interpreted lambdas per element. The sign-bucket
+  * expression evaluates tables × planes dot products in a single pass,
+  * which is what makes multi-table LSH amplification affordable scan-side.
+  */
+private object VecRead {
+  /** Element accessor widening float→double (exact). */
+  def get(arr: ArrayData, dt: DataType): Int => Double = dt match {
+    case FloatType => i => arr.getFloat(i).toDouble
+    case DoubleType => i => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"vector ops need array<float|double>, got $other")
+  }
+  def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** Left-to-right f64 dot product; null if either side is null. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val ga = VecRead.get(av, VecRead.elemType(left))
+    val gb = VecRead.get(bv, VecRead.elemType(right))
+    val n = math.min(av.numElements(), bv.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += ga(i) * gb(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One sign-projection bucket id per hyperplane table, all tables in one
+  * pass: out(t) = Σ_i [dot(v, planes(t)(i)) ≥ 0] · 2^i. */
+case class SignBucketsExpr(child: Expression,
+                           planes: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(planes.nonEmpty && planes.forall(_.length <= 62),
+    "at most 62 hyperplanes per bucket key")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val gv = VecRead.get(v, VecRead.elemType(child))
+    val n = v.numElements()
+    val out = new Array[Any](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var bucket = 0L
+      var p = 0
+      while (p < table.length) {
+        val plane = table(p)
+        val dim = math.min(n, plane.length)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += gv(i) * plane(i); i += 1 }
+        if (acc >= 0) bucket += (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBucketsExpr =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def signBuckets(v: Column, planes: Seq[Seq[Array[Double]]]): Column =
+    Bridge.column(SignBucketsExpr(Bridge.expression(v),
+      planes.map(_.toArray).toArray))
+}

@@ -16,15 +16,21 @@ object VectorFunctions {
     * representable double), so all accumulation happens in f64. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product; left-to-right accumulation (deterministic element order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product; left-to-right f64 accumulation. Native expression
+    * ([[DotProductExpr]]) — one compiled loop per row; bit-identical to
+    * [[dotHof]], the declarative spec it is cross-checked against. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  /** Declarative formulation of [[dot]] (higher-order functions only). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in f64; null-safe on zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column =
-    cosineGivenNorms(a, b, norm(toDouble(a)), norm(toDouble(b)))
+    cosineGivenNorms(a, b, norm(a), norm(b))
 
   /** Cosine with precomputed norms — identical arithmetic to [[cosine]]
     * (dot/(na·nb)), but lets pair-join operators compute each row's norm
@@ -32,7 +38,7 @@ object VectorFunctions {
   def cosineGivenNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
     val denom = na * nb
     when(denom === 0.0, lit(null).cast("double"))
-      .otherwise(dot(toDouble(a), toDouble(b)) / denom)
+      .otherwise(dot(a, b) / denom)
   }
 
   /** Euclidean (L2) distance in f64. */
@@ -47,14 +53,13 @@ object VectorFunctions {
     * approximate similarity-search path where a 100 TB corpus cannot be
     * brute-forced. `planes` are deterministic (seeded) per model.
     */
-  def signBucket(v: Column, planes: Seq[Array[Double]]): Column = {
-    require(planes.size <= 62, "at most 62 hyperplanes per bucket key")
-    val vd = toDouble(v)
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(vd, lit(p))
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def signBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    element_at(VectorExpressions.signBuckets(v, Seq(planes)), 1)
+
+  /** All hyperplane tables' bucket ids in one compiled pass (array<long>,
+    * one element per table) — the scan-side cost of OR-amplified LSH. */
+  def signBuckets(v: Column, tables: Seq[Seq[Array[Double]]]): Column =
+    VectorExpressions.signBuckets(v, tables)
 
   /** Deterministic pseudo-random hyperplanes from a fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {

@@ -105,27 +105,17 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit sketch, chunk-LSH candidates,
-    * exact Hamming verification ≤ maxHamming. The sketch is computed by
-    * exploding tokens and running 64 codegen'd bit-count sum-aggregates
-    * (same values as [[graft.functions.HashFunctions.simHash]], which folds
-    * per row with interpreted lambdas — kept as the scalar API). */
+    * exact Hamming verification ≤ maxHamming. The sketch is the native
+    * [[graft.functions.SimHashExpr]] — one compiled pass per document,
+    * entirely scan-side (no token explosion, no shuffle), value-equivalent
+    * to [[graft.functions.HashFunctions.simHash]], the HOF spec. */
   def simHash(df: DataFrame, textCol: String, idCol: String,
               chunks: Int = 4, maxHamming: Int = 3,
               maxBucket: Int = 10000): DataFrame = {
     require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
-    val toks = df
-      .select(col(idCol), explode(T.tokens(lower(col(textCol)))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitCols = (0 until 64).map(i =>
-      sum(shiftright(col("__h"), i).bitwiseAND(1)).as(s"__b$i"))
-    val agg = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__cnt"), bitCols: _*)
-    // bit i set iff strictly more +1 votes than −1 votes: 2·ones > n
-    val sim = (0 until 64).map(i =>
-      when(col(s"__b$i") * 2 > col("__cnt"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
     // consumed by the chunk-LSH branch and both verification joins
-    val withSim = agg.select(col(idCol), sim.as("__sim"))
+    val withSim = df.select(col(idCol),
+        graft.functions.SimHashExpr(T.tokens(lower(col(textCol)))).as("__sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = withSim
       .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
@@ -211,17 +201,17 @@ object Dedup {
                       dim: Int = 64, tables: Int = 4,
                       maxBucket: Int = 2000): DataFrame = {
     import graft.functions.{VectorFunctions => V}
-    val keys = (0 until tables).map { t =>
-      val planes = V.hyperplanes(nPlanes, dim, seed = 42L + t)
-      struct(lit(t).as("table"), V.signBucket(col(vecCol), planes).as("bucket"))
-    }
+    val allPlanes = (0 until tables).map(t =>
+      V.hyperplanes(nPlanes, dim, seed = 42L + t))
+    // all tables' buckets in ONE compiled pass over the vector
     val keyed = df
-      .select(col(idCol), explode(array(keys: _*)).as("__k"))
-      .select(col(idCol), col("__k").cast("string").as("__key"))
+      .select(col(idCol),
+        posexplode(V.signBuckets(col(vecCol), allPlanes)).as(Seq("__t", "__b")))
+      .select(col(idCol), concat_ws(":", col("__t"), col("__b")).as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
     // norms once per row, not once per candidate pair
     val vecs = df.select(col(idCol), col(vecCol),
-      V.norm(V.toDouble(col(vecCol))).as("__nrm"))
+      V.norm(col(vecCol)).as("__nrm"))
     pairs
       .join(vecs.toDF("id_a", "__v_a", "__n_a"), Seq("id_a"))
       .join(vecs.toDF("id_b", "__v_b", "__n_b"), Seq("id_b"))

@@ -29,9 +29,9 @@ object Similarity {
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
-      V.norm(V.toDouble(col(vecCol))).as("__qn"))
+      V.norm(col(vecCol)).as("__qn"))
     val scored = corpus
-      .withColumn("__cn", V.norm(V.toDouble(col(vecCol))))
+      .withColumn("__cn", V.norm(col(vecCol)))
       .join(broadcast(q))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
@@ -55,13 +55,13 @@ object Similarity {
     val planes = V.hyperplanes(nPlanes, dim)
     val c = corpus
       .withColumn("__cell", V.signBucket(col(vecCol), planes))
-      .withColumn("__cn", V.norm(V.toDouble(col(vecCol))))
+      .withColumn("__cn", V.norm(col(vecCol)))
     // query probes: own cell + cells with one flipped bit
     val probeCells = array(
       (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
     val q = queries
       .select(col(queryIdCol), col(vecCol).as("__qvec"),
-        V.norm(V.toDouble(col(vecCol))).as("__qn"))
+        V.norm(col(vecCol)).as("__qn"))
       .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
       .withColumn("__cell", explode(transform(probeCells,
         flip => col("__qcell").bitwiseXOR(flip))))

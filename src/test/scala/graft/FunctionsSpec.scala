@@ -105,6 +105,25 @@ class FunctionsSpec extends SparkSpec {
     math.abs(a - e) / e should be < 0.05
   }
 
+  test("native SimHashExpr matches the declarative HOF simHash spec") {
+    val df = Seq("the quick brown fox", "a", "", "x y z x y z")
+      .toDF("t")
+    val native = df.select(
+      graft.functions.SimHashExpr(T.tokens(col("t"))).as("s")).as[Long].collect()
+    val hof = df.select(H.simHash(T.tokens(col("t"))).as("s")).as[Long].collect()
+    native shouldBe hof
+  }
+
+  test("native dot product matches the declarative HOF spec bit-for-bit") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f))
+    ).toDF("a", "b")
+    val native = df.select(V.dot(col("a"), col("b"))).as[Double].collect()
+    val hof = df.select(V.dotHof(col("a"), col("b"))).as[Double].collect()
+    native shouldBe hof
+  }
+
   test("signBucket packs plane signs deterministically") {
     val planes = V.hyperplanes(4, 2, seed = 7L)
     val df = Seq(Tuple1(Array(1.0f, 0.5f))).toDF("v")
