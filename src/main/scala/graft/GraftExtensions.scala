@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{SimHashExpr, WordShingleExpr}
+
+/** Registration of graft's native expressions as SQL functions, via the
+  * standard `SparkSessionExtensions` hook:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or on an already-running session:
+  * GraftExtensions.register(spark)
+  * // then:
+  * spark.sql("SELECT simhash64(tokens), word_shingles(tokens, 3) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingleExpr].getName, "word_shingles"),
+      { case Seq(tokens, n) => WordShingleExpr(tokens, intArg(n, "word_shingles"))
+        case args => throw new IllegalArgumentException(
+          s"word_shingles(tokens, n) expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      { case Seq(tokens) => SimHashExpr(tokens)
+        case args => throw new IllegalArgumentException(
+          s"simhash64(tokens) expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "vec_dot"),
+      { case Seq(a, b) => graft.functions.DotProductExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vec_dot(a, b) expects 2 args, got ${args.size}") })
+  )
+
+  /** Imperative registration for sessions created without the extensions
+    * conf (e.g. notebooks): installs the same functions into the session's
+    * registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      Bridge.registerFunction(spark, ident, info, builder)
+    }
+}

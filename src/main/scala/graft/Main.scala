@@ -28,6 +28,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     try {
       val select = limit.fold(Select(query))(n => Select(query, n))
       Graph(select, Node.prettyPrinter(rows))

@@ -16,6 +16,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(path(dir, table))
 
+  /** Typed load: the `Dataset[T]` face of a table for statically-typed
+    * chains (SURVEY.md §1.3 — case classes where the chain is statically
+    * typed, DataFrame otherwise). Columns are matched by name. */
+  def typed[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, dir: String, table: String): org.apache.spark.sql.Dataset[T] =
+    load(spark, dir, table).as[T]
+
   /** Register each existing table as a temp view so `spark.sql` queries see
     * the same names the DuckDB oracle does. Idempotent. */
   def registerViews(spark: SparkSession, dir: String,

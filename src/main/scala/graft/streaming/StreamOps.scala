@@ -19,6 +19,31 @@ object StreamOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Custom keyed streaming state via `mapGroupsWithState` — the extension
+    * point for semantics the built-in stateful operators can't express
+    * (session_window, dropDuplicates and windowed aggs cover the common
+    * cases; this is the escape hatch the north-star plan reserves for
+    * custom state). Maintains a running (count, sum) per key across
+    * micro-batches. Input: (key, value) pairs; output one row per key per
+    * batch with the accumulated totals. */
+  def runningTotals(pairs: org.apache.spark.sql.Dataset[(Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.GroupState
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)] {
+        (key: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          (key, n, s)
+      }
+  }
+
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
     * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
     * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.

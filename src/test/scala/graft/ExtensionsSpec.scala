@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+case class NationRow(n_nationkey: Int, n_name: String, n_regionkey: Int)
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions: word_shingles / simhash64 / vec_dot") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles(array('a','b','c','d'), 3) AS sh,
+        |       simhash64(array('x','y')) AS sim,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .head()
+    r.getSeq[String](0).toSet shouldBe Set("a b c", "b c d")
+    r.getDouble(2) shouldBe 11.0
+    // SQL value == Column-API value
+    val viaColumn = Seq(Seq("x", "y")).toDF("t")
+      .select(functions.HashFunctions.simHash(col("t"))).as[Long].head()
+    r.getLong(1) shouldBe viaColumn
+  }
+
+  test("extensions class injects the same functions at session build time") {
+    // The shared session already exists, so exercise the injection hook
+    // directly against its extensions list shape: the class must be
+    // constructible and expose the three functions.
+    new GraftExtensions()
+    GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
+      Set("word_shingles", "simhash64", "vec_dot")
+  }
+
+  test("typed Dataset face of a table (Dataset[NationRow])") {
+    val ds = sources.Tables.typed[NationRow](spark, sf, "nation")
+    ds.filter(_.n_regionkey == 0).collect().foreach(_.n_regionkey shouldBe 0)
+    ds.count() shouldBe 25
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamOps.runningTotals(mem.toDS())
+      .toDF("k", "n", "total")
+      .writeStream.format("memory").queryName("so_running")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("so_running")
+        .groupBy("k").agg(max("n").as("n"), max("total").as("total"))
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      latest shouldBe Array((1L, 3L, 10.0), (2L, 1L, 10.0))
+    } finally q.stop()
+  }
+}
