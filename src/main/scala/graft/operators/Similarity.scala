@@ -22,9 +22,14 @@ import graft.functions.{VectorFunctions => V}
 object Similarity {
 
   /** Exact top-k neighbors for each query vector. `queries` is expected to
-    * be small (it is broadcast); the corpus is never shuffled — scoring and
-    * per-partition top-k happen map-side, the final top-k is a k·Q-row
-    * window. Returns (queryIdCol, idCol, cosine, rank). */
+    * be small (it is broadcast); the corpus is never shuffled for scoring —
+    * and the rank step is a [[TopKAggregator]] with map-side partial
+    * aggregation, so the exchange carries at most k·partitions candidates
+    * per query instead of every scored row (a window-rank would sort the
+    * full scored relation). Requires integral id columns (cast to long).
+    * Zero-vector corpus rows (null cosine) are excluded — they have no
+    * defined similarity. Returns (queryIdCol, idCol, cosine, rank); ties
+    * break by id ascending, identically to a window orderBy. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
@@ -35,13 +40,19 @@ object Similarity {
       .join(broadcast(q))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
-    val w = Window.partitionBy(queryIdCol)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
+    import scored.sparkSession.implicits._
+    val typed = scored
+      .filter(col("cosine").isNotNull)
+      .select(col(queryIdCol).cast("long"), col("cosine"),
+        col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+    typed.groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF(queryIdCol, "topk")
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("__pos", "__item")))
+      .select(col(queryIdCol), col("__item._2").as(idCol),
+        round(col("__item._1"), 6).as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries are assigned

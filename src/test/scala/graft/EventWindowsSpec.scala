@@ -70,6 +70,34 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming from parquet files equals the batch aggregate " +
+    "(same operator, readStream source)") {
+    // file source needs a directory; stage the fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val schema = spark.read.parquet(path).schema // ts is long (nanosAsLong)
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventWindows.tumbling(prep(spark.read.parquet(path)), "ts", "1 hour")
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("w", "event_type").collect()
+    val stream = EventWindows.tumbling(
+      prep(spark.readStream.schema(schema).parquet(path)), "ts", "1 hour")
+    val q = stream.writeStream
+      .format("memory").queryName("ew_files").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ew_files")
+        .select(col("window.start").as("w"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("w", "event_type").collect()
+      got.length shouldBe batch.length
+      got.zip(batch).foreach { case (g, b) => g shouldBe b }
+    } finally q.stop()
+  }
+
   test("streaming: session windows merge/split across micro-batches " +
     "(stateful session_window under update mode)") {
     implicit val sqlCtx = spark.sqlContext
