@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump formatted physical plans of representative queries to
+  * stdout (captured into PLANS.md by scripts/gen_plans.sh). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val picks = Seq(
+      "filter_project" -> "predicate + IN pushdown, column pruning",
+      "q3_top10" -> "selective dims broadcast into the fact scan; one agg shuffle",
+      "q1_agg" -> "partial/final hash aggregation (map-side combine)",
+      "similarity_topk" -> "query batch broadcast; corpus scored map-side; bounded top-k partial aggregation",
+      "asof_join" -> "one key-shuffle + one window pass (no range probes)",
+      "upsert_merge" -> "single full-outer discriminant join resolves insert-vs-update"
+    )
+    picks.foreach { case (name, note) =>
+      println(s"\n## $name -- $note\n")
+      println("```")
+      println(Queries.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}
