@@ -15,16 +15,16 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   */
 object Dedup {
 
-  /** Exact dedup: keep one row per key set, the one with the minimal
-    * `keepBy` value (deterministic, unlike `dropDuplicates` which keeps an
-    * arbitrary row). Single hash-aggregate shuffle on the dedup keys;
-    * map-side partial aggregation halves the exchange. */
+  /** Exact dedup: keep exactly one row per key set — the minimal `keepBy`
+    * row (deterministic, unlike `dropDuplicates` which keeps an arbitrary
+    * one). One shuffle+sort on the keys; a min-agg + join-back would be two
+    * shuffles and would re-emit ties on (keys, keepBy). */
   def exact(df: DataFrame, keys: Seq[String], keepBy: String): DataFrame = {
-    val keyCols = keys.map(col)
-    df.groupBy(keyCols: _*)
-      .agg(min(col(keepBy)).as(keepBy))
-      .join(df, keys :+ keepBy, "inner")
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(keepBy))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Exact dedup by content fingerprint (md5 of normalized text): the

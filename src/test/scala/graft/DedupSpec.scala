@@ -19,6 +19,11 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 1L), ("b", 2L))
   }
 
+  test("exact dedup emits exactly one row per key even on full ties") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L)).toDF("k", "id")
+    Dedup.exact(df, Seq("k"), "id").count() shouldBe 1
+  }
+
   test("fingerprint dedup collapses exact + whitespace-normalized dups") {
     val kept = Dedup.exactByFingerprint(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted
