@@ -388,6 +388,25 @@ object Queries {
     g.run(s, ServiceRegistry(Map("sql.backend" -> ParquetCatalog(dir))))
   }
 
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("l_returnflag")
+
+  private def inSubquery(s: SparkSession, dir: String): DataFrame = {
+    val g = GGraph(Select(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin))
+    g.run(s, ServiceRegistry(Map("sql.backend" -> ParquetCatalog(dir))))
+  }
+
   private def percentiles(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "orders")
       .groupBy("o_orderstatus")
@@ -477,6 +496,8 @@ object Queries {
     "window_frames" -> windowFrames _,
     "grouping_sets" -> groupingSets _,
     "percentiles" -> percentiles _,
+    "pivot_agg" -> pivotAgg _,
+    "in_subquery" -> inSubquery _,
     "approx_distinct" -> approxDistinct _,
     "minhash_pairs" -> minhashPairs _,
     "simhash_pairs" -> simhashPairs _,
@@ -828,6 +849,16 @@ object Queries {
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "pivot_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'P') AS P
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
