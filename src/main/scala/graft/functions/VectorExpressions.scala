@@ -37,9 +37,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
+    // length mismatch → null, matching the declarative spec (zip_with pads
+    // the shorter side with null, which propagates through the sum) — a
+    // silently-truncated dot would hand plausible-looking similarities to
+    // callers on schema drift
+    if (av.numElements() != bv.numElements()) return null
     val ga = VecRead.get(av, VecRead.elemType(left))
     val gb = VecRead.get(bv, VecRead.elemType(right))
-    val n = math.min(av.numElements(), bv.numElements())
+    val n = av.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += ga(i) * gb(i); i += 1 }
@@ -74,10 +79,14 @@ case class SignBucketsExpr(child: Expression,
       var p = 0
       while (p < table.length) {
         val plane = table(p)
-        val dim = math.min(n, plane.length)
+        // fail loudly on dimension mismatch: bucketing on a silently
+        // truncated prefix would collapse recall with healthy-looking output
+        if (n != plane.length) throw new IllegalArgumentException(
+          s"sign_buckets: vector dim $n != hyperplane dim ${plane.length} " +
+            "(pass the embedding dimension as `dim`)")
         var acc = 0.0
         var i = 0
-        while (i < dim) { acc += gv(i) * plane(i); i += 1 }
+        while (i < n) { acc += gv(i) * plane(i); i += 1 }
         if (acc >= 0) bucket += (1L << p)
         p += 1
       }

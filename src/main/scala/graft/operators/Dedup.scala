@@ -12,6 +12,13 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   * keys for exact dedup and (b) the band-key exchange for LSH candidate
   * generation. Candidate buckets are size-capped so one degenerate key
   * cannot quadratically blow up a task (skew guard).
+  *
+  * Cache lifecycle: the pair operators persist their multi-consumer
+  * intermediate (shingles / sketches) with MEMORY_AND_DISK. The returned
+  * DataFrame holds the only reference — once the caller drops it, Spark's
+  * ContextCleaner reclaims the blocks; long-lived sessions running many
+  * operators should call `spark.catalog.clearCache()` between jobs (as
+  * graft.Verify/Bench do) to release them eagerly.
   */
 object Dedup {
 

@@ -84,6 +84,7 @@ object Similarity {
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored
+      .filter(col("cosine").isNotNull) // zero vectors: no defined similarity
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"),

@@ -22,6 +22,14 @@ import graft.core.{JdbcEngine, Operation, ProhibitedOperationError, Unrecoverabl
   */
 object JdbcUpsert {
 
+  /** Backend contract notes (vs the set-oriented [[InsertOrUpdate.merge]]):
+    * timestamp bookkeeping is done by including stamped `created_at`/
+    * `updated_at` columns in `df` (e.g. `current_timestamp()`) — the SET
+    * clause automatically excludes `createdAtField` so the insert-time
+    * value survives updates; `cfg.clock`/`fetchColumns`/`errorsAsData` do
+    * not apply here (no post-write re-read; row-level DB errors fail the
+    * batch transaction, the reference's rollback granularity,
+    * writers.py:88-95). */
   def write(df: DataFrame, engine: JdbcEngine, table: String,
             cfg: UpsertConfig = UpsertConfig()): Unit = {
     val canInsert = cfg.allowedOperations.contains(Operation.Insert)
@@ -65,15 +73,29 @@ object JdbcUpsert {
   /** Postgres upsert statement honoring `allowedOperations`:
     * both → `ON CONFLICT … DO UPDATE`; insert-only → `DO NOTHING`;
     * update-only → a plain `UPDATE … WHERE` (no insert path).
-    * Returns the SQL plus the column order its `?` placeholders bind in. */
+    * Returns the SQL plus the column order its `?` placeholders bind in.
+    *
+    * Update SET clauses exclude the discriminant, `insertOnlyFields`, AND
+    * `createdAtField` (the reference stamps created_at on insert only,
+    * writers.py:128-129 — callers stamp both timestamp columns in the
+    * DataFrame and this exclusion keeps the insert-time value on update).
+    * If nothing remains updatable, `DO UPDATE` degrades to `DO NOTHING`
+    * (an empty SET is a syntax error), and update-only mode is rejected
+    * up front. */
   private[graft] def upsertSql(table: String, columns: Seq[String],
                                cfg: UpsertConfig, canInsert: Boolean,
                                canUpdate: Boolean): (String, Seq[String]) = {
     val disc = cfg.discriminant
     val quoted = columns.map(quote)
     val placeholders = columns.map(_ => "?").mkString(", ")
+    def updatable(c: String): Boolean =
+      !disc.contains(c) && !cfg.insertOnlyFields.contains(c) &&
+        c != cfg.createdAtField
     if (!canInsert) {
-      val setCols = columns.filterNot(disc.contains)
+      val setCols = columns.filter(updatable)
+      require(setCols.nonEmpty,
+        s"update-only upsert into $table has no updatable columns " +
+          s"(all of $columns are discriminant/insert-only/created-at)")
       val sql =
         s"UPDATE ${quote(table)} SET ${setCols.map(c => s"${quote(c)} = ?").mkString(", ")}" +
           s" WHERE ${disc.map(c => s"${quote(c)} = ?").mkString(" AND ")}"
@@ -82,13 +104,10 @@ object JdbcUpsert {
       val base =
         s"INSERT INTO ${quote(table)} (${quoted.mkString(", ")}) VALUES ($placeholders)"
       val conflict = s" ON CONFLICT (${disc.map(quote).mkString(", ")})"
-      if (!canUpdate) (base + conflict + " DO NOTHING", columns)
-      else {
-        val set = columns
-          .filterNot(c => disc.contains(c) || cfg.insertOnlyFields.contains(c))
-          .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}")
-        (base + conflict + s" DO UPDATE SET ${set.mkString(", ")}", columns)
-      }
+      val set = columns.filter(updatable)
+        .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}")
+      if (!canUpdate || set.isEmpty) (base + conflict + " DO NOTHING", columns)
+      else (base + conflict + s" DO UPDATE SET ${set.mkString(", ")}", columns)
     }
   }
 

@@ -90,7 +90,11 @@ object Select {
           .options(jdbcOptions(cfg))
           .load()
     }
-    cfg.limit.fold(df)(n => df.limit(n.toInt))
+    cfg.limit.fold(df) { n =>
+      require(n >= 0 && n <= Int.MaxValue,
+        s"limit $n out of range [0, ${Int.MaxValue}] (Spark limits are Int)")
+      df.limit(n.toInt)
+    }
   }
 
   /** The JDBC option map a [[SelectConfig]] resolves to (unit-testable

@@ -10,14 +10,16 @@ import org.apache.spark.sql.DataFrame
   */
 object StreamOps {
 
-  /** Streaming exact dedup: drop rows whose `keys` were already seen,
-    * with state bounded by the watermark (older keys are evicted — late
-    * duplicates beyond `delay` pass through, the standard trade-off).
-    * Works on both batch and streaming frames. */
+  /** Streaming exact dedup: drop rows whose `keys` were already seen
+    * within the watermark window, with state bounded by the watermark
+    * (older keys are evicted — late duplicates beyond `delay` pass
+    * through, the standard trade-off). Deduplicates on the KEYS alone:
+    * redelivered events with jittered timestamps — the normal
+    * at-least-once case — are still dropped. */
   def dedupeStream(df: DataFrame, keys: Seq[String], tsCol: String,
                    delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Custom keyed streaming state via `mapGroupsWithState` — the extension
     * point for semantics the built-in stateful operators can't express

@@ -141,6 +141,15 @@ class InsertOrUpdateSpec extends SparkSpec {
     insOnly should endWith("DO NOTHING")
     val (updOnly, bindOrder) = JdbcUpsert.upsertSql("t", cols, c, canInsert = false, canUpdate = true)
     updOnly should startWith("UPDATE")
-    bindOrder shouldBe Seq("value", "created_at", "id")
+    // created_at is never in a SET clause: insert-only by contract
+    // (writers.py:128-129) even without listing it in insertOnlyFields
+    bindOrder shouldBe Seq("value", "id")
+    val (noUpd, _) = JdbcUpsert.upsertSql("t", Seq("id", "created_at"),
+      c, canInsert = true, canUpdate = true)
+    noUpd should endWith("DO NOTHING") // empty SET degrades, not malformed SQL
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.upsertSql("t", Seq("id", "created_at"), c,
+        canInsert = false, canUpdate = true)
+    }
   }
 }
