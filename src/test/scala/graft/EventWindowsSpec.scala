@@ -121,6 +121,28 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: durable parquet sink with checkpoint (exactly-once files)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = mem.toDF().toDF("ts", "event_type", "value")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$out/data")
+      back.count() shouldBe 2
+      back.columns.toSeq shouldBe Seq("ts", "event_type", "value")
+    } finally q.stop()
+  }
+
   test("streaming: watermark-bounded exact dedup drops in-window duplicates") {
     import graft.streaming.StreamOps
     implicit val sqlCtx = spark.sqlContext
