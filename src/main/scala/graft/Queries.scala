@@ -407,6 +407,26 @@ object Queries {
     g.run(s, ServiceRegistry(Map("sql.backend" -> ParquetCatalog(dir))))
   }
 
+  private def scalarString2(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_brand"), lit("Brand#10")).cast("long").as("lev"),
+      translate(col("p_type"), "AEO", "aeo").as("type_tr"),
+      expr("split_part(p_name, ' ', 1)").as("first_word"))
+      .orderBy("p_partkey")
+
+  private def nullHandling(s: SparkSession, dir: String): DataFrame = {
+    val o = tab(s, dir, "orders")
+    val rich = tab(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    o.join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("c_name"), lit("UNKNOWN")).as("buyer"),
+        col("c_name").isNull.as("is_anon"),
+        nullif(col("o_orderstatus"), lit("O")).as("non_open_status"))
+      .orderBy("o_orderkey")
+  }
+
   private def percentiles(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "orders")
       .groupBy("o_orderstatus")
@@ -498,6 +518,8 @@ object Queries {
     "percentiles" -> percentiles _,
     "pivot_agg" -> pivotAgg _,
     "in_subquery" -> inSubquery _,
+    "scalar_string2" -> scalarString2 _,
+    "null_handling" -> nullHandling _,
     "approx_distinct" -> approxDistinct _,
     "minhash_pairs" -> minhashPairs _,
     "simhash_pairs" -> simhashPairs _,
@@ -859,6 +881,21 @@ object Queries {
     "in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "scalar_string2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, 'Brand#10') AS BIGINT) AS lev,
+        |  translate(p_type, 'AEO', 'aeo') AS type_tr,
+        |  split_part(p_name, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "null_handling" ->
+      """SELECT o_orderkey,
+        |  COALESCE(c_name, 'UNKNOWN') AS buyer,
+        |  c_name IS NULL AS is_anon,
+        |  NULLIF(o_orderstatus, 'O') AS non_open_status
+        |FROM orders LEFT OUTER JOIN
+        |  (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |  ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin
   )
 }
