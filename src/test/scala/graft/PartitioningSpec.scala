@@ -26,6 +26,30 @@ class PartitioningSpec extends SparkSpec {
     pruned.count() shouldBe expected
   }
 
+  test("bucketed tables join without any shuffle exchange (co-located SMJ)") {
+    val li = sources.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = sources.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange" // bucket layout satisfies both sides
+      joined.count() shouldBe li.count()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("repartition by key co-locates rows (one partition per key value)") {
     val df = sources.Tables.load(spark, sf, "lineitem")
       .repartition(4, col("l_returnflag"))

@@ -8,12 +8,16 @@ import org.scalatest.matchers.should.Matchers
   * test run fast; suites must not mutate global conf destructively). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // keep catalog artifacts (warehouse, derby metastore) out of the repo
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wh")
+    System.setProperty("derby.system.home", tmp.toString)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
