@@ -46,25 +46,21 @@ object Multimodal {
     Row(width, height, n, mean)
   }
 
-  /** Partition-parallel decode/feature-extract: the Scala analog of a
-    * `mapInPandas` batch UDF — one iterator per partition, batch-shaped,
-    * no driver involvement. Appends the [[featureSchema]] fields. */
+  /** Partition-parallel decode/feature-extract as a pure column pipeline:
+    * geometry derives from `octet_length`, intensity from the native
+    * [[graft.functions.MeanBytesExpr]] — the plan stays columnar and
+    * whole-stage (an RDD mapPartitions would break both), and a real codec
+    * slots in as another native expression of the same shape. Appends the
+    * [[featureSchema]] fields; value-equivalent to [[fakeDecode]]
+    * (cross-checked in tests). */
   def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ featureSchema.fields)
-    val payloadIdx = inSchema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.get(payloadIdx) match {
-          case b: Array[Byte] => b
-          case null => Array.empty[Byte]
-        }
-        val f = fakeDecode(bytes)
-        Row.fromSeq(r.toSeq ++ f.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val n = coalesce(octet_length(col(payloadCol)), lit(0)).cast("long")
+    val width = greatest(lit(1), floor(sqrt(n.cast("double"))).cast("int"))
+    df.withColumn("width", width)
+      .withColumn("height", greatest(lit(1), (n / col("width")).cast("int")))
+      .withColumn("n_bytes", n)
+      .withColumn("mean_intensity",
+        graft.functions.MeanBytesExpr(coalesce(col(payloadCol), lit(Array.empty[Byte]))))
   }
 
   /** Frame-sampling stub for video-like payloads: split the payload into

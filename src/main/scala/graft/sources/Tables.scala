@@ -24,12 +24,16 @@ object Tables {
     load(spark, dir, table).as[T]
 
   /** Register each existing table as a temp view so `spark.sql` queries see
-    * the same names the DuckDB oracle does. Idempotent. */
+    * the same names the DuckDB oracle does. Idempotent. Existence goes
+    * through the Hadoop FileSystem of the path, so s3a://, hdfs:// and
+    * local paths all behave the same (a bare java.io.File check would be
+    * local-only). */
   def registerViews(spark: SparkSession, dir: String,
                     tables: Seq[String] = all): Unit =
     tables.foreach { t =>
-      val p = path(dir, t)
-      if (new java.io.File(p).exists())
-        spark.read.parquet(p).createOrReplaceTempView(t)
+      val p = new org.apache.hadoop.fs.Path(path(dir, t))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(p.toString).createOrReplaceTempView(t)
     }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world"), (2L, ""), (3L, "héllo wörld"))
+    .toDF("doc_id", "text")
+
+  test("decodeFeatures column pipeline matches the fakeDecode spec per row") {
+    val payload = Multimodal.asBinaryPayload(docs, "text", "text/plain")
+    val out = payload.transform(Multimodal.decodeFeatures(_, "payload"))
+      .select("doc_id", "width", "height", "n_bytes", "mean_intensity")
+      .orderBy("doc_id").collect()
+    val expected = payload.select("doc_id", "payload").orderBy("doc_id")
+      .collect().map { r =>
+        val f = Multimodal.fakeDecode(r.getAs[Array[Byte]](1))
+        (r.getLong(0), f.getInt(0), f.getInt(1), f.getLong(2), f.getDouble(3))
+      }
+    out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+      r.getDouble(4))) shouldBe expected
+  }
+
+  test("multibyte text: n_bytes counts UTF-8 bytes, not characters") {
+    val payload = Multimodal.asBinaryPayload(docs, "text", "text/plain")
+    val r = payload.transform(Multimodal.decodeFeatures(_, "payload"))
+      .filter(col("doc_id") === 3L).select("n_bytes").head()
+    r.getLong(0) shouldBe 13L // 11 chars, 2 of them 2-byte
+  }
+
+  test("sampleFrames slices payload bytes into indexed frames") {
+    val payload = Multimodal.asBinaryPayload(docs.filter(col("doc_id") === 1L),
+      "text", "text/plain")
+    val frames = Multimodal.sampleFrames(payload, "payload", 4)
+      .select(col("frame_id"), col("frame_bytes").cast("string"))
+      .orderBy("frame_id").collect()
+    frames.length shouldBe 4
+    // 11 bytes / 4 -> frame length 2, starts at trunc(i*2.75)+1 = 1,3,6,9
+    frames.map(_.getString(1)) shouldBe Array("he", "ll", " w", "rl")
+  }
+}
