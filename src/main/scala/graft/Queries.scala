@@ -475,6 +475,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF coarse-quantized ANN: rows-only (k-means centroids are
+    * engine-specific); recall vs brute force is pinned in ScalaTest. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", "query_id",
+        k = 10, nCells = 16, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -524,7 +537,8 @@ object Queries {
     "minhash_pairs" -> minhashPairs _,
     "simhash_pairs" -> simhashPairs _,
     "embcos_pairs" -> embcosPairs _,
-    "lsh_topk" -> lshTopK _
+    "lsh_topk" -> lshTopK _,
+    "ivf_topk" -> ivfTopK _
   )
 
   val oracles: Map[String, String] = Map(

@@ -55,6 +55,64 @@ object Similarity {
         (col("__pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only the
+    * `nProbe` nearest cells, so the scored fraction is ~nProbe/nCells of
+    * the corpus. The scale path for 100 TB: cells are computed once
+    * scan-side (and the corpus can be physically partitioned/bucketed by
+    * cell id, making a probe a partition-local read); centroids are tiny
+    * and broadcast. Exact cosine scoring within probed cells + the bounded
+    * [[TopKAggregator]] — recall < 1 by construction, scores never
+    * approximate. Deterministic for a fixed seed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, queryIdCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusV = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(corpusV)
+    val assigned = model.transform(corpusV)
+      .select(col(idCol), col(vecCol), col("__cell"),
+        V.norm(col(vecCol)).as("__cn"))
+
+    // nProbe nearest centroids per query: rank by ||c||² − 2·q·c (the
+    // query-independent ||q||² term cannot change the order)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - lit(2.0) * V.dot(col("__qvec"), lit(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    val q = queries
+      .select(col(queryIdCol), col(vecCol).as("__qvec"),
+        V.norm(col(vecCol)).as("__qn"))
+      .withColumn("__probe",
+        slice(array_sort(array(probeStructs: _*)), 1, nProbe))
+      .withColumn("__cell", explode(col("__probe.cell")))
+      .drop("__probe")
+
+    val scored = assigned
+      .join(broadcast(q), Seq("__cell"))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
+    import scored.sparkSession.implicits._
+    scored
+      .filter(col("cosine").isNotNull)
+      .select(col(queryIdCol).cast("long"), col("cosine"), col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF(queryIdCol, "topk")
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("__pos", "__item")))
+      .select(col(queryIdCol), col("__item._2").as(idCol),
+        round(col("__item._1"), 6).as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are assigned
     * sign-projection cells; queries probe their own cell and every cell at
     * Hamming distance 1 (`probes` ≤ nPlanes extra cells). Same output shape

@@ -24,6 +24,39 @@ class SimilaritySpec extends SparkSpec {
     out.head.getDouble(2) shouldBe 1.0 +- 1e-9
   }
 
+  test("ivf top-k: exact scores on probed cells; full recall when probing " +
+    "all cells") {
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "embedding", "vec_id", "query_id", k = 4)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    // probing every cell must reproduce the exact brute-force answer
+    val full = Similarity.ivfTopK(corpus, queries,
+      "embedding", "vec_id", "query_id", k = 4, nCells = 2, nProbe = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    full.toMap shouldBe brute
+    // probing 1 of 2 cells: subset of the corpus, still exactly scored
+    val partial = Similarity.ivfTopK(corpus, queries,
+      "embedding", "vec_id", "query_id", k = 4, nCells = 2, nProbe = 1)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    partial should not be empty
+    partial.foreach { case (id, cos) => cos shouldBe brute(id) +- 1e-9 }
+  }
+
+  test("ivf recall on the embeddings fixture (16 cells, 4 probes)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = emb.filter($"vec_id" >= 5)
+    val brute = Similarity.bruteForceTopK(corpus, qs,
+      "embedding", "vec_id", "query_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, qs,
+      "embedding", "vec_id", "query_id", 10, nCells = 16, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    recall should be >= 0.3 // probing 1/4 of cells; deterministic for seed 42
+  }
+
   test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +
     "(approximation loses candidates, never mis-scores them)") {
     val brute = Similarity.bruteForceTopK(corpus, queries,
