@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{SimHashExpr, WordShingleExpr}
+import graft.functions.{PolyHashExpr, SimHashExpr, WordShingleExpr}
 
 /** Registration of graft's native expressions as SQL functions, via the
   * standard `SparkSessionExtensions` hook:
@@ -46,6 +46,11 @@ object GraftExtensions {
       { case Seq(tokens) => SimHashExpr(tokens)
         case args => throw new IllegalArgumentException(
           s"simhash64(tokens) expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+      { case Seq(s) => PolyHashExpr(s)
+        case args => throw new IllegalArgumentException(
+          s"poly_hash(str) expects 1 arg, got ${args.size}") }),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "vec_dot"),
       { case Seq(a, b) => graft.functions.DotProductExpr(a, b)

@@ -93,10 +93,10 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** 64-bit rolling polynomial hash (base 31, natural Long overflow) over the
-    * normalized text — the classic Rabin-Karp document fingerprint, as a
-    * native Catalyst expression chain (aggregate over characters would be
-    * slow; xxhash64 is the codegen'd stand-in Spark ships). */
+  /** 64-bit rolling polynomial hash (base 31, natural Long overflow) over
+    * the normalized text — the classic Rabin-Karp document fingerprint,
+    * via the native [[PolyHashExpr]] (one compiled pass over the UTF-8
+    * bytes). */
   def rollingFingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    PolyHashExpr(regexp_replace(lower(trim(text)), "\\s+", " "))
 }

@@ -28,7 +28,7 @@ class ExtensionsSpec extends SparkSpec {
     // constructible and expose the three functions.
     new GraftExtensions()
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
-      Set("word_shingles", "simhash64", "vec_dot")
+      Set("word_shingles", "simhash64", "vec_dot", "poly_hash")
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {

@@ -29,6 +29,18 @@ class FunctionsSpec extends SparkSpec {
     r.getDouble(1) shouldBe 0.0
   }
 
+  test("rolling polynomial fingerprint matches the Rabin-Karp reference " +
+    "and is order-sensitive") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    val fps = Seq("abc", "cba", "héllo")
+      .toDF("t").select(T.rollingFingerprint(col("t"))).as[Long].collect()
+    fps(0) shouldBe ref("abc")
+    fps(1) shouldBe ref("cba")
+    fps(0) should not be fps(1) // order matters, unlike a shingle-set hash
+    fps(2) shouldBe ref("héllo")
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val fps = Seq("A  B c", "a b C", "totally different")
       .toDF("t").select(T.fingerprint(col("t"))).as[String].collect()
