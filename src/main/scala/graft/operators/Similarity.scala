@@ -72,7 +72,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val corpusV = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    // A coarse quantizer needs rough cells, not convergence: few iterations,
+    // and at real scale fit on a sample (cell assignment still covers the
+    // full corpus below).
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
       .fit(corpusV)
     val assigned = model.transform(corpusV)
