@@ -22,7 +22,7 @@ object ErrorChannel {
     Split(
       ok = df.filter(valid),
       errors = df.filter(!coalesce(valid, lit(false)))
-        .select(message.cast("string").as("error") +: df.columns.map(col): _*))
+        .select((message.cast("string").as("error") +: df.columns.toIndexedSeq.map(col)): _*))
 
   def split(df: DataFrame, valid: Column, message: String): Split =
     split(df, valid, lit(message))

@@ -62,6 +62,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Attach each pair side's payload: every non-id column of `byId` joins
+    * in twice, suffixed `_a`/`_b` — the shared verification-join shape of
+    * the pair operators. */
+  private def withPairPayloads(pairs: DataFrame, byId: DataFrame,
+                               idCol: String): DataFrame = {
+    def side(suffix: String) =
+      byId.columns.foldLeft(byId) { (d, c) =>
+        d.withColumnRenamed(c, if (c == idCol) s"id$suffix" else s"$c$suffix")
+      }
+    pairs.join(side("_a"), Seq("id_a")).join(side("_b"), Seq("id_b"))
+  }
+
   /** MinHash + LSH near-duplicate pairs over a text column.
     *
     * shingle → minhash signature → band keys → bucket join → exact-Jaccard
@@ -101,12 +113,8 @@ object Dedup {
       .select(col(idCol), col("__band").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
     val shingles = shingled.select(col(idCol), col("__shingles"))
-    pairs
-      .join(shingles.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("__shingles", "__sh_a"), Seq("id_a"))
-      .join(shingles.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("__shingles", "__sh_b"), Seq("id_b"))
-      .withColumn("jaccard", H.jaccard(col("__sh_a"), col("__sh_b")))
+    withPairPayloads(pairs, shingles, idCol)
+      .withColumn("jaccard", H.jaccard(col("__shingles_a"), col("__shingles_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -128,12 +136,7 @@ object Dedup {
       .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
       .select(col(idCol), col("__c").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
-    val sims = withSim
-    pairs
-      .join(sims.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("__sim", "__sim_a"), Seq("id_a"))
-      .join(sims.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("__sim", "__sim_b"), Seq("id_b"))
+    withPairPayloads(pairs, withSim, idCol)
       .withColumn("hamming", H.hamming(col("__sim_a"), col("__sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -21,6 +20,35 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
+  /** Shared rank tail: bounded per-query top-k via [[TopKAggregator]]
+    * (map-side partial aggregation — the exchange carries at most
+    * k·partitions candidates per query), then posexplode to ranks.
+    * Expects a `cosine` column; requires integral id columns (cast to
+    * long); null cosines (zero vectors) are excluded — they have no
+    * defined similarity. Ties break by id ascending, identically to a
+    * window orderBy (cosine desc, id asc). */
+  private def rankTopK(scored: DataFrame, queryIdCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
+      .filter(col("cosine").isNotNull)
+      .select(col(queryIdCol).cast("long"), col("cosine"), col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF(queryIdCol, "topk")
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("__pos", "__item")))
+      .select(col(queryIdCol), col("__item._2").as(idCol),
+        round(col("__item._1"), 6).as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Query batch with its norm precomputed, vector aliased for the join. */
+  private def withQueryNorm(queries: DataFrame, queryIdCol: String,
+                            vecCol: String): DataFrame =
+    queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      V.norm(col(vecCol)).as("__qn"))
+
   /** Exact top-k neighbors for each query vector. `queries` is expected to
     * be small (it is broadcast); the corpus is never shuffled for scoring —
     * and the rank step is a [[TopKAggregator]] with map-side partial
@@ -33,26 +61,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
-    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
-      V.norm(col(vecCol)).as("__qn"))
+    val q = withQueryNorm(queries, queryIdCol, vecCol)
     val scored = corpus
       .withColumn("__cn", V.norm(col(vecCol)))
       .join(broadcast(q))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
-    import scored.sparkSession.implicits._
-    val typed = scored
-      .filter(col("cosine").isNotNull)
-      .select(col(queryIdCol).cast("long"), col("cosine"),
-        col(idCol).cast("long"))
-      .as[(Long, Double, Long)]
-    typed.groupByKey(_._1)
-      .agg(new TopKAggregator(k).toColumn.name("topk"))
-      .toDF(queryIdCol, "topk")
-      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("__pos", "__item")))
-      .select(col(queryIdCol), col("__item._2").as(idCol),
-        round(col("__item._1"), 6).as("cosine"),
-        (col("__pos") + 1).cast("int").as("rank"))
+    rankTopK(scored, queryIdCol, idCol, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -90,11 +105,9 @@ object Similarity {
       struct((lit(cNorm2) - lit(2.0) * V.dot(col("__qvec"), lit(c))).as("d"),
         lit(i).as("cell"))
     }
-    val q = queries
-      .select(col(queryIdCol), col(vecCol).as("__qvec"),
-        V.norm(col(vecCol)).as("__qn"))
+    val q = withQueryNorm(queries, queryIdCol, vecCol)
       .withColumn("__probe",
-        slice(array_sort(array(probeStructs: _*)), 1, nProbe))
+        slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nProbe))
       .withColumn("__cell", explode(col("__probe.cell")))
       .drop("__probe")
 
@@ -102,18 +115,7 @@ object Similarity {
       .join(broadcast(q), Seq("__cell"))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
-    import scored.sparkSession.implicits._
-    scored
-      .filter(col("cosine").isNotNull)
-      .select(col(queryIdCol).cast("long"), col("cosine"), col(idCol).cast("long"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .agg(new TopKAggregator(k).toColumn.name("topk"))
-      .toDF(queryIdCol, "topk")
-      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("__pos", "__item")))
-      .select(col(queryIdCol), col("__item._2").as(idCol),
-        round(col("__item._1"), 6).as("cosine"),
-        (col("__pos") + 1).cast("int").as("rank"))
+    rankTopK(scored, queryIdCol, idCol, k)
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries are assigned
@@ -131,9 +133,7 @@ object Similarity {
     // query probes: own cell + cells with one flipped bit
     val probeCells = array(
       (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
-    val q = queries
-      .select(col(queryIdCol), col(vecCol).as("__qvec"),
-        V.norm(col(vecCol)).as("__qn"))
+    val q = withQueryNorm(queries, queryIdCol, vecCol)
       .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
       .withColumn("__cell", explode(transform(probeCells,
         flip => col("__qcell").bitwiseXOR(flip))))
@@ -142,13 +142,6 @@ object Similarity {
       .join(broadcast(q), Seq("__cell"))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
-    val w = Window.partitionBy(queryIdCol)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .filter(col("cosine").isNotNull) // zero vectors: no defined similarity
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
+    rankTopK(scored, queryIdCol, idCol, k)
   }
 }
