@@ -29,11 +29,15 @@ object Tables {
     * local paths all behave the same (a bare java.io.File check would be
     * local-only). */
   def registerViews(spark: SparkSession, dir: String,
-                    tables: Seq[String] = all): Unit =
+                    tables: Seq[String] = all): Unit = {
+    // events.parquet carries timestamp[ns]; without this flag the schema
+    // read throws PARQUET_TYPE_ILLEGAL in sessions that didn't set it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>
       val p = new org.apache.hadoop.fs.Path(path(dir, t))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p))
         spark.read.parquet(p.toString).createOrReplaceTempView(t)
     }
+  }
 }

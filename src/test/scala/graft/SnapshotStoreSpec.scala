@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{SnapshotStore, UpsertConfig}
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = UpsertConfig(
+    clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+
+  test("empty store -> first upsert creates snapshot 0; merges accumulate; " +
+    "re-applying a batch converges (at-least-once contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    SnapshotStore.read(spark, root) shouldBe None
+
+    val r0 = SnapshotStore.upsert(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("id", "value"), cfg)
+    r0.written.count() shouldBe 2
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
+
+    SnapshotStore.upsert(spark, root,
+      Seq((2, "b2"), (3, "c")).toDF("id", "value"), cfg)
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(1L)
+    val after = SnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    after shouldBe Array((1, "a"), (2, "b2"), (3, "c"))
+
+    // idempotence: replay the same batch -> same content, new version
+    SnapshotStore.upsert(spark, root,
+      Seq((2, "b2"), (3, "c")).toDF("id", "value"), cfg)
+    val replayed = SnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    replayed shouldBe after
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(2L)
+  }
+
+  test("reader never sees an uncommitted snapshot (orphan directories are inert)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap2").toString
+    SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
+    // simulate a crashed writer: snapshot dir exists, pointer not moved
+    Seq((99, "zz")).toDF("id", "value")
+      .write.parquet(s"$root/snapshot=7")
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
+    SnapshotStore.read(spark, root).get.count() shouldBe 1
+  }
+}
