@@ -37,4 +37,16 @@ object api {
   // Error taxonomy (errors.py:6-11).
   type ProhibitedOperationError = core.ProhibitedOperationError
   type UnrecoverableOperationalError = core.UnrecoverableOperationalError
+
+  // Extension surface: sinks, operators, streaming (north-star additions).
+  val SnapshotStore = sinks.SnapshotStore
+  val JdbcUpsert = sinks.JdbcUpsert
+  val JdbcDdl = sinks.JdbcDdl
+  val ErrorChannel = core.ErrorChannel
+  val Dedup = operators.Dedup
+  val Similarity = operators.Similarity
+  val Joins = operators.Joins
+  val Multimodal = operators.Multimodal
+  val EventWindows = streaming.EventWindows
+  val StreamOps = streaming.StreamOps
 }

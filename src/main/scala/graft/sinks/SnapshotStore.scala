@@ -38,9 +38,26 @@ object SnapshotStore {
 
   /** Read the committed snapshot (None if the store is empty). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentVersion(spark, root).map { v =>
-      spark.read.parquet(s"$root/snapshot=$v")
-    }
+    currentVersion(spark, root).map(readVersion(spark, root, _))
+
+  /** Time-travel read of a specific committed-or-older version (full
+    * snapshots make every retained version directly readable). */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(s"$root/snapshot=$version")
+
+  /** Drop all snapshot directories older than the `keep` most recent
+    * (never the committed one). Returns the versions removed. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    val f = fs(spark, root)
+    val current = currentVersion(spark, root).getOrElse(return Seq.empty)
+    val versions = f.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("snapshot=") => n.stripPrefix("snapshot=").toLong }
+      .sorted
+    val cut = versions.filter(v => v <= current - keep.max(1))
+    cut.foreach(v => f.delete(new Path(root, s"snapshot=$v"), true))
+    cut
+  }
 
   /** Merge `updates` into the store and commit a new snapshot. Returns the
     * merge result (written rows / errors side-channel as in

@@ -36,6 +36,38 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.currentVersion(spark, root) shouldBe Some(2L)
   }
 
+  test("time travel + vacuum: old versions readable until vacuumed, " +
+    "committed version never removed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap3").toString
+    SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
+    SnapshotStore.upsert(spark, root, Seq((1, "a2")).toDF("id", "value"), cfg)
+    SnapshotStore.upsert(spark, root, Seq((2, "b")).toDF("id", "value"), cfg)
+    SnapshotStore.readVersion(spark, root, 0).count() shouldBe 1
+    SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(0L, 1L)
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(2L)
+    SnapshotStore.read(spark, root).get.count() shouldBe 2
+  }
+
+  test("streaming foreachBatch upsert persists each epoch durably") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_snap4").toString
+    val mem = MemoryStream[(Int, String)]
+    val q = graft.streaming.StreamOps.upsertSink(
+      mem.toDF().toDF("id", "value")) { (batch, _) =>
+        SnapshotStore.upsert(spark, root, batch, cfg); ()
+      }
+    try {
+      mem.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      mem.addData((2, "b2"))
+      q.processAllAvailable()
+      SnapshotStore.read(spark, root).get.orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1))) shouldBe
+        Array((1, "a"), (2, "b2"))
+    } finally q.stop()
+  }
+
   test("reader never sees an uncommitted snapshot (orphan directories are inert)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap2").toString
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
