@@ -65,6 +65,19 @@ class FunctionsSpec extends SparkSpec {
       hof.collect().map(_.getSeq[String](0))
   }
 
+  test("charShingles: n-char windows, short strings collapse to themselves") {
+    val sh = Seq("abcd", "ab").toDF("t")
+      .select(H.charShingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    sh(0) shouldBe Seq("abc", "bcd")
+    sh(1) shouldBe Seq("ab")
+  }
+
+  test("occurrences counts non-overlapping needle hits by length differencing") {
+    val n = Seq("abab abx ab", "xyz", "").toDF("t")
+      .select(T.occurrences(col("t"), "ab").as("n")).as[Int].collect()
+    n shouldBe Array(4, 0, 0)
+  }
+
   test("minHash is deterministic and equal signatures for equal shingle sets") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))
