@@ -46,6 +46,10 @@ object Joins {
       .withColumn("__side", lit(1))
       .withColumn("__payload", nullPayload)
     val r = right
+      // a null rightTs can never satisfy "greatest rightTs <= leftTs";
+      // unfiltered it would sort to the partition head (asc nulls-first)
+      // and its payload would be carried into early left rows
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__payload", struct(payloadCols.map(col): _*))
@@ -59,9 +63,18 @@ object Joins {
 
     // __payload as final sort key: right rows sharing a timestamp resolve
     // deterministically (struct ordering = field order) instead of by
-    // partition-internal row order
+    // partition-internal row order — only when the payload type is
+    // orderable (a map-typed payload column would fail analysis; those
+    // joins fall back to arbitrary tie-resolution)
+    val payloadOrderable = payloadCols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    val sortKeys =
+      if (payloadOrderable)
+        Seq(col("__ts").asc, col("__side").asc, col("__payload").asc)
+      else Seq(col("__ts").asc, col("__side").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc)
+      .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
@@ -79,8 +92,7 @@ object Joins {
     * helper exposes count and sum, the common skew victims. */
   def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
                      salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pc"), sum(col(sumCol)).as("__ps"))
@@ -96,10 +108,18 @@ object Joins {
     * skew handling isn't available (e.g. a non-shuffle-join plan). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
-    val l = left.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val l = left.withColumn("__salt", rowSalt(left, salts))
     val r = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Deterministic per-row salt: hash of the whole row. A nondeterministic
+    * salt (rand / monotonically_increasing_id) upstream of a shuffle
+    * corrupts results on stage retry — re-executed map tasks would assign
+    * rows to different reducers than completed reduce tasks already
+    * consumed. The cost of determinism: byte-identical duplicate rows of a
+    * hot key share a salt; distinct rows (the normal case) still spread. */
+  private def rowSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
 }

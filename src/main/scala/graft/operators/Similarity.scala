@@ -31,7 +31,9 @@ object Similarity {
                        k: Int): DataFrame = {
     import scored.sparkSession.implicits._
     scored
-      .filter(col("cosine").isNotNull)
+      // null = zero vector, NaN = NaN components: neither has a defined
+      // similarity, and NaN would break the aggregator's total order
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .select(col(queryIdCol).cast("long"), col("cosine"), col(idCol).cast("long"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
@@ -43,11 +45,19 @@ object Similarity {
         (col("__pos") + 1).cast("int").as("rank"))
   }
 
-  /** Query batch with its norm precomputed, vector aliased for the join. */
-  private def withQueryNorm(queries: DataFrame, queryIdCol: String,
-                            vecCol: String): DataFrame =
+  /** Query batch with its norm precomputed, vector aliased for the join.
+    * Fails fast on column collisions that would otherwise surface as an
+    * ambiguous-reference error deep inside the plan. */
+  private def withQueryNorm(queries: DataFrame, corpus: DataFrame,
+                            queryIdCol: String, vecCol: String): DataFrame = {
+    val internal = Set(queryIdCol, "__qvec", "__qn", "__cn", "__cell", "cosine")
+    val clashes = corpus.columns.filter(internal.contains)
+    require(clashes.isEmpty,
+      s"corpus columns ${clashes.mkString(", ")} collide with the query-side " +
+        s"projection; rename them (queryIdCol must not appear in the corpus)")
     queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
       V.norm(col(vecCol)).as("__qn"))
+  }
 
   /** Exact top-k neighbors for each query vector. `queries` is expected to
     * be small (it is broadcast); the corpus is never shuffled for scoring —
@@ -61,7 +71,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
-    val q = withQueryNorm(queries, queryIdCol, vecCol)
+    val q = withQueryNorm(queries, corpus, queryIdCol, vecCol)
     val scored = corpus
       .withColumn("__cn", V.norm(col(vecCol)))
       .join(broadcast(q))
@@ -82,17 +92,20 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, fitSampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val corpusV = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
     // A coarse quantizer needs rough cells, not convergence: few iterations,
-    // and at real scale fit on a sample (cell assignment still covers the
-    // full corpus below).
+    // and at real scale fit on a sample via `fitSampleFraction` (cell
+    // assignment below always covers the full corpus).
+    val fitOn =
+      if (fitSampleFraction >= 1.0) corpusV
+      else corpusV.sample(withReplacement = false, fitSampleFraction, seed)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(corpusV)
+      .fit(fitOn)
     val assigned = model.transform(corpusV)
       .select(col(idCol), col(vecCol), col("__cell"),
         V.norm(col(vecCol)).as("__cn"))
@@ -105,7 +118,7 @@ object Similarity {
       struct((lit(cNorm2) - lit(2.0) * V.dot(col("__qvec"), lit(c))).as("d"),
         lit(i).as("cell"))
     }
-    val q = withQueryNorm(queries, queryIdCol, vecCol)
+    val q = withQueryNorm(queries, corpus, queryIdCol, vecCol)
       .withColumn("__probe",
         slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nProbe))
       .withColumn("__cell", explode(col("__probe.cell")))
@@ -133,7 +146,7 @@ object Similarity {
     // query probes: own cell + cells with one flipped bit
     val probeCells = array(
       (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
-    val q = withQueryNorm(queries, queryIdCol, vecCol)
+    val q = withQueryNorm(queries, corpus, queryIdCol, vecCol)
       .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
       .withColumn("__cell", explode(transform(probeCells,
         flip => col("__qcell").bitwiseXOR(flip))))

@@ -16,6 +16,11 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
 
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+  // NaN scores have no place in (score desc, id asc) — better() would not
+  // be a total order and results would depend on arrival order. Callers
+  // (rankTopK) filter NaN/null scores before aggregating.
+
   /** (score desc, id asc): a is better than b. */
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)

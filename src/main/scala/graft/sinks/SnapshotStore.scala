@@ -45,8 +45,11 @@ object SnapshotStore {
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(s"$root/snapshot=$version")
 
-  /** Drop all snapshot directories older than the `keep` most recent
-    * (never the committed one). Returns the versions removed. */
+  /** Drop snapshot directories older than the `keep` most recent, plus
+    * orphans ABOVE the committed version (crashed writers that never moved
+    * the pointer — each is a full-size copy that would otherwise leak
+    * forever). Never removes the committed version. Returns the versions
+    * removed. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     val f = fs(spark, root)
     val current = currentVersion(spark, root).getOrElse(return Seq.empty)
@@ -54,15 +57,20 @@ object SnapshotStore {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("snapshot=") => n.stripPrefix("snapshot=").toLong }
       .sorted
-    val cut = versions.filter(v => v <= current - keep.max(1))
+    val cut = versions.filter(v => v <= current - keep.max(1) || v > current)
     cut.foreach(v => f.delete(new Path(root, s"snapshot=$v"), true))
     cut
   }
 
   /** Merge `updates` into the store and commit a new snapshot. Returns the
-    * merge result (written rows / errors side-channel as in
-    * [[InsertOrUpdate.merge]]); the new snapshot is already durable when
-    * this returns. */
+    * merge result with `target` re-pointed at the COMMITTED snapshot and
+    * `written`/`errors` eagerly materialized (localCheckpoint) — a lazy
+    * result would re-run the merge against the old snapshot on every
+    * action, disagreeing with what was committed (wall-clock stamps) and
+    * breaking outright once `vacuum` removes the old version. With the
+    * default `current_timestamp()` clock, `written`'s stamps come from its
+    * own materialization pass; pass a fixed `cfg.clock` when exact stamp
+    * equality between snapshot and written-rows output matters. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              cfg: UpsertConfig = UpsertConfig()): MergeResult = {
     val target = read(spark, root).getOrElse {
@@ -75,7 +83,10 @@ object SnapshotStore {
     val next = currentVersion(spark, root).getOrElse(-1L) + 1L
     result.target.write.mode("overwrite").parquet(s"$root/snapshot=$next")
     commit(spark, root, next)
-    result
+    MergeResult(
+      target = readVersion(spark, root, next),
+      written = result.written.localCheckpoint(true),
+      errors = result.errors.localCheckpoint(true))
   }
 
   private def commit(spark: SparkSession, root: String, version: Long): Unit = {
@@ -84,9 +95,12 @@ object SnapshotStore {
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
     val target = new Path(root, pointerName)
-    // rename onto the pointer: atomic on HDFS/local; POSIX rename replaces
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"could not commit snapshot $version at $root")
+    // single atomic rename-with-overwrite (FileContext supports OVERWRITE;
+    // FileSystem.rename does not) — a delete-then-rename would open a
+    // window where the store reads as empty
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

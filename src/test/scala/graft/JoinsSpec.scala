@@ -29,6 +29,17 @@ class JoinsSpec extends SparkSpec {
     out(0).getTimestamp(3) shouldBe ts("2024-01-01 10:00:00")
   }
 
+  test("asOfJoin: null right timestamps can never match (dirty data is inert)") {
+    val quotes = Seq((1L, null.asInstanceOf[Timestamp], 999.0),
+      (1L, ts("2024-01-01 09:00:00"), 100.0)).toDF("key", "qts", "price")
+    val trades = Seq((1L, ts("2024-01-01 08:00:00"), "before"),
+      (1L, ts("2024-01-01 10:00:00"), "after")).toDF("key", "tts", "trade_id")
+    val out = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts")
+      .orderBy("tts").collect()
+    assert(out(0).isNullAt(4)) // 08:00 precedes every real quote -> no match
+    out(1).getDouble(4) shouldBe 100.0 // never the null-ts row's 999.0
+  }
+
   test("asOfJoin output schema = left columns + right payload") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "lts", "lv")
     val r = Seq((1L, ts("2023-12-31 00:00:00"), 9)).toDF("k", "rts", "rv")

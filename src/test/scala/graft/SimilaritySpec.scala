@@ -16,6 +16,19 @@ class SimilaritySpec extends SparkSpec {
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f))
   ).toDF("query_id", "embedding")
 
+  test("k < 1 and corpus column collisions fail fast with clear messages") {
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, queries,
+        "embedding", "vec_id", "query_id", k = 0).collect()
+    }
+    val clashing = corpus.withColumnRenamed("vec_id", "query_id")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(clashing, queries,
+        "embedding", "query_id", "query_id", k = 1)
+    }
+    ex.getMessage should include("collide")
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tie-break") {
     val out = Similarity.bruteForceTopK(corpus, queries,
       "embedding", "vec_id", "query_id", k = 3).orderBy("rank").collect()

@@ -76,5 +76,19 @@ class SnapshotStoreSpec extends SparkSpec {
       .write.parquet(s"$root/snapshot=7")
     SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
     SnapshotStore.read(spark, root).get.count() shouldBe 1
+    // vacuum reclaims the crashed writer's orphan, keeps the committed one
+    SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(7L)
+    SnapshotStore.read(spark, root).get.count() shouldBe 1
+  }
+
+  test("written/errors outputs survive vacuum (eagerly materialized)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap5").toString
+    SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
+    val r = SnapshotStore.upsert(spark, root,
+      Seq((1, "a2")).toDF("id", "value"), cfg)
+    SnapshotStore.vacuum(spark, root, keep = 1)
+    // lineage to the pre-merge snapshot is gone; materialized results live on
+    r.written.count() shouldBe 1
+    r.errors.count() shouldBe 0
   }
 }
