@@ -246,7 +246,7 @@ object Queries {
     val toks = T.tokens(lower(col("text")))
     tab(s, dir, "documents").select(
       col("doc_id"),
-      sort_array(array_distinct(toks)).as("toks_sorted"),
+      array_join(sort_array(array_distinct(toks)), " ").as("toks_sorted"),
       size(array_distinct(toks)).cast("long").as("n_uniq"),
       array_contains(toks, "the").as("has_the"))
       .orderBy("doc_id")
@@ -459,6 +459,11 @@ object Queries {
         chunks = 4, maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  private def embcosExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosineExact(tab(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
   private def embcosPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(tab(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.4, nPlanes = 8, tables = 12)
@@ -536,6 +541,7 @@ object Queries {
     "approx_distinct" -> approxDistinct _,
     "minhash_pairs" -> minhashPairs _,
     "simhash_pairs" -> simhashPairs _,
+    "embcos_exact" -> embcosExact _,
     "embcos_pairs" -> embcosPairs _,
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _
@@ -728,7 +734,7 @@ object Queries {
         |FROM events ORDER BY event_id""".stripMargin,
     "array_ops" ->
       """SELECT doc_id,
-        |  list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS toks_sorted,
+        |  array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))), ' ') AS toks_sorted,
         |  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_uniq,
         |  list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'the') AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -788,6 +794,17 @@ object Queries {
         |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // DuckDB list_cosine_similarity over DOUBLE[] accumulates sequentially
+    // in f64 — bit-identical to DotProductExpr's loop (verified empirically;
+    // threshold 0.4 sits > 1e-6 from every pair's cosine at sf<=0.1).
+    "embcos_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "text_quality" ->
       """WITH q AS (

@@ -199,6 +199,28 @@ object Dedup {
       numHashes = blockingHashes, bands = blockingHashes,
       threshold = threshold, maxBucket = maxBucket)
 
+  /** Exact all-pairs embedding-cosine pairs: every (a, b) with a < b and
+    * cosine ≥ threshold. O(n²) candidate pairs — intended for small corpora
+    * (or a pre-blocked partition of one); the 100 TB path is the sign-LSH
+    * [[embeddingCosine]] whose verification arithmetic this shares. Because
+    * the cosine is computed by one sequential f64 loop
+    * ([[graft.functions.VectorExpressions.dot]]), the result is
+    * engine-independent and oracle-checkable (DuckDB
+    * `list_cosine_similarity` over DOUBLE[] is bit-identical). */
+  def embeddingCosineExact(df: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double = 0.95): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    // norms once per row, not once per pair
+    val vecs = df.select(col(idCol), col(vecCol), V.norm(col(vecCol)).as("__nrm"))
+    val a = vecs.toDF("id_a", "__v_a", "__n_a")
+    val b = vecs.toDF("id_b", "__v_b", "__n_b")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col("__v_a"), col("__v_b"), col("__n_a"), col("__n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucketing then exact
     * cosine verification ≥ threshold. `tables` independent hyperplane sets
     * OR-amplify recall (a pair is a candidate if it collides in ANY table:

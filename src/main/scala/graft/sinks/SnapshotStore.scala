@@ -1,16 +1,46 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-/** Durable target for [[InsertOrUpdate]] without a DBMS: a versioned
-  * parquet snapshot directory with an atomically-swapped pointer —
-  * `<root>/snapshot=N/` holds full snapshots, `<root>/_LATEST` names the
-  * committed one. Readers resolve the pointer then read that directory
-  * only; writers write the next snapshot fully, then commit by renaming a
-  * temp pointer over `_LATEST` (rename is the atomic primitive on HDFS
-  * and local filesystems). A crashed writer leaves an orphan snapshot
-  * directory and no pointer change — readers never see partial data.
+/** Durable target for [[InsertOrUpdate]] without a DBMS: a versioned,
+  * BUCKET-INCREMENTAL parquet store with an atomically-swapped pointer.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_LATEST                    committed version number
+  *   <root>/_META                      store constants (bucket count)
+  *   <root>/claim=N                    create-exclusive writer claim for version N
+  *   <root>/snapshot=N/_MANIFEST       schema + {bucket -> version holding its data}
+  *   <root>/snapshot=N/__bucket=B/     parquet for buckets REWRITTEN at version N
+  * }}}
+  *
+  * Rows are assigned to one of `nBuckets` buckets by
+  * `pmod(hash(discriminant), nBuckets)` (Murmur3 — deterministic across
+  * sessions). An upsert merges ONLY the buckets containing update keys and
+  * writes only those bucket directories; the new manifest points untouched
+  * buckets at the older snapshot directories that already hold their data.
+  * This is what makes the store hold at 100 TB: a small update batch costs
+  * O(touched buckets) read+write, not O(table) — the previous full-snapshot
+  * design re-wrote the entire table per batch. Readers resolve the pointer,
+  * read that version's manifest, and scan the referenced bucket directories
+  * (a plain multi-path parquet scan; time-travel reads any retained
+  * manifest the same way).
+  *
+  * Commit protocol: a writer first CLAIMS its target version by creating
+  * `claim=N` with create-exclusive semantics — two concurrent writers that
+  * both read version N−1 race on the claim and the loser fails with
+  * [[ConcurrentWriteException]] instead of silently clobbering (claims for
+  * committed versions are kept so a stale writer can never re-claim them).
+  * The winner writes data + manifest, then commits by renaming a temp
+  * pointer over `_LATEST` (rename is the atomic primitive on HDFS and
+  * local filesystems; object stores without atomic create/rename need an
+  * external lock). A crashed writer leaves an orphan claim + snapshot
+  * directory and no pointer change — readers never see partial data, and
+  * `vacuum` reclaims the orphans (do not run `vacuum` concurrently with a
+  * live writer: it would reap the in-flight claim).
   *
   * This is the file-backend realization of the reference's "upsert into a
   * table" contract (writers.py:15-185): each `upsert` call is one merge
@@ -20,80 +50,248 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SnapshotStore {
 
   private val pointerName = "_LATEST"
+  private val metaName = "_META"
+  private val manifestName = "_MANIFEST"
+  private val bucketCol = "__bucket"
+
+  /** Default bucket count — sized for tests/small stores; a 100 TB store
+    * wants O(10k) buckets so one bucket is a few GB (set once at creation). */
+  val DefaultBuckets = 16
+
+  /** A second writer raced this one to the same version (lost-update guard). */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  private final case class Manifest(schema: StructType, buckets: Map[Int, Long])
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def writeSmallFile(f: FileSystem, p: Path, s: String,
+                             overwrite: Boolean): Unit = {
+    val out = f.create(p, overwrite)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Committed snapshot version, if any. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     val p = new Path(root, pointerName)
+    if (!f.exists(p)) None else Some(readSmallFile(f, p).trim.toLong)
+  }
+
+  /** Bucket count fixed at store creation (None until the first commit). */
+  def numBuckets(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val p = new Path(root, metaName)
     if (!f.exists(p)) None
+    else Some(readSmallFile(f, p).linesIterator
+      .collectFirst { case l if l.startsWith("nBuckets=") =>
+        l.stripPrefix("nBuckets=").trim.toInt }
+      .getOrElse(DefaultBuckets))
+  }
+
+  private def bucketExpr(disc: Seq[String], nBuckets: Int): Column =
+    pmod(hash(disc.map(col): _*), lit(nBuckets))
+
+  // ------------------------------------------------------------- manifests
+
+  private def manifestPath(root: String, version: Long) =
+    new Path(s"$root/snapshot=$version", manifestName)
+
+  private def writeManifest(f: FileSystem, root: String, version: Long,
+                            m: Manifest): Unit = {
+    val body = (s"schema=${m.schema.toDDL}" +:
+      m.buckets.toSeq.sorted.map { case (b, v) => s"bucket=$b version=$v" })
+      .mkString("\n")
+    writeSmallFile(f, manifestPath(root, version), body, overwrite = false)
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+                           version: Long): Manifest = {
+    val f = fs(spark, root)
+    val lines = readSmallFile(f, manifestPath(root, version)).linesIterator.toSeq
+    val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
+      StructType.fromDDL(l.stripPrefix("schema=")) }
+      .getOrElse(throw new IllegalStateException(
+        s"manifest for snapshot=$version has no schema line"))
+    val buckets = lines.collect { case l if l.startsWith("bucket=") =>
+      val Array(b, v) = l.stripPrefix("bucket=").split(" version=")
+      b.trim.toInt -> v.trim.toLong
+    }.toMap
+    Manifest(schema, buckets)
+  }
+
+  private def bucketPath(root: String, version: Long, bucket: Int): String =
+    s"$root/snapshot=$version/$bucketCol=$bucket"
+
+  private def readBuckets(spark: SparkSession, root: String, m: Manifest,
+                          only: Option[Set[Int]]): DataFrame = {
+    val entries = only.fold(m.buckets)(s => m.buckets.view.filterKeys(s).toMap)
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
+      val paths = entries.toSeq.sorted.map { case (b, v) => bucketPath(root, v, b) }
+      spark.read.schema(m.schema).parquet(paths: _*)
     }
   }
+
+  // ----------------------------------------------------------------- reads
 
   /** Read the committed snapshot (None if the store is empty). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root).map(readVersion(spark, root, _))
 
-  /** Time-travel read of a specific committed-or-older version (full
-    * snapshots make every retained version directly readable). */
+  /** Time-travel read of any retained version: resolve that version's
+    * manifest, scan the bucket directories it references (which may live in
+    * older `snapshot=` directories — that sharing is the incrementality). */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(s"$root/snapshot=$version")
+    readBuckets(spark, root, readManifest(spark, root, version), None)
 
-  /** Drop snapshot directories older than the `keep` most recent, plus
-    * orphans ABOVE the committed version (crashed writers that never moved
-    * the pointer — each is a full-size copy that would otherwise leak
-    * forever). Never removes the committed version. Returns the versions
-    * removed. */
+  // ---------------------------------------------------------------- vacuum
+
+  /** Reclaim space while preserving the `keep` most recent committed
+    * versions (always including the committed one). Removal is
+    * (version, bucket)-granular: a bucket directory in an old snapshot
+    * survives as long as ANY retained manifest still references it; only
+    * unreferenced bucket directories, dropped versions' manifests, and
+    * orphans ABOVE the committed version (crashed writers — full-size data
+    * that would otherwise leak forever) are deleted. Returns the versions
+    * that are no longer time-travel readable. Single-process only — do not
+    * run concurrently with a writer. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     val f = fs(spark, root)
     val current = currentVersion(spark, root).getOrElse(return Seq.empty)
-    val versions = f.listStatus(new Path(root)).toSeq
-      .map(_.getPath.getName)
+    val names = f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+    val versions = names
       .collect { case n if n.startsWith("snapshot=") => n.stripPrefix("snapshot=").toLong }
       .sorted
-    val cut = versions.filter(v => v <= current - keep.max(1) || v > current)
-    cut.foreach(v => f.delete(new Path(root, s"snapshot=$v"), true))
-    cut
+    val retained = versions.filter(_ <= current).takeRight(keep.max(1)).toSet + current
+    val dropped = versions.filterNot(retained)
+    // every (version, bucket) still referenced by a retained manifest
+    val live: Set[(Long, Int)] = retained.toSeq.flatMap { v =>
+      readManifest(spark, root, v).buckets.map { case (b, ver) => (ver, b) }
+    }.toSet
+    dropped.foreach { v =>
+      if (v > current) f.delete(new Path(root, s"snapshot=$v"), true)
+      else {
+        // drop readability (manifest) and any bucket data nothing points at
+        f.delete(manifestPath(root, v), false)
+        f.listStatus(new Path(root, s"snapshot=$v")).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"$bucketCol=") &&
+              !live((v, n.stripPrefix(s"$bucketCol=").toInt)))
+            f.delete(st.getPath, true)
+        }
+        if (f.listStatus(new Path(root, s"snapshot=$v")).isEmpty)
+          f.delete(new Path(root, s"snapshot=$v"), true)
+      }
+    }
+    // crashed writers' claims above the committed version (claims <= current
+    // are kept: they are what stops a stale writer re-claiming a committed
+    // version)
+    names.collect { case n if n.startsWith("claim=") => n.stripPrefix("claim=").toLong }
+      .filter(_ > current)
+      .foreach(v => f.delete(new Path(root, s"claim=$v"), false))
+    dropped
   }
 
-  /** Merge `updates` into the store and commit a new snapshot. Returns the
-    * merge result with `target` re-pointed at the COMMITTED snapshot and
+  // ---------------------------------------------------------------- upsert
+
+  /** Merge `updates` into the store and commit a new snapshot, rewriting
+    * ONLY the buckets that contain update keys. Returns the merge result
+    * with `target` re-pointed at the COMMITTED snapshot and
     * `written`/`errors` eagerly materialized (localCheckpoint) — a lazy
     * result would re-run the merge against the old snapshot on every
     * action, disagreeing with what was committed (wall-clock stamps) and
     * breaking outright once `vacuum` removes the old version. With the
     * default `current_timestamp()` clock, `written`'s stamps come from its
     * own materialization pass; pass a fixed `cfg.clock` when exact stamp
-    * equality between snapshot and written-rows output matters. */
+    * equality between snapshot and written-rows output matters.
+    *
+    * `nBuckets` applies only when the store is created by this call; an
+    * existing store keeps its recorded bucket count. The touched-bucket set
+    * is collected to the driver, but it is bounded by `nBuckets`, not by
+    * the data.
+    */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             cfg: UpsertConfig = UpsertConfig()): MergeResult = {
-    val target = read(spark, root).getOrElse {
-      // empty store: the target starts as an empty relation with the
-      // update schema (DB-default analog: absent columns stay absent)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
-    }
+             cfg: UpsertConfig = UpsertConfig(),
+             nBuckets: Int = DefaultBuckets): MergeResult = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val f = fs(spark, root)
+    val currentOpt = currentVersion(spark, root)
+    val buckets = numBuckets(spark, root).getOrElse(nBuckets)
+    val bucket = bucketExpr(cfg.discriminant, buckets)
+
+    val touched: Set[Int] = updates
+      .select(bucket.as(bucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val oldManifest = currentOpt.map(readManifest(spark, root, _))
+    // merge sees only the touched buckets' rows — the pruned multi-path
+    // scan is what makes a small batch O(touched), not O(table)
+    val target = oldManifest
+      .map(m => readBuckets(spark, root, m, Some(touched)))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema))
+
     val result = InsertOrUpdate.merge(target, updates, cfg)
-    val next = currentVersion(spark, root).getOrElse(-1L) + 1L
-    result.target.write.mode("overwrite").parquet(s"$root/snapshot=$next")
-    commit(spark, root, next)
+    val next = currentOpt.getOrElse(-1L) + 1L
+    claim(f, root, next)
+
+    result.target
+      .withColumn(bucketCol, bucketExpr(cfg.discriminant, buckets))
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(s"$root/snapshot=$next")
+    // manifest: untouched buckets keep their old location; touched buckets
+    // point here when they produced data (a touched bucket can end empty
+    // when every row in it was a prohibited insert)
+    val writtenBuckets = f.listStatus(new Path(root, s"snapshot=$next")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$bucketCol=") =>
+        n.stripPrefix(s"$bucketCol=").toInt }
+      .toSet
+    val newBuckets =
+      oldManifest.fold(Map.empty[Int, Long])(_.buckets.view.filterKeys(!touched(_)).toMap) ++
+        writtenBuckets.map(_ -> next)
+    writeManifest(f, root, next,
+      Manifest(result.target.schema, newBuckets))
+
+    if (currentOpt.isEmpty)
+      writeSmallFile(f, new Path(root, metaName), s"nBuckets=$buckets\n",
+        overwrite = true)
+    commitPointer(spark, f, root, next)
     MergeResult(
       target = readVersion(spark, root, next),
       written = result.written.localCheckpoint(true),
       errors = result.errors.localCheckpoint(true))
   }
 
-  private def commit(spark: SparkSession, root: String, version: Long): Unit = {
-    val f = fs(spark, root)
+  /** Create-exclusive claim on `version`: exactly one writer can ever hold
+    * it, so concurrent writers serialize instead of overwriting each other. */
+  private def claim(f: FileSystem, root: String, version: Long): Unit = {
+    val p = new Path(root, s"claim=$version")
+    try {
+      val out = f.create(p, false)
+      out.close()
+    } catch {
+      case e: java.io.IOException if f.exists(p) =>
+        throw new ConcurrentWriteException(
+          s"another writer already claimed snapshot $version of $root " +
+            s"(claim file $p exists); re-read and retry. If this is a crashed " +
+            "writer's leftover above the committed version, vacuum() reclaims it.")
+    }
+  }
+
+  private def commitPointer(spark: SparkSession, f: FileSystem, root: String,
+                            version: Long): Unit = {
     val tmp = new Path(root, s"$pointerName.tmp")
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    writeSmallFile(f, tmp, version.toString, overwrite = true)
     val target = new Path(root, pointerName)
     // single atomic rename-with-overwrite (FileContext supports OVERWRITE;
     // FileSystem.rename does not) — a delete-then-rename would open a

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sinks.{SnapshotStore, UpsertConfig}
@@ -79,6 +81,64 @@ class SnapshotStoreSpec extends SparkSpec {
     // vacuum reclaims the crashed writer's orphan, keeps the committed one
     SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(7L)
     SnapshotStore.read(spark, root).get.count() shouldBe 1
+  }
+
+  test("incremental rewrite: an upsert touching one key rewrites only that " +
+    "key's bucket; untouched buckets stay byte-identical and are shared " +
+    "via the manifest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap6").toString
+    SnapshotStore.upsert(spark, root,
+      (1 to 200).map(i => (i, s"v$i")).toDF("id", "value"), cfg, nBuckets = 16)
+
+    def parquetBytes(dir: String): Map[String, Seq[Byte]] = {
+      val base = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+      finally walk.close()
+    }
+
+    val before = parquetBytes(s"$root/snapshot=0")
+    before.size should be >= 16 // all 16 buckets populated at v0
+
+    SnapshotStore.upsert(spark, root, Seq((1, "updated")).toDF("id", "value"), cfg)
+
+    // v0's files were not rewritten — the new manifest references them
+    parquetBytes(s"$root/snapshot=0") shouldBe before
+    // v1 holds exactly the one touched bucket
+    val v1Buckets = new java.io.File(s"$root/snapshot=1").listFiles()
+      .map(_.getName).filter(_.startsWith("__bucket="))
+    v1Buckets.length shouldBe 1
+    // and the merged content is right
+    val rows = SnapshotStore.read(spark, root).get
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    rows.size shouldBe 200
+    rows(1) shouldBe "updated"
+    rows(2) shouldBe "v2"
+    // time travel to v0 still sees the pre-update value
+    SnapshotStore.readVersion(spark, root, 0)
+      .filter(col("id") === 1).head().getString(1) shouldBe "v1"
+  }
+
+  test("concurrent writer claim: the second writer targeting a version fails " +
+    "instead of silently clobbering; vacuum reclaims a crashed claim") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap7").toString
+    SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
+    // a competing (or crashed) writer already claimed version 1
+    new java.io.File(root, "claim=1").createNewFile() shouldBe true
+    intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.upsert(spark, root, Seq((2, "b")).toDF("id", "value"), cfg)
+    }
+    // committed state untouched by the failed writer
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
+    SnapshotStore.read(spark, root).get.count() shouldBe 1
+    // vacuum reaps the orphan claim; the next upsert then proceeds
+    SnapshotStore.vacuum(spark, root, keep = 1)
+    SnapshotStore.upsert(spark, root, Seq((2, "b")).toDF("id", "value"), cfg)
+    SnapshotStore.read(spark, root).get.count() shouldBe 2
   }
 
   test("written/errors outputs survive vacuum (eagerly materialized)") {
