@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -47,11 +47,14 @@ object Similarity {
 
   /** Query batch with its norm precomputed, vector aliased for the join.
     * Fails fast on column collisions that would otherwise surface as an
-    * ambiguous-reference error deep inside the plan. */
-  private def withQueryNorm(queries: DataFrame, corpus: DataFrame,
-                            queryIdCol: String, vecCol: String): DataFrame = {
-    val internal = Set(queryIdCol, "__qvec", "__qn", "__cn", "__cell", "cosine")
-    val clashes = corpus.columns.filter(internal.contains)
+    * ambiguous-reference error deep inside the plan. `allowed` names are
+    * corpus columns this code path intends to carry (e.g. a bucketed
+    * corpus's precomputed `__cell`/`__cn`). */
+  private def withQueryNorm(queries: DataFrame, corpusCols: Seq[String],
+                            queryIdCol: String, vecCol: String,
+                            allowed: Set[String] = Set.empty): DataFrame = {
+    val internal = Set(queryIdCol, "__qvec", "__qn", "__cn", "__cell", "cosine") -- allowed
+    val clashes = corpusCols.filter(internal.contains)
     require(clashes.isEmpty,
       s"corpus columns ${clashes.mkString(", ")} collide with the query-side " +
         s"projection; rename them (queryIdCol must not appear in the corpus)")
@@ -71,7 +74,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
-    val q = withQueryNorm(queries, corpus, queryIdCol, vecCol)
+    val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
     val scored = corpus
       .withColumn("__cn", V.norm(col(vecCol)))
       .join(broadcast(q))
@@ -80,51 +83,187 @@ object Similarity {
     rankTopK(scored, queryIdCol, idCol, k)
   }
 
-  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    * partitions the corpus into `nCells` cells; each query probes only the
-    * `nProbe` nearest cells, so the scored fraction is ~nProbe/nCells of
-    * the corpus. The scale path for 100 TB: cells are computed once
-    * scan-side (and the corpus can be physically partitioned/bucketed by
-    * cell id, making a probe a partition-local read); centroids are tiny
-    * and broadcast. Exact cosine scoring within probed cells + the bounded
-    * [[TopKAggregator]] — recall < 1 by construction, scores never
-    * approximate. Deterministic for a fixed seed. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              vecCol: String, idCol: String, queryIdCol: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, fitSampleFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  // ------------------------------------------------------------------- IVF
 
-    val corpusV = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
-    // A coarse quantizer needs rough cells, not convergence: few iterations,
-    // and at real scale fit on a sample via `fitSampleFraction` (cell
-    // assignment below always covers the full corpus).
-    val fitOn =
-      if (fitSampleFraction >= 1.0) corpusV
-      else corpusV.sample(withReplacement = false, fitSampleFraction, seed)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(fitOn)
-    val assigned = model.transform(corpusV)
-      .select(col(idCol), col(vecCol), col("__cell"),
-        V.norm(col(vecCol)).as("__cn"))
-
-    // nProbe nearest centroids per query: rank by ||c||² − 2·q·c (the
-    // query-independent ||q||² term cannot change the order)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
+  /** Per-row array of (distance-rank key, cell) structs against fixed
+    * centroids: rank by ||c||² − 2·v·c (the row-independent ||v||² term
+    * cannot change the order); ties break on the cell id (second struct
+    * field). One compiled pass of `nCells` native dot products per row. */
+  private def cellDistStructs(vec: org.apache.spark.sql.Column,
+                              centroids: Array[Array[Double]]) =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       val cNorm2 = c.map(x => x * x).sum
-      struct((lit(cNorm2) - lit(2.0) * V.dot(col("__qvec"), lit(c))).as("d"),
+      struct((lit(cNorm2) - lit(2.0) * V.dot(vec, lit(c))).as("d"),
         lit(i).as("cell"))
-    }
-    val q = withQueryNorm(queries, corpus, queryIdCol, vecCol)
-      .withColumn("__probe",
-        slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nProbe))
+    }.toIndexedSeq: _*)
+
+  /** Nearest-centroid cell id for a corpus row (the quantizer assignment). */
+  private def nearestCell(vec: org.apache.spark.sql.Column,
+                          centroids: Array[Array[Double]]) =
+    element_at(array_sort(cellDistStructs(vec, centroids)), 1)("cell")
+
+  /** Attach one row per (query, probed cell): the `nProbe` nearest cells. */
+  private def withProbeCells(q: DataFrame, centroids: Array[Array[Double]],
+                             nProbe: Int): DataFrame =
+    q.withColumn("__probe",
+        slice(array_sort(cellDistStructs(col("__qvec"), centroids)), 1, nProbe))
       .withColumn("__cell", explode(col("__probe.cell")))
       .drop("__probe")
 
+  /** Coarse-quantizer fit: k-means over a BOUNDED sample collected to the
+    * driver (the FAISS recipe). The sample is capped at `fitSampleRows`
+    * vectors, so the fit costs one counted+sampled scan plus an in-memory
+    * Lloyd's run — constant work regardless of corpus size — instead of
+    * per-iteration distributed jobs over the full corpus (which at 100 TB
+    * would be several full passes just to place 16 centroids). Cell
+    * ASSIGNMENT always covers the full corpus scan-side. Deterministic for
+    * a fixed seed. `fitSampleFraction` ∈ (0, 1) forces a specific sampling
+    * rate; the default (≤ 0 = auto) sizes the rate so ~`fitSampleRows`
+    * rows survive. */
+  private[graft] def fitCentroids(corpus: DataFrame, vecCol: String,
+                                  nCells: Int, seed: Long,
+                                  fitSampleFraction: Double = 0.0,
+                                  fitSampleRows: Int = 4096): Array[Array[Double]] = {
+    val targetRows = math.max(fitSampleRows, 32 * nCells)
+    val vecs = corpus.select(V.toDouble(col(vecCol)).as("__v"))
+    val sampled =
+      if (fitSampleFraction > 0 && fitSampleFraction < 1.0)
+        vecs.sample(withReplacement = false, fitSampleFraction, seed)
+      else if (fitSampleFraction >= 1.0) vecs
+      else {
+        // auto: parquet count is row-group-metadata cheap; oversample 10%
+        // then cap, so the collect stays bounded
+        val n = vecs.count()
+        if (n <= targetRows) vecs
+        else vecs.sample(withReplacement = false,
+          math.min(1.0, targetRows.toDouble * 1.1 / n), seed)
+      }
+    val points = sampled.limit(targetRows).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(points.nonEmpty, "cannot fit a quantizer on an empty corpus")
+    kmeansLocal(points, nCells, seed)
+  }
+
+  /** Deterministic in-memory k-means++ + Lloyd over the (bounded) fit
+    * sample. `points` is at most `fitSampleRows` vectors, so this is
+    * microseconds-to-milliseconds of driver CPU. */
+  private def kmeansLocal(points: Array[Array[Double]], k: Int, seed: Long,
+                          iters: Int = 10): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    val dim = points(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center drawn ∝ distance² to nearest center
+    val centers = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(points.length)))
+    while (centers.length < kk) {
+      val dists = points.map(p => centers.iterator.map(c => d2(p, c)).min)
+      val total = dists.sum
+      if (total <= 0) centers += points(rnd.nextInt(points.length))
+      else {
+        var r = rnd.nextDouble() * total; var i = 0
+        while (i < points.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += points(i)
+      }
+    }
+    var cents = centers.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = d2(p, cents(0)); var c = 1
+        while (c < kk) { val d = d2(p, cents(c)); if (d < bestD) { bestD = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val a = sums(c); var i = 0; while (i < dim) { a(i) /= counts(c); i += 1 }; a }
+      }
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only the
+    * `nProbe` nearest cells, so the scored fraction is ~nProbe/nCells of
+    * the corpus. The quantizer is fit on a bounded driver-side sample by
+    * default ([[fitCentroids]]); cells are assigned once scan-side;
+    * centroids are tiny and broadcast. Exact cosine scoring within probed
+    * cells + the bounded [[TopKAggregator]] — recall < 1 by construction,
+    * scores never approximate. Deterministic for a fixed seed. For a
+    * persisted, physically cell-partitioned corpus (probes become
+    * partition-pruned reads) see [[ivfBuild]]/[[ivfProbeTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, queryIdCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, fitSampleFraction: Double = 0.0,
+              fitSampleRows: Int = 4096): DataFrame = {
+    val centroids = fitCentroids(corpus, vecCol, nCells, seed,
+      fitSampleFraction, fitSampleRows)
+    val assigned = corpus
+      .select(col(idCol), col(vecCol),
+        nearestCell(col(vecCol), centroids).as("__cell"),
+        V.norm(col(vecCol)).as("__cn"))
+    val q = withProbeCells(
+      withQueryNorm(queries, corpus.columns, queryIdCol, vecCol),
+      centroids, nProbe)
     val scored = assigned
+      .join(broadcast(q), Seq("__cell"))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
+    rankTopK(scored, queryIdCol, idCol, k)
+  }
+
+  /** One-time physical clustering of a corpus for IVF probing: fit the
+    * quantizer (bounded sample), assign every row its cell, and write the
+    * corpus `partitionBy(__cell)` with per-row norms precomputed, plus the
+    * centroids, under `path`. After this, [[ivfProbeTopK]] reads ONLY the
+    * probed cells' directories — at 100 TB a probe is a partition-pruned
+    * read of ~nProbe/nCells of the data, with no quantizer refit, no
+    * assignment pass, and no norm recomputation per query batch. */
+  def ivfBuild(corpus: DataFrame, vecCol: String, path: String,
+               nCells: Int = 16, seed: Long = 42L,
+               fitSampleFraction: Double = 0.0,
+               fitSampleRows: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = fitCentroids(corpus, vecCol, nCells, seed,
+      fitSampleFraction, fitSampleRows)
+    corpus
+      .withColumn("__cn", V.norm(col(vecCol)))
+      .withColumn("__cell", nearestCell(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a corpus persisted by [[ivfBuild]]: the probed cell set (at most
+    * queries × nProbe distinct cells, collected driver-side — bounded by
+    * nCells) becomes a LITERAL partition filter, so the scan reads only the
+    * probed `__cell=` directories (static partition pruning — verified by
+    * plan inspection in SimilaritySpec). Scoring reuses the persisted
+    * per-row norms. Same output shape and semantics as [[ivfTopK]]. */
+  def ivfProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
+                   vecCol: String, idCol: String, queryIdCol: String,
+                   k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val corpus = spark.read.parquet(s"$path/data")
+    val q = withProbeCells(
+      withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
+        allowed = Set("__cell", "__cn")),
+      centroids, nProbe)
+    val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val scored = corpus
+      .filter(col("__cell").isin(probedCells.toIndexedSeq: _*))
       .join(broadcast(q), Seq("__cell"))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
@@ -146,7 +285,7 @@ object Similarity {
     // query probes: own cell + cells with one flipped bit
     val probeCells = array(
       (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
-    val q = withQueryNorm(queries, corpus, queryIdCol, vecCol)
+    val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
       .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
       .withColumn("__cell", explode(transform(probeCells,
         flip => col("__qcell").bitwiseXOR(flip))))

@@ -70,6 +70,65 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.3 // probing 1/4 of cells; deterministic for seed 42
   }
 
+  test("ivf sampled fit: an explicit sub-1.0 fit fraction still yields exact " +
+    "scores and nonzero recall (quantizer quality only gates which cells " +
+    "exist, never the arithmetic)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = emb.filter($"vec_id" >= 5)
+    val brute = Similarity.bruteForceTopK(corpus, qs,
+      "embedding", "vec_id", "query_id", 10)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (q, v, c) => (q, v) -> c }.toMap
+    val ivf = Similarity.ivfTopK(corpus, qs,
+      "embedding", "vec_id", "query_id", 10, nCells = 16, nProbe = 4,
+      fitSampleFraction = 0.25)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect()
+    ivf should not be empty
+    val recall = ivf.count { case (q, v, _) => brute.contains((q, v)) }
+      .toDouble / brute.size
+    recall should be >= 0.3
+    ivf.foreach { case (q, v, c) =>
+      brute.get((q, v)).foreach(b => c shouldBe b +- 1e-6)
+    }
+  }
+
+  test("bucketed IVF corpus: probes are partition-pruned reads of only the " +
+    "probed cells' directories") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfBuild(emb.filter($"vec_id" >= 5), "embedding", path, nCells = 8)
+
+    val cellDirs = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).count(_.startsWith("__cell="))
+    cellDirs should be > 2 // corpus spreads over cells; pruning is observable
+
+    val qs = emb.filter($"vec_id" < 1)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val res = Similarity.ivfProbeTopK(spark, path, qs,
+      "embedding", "vec_id", "query_id", k = 5, nProbe = 2)
+
+    // the scan carries a literal partition filter on __cell and selects at
+    // most nProbe of the cell directories (1 query × 2 probes)
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "embedding") => f
+    }
+    scans should not be empty
+    scans.head.metadata("PartitionFilters") should include regex "__cell#\\d+ IN \\("
+    scans.head.selectedPartitions.partitionCount should be <= 2
+
+    // and the probe's answers agree with ivfTopK arithmetic: exactly-scored
+    val rows = res.select("vec_id", "cosine").as[(Long, Double)].collect()
+    rows should not be empty
+    val brute = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" >= 5), qs, "embedding", "vec_id", "query_id", 200)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, c) => c shouldBe brute(id) +- 1e-6 }
+  }
+
   test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +
     "(approximation loses candidates, never mis-scores them)") {
     val brute = Similarity.bruteForceTopK(corpus, queries,
