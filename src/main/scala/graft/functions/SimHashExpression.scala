@@ -27,11 +27,16 @@ case class SimHashExpr(child: Expression)
     val votes = new Array[Int](64)
     var t = 0
     while (t < n) {
-      val h = XXH64.hashUTF8String(tokens.getUTF8String(t), 42L)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+      // null elements are skipped (the SQL-registered function can receive
+      // arrays built with explicit NULLs; concat_ws-style skip semantics)
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        val h = XXH64.hashUTF8String(s, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       t += 1
     }

@@ -25,10 +25,17 @@ object Dedup {
   /** Exact dedup: keep exactly one row per key set — the minimal `keepBy`
     * row (deterministic, unlike `dropDuplicates` which keeps an arbitrary
     * one). One shuffle+sort on the keys; a min-agg + join-back would be two
-    * shuffles and would re-emit ties on (keys, keepBy). */
+    * shuffles and would re-emit ties on (keys, keepBy). Ties on
+    * (keys, keepBy) break on the remaining orderable columns, so which
+    * payload row survives never depends on partition order; rows identical
+    * in every orderable column are interchangeable. */
   def exact(df: DataFrame, keys: Seq[String], keepBy: String): DataFrame = {
+    val tieBreak = df.schema.fields
+      .filter(f => !keys.contains(f.name) && f.name != keepBy &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name)).toSeq
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(keepBy))
+      .partitionBy(keys.map(col): _*).orderBy(col(keepBy) +: tieBreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -90,7 +90,11 @@ object InsertOrUpdate {
 
     val t = target.withColumn(tPresent, lit(true)).alias("t")
     val u = updates.withColumn(uPresent, lit(true)).alias("u")
-    val cond = disc.map(c => col(s"t.$c") <=> col(s"u.$c")).reduce(_ && _)
+    // Plain (not null-safe) equality, matching the reference's SQL '='
+    // probe (writers.py:161-165): a NULL discriminant never matches, so a
+    // NULL-key update row is classified as an insert and a NULL-key target
+    // row is never updated.
+    val cond = disc.map(c => col(s"t.$c") === col(s"u.$c")).reduce(_ && _)
     val j = t.join(u, cond, "full_outer")
 
     val matched = col(s"t.$tPresent").isNotNull && col(s"u.$uPresent").isNotNull
@@ -158,10 +162,10 @@ object InsertOrUpdate {
 
     if (!cfg.errorsAsData) {
       // Reference parity when errors-as-data is off: first prohibited row
-      // aborts (fatal path). This is an action — only taken in strict mode.
-      if (!errors.isEmpty)
-        throw new ProhibitedOperationError(
-          errors.select("error").head().getString(0))
+      // aborts (fatal path). One action — take(1) both detects and fetches.
+      errors.select("error").take(1).foreach { r =>
+        throw new ProhibitedOperationError(r.getString(0))
+      }
     }
 
     MergeResult(newTarget, fetchBack(written, cfg), errors)

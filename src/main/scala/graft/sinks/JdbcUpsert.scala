@@ -26,12 +26,23 @@ object JdbcUpsert {
     * timestamp bookkeeping is done by including stamped `created_at`/
     * `updated_at` columns in `df` (e.g. `current_timestamp()`) — the SET
     * clause automatically excludes `createdAtField` so the insert-time
-    * value survives updates; `cfg.clock`/`fetchColumns`/`errorsAsData` do
-    * not apply here (no post-write re-read; row-level DB errors fail the
-    * batch transaction, the reference's rollback granularity,
-    * writers.py:88-95). */
+    * value survives updates; `cfg.clock`/`fetchColumns` do not apply here
+    * (no post-write re-read; row-level DB errors fail the batch
+    * transaction, the reference's rollback granularity, writers.py:88-95).
+    *
+    * Prohibited rows (an existing row in insert-only mode, a missing row in
+    * update-only mode) are no-ops at the SQL level (`DO NOTHING` / an
+    * unmatched `UPDATE`); the reference raises ProhibitedOperationError per
+    * such row (writers.py:115-116,125-126). This backend counts them from
+    * `executeBatch`'s per-statement update counts (0 affected = prohibited)
+    * and returns the count; with `cfg.errorsAsData = false` it throws
+    * [[ProhibitedOperationError]] after the write (already-committed
+    * buffers stay committed — the reference's per-buffer commit has the
+    * same partial-failure shape). Drivers that report
+    * `Statement.SUCCESS_NO_INFO` instead of real counts are not countable;
+    * the PostgreSQL driver reports real counts. */
   def write(df: DataFrame, engine: JdbcEngine, table: String,
-            cfg: UpsertConfig = UpsertConfig()): Unit = {
+            cfg: UpsertConfig = UpsertConfig()): Long = {
     val canInsert = cfg.allowedOperations.contains(Operation.Insert)
     val canUpdate = cfg.allowedOperations.contains(Operation.Update)
     if (!canInsert && !canUpdate)
@@ -44,6 +55,10 @@ object JdbcUpsert {
     val (sql, bindOrder) = upsertSql(table, columns, cfg, canInsert, canUpdate)
     val props = engine
     val bufferSize = cfg.bufferSize
+    // a gated statement can only affect 0 rows when a branch is prohibited
+    val gated = !(canInsert && canUpdate)
+    val prohibited = df.sparkSession.sparkContext
+      .longAccumulator("graft.jdbc.upsert.prohibitedRows")
 
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -51,15 +66,26 @@ object JdbcUpsert {
         try {
           conn.setAutoCommit(false)
           val stmt = conn.prepareStatement(sql)
+          def flush(): Unit = {
+            val counts = stmt.executeBatch()
+            conn.commit()
+            if (gated) {
+              var i = 0
+              while (i < counts.length) {
+                if (counts(i) == 0) prohibited.add(1L)
+                i += 1
+              }
+            }
+          }
           try {
             var n = 0
             rows.foreach { row =>
               bind(stmt, row, bindOrder)
               stmt.addBatch()
               n += 1
-              if (n >= bufferSize) { stmt.executeBatch(); conn.commit(); n = 0 }
+              if (n >= bufferSize) { flush(); n = 0 }
             }
-            if (n > 0) { stmt.executeBatch(); conn.commit() }
+            if (n > 0) flush()
           } finally stmt.close()
         } catch {
           case e: java.sql.SQLException =>
@@ -68,6 +94,11 @@ object JdbcUpsert {
         } finally conn.close()
       }
     }
+    if (!cfg.errorsAsData && prohibited.value > 0)
+      throw new ProhibitedOperationError(
+        s"${prohibited.value} row(s) hit a prohibited operation " +
+          "(existing rows in insert-only mode or missing rows in update-only mode).")
+    prohibited.value
   }
 
   /** Postgres upsert statement honoring `allowedOperations`:

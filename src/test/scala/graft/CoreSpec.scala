@@ -32,6 +32,27 @@ class CoreSpec extends SparkSpec {
     g.run(spark).count() shouldBe 3
   }
 
+  test("Bufferize-style stateful sink node: collects what flowed through " +
+    "it for post-run assertion (tests/test_integration.py:144-152,186-188)") {
+    // The reference's Bufferize is a stateful callable appended to a chain
+    // whose buffer the test inspects after the run. The Spark analog is a
+    // node holding driver-side state, materialized at its own action
+    // boundary — a test/debug sink shape, not a data-path operator.
+    class Bufferize extends Node {
+      val buffer = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      def apply(in: DataFrame, ctx: RunContext): DataFrame = {
+        buffer ++= in.orderBy("id").collect()
+          .map(r => (r.getInt(0), r.getString(1)))
+        in // pass-through, like the reference's sinks (writers.py:70-73)
+      }
+    }
+    val golden = (0 until 10).map(i => (i, s"value for $i"))
+    val sink = new Bufferize
+    val out = Graph(src(golden), sink).run(spark)
+    sink.buffer.toSeq shouldBe golden
+    out.count() shouldBe 10 // rows still flow downstream of the sink
+  }
+
   test("service resolution failure is fatal and names the missing service") {
     val ex = intercept[UnrecoverableOperationalError] {
       ServiceRegistry(Map("a" -> 1)).apply[String]("missing")

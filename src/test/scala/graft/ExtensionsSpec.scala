@@ -22,6 +22,15 @@ class ExtensionsSpec extends SparkSpec {
     r.getLong(1) shouldBe viaColumn
   }
 
+  test("simhash64 skips NULL tokens instead of NPEing (concat_ws-style), " +
+    "so SQL callers can pass arrays with explicit NULLs") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('x', CAST(NULL AS STRING), 'y')) AS withNull,
+        |       simhash64(array('x', 'y')) AS without""".stripMargin).head()
+    r.getLong(0) shouldBe r.getLong(1)
+  }
+
   test("extensions class injects the same functions at session build time") {
     // The shared session already exists, so exercise the injection hook
     // directly against its extensions list shape: the class must be

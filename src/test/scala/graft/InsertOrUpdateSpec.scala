@@ -47,6 +47,21 @@ class InsertOrUpdateSpec extends SparkSpec {
     got.toSeq shouldBe generated
   }
 
+  test("NULL discriminant never matches (reference '=' probe semantics, " +
+    "writers.py:161-165): a NULL-key update inserts; a NULL-key target row " +
+    "is never updated") {
+    val target = Seq((Some(1), "t1"), (None, "t-null"))
+      .toDF("id", "value")
+    val updates = Seq((Some(1), "u1"), (None, "u-null"))
+      .toDF("id", "value")
+    val out = InsertOrUpdate.merge(target, updates, cfg).target
+      .select("id", "value").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1)))
+    // key 1 updated; target NULL row untouched; update NULL row inserted
+    out should contain theSameElementsAs Seq(
+      (Some(1), "u1"), (None, "t-null"), (None, "u-null"))
+  }
+
   test("upsert is idempotent: applying the same batch twice == once") {
     val target = Seq((1, "old"), (2, "old")).toDF("id", "value")
     val updates = Seq((2, "new"), (3, "new")).toDF("id", "value")
