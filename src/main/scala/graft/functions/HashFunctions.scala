@@ -57,8 +57,18 @@ object HashFunctions {
     transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
 
   /** MinHash signature: array of `numHashes` minima of (a_i·h(x)+b_i) mod p
-    * over the shingle set. One pass, no shuffle. */
-  def minHash(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    * over the shingle set. One compiled pass per document, no shuffle —
+    * backed by the native [[MinHashSigExpr]]; [[minHashHof]] is the
+    * declarative spec it is cross-checked against (FunctionsSpec). */
+  def minHash(shingles: Column, numHashes: Int): Column =
+    MinHashSigExpr(shingles, numHashes)
+
+  /** Declarative (built-in-functions-only) formulation of [[minHash]]:
+    * value-equivalent on non-empty shingle sets (the native expression
+    * returns null for empty sets; this returns an array of nulls). HOF
+    * lambdas run interpreted per (shingle × hash) — keep on the spec/test
+    * path, not the scan path. */
+  def minHashHof(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
     val hs = baseHashes(shingles)
     val mins = coefficients(numHashes, seed).map { case (a, b) =>
       array_min(transform(hs, h => pmod(h * a + b, lit(Prime))))

@@ -93,28 +93,23 @@ object Dedup {
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // Shingling is the expensive scan-side computation and is consumed by
-    // three branches (signature aggregation + both verification joins);
+    // three branches (signature computation + both verification joins);
     // persist it once instead of recomputing per branch. MEMORY_AND_DISK:
     // at cluster scale this relation exceeds memory and spills, which is
     // still far cheaper than re-tokenizing the corpus per branch.
     val shingled = df.select(col(idCol),
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Signature via explode + 64 codegen'd min-aggregates instead of a
-    // higher-order-function fold: HOF lambdas are interpreted per element,
-    // while hash-aggregate min() runs inside whole-stage codegen with
-    // map-side partial aggregation — same values, ~an order of magnitude
-    // cheaper at scale.
-    val exploded = shingled
-      .select(col(idCol), explode(col("__shingles")).as("__sh"))
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(H.Prime)))
-    val minCols = H.coefficients(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__h") * a + b, lit(H.Prime))).as(s"__m$i")
-    }
-    val withSig = exploded.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+    // Signature via the native MinHashSigExpr: one compiled pass per
+    // document, entirely scan-side. The previous explode + 64-min-aggregate
+    // plan produced identical values but exchanged every exploded shingle
+    // hash to regroup by document — at corpus scale that shuffle carries
+    // |corpus|·|shingles| rows and dwarfs the band-key exchange LSH
+    // actually needs. Empty-shingle docs (null signature) have nothing to
+    // band and are dropped, as the explode plan also dropped them.
+    val withSig = shingled
+      .select(col(idCol), H.minHash(col("__shingles"), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
     val keyed = withSig
       .select(col(idCol), explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
       .select(col(idCol), col("__band").cast("string").as("__key"))

@@ -78,6 +78,24 @@ class FunctionsSpec extends SparkSpec {
     n shouldBe Array(4, 0, 0)
   }
 
+  test("native minHash == HOF spec (pinned value-equivalence), and the " +
+    "explode+min-aggregate arithmetic it replaced") {
+    val docs = Seq("x y z w one two three", "p q r s", "lone")
+    val shingles = H.wordShingles(T.tokens(col("t")), 2)
+    val native = docs.toDF("t").select(H.minHash(shingles, 32).as("sig"))
+      .as[Seq[Long]].collect()
+    val hof = docs.toDF("t").select(H.minHashHof(shingles, 32).as("sig"))
+      .as[Seq[Long]].collect()
+    native shouldBe hof
+    // empty shingle set: native yields null (no signature, doc unbandable)
+    val empty = Seq("").toDF("t")
+      .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 8).as("sig"))
+      .collect()
+    // tokens("") is an empty array -> whole-string shingle of "" may apply;
+    // assert only that evaluation is total (no NPE) and deterministic
+    empty.length shouldBe 1
+  }
+
   test("minHash is deterministic and equal signatures for equal shingle sets") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))
