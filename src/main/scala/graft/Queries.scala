@@ -291,6 +291,15 @@ object Queries {
         shingleSize = 3, threshold = 0.1)
       .orderBy("id_a", "id_b")
 
+  /** Transitive closure of the exact n-gram pair graph: cluster ids via
+    * min-label propagation ([[Dedup.clusters]]). Oracle = recursive-CTE
+    * reachability over the same edges in DuckDB — both engine-independent. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.ngramJaccardPairs(tab(s, dir, "documents"),
+        "text", "doc_id", shingleSize = 3, threshold = 0.1))
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "documents").select(
       col("doc_id"),
@@ -525,6 +534,7 @@ object Queries {
     "events_sliding" -> eventsSliding _,
     "events_sessions" -> eventsSessions _,
     "ngram_pairs" -> ngramPairs _,
+    "dedup_clusters" -> dedupClusters _,
     "text_quality" -> textQuality _,
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
@@ -795,6 +805,38 @@ object Queries {
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+    // Transitive closure of the ngram_pairs edge set: recursive-CTE
+    // reachability, then min reachable id per node — engine-independent,
+    // exactly the fixpoint Dedup.clusters' min-label propagation reaches.
+    "dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+        |edges AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |        UNION SELECT id_b, id_a FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+        |o AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |      FROM reach GROUP BY src)
+        |SELECT doc_id, cluster FROM o ORDER BY doc_id""".stripMargin,
     // DuckDB list_cosine_similarity over DOUBLE[] accumulates sequentially
     // in f64 — bit-identical to DotProductExpr's loop (verified empirically;
     // threshold 0.4 sits > 1e-6 from every pair's cosine at sf<=0.1).

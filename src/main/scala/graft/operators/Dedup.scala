@@ -201,6 +201,67 @@ object Dedup {
       numHashes = blockingHashes, bands = blockingHashes,
       threshold = threshold, maxBucket = maxBucket)
 
+  /** Connected components over a near-duplicate pair list: every id that
+    * appears in `pairs` is labeled with the minimum id reachable through
+    * the pair graph (the canonical representative of its duplicate
+    * cluster). Pair operators emit edges; an actual dedup needs the
+    * transitive closure — A~B and B~C must collapse A, B, C together even
+    * when A~C was never emitted.
+    *
+    * Algorithm: min-label propagation — each iteration joins labels across
+    * the symmetrized edge list and keeps the elementwise minimum, so labels
+    * converge in O(component diameter) iterations. Near-duplicate clusters
+    * are dense and shallow (diameter is typically ≤ 3), so a handful of
+    * iterations suffices; `maxIter` bounds pathological chains, and each
+    * iteration is localCheckpoint-ed so the loop does not stack lineage.
+    * At extreme graph sizes the alternating small-star/large-star variant
+    * halves the iteration count, but the per-iteration shape (join +
+    * min-aggregate on the edge exchange) is the same as here.
+    *
+    * Returns (idA → "id", "cluster"); deterministic, engine-independent
+    * (oracle-checked against a recursive-CTE closure in DuckDB). */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("__nl").as("__nbrMin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__prev"),
+          least(col("label"), col("__nbrMin")).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") < col("__prev")).count()
+      labels = next.drop("__prev")
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Keep one representative per duplicate cluster: drops every row whose
+    * id is in a cluster but is not the cluster's canonical (minimum) id.
+    * Rows never mentioned in `pairs` are kept — they are their own
+    * cluster. The complement operation to the pair operators: `pairs` in,
+    * deduplicated corpus out. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val doomed = clusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs embedding-cosine pairs: every (a, b) with a < b and
     * cosine ≥ threshold. O(n²) candidate pairs — intended for small corpora
     * (or a pre-blocked partition of one); the 100 TB path is the sign-LSH

@@ -68,6 +68,29 @@ class DedupSpec extends SparkSpec {
     out.count() shouldBe 0
   }
 
+  test("clusters resolves transitive chains (A~B, B~C, D~E -> {A,B,C}, {D,E}) " +
+    "and dropNearDuplicates keeps exactly the canonical representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+
+    val corpus = Seq(1L, 2L, 3L, 7L, 9L, 42L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    // one per cluster + the never-paired doc 42
+    kept shouldBe Array(1L, 7L, 42L)
+  }
+
+  test("clusters converges on a long chain within the diameter bound") {
+    // path graph 0-1-2-...-9: worst case for min-label propagation
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
+    got.length shouldBe 10
+    got.forall(_._2 == 0L) shouldBe true
+  }
+
   test("embedding cosine dedup reports only pairs above threshold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
