@@ -38,6 +38,14 @@ object api {
   type ProhibitedOperationError = core.ProhibitedOperationError
   type UnrecoverableOperationalError = core.UnrecoverableOperationalError
 
+  // Backends a Select can run against.
+  type ParquetCatalog = sources.ParquetCatalog
+  val ParquetCatalog = sources.ParquetCatalog
+  type FileCatalog = sources.FileCatalog
+  val FileCatalog = sources.FileCatalog
+  type JdbcBackend = sources.JdbcBackend
+  val JdbcBackend = sources.JdbcBackend
+
   // Extension surface: sinks, operators, streaming (north-star additions).
   val SnapshotStore = sinks.SnapshotStore
   val JdbcUpsert = sinks.JdbcUpsert

@@ -46,6 +46,15 @@ sealed trait SqlBackend extends Serializable
 final case class ParquetCatalog(dir: String, tables: Seq[String] = Tables.all)
     extends SqlBackend
 
+/** A directory of `<table>.<format>` files in any Spark batch format
+  * (csv, json, orc, parquet, ...) exposed as SQL tables. `options` go to
+  * the reader (e.g. `header`/`inferSchema` for csv). Prefer parquet/orc
+  * for scale — text formats splittable-but-schemaless cost an inference
+  * pass and parse CPU on every scan. */
+final case class FileCatalog(dir: String, format: String,
+    options: Map[String, String] = Map.empty, tables: Seq[String] = Tables.all)
+    extends SqlBackend
+
 /** A live JDBC database (the reference's SQLAlchemy engine). */
 final case class JdbcBackend(engine: JdbcEngine) extends SqlBackend
 
@@ -82,6 +91,9 @@ object Select {
     val df = backend match {
       case ParquetCatalog(dir, tables) =>
         Tables.registerViews(spark, dir, tables)
+        spark.sql(sql)
+      case FileCatalog(dir, format, options, tables) =>
+        Tables.registerViewsAs(spark, dir, format, options, tables)
         spark.sql(sql)
       case JdbcBackend(e) =>
         spark.read

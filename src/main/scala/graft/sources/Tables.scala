@@ -16,6 +16,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(path(dir, table))
 
+  /** Format-generalized load: `<dir>/<table>.<format>` through any Spark
+    * batch source (parquet, csv, json, orc, ...). Text formats carry no
+    * schema — pass `header`/`inferSchema` (csv) or rely on JSON inference
+    * for exploration, and pin an explicit `schema` option-free via the
+    * returned DataFrame's `.to(schema)` for production reads (inference
+    * costs an extra pass over the files and infers loosely at 100 TB). */
+  def loadAs(spark: SparkSession, dir: String, table: String, format: String,
+             options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format(format).options(options).load(s"$dir/$table.$format")
+
   /** Typed load: the `Dataset[T]` face of a table for statically-typed
     * chains (SURVEY.md §1.3 — case classes where the chain is statically
     * typed, DataFrame otherwise). Columns are matched by name. */
@@ -40,4 +50,18 @@ object Tables {
         spark.read.parquet(p.toString).createOrReplaceTempView(t)
     }
   }
+
+  /** [[registerViews]] for any batch file format: registers each existing
+    * `<dir>/<table>.<format>` as a temp view. Same existence semantics
+    * (Hadoop FileSystem — s3a://, hdfs://, local all behave the same). */
+  def registerViewsAs(spark: SparkSession, dir: String, format: String,
+                      options: Map[String, String] = Map.empty,
+                      tables: Seq[String] = all): Unit =
+    tables.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.$format")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.format(format).options(options).load(p.toString)
+          .createOrReplaceTempView(t)
+    }
 }

@@ -28,6 +28,29 @@ class SelectSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("n_nationkey", "n_name")
   }
 
+  test("file-catalog backend reads csv and json table directories through " +
+    "the same Graph/Select surface") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.coalesce(1).write.option("header", "true").csv(s"$tmp/nation.csv")
+    nation.coalesce(1).write.json(s"$tmp/nation.json")
+    def norm(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, String)] =
+      rows.map(r => (r.getAs[Number](0).longValue(), r.getString(1))).toSeq
+    val expected = norm(nation.orderBy("n_nationkey").collect())
+
+    val csvOut = norm(Graph(Select("SELECT n_nationkey, n_name FROM nation"))
+      .run(spark, ServiceRegistry(Map("sql.backend" ->
+        FileCatalog(tmp, "csv", Map("header" -> "true", "inferSchema" -> "true")))))
+      .orderBy("n_nationkey").collect())
+    csvOut shouldBe expected
+
+    val jsonOut = norm(Graph(Select("SELECT n_nationkey, n_name FROM nation"))
+      .run(spark, ServiceRegistry(Map("sql.backend" -> FileCatalog(tmp, "json"))))
+      .orderBy("n_nationkey").collect())
+    jsonOut shouldBe expected
+  }
+
   test("limit caps total rows (readers.py:47) — exhaustive otherwise " +
     "(single-pack bug readers.py:55 NOT reproduced)") {
     val g = Graph(Select("SELECT l_orderkey FROM lineitem", limit = 10))
