@@ -436,6 +436,12 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Exact percentiles (sort-based ObjectHashAggregate): the oracle needs
+    * exact values, and per-group collections fit comfortably at test SFs.
+    * At 100 TB the exact aggregate buffers each group's values — use
+    * `approx_percentile(col, p, accuracy)` there (bounded-memory KLL-style
+    * sketch, mergeable map-side); it is engine-specific, hence not the
+    * oracle-gated form here. */
   private def percentiles(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "orders")
       .groupBy("o_orderstatus")

@@ -52,9 +52,15 @@ object HashFunctions {
         .otherwise(transform(starts, i => text.substr(i, lit(n)))))
   }
 
-  /** Non-negative 61-bit base hash of each shingle. */
+  /** Null elements are skipped by the native sketch expressions
+    * (concat_ws-style); the HOF specs drop them up front so native == HOF
+    * holds on null-bearing arrays too (xxhash64(NULL) would otherwise
+    * contribute the seed's bits). */
+  private def nonNull(tokens: Column): Column = filter(tokens, t => t.isNotNull)
+
+  /** Non-negative base hash of each shingle (nulls skipped). */
   private def baseHashes(shingles: Column): Column =
-    transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
+    transform(nonNull(shingles), s => pmod(xxhash64(s), lit(Prime)))
 
   /** MinHash signature: array of `numHashes` minima of (a_i·h(x)+b_i) mod p
     * over the shingle set. One compiled pass per document, no shuffle —
@@ -100,7 +106,7 @@ object HashFunctions {
     * with a 64-slot vote accumulator — JVM-native, single pass. */
   def simHash(tokens: Column): Column = {
     val votes = aggregate(
-      tokens,
+      nonNull(tokens),
       array_repeat(lit(0), 64),
       (acc, t) => {
         val h = xxhash64(t)

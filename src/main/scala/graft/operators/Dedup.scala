@@ -26,14 +26,19 @@ object Dedup {
     * row (deterministic, unlike `dropDuplicates` which keeps an arbitrary
     * one). One shuffle+sort on the keys; a min-agg + join-back would be two
     * shuffles and would re-emit ties on (keys, keepBy). Ties on
-    * (keys, keepBy) break on the remaining orderable columns, so which
-    * payload row survives never depends on partition order; rows identical
-    * in every orderable column are interchangeable. */
+    * (keys, keepBy) break on a 64-bit hash of the remaining hashable
+    * columns — a single long sort key computed scan-side, so the window
+    * comparator never drags multi-KB payloads through the sort. The
+    * surviving row is deterministic up to 64-bit hash collisions among
+    * tied rows (rows identical in every hashed column are
+    * interchangeable). */
   def exact(df: DataFrame, keys: Seq[String], keepBy: String): DataFrame = {
-    val tieBreak = df.schema.fields
+    val rest = df.schema.fields
       .filter(f => !keys.contains(f.name) && f.name != keepBy &&
-        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
       .map(f => col(f.name)).toSeq
+    val tieBreak =
+      if (rest.isEmpty) Seq.empty else Seq(xxhash64(rest: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(keepBy) +: tieBreak: _*)
     df.withColumn("__rn", row_number().over(w))
@@ -218,12 +223,14 @@ object Dedup {
     * halves the iteration count, but the per-iteration shape (join +
     * min-aggregate on the edge exchange) is the same as here.
     *
-    * Returns (idA → "id", "cluster"); deterministic, engine-independent
-    * (oracle-checked against a recursive-CTE closure in DuckDB). */
+    * Returns ("id", "cluster") in the pair columns' own type — any
+    * orderable id type works (the label is the component MINIMUM under the
+    * type's ordering; strings cluster fine). Deterministic,
+    * engine-independent (oracle-checked against a recursive-CTE closure in
+    * DuckDB). */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).cast("long").as("src"),
-      col(idB).cast("long").as("dst"))
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -126,6 +126,12 @@ object Similarity {
                                   fitSampleRows: Int = 4096): Array[Array[Double]] = {
     val targetRows = math.max(fitSampleRows, 32 * nCells)
     val vecs = corpus.select(V.toDouble(col(vecCol)).as("__v"))
+    // Only the AUTO path caps with limit(): its sample() was already sized
+    // to ~targetRows, so the cap is a safety bound on an unbiased sample.
+    // An explicit fraction (or full fit) is honored verbatim — a blanket
+    // limit() would silently replace it with a leading-rows prefix, which
+    // on source-ordered corpora concentrates every centroid in the first
+    // region. Callers choosing fractions own the driver-memory cost.
     val sampled =
       if (fitSampleFraction > 0 && fitSampleFraction < 1.0)
         vecs.sample(withReplacement = false, fitSampleFraction, seed)
@@ -137,9 +143,9 @@ object Similarity {
         if (n <= targetRows) vecs
         else vecs.sample(withReplacement = false,
           math.min(1.0, targetRows.toDouble * 1.1 / n), seed)
+          .limit(targetRows)
       }
-    val points = sampled.limit(targetRows).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val points = sampled.collect().map(_.getSeq[Double](0).toArray)
     require(points.nonEmpty, "cannot fit a quantizer on an empty corpus")
     kmeansLocal(points, nCells, seed)
   }
@@ -257,10 +263,14 @@ object Similarity {
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     val corpus = spark.read.parquet(s"$path/data")
+    // materialize the (small, broadcast-bound) probe-expanded query batch
+    // once: both the collected IN-list below and the join read it, and
+    // without this the nCells dot-product ranking would run twice
     val q = withProbeCells(
       withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
         allowed = Set("__cell", "__cn")),
       centroids, nProbe)
+      .localCheckpoint(true)
     val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
     val scored = corpus
       .filter(col("__cell").isin(probedCells.toIndexedSeq: _*))

@@ -38,9 +38,14 @@ object JdbcUpsert {
     * and returns the count; with `cfg.errorsAsData = false` it throws
     * [[ProhibitedOperationError]] after the write (already-committed
     * buffers stay committed — the reference's per-buffer commit has the
-    * same partial-failure shape). Drivers that report
-    * `Statement.SUCCESS_NO_INFO` instead of real counts are not countable;
-    * the PostgreSQL driver reports real counts. */
+    * same partial-failure shape). Under at-least-once execution (a Spark
+    * task retry replaying a partially-committed partition) replayed rows
+    * count as prohibited in insert-only mode — exactly as re-running the
+    * reference's loop re-raises for rows its earlier run committed
+    * (writers.py:88-95,115-116); the count is per-execution, not
+    * exactly-once. Drivers that report `Statement.SUCCESS_NO_INFO` instead
+    * of real counts are not countable; the PostgreSQL driver reports real
+    * counts. */
   def write(df: DataFrame, engine: JdbcEngine, table: String,
             cfg: UpsertConfig = UpsertConfig()): Long = {
     val canInsert = cfg.allowedOperations.contains(Operation.Insert)

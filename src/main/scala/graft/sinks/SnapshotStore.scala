@@ -149,9 +149,17 @@ object SnapshotStore {
 
   /** Time-travel read of any retained version: resolve that version's
     * manifest, scan the bucket directories it references (which may live in
-    * older `snapshot=` directories — that sharing is the incrementality). */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    readBuckets(spark, root, readManifest(spark, root, version), None)
+    * older `snapshot=` directories — that sharing is the incrementality).
+    * Versions committed by the pre-manifest format (a plain full-snapshot
+    * parquet directory) are read directly — old stores stay readable, and
+    * the next upsert migrates them to the bucketed layout. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val f = fs(spark, root)
+    if (f.exists(manifestPath(root, version)))
+      readBuckets(spark, root, readManifest(spark, root, version), None)
+    else
+      spark.read.parquet(s"$root/snapshot=$version") // legacy full snapshot
+  }
 
   // ---------------------------------------------------------------- vacuum
 
@@ -161,36 +169,51 @@ object SnapshotStore {
     * survives as long as ANY retained manifest still references it; only
     * unreferenced bucket directories, dropped versions' manifests, and
     * orphans ABOVE the committed version (crashed writers — full-size data
-    * that would otherwise leak forever) are deleted. Returns the versions
-    * that are no longer time-travel readable. Single-process only — do not
-    * run concurrently with a writer. */
+    * that would otherwise leak forever) are deleted. On a store with NO
+    * committed version, everything on disk is a crashed first writer's
+    * leftovers and is reclaimed (this is also how a wedged `claim=0` from
+    * a failed first commit is recovered). Returns the versions whose
+    * readability was removed this call. Single-process only — do not run
+    * concurrently with a writer. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     val f = fs(spark, root)
-    val current = currentVersion(spark, root).getOrElse(return Seq.empty)
+    if (!f.exists(new Path(root))) return Seq.empty
+    val currentOpt = currentVersion(spark, root)
+    val current = currentOpt.getOrElse(-1L)
     val names = f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
     val versions = names
       .collect { case n if n.startsWith("snapshot=") => n.stripPrefix("snapshot=").toLong }
       .sorted
-    val retained = versions.filter(_ <= current).takeRight(keep.max(1)).toSet + current
-    val dropped = versions.filterNot(retained)
+    // versions already vacuumed (manifest gone) are shells, not candidates
+    // for retention — without this, raising `keep` after a vacuum would try
+    // to read a deleted manifest
+    val readableOld = versions
+      .filter(v => v <= current && f.exists(manifestPath(root, v)))
+    val retained = (readableOld.takeRight(keep.max(1)) ++ currentOpt).distinct
     // every (version, bucket) still referenced by a retained manifest
-    val live: Set[(Long, Int)] = retained.toSeq.flatMap { v =>
-      readManifest(spark, root, v).buckets.map { case (b, ver) => (ver, b) }
-    }.toSet
-    dropped.foreach { v =>
-      if (v > current) f.delete(new Path(root, s"snapshot=$v"), true)
-      else {
-        // drop readability (manifest) and any bucket data nothing points at
-        f.delete(manifestPath(root, v), false)
-        f.listStatus(new Path(root, s"snapshot=$v")).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(s"$bucketCol=") &&
-              !live((v, n.stripPrefix(s"$bucketCol=").toInt)))
-            f.delete(st.getPath, true)
-        }
-        if (f.listStatus(new Path(root, s"snapshot=$v")).isEmpty)
-          f.delete(new Path(root, s"snapshot=$v"), true)
+    // (legacy pre-manifest current versions contribute nothing — their data
+    // lives directly under their own snapshot dir, untouched below)
+    val live: Set[(Long, Int)] = retained
+      .filter(v => f.exists(manifestPath(root, v)))
+      .flatMap { v =>
+        readManifest(spark, root, v).buckets.map { case (b, ver) => (ver, b) }
+      }.toSet
+    val orphans = versions.filter(_ > current)
+    val droppedOld = readableOld.filterNot(retained.contains)
+    orphans.foreach(v => f.delete(new Path(root, s"snapshot=$v"), true))
+    // also sweep previously-vacuumed shells for buckets nothing points at
+    (droppedOld ++ versions.filter(v =>
+        v <= current && !readableOld.contains(v))).foreach { v =>
+      // drop readability (manifest) and any bucket data nothing points at
+      f.delete(manifestPath(root, v), false)
+      f.listStatus(new Path(root, s"snapshot=$v")).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"$bucketCol=") &&
+            !live((v, n.stripPrefix(s"$bucketCol=").toInt)))
+          f.delete(st.getPath, true)
       }
+      if (f.listStatus(new Path(root, s"snapshot=$v")).isEmpty)
+        f.delete(new Path(root, s"snapshot=$v"), true)
     }
     // crashed writers' claims above the committed version (claims <= current
     // are kept: they are what stops a stale writer re-claiming a committed
@@ -198,7 +221,7 @@ object SnapshotStore {
     names.collect { case n if n.startsWith("claim=") => n.stripPrefix("claim=").toLong }
       .filter(_ > current)
       .foreach(v => f.delete(new Path(root, s"claim=$v"), false))
-    dropped
+    (droppedOld ++ orphans).sorted
   }
 
   // ---------------------------------------------------------------- upsert
@@ -226,19 +249,36 @@ object SnapshotStore {
     val f = fs(spark, root)
     val currentOpt = currentVersion(spark, root)
     val buckets = numBuckets(spark, root).getOrElse(nBuckets)
-    val bucket = bucketExpr(cfg.discriminant, buckets)
+    // legacy (pre-manifest) committed stores have no manifest: read the
+    // full snapshot and rewrite everything once — a one-shot migration to
+    // the bucketed layout
+    val oldManifest = currentOpt
+      .filter(v => f.exists(manifestPath(root, v)))
+      .map(readManifest(spark, root, _))
 
+    // Bucket assignment must hash the STORED discriminant types: the merge
+    // join coerces (5: INT) = (5L: BIGINT), so the touched-set hash has to
+    // agree with how the stored row was bucketed, or a type-drifting update
+    // batch would miss its target bucket and duplicate the key.
+    val schemaForTypes = oldManifest.map(_.schema).getOrElse(updates.schema)
+    def bucketOf(disc: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      pmod(hash(disc: _*), lit(buckets))
+    val typedDisc = cfg.discriminant.map { c =>
+      schemaForTypes.fields.find(_.name == c)
+        .map(fld => col(c).cast(fld.dataType)).getOrElse(col(c))
+    }
     val touched: Set[Int] = updates
-      .select(bucket.as(bucketCol)).distinct()
+      .select(bucketOf(typedDisc).as(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
 
-    val oldManifest = currentOpt.map(readManifest(spark, root, _))
     // merge sees only the touched buckets' rows — the pruned multi-path
     // scan is what makes a small batch O(touched), not O(table)
-    val target = oldManifest
-      .map(m => readBuckets(spark, root, m, Some(touched)))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema))
+    val target = (currentOpt, oldManifest) match {
+      case (Some(_), Some(m)) => readBuckets(spark, root, m, Some(touched))
+      case (Some(v), None) => readVersion(spark, root, v) // legacy: full table
+      case (None, _) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+    }
 
     val result = InsertOrUpdate.merge(target, updates, cfg)
     val next = currentOpt.getOrElse(-1L) + 1L
@@ -262,7 +302,8 @@ object SnapshotStore {
     writeManifest(f, root, next,
       Manifest(result.target.schema, newBuckets))
 
-    if (currentOpt.isEmpty)
+    // absent for new stores AND legacy stores being migrated
+    if (numBuckets(spark, root).isEmpty)
       writeSmallFile(f, new Path(root, metaName), s"nBuckets=$buckets\n",
         overwrite = true)
     commitPointer(spark, f, root, next)

@@ -83,6 +83,13 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 7L, 42L)
   }
 
+  test("clusters is generic over the id type: string ids label by " +
+    "lexicographic minimum") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    got shouldBe Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a")
+  }
+
   test("clusters converges on a long chain within the diameter bound") {
     // path graph 0-1-2-...-9: worst case for min-label propagation
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")

@@ -96,6 +96,22 @@ class FunctionsSpec extends SparkSpec {
     empty.length shouldBe 1
   }
 
+  test("null array elements: native sketches and HOF specs agree (both " +
+    "skip, concat_ws-style)") {
+    val toks = Seq((Seq("x", null, "y"), Seq("x", "y"))).toDF("withNull", "without")
+    val r = toks.select(
+      H.minHash(col("withNull"), 8).as("mnN"),
+      H.minHashHof(col("withNull"), 8).as("mhN"),
+      H.minHash(col("without"), 8).as("mn"),
+      graft.functions.SimHashExpr(col("withNull")).as("snN"),
+      H.simHash(col("withNull")).as("shN"),
+      H.simHash(col("without")).as("sh")).head()
+    r.getSeq[Long](0) shouldBe r.getSeq[Long](1) // native == HOF with nulls
+    r.getSeq[Long](0) shouldBe r.getSeq[Long](2) // nulls are skipped
+    r.getLong(3) shouldBe r.getLong(4)
+    r.getLong(3) shouldBe r.getLong(5)
+  }
+
   test("minHash is deterministic and equal signatures for equal shingle sets") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))

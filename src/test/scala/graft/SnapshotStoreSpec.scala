@@ -141,6 +141,67 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.read(spark, root).get.count() shouldBe 2
   }
 
+  test("crashed FIRST writer (claim exists, nothing committed): vacuum " +
+    "reclaims the wedge and the store becomes usable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap8").toString
+    // simulate: claim placed, data half-written, no pointer
+    new java.io.File(root, "claim=0").createNewFile() shouldBe true
+    Seq((1, "half")).toDF("id", "value").write.parquet(s"$root/snapshot=0")
+    intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
+    }
+    SnapshotStore.vacuum(spark, root) shouldBe Seq(0L)
+    SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
+    SnapshotStore.read(spark, root).get.count() shouldBe 1
+  }
+
+  test("discriminant type drift: an INT-keyed batch still lands in the " +
+    "BIGINT-keyed store's bucket (no duplicate keys)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap9").toString
+    SnapshotStore.upsert(spark, root,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "value"), cfg)
+    // same keys arrive typed INT: hash(5: INT) != hash(5L) — bucket
+    // assignment must coerce to the stored type before hashing
+    SnapshotStore.upsert(spark, root,
+      Seq((5, "updated")).toDF("id", "value"), cfg)
+    val rows = SnapshotStore.read(spark, root).get
+      .filter(col("id") === 5).collect()
+    rows.length shouldBe 1
+    rows.head.getString(1) shouldBe "updated"
+    SnapshotStore.read(spark, root).get.count() shouldBe 50
+  }
+
+  test("vacuum after raising keep does not crash on previously-vacuumed " +
+    "versions (manifest-less shells)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap10").toString
+    val ids = Seq(1, 2, 3, 4)
+    ids.foreach(i => SnapshotStore.upsert(spark, root,
+      Seq((i, s"v$i")).toDF("id", "value"), cfg))
+    SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(0L, 1L, 2L)
+    // raising keep afterwards must not try to read the deleted manifests
+    SnapshotStore.vacuum(spark, root, keep = 4) shouldBe Seq.empty
+    SnapshotStore.read(spark, root).get.count() shouldBe 4
+  }
+
+  test("legacy full-snapshot store (pre-manifest layout) stays readable and " +
+    "the next upsert migrates it to the bucketed layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap11").toString
+    // hand-build the old layout: plain parquet under snapshot=0 + pointer
+    Seq((1, "a"), (2, "b")).toDF("id", "value")
+      .write.parquet(s"$root/snapshot=0")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_LATEST"), "0")
+    SnapshotStore.read(spark, root).get.count() shouldBe 2
+
+    SnapshotStore.upsert(spark, root,
+      Seq((2, "b2"), (3, "c")).toDF("id", "value"), cfg)
+    val after = SnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    after shouldBe Array((1, "a"), (2, "b2"), (3, "c"))
+    // migrated: version 1 has a manifest and carries ALL the data
+    new java.io.File(s"$root/snapshot=1/_MANIFEST").exists() shouldBe true
+  }
+
   test("written/errors outputs survive vacuum (eagerly materialized)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap5").toString
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
