@@ -74,4 +74,40 @@ class PropertySpec extends SparkSpec {
       res.errors.count() shouldBe 0L
     }
   }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 12L)
+      b <- Gen.choose(0L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges
+
+  /** Driver-side union-find as the specification for Dedup.clusters. */
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical label = component minimum (root chains always end minimal
+    // because unions always point the larger root at the smaller)
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("property: Dedup.clusters == union-find on random graphs") {
+    forAll(edgesGen, Gen.const(())) { (edges, _) =>
+      val expected = unionFind(edges)
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else operators.Dedup.clusters(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+      got shouldBe expected
+    }
+  }
 }
