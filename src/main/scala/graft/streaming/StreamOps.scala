@@ -46,6 +46,28 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream interval join: match each left event to
+    * right events of the same `key` whose timestamp lies in
+    * [left.ts − before, left.ts + after]. Both sides carry watermarks so
+    * the join state is BOUNDED — buffered rows are evicted once the
+    * watermark passes their interval, which is the property that keeps an
+    * unbounded two-stream join runnable forever (an unconstrained
+    * stream-stream join accumulates state without limit). Column names are
+    * prefixed `l_`/`r_` to keep the joined schema unambiguous. */
+  def intervalJoin(leftStream: DataFrame, rightStream: DataFrame, key: String,
+                   tsCol: String, delay: String,
+                   before: String, after: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val l = prefixed(leftStream, "l_").withWatermark(s"l_$tsCol", delay)
+    val r = prefixed(rightStream, "r_").withWatermark(s"r_$tsCol", delay)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
+  }
+
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
     * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
     * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.

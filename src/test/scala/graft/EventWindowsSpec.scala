@@ -121,6 +121,32 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: watermarked stream-stream interval join matches within " +
+    "the interval only (bounded state via both-side watermarks)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      views.toDF().toDF("ts", "user_id"),
+      key = "user_id", tsCol = "ts", delay = "10 minutes",
+      before = "5 minutes", after = "5 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("so_ij").outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:10:00"), 1L))
+      views.addData(
+        (ts("2024-01-01 00:12:00"), 1L), // within +5m of the click -> match
+        (ts("2024-01-01 00:30:00"), 1L), // outside the interval -> no match
+        (ts("2024-01-01 00:12:00"), 2L)) // other key -> no match
+      q.processAllAvailable()
+      val rows = spark.table("so_ij")
+        .select(col("l_user_id"), col("r_ts").cast("string")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      rows shouldBe Array((1L, "2024-01-01 00:12:00"))
+    } finally q.stop()
+  }
+
   test("streaming: durable parquet sink with checkpoint (exactly-once files)") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
