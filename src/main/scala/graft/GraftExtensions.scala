@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{PolyHashExpr, SimHashExpr, WordShingleExpr}
+import graft.functions.{MinHashSigExpr, PolyHashExpr, SimHashExpr, WordShingleExpr}
 
 /** Registration of graft's native expressions as SQL functions, via the
   * standard `SparkSessionExtensions` hook:
@@ -46,6 +46,12 @@ object GraftExtensions {
       { case Seq(tokens) => SimHashExpr(tokens)
         case args => throw new IllegalArgumentException(
           s"simhash64(tokens) expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      { case Seq(shingles, n) =>
+          MinHashSigExpr(shingles, intArg(n, "minhash_sig"))
+        case args => throw new IllegalArgumentException(
+          s"minhash_sig(shingles, numHashes) expects 2 args, got ${args.size}") }),
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
       { case Seq(s) => PolyHashExpr(s)

@@ -31,13 +31,27 @@ class ExtensionsSpec extends SparkSpec {
     r.getLong(0) shouldBe r.getLong(1)
   }
 
+  test("minhash_sig SQL function == Column API; composes with word_shingles " +
+    "in one SQL expression") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(word_shingles(array('a','b','c','d'), 2), 16) AS s")
+      .head().getSeq[Long](0)
+    val viaColumn = Seq(Seq("a", "b", "c", "d")).toDF("t")
+      .select(functions.HashFunctions.minHash(
+        functions.HashFunctions.wordShingles(col("t"), 2), 16))
+      .head().getSeq[Long](0)
+    viaSql shouldBe viaColumn
+    viaSql.length shouldBe 16
+  }
+
   test("extensions class injects the same functions at session build time") {
     // The shared session already exists, so exercise the injection hook
     // directly against its extensions list shape: the class must be
     // constructible and expose the three functions.
     new GraftExtensions()
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
-      Set("word_shingles", "simhash64", "vec_dot", "poly_hash")
+      Set("word_shingles", "simhash64", "minhash_sig", "vec_dot", "poly_hash")
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {

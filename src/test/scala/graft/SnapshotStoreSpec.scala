@@ -202,6 +202,22 @@ class SnapshotStoreSpec extends SparkSpec {
     new java.io.File(s"$root/snapshot=1/_MANIFEST").exists() shouldBe true
   }
 
+  test("composite discriminant: bucket routing and merge agree on " +
+    "multi-column keys") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap12").toString
+    val c = cfg.copy(discriminant = Seq("region", "id"))
+    SnapshotStore.upsert(spark, root,
+      (1 to 40).map(i => (s"r${i % 3}", i, s"v$i"))
+        .toDF("region", "id", "value"), c)
+    SnapshotStore.upsert(spark, root,
+      Seq(("r1", 1, "updated"), ("r9", 99, "new")).toDF("region", "id", "value"), c)
+    val rows = SnapshotStore.read(spark, root).get
+    rows.count() shouldBe 41
+    rows.filter(col("region") === "r1" && col("id") === 1)
+      .head().getString(2) shouldBe "updated"
+    rows.filter(col("region") === "r9").count() shouldBe 1
+  }
+
   test("written/errors outputs survive vacuum (eagerly materialized)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap5").toString
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
