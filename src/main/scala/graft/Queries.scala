@@ -291,6 +291,23 @@ object Queries {
         shingleSize = 3, threshold = 0.1)
       .orderBy("id_a", "id_b")
 
+  /** End-to-end training-corpus curation pipeline — THE use-case shape this
+    * engine exists for, hash-checked as one query: quality-score filter →
+    * exact dedup (content fingerprint) → near-dup pairs (exact n-gram
+    * Jaccard) → cluster resolution → keep one representative per cluster.
+    * Every stage is engine-independent arithmetic, so the whole pipeline
+    * has a composed DuckDB oracle. */
+  private def corpusDedup(s: SparkSession, dir: String): DataFrame = {
+    val kept = tab(s, dir, "documents")
+      .filter(T.qualityScore(col("text")) >= 0.5)
+    val exact = Dedup.exactByFingerprint(kept, "text", "doc_id")
+    val pairs = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1)
+    Dedup.dropNearDuplicates(exact, "doc_id", pairs)
+      .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Transitive closure of the exact n-gram pair graph: cluster ids via
     * min-label propagation ([[Dedup.clusters]]). Oracle = recursive-CTE
     * reachability over the same edges in DuckDB — both engine-independent. */
@@ -541,6 +558,7 @@ object Queries {
     "events_sessions" -> eventsSessions _,
     "ngram_pairs" -> ngramPairs _,
     "dedup_clusters" -> dedupClusters _,
+    "corpus_dedup" -> corpusDedup _,
     "text_quality" -> textQuality _,
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
@@ -811,6 +829,64 @@ object Queries {
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+    // The full curation pipeline as one oracle: quality stages reuse the
+    // text_quality arithmetic, the fingerprint stage reuses dedup_exact's,
+    // pairs + closure reuse dedup_clusters' — composed end to end.
+    "corpus_dedup" ->
+      """WITH RECURSIVE qq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text, praw, ntok,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |         ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END AS sraw
+        |  FROM qq),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least(sraw * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM r),
+        |keep AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |fp AS (
+        |  SELECT min(k.doc_id) AS doc_id FROM keep k
+        |  GROUP BY md5(regexp_replace(lower(trim(k.text)), '\s+', ' ', 'g'))),
+        |ex AS (SELECT k.doc_id, k.text, k.quality FROM keep k JOIN fp USING (doc_id)),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM ex),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+        |edges AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |        UNION SELECT id_b, id_a FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT rr.src, s2.dst FROM reach rr JOIN sym s2 ON rr.dst = s2.src),
+        |doomed AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) <> src)
+        |SELECT e.doc_id, e.quality FROM ex e
+        |LEFT JOIN doomed d ON e.doc_id = d.doc_id
+        |WHERE d.doc_id IS NULL ORDER BY e.doc_id""".stripMargin,
     // Transitive closure of the ngram_pairs edge set: recursive-CTE
     // reachability, then min reachable id per node — engine-independent,
     // exactly the fixpoint Dedup.clusters' min-label propagation reaches.
