@@ -298,13 +298,16 @@ object Queries {
     * Every stage is engine-independent arithmetic, so the whole pipeline
     * has a composed DuckDB oracle. */
   private def corpusDedup(s: SparkSession, dir: String): DataFrame = {
+    // score once; the column rides through dedup instead of re-running the
+    // regex-heavy formula over the post-join survivors
     val kept = tab(s, dir, "documents")
-      .filter(T.qualityScore(col("text")) >= 0.5)
+      .withColumn("quality", T.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
     val exact = Dedup.exactByFingerprint(kept, "text", "doc_id")
     val pairs = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
       shingleSize = 3, threshold = 0.1)
     Dedup.dropNearDuplicates(exact, "doc_id", pairs)
-      .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+      .select("doc_id", "quality")
       .orderBy("doc_id")
   }
 

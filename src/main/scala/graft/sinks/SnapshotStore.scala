@@ -95,8 +95,8 @@ object SnapshotStore {
       .getOrElse(DefaultBuckets))
   }
 
-  private def bucketExpr(disc: Seq[String], nBuckets: Int): Column =
-    pmod(hash(disc.map(col): _*), lit(nBuckets))
+  private def bucketExpr(disc: Seq[Column], nBuckets: Int): Column =
+    pmod(hash(disc: _*), lit(nBuckets))
 
   // ------------------------------------------------------------- manifests
 
@@ -261,14 +261,12 @@ object SnapshotStore {
     // agree with how the stored row was bucketed, or a type-drifting update
     // batch would miss its target bucket and duplicate the key.
     val schemaForTypes = oldManifest.map(_.schema).getOrElse(updates.schema)
-    def bucketOf(disc: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-      pmod(hash(disc: _*), lit(buckets))
     val typedDisc = cfg.discriminant.map { c =>
       schemaForTypes.fields.find(_.name == c)
         .map(fld => col(c).cast(fld.dataType)).getOrElse(col(c))
     }
     val touched: Set[Int] = updates
-      .select(bucketOf(typedDisc).as(bucketCol)).distinct()
+      .select(bucketExpr(typedDisc, buckets).as(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
 
     // merge sees only the touched buckets' rows — the pruned multi-path
@@ -285,7 +283,7 @@ object SnapshotStore {
     claim(f, root, next)
 
     result.target
-      .withColumn(bucketCol, bucketExpr(cfg.discriminant, buckets))
+      .withColumn(bucketCol, bucketExpr(cfg.discriminant.map(col), buckets))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(s"$root/snapshot=$next")
     // manifest: untouched buckets keep their old location; touched buckets

@@ -59,7 +59,7 @@ object StreamOps {
                    before: String, after: String): DataFrame = {
     import org.apache.spark.sql.functions._
     def prefixed(df: DataFrame, p: String): DataFrame =
-      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+      df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
     val l = prefixed(leftStream, "l_").withWatermark(s"l_$tsCol", delay)
     val r = prefixed(rightStream, "r_").withWatermark(s"r_$tsCol", delay)
     l.join(r,
