@@ -22,7 +22,8 @@ object PlanDump {
       "asof_join" -> "one key-shuffle + one window pass (no range probes)",
       "upsert_merge" -> "single full-outer discriminant join resolves insert-vs-update",
       "minhash_pairs" -> "signatures computed scan-side by MinHashSigExpr (no explode/regroup exchange); only band keys shuffle",
-      "embcos_exact" -> "norms once per row; small side broadcast into the non-equi pair join; exact f64 scoring"
+      "embcos_exact" -> "norms once per row; small side broadcast into the non-equi pair join; exact f64 scoring",
+      "stratified_topk" -> "per-stratum rank<=k plans a WindowGroupLimit: k rows per group retained BEFORE the exchange"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")

@@ -311,6 +311,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Stratified per-language selection: top-5 docs by quality per detected
+    * language — the training-mix curation shape ("N best docs per
+    * stratum"). rank<=k over a window lets Spark plan a WindowGroupLimit:
+    * each task keeps only k rows per group BEFORE the exchange, so the
+    * shuffle carries ≤ k·groups·tasks rows regardless of corpus size. */
+  private def stratifiedTopK(s: SparkSession, dir: String): DataFrame = {
+    val scored = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.langId(col("text")).as("lang_id"),
+      T.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("lang_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .withColumn("rk", col("rk").cast("long"))
+      .orderBy("lang_id", "rk")
+  }
+
   /** Transitive closure of the exact n-gram pair graph: cluster ids via
     * min-label propagation ([[Dedup.clusters]]). Oracle = recursive-CTE
     * reachability over the same edges in DuckDB — both engine-independent. */
@@ -562,6 +580,7 @@ object Queries {
     "ngram_pairs" -> ngramPairs _,
     "dedup_clusters" -> dedupClusters _,
     "corpus_dedup" -> corpusDedup _,
+    "stratified_topk" -> stratifiedTopK _,
     "text_quality" -> textQuality _,
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
@@ -832,6 +851,52 @@ object Queries {
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+    // langId CTE from text_stats + quality CTE from text_quality + a
+    // per-language ROW_NUMBER cut — the stratified-selection oracle.
+    "stratified_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM lang),
+        |scored AS (
+        |  SELECT doc_id, lang_id,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least((CASE WHEN ntok = 0 THEN 0.0
+        |                        ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+        |                  1.0) * 0.3, 6) AS quality
+        |  FROM lq),
+        |ranked AS (
+        |  SELECT doc_id, lang_id, quality,
+        |    CAST(row_number() OVER (PARTITION BY lang_id
+        |                            ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, lang_id, quality, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY lang_id, rk""".stripMargin,
     // The full curation pipeline as one oracle: quality stages reuse the
     // text_quality arithmetic, the fingerprint stage reuses dedup_exact's,
     // pairs + closure reuse dedup_clusters' — composed end to end.
