@@ -311,6 +311,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Event attribution via the banded interval join: views within 10
+    * minutes after each click, per user — the range-join shape that would
+    * go per-key-cartesian without binning ([[Joins.bandedIntervalJoin]]). */
+  private def eventsInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val matched = Joins.bandedIntervalJoin(clicks, views, "user_id",
+        "ts", "ts", lowerSec = 0L, upperSec = 600L)
+      .groupBy("event_id").agg(count(lit(1)).as("n_views"))
+    clicks.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy("event_id")
+  }
+
   /** Stratified per-language selection: top-5 docs by quality per detected
     * language — the training-mix curation shape ("N best docs per
     * stratum"). rank<=k over a window lets Spark plan a WindowGroupLimit:
@@ -581,6 +599,7 @@ object Queries {
     "dedup_clusters" -> dedupClusters _,
     "corpus_dedup" -> corpusDedup _,
     "stratified_topk" -> stratifiedTopK _,
+    "events_interval" -> eventsInterval _,
     "text_quality" -> textQuality _,
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
@@ -851,6 +870,15 @@ object Queries {
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+    "events_interval" ->
+      """SELECT c.event_id,
+        |  CAST(count(v.event_id) AS BIGINT) AS n_views
+        |FROM events c LEFT JOIN events v
+        |  ON v.user_id = c.user_id AND v.event_type = 'view'
+        |  AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
     // langId CTE from text_stats + quality CTE from text_quality + a
     // per-language ROW_NUMBER cut — the stratified-selection oracle.
     "stratified_topk" ->

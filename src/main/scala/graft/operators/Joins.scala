@@ -85,6 +85,43 @@ object Joins {
     carried.select(out: _*)
   }
 
+  /** Banded (binned) batch interval join: every (left, right) pair of the
+    * same `key` with rightTs in [leftTs + lowerSec, leftTs + upperSec].
+    *
+    * Spark has no native range join — a non-equi condition on its own
+    * plans a per-key cross product (BroadcastNestedLoopJoin or worse),
+    * which explodes quadratically on hot keys at scale. The banded form
+    * makes it a plain equi-join: right rows are assigned ONE time bin
+    * (floor(ts/bin)); each left row probes only the bins its interval
+    * overlaps (interval/bin + 2 bins, exploded), and the exact interval
+    * predicate filters within the matched bins. The exchange is on
+    * (key, bin) — shuffle volume is rows × probes, never a per-key
+    * cartesian; `binSec` defaults to the interval width, bounding probes
+    * at 3 per left row. Microsecond-exact (comparisons in unix micros).
+    * Right columns are prefixed `rightPrefix`; inner-join semantics. */
+  def bandedIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         lowerSec: Long, upperSec: Long, binSec: Long = 0L,
+                         rightPrefix: String = "r_"): DataFrame = {
+    require(upperSec >= lowerSec, "upperSec must be >= lowerSec")
+    val bin = (if (binSec > 0) binSec else math.max(upperSec - lowerSec, 1L)) * 1000000L
+    val loUs = lowerSec * 1000000L
+    val hiUs = upperSec * 1000000L
+    val r = right.columns.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, s"$rightPrefix$c"))
+      .withColumn("__rus", unix_micros(col(s"$rightPrefix$rightTs")))
+      .withColumn("__bin", floor(col("__rus") / bin))
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bin", explode(sequence(
+        floor((col("__lus") + loUs) / bin), floor((col("__lus") + hiUs) / bin))))
+    l.join(r, l("__bin") === r("__bin") &&
+        col(key) === col(s"$rightPrefix$key") &&
+        col("__rus") >= col("__lus") + loUs &&
+        col("__rus") <= col("__lus") + hiUs)
+      .drop("__bin", "__lus", "__rus")
+  }
+
   /** Salted aggregation: two-phase group-by for skewed keys. Phase 1 groups
     * on (key, random-salt-of-`salts`) computing partial aggregates — the hot
     * key's rows spread over `salts` reducers; phase 2 combines the partials

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.operators.Joins
 
 class JoinsSpec extends SparkSpec {
@@ -58,6 +60,32 @@ class JoinsSpec extends SparkSpec {
       .orderBy("l_returnflag").collect()
     salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe
       plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+  }
+
+  test("bandedIntervalJoin equals the naive non-equi range join, including " +
+    "pairs straddling bin boundaries") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, 7L, t("2024-01-01 00:00:30")),
+      (2L, 7L, t("2024-01-01 00:09:59")), // interval straddles a 600s bin edge
+      (3L, 8L, t("2024-01-01 00:00:00"))
+    ).toDF("lid", "user_id", "ts")
+    val r = Seq(
+      (10L, 7L, t("2024-01-01 00:05:00")), // in range of lid 1
+      (11L, 7L, t("2024-01-01 00:19:58")), // +599s from lid 2, next bin
+      (12L, 7L, t("2024-01-01 00:20:00")), // +601s from lid 2 -> out
+      (13L, 9L, t("2024-01-01 00:00:10"))  // other key -> out
+    ).toDF("rid", "user_id", "ts")
+    val banded = Joins.bandedIntervalJoin(l, r, "user_id", "ts", "ts",
+        lowerSec = 0L, upperSec = 600L)
+      .select(col("lid"), col("r_rid")).as[(Long, Long)].collect().toSet
+    val naive = l.join(r.withColumnRenamed("ts", "rts")
+        .withColumnRenamed("user_id", "ruid"),
+        col("user_id") === col("ruid") &&
+          col("rts") >= col("ts") && col("rts") <= col("ts") + expr("INTERVAL 600 SECOND"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    banded shouldBe naive
+    banded shouldBe Set(1L -> 10L, 2L -> 11L)
   }
 
   test("saltedJoin equals the plain equi-join") {
