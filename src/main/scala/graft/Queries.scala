@@ -311,6 +311,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 90/10 corpus split with per-split token accounting —
+    * the eval-holdout primitive. md5-threshold assignment is reproducible
+    * across engines/runs with no shuffle or global count
+    * ([[graft.functions.TextFunctions.stableSplit]]). */
+  private def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "documents")
+      .withColumn("split", T.stableSplit(col("doc_id"), 0.9))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+
   /** Event attribution via the banded interval join: views within 10
     * minutes after each click, per user — the range-join shape that would
     * go per-key-cartesian without binning ([[Joins.bandedIntervalJoin]]). */
@@ -600,6 +612,7 @@ object Queries {
     "corpus_dedup" -> corpusDedup _,
     "stratified_topk" -> stratifiedTopK _,
     "events_interval" -> eventsInterval _,
+    "corpus_split" -> corpusSplit _,
     "text_quality" -> textQuality _,
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
@@ -870,6 +883,18 @@ object Queries {
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+    // 0.9 * 2^32 = 3865470566 = 0xe6666666; fixed-width lowercase-hex
+    // string compare == numeric compare in both engines
+    "corpus_split" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |              THEN 'train' ELSE 'holdout' END AS split,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "events_interval" ->
       """SELECT c.event_id,
         |  CAST(count(v.event_id) AS BIGINT) AS n_views

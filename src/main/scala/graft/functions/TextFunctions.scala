@@ -23,6 +23,21 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Deterministic, content-stable train/holdout assignment: md5 of the
+    * key compared against an 8-hex-digit threshold. Stable across runs,
+    * engines and cluster layouts (md5 is standardized — unlike xxhash64,
+    * this split is reproducible outside Spark), unbiased w.r.t. key order,
+    * and requires no global count or shuffle — the property a 100 TB eval
+    * holdout needs. `trainFrac` resolves at 1/2^32 granularity. */
+  def stableSplit(key: Column, trainFrac: Double,
+                  trainLabel: String = "train",
+                  holdoutLabel: String = "holdout"): Column = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0, "trainFrac must be in [0,1]")
+    val thr = f"${(trainFrac * 4294967296.0).toLong.min(4294967295L)}%08x"
+    when(substring(md5(key.cast("string")), 1, 8) < lit(thr), trainLabel)
+      .otherwise(holdoutLabel)
+  }
+
   /** BPE-ish subword count: number of matches of a GPT-2-style pre-tokenizer
     * regex (word pieces, numbers, punctuation runs). A cheap proxy for a real
     * tokenizer's token count on ASCII-ish text. */

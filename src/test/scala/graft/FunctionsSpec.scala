@@ -112,6 +112,21 @@ class FunctionsSpec extends SparkSpec {
     r.getLong(3) shouldBe r.getLong(5)
   }
 
+  test("stableSplit: deterministic, label-complete, and the fraction lands " +
+    "near the target on a uniform key space") {
+    val ids = (0L until 2000L).toDF("id")
+    val split = ids.select(T.stableSplit(col("id"), 0.9).as("s"))
+    val counts = split.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set("train", "holdout")
+    counts("train").toDouble / 2000.0 shouldBe 0.9 +- 0.03
+    // re-evaluation yields the identical assignment (content-stable)
+    split.collect() shouldBe split.collect()
+    // boundary fractions degenerate to a single label
+    ids.select(T.stableSplit(col("id"), 1.0).as("s"))
+      .distinct().collect().map(_.getString(0)) shouldBe Array("train")
+  }
+
   test("minHash is deterministic and equal signatures for equal shingle sets") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))
