@@ -218,6 +218,26 @@ class SnapshotStoreSpec extends SparkSpec {
     rows.filter(col("region") === "r9").count() shouldBe 1
   }
 
+  test("property: random batch sequences — the committed store always " +
+    "equals the in-memory fold of the same upserts") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft_prop$trial").toString
+      var model = Map.empty[Int, String]
+      (0 until 3).foreach { b =>
+        val batch = (0 until (1 + rnd.nextInt(12)))
+          .map(_ => rnd.nextInt(20) -> s"t${trial}b${b}v${rnd.nextInt(1000)}")
+          .groupBy(_._1).map(_._2.head).toSeq // unique keys per batch
+        model = model ++ batch.toMap
+        SnapshotStore.upsert(spark, root,
+          batch.toDF("id", "value"), cfg, nBuckets = 4)
+      }
+      val got = SnapshotStore.read(spark, root).get
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      got shouldBe model
+    }
+  }
+
   test("written/errors outputs survive vacuum (eagerly materialized)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap5").toString
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
