@@ -33,9 +33,14 @@ object TextFunctions {
                   trainLabel: String = "train",
                   holdoutLabel: String = "holdout"): Column = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0, "trainFrac must be in [0,1]")
-    val thr = f"${(trainFrac * 4294967296.0).toLong.min(4294967295L)}%08x"
-    when(substring(md5(key.cast("string")), 1, 8) < lit(thr), trainLabel)
-      .otherwise(holdoutLabel)
+    // 1.0 must be total — clamping the threshold to ffffffff and comparing
+    // strictly would still send md5-prefix-ffffffff keys to holdout
+    if (trainFrac >= 1.0) lit(trainLabel)
+    else {
+      val thr = f"${(trainFrac * 4294967296.0).toLong}%08x"
+      when(substring(md5(key.cast("string")), 1, 8) < lit(thr), trainLabel)
+        .otherwise(holdoutLabel)
+    }
   }
 
   /** BPE-ish subword count: number of matches of a GPT-2-style pre-tokenizer

@@ -213,14 +213,12 @@ object Dedup {
     * transitive closure — A~B and B~C must collapse A, B, C together even
     * when A~C was never emitted.
     *
-    * Algorithm: min-label propagation — joining labels across the
-    * symmetrized edge list and keeping the elementwise minimum converges
-    * in O(component diameter) hops; each materialized iteration fuses TWO
-    * hops, so the loop runs ~diameter/2 checkpoint barriers.
-    * Near-duplicate clusters are dense and shallow (diameter typically
-    * ≤ 3), so a couple of iterations suffice; `maxIter` bounds pathological
-    * chains (2·maxIter hops), and each iteration is localCheckpoint-ed so
-    * the loop does not stack lineage.
+    * Algorithm: min-label propagation — each iteration joins labels across
+    * the symmetrized edge list and keeps the elementwise minimum, so labels
+    * converge in O(component diameter) iterations. Near-duplicate clusters
+    * are dense and shallow (diameter is typically ≤ 3), so a handful of
+    * iterations suffices; `maxIter` bounds pathological chains, and each
+    * iteration is localCheckpoint-ed so the loop does not stack lineage.
     * At extreme graph sizes the alternating small-star/large-star variant
     * halves the iteration count, but the per-iteration shape (join +
     * min-aggregate on the edge exchange) is the same as here.
@@ -237,26 +235,26 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def hop(cur: DataFrame): DataFrame = {
-      val nbrMin = sym
-        .join(cur.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("__nl").as("__nbrMin"))
-      cur.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), col("__nbrMin")).as("label"))
-    }
+    // One hop per materialization. A fused double-hop was tried and
+    // reverted: the un-materialized inner hop is referenced twice by the
+    // outer one (as aggregation input and join input), duplicating its
+    // join+aggregate subplan per iteration — costlier than the barrier it
+    // saves.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // two hops per materialization: labels are monotone non-increasing,
-      // so a fused double-step converges to the same fixpoint while
-      // halving the checkpoint barriers on even-diameter components
-      val next = hop(hop(labels)).localCheckpoint(true)
-      changed = next.alias("n").join(labels.alias("p"), Seq("id"))
-        .filter(col("n.label") < col("p.label")).count()
-      labels = next
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("__nl").as("__nbrMin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__prev"),
+          least(col("label"), col("__nbrMin")).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") < col("__prev")).count()
+      labels = next.drop("__prev")
       iter += 1
     }
     sym.unpersist()

@@ -107,14 +107,16 @@ object Joins {
     val bin = (if (binSec > 0) binSec else math.max(upperSec - lowerSec, 1L)) * 1000000L
     val loUs = lowerSec * 1000000L
     val hiUs = upperSec * 1000000L
-    val r = right.columns.foldLeft(right)((d, c) =>
-        d.withColumnRenamed(c, s"$rightPrefix$c"))
+    val r = prefixed(right, rightPrefix)
       .withColumn("__rus", unix_micros(col(s"$rightPrefix$rightTs")))
-      .withColumn("__bin", floor(col("__rus") / bin))
+      .withColumn("__bin", binIdExpr("__rus", bin))
     val l = left
       .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__lo", col("__lus") + loUs)
+      .withColumn("__hi", col("__lus") + hiUs)
       .withColumn("__bin", explode(sequence(
-        floor((col("__lus") + loUs) / bin), floor((col("__lus") + hiUs) / bin))))
+        binIdExpr("__lo", bin), binIdExpr("__hi", bin))))
+      .drop("__lo", "__hi")
     l.join(r, l("__bin") === r("__bin") &&
         col(key) === col(s"$rightPrefix$key") &&
         col("__rus") >= col("__lus") + loUs &&
@@ -150,6 +152,19 @@ object Joins {
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Every column prefixed, in ONE projection (chained renames would stack
+    * N Project nodes). Shared by the batch and streaming interval joins. */
+  private[graft] def prefixed(df: DataFrame, p: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
+
+  /** floor(col / bin) in pure LONG arithmetic: (x − pmod(x, bin)) is an
+    * exact multiple of bin, so integer `div` equals the floor quotient for
+    * any sign and magnitude. A double-based floor(x / bin) silently
+    * mis-bins once |x| exceeds 2^53 — exactly the corrupt far-range
+    * timestamps dirty data contains. */
+  private def binIdExpr(colName: String, bin: Long): Column =
+    expr(s"($colName - pmod($colName, ${bin}L)) div ${bin}L")
 
   /** Deterministic per-row salt: hash of the whole row. A nondeterministic
     * salt (rand / monotonically_increasing_id) upstream of a shuffle

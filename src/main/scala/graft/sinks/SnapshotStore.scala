@@ -256,17 +256,32 @@ object SnapshotStore {
       .filter(v => f.exists(manifestPath(root, v)))
       .map(readManifest(spark, root, _))
 
-    // Bucket assignment must hash the STORED discriminant types: the merge
-    // join coerces (5: INT) = (5L: BIGINT), so the touched-set hash has to
-    // agree with how the stored row was bucketed, or a type-drifting update
-    // batch would miss its target bucket and duplicate the key.
-    val schemaForTypes = oldManifest.map(_.schema).getOrElse(updates.schema)
-    val typedDisc = cfg.discriminant.map { c =>
-      schemaForTypes.fields.find(_.name == c)
-        .map(fld => col(c).cast(fld.dataType)).getOrElse(col(c))
+    // Conform the batch to the STORED column types up front (the DB
+    // analog: inserting into a typed table coerces values to the columns'
+    // types). This is load-bearing twice over: (a) bucket assignment must
+    // hash stored types — Murmur3 hash(5: INT) != hash(5L: BIGINT), so an
+    // unconformed batch would probe the wrong buckets; (b) the merge's
+    // CaseWhen otherwise WIDENS output types (INT target + BIGINT update →
+    // BIGINT column), and a widened write would both hash rows into
+    // buckets the touched set never read AND silently rewrite the store
+    // schema in the new manifest.
+    val storedSchema: Option[StructType] = (currentOpt, oldManifest) match {
+      case (_, Some(m)) => Some(m.schema)
+      case (Some(v), None) => Some(readVersion(spark, root, v).schema) // legacy
+      case _ => None
     }
-    val touched: Set[Int] = updates
-      .select(bucketExpr(typedDisc, buckets).as(bucketCol)).distinct()
+    val u = storedSchema.fold(updates) { sch =>
+      updates.columns.foldLeft(updates) { (d, c) =>
+        sch.fields.find(_.name == c) match {
+          case Some(fld) if fld.dataType != d.schema(c).dataType =>
+            d.withColumn(c, col(c).cast(fld.dataType))
+          case _ => d
+        }
+      }
+    }
+    val touched: Set[Int] = u
+      .select(bucketExpr(cfg.discriminant.map(col), buckets).as(bucketCol))
+      .distinct()
       .collect().map(_.getInt(0)).toSet
 
     // merge sees only the touched buckets' rows — the pruned multi-path
@@ -275,10 +290,10 @@ object SnapshotStore {
       case (Some(_), Some(m)) => readBuckets(spark, root, m, Some(touched))
       case (Some(v), None) => readVersion(spark, root, v) // legacy: full table
       case (None, _) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], u.schema)
     }
 
-    val result = InsertOrUpdate.merge(target, updates, cfg)
+    val result = InsertOrUpdate.merge(target, u, cfg)
     val next = currentOpt.getOrElse(-1L) + 1L
     claim(f, root, next)
 

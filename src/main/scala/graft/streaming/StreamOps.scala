@@ -58,8 +58,7 @@ object StreamOps {
                    tsCol: String, delay: String,
                    before: String, after: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    def prefixed(df: DataFrame, p: String): DataFrame =
-      df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
+    import graft.operators.Joins.prefixed
     val l = prefixed(leftStream, "l_").withWatermark(s"l_$tsCol", delay)
     val r = prefixed(rightStream, "r_").withWatermark(s"r_$tsCol", delay)
     l.join(r,

@@ -48,7 +48,7 @@ class ExtensionsSpec extends SparkSpec {
   test("extensions class injects the same functions at session build time") {
     // The shared session already exists, so exercise the injection hook
     // directly against its extensions list shape: the class must be
-    // constructible and expose the three functions.
+    // constructible and expose the full registered-function set.
     new GraftExtensions()
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
       Set("word_shingles", "simhash64", "minhash_sig", "vec_dot", "poly_hash")

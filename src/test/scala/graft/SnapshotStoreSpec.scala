@@ -164,11 +164,31 @@ class SnapshotStoreSpec extends SparkSpec {
     // assignment must coerce to the stored type before hashing
     SnapshotStore.upsert(spark, root,
       Seq((5, "updated")).toDF("id", "value"), cfg)
-    val rows = SnapshotStore.read(spark, root).get
-      .filter(col("id") === 5).collect()
+    val after = SnapshotStore.read(spark, root).get
+    val rows = after.filter(col("id") === 5).collect()
     rows.length shouldBe 1
     rows.head.getString(1) shouldBe "updated"
-    SnapshotStore.read(spark, root).get.count() shouldBe 50
+    after.count() shouldBe 50
+    // the store schema must NOT silently widen: the batch conforms to the
+    // stored type, so the manifest keeps BIGINT and the write hashes with it
+    after.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+  }
+
+  test("discriminant type drift, widening direction: a BIGINT-keyed batch " +
+    "into an INT-keyed store neither loses unread rows nor widens the schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap13").toString
+    SnapshotStore.upsert(spark, root,
+      (1 to 50).map(i => (i, s"v$i")).toDF("id", "value"), cfg)
+    // batch typed BIGINT: without conforming, the merge's CaseWhen widens
+    // id to BIGINT and the write would hash rows into buckets the touched
+    // set never read, overriding those buckets' manifest entries and
+    // dropping their unread rows
+    SnapshotStore.upsert(spark, root,
+      Seq((5L, "updated")).toDF("id", "value"), cfg)
+    val after = SnapshotStore.read(spark, root).get
+    after.count() shouldBe 50
+    after.filter(col("id") === 5).head().getString(1) shouldBe "updated"
+    after.schema("id").dataType shouldBe org.apache.spark.sql.types.IntegerType
   }
 
   test("vacuum after raising keep does not crash on previously-vacuumed " +
