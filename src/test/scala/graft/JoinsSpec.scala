@@ -88,6 +88,21 @@ class JoinsSpec extends SparkSpec {
     banded shouldBe Set(1L -> 10L, 2L -> 11L)
   }
 
+  test("bandedIntervalJoin handles pre-epoch timestamps (negative micros: " +
+    "integer div on the pmod-floored value still bins by true floor)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, t("1969-12-31 23:59:00"))).toDF("lid", "user_id", "ts")
+    val r = Seq(
+      (10L, 7L, t("1969-12-31 23:59:30")), // +30s, straddles micros == 0
+      (11L, 7L, t("1970-01-01 00:02:00"))  // +180s -> out of [0, 120]
+    ).toDF("rid", "user_id", "ts")
+    val got = Joins.bandedIntervalJoin(l, r, "user_id", "ts", "ts",
+        lowerSec = 0L, upperSec = 120L)
+      .select(col("lid"), col("r_rid")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    got shouldBe Set(1L -> 10L)
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = sources.Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     val p = sources.Tables.load(spark, sf, "part").select("p_partkey", "p_brand")
