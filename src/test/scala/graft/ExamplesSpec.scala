@@ -1,0 +1,30 @@
+package graft
+
+import graft.sinks.{SnapshotStore, UpsertConfig}
+
+/** The shipped example programs' logic, driven as specs (the mains
+  * themselves only add arg parsing and printing). */
+class ExamplesSpec extends SparkSpec {
+
+  test("corpus curation example: the composed pipeline produces the curated " +
+    "schema and its store round-trip converges on re-run") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val curated = examples.CorpusCurationExample.curate(docs)
+    curated.columns.toSeq shouldBe
+      Seq("doc_id", "lang_id", "quality", "split", "text")
+    val n = curated.count()
+    n should be > 0L
+    n should be < docs.count() // curation dropped something
+
+    val store = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    val cfg = UpsertConfig(discriminant = Seq("doc_id"),
+      clock = Some(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2026-01-01 00:00:00"))))
+    SnapshotStore.upsert(spark, store, curated, cfg)
+    // re-running the same curation converges — at-least-once contract
+    SnapshotStore.upsert(spark, store, curated, cfg)
+    SnapshotStore.read(spark, store).get.count() shouldBe n
+    SnapshotStore.currentVersion(spark, store) shouldBe Some(1L)
+  }
+}
