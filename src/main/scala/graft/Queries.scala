@@ -563,6 +563,20 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-language corpus sketch via the custom
+    * [[graft.functions.SimHashAgg]] (TypedImperativeAggregate — 256-byte
+    * vote buffers merge map-side; only buffers cross the exchange).
+    * Rows-only: the sketch is xxhash64-family-specific; value-equivalence
+    * to the per-document expression is pinned in FunctionsSpec. */
+  private def groupSketch(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "documents")
+      .select(T.langId(col("text")).as("lang_id"),
+        T.tokens(lower(col("text"))).as("__toks"))
+      .groupBy("lang_id")
+      .agg(graft.functions.SimHashAgg(col("__toks")).as("sketch"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang_id")
+
   /** IVF coarse-quantized ANN: rows-only (k-means centroids are
     * engine-specific); recall vs brute force is pinned in ScalaTest. */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -632,7 +646,8 @@ object Queries {
     "embcos_exact" -> embcosExact _,
     "embcos_pairs" -> embcosPairs _,
     "lsh_topk" -> lshTopK _,
-    "ivf_topk" -> ivfTopK _
+    "ivf_topk" -> ivfTopK _,
+    "group_sketch" -> groupSketch _
   )
 
   val oracles: Map[String, String] = Map(

@@ -127,6 +127,29 @@ class FunctionsSpec extends SparkSpec {
       .distinct().collect().map(_.getString(0)) shouldBe Array("train")
   }
 
+  test("SimHashAgg group sketch == SimHashExpr over the concatenated " +
+    "group tokens, and is partitioning-invariant (merge associativity)") {
+    val withToks = Seq(
+      (1L, Seq("the", "quick", "brown")),
+      (1L, Seq("jumps", "the", "lazy")),
+      (1L, Seq("pack", "box", "jugs", "five")),
+      (2L, Seq("lorem", "ipsum"))).toDF("g", "toks")
+    val agg = withToks.groupBy("g")
+      .agg(graft.functions.SimHashAgg(col("toks")).as("sk"))
+      .orderBy("g").as[(Long, Long)].collect()
+    // spec: one SimHashExpr over each group's concatenated tokens
+    val expected = withToks.groupBy("g")
+      .agg(flatten(collect_list(col("toks"))).as("all"))
+      .select(col("g"), graft.functions.SimHashExpr(col("all")).as("sk"))
+      .orderBy("g").as[(Long, Long)].collect()
+    agg shouldBe expected
+    // partial aggregation must not change the result
+    val repart = withToks.repartition(7).groupBy("g")
+      .agg(graft.functions.SimHashAgg(col("toks")).as("sk"))
+      .orderBy("g").as[(Long, Long)].collect()
+    repart shouldBe agg
+  }
+
   test("minHash is deterministic and equal signatures for equal shingle sets") {
     val df = Seq("x y z w", "x y z w", "p q r s").toDF("t")
       .select(H.minHash(H.wordShingles(T.tokens(col("t")), 2), 16).as("sig"))

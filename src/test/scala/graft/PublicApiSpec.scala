@@ -25,7 +25,7 @@ class PublicApiSpec extends SparkSpec {
 
   test("every declared query has either an oracle or is documented rows-only") {
     val rowsOnly = Set("minhash_pairs", "simhash_pairs", "embcos_pairs",
-      "lsh_topk", "ivf_topk", "approx_distinct")
+      "lsh_topk", "ivf_topk", "approx_distinct", "group_sketch")
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet shouldBe rowsOnly
     // no orphan oracles
     SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet shouldBe Set.empty
