@@ -359,6 +359,14 @@ object Queries {
       .orderBy("lang_id", "rk")
   }
 
+  /** Character-8-gram Jaccard pairs — the dedup form that needs no word
+    * boundaries (CJK-safe), exact integer arithmetic, oracle-checkable,
+    * with the document-frequency stop-gram guard live. */
+  private def chargramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.charJaccardPairs(tab(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 8, threshold = 0.3, maxDf = 200L)
+      .orderBy("id_a", "id_b")
+
   /** Transitive closure of the exact n-gram pair graph: cluster ids via
     * min-label propagation ([[Dedup.clusters]]). Oracle = recursive-CTE
     * reachability over the same edges in DuckDB — both engine-independent. */
@@ -622,6 +630,7 @@ object Queries {
     "events_sliding" -> eventsSliding _,
     "events_sessions" -> eventsSessions _,
     "ngram_pairs" -> ngramPairs _,
+    "chargram_pairs" -> chargramPairs _,
     "dedup_clusters" -> dedupClusters _,
     "corpus_dedup" -> corpusDedup _,
     "stratified_topk" -> stratifiedTopK _,
@@ -897,6 +906,27 @@ object Queries {
         |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "chargram_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) <= 8 THEN [trim(lower(text))]
+        |         ELSE list_distinct(list_transform(
+        |                range(1, length(trim(lower(text))) - 8 + 2),
+        |                i -> substring(trim(lower(text)), i, 8))) END AS sh
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |df AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 200),
+        |sf AS (SELECT s.doc_id, s.g FROM s JOIN df USING (g)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sf a JOIN sf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t)
+        |SELECT id_a, id_b, inter, x.n + y.n - inter AS uni,
+        |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+        |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     // 0.9 * 2^32 = 3865470566 = 0xe6666666; fixed-width lowercase-hex
     // string compare == numeric compare in both engines

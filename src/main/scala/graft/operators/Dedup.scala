@@ -159,7 +159,17 @@ object Dedup {
     * quadratic on boilerplate at 100 TB; 0 disables. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
-                        maxDf: Long = 0L): DataFrame = {
+                        maxDf: Long = 0L): DataFrame =
+    jaccardPairsFromShingles(
+      df.select(col(idCol),
+        H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs")),
+      idCol, threshold, maxDf)
+
+  /** Shared exact-Jaccard tail of the word- and char-shingle pair
+    * operators: inverted-index self-join over a pre-shingled relation. */
+  private def jaccardPairsFromShingles(shingledIn: DataFrame, idCol: String,
+                                       threshold: Double,
+                                       maxDf: Long): DataFrame = {
     // Set sizes ride along with the exploded shingles, so no extra sizes
     // join is needed after the pair aggregation; the two join inputs are
     // identical subplans, so the shingle-key exchange is computed once and
@@ -168,10 +178,7 @@ object Dedup {
     // document; the size() projection and both join-side explodes then read
     // the cached arrays (projection collapse would otherwise re-run the HOF
     // for each consumer).
-    val shingled = df
-      .select(col(idCol),
-        H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shingled = shingledIn.persist(StorageLevel.MEMORY_AND_DISK)
     val sh = shingled
       .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
         explode(col("__shs")).as("__sh"))
@@ -194,6 +201,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Character-n-gram variant of [[ngramJaccardPairs]]: shingles are
+    * n-character windows of the normalized text instead of word n-grams —
+    * the form that works on scripts without whitespace word boundaries
+    * (CJK) and on heavily-concatenated text, at the cost of denser shingle
+    * sets. Same inverted-index self-join, same exact integer arithmetic
+    * (engine-independent, oracle-checkable), same `maxDf` stop-shingle
+    * skew guard. */
+  def charJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 5, threshold: Double = 0.1,
+                       maxDf: Long = 0L): DataFrame =
+    jaccardPairsFromShingles(
+      df.select(col(idCol),
+        H.charShingles(trim(lower(col(textCol))), shingleSize).as("__shs")),
+      idCol, threshold, maxDf)
 
   /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
     * minimum shingle hash — documents sharing their rarest-hashed shingle
