@@ -359,12 +359,15 @@ object Queries {
       .orderBy("lang_id", "rk")
   }
 
-  /** Character-8-gram Jaccard pairs — the dedup form that needs no word
+  /** Character-12-gram Jaccard pairs — the dedup form that needs no word
     * boundaries (CJK-safe), exact integer arithmetic, oracle-checkable,
-    * with the document-frequency stop-gram guard live. */
+    * with the document-frequency stop-gram guard live. 12-gram windows:
+    * short char-grams are corpus-common (at 10× corpus size, 8-grams'
+    * document frequency blows past any useful maxDf and recall dies);
+    * longer windows stay discriminative as the corpus grows. */
   private def chargramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.charJaccardPairs(tab(s, dir, "documents"), "text", "doc_id",
-        shingleSize = 8, threshold = 0.3, maxDf = 200L)
+        shingleSize = 12, threshold = 0.3, maxDf = 50L)
       .orderBy("id_a", "id_b")
 
   /** Transitive closure of the exact n-gram pair graph: cluster ids via
@@ -910,13 +913,13 @@ object Queries {
     "chargram_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(trim(lower(text))) <= 8 THEN [trim(lower(text))]
+        |    CASE WHEN length(trim(lower(text))) <= 12 THEN [trim(lower(text))]
         |         ELSE list_distinct(list_transform(
-        |                range(1, length(trim(lower(text))) - 8 + 2),
-        |                i -> substring(trim(lower(text)), i, 8))) END AS sh
+        |                range(1, length(trim(lower(text))) - 12 + 2),
+        |                i -> substring(trim(lower(text)), i, 12))) END AS sh
         |  FROM documents),
         |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
-        |df AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 200),
+        |df AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 50),
         |sf AS (SELECT s.doc_id, s.g FROM s JOIN df USING (g)),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

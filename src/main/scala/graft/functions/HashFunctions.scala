@@ -43,8 +43,15 @@ object HashFunctions {
         .otherwise(transform(starts, i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
   }
 
-  /** Character n-gram shingles (distinct). */
-  def charShingles(text: Column, n: Int): Column = {
+  /** Character n-gram shingles (distinct). Native [[CharShingleExpr]] —
+    * one compiled loop per document; [[charShinglesHof]] is the
+    * declarative spec it is cross-checked against. */
+  def charShingles(text: Column, n: Int): Column = CharShingleExpr(text, n)
+
+  /** Declarative (built-in-functions-only) formulation of [[charShingles]];
+    * value-equivalent, kept as the cross-checked spec (interpreted
+    * substring lambda per position — not for the scan path). */
+  def charShinglesHof(text: Column, n: Int): Column = {
     val len = length(text)
     val starts = sequence(lit(1), greatest(len - n + 1, lit(1)))
     array_distinct(

@@ -68,3 +68,48 @@ object WordShingleExpr {
   def apply(tokens: Column, n: Int): Column =
     Bridge.column(WordShingleExpr(Bridge.expression(tokens), n))
 }
+
+/** Native character-n-gram shingle set: every `n`-code-point window of the
+  * input string, distinct, in first-appearance order; strings of ≤ n chars
+  * yield themselves as the one shingle (same contract as
+  * [[HashFunctions.charShinglesHof]], the `substring`-transform spec).
+  * Same rationale as [[WordShingleExpr]]: the HOF form evaluates an
+  * interpreted `substring` lambda per position — O(chars) interpreter
+  * steps per document on the hottest scan-side path of char-gram dedup —
+  * while this is one compiled loop using the same SQL substring semantics
+  * (`UTF8String.substringSQL`, code-point indexed). */
+case class CharShingleExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (len <= n) out.add(s)
+    else {
+      var i = 1
+      while (i <= len - n + 1) {
+        out.add(s.substringSQL(i, n))
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleExpr =
+    copy(child = newChild)
+}
+
+object CharShingleExpr {
+  def apply(text: Column, n: Int): Column =
+    Bridge.column(CharShingleExpr(Bridge.expression(text), n))
+}

@@ -96,6 +96,17 @@ class FunctionsSpec extends SparkSpec {
     empty.length shouldBe 1
   }
 
+  test("native CharShingleExpr matches the declarative HOF spec, including " +
+    "short strings, multi-byte code points, and repeats") {
+    val cases = Seq("abcdef", "ab", "", "ababab", "héllo wörld", "日本語のテキスト")
+    val native = cases.toDF("t")
+      .select(H.charShingles(col("t"), 3).as("sh")).as[Seq[String]].collect()
+    val hof = cases.toDF("t")
+      .select(H.charShinglesHof(col("t"), 3).as("sh")).as[Seq[String]].collect()
+    native.map(_.toSet) shouldBe hof.map(_.toSet)
+    native.head.toSet shouldBe Set("abc", "bcd", "cde", "def")
+  }
+
   test("null array elements: native sketches and HOF specs agree (both " +
     "skip, concat_ws-style)") {
     val toks = Seq((Seq("x", null, "y"), Seq("x", "y"))).toDF("withNull", "without")
