@@ -21,10 +21,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_MODE=noop forces full materialization through the
     // noop writer for honest throughput numbers.
     val noop = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("noop")
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     // A failed query must not masquerade as a fast one: it reports -1 in
     // the per-query map, is excluded from the total, and is listed in
     // "failed" (extra keys are additive to the driver contract).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try {
           val df = fn(spark, sfDir)

@@ -67,21 +67,37 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我")
   )
 
-  /** Count of tokens that are markers for `lang`. */
-  def langScore(text: Column, lang: String): Column = {
+  /** Fixed language order shared by [[langScores]] / [[langId]] — also the
+    * deterministic tie-break order (first max wins). */
+  val langOrder: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
+  /** All languages' marker-token counts in ONE compiled pass over the token
+    * array ([[MarkerCountsExpr]]): `array<int>` ordered by [[langOrder]]. */
+  def langScores(text: Column): Column =
+    MarkerCountsExpr(tokens(lower(text)), langOrder.map(langMarkers))
+
+  /** Count of tokens that are markers for `lang` (one element of
+    * [[langScores]]). */
+  def langScore(text: Column, lang: String): Column =
+    element_at(langScores(text), langOrder.indexOf(lang) + 1)
+
+  /** HOF spec for [[langScore]]: an interpreted `filter` with an OR-chain
+    * lambda — value-equivalent, kept as the cross-checked specification for
+    * the native one-pass [[MarkerCountsExpr]]. */
+  def langScoreHof(text: Column, lang: String): Column = {
     val markers = langMarkers(lang)
     size(filter(tokens(lower(text)), t => markers.map(m => t === lit(m)).reduce(_ || _)))
   }
 
   /** Language-ID: argmax of marker-token counts, `und` when all zero.
-    * Ties break by the fixed language order below (deterministic). */
+    * Ties break by [[langOrder]] (`array_position` finds the FIRST max —
+    * deterministic). */
   def langId(text: Column): Column = {
-    val langs = Seq("en", "es", "fr", "de", "zh")
-    val scores = langs.map(l => langScore(text, l))
-    val best = greatest(scores: _*)
-    langs.zip(scores).foldRight(lit("und"): Column) {
-      case ((l, s), elseCol) => when(s === best && best > 0, lit(l)).otherwise(elseCol)
-    }
+    val sc = langScores(text)
+    val best = array_max(sc)
+    when(best.isNull || best <= 0, lit("und"))
+      .otherwise(element_at(
+        typedLit(langOrder), array_position(sc, best).cast("int")))
   }
 
   /** Ratio of punctuation characters to total characters (0 for empty). */

@@ -166,31 +166,74 @@ object Dedup {
       idCol, threshold, maxDf)
 
   /** Shared exact-Jaccard tail of the word- and char-shingle pair
-    * operators: inverted-index self-join over a pre-shingled relation. */
+    * operators: inverted-index self-join over a pre-shingled relation.
+    *
+    * Structured so the heavy exchanges never carry shingle STRINGS:
+    *  1. `maxDf` stop-shingles are found by one string group-by, and the
+    *     (small) stop set is removed with a broadcast ANTI join — the
+    *     exploded relation itself is never shuffled on the string key.
+    *     (The drop set is ≤ |shingles|/maxDf entries by construction; at
+    *     extreme corpus scale swap the broadcast for the shuffled
+    *     left-semi against the keep set.)
+    *  2. Candidate pairs come from a self-join on the 64-bit xxhash of
+    *     each shingle — the exchange and sort-merge compare 8-byte longs,
+    *     not n-char strings. A hash collision can only MERGE shingles,
+    *     which inflates the estimated intersection, so the estimated
+    *     Jaccard is an upper bound and the candidate set is a superset of
+    *     the true pairs.
+    *  3. Candidates (few) are re-verified exactly: the string self-join
+    *     runs again restricted to candidate documents only, giving the
+    *     same exact integer arithmetic the single-pass string join had —
+    *     the operator's results are engine-independent and
+    *     oracle-checkable, hash family notwithstanding. A pair of
+    *     candidate docs that only clears the threshold on estimates fails
+    *     the final exact filter (est ≥ exact), so no inner join against
+    *     the candidate list is needed.
+    */
   private def jaccardPairsFromShingles(shingledIn: DataFrame, idCol: String,
                                        threshold: Double,
                                        maxDf: Long): DataFrame = {
-    // Set sizes ride along with the exploded shingles, so no extra sizes
-    // join is needed after the pair aggregation; the two join inputs are
-    // identical subplans, so the shingle-key exchange is computed once and
-    // reused (ReusedExchange) rather than re-scanned.
-    // Persist at the ARRAY level: the shingle HOF runs exactly once per
-    // document; the size() projection and both join-side explodes then read
-    // the cached arrays (projection collapse would otherwise re-run the HOF
+    // Persist at the ARRAY level: the shingle expression runs exactly once
+    // per document; the size() projection and both join-side explodes then
+    // read the cached arrays (projection collapse would otherwise re-run it
     // for each consumer).
     val shingled = shingledIn.persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = shingled
+    def explodeShingles(rel: DataFrame): DataFrame = rel
       .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
         explode(col("__shs")).as("__sh"))
-    val filtered =
-      if (maxDf <= 0) sh
+    val sh = explodeShingles(shingled)
+    // The stop-set subplan below appears in both the candidate branch and
+    // the verification branch; Spark computes the broadcast once and
+    // reuses it (ReusedExchange).
+    def dropStopShingles(rel: DataFrame): DataFrame =
+      if (maxDf <= 0) rel
       else {
-        val df_ = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf)
-        sh.join(df_.select("__sh"), Seq("__sh"), "left_semi")
+        val stop = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+        rel.join(broadcast(stop.select("__sh")), Seq("__sh"), "left_anti")
       }
-    val a = filtered.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
-    val b = filtered.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+    val filtered = dropStopShingles(sh)
+    // Candidate generation on hashed shingles (upper-bound Jaccard).
+    val hashed = filtered
+      .select(col(idCol), col("__n"), xxhash64(col("__sh")).as("__h"))
+    val ha = hashed.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__h"))
+    val hb = hashed.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__h"))
+    val cand = ha.join(hb, Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("__est"))
+      .filter(col("__est").cast("double") /
+        (col("__na") + col("__nb") - col("__est")) >= threshold)
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    // Exact verification: the original string-keyed join, over candidate
+    // documents only — the semi-join runs at the ARRAY level so the second
+    // explode pass touches candidate documents, not the whole corpus.
+    val narrowed = dropStopShingles(explodeShingles(
+      shingled.join(broadcast(candIds), Seq(idCol), "left_semi")))
+    val a = narrowed.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
+    val b = narrowed.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
     a.join(b, Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb")
@@ -261,7 +304,10 @@ object Dedup {
     // reverted: the un-materialized inner hop is referenced twice by the
     // outer one (as aggregation input and join input), duplicating its
     // join+aggregate subplan per iteration — costlier than the barrier it
-    // saves.
+    // saves. Each iteration runs as ONE Spark job: the checkpoint is lazy
+    // and the convergence count is the action that materializes it (an
+    // eager checkpoint + separate count would double the per-iteration job
+    // overhead, which dominates the loop at small graph sizes).
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -274,7 +320,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__prev"),
           least(col("label"), col("__nbrMin")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("label") < col("__prev")).count()
       labels = next.drop("__prev")
       iter += 1

@@ -21,6 +21,26 @@ class FunctionsSpec extends SparkSpec {
     df.as[String].collect() shouldBe Array("en", "es", "und")
   }
 
+  test("native MarkerCountsExpr matches the HOF filter spec per language") {
+    val texts = Seq(
+      "", "   ", "the the THE la der", "el que la de es 的",
+      "le la les et est der die und ist das",
+      "的 是 了 在 我 xyz", "no markers whatsoever here")
+    val df = texts.toDF("t")
+    for (lang <- T.langOrder) {
+      val native = df.select(T.langScore(col("t"), lang)).as[Int].collect()
+      val hof = df.select(T.langScoreHof(col("t"), lang)).as[Int].collect()
+      withClue(s"lang=$lang") { native.toSeq shouldBe hof.toSeq }
+    }
+  }
+
+  test("langScores counts shared markers in every language containing them") {
+    // "la" is a marker for both es and fr — one pass must credit both
+    val sc = Seq("la la").toDF("t")
+      .select(T.langScores(col("t"))).as[Seq[Int]].head()
+    sc shouldBe Seq(0, 2, 2, 0, 0) // en, es, fr, de, zh
+  }
+
   test("punctRatio and stopwordRatio bounds") {
     val r = Seq("a, b. c!").toDF("t")
       .select(T.punctRatio(col("t")).as("p"), T.stopwordRatio(col("t")).as("s"))
