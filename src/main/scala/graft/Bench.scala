@@ -28,29 +28,52 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Single-run timings swing by tens of percent on a shared box; run the
+    // whole suite SPARK_GRAFT_BENCH_PASSES times (default 2) and report the
+    // per-query MINIMUM — the least-contended observation is the best
+    // estimator of the code's true cost. Both raw pass totals and their
+    // spread are emitted so a noisy run is visible in the JSON itself
+    // (extra keys are additive to the driver contract).
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(2))
+    val names = selected.keys.toSeq
     // A failed query must not masquerade as a fast one: it reports -1 in
-    // the per-query map, is excluded from the total, and is listed in
-    // "failed" (extra keys are additive to the driver contract).
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try {
-          val df = fn(spark, sfDir)
-          if (noop) df.write.format("noop").mode("overwrite").save()
-          else df.count()
-          true
-        }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // release operator-persisted relations
-      name -> (if (ok) secs else -1.0)
+    // the per-query map, is excluded from the totals, and is listed in
+    // "failed".
+    val perPass: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try {
+            val df = fn(spark, sfDir)
+            if (noop) df.write.format("noop").mode("overwrite").save()
+            else df.count()
+            true
+          }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // release operator-persisted relations
+        name -> (if (ok) secs else -1.0)
+      }.toMap
+    }
+    val results = names.map { n =>
+      val ok = perPass.flatMap(_.get(n)).filter(_ >= 0.0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val passTotals = perPass.map(_.values.filter(_ >= 0.0).sum)
+    val repeatDeltaPct =
+      if (passTotals.size < 2 || passTotals.min <= 0) 0.0
+      else (passTotals.max - passTotals.min) / passTotals.min * 100.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""""failed":${failed.mkString("[", ",", "]")},""" +
+      s""""passes":$passes,""" +
+      s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
+      s""""repeat_delta_pct":$repeatDeltaPct,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,43 +156,62 @@ object Dedup {
     * oracle-checkable, unlike MinHash whose signatures depend on the hash
     * family). `maxDf` drops shingles appearing in more than that many docs
     * (stop-shingles) — the skew guard that keeps the self-join from going
-    * quadratic on boilerplate at 100 TB; 0 disables. */
+    * quadratic on boilerplate at 100 TB; 0 disables. `hashedCandidates`
+    * opts into the two-phase narrow-key candidate join (see
+    * [[jaccardPairsFromShingles]]); `maxBroadcastRows` caps the small-side
+    * broadcasts (stop set, candidate ids) — above it they degrade to
+    * shuffled joins instead of unbounded driver broadcasts. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
-                        maxDf: Long = 0L): DataFrame =
+                        maxDf: Long = 0L, hashedCandidates: Boolean = false,
+                        maxBroadcastRows: Long = 1000000L): DataFrame =
     jaccardPairsFromShingles(
       df.select(col(idCol),
         H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs")),
-      idCol, threshold, maxDf)
+      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows)
+
+  /** Join `big` against a derived small relation (`left_semi`/`left_anti`
+    * filter join), broadcasting the small side only when it is MEASURED to
+    * be small: the small side is persisted and counted (one tiny job over
+    * an already-cached input), and above `maxBroadcastRows` the join falls
+    * back to a shuffled exchange. An unconditional `broadcast()` here is
+    * the 100 TB failure mode — on a high-duplication corpus the candidate
+    * set is a large fraction of all documents and an unbounded broadcast
+    * OOMs the driver; the gate keeps the fast path for the common case and
+    * degrades to a shuffle instead of an OOM on the degenerate one. */
+  private def sizeGatedFilterJoin(big: DataFrame, small: DataFrame,
+                                  keys: Seq[String], joinType: String,
+                                  maxBroadcastRows: Long): DataFrame = {
+    val s = small.persist(StorageLevel.MEMORY_AND_DISK)
+    val hinted = if (s.count() <= maxBroadcastRows) broadcast(s) else s
+    big.join(hinted, keys, joinType)
+  }
 
   /** Shared exact-Jaccard tail of the word- and char-shingle pair
     * operators: inverted-index self-join over a pre-shingled relation.
     *
-    * Structured so the heavy exchanges never carry shingle STRINGS:
-    *  1. `maxDf` stop-shingles are found by one string group-by, and the
-    *     (small) stop set is removed with a broadcast ANTI join — the
-    *     exploded relation itself is never shuffled on the string key.
-    *     (The drop set is ≤ |shingles|/maxDf entries by construction; at
-    *     extreme corpus scale swap the broadcast for the shuffled
-    *     left-semi against the keep set.)
-    *  2. Candidate pairs come from a self-join on the 64-bit xxhash of
-    *     each shingle — the exchange and sort-merge compare 8-byte longs,
-    *     not n-char strings. A hash collision can only MERGE shingles,
-    *     which inflates the estimated intersection, so the estimated
-    *     Jaccard is an upper bound and the candidate set is a superset of
-    *     the true pairs.
-    *  3. Candidates (few) are re-verified exactly: the string self-join
-    *     runs again restricted to candidate documents only, giving the
-    *     same exact integer arithmetic the single-pass string join had —
-    *     the operator's results are engine-independent and
-    *     oracle-checkable, hash family notwithstanding. A pair of
-    *     candidate docs that only clears the threshold on estimates fails
-    *     the final exact filter (est ≥ exact), so no inner join against
-    *     the candidate list is needed.
-    */
+    * Default path (one pass): explode distinct shingles, drop `maxDf`
+    * stop-shingles (size-gated broadcast anti join — see
+    * [[sizeGatedFilterJoin]]), self-join on the shingle string, count
+    * shared shingles per pair, exact integer Jaccard. Engine-independent
+    * and oracle-checkable.
+    *
+    * `hashedCandidates = true` (opt-in): candidate pairs are first
+    * generated from a self-join on the 64-bit xxhash of each shingle — the
+    * exchange and sort-merge then compare 8-byte longs instead of n-char
+    * strings — and only candidate documents are re-verified through the
+    * exact string join (a hash collision can only MERGE shingles, so the
+    * estimated Jaccard is an upper bound and the candidate set a superset;
+    * final results are identical to the default path). The narrow-key
+    * exchange only pays off when shingle strings are much wider than 8
+    * bytes AND candidates are a small fraction of the corpus; at every
+    * scale measured here (≤ sf0.1) the second pass costs more than the
+    * narrower keys save (ngram_pairs 2.6→4.3 s, chargram_pairs
+    * 11.1→15.9 s), which is why it is not the default. */
   private def jaccardPairsFromShingles(shingledIn: DataFrame, idCol: String,
-                                       threshold: Double,
-                                       maxDf: Long): DataFrame = {
+                                       threshold: Double, maxDf: Long,
+                                       hashedCandidates: Boolean = false,
+                                       maxBroadcastRows: Long = 1000000L): DataFrame = {
     // Persist at the ARRAY level: the shingle expression runs exactly once
     // per document; the size() projection and both join-side explodes then
     // read the cached arrays (projection collapse would otherwise re-run it
@@ -202,47 +221,58 @@ object Dedup {
       .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
         explode(col("__shs")).as("__sh"))
     val sh = explodeShingles(shingled)
-    // The stop-set subplan below appears in both the candidate branch and
-    // the verification branch; Spark computes the broadcast once and
-    // reuses it (ReusedExchange).
+    // The stop set is ≤ |shingles|/maxDf entries by construction, so the
+    // gated join takes the broadcast branch except on degenerate corpora.
     def dropStopShingles(rel: DataFrame): DataFrame =
       if (maxDf <= 0) rel
       else {
         val stop = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf)
-        rel.join(broadcast(stop.select("__sh")), Seq("__sh"), "left_anti")
+          .select("__sh")
+        sizeGatedFilterJoin(rel, stop, Seq("__sh"), "left_anti", maxBroadcastRows)
       }
-    val filtered = dropStopShingles(sh)
-    // Candidate generation on hashed shingles (upper-bound Jaccard).
-    val hashed = filtered
-      .select(col(idCol), col("__n"), xxhash64(col("__sh")).as("__h"))
-    val ha = hashed.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__h"))
-    val hb = hashed.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__h"))
-    val cand = ha.join(hb, Seq("__h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "__na", "__nb")
-      .agg(count(lit(1)).as("__est"))
-      .filter(col("__est").cast("double") /
-        (col("__na") + col("__nb") - col("__est")) >= threshold)
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol)))
-      .distinct()
-    // Exact verification: the original string-keyed join, over candidate
-    // documents only — the semi-join runs at the ARRAY level so the second
-    // explode pass touches candidate documents, not the whole corpus.
-    val narrowed = dropStopShingles(explodeShingles(
-      shingled.join(broadcast(candIds), Seq(idCol), "left_semi")))
-    val a = narrowed.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
-    val b = narrowed.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
-    a.join(b, Seq("__sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "__na", "__nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        round(col("jaccard"), 6).as("jaccard"))
+    // The exact string-keyed inverted-index join: set sizes ride along with
+    // the exploded shingles, so no extra sizes join is needed after the
+    // pair aggregation; the two join inputs are identical subplans, so the
+    // shingle-key exchange is computed once and reused (ReusedExchange).
+    def exactPairs(rel: DataFrame): DataFrame = {
+      val a = rel.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
+      val b = rel.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+      a.join(b, Seq("__sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }
+    if (!hashedCandidates) exactPairs(dropStopShingles(sh))
+    else {
+      // Candidate generation on hashed shingles (upper-bound Jaccard).
+      val hashed = dropStopShingles(sh)
+        .select(col(idCol), col("__n"), xxhash64(col("__sh")).as("__h"))
+      val ha = hashed.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__h"))
+      val hb = hashed.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__h"))
+      val cand = ha.join(hb, Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(count(lit(1)).as("__est"))
+        .filter(col("__est").cast("double") /
+          (col("__na") + col("__nb") - col("__est")) >= threshold)
+      val candIds = cand.select(col("id_a").as(idCol))
+        .union(cand.select(col("id_b").as(idCol)))
+        .distinct()
+      // Exact verification: the string-keyed join, over candidate documents
+      // only — the semi-join runs at the ARRAY level so the second explode
+      // pass touches candidate documents, not the whole corpus. A pair that
+      // only clears the threshold on estimates fails the final exact filter
+      // (est ≥ exact), so no inner join against the candidate list is
+      // needed.
+      exactPairs(dropStopShingles(explodeShingles(sizeGatedFilterJoin(
+        shingled, candIds, Seq(idCol), "left_semi", maxBroadcastRows))))
+    }
   }
 
   /** Character-n-gram variant of [[ngramJaccardPairs]]: shingles are
@@ -254,11 +284,12 @@ object Dedup {
     * skew guard. */
   def charJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int = 5, threshold: Double = 0.1,
-                       maxDf: Long = 0L): DataFrame =
+                       maxDf: Long = 0L, hashedCandidates: Boolean = false,
+                       maxBroadcastRows: Long = 1000000L): DataFrame =
     jaccardPairsFromShingles(
       df.select(col(idCol),
         H.charShingles(trim(lower(col(textCol))), shingleSize).as("__shs")),
-      idCol, threshold, maxDf)
+      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows)
 
   /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
     * minimum shingle hash — documents sharing their rarest-hashed shingle
@@ -300,30 +331,38 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // One hop per materialization. A fused double-hop was tried and
-    // reverted: the un-materialized inner hop is referenced twice by the
-    // outer one (as aggregation input and join input), duplicating its
-    // join+aggregate subplan per iteration — costlier than the barrier it
-    // saves. Each iteration runs as ONE Spark job: the checkpoint is lazy
-    // and the convergence count is the action that materializes it (an
-    // eager checkpoint + separate count would double the per-iteration job
-    // overhead, which dominates the loop at small graph sizes).
+    // Every hop is localCheckpoint-ed (lazily) so each hop's output enters
+    // the next hop's plan as ONE cached RDD — a fused un-checkpointed
+    // double-hop was tried and reverted: the inner hop is referenced twice
+    // by the outer one (as aggregation input and join input), duplicating
+    // its join+aggregate subplan per iteration. But the convergence COUNT
+    // only runs once per `checkEvery` hops: near-duplicate components are
+    // shallow (diameter typically ≤ 3), so most runs converge in 2–3 hops
+    // and a per-hop count() doubles the loop's job count for checks that
+    // almost always say "keep going". `__prev` carries the label from
+    // before the round, so one filter+count detects change across all of
+    // the round's hops; a converged graph pays at most one no-op extra hop.
+    val checkEvery = 2
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("__nl").as("__nbrMin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__prev"),
-          least(col("label"), col("__nbrMin")).as("label"))
-        .localCheckpoint(false)
-      changed = next.filter(col("label") < col("__prev")).count()
-      labels = next.drop("__prev")
-      iter += 1
+      val hops = math.min(checkEvery, maxIter - iter)
+      var cur = labels.withColumn("__prev", col("label"))
+      for (_ <- 0 until hops) {
+        val nbrMin = sym
+          .join(cur.select(col("id").as("dst"), col("label").as("__nl")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(min("__nl").as("__nbrMin"))
+        cur = cur.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("__prev"),
+            least(col("label"), col("__nbrMin")).as("label"))
+          .localCheckpoint(false)
+      }
+      changed = cur.filter(col("label") < col("__prev")).count()
+      labels = cur.drop("__prev")
+      iter += hops
     }
     sym.unpersist()
     labels.withColumnRenamed("label", "cluster")

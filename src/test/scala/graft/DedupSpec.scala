@@ -68,6 +68,64 @@ class DedupSpec extends SparkSpec {
     out.count() shouldBe 0
   }
 
+  test("hashedCandidates opt-in path returns pairs identical to the default " +
+    "single-pass string join") {
+    val base = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, maxDf = 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val hashed = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, maxDf = 4, hashedCandidates = true)
+      .orderBy("id_a", "id_b").collect().toSeq
+    base.nonEmpty shouldBe true
+    hashed shouldBe base
+  }
+
+  test("broadcast size gate: above maxBroadcastRows the stop-set and " +
+    "candidate-id joins run shuffled instead of broadcast, with identical " +
+    "results (high-duplication corpus guard)") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // kill automatic broadcasts so any BroadcastExchange in the plan can
+      // only come from this operator's explicit size-gated hint
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // high-duplication corpus: ten docs sharing boilerplate shingles
+      // (df=10 > maxDf=5 -> NONEMPTY stop set; an empty one would count
+      // 0 <= 0 and legitimately broadcast) plus one near-dup pair that
+      // survives stop-shingle removal (nonempty candidate-id set)
+      val corpus = ((0L to 9L).map(i =>
+          (i, s"common header boilerplate prefix line number $i")) ++ Seq(
+          (10L, "alpha beta gamma delta epsilon"),
+          (11L, "alpha beta gamma delta zeta"))).toDF("doc_id", "text")
+      // an earlier test's persisted fragments would splice InMemoryRelations
+      // (with their ORIGINAL physical plans, broadcasts included) into this
+      // test's plans — inspect fresh plans only
+      def run(maxBroadcastRows: Long) = {
+        spark.catalog.clearCache()
+        Dedup.ngramJaccardPairs(
+          corpus, "text", "doc_id", shingleSize = 3, threshold = 0.1,
+          maxDf = 5, hashedCandidates = true,
+          maxBroadcastRows = maxBroadcastRows).orderBy("id_a", "id_b")
+      }
+      val gated = run(0L)
+      val gatedRows = gated.collect().toSeq
+      gated.queryExecution.executedPlan.toString should not include "BroadcastExchange"
+      val hinted = run(1000000L)
+      val hintedRows = hinted.collect().toSeq
+      hinted.queryExecution.executedPlan.toString should include("BroadcastExchange")
+      gatedRows.nonEmpty shouldBe true
+      hintedRows shouldBe gatedRows
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      savedAqe match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("clusters resolves transitive chains (A~B, B~C, D~E -> {A,B,C}, {D,E}) " +
     "and dropNearDuplicates keeps exactly the canonical representative") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
