@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with a typed metadata struct riding alongside. The
   * Spark-side mechanics — schema, partition-parallel batched decode,
-  * feature extraction shape — are real and tested; the codec itself is a
-  * clearly-marked DETERMINISTIC STUB (`fakeDecode`) because no image/audio
-  * libraries exist in this container. Swapping in a real decoder only
-  * replaces the body of `fakeDecode`; every plan around it is unchanged.
+  * feature extraction shape — are real and tested. Two codec paths exist:
+  * [[decodeImageFeatures]] REALLY decodes PNG/JPEG/BMP/GIF through the
+  * JDK's `javax.imageio` (no external libraries needed); the
+  * clearly-marked DETERMINISTIC STUB (`fakeDecode`/[[decodeFeatures]])
+  * covers synthetic fixtures and non-image media, since no audio/video
+  * libraries exist in this container. Swapping in a richer decoder only
+  * replaces the codec expression; every plan around it is unchanged.
   */
 object Multimodal {
 
@@ -62,6 +65,19 @@ object Multimodal {
       .withColumn("mean_intensity",
         graft.functions.MeanBytesExpr(coalesce(col(payloadCol), lit(Array.empty[Byte]))))
   }
+
+  /** REAL image decode branch (not a stub): payloads that are genuine
+    * PNG/JPEG/BMP/GIF bytes decode scan-side through the JDK's
+    * `javax.imageio` readers via the native
+    * [[graft.functions.ImageFeaturesExpr]], producing a nullable
+    * `img_features` struct with the [[featureSchema]] fields measured from
+    * ACTUAL pixels; non-decodable payloads get NULL rather than failing
+    * the task. Complements [[decodeFeatures]] (the deterministic stub for
+    * synthetic fixtures): route rows by whether `img_features` is null to
+    * get real features where the bytes allow and the stub elsewhere. */
+  def decodeImageFeatures(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("img_features",
+      graft.functions.ImageFeaturesExpr(col(payloadCol)))
 
   /** Frame-sampling stub for video-like payloads: split the payload into
     * `frames` equal byte slices ("frames"), explode one row per sampled

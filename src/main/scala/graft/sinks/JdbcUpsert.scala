@@ -47,7 +47,8 @@ object JdbcUpsert {
     * of real counts are not countable; the PostgreSQL driver reports real
     * counts. */
   def write(df: DataFrame, engine: JdbcEngine, table: String,
-            cfg: UpsertConfig = UpsertConfig()): Long = {
+            cfg: UpsertConfig = UpsertConfig(),
+            dialect: UpsertDialect = PostgresUpsertDialect): Long = {
     val canInsert = cfg.allowedOperations.contains(Operation.Insert)
     val canUpdate = cfg.allowedOperations.contains(Operation.Update)
     if (!canInsert && !canUpdate)
@@ -57,7 +58,7 @@ object JdbcUpsert {
     val columns = df.columns.toSeq
     require(cfg.discriminant.forall(columns.contains),
       s"rows missing discriminant columns ${cfg.discriminant.filterNot(columns.contains)}")
-    val (sql, bindOrder) = upsertSql(table, columns, cfg, canInsert, canUpdate)
+    val (sql, bindOrder) = dialect.upsertSql(table, columns, cfg, canInsert, canUpdate)
     val props = engine
     val bufferSize = cfg.bufferSize
     // a gated statement can only affect 0 rows when a branch is prohibited
@@ -106,48 +107,12 @@ object JdbcUpsert {
     prohibited.value
   }
 
-  /** Postgres upsert statement honoring `allowedOperations`:
-    * both → `ON CONFLICT … DO UPDATE`; insert-only → `DO NOTHING`;
-    * update-only → a plain `UPDATE … WHERE` (no insert path).
-    * Returns the SQL plus the column order its `?` placeholders bind in.
-    *
-    * Update SET clauses exclude the discriminant, `insertOnlyFields`, AND
-    * `createdAtField` (the reference stamps created_at on insert only,
-    * writers.py:128-129 — callers stamp both timestamp columns in the
-    * DataFrame and this exclusion keeps the insert-time value on update).
-    * If nothing remains updatable, `DO UPDATE` degrades to `DO NOTHING`
-    * (an empty SET is a syntax error), and update-only mode is rejected
-    * up front. */
+  /** SQL synthesis for the default (Postgres) dialect — see
+    * [[UpsertDialect]] for the seam and the other dialects. */
   private[graft] def upsertSql(table: String, columns: Seq[String],
                                cfg: UpsertConfig, canInsert: Boolean,
-                               canUpdate: Boolean): (String, Seq[String]) = {
-    val disc = cfg.discriminant
-    val quoted = columns.map(quote)
-    val placeholders = columns.map(_ => "?").mkString(", ")
-    def updatable(c: String): Boolean =
-      !disc.contains(c) && !cfg.insertOnlyFields.contains(c) &&
-        c != cfg.createdAtField
-    if (!canInsert) {
-      val setCols = columns.filter(updatable)
-      require(setCols.nonEmpty,
-        s"update-only upsert into $table has no updatable columns " +
-          s"(all of $columns are discriminant/insert-only/created-at)")
-      val sql =
-        s"UPDATE ${quote(table)} SET ${setCols.map(c => s"${quote(c)} = ?").mkString(", ")}" +
-          s" WHERE ${disc.map(c => s"${quote(c)} = ?").mkString(" AND ")}"
-      (sql, setCols ++ disc)
-    } else {
-      val base =
-        s"INSERT INTO ${quote(table)} (${quoted.mkString(", ")}) VALUES ($placeholders)"
-      val conflict = s" ON CONFLICT (${disc.map(quote).mkString(", ")})"
-      val set = columns.filter(updatable)
-        .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}")
-      if (!canUpdate || set.isEmpty) (base + conflict + " DO NOTHING", columns)
-      else (base + conflict + s" DO UPDATE SET ${set.mkString(", ")}", columns)
-    }
-  }
-
-  private def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+                               canUpdate: Boolean): (String, Seq[String]) =
+    PostgresUpsertDialect.upsertSql(table, columns, cfg, canInsert, canUpdate)
 
   private def connect(engine: JdbcEngine): Connection =
     try {

@@ -1,6 +1,13 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.sinks.{SnapshotStore, UpsertConfig}
 
 /** Stateful streaming building blocks beyond windowed aggregation.
   *
@@ -65,6 +72,128 @@ object StreamOps {
       col(s"l_$key") === col(s"r_$key") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
+  }
+
+  /** Streaming exact corpus dedup with DURABLE cross-batch state: each
+    * micro-batch is fingerprinted (md5 of whitespace-normalized text —
+    * [[graft.operators.Dedup.exactByFingerprint]]'s key), deduplicated
+    * within the batch (minimum `idCol` per fingerprint survives), anti-
+    * joined against the fingerprints of every document retained in ANY
+    * previous batch, and the survivors are (a) handed to `emit` and
+    * (b) their fingerprints upserted into a [[SnapshotStore]] at
+    * `storeRoot`.
+    *
+    * Unlike [[dedupeStream]] (watermark-bounded state, duplicates beyond
+    * the delay pass through), this state never expires — the unbounded-
+    * corpus curation shape — and stays bounded in SIZE because only the
+    * 32-byte fingerprint + id per retained document is stored, never the
+    * text. The per-batch cost is one shuffled anti join on fingerprints
+    * against the store (bucket-incremental on write; a batch touches only
+    * the buckets its new fingerprints hash into). The store also survives
+    * query restarts — state durability is the store's crash-safety, not
+    * the checkpoint's. */
+  def dedupeExactAgainstStore(stream: DataFrame, textCol: String, idCol: String,
+                              storeRoot: String)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val fp = batch.withColumn("__fp", T.fingerprint(col(textCol)))
+      val w = Window.partitionBy("__fp").orderBy(col(idCol))
+      val unique = fp.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val fresh = SnapshotStore.read(spark, storeRoot) match {
+        case Some(seen) =>
+          unique.join(seen.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+        case None => unique
+      }
+      // consumed twice (emit + state update); compute the joins once
+      val survivors = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+      emit(survivors.drop("__fp"), epoch)
+      SnapshotStore.upsert(spark, storeRoot,
+        survivors.select(col("__fp").as("fp"), col(idCol)),
+        UpsertConfig(discriminant = Seq("fp")))
+      survivors.unpersist()
+      ()
+    }.start()
+
+  /** Streaming NEAR-duplicate dedup with durable bounded state: per batch,
+    * each document gets a scan-side MinHash signature
+    * ([[graft.functions.MinHashSigExpr]] via `H.minHash`); LSH band keys
+    * generate candidates against (a) the signatures of all previously
+    * retained documents (read from the [[SnapshotStore]]) and (b) smaller-
+    * id documents of the same batch; candidates verify on the signature
+    * agreement fraction (the unbiased MinHash estimate of Jaccard) ≥
+    * `threshold`. Survivors are emitted and their signatures upserted.
+    *
+    * State is `numHashes` longs + id per retained document — bounded and
+    * text-free, so the state table stays a vanishing fraction of corpus
+    * size; shingles are never stored (exact re-verification would need the
+    * text, which an unbounded stream cannot keep). Estimate-based
+    * verification is the price of bounded streaming state; the batch
+    * operators ([[graft.operators.Dedup.minHashLsh]]) verify exactly.
+    *
+    * Within a batch, a document is suppressed when it verifies against ANY
+    * smaller-id batch document (whether or not that one itself survives) —
+    * a conservative approximation of one-at-a-time arrival-order
+    * processing; a chain A≈B≈C with A̸≈C also drops C. Documents with no
+    * shingles (null signature) are always kept and never stored — they
+    * have nothing to collide on. */
+  def dedupeNearAgainstStore(stream: DataFrame, textCol: String, idCol: String,
+                             storeRoot: String, shingleSize: Int = 3,
+                             numHashes: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.5)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val sigged = batch.withColumn("__sig",
+          H.minHash(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize),
+            numHashes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bk = sigged.filter(col("__sig").isNotNull)
+        .select(col(idCol).as("__bid"), col("__sig").as("__bsig"))
+      val bKeyed = bk.select(col("__bid"),
+        explode(H.lshBands(col("__bsig"), bands, rowsPerBand)).as("__band"))
+      // signature agreement fraction = E[Jaccard]; both sides' signatures
+      // use the same hash family so componentwise equality is meaningful
+      val simFrac = aggregate(
+        zip_with(col("__bsig"), col("__osig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes
+      def verifiedSuppressed(other: DataFrame, pairFilter: org.apache.spark.sql.Column) = {
+        val oKeyed = other.select(col("__oid"),
+          explode(H.lshBands(col("__osig"), bands, rowsPerBand)).as("__band"))
+        bKeyed.join(oKeyed.select("__oid", "__band"), Seq("__band"))
+          .filter(pairFilter)
+          .select("__bid", "__oid").distinct()
+          .join(bk, Seq("__bid"))
+          .join(other, Seq("__oid"))
+          .filter(simFrac >= threshold)
+          .select(col("__bid"))
+      }
+      val vsBatch = verifiedSuppressed(
+        bk.select(col("__bid").as("__oid"), col("__bsig").as("__osig")),
+        col("__oid") < col("__bid"))
+      val suppressed = SnapshotStore.read(spark, storeRoot) match {
+        case Some(st) =>
+          val stored = st.select(col(idCol).as("__oid"), col("sig").as("__osig"))
+          vsBatch.union(verifiedSuppressed(stored, lit(true)))
+        case None => vsBatch
+      }
+      val survivors = sigged.join(
+          suppressed.distinct().withColumnRenamed("__bid", idCol),
+          Seq(idCol), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      emit(survivors.drop("__sig"), epoch)
+      SnapshotStore.upsert(spark, storeRoot,
+        survivors.filter(col("__sig").isNotNull)
+          .select(col(idCol), col("__sig").as("sig")),
+        UpsertConfig(discriminant = Seq(idCol)))
+      survivors.unpersist()
+      sigged.unpersist()
+      ()
+    }.start()
   }
 
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot

@@ -167,4 +167,31 @@ class InsertOrUpdateSpec extends SparkSpec {
         canInsert = false, canUpdate = true)
     }
   }
+
+  test("ANSI MERGE dialect synthesizes one-statement upserts and maps " +
+    "operation gating to WHEN-clause presence") {
+    import graft.sinks.AnsiMergeUpsertDialect
+    val c = UpsertConfig(discriminant = Seq("id"),
+      insertOnlyFields = Set("created_at"))
+    val cols = Seq("id", "value", "created_at")
+    val (both, bind) = AnsiMergeUpsertDialect.upsertSql("t", cols, c,
+      canInsert = true, canUpdate = true)
+    both should startWith("MERGE INTO \"t\" T USING (VALUES (?, ?, ?)) AS V")
+    both should include("ON T.\"id\" = V.\"id\"")
+    both should include("WHEN MATCHED THEN UPDATE SET \"value\" = V.\"value\"")
+    (both should not).include("\"created_at\" = V.\"created_at\"") // insert-only field
+    both should include(
+      "WHEN NOT MATCHED THEN INSERT (\"id\", \"value\", \"created_at\")")
+    bind shouldBe cols
+    // insert-only: no WHEN MATCHED branch at all
+    val (insOnly, _) = AnsiMergeUpsertDialect.upsertSql("t", cols, c,
+      canInsert = true, canUpdate = false)
+    (insOnly should not).include("WHEN MATCHED")
+    insOnly should include("WHEN NOT MATCHED THEN INSERT")
+    // update-only shares the ANSI plain-UPDATE path with the PG dialect
+    val (updOnly, bindOrder) = AnsiMergeUpsertDialect.upsertSql("t", cols, c,
+      canInsert = false, canUpdate = true)
+    updOnly should startWith("UPDATE")
+    bindOrder shouldBe Seq("value", "id")
+  }
 }

@@ -31,6 +31,31 @@ class MultimodalSpec extends SparkSpec {
     r.getLong(0) shouldBe 13L // 11 chars, 2 of them 2-byte
   }
 
+  test("decodeImageFeatures REALLY decodes a PNG (javax.imageio) and NULLs " +
+    "non-decodable payloads instead of failing the scan") {
+    // build a genuine 2x2 PNG in memory: channel means are exactly computable
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)  // (255,255,255)
+    img.setRGB(1, 0, 0x000000)  // (0,0,0)
+    img.setRGB(0, 1, 0xff0000)  // (255,0,0)
+    img.setRGB(1, 1, 0x00ff00)  // (0,255,0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageFeatures(rows, "payload")
+      .select("doc_id", "img_features").orderBy("doc_id").collect()
+    val feat = out(0).getStruct(1)
+    feat.getInt(0) shouldBe 2                 // width
+    feat.getInt(1) shouldBe 2                 // height
+    feat.getLong(2) shouldBe png.length.toLong
+    // mean over 12 channel values: (3*255 + 0 + 255 + 255) / 12 = 106.25
+    feat.getDouble(3) shouldBe 106.25 +- 1e-9
+    out(1).isNullAt(1) shouldBe true          // junk bytes -> NULL, no failure
+  }
+
   test("sampleFrames slices payload bytes into indexed frames") {
     val payload = Multimodal.asBinaryPayload(docs.filter(col("doc_id") === 1L),
       "text", "text/plain")

@@ -1,0 +1,86 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sinks.SnapshotStore
+import graft.streaming.StreamOps
+
+/** Cross-batch duplicate suppression with durable bounded state
+  * (SnapshotStore-backed), exact and near variants. */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("state").toString
+
+  test("streaming exact dedup: a fingerprint seen in ANY earlier batch is " +
+    "suppressed; state holds fingerprints + ids only (no text)") {
+    val root = tmpRoot("graft_sdx")
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val emitted = ArrayBuffer[Long]()
+    val q = StreamOps.dedupeExactAgainstStore(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", root) { (df, _) =>
+      emitted ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      // batch 1: doc 2 is a whitespace-normalized dup of doc 1 (in-batch)
+      mem.addData((1L, "the quick brown fox"),
+        (2L, "the   quick  brown fox "), (3L, "other content entirely"))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 3L)
+      // batch 2: doc 4 duplicates batch 1's doc 1 (cross-batch), doc 5 fresh
+      mem.addData((4L, "the quick brown fox"), (5L, "brand new document"))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 3L, 5L)
+      // batch 3: re-delivery of an already-retained id is also suppressed
+      mem.addData((1L, "the quick brown fox"))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 3L, 5L)
+    } finally q.stop()
+    // bounded, text-free state: one (fp, id) row per retained document
+    val state = SnapshotStore.read(spark, root).get
+    state.columns.sorted shouldBe Array("doc_id", "fp")
+    state.count() shouldBe 3L
+  }
+
+  test("streaming near dedup: minhash-signature state suppresses cross-batch " +
+    "NEAR-duplicates; state holds signatures + ids only") {
+    val root = tmpRoot("graft_sdn")
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val emitted = ArrayBuffer[Long]()
+    val q = StreamOps.dedupeNearAgainstStore(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", root,
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4) { (df, _) =>
+      emitted ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2L, "completely different text about spark structured streaming state"))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L)
+      // doc 3 is a one-word edit of doc 1 (cross-batch near-dup,
+      // true Jaccard 8/14 ≈ 0.57); doc 4 is unrelated
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy cat and runs away fast"),
+        (4L, "yet another unrelated document entirely about database engines"))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L, 4L)
+      // in-batch near-dup: smaller id wins, larger suppressed
+      mem.addData(
+        (5L, "gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+        (6L, "gamma delta epsilon zeta eta theta iota kappa lambda mu nu pi"))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L, 4L, 5L)
+    } finally q.stop()
+    val state = SnapshotStore.read(spark, root).get
+    state.columns.sorted shouldBe Array("doc_id", "sig")
+    state.count() shouldBe 4L
+    // text is never stored; signatures are fixed-width (numHashes longs)
+    state.selectExpr("max(size(sig))").head().getInt(0) shouldBe 64
+  }
+}
