@@ -24,7 +24,8 @@ object PlanDump {
       "minhash_pairs" -> "signatures computed scan-side by MinHashSigExpr (no explode/regroup exchange); only band keys shuffle",
       "embcos_exact" -> "norms once per row; small side broadcast into the non-equi pair join; exact f64 scoring",
       "stratified_topk" -> "per-stratum rank<=k plans a WindowGroupLimit: k rows per group retained BEFORE the exchange",
-      "events_interval" -> "banded range join: plain equi-join on (user, time-bin) + in-bin filter, no per-key cartesian"
+      "events_interval" -> "banded range join: plain equi-join on (user, time-bin) + in-bin filter, no per-key cartesian",
+      "chargram_pairs" -> "single-pass inverted-index self-join (default path); stop-shingle anti join broadcasts only under the measured size gate"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")
