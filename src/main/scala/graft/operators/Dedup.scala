@@ -59,13 +59,30 @@ object Dedup {
     * key buckets, capped at `maxBucket` ids per key to guard against skew
     * (a degenerate key — empty docs, boilerplate — would otherwise create a
     * quadratic bucket; the cap drops only those keys, and typical
-    * near-duplicates co-occur in several bands so recall survives). */
+    * near-duplicates co-occur in several bands so recall survives).
+    *
+    * Bucket sizes come from a group-by (map-side partial counts — a hot
+    * key combines per task) and the cap is applied by removing the
+    * OVERFULL keys with a size-gated broadcast anti join — NOT a
+    * `count over (partition by key)` window: the window would route every
+    * row of a degenerate key to one task and sort-buffer it there BEFORE
+    * the cap could drop it, recreating at the sizing step the very hot
+    * spot the cap exists to prevent. The overfull-key set is ≤
+    * |rows|/maxBucket entries by construction, so the anti join broadcasts
+    * in the common case (no exchange of the keyed relation) and degrades
+    * to a shuffled join past the gate. */
   private def pairsFromBuckets(keyed: DataFrame, idCol: String,
                                maxBucket: Int): DataFrame = {
-    val sized = keyed
-      .withColumn("__bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__key")))
-      .filter(col("__bucket_n") <= maxBucket)
+    // (id, key) rows are consumed by the sizing aggregate (forced eagerly
+    // by the gate's count) and by both pair-join sides; persist so the
+    // band/bucket keys are derived from the documents exactly once
+    val k = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    val bigKeys = k.groupBy("__key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("__key")
+    val sized = sizeGatedFilterJoin(k, bigKeys, Seq("__key"), "left_anti",
+      maxBroadcastRows = 1000000L)
     val a = sized.select(col("__key"), col(idCol).as("id_a"))
     val b = sized.select(col("__key"), col(idCol).as("id_b"))
     a.join(b, Seq("__key"))

@@ -46,6 +46,36 @@ class StreamDedupSpec extends SparkSpec {
     state.count() shouldBe 3L
   }
 
+  test("streaming exact dedup state is DURABLE across query restarts: a new " +
+    "query against the same store still suppresses documents retained by " +
+    "the previous one") {
+    val root = tmpRoot("graft_sdr")
+    implicit val sql = spark.sqlContext
+    val mem1 = MemoryStream[(Long, String)]
+    val emitted = ArrayBuffer[Long]()
+    val q1 = StreamOps.dedupeExactAgainstStore(
+      mem1.toDF.toDF("doc_id", "text"), "text", "doc_id", root) { (df, _) =>
+      emitted ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      mem1.addData((1L, "durable content one"), (2L, "durable content two"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    emitted.sorted shouldBe Seq(1L, 2L)
+    // fresh query, fresh source, fresh checkpoint — same store
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.dedupeExactAgainstStore(
+      mem2.toDF.toDF("doc_id", "text"), "text", "doc_id", root) { (df, _) =>
+      emitted ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      mem2.addData((3L, "durable content one"), (4L, "fresh after restart"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // doc 3 duplicates doc 1 from BEFORE the restart
+    emitted.sorted shouldBe Seq(1L, 2L, 4L)
+  }
+
   test("streaming near dedup: minhash-signature state suppresses cross-batch " +
     "NEAR-duplicates; state holds signatures + ids only") {
     val root = tmpRoot("graft_sdn")
