@@ -68,6 +68,20 @@ class DedupSpec extends SparkSpec {
     out.count() shouldBe 0
   }
 
+  test("LSH bucket cap drops overfull buckets (skew guard): identical docs " +
+    "over a tiny maxBucket produce no candidate pairs") {
+    val boiler = (0L to 9L).map(i => (i, "same text every single time"))
+      .toDF("doc_id", "text")
+    // all 10 docs share every band -> every bucket has 10 > maxBucket
+    Dedup.minHashLsh(boiler, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.0,
+      maxBucket = 5).count() shouldBe 0
+    // with the cap above the bucket size the same corpus pairs fully
+    Dedup.minHashLsh(boiler, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.0,
+      maxBucket = 100).count() shouldBe 45 // C(10,2)
+  }
+
   test("hashedCandidates opt-in path returns pairs identical to the default " +
     "single-pass string join") {
     val base = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
