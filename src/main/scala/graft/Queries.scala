@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{ServiceRegistry, Graph => GGraph}
-import graft.operators.{Dedup, Joins, Multimodal, Similarity}
+import graft.operators.{Dedup, Joins, Multimodal, Selection, Similarity}
 import graft.sinks.{InsertOrUpdate, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
@@ -601,6 +601,37 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Decontamination: training docs sharing any word 5-gram with the
+    * stand-in eval set (every 20th doc) are removed — benchmark hygiene as
+    * one broadcast-shingle join ([[Dedup.decontaminate]]). Exact integer
+    * overlap counts, so the surviving id list is oracle-checkable. */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    Dedup.decontaminate(docs, eval, "text", "doc_id",
+        shingleSize = 5, minOverlap = 1L)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget selection: best docs per detected language until 1000
+    * tokens per language are spent ([[Selection.tokenBudgetPerStratum]]) —
+    * the "fill the training mix" primitive whose output is budget-bounded
+    * at any corpus scale. Running totals are exact integers; quality
+    * rounds to 6 before ranking (same convention as `stratified_topk`),
+    * so the cut is engine-independent. */
+  private def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.langId(col("text")).as("lang_id"),
+      T.qualityScore(col("text")).as("quality"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Selection.tokenBudgetPerStratum(scored, "lang_id", "n_tokens",
+        budget = 1000L, rankBy = Seq(col("quality").desc, col("doc_id")))
+      .select("lang_id", "doc_id", "quality", "n_tokens", "cum_tokens")
+      .orderBy("lang_id", "doc_id")
+  }
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,7 +690,9 @@ object Queries {
     "embcos_pairs" -> embcosPairs _,
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
-    "group_sketch" -> groupSketch _
+    "group_sketch" -> groupSketch _,
+    "decontaminate" -> decontaminateQ _,
+    "budget_select" -> budgetSelect _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1220,6 +1253,73 @@ object Queries {
         |FROM orders LEFT OUTER JOIN
         |  (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
         |  ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // same 5-gram shingle CTE shape as ngram_pairs; eval set = every 20th doc
+    "decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+        |                i -> array_to_string(toks[i:i+4], ' '))) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |e AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0),
+        |doomed AS (
+        |  SELECT s.doc_id FROM s JOIN e USING (g)
+        |  GROUP BY s.doc_id HAVING count(*) >= 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
+        |ORDER BY doc_id""".stripMargin,
+    // langId/quality/token CTEs from stratified_topk; per-language running
+    // token total cut at 1000 (ROWS UNBOUNDED PRECEDING = inclusive cum)
+    "budget_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM lang),
+        |scored AS (
+        |  SELECT doc_id, lang_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least((CASE WHEN ntok = 0 THEN 0.0
+        |                        ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+        |                  1.0) * 0.3, 6) AS quality
+        |  FROM lq),
+        |cum AS (
+        |  SELECT lang_id, doc_id, quality, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang_id
+        |                             ORDER BY quality DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT lang_id, doc_id, quality, n_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 1000
+        |ORDER BY lang_id, doc_id""".stripMargin
   )
 }

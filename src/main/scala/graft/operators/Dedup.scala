@@ -319,6 +319,36 @@ object Dedup {
       numHashes = blockingHashes, bands = blockingHashes,
       threshold = threshold, maxBucket = maxBucket)
 
+  /** Decontamination: remove corpus documents sharing at least `minOverlap`
+    * distinct word `shingleSize`-grams with ANY document of `evalSet` —
+    * the benchmark-hygiene step of a training pipeline (eval data must not
+    * leak into the training mix, nor near-copies of it). The eval side is
+    * tiny relative to the corpus (benchmark suites vs a 100 TB corpus):
+    * its distinct shingles broadcast under the size gate, so the corpus is
+    * shingled in one scan-side pass and only the (rare) matching rows
+    * reach the per-document overlap count; the contaminated-id set is
+    * removed with a second size-gated anti join. Exact integer arithmetic
+    * throughout — engine-independent and oracle-checkable. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                    idCol: String, shingleSize: Int = 8,
+                    minOverlap: Long = 1L,
+                    maxBroadcastRows: Long = 10000000L): DataFrame = {
+    def shingles(df: DataFrame) =
+      H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)
+    val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
+    val eSh = evalSet.select(explode(shingles(evalSet)).as("__sh")).distinct()
+    val e = eSh.persist(StorageLevel.MEMORY_AND_DISK)
+    val hinted = if (e.count() <= maxBroadcastRows) broadcast(e) else e
+    // shingle sets are distinct per doc (WordShingleExpr) and the eval set
+    // is distinct, so count(*) == number of distinct shared shingles
+    val doomed = cSh.join(hinted, Seq("__sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__overlap"))
+      .filter(col("__overlap") >= minOverlap)
+      .select(col(idCol))
+    sizeGatedFilterJoin(corpus, doomed, Seq(idCol), "left_anti",
+      maxBroadcastRows)
+  }
+
   /** Connected components over a near-duplicate pair list: every id that
     * appears in `pairs` is labeled with the minimum id reachable through
     * the pair graph (the canonical representative of its duplicate

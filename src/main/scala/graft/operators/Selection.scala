@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection operators for training-mix curation: which documents
+  * make the cut, expressed so the OUTPUT is budget-bounded even when the
+  * input corpus is not. Complements [[Dedup]] (what to drop as duplicate)
+  * and the stratified-top-k query shape (best k per stratum).
+  */
+object Selection {
+
+  /** Token-budget selection per stratum: walk each stratum in `rankBy`
+    * order (best first) and keep documents while the RUNNING token total
+    * stays within `budget` — "fill a 1 B-token training mix with the best
+    * docs per language" as one windowed pass. Emits `cum_tokens`, the
+    * running total INCLUDING the current row, so a kept row's tokens all
+    * fit the budget; the first doc that overflows is cut (no partial
+    * documents). Output size is O(budget), not O(corpus) — the property a
+    * fixed training-mix recipe needs at any corpus scale.
+    *
+    * `rankBy` must give a TOTAL order within a stratum (tie-break on a
+    * unique id) or the running sum — and therefore the cut — is
+    * nondeterministic. `maxDocs > 0` additionally pre-cuts each stratum to
+    * its best `maxDocs` rows with a rank filter BEFORE the running sum:
+    * `row_number <= k` plans a WindowGroupLimit, so each task keeps only k
+    * rows per stratum ahead of the exchange — the cap that stops a single
+    * giant stratum from funneling the whole corpus through one task at
+    * 100 TB (any doc with ≥1 token past rank `budget` can never fit, so
+    * `maxDocs = budget` is always sound). */
+  def tokenBudgetPerStratum(df: DataFrame, strataCol: String,
+                            tokensCol: String, budget: Long,
+                            rankBy: Seq[Column],
+                            maxDocs: Int = 0): DataFrame = {
+    val order = Window.partitionBy(strataCol).orderBy(rankBy: _*)
+    val precut =
+      if (maxDocs <= 0) df
+      else df.withColumn("__rk", row_number().over(order))
+        .filter(col("__rk") <= maxDocs).drop("__rk")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    precut
+      .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(cum))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -140,6 +140,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate removes eval docs and their near-copies, keeps " +
+    "unrelated docs, and honors minOverlap") {
+    val corpus = Seq(
+      (1L, "the benchmark question about apples and oranges here"),
+      (2L, "the benchmark question about apples and oranges here exactly"), // near-copy of eval
+      (3L, "completely unrelated training document about spark shuffles"),
+      (4L, "shares about apples and only that much text")  // 1 shared 3-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the benchmark question about apples and oranges here"))
+      .toDF("doc_id", "text")
+    val kept1 = Dedup.decontaminate(corpus, eval, "text", "doc_id",
+      shingleSize = 3, minOverlap = 1).select("doc_id").as[Long].collect().sorted
+    kept1 shouldBe Array(3L)  // doc 4 shares "about apples and"
+    val kept3 = Dedup.decontaminate(corpus, eval, "text", "doc_id",
+      shingleSize = 3, minOverlap = 3).select("doc_id").as[Long].collect().sorted
+    kept3 shouldBe Array(3L, 4L)  // one shared shingle no longer disqualifies
+  }
+
   test("clusters resolves transitive chains (A~B, B~C, D~E -> {A,B,C}, {D,E}) " +
     "and dropNearDuplicates keeps exactly the canonical representative") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Selection
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, stratum, score, tokens)
+  private val docs = Seq(
+    (1L, "en", 0.9, 400L),
+    (2L, "en", 0.8, 500L),
+    (3L, "en", 0.7, 200L),  // would overflow: 400+500+200 > 1000
+    (4L, "en", 0.6, 50L),   // ...and everything after the cut stays out
+    (5L, "fr", 0.9, 1000L), // exactly fills the budget
+    (6L, "fr", 0.8, 1L)
+  ).toDF("doc_id", "stratum", "score", "n_tokens")
+
+  private def select(budget: Long, maxDocs: Int = 0) =
+    Selection.tokenBudgetPerStratum(docs, "stratum", "n_tokens", budget,
+      rankBy = Seq(col("score").desc, col("doc_id")), maxDocs = maxDocs)
+
+  test("keeps best docs per stratum while the running token total fits; " +
+    "the overflowing doc and everything ranked after it are cut") {
+    val kept = select(1000L).select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toMap
+    kept shouldBe Map(1L -> 400L, 2L -> 900L, 5L -> 1000L)
+  }
+
+  test("budget boundary is inclusive and per-stratum independent") {
+    // en: 400+500+200 = 1100 fits a 1100 budget exactly; fr unaffected
+    val kept = select(1100L).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L, 3L, 5L, 6L)
+  }
+
+  test("maxDocs pre-cut bounds each stratum before the running sum and " +
+    "plans a WindowGroupLimit") {
+    val cut = select(1000L, maxDocs = 2)
+    cut.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 5L)
+    cut.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+}
