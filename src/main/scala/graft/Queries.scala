@@ -632,6 +632,19 @@ object Queries {
       .orderBy("lang_id", "doc_id")
   }
 
+  /** Within-document repetition stats (Gopher-style quality rules):
+    * duplicate-token and duplicate-bigram fractions per document
+    * ([[graft.functions.TextFunctions.tokenRepetition]] /
+    * [[graft.functions.TextFunctions.bigramRepetition]]) — exact integer
+    * ratios rounded to 6, so the signal is engine-independent. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "documents").select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.tokenRepetition(col("text")).as("tok_rep"),
+        T.bigramRepetition(col("text")).as("bigram_rep"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -692,7 +705,8 @@ object Queries {
     "ivf_topk" -> ivfTopK _,
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
-    "budget_select" -> budgetSelect _
+    "budget_select" -> budgetSelect _,
+    "text_repetition" -> textRepetition _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1320,6 +1334,28 @@ object Queries {
         |  FROM scored)
         |SELECT lang_id, doc_id, quality, n_tokens, cum_tokens
         |FROM cum WHERE cum_tokens <= 1000
-        |ORDER BY lang_id, doc_id""".stripMargin
+        |ORDER BY lang_id, doc_id""".stripMargin,
+    // distinct bigrams use the same CASE-wrapped slice CTE shape as
+    // ngram_pairs with n=2 (len<=2 -> whole text, which IS the one bigram)
+    "text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n,
+        |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 2),
+        |                i -> array_to_string(toks[i:i+1], ' '))) END AS bg
+        |  FROM tk)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                        / CAST(len(toks) AS DOUBLE), 6) END AS tok_rep,
+        |  CASE WHEN n < 2 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(bg) AS DOUBLE)
+        |                        / CAST(n - 1 AS DOUBLE), 6) END AS bigram_rep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -123,6 +123,34 @@ object TextFunctions {
     round(lenScore * 0.4 + punct * 0.3 + stop * 0.3, 6)
   }
 
+  /** Fraction of tokens that are repeats of an earlier token:
+    * `1 − |distinct tokens| / |tokens|` (0 for empty text) — the
+    * within-document repetition signal of Gopher-style quality rules
+    * (boilerplate, keyword stuffing, degenerate generations score high).
+    * Exact integer ratio → engine-independent and oracle-checkable. */
+  def tokenRepetition(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 6))
+  }
+
+  /** Fraction of word bigrams that are repeats:
+    * `1 − |distinct bigrams| / (|tokens| − 1)` (0 when fewer than 2
+    * tokens). Catches looped phrases that token-level repetition misses.
+    * Distinct bigrams come from the native [[WordShingleExpr]] (already
+    * de-duplicated; for exactly 2 tokens its whole-text fallback IS the
+    * one bigram, so the formula stays exact there). */
+  def bigramRepetition(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = tokenCount(text)
+    when(n < 2, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(HashFunctions.wordShingles(toks, 2)).cast("double") /
+          (n - 1).cast("double"), 6))
+  }
+
   /** Document fingerprint: md5 hex of the normalized text (lowercased,
     * whitespace collapsed). md5 is bit-identical across engines, so exact
     * dedup on the fingerprint is oracle-checkable. */

@@ -252,6 +252,23 @@ class FunctionsSpec extends SparkSpec {
     native shouldBe hof
   }
 
+  test("repetition fractions: duplicate tokens and bigrams score high, " +
+    "unique text scores zero, degenerate lengths are safe") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // 1 distinct of 4; bigrams all same
+      (2L, "all words here are different"), // no repeats
+      (3L, "one"),                          // 1 token: both 0
+      (4L, ""),                             // empty: both 0
+      (5L, "go go")                         // 2 tokens: tok 0.5, one bigram -> 0
+    ).toDF("doc_id", "t")
+    val got = df.select(col("doc_id"), T.tokenRepetition(col("t")).as("tr"),
+        T.bigramRepetition(col("t")).as("br"))
+      .orderBy("doc_id").as[(Long, Double, Double)].collect()
+    got shouldBe Array(
+      (1L, 0.75, 0.666667), // 3 bigram slots, 1 distinct -> round(2/3, 6)
+      (2L, 0.0, 0.0), (3L, 0.0, 0.0), (4L, 0.0, 0.0), (5L, 0.5, 0.0))
+  }
+
   test("signBucket packs plane signs deterministically") {
     val planes = V.hyperplanes(4, 2, seed = 7L)
     val df = Seq(Tuple1(Array(1.0f, 0.5f))).toDF("v")
