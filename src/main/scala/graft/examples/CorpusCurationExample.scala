@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Graph, Node, RunContext, ServiceRegistry}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Selection}
 import graft.sinks.{SnapshotStore, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select}
 import graft.functions.{TextFunctions => T}
@@ -13,29 +13,44 @@ import graft.functions.{TextFunctions => T}
   * extension exists for, run end to end through the same kernel as the
   * reference's select→insert example:
   *
-  *   Select(documents) → quality filter → exact dedup → near-dup cluster
-  *   drop → split assignment → SnapshotStore upsert (durable, versioned).
+  *   Select(documents) → quality + repetition filters → exact dedup →
+  *   near-dup cluster drop → decontaminate vs the eval set → split
+  *   assignment → per-language token-budget fill → SnapshotStore upsert
+  *   (durable, versioned).
   *
   * Re-running converges (the merge is idempotent on doc_id, the at-least-
   * once contract), and each run commits a new time-travelable version.
   * Every stage here is the oracle-checked operator behind a contract query
-  * (`corpus_dedup`, `corpus_split`) — this file just composes them the way
-  * a user would.
+  * (`corpus_dedup`, `decontaminate`, `corpus_split`, `budget_select`,
+  * `text_repetition`) — this file just composes them the way a user would.
   */
 object CorpusCurationExample {
 
-  /** The curation chain as reusable nodes (also driven by the spec). */
-  def curate(docs: DataFrame): DataFrame = {
+  /** The curation chain as reusable nodes (also driven by the spec).
+    * `evalSet` holds benchmark documents that must not leak into training
+    * (nor near-copies of them); `tokenBudget` caps tokens per language. */
+  def curate(docs: DataFrame, evalSet: Option[DataFrame] = None,
+             tokenBudget: Long = 0L): DataFrame = {
     val kept = docs
       .withColumn("quality", T.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
+      .filter(T.tokenRepetition(col("text")) <= 0.8) // degenerate-text gate
     val exact = Dedup.exactByFingerprint(kept, "text", "doc_id")
     val pairs = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
       shingleSize = 3, threshold = 0.1)
-    Dedup.dropNearDuplicates(exact, "doc_id", pairs)
+    val deduped = Dedup.dropNearDuplicates(exact, "doc_id", pairs)
+    val clean = evalSet.fold(deduped)(ev =>
+      Dedup.decontaminate(deduped, ev, "text", "doc_id", shingleSize = 5))
+    val labeled = clean
       .withColumn("split", T.stableSplit(col("doc_id"), 0.9))
       .withColumn("lang_id", T.langId(col("text")))
-      .select("doc_id", "lang_id", "quality", "split", "text")
+      .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+    val selected =
+      if (tokenBudget <= 0L) labeled
+      else Selection.tokenBudgetPerStratum(labeled, "lang_id", "n_tokens",
+        tokenBudget, rankBy = Seq(col("quality").desc, col("doc_id")))
+        .drop("cum_tokens")
+    selected.select("doc_id", "lang_id", "quality", "split", "text")
   }
 
   def main(args: Array[String]): Unit = {

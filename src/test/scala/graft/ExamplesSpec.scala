@@ -27,4 +27,23 @@ class ExamplesSpec extends SparkSpec {
     SnapshotStore.read(spark, store).get.count() shouldBe n
     SnapshotStore.currentVersion(spark, store) shouldBe Some(1L)
   }
+
+  test("corpus curation with an eval set and a token budget: eval docs are " +
+    "decontaminated away and each language stays within budget") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val curated = examples.CorpusCurationExample
+      .curate(docs, evalSet = Some(eval), tokenBudget = 500L)
+    // no eval doc survives into the training mix
+    curated.join(eval, Seq("doc_id"), "left_semi").count() shouldBe 0L
+    // and the per-language token total respects the budget
+    import graft.functions.{TextFunctions => T}
+    curated
+      .groupBy("lang_id")
+      .agg(sum(T.tokenCount(col("text")).cast("long")).as("tok"))
+      .collect().foreach(_.getLong(1) should be <= 500L)
+    curated.count() should be > 0L
+  }
 }
