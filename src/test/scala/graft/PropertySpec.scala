@@ -110,4 +110,58 @@ class PropertySpec extends SparkSpec {
       got shouldBe expected
     }
   }
+
+  // Small-vocab corpora so shingle overlaps actually occur; 3–10 tokens so
+  // every doc has at least one 3-gram shingle.
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 15)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.choose(3, 10)
+      ws <- Gen.listOfN(len,
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+    } yield ws.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: decontaminate removes every in-corpus eval doc and is " +
+    "monotone in minOverlap (fewer samples: each run is eager)") {
+    (0 until 8).foreach { i =>
+      val rows = corpusGen(Gen.Parameters.default, Seed(7L + i)).get
+      val corpus = rows.toDF("doc_id", "text")
+      val evalSet = corpus.filter(col("doc_id") % 3 === 0)
+      def kept(minOverlap: Long) = operators.Dedup
+        .decontaminate(corpus, evalSet, "text", "doc_id",
+          shingleSize = 3, minOverlap = minOverlap)
+        .select("doc_id").as[Long].collect().toSet
+      val k1 = kept(1L)
+      // every eval doc shares all of its own shingles with itself
+      k1.intersect(rows.map(_._1).filter(_ % 3 == 0).toSet) shouldBe Set.empty
+      // a stricter overlap requirement can only keep MORE documents
+      k1.subsetOf(kept(3L)) shouldBe true
+    }
+  }
+
+  test("property: token-budget selection never exceeds the budget per " +
+    "stratum and is monotone in the budget") {
+    val rowGen: Gen[List[(Long, String, Double, Long)]] = for {
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("a", "b", "c")
+        score <- Gen.choose(0, 100)
+        tok <- Gen.choose(1L, 40L)
+      } yield (s, score / 100.0, tok))
+    } yield rows.zipWithIndex.map { case ((s, sc, t), i) => (i.toLong, s, sc, t) }
+    (0 until 8).foreach { i =>
+      val rows = rowGen(Gen.Parameters.default, Seed(99L + i)).get
+      val df = rows.toDF("id", "stratum", "score", "n_tokens")
+      def sel(budget: Long) = operators.Selection
+        .tokenBudgetPerStratum(df, "stratum", "n_tokens", budget,
+          rankBy = Seq(col("score").desc, col("id")))
+      val s60 = sel(60L)
+      s60.groupBy("stratum").agg(sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().foreach(_._2 should be <= 60L)
+      val ids60 = s60.select("id").as[Long].collect().toSet
+      val ids90 = sel(90L).select("id").as[Long].collect().toSet
+      ids60.subsetOf(ids90) shouldBe true
+    }
+  }
 }
