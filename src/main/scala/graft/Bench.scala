@@ -39,7 +39,7 @@ object Bench {
     // gauges environment noise is computed over the steady-state passes
     // (all but the first) when there are 3+.
     val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).getOrElse(3))
+      .flatMap(_.trim.toIntOption).getOrElse(3))
     val names = selected.keys.toSeq
     // A failed query must not masquerade as a fast one: it reports -1 in
     // the per-query map, is excluded from the totals, and is listed in
@@ -67,6 +67,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // A query that failed SOME passes still reports its best successful
+    // time, but must not read as healthy — and its absence from the failed
+    // passes' totals would skew the repeat delta, so flag it.
+    val flaky = names.filter { n =>
+      val ok = perPass.flatMap(_.get(n)).count(_ >= 0.0)
+      ok > 0 && ok < passes
+    }.map("\"" + _ + "\"")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val passTotals = perPass.map(_.values.filter(_ >= 0.0).sum)
     val steady = if (passTotals.size >= 3) passTotals.drop(1) else passTotals
@@ -75,6 +82,7 @@ object Bench {
       else (steady.max - steady.min) / steady.min * 100.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
+      s""""flaky":${flaky.mkString("[", ",", "]")},""" +
       s""""passes":$passes,""" +
       s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
       s""""repeat_delta_pct":$repeatDeltaPct,""" +

@@ -30,28 +30,46 @@ case class ImageFeaturesExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
+    // MemoryCacheImageInputStream keeps decoding fully in memory —
+    // ImageIO.read(InputStream) would otherwise spill a temp cache FILE
+    // per row into java.io.tmpdir (ImageIO.getUseCache defaults true),
+    // putting filesystem churn on the scan's hot path.
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) null
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) null
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
+        val reader = readers.next()
+        try {
+          reader.setInput(stream, true, true)
+          // Decode-bomb guard: the header's DECLARED dimensions are read
+          // without decoding a pixel; a few-KB payload claiming 60000²
+          // pixels would otherwise allocate a multi-GB raster and kill the
+          // task with an OutOfMemoryError no Exception handler sees.
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > ImageFeaturesExpr.MaxPixels) null
+          else {
+            val img = reader.read(0)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            InternalRow(w, h, bytes.length.toLong,
+              sum.toDouble / (3.0 * (w.toLong * h)))
           }
-          y += 1
-        }
-        val pixels = w.toLong * h
-        InternalRow(w, h, bytes.length.toLong,
-          if (pixels == 0) 0.0 else sum.toDouble / (3.0 * pixels))
+        } finally reader.dispose()
       }
     } catch { case _: Exception => null }
+    finally stream.close()
   }
 
   override protected def withNewChildInternal(newChild: Expression): ImageFeaturesExpr =
@@ -59,6 +77,11 @@ case class ImageFeaturesExpr(child: Expression)
 }
 
 object ImageFeaturesExpr {
+  /** Largest DECLARED pixel count this expression will decode (64 M px ≈
+    * a 256 MB ARGB raster) — payloads claiming more are treated as
+    * non-decodable rather than allocated. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   val schema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

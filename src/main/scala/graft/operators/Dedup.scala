@@ -188,7 +188,8 @@ object Dedup {
       idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows)
 
   /** Join `big` against a derived small relation (`left_semi`/`left_anti`
-    * filter join), broadcasting the small side only when it is MEASURED to
+    * filter joins, or `inner` when the matched rows themselves are
+    * needed), broadcasting the small side only when it is MEASURED to
     * be small: the small side is persisted and counted (one tiny job over
     * an already-cached input), and above `maxBroadcastRows` the join falls
     * back to a shuffled exchange. An unconditional `broadcast()` here is
@@ -337,11 +338,10 @@ object Dedup {
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)
     val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
     val eSh = evalSet.select(explode(shingles(evalSet)).as("__sh")).distinct()
-    val e = eSh.persist(StorageLevel.MEMORY_AND_DISK)
-    val hinted = if (e.count() <= maxBroadcastRows) broadcast(e) else e
     // shingle sets are distinct per doc (WordShingleExpr) and the eval set
     // is distinct, so count(*) == number of distinct shared shingles
-    val doomed = cSh.join(hinted, Seq("__sh"))
+    val doomed = sizeGatedFilterJoin(cSh, eSh, Seq("__sh"), "inner",
+        maxBroadcastRows)
       .groupBy(col(idCol)).agg(count(lit(1)).as("__overlap"))
       .filter(col("__overlap") >= minOverlap)
       .select(col(idCol))

@@ -78,13 +78,16 @@ object PostgresUpsertDialect extends UpsertDialect {
   }
 }
 
-/** SQL:2003 `MERGE` dialect for engines whose MERGE accepts a derived
-  * table source (DB2, SQL Server, H2, Oracle): one parameter row becomes
-  * the `USING (VALUES (…)) AS V(cols)` source; matched rows update (when
-  * allowed), unmatched rows insert (when allowed). Gating maps to simply
-  * OMITTING the corresponding WHEN clause, so prohibited rows are no-ops
-  * whose 0 update counts the write loop surfaces, same as the Postgres
-  * dialect. */
+/** SQL:2003 `MERGE` dialect for engines that accept a parameterized
+  * `USING (VALUES (…)) AS V(cols)` derived-table source with this exact
+  * spelling — DB2 and H2. (SQL Server additionally requires a terminating
+  * semicolon and Oracle pre-23ai rejects both the VALUES source and the
+  * `AS V(cols)` alias form — those engines need their own dialects, which
+  * is the point of the seam.) One parameter row is the source; matched
+  * rows update (when allowed), unmatched rows insert (when allowed).
+  * Gating maps to simply OMITTING the corresponding WHEN clause, so
+  * prohibited rows are no-ops whose 0 update counts the write loop
+  * surfaces, same as the Postgres dialect. */
 object AnsiMergeUpsertDialect extends UpsertDialect {
   override def upsertSql(table: String, columns: Seq[String], cfg: UpsertConfig,
                          canInsert: Boolean, canUpdate: Boolean): (String, Seq[String]) = {

@@ -141,7 +141,8 @@ object StreamOps {
   def dedupeNearAgainstStore(stream: DataFrame, textCol: String, idCol: String,
                              storeRoot: String, shingleSize: Int = 3,
                              numHashes: Int = 64, bands: Int = 16,
-                             threshold: Double = 0.5)(
+                             threshold: Double = 0.5,
+                             maxBucket: Int = 10000)(
       emit: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
@@ -164,7 +165,20 @@ object StreamOps {
       def verifiedSuppressed(other: DataFrame, pairFilter: org.apache.spark.sql.Column) = {
         val oKeyed = other.select(col("__oid"),
           explode(H.lshBands(col("__osig"), bands, rowsPerBand)).as("__band"))
-        bKeyed.join(oKeyed.select("__oid", "__band"), Seq("__band"))
+        // Band cap, same guard as the batch operators' pairsFromBuckets: a
+        // band holding more than maxBucket entries across batch + retained
+        // docs is degenerate boilerplate whose join would cost
+        // |batch∩band| × |retained∩band| rows EVERY micro-batch and grow
+        // as the store grows. The overfull set is ≤ rows/maxBucket entries
+        // by construction, so the anti joins broadcast it.
+        val overfull = bKeyed.select(col("__band"))
+          .union(oKeyed.select(col("__band")))
+          .groupBy("__band").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select("__band")
+        val bCapped = bKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
+        val oCapped = oKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
+        bCapped.join(oCapped.select("__oid", "__band"), Seq("__band"))
           .filter(pairFilter)
           .select("__bid", "__oid").distinct()
           .join(bk, Seq("__bid"))
@@ -177,6 +191,14 @@ object StreamOps {
         col("__oid") < col("__bid"))
       val suppressed = SnapshotStore.read(spark, storeRoot) match {
         case Some(st) =>
+          // Fail fast on a numHashes config change: zip_with against a
+          // different signature width pads with nulls, silently capping
+          // the agreement fraction — near-dups of everything previously
+          // retained would pass through, and mixed-width rows would make
+          // the corruption permanent.
+          require(st.filter(size(col("sig")) =!= numHashes).limit(1).count() == 0,
+            s"store at $storeRoot holds signatures whose width differs " +
+              s"from numHashes=$numHashes — rebuild the store or match the config")
           val stored = st.select(col(idCol).as("__oid"), col("sig").as("__osig"))
           vsBatch.union(verifiedSuppressed(stored, lit(true)))
         case None => vsBatch
