@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSigExpr, PolyHashExpr, SimHashExpr, WordShingleExpr}
+import graft.functions.{ImageFeaturesExpr, MinHashSigExpr, PolyHashExpr, SimHashExpr, WordShingleExpr}
 
 /** Registration of graft's native expressions as SQL functions, via the
   * standard `SparkSessionExtensions` hook:
@@ -61,7 +61,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "vec_dot"),
       { case Seq(a, b) => graft.functions.DotProductExpr(a, b)
         case args => throw new IllegalArgumentException(
-          s"vec_dot(a, b) expects 2 args, got ${args.size}") })
+          s"vec_dot(a, b) expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("image_features"),
+      new ExpressionInfo(classOf[ImageFeaturesExpr].getName, "image_features"),
+      { case Seq(payload) => ImageFeaturesExpr(payload)
+        case args => throw new IllegalArgumentException(
+          s"image_features(payload) expects 1 arg, got ${args.size}") })
   )
 
   /** Imperative registration for sessions created without the extensions

@@ -45,13 +45,32 @@ class ExtensionsSpec extends SparkSpec {
     viaSql.length shouldBe 16
   }
 
+  test("image_features SQL function decodes a real PNG and NULLs junk bytes") {
+    GraftExtensions.register(spark)
+    val img = new java.awt.image.BufferedImage(1, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val r = Seq((1L, bos.toByteArray), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+      .selectExpr("id", "image_features(payload) AS f")
+      .orderBy("id").collect()
+    r(0).getStruct(1).getInt(0) shouldBe 1   // width
+    r(0).getStruct(1).getInt(1) shouldBe 2   // height
+    r(0).getStruct(1).getDouble(3) shouldBe 127.5 // (255*3 + 0*3) / 6
+    r(1).isNullAt(1) shouldBe true
+  }
+
   test("extensions class injects the same functions at session build time") {
     // The shared session already exists, so exercise the injection hook
     // directly against its extensions list shape: the class must be
     // constructible and expose the full registered-function set.
     new GraftExtensions()
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
-      Set("word_shingles", "simhash64", "minhash_sig", "vec_dot", "poly_hash")
+      Set("word_shingles", "simhash64", "minhash_sig", "vec_dot", "poly_hash",
+        "image_features")
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {
