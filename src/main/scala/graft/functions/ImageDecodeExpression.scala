@@ -76,6 +76,65 @@ case class ImageFeaturesExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Scan-side image resize, JDK-only: decodes the payload (same readers
+  * and decode-bomb guards as [[ImageFeaturesExpr]]), scales it to
+  * `width` × `height` with bilinear interpolation, and re-encodes as PNG
+  * bytes — the thumbnail/normalize step of a multimodal training
+  * pipeline, run where the bytes already live (no UDF serialization, no
+  * shuffle). Non-decodable or over-sized payloads yield NULL, so corrupt
+  * blobs pass through as rows to filter, not task failures. */
+case class ImageResizeExpr(child: Expression, targetWidth: Int, targetHeight: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(targetWidth > 0 && targetHeight > 0, "resize dimensions must be positive")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_resize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(stream, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > ImageFeaturesExpr.MaxPixels) null
+          else {
+            val src = reader.read(0)
+            val dst = new java.awt.image.BufferedImage(targetWidth,
+              targetHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, targetWidth, targetHeight, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            out.toByteArray
+          }
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => null }
+    finally stream.close()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageResizeExpr =
+    copy(child = newChild)
+}
+
+object ImageResizeExpr {
+  def apply(payload: Column, width: Int, height: Int): Column =
+    Bridge.column(ImageResizeExpr(Bridge.expression(payload), width, height))
+}
+
 object ImageFeaturesExpr {
   /** Largest DECLARED pixel count this expression will decode (64 M px ≈
     * a 256 MB ARGB raster) — payloads claiming more are treated as

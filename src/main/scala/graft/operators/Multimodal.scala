@@ -79,6 +79,15 @@ object Multimodal {
     df.withColumn("img_features",
       graft.functions.ImageFeaturesExpr(col(payloadCol)))
 
+  /** REAL image resize (the thumbnail/normalize step): decodable payloads
+    * are scaled to `width` × `height` (bilinear) and re-encoded as PNG
+    * bytes via the native [[graft.functions.ImageResizeExpr]]; others get
+    * NULL. Same decode-bomb guards as [[decodeImageFeatures]]. */
+  def resizeImages(df: DataFrame, payloadCol: String,
+                   width: Int, height: Int): DataFrame =
+    df.withColumn("resized",
+      graft.functions.ImageResizeExpr(col(payloadCol), width, height))
+
   /** Frame-sampling stub for video-like payloads: split the payload into
     * `frames` equal byte slices ("frames"), explode one row per sampled
     * frame with its index — the real partitioning/explode shape of a video

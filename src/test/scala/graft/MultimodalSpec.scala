@@ -56,6 +56,25 @@ class MultimodalSpec extends SparkSpec {
     out(1).isNullAt(1) shouldBe true          // junk bytes -> NULL, no failure
   }
 
+  test("resizeImages scales a real PNG to the target geometry (round-trip " +
+    "decodable) and NULLs junk payloads") {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 4).foreach(x =>
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq((1L, bos.toByteArray), (2L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(rows, "payload", 2, 2)
+      .select("doc_id", "resized").orderBy("doc_id").collect()
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]](1)))
+    resized.getWidth shouldBe 2
+    resized.getHeight shouldBe 2
+    out(1).isNullAt(1) shouldBe true
+  }
+
   test("sampleFrames slices payload bytes into indexed frames") {
     val payload = Multimodal.asBinaryPayload(docs.filter(col("doc_id") === 1L),
       "text", "text/plain")
