@@ -112,5 +112,39 @@ class StreamDedupSpec extends SparkSpec {
     state.count() shouldBe 4L
     // text is never stored; signatures are fixed-width (numHashes longs)
     state.selectExpr("max(size(sig))").head().getInt(0) shouldBe 64
+
+    // restart durability: a FRESH query against the same store still
+    // suppresses near-duplicates of docs retained before the restart...
+    val emitted2 = ArrayBuffer[Long]()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.dedupeNearAgainstStore(
+      mem2.toDF.toDF("doc_id", "text"), "text", "doc_id", root,
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4) { (df, _) =>
+      emitted2 ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      mem2.addData(
+        (7L, "the quick brown fox jumps over the lazy dog and runs away far"),
+        (8L, "something wholly new that matches nothing retained before now ok"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    emitted2.sorted shouldBe Seq(8L)
+
+    // ...and a numHashes config change against the same store fails fast
+    // instead of silently capping similarity (zip_with null padding)
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = StreamOps.dedupeNearAgainstStore(
+      mem3.toDF.toDF("doc_id", "text"), "text", "doc_id", root,
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.4) { (_, _) => () }
+    try {
+      mem3.addData((9L, "any content at all"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      chain should include("width")
+    } finally q3.stop()
   }
 }
