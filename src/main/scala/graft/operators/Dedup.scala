@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -426,6 +426,26 @@ object Dedup {
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** Keep the BEST row per duplicate cluster: like [[dropNearDuplicates]],
+    * but the surviving representative is the cluster's minimal `keepBy`
+    * row (pass e.g. `negate(col("quality"))` to keep the highest-quality
+    * copy) rather than the minimal id — the form a curation pipeline
+    * wants. Rows never mentioned in `pairs` survive untouched; ties on
+    * `keepBy` break on the id, so the choice is deterministic. The
+    * per-cluster window partitions on cluster ids whose group sizes are
+    * duplicate-group sizes (bounded by duplication, not corpus size). */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, pairs: DataFrame,
+                           keepBy: Column): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("id", idCol)
+    val clustered = df.join(cl, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(keepBy, col(idCol))
+    val best = clustered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "cluster")
+    val untouched = df.join(cl.select(col(idCol)), Seq(idCol), "left_anti")
+    untouched.unionByName(best)
   }
 
   /** Exact all-pairs embedding-cosine pairs: every (a, b) with a < b and

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -171,6 +173,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     // one per cluster + the never-paired doc 42
     kept shouldBe Array(1L, 7L, 42L)
+  }
+
+  test("dropNearDuplicatesBy keeps the best-scoring row per cluster, not " +
+    "the minimal id, and leaves unpaired rows untouched") {
+    val corpus = Seq(
+      (1L, "v1", 0.2), (2L, "v2", 0.9), (3L, "v3", 0.5), // cluster {1,2,3}
+      (7L, "v7", 0.1), (9L, "v9", 0.8),                  // cluster {7,9}
+      (42L, "solo", 0.0)
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicatesBy(corpus, "doc_id", pairs,
+        negate(col("quality")))
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 9L, 42L) // highest quality per cluster + solo
   }
 
   test("clusters is generic over the id type: string ids label by " +
