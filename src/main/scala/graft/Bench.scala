@@ -60,9 +60,10 @@ object Bench {
         name -> (if (ok) secs else -1.0)
       }.toMap
     }
+    val successes: Map[String, Seq[Double]] =
+      names.map(n => n -> perPass.flatMap(_.get(n)).filter(_ >= 0.0)).toMap
     val results = names.map { n =>
-      val ok = perPass.flatMap(_.get(n)).filter(_ >= 0.0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+      n -> (if (successes(n).isEmpty) -1.0 else successes(n).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -70,10 +71,9 @@ object Bench {
     // A query that failed SOME passes still reports its best successful
     // time, but must not read as healthy — and its absence from the failed
     // passes' totals would skew the repeat delta, so flag it.
-    val flaky = names.filter { n =>
-      val ok = perPass.flatMap(_.get(n)).count(_ >= 0.0)
-      ok > 0 && ok < passes
-    }.map("\"" + _ + "\"")
+    val flaky = names
+      .filter(n => successes(n).nonEmpty && successes(n).size < passes)
+      .map("\"" + _ + "\"")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val passTotals = perPass.map(_.values.filter(_ >= 0.0).sum)
     val steady = if (passTotals.size >= 3) passTotals.drop(1) else passTotals

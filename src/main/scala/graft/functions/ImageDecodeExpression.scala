@@ -30,46 +30,22 @@ case class ImageFeaturesExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    // MemoryCacheImageInputStream keeps decoding fully in memory —
-    // ImageIO.read(InputStream) would otherwise spill a temp cache FILE
-    // per row into java.io.tmpdir (ImageIO.getUseCache defaults true),
-    // putting filesystem churn on the scan's hot path.
-    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new ByteArrayInputStream(bytes))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(stream)
-      if (!readers.hasNext) null
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(stream, true, true)
-          // Decode-bomb guard: the header's DECLARED dimensions are read
-          // without decoding a pixel; a few-KB payload claiming 60000²
-          // pixels would otherwise allocate a multi-GB raster and kill the
-          // task with an OutOfMemoryError no Exception handler sees.
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          if (w <= 0 || h <= 0 || w.toLong * h > ImageFeaturesExpr.MaxPixels) null
-          else {
-            val img = reader.read(0)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            InternalRow(w, h, bytes.length.toLong,
-              sum.toDouble / (3.0 * (w.toLong * h)))
-          }
-        } finally reader.dispose()
+    ImageDecode.withGuardedReader(bytes) { (reader, w, h) =>
+      val img = reader.read(0)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
       }
-    } catch { case _: Exception => null }
-    finally stream.close()
+      InternalRow(w, h, bytes.length.toLong,
+        sum.toDouble / (3.0 * (w.toLong * h)))
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ImageFeaturesExpr =
@@ -93,6 +69,51 @@ case class ImageResizeExpr(child: Expression, targetWidth: Int, targetHeight: In
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
+    ImageDecode.withGuardedReader(bytes) { (reader, _, _) =>
+      val src = reader.read(0)
+      val dst = new java.awt.image.BufferedImage(targetWidth,
+        targetHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetWidth, targetHeight, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageResizeExpr =
+    copy(child = newChild)
+}
+
+object ImageResizeExpr {
+  def apply(payload: Column, width: Int, height: Int): Column =
+    Bridge.column(ImageResizeExpr(Bridge.expression(payload), width, height))
+}
+
+/** Shared reader scaffolding of the image expressions. */
+private[functions] object ImageDecode {
+
+  /** Opens the payload with an in-memory ImageIO stream, applies the
+    * decode-bomb guards, and hands the positioned reader (plus the
+    * header's declared width/height) to `f`. Returns null — never throws —
+    * for unrecognized, over-sized, or mid-decode-failing payloads, so one
+    * corrupt blob cannot kill a scan task.
+    *
+    * MemoryCacheImageInputStream keeps decoding fully in memory —
+    * `ImageIO.read(InputStream)` would otherwise spill a temp cache FILE
+    * per row into java.io.tmpdir (`ImageIO.getUseCache` defaults true),
+    * putting filesystem churn on the scan's hot path. The decode-bomb
+    * guard reads the header's DECLARED dimensions without decoding a
+    * pixel: a few-KB payload claiming 60000² pixels would otherwise
+    * allocate a multi-GB raster and kill the task with an
+    * OutOfMemoryError no Exception handler sees. */
+  def withGuardedReader(bytes: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int, Int) => Any): Any = {
     val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes))
     try {
@@ -105,34 +126,12 @@ case class ImageResizeExpr(child: Expression, targetWidth: Int, targetHeight: In
           val w = reader.getWidth(0)
           val h = reader.getHeight(0)
           if (w <= 0 || h <= 0 || w.toLong * h > ImageFeaturesExpr.MaxPixels) null
-          else {
-            val src = reader.read(0)
-            val dst = new java.awt.image.BufferedImage(targetWidth,
-              targetHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = dst.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(src, 0, 0, targetWidth, targetHeight, null)
-            } finally g.dispose()
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "png", out)
-            out.toByteArray
-          }
+          else f(reader, w, h)
         } finally reader.dispose()
       }
     } catch { case _: Exception => null }
     finally stream.close()
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ImageResizeExpr =
-    copy(child = newChild)
-}
-
-object ImageResizeExpr {
-  def apply(payload: Column, width: Int, height: Int): Column =
-    Bridge.column(ImageResizeExpr(Bridge.expression(payload), width, height))
 }
 
 object ImageFeaturesExpr {

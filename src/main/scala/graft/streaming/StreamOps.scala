@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.storage.StorageLevel
@@ -98,9 +97,8 @@ object StreamOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val fp = batch.withColumn("__fp", T.fingerprint(col(textCol)))
-      val w = Window.partitionBy("__fp").orderBy(col(idCol))
-      val unique = fp.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // in-batch dedup: the batch-local half of the cross-batch contract
+      val unique = graft.operators.Dedup.exact(fp, Seq("__fp"), idCol)
       val fresh = SnapshotStore.read(spark, storeRoot) match {
         case Some(seen) =>
           unique.join(seen.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
