@@ -1331,7 +1331,7 @@ object Queries {
         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang_id
         |                             ORDER BY quality DESC, doc_id
         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        |  FROM scored)
+        |  FROM scored WHERE n_tokens > 0)
         |SELECT lang_id, doc_id, quality, n_tokens, cum_tokens
         |FROM cum WHERE cum_tokens <= 1000
         |ORDER BY lang_id, doc_id""".stripMargin,

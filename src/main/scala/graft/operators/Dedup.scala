@@ -14,11 +14,18 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   * cannot quadratically blow up a task (skew guard).
   *
   * Cache lifecycle: the pair operators persist their multi-consumer
-  * intermediate (shingles / sketches) with MEMORY_AND_DISK. The returned
-  * DataFrame holds the only reference — once the caller drops it, Spark's
-  * ContextCleaner reclaims the blocks; long-lived sessions running many
-  * operators should call `spark.catalog.clearCache()` between jobs (as
-  * graft.Verify/Bench do) to release them eagerly.
+  * intermediates (shingles / sketches / size-gate small sides) with
+  * MEMORY_AND_DISK, and every persist is armed with
+  * [[graft.core.CacheAutoRelease]] — the cache is dropped as soon as the
+  * first query that consumed it completes, so a long-running driver that
+  * constructs many operators does not accumulate cached relations.
+  * NOTE: constructing a pair/dedup/decontaminate operator runs small EAGER
+  * jobs (the size-gate membership probes) before any caller action — plan
+  * construction is not free here, by design: the probe is what lets the
+  * plan choose broadcast vs shuffle from the MEASURED size. Re-executing a
+  * returned DataFrame after its first action recomputes the intermediates
+  * (correct, uncached); `spark.catalog.clearCache()` remains the big
+  * hammer (graft.Verify/Bench still use it between queries).
   */
 object Dedup {
 
@@ -85,10 +92,13 @@ object Dedup {
       maxBroadcastRows = 1000000L)
     val a = sized.select(col("__key"), col(idCol).as("id_a"))
     val b = sized.select(col("__key"), col(idCol).as("id_b"))
-    a.join(b, Seq("__key"))
+    val pairs = a.join(b, Seq("__key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // registered after the gate probe above populated the cache
+    graft.core.CacheAutoRelease.afterFirstUse(k)
+    pairs
   }
 
   /** Attach each pair side's payload: every non-id column of `byId` joins
@@ -137,10 +147,12 @@ object Dedup {
       .select(col(idCol), col("__band").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
     val shingles = shingled.select(col(idCol), col("__shingles"))
-    withPairPayloads(pairs, shingles, idCol)
+    val result = withPairPayloads(pairs, shingles, idCol)
       .withColumn("jaccard", H.jaccard(col("__shingles_a"), col("__shingles_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    graft.core.CacheAutoRelease.afterFirstUse(shingled)
+    result
   }
 
   /** SimHash near-duplicate pairs: 64-bit sketch, chunk-LSH candidates,
@@ -160,10 +172,12 @@ object Dedup {
       .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
       .select(col(idCol), col("__c").cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
-    withPairPayloads(pairs, withSim, idCol)
+    val result = withPairPayloads(pairs, withSim, idCol)
       .withColumn("hamming", H.hamming(col("__sim_a"), col("__sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    graft.core.CacheAutoRelease.afterFirstUse(withSim)
+    result
   }
 
   /** Exact n-gram Jaccard pairs via a shingle-inverted-index self-join:
@@ -201,8 +215,19 @@ object Dedup {
                                   keys: Seq[String], joinType: String,
                                   maxBroadcastRows: Long): DataFrame = {
     val s = small.persist(StorageLevel.MEMORY_AND_DISK)
-    val hinted = if (s.count() <= maxBroadcastRows) broadcast(s) else s
-    big.join(hinted, keys, joinType)
+    // Short-circuiting membership probe: LocalLimit stops each task once
+    // the gate is exceeded, so an over-the-gate small side costs O(gate)
+    // scanned rows here instead of a full count — the probe's price is
+    // bounded by the threshold, not by |small|.
+    val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val hinted =
+      if (s.limit(probeLimit).count() <= maxBroadcastRows) broadcast(s) else s
+    val joined = big.join(hinted, keys, joinType)
+    // The small side is only ever read through `joined`; drop its cache
+    // once the first consuming query finishes. Registered AFTER the probe
+    // so the probe itself cannot fire it.
+    graft.core.CacheAutoRelease.afterFirstUse(s)
+    joined
   }
 
   /** Shared exact-Jaccard tail of the word- and char-shingle pair
@@ -266,7 +291,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
           round(col("jaccard"), 6).as("jaccard"))
     }
-    if (!hashedCandidates) exactPairs(dropStopShingles(sh))
+    val result = if (!hashedCandidates) exactPairs(dropStopShingles(sh))
     else {
       // Candidate generation on hashed shingles (upper-bound Jaccard).
       val hashed = dropStopShingles(sh)
@@ -291,6 +316,8 @@ object Dedup {
       exactPairs(dropStopShingles(explodeShingles(sizeGatedFilterJoin(
         shingled, candIds, Seq(idCol), "left_semi", maxBroadcastRows))))
     }
+    graft.core.CacheAutoRelease.afterFirstUse(shingled)
+    result
   }
 
   /** Character-n-gram variant of [[ngramJaccardPairs]]: shingles are

@@ -22,21 +22,26 @@ object Selection {
     *
     * `rankBy` must give a TOTAL order within a stratum (tie-break on a
     * unique id) or the running sum — and therefore the cut — is
-    * nondeterministic. `maxDocs > 0` additionally pre-cuts each stratum to
+    * nondeterministic. Zero-token documents are excluded up front: they
+    * add nothing to a token budget, and keeping them would make the result
+    * depend on whether `maxDocs` is set (a zero-token doc ranked past the
+    * pre-cut would be dropped there but kept by the running sum alone).
+    * `maxDocs > 0` additionally pre-cuts each stratum to
     * its best `maxDocs` rows with a rank filter BEFORE the running sum:
     * `row_number <= k` plans a WindowGroupLimit, so each task keeps only k
     * rows per stratum ahead of the exchange — the cap that stops a single
     * giant stratum from funneling the whole corpus through one task at
-    * 100 TB (any doc with ≥1 token past rank `budget` can never fit, so
-    * `maxDocs = budget` is always sound). */
+    * 100 TB (every remaining doc has ≥1 token, so a doc past rank `budget`
+    * can never fit and `maxDocs = budget` is always sound). */
   def tokenBudgetPerStratum(df: DataFrame, strataCol: String,
                             tokensCol: String, budget: Long,
                             rankBy: Seq[Column],
                             maxDocs: Int = 0): DataFrame = {
     val order = Window.partitionBy(strataCol).orderBy(rankBy: _*)
+    val nonEmpty = df.filter(col(tokensCol).cast("long") > 0L)
     val precut =
-      if (maxDocs <= 0) df
-      else df.withColumn("__rk", row_number().over(order))
+      if (maxDocs <= 0) nonEmpty
+      else nonEmpty.withColumn("__rk", row_number().over(order))
         .filter(col("__rk") <= maxDocs).drop("__rk")
     val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     precut

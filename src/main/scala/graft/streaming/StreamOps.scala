@@ -144,6 +144,19 @@ object StreamOps {
       emit: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // Fail fast on a numHashes config change BEFORE the query starts:
+    // zip_with against a different signature width pads with nulls,
+    // silently capping the agreement fraction — near-dups of everything
+    // previously retained would pass through, and mixed-width rows would
+    // make the corruption permanent. Checked ONCE here, not per batch: the
+    // query itself only ever writes numHashes-wide signatures, so a store
+    // that is consistent at start stays consistent, and a per-batch scan
+    // of the store would cost O(retained corpus) on every micro-batch.
+    SnapshotStore.read(stream.sparkSession, storeRoot).foreach { st =>
+      require(st.filter(size(col("sig")) =!= numHashes).limit(1).count() == 0,
+        s"store at $storeRoot holds signatures whose width differs " +
+          s"from numHashes=$numHashes — rebuild the store or match the config")
+    }
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val sigged = batch.withColumn("__sig",
@@ -160,7 +173,8 @@ object StreamOps {
         zip_with(col("__bsig"), col("__osig"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast("double") / numHashes
-      def verifiedSuppressed(other: DataFrame, pairFilter: org.apache.spark.sql.Column) = {
+      def verifiedSuppressed(other: DataFrame, pairFilter: org.apache.spark.sql.Column,
+                             selfJoin: Boolean) = {
         val oKeyed = other.select(col("__oid"),
           explode(H.lshBands(col("__osig"), bands, rowsPerBand)).as("__band"))
         // Band cap, same guard as the batch operators' pairsFromBuckets: a
@@ -168,9 +182,14 @@ object StreamOps {
         // docs is degenerate boilerplate whose join would cost
         // |batch∩band| × |retained∩band| rows EVERY micro-batch and grow
         // as the store grows. The overfull set is ≤ rows/maxBucket entries
-        // by construction, so the anti joins broadcast it.
-        val overfull = bKeyed.select(col("__band"))
-          .union(oKeyed.select(col("__band")))
+        // by construction, so the anti joins broadcast it. In the
+        // within-batch pass `other` IS the batch, so sizing from the union
+        // would count every batch document's bands twice and silently halve
+        // the effective cap — size from one side there.
+        val bandSource =
+          if (selfJoin) bKeyed.select(col("__band"))
+          else bKeyed.select(col("__band")).union(oKeyed.select(col("__band")))
+        val overfull = bandSource
           .groupBy("__band").agg(count(lit(1)).as("__n"))
           .filter(col("__n") > maxBucket)
           .select("__band")
@@ -186,19 +205,11 @@ object StreamOps {
       }
       val vsBatch = verifiedSuppressed(
         bk.select(col("__bid").as("__oid"), col("__bsig").as("__osig")),
-        col("__oid") < col("__bid"))
+        col("__oid") < col("__bid"), selfJoin = true)
       val suppressed = SnapshotStore.read(spark, storeRoot) match {
         case Some(st) =>
-          // Fail fast on a numHashes config change: zip_with against a
-          // different signature width pads with nulls, silently capping
-          // the agreement fraction — near-dups of everything previously
-          // retained would pass through, and mixed-width rows would make
-          // the corruption permanent.
-          require(st.filter(size(col("sig")) =!= numHashes).limit(1).count() == 0,
-            s"store at $storeRoot holds signatures whose width differs " +
-              s"from numHashes=$numHashes — rebuild the store or match the config")
           val stored = st.select(col(idCol).as("__oid"), col("sig").as("__osig"))
-          vsBatch.union(verifiedSuppressed(stored, lit(true)))
+          vsBatch.union(verifiedSuppressed(stored, lit(true), selfJoin = false))
         case None => vsBatch
       }
       val survivors = sigged.join(

@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Whether the session holds any cached (persisted) relations — lets
+    * tests observe that operator-internal caches were released without
+    * reaching into `private[sql]` state themselves. */
+  def hasCachedData(spark: org.apache.spark.sql.SparkSession): Boolean =
+    !spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Install a function builder into an existing session's registry (the
     * per-creation `SparkSessionExtensions` path can't reach sessions that
     * already exist). */

@@ -142,6 +142,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("operator-internal caches self-release once the first consuming " +
+    "action completes (no CacheManager accumulation in long-lived drivers)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    spark.catalog.clearCache()
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, maxDf = 4)
+    // construction persisted the shingle intermediate + gate small sides
+    Bridge.hasCachedData(spark) shouldBe true
+    pairs.count()
+    // release rides the async QueryExecutionListener bus; poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    while (Bridge.hasCachedData(spark) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    Bridge.hasCachedData(spark) shouldBe false
+  }
+
   test("decontaminate removes eval docs and their near-copies, keeps " +
     "unrelated docs, and honors minOverlap") {
     val corpus = Seq(

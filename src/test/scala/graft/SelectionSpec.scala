@@ -40,4 +40,23 @@ class SelectionSpec extends SparkSpec {
     cut.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 5L)
     cut.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
+
+  test("zero-token docs are excluded either way, so setting maxDocs never " +
+    "changes which docs are selected") {
+    // doc 7 ranks ABOVE the en cut, docs 8/9 rank past any maxDocs pre-cut;
+    // before the up-front filter, maxDocs=3 dropped 8/9 while the pure
+    // running sum kept them for free (they add no tokens) — two configs,
+    // two different answers on the same corpus.
+    val withEmpties = docs.union(Seq(
+      (7L, "en", 0.95, 0L),
+      (8L, "en", 0.05, 0L),
+      (9L, "fr", 0.01, 0L)
+    ).toDF("doc_id", "stratum", "score", "n_tokens"))
+    def sel(maxDocs: Int) = Selection
+      .tokenBudgetPerStratum(withEmpties, "stratum", "n_tokens", 1000L,
+        rankBy = Seq(col("score").desc, col("doc_id")), maxDocs = maxDocs)
+      .select("doc_id").as[Long].collect().sorted
+    sel(0) shouldBe Array(1L, 2L, 5L)
+    sel(3) shouldBe sel(0)
+  }
 }

@@ -131,20 +131,39 @@ class StreamDedupSpec extends SparkSpec {
     emitted2.sorted shouldBe Seq(8L)
 
     // ...and a numHashes config change against the same store fails fast
-    // instead of silently capping similarity (zip_with null padding)
+    // AT CONSTRUCTION — before the query even starts (the width check runs
+    // once against the existing store, not per micro-batch) — instead of
+    // silently capping similarity (zip_with null padding)
     val mem3 = MemoryStream[(Long, String)]
-    val q3 = StreamOps.dedupeNearAgainstStore(
-      mem3.toDF.toDF("doc_id", "text"), "text", "doc_id", root,
-      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.4) { (_, _) => () }
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.dedupeNearAgainstStore(
+        mem3.toDF.toDF("doc_id", "text"), "text", "doc_id", root,
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.4) { (_, _) => () }
+    }
+    ex.getMessage should include("width")
+  }
+
+  test("within-batch band cap counts each batch document once: a bucket at " +
+    "exactly maxBucket entries still generates candidate pairs") {
+    val root = tmpRoot("graft_sdc")
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val emitted = ArrayBuffer[Long]()
+    // 4 identical docs collide in EVERY band, so each bucket holds exactly
+    // maxBucket=4 batch entries. Sizing the self-join pass from the
+    // batch∪batch union counted them twice (8 > 4), dropped every bucket,
+    // and let all four duplicates through — recall silently halved.
+    val q = StreamOps.dedupeNearAgainstStore(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", root,
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4,
+      maxBucket = 4) { (df, _) =>
+      emitted ++= df.select("doc_id").as[Long].collect()
+    }
     try {
-      mem3.addData((9L, "any content at all"))
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q3.processAllAvailable()
-      }
-      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
-        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-        .mkString(" | ")
-      chain should include("width")
-    } finally q3.stop()
+      val text = "identical boilerplate paragraph repeated across mirror sites"
+      mem.addData((11L, text), (12L, text), (13L, text), (14L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    emitted.sorted shouldBe Seq(11L)
   }
 }
