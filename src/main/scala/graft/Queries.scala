@@ -645,6 +645,61 @@ object Queries {
         T.bigramRepetition(col("text")).as("bigram_rep"))
       .orderBy("doc_id")
 
+  /** PII detection + redaction ([[graft.functions.TextFunctions.piiCount]] /
+    * [[graft.functions.TextFunctions.redactPii]]): the fixture corpus is
+    * PII-free synthetic text, so deterministic contact lines derived from
+    * doc_id are appended first (the same derived-input trick as
+    * `decontaminate`'s eval set) — every PII kind then occurs with nonzero
+    * counts and the whole detect→redact path is exercised. Counts are
+    * per-pattern on the original text; the redacted text is pinned by its
+    * md5 fingerprint (engine-independent). The patterns use only
+    * Java-regex/RE2-common constructs, so DuckDB computes identical
+    * matches. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = tab(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".25"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ssn 987-65-4321")).otherwise(lit(""))
+      ).as("text"))
+    withPii.select(
+        col("doc_id"),
+        T.piiCount(col("text"), "email").as("n_email"),
+        T.piiCount(col("text"), "ipv4").as("n_ip"),
+        T.piiCount(col("text"), "ssn").as("n_ssn"),
+        T.piiCount(col("text"), "phone").as("n_phone"),
+        T.fingerprint(T.redactPii(col("text"))).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain crawl statistics ([[graft.functions.TextFunctions
+    * .extractUrls]] / `urlDomain`): URLs derived from doc_id are appended
+    * (the corpus has none), extracted, grouped by registrable host. The
+    * crawl-curation shape — URL extraction feeds domain-level dedup,
+    * per-domain quality priors and robots/blocklist joins; the group-by is
+    * a short-key exchange over (domain), the same plan at any corpus
+    * size. */
+  private def urlStats(s: SparkSession, dir: String): DataFrame = {
+    val withUrls = tab(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" see https://cdn"), (col("doc_id") % 5).cast("string"),
+        lit(".example.org/d/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" and http://m"), (col("doc_id") % 3).cast("string"),
+            lit(".example.net/x"))).otherwise(lit(""))
+      ).as("text"))
+    withUrls
+      .select(col("doc_id"), explode(T.extractUrls(col("text"))).as("url"))
+      .select(col("doc_id"), T.urlDomain(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+  }
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -706,7 +761,9 @@ object Queries {
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
     "budget_select" -> budgetSelect _,
-    "text_repetition" -> textRepetition _
+    "text_repetition" -> textRepetition _,
+    "pii_scrub" -> piiScrub _,
+    "url_stats" -> urlStats _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1356,6 +1413,41 @@ object Queries {
         |  CASE WHEN n < 2 THEN 0.0
         |       ELSE round(1.0 - CAST(len(bg) AS DOUBLE)
         |                        / CAST(n - 1 AS DOUBLE), 6) END AS bigram_rep
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // same derived PII injection as the Spark side; patterns are
+    // RE2/Java-regex-common so DuckDB matches identically; redaction
+    // nests the four replaces in piiPatterns order (email, ip, ssn, phone)
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 987-65-4321' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(lower(trim(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g')
+        |  )), '\s+', ' ', 'g')) AS redacted_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, text || ' see https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' and http://m' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/x' ELSE '' END AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://\S+')) AS url FROM u),
+        |d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS domain FROM x)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin
   )
 }

@@ -163,4 +163,52 @@ object TextFunctions {
     * bytes). */
   def rollingFingerprint(text: Column): Column =
     PolyHashExpr(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** PII patterns for detection/redaction, in REDACTION ORDER: email first
+    * (its local part can contain digits a later pattern would chew on),
+    * then IPv4 (dotted digits would otherwise feed the phone pattern),
+    * then SSN (more specific than phone), then phone. Regexes use only
+    * constructs with identical semantics in Java regex and RE2 (no
+    * lookaround, no backreferences), so detection counts and redacted text
+    * are engine-independent — DuckDB-oracle-checkable. Placeholders contain
+    * no digits, so earlier replacements can never create later matches. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("phone", "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}", "[PHONE]")
+  )
+
+  /** Number of matches of one PII pattern (by [[piiPatterns]] name). Counts
+    * are computed on the ORIGINAL text — all four patterns see the same
+    * input even though redaction is sequential. */
+  def piiCount(text: Column, kind: String): Column = {
+    val re = piiPatterns.collectFirst { case (`kind`, r, _) => r }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII kind: $kind"))
+    coalesce(regexp_count(text, lit(re)), lit(0)).cast("long")
+  }
+
+  /** Redact all [[piiPatterns]] with their placeholders, applied in
+    * pattern order. The SSN count on redacted output can differ from
+    * [[piiCount]] on raw text only where patterns overlap (e.g. an IPv4
+    * inside a longer digit run) — redaction resolves overlaps by order,
+    * detection counts each pattern independently. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
+
+  /** All http(s) URLs in the text (regexp_extract_all; empty array for
+    * none). A URL runs to the next whitespace — trailing punctuation is
+    * kept, the standard crawl-extraction trade-off. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://\\S+"), lit(0))
+
+  /** Registrable-host part of a URL: the text between `://` and the first
+    * `/`, `:`, `?` or `#` (NULL for a non-URL). The grouping key for
+    * per-domain crawl statistics and domain-level dedup. */
+  def urlDomain(url: Column): Column = {
+    val d = regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
+    when(d === "", lit(null)).otherwise(d)
+  }
 }

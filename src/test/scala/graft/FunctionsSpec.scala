@@ -269,6 +269,45 @@ class FunctionsSpec extends SparkSpec {
       (2L, 0.0, 0.0), (3L, 0.0, 0.0), (4L, 0.0, 0.0), (5L, 0.5, 0.0))
   }
 
+  test("PII detection counts each pattern independently and redaction " +
+    "replaces them in order with digit-free placeholders") {
+    val text = "write to bob.smith+x@corp.example.org from 10.20.30.40, " +
+      "ssn 123-45-6789, call (415) 555-1234 or 555.123.4567"
+    val df = Seq(Tuple1(text)).toDF("t").select(
+      T.piiCount(col("t"), "email").as("e"), T.piiCount(col("t"), "ipv4").as("i"),
+      T.piiCount(col("t"), "ssn").as("s"), T.piiCount(col("t"), "phone").as("p"),
+      T.redactPii(col("t")).as("r"))
+    val (e, i, s, p, r) = df.as[(Long, Long, Long, Long, String)].head()
+    (e, i, s, p) shouldBe ((1L, 1L, 1L, 2L))
+    r shouldBe "write to [EMAIL] from [IP], ssn [SSN], call [PHONE] or [PHONE]"
+    // clean text passes through untouched with zero counts
+    val clean = "no contact data in this document at all"
+    val kinds = Seq("email", "ipv4", "ssn", "phone")
+    val zero = Seq(Tuple1(clean)).toDF("t")
+      .select(kinds.map(k => T.piiCount(col("t"), k)) :+ T.redactPii(col("t")): _*)
+      .head()
+    kinds.indices.foreach(zero.getLong(_) shouldBe 0L)
+    zero.getString(4) shouldBe clean
+  }
+
+  test("URL extraction finds http(s) URLs and urlDomain strips scheme, " +
+    "path, port and query; non-URLs yield null") {
+    val df = Seq(
+      (1L, "docs at https://a.example.com/x/y?q=1 and http://b.example.net:8080/z"),
+      (2L, "bare domain example.com is not extracted"),
+      (3L, "")
+    ).toDF("doc_id", "t")
+    val urls = df.select(col("doc_id"), T.extractUrls(col("t")).as("us"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    urls.map(_._2.size) shouldBe Array(2, 0, 0)
+    val domains = df
+      .select(explode(T.extractUrls(col("t"))).as("u"))
+      .select(T.urlDomain(col("u")).as("d")).as[String].collect().sorted
+    domains shouldBe Array("a.example.com", "b.example.net")
+    Seq(Tuple1("not a url")).toDF("u")
+      .select(T.urlDomain(col("u"))).head().isNullAt(0) shouldBe true
+  }
+
   test("signBucket packs plane signs deterministically") {
     val planes = V.hyperplanes(4, 2, seed = 7L)
     val df = Seq(Tuple1(Array(1.0f, 0.5f))).toDF("v")
