@@ -632,6 +632,23 @@ object Queries {
       .orderBy("lang_id", "doc_id")
   }
 
+  /** Relative-threshold selection: the best 20% of documents per detected
+    * language by quality ([[Selection.topFractionPerStratum]], exact
+    * percent_rank variant — the approx-percentile threshold variant is the
+    * 100 TB path and is pinned against this one in `SelectionSpec`).
+    * Quality rounds to 6 before ranking and ties break on doc_id, so the
+    * boundary is engine-independent. */
+  private def topFraction(s: SparkSession, dir: String): DataFrame = {
+    val scored = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.langId(col("text")).as("lang_id"),
+      T.qualityScore(col("text")).as("quality"))
+    Selection.topFractionPerStratum(scored, "lang_id", fraction = 0.2,
+        rankBy = Seq(col("quality").desc, col("doc_id")))
+      .select("lang_id", "doc_id", "quality")
+      .orderBy("lang_id", "doc_id")
+  }
+
   /** Within-document repetition stats (Gopher-style quality rules):
     * duplicate-token and duplicate-bigram fractions per document
     * ([[graft.functions.TextFunctions.tokenRepetition]] /
@@ -763,7 +780,8 @@ object Queries {
     "budget_select" -> budgetSelect _,
     "text_repetition" -> textRepetition _,
     "pii_scrub" -> piiScrub _,
-    "url_stats" -> urlStats _
+    "url_stats" -> urlStats _,
+    "top_fraction" -> topFraction _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1448,6 +1466,52 @@ object Queries {
         |d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS domain FROM x)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    // langId/quality CTEs as in budget_select; percent_rank is the exact
+    // (rank-1)/(n-1) double in both engines, ties broken on doc_id
+    "top_fraction" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM lang),
+        |scored AS (
+        |  SELECT doc_id, lang_id,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least((CASE WHEN ntok = 0 THEN 0.0
+        |                        ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+        |                  1.0) * 0.3, 6) AS quality
+        |  FROM lq),
+        |ranked AS (
+        |  SELECT lang_id, doc_id, quality,
+        |    percent_rank() OVER (PARTITION BY lang_id
+        |                         ORDER BY quality DESC, doc_id) AS pr
+        |  FROM scored)
+        |SELECT lang_id, doc_id, quality FROM ranked
+        |WHERE pr <= 0.2 ORDER BY lang_id, doc_id""".stripMargin
   )
 }

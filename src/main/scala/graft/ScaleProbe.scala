@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale probe for the exact pair-join variants (dev tool, not part of the
+  * driver contract): measures, on a corpus N× the largest local fixture,
+  * the default single-pass string-keyed inverted-index join against the
+  * opt-in two-phase hashed-candidate tail (`hashedCandidates = true`).
+  *
+  * The claim under test: the two-phase path exchanges 8-byte xxhash64 keys
+  * instead of shingle strings, which should start paying once the corpus —
+  * and so the shuffle — is large enough that key width dominates; at sf0.1
+  * it LOSES (the re-explode/re-join second pass costs more than the
+  * narrower keys save, measured every round since it landed). No sf1
+  * fixture exists, so this probe manufactures scale: `SCALE` replicas of
+  * the sf0.1 documents, each with a per-replica letter rotation
+  * (`translate`) so replica shingle sets are disjoint — the pair structure
+  * and bucket sizes stay per-replica, the workload (rows, exchange bytes,
+  * join fan-out) scales linearly, the way a larger crawl would, instead of
+  * quadratically the way exact mirroring would. `maxDf` scales with the
+  * replica count for the chargram variant so the stop-shingle semantics
+  * stay per-replica (only letter-free shingles — digits/punctuation —
+  * cross replicas, and those are exactly the boilerplate maxDf exists to
+  * drop).
+  *
+  * Prints one JSON line per configuration with per-variant minima over
+  * `PASSES` runs. Knobs via env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE
+  * (default 10), SPARK_GRAFT_SCALE_PASSES (default 2).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.get("SPARK_GRAFT_SCALE")
+      .flatMap(_.trim.toIntOption).getOrElse(10)
+    val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES")
+      .flatMap(_.trim.toIntOption).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val scaled = (0 until scale).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        translate(lower(col("text")), alpha, rotated(i)).as("text"))
+    }.reduce(_ union _)
+    val path = java.nio.file.Files.createTempDirectory("graft_scale")
+      .resolve("documents.parquet").toString
+    scaled.repartition(cpus.toInt).write.mode("overwrite").parquet(path)
+    val nDocs = spark.read.parquet(path).count()
+
+    def corpus = spark.read.parquet(path)
+    val variants: Seq[(String, () => Long)] = Seq(
+      "ngram_single" -> (() => Dedup.ngramJaccardPairs(
+        corpus, "text", "doc_id", shingleSize = 3, threshold = 0.1).count()),
+      "ngram_hashed" -> (() => Dedup.ngramJaccardPairs(
+        corpus, "text", "doc_id", shingleSize = 3, threshold = 0.1,
+        hashedCandidates = true).count()),
+      "chargram_single" -> (() => Dedup.charJaccardPairs(
+        corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
+        maxDf = 50L * scale).count()),
+      "chargram_hashed" -> (() => Dedup.charJaccardPairs(
+        corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
+        maxDf = 50L * scale, hashedCandidates = true).count())
+    )
+    val results = variants.map { case (name, run) =>
+      val times = (1 to passes).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = run()
+        val secs = (System.nanoTime() - t0) / 1e9
+        (secs, rows)
+      }
+      name -> (times.map(_._1).min, times.head._2)
+    }
+    val qs = results.map { case (k, (secs, rows)) =>
+      s""""$k":{"sec":$secs,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"pair_join_scale","scale":$scale,"docs":$nDocs,""" +
+      s""""passes":$passes,"variants":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -245,12 +245,16 @@ object Dedup {
     * strings — and only candidate documents are re-verified through the
     * exact string join (a hash collision can only MERGE shingles, so the
     * estimated Jaccard is an upper bound and the candidate set a superset;
-    * final results are identical to the default path). The narrow-key
-    * exchange only pays off when shingle strings are much wider than 8
-    * bytes AND candidates are a small fraction of the corpus; at every
-    * scale measured here (≤ sf0.1) the second pass costs more than the
-    * narrower keys save (ngram_pairs 2.6→4.3 s, chargram_pairs
-    * 11.1→15.9 s), which is why it is not the default. */
+    * final results are identical to the default path). MEASURED
+    * (graft.ScaleProbe, 10× sf0.1 = 50k docs, disjoint-shingle replicas):
+    * the single pass still wins — ngram 6.6 s vs 7.5 s hashed (the gap
+    * narrows from ~2× at sf0.1 to 1.14× at 10×, but never crosses),
+    * chargram-12 110 s vs 143 s. On single-host shuffle the exchange is
+    * memory-speed, so the narrow key saves little while the second
+    * explode+join pass is pure extra work; the remaining case for this
+    * path is a NETWORK-bound cluster shuffle, where exchanged bytes (not
+    * local sort compares) dominate and 8-byte keys cut the wire volume
+    * ~2–3× for wide shingles. Hence: opt-in, not default. */
   private def jaccardPairsFromShingles(shingledIn: DataFrame, idCol: String,
                                        threshold: Double, maxDf: Long,
                                        hashedCandidates: Boolean = false,

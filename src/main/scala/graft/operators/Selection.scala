@@ -48,4 +48,45 @@ object Selection {
       .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(cum))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Top-fraction selection per stratum: keep each stratum's best
+    * `fraction` of rows under `rankBy` order — "the top 20% quality per
+    * language", the relative-threshold counterpart of the absolute top-k
+    * (`stratified_topk`) and token-budget shapes. EXACT: `percent_rank`
+    * over a per-stratum window; pr ≤ f keeps ⌊f·(n−1)⌋+1 rows (the best
+    * row has pr 0, so every stratum keeps ≥ 1 — fraction 0 means "best
+    * row only"). `rankBy` must totally order each stratum (tie-break on a
+    * unique id) or the boundary rows are nondeterministic.
+    *
+    * The window sorts each whole stratum on one task — fine up to tens of
+    * millions of rows per stratum, NOT at an unbounded 100 TB stratum; at
+    * that scale use [[topFractionApproxPerStratum]]. */
+  def topFractionPerStratum(df: DataFrame, strataCol: String,
+                            fraction: Double, rankBy: Seq[Column]): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val w = Window.partitionBy(strataCol).orderBy(rankBy: _*)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= fraction)
+      .drop("__pr")
+  }
+
+  /** Scale path for [[topFractionPerStratum]]: per-stratum score threshold
+    * from `approx_percentile` (one aggregation pass, error bounded by
+    * `accuracy`), broadcast back and filtered — no per-stratum sort, no
+    * single-task stratum, the plan that survives an unbounded stratum at
+    * 100 TB. Keeps rows with `scoreCol` ≥ the (1−fraction) quantile of
+    * their stratum; ties at the threshold are all kept, so the kept count
+    * is approximate in exchange for the missing sort (the documented
+    * trade-off vs the exact variant). */
+  def topFractionApproxPerStratum(df: DataFrame, strataCol: String,
+                                  scoreCol: String, fraction: Double,
+                                  accuracy: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val thresholds = df.groupBy(strataCol).agg(
+      percentile_approx(col(scoreCol), lit(1.0 - fraction), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

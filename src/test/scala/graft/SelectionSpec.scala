@@ -41,6 +41,32 @@ class SelectionSpec extends SparkSpec {
     cut.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
+  test("topFractionPerStratum keeps the best fraction per stratum under " +
+    "percent_rank; fraction 0 keeps exactly the best row of each stratum") {
+    // en pr: doc1=0, doc2=1/3, doc3=2/3, doc4=1; fr pr: doc5=0, doc6=1
+    def frac(f: Double) = Selection
+      .topFractionPerStratum(docs, "stratum", f,
+        rankBy = Seq(col("score").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted
+    frac(0.34) shouldBe Array(1L, 2L, 5L)
+    frac(0.0) shouldBe Array(1L, 5L)
+    frac(1.0) shouldBe Array(1L, 2L, 3L, 4L, 5L, 6L)
+  }
+
+  test("topFractionApproxPerStratum (the no-sort scale path) keeps every " +
+    "exact-top row and overshoots by at most the quantile ties") {
+    val approx = Selection
+      .topFractionApproxPerStratum(docs, "stratum", "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // exact top half: en {1,2} of 4, fr {5} of 2 (quantile boundary may
+    // also admit the threshold row itself — ties at the cut are kept)
+    approx.toSet should contain allOf (1L, 2L, 5L)
+    approx.length should be <= 5
+    // every kept row scores >= some kept threshold; the worst row of a
+    // stratum can only appear if the whole stratum is kept
+    approx should not contain 4L
+  }
+
   test("zero-token docs are excluded either way, so setting maxDocs never " +
     "changes which docs are selected") {
     // doc 7 ranks ABOVE the en cut, docs 8/9 rank past any maxDocs pre-cut;
