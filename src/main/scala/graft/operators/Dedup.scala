@@ -195,11 +195,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
                         maxDf: Long = 0L, hashedCandidates: Boolean = false,
-                        maxBroadcastRows: Long = 1000000L): DataFrame =
-    jaccardPairsFromShingles(
+                        maxBroadcastRows: Long = 1000000L,
+                        strategy: String = "auto"): DataFrame =
+    jaccardPairsDispatch(
       df.select(col(idCol),
         H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs")),
-      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows)
+      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy)
 
   /** Join `big` against a derived small relation (`left_semi`/`left_anti`
     * filter joins, or `inner` when the matched rows themselves are
@@ -334,11 +335,12 @@ object Dedup {
   def charJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int = 5, threshold: Double = 0.1,
                        maxDf: Long = 0L, hashedCandidates: Boolean = false,
-                       maxBroadcastRows: Long = 1000000L): DataFrame =
-    jaccardPairsFromShingles(
+                       maxBroadcastRows: Long = 1000000L,
+                       strategy: String = "auto"): DataFrame =
+    jaccardPairsDispatch(
       df.select(col(idCol),
         H.charShingles(trim(lower(col(textCol))), shingleSize).as("__shs")),
-      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows)
+      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy)
 
   /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
     * minimum shingle hash — documents sharing their rarest-hashed shingle
