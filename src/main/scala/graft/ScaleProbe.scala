@@ -27,10 +27,33 @@ import graft.operators.Dedup
   * drop).
   *
   * Prints one JSON line per configuration with per-variant minima over
-  * `PASSES` runs. Knobs via env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE
-  * (default 10), SPARK_GRAFT_SCALE_PASSES (default 2).
+  * `PASSES` runs, and merges the same entry into `SCALEPROBE.json` at the
+  * repo root (keyed by probe name) so scale measurements are a committed
+  * artifact diffable across rounds, not prose. Knobs via env:
+  * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE (default 10),
+  * SPARK_GRAFT_SCALE_PASSES (default 2).
   */
 object ScaleProbe {
+
+  /** Merge one probe's JSON entry into SCALEPROBE.json (object keyed by
+    * probe name — re-running a probe replaces its own entry and leaves
+    * the others). */
+  private[graft] def writeArtifact(probe: String, entryJson: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val path = java.nio.file.Paths.get("SCALEPROBE.json")
+    val root: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (java.nio.file.Files.exists(path))
+        mapper.readTree(java.nio.file.Files.readAllBytes(path)) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case _ => mapper.createObjectNode()
+        }
+      else mapper.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      probe, mapper.readTree(entryJson))
+    java.nio.file.Files.write(path,
+      root.toPrettyString.getBytes("UTF-8"))
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.get("SPARK_GRAFT_SCALE")
@@ -88,8 +111,52 @@ object ScaleProbe {
     val qs = results.map { case (k, (secs, rows)) =>
       s""""$k":{"sec":$secs,"rows":$rows}"""
     }.mkString("{", ",", "}")
-    println(s"""{"probe":"pair_join_scale","scale":$scale,"docs":$nDocs,""" +
-      s""""passes":$passes,"variants":$qs,"sf":"$sfDir"}""")
+    val entry = s"""{"scale":$scale,"docs":$nDocs,""" +
+      s""""passes":$passes,"variants":$qs,"sf":"$sfDir"}"""
+    println(s"""{"probe":"pair_join_scale",${entry.tail}""")
+    writeArtifact("pair_join_scale", entry)
+
+    // Deep-chain clusters probe: the adversarial shape for min-label
+    // propagation (diameter = chain length, so plain propagation pays one
+    // distributed hop per level) vs the pointer-doubling variant
+    // (O(log diameter) hops). Real near-dup graphs are shallow — this
+    // measures the pathological tail that motivates the opt-in flag.
+    val chainLen = 64
+    val nChains = 3000
+    val chainEdges = spark.range(0L, chainLen.toLong * nChains)
+      .filter(col("id") % chainLen =!= (chainLen - 1)) // no edge across chains
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .repartition(cpus.toInt)
+      .persist()
+    chainEdges.count()
+    val clusterVariants: Seq[(String, () => Long)] = Seq(
+      "propagate" -> (() => Dedup.clusters(chainEdges, maxIter = 200)
+        .select(countDistinct("cluster")).as[Long](spark.implicits.newLongEncoder)
+        .head()),
+      "pointer_doubling" -> (() => Dedup.clusters(chainEdges, maxIter = 200,
+          pointerDoubling = true)
+        .select(countDistinct("cluster")).as[Long](spark.implicits.newLongEncoder)
+        .head())
+    )
+    val cResults = clusterVariants.map { case (name, run) =>
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val nClusters = run()
+        ((System.nanoTime() - t0) / 1e9, nClusters)
+      }
+      name -> (times.map(_._1).min, times.head._2)
+    }
+    cResults.foreach { case (name, (_, nClusters)) =>
+      require(nClusters == nChains,
+        s"clusters_chain/$name resolved $nClusters components, expected $nChains")
+    }
+    val cq = cResults.map { case (k, (secs, n)) =>
+      s""""$k":{"sec":$secs,"clusters":$n}"""
+    }.mkString("{", ",", "}")
+    val cEntry = s"""{"chain_len":$chainLen,"chains":$nChains,""" +
+      s""""passes":$passes,"variants":$cq}"""
+    println(s"""{"probe":"clusters_chain",${cEntry.tail}""")
+    writeArtifact("clusters_chain", cEntry)
     spark.stop()
   }
 }

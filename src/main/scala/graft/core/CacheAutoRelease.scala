@@ -25,11 +25,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * re-executes the same DataFrame afterwards recomputes the intermediate —
   * correct, just uncached, the same contract `clearCache` gives.
   *
-  * The listener fires only for executions started AFTER registration, so
-  * operators register at exit — after their own eager gate probes have run
-  * — and the probes cannot release caches the final query still wants.
-  * If the returned query is never executed the cache stays resident (as it
-  * always did); the listener is a no-op entry until then.
+  * Listener events are delivered ASYNCHRONOUSLY (ExecutionListenerBus), so
+  * registration order alone cannot exclude the operator's own eager gate
+  * probes: a probe's execution-end event may arrive after registration and
+  * its plan contains the cached subtree. The guard is the monotonic
+  * [[QueryExecution.id]]: a sentinel id is allocated at registration and
+  * only executions CREATED after it (id greater than the sentinel's) can
+  * release — late-delivered probe events carry an earlier id and are
+  * ignored. If the returned query is never executed the cache stays
+  * resident (as it always did); the listener is a no-op entry until then.
   */
 private[graft] object CacheAutoRelease {
 
@@ -39,13 +43,19 @@ private[graft] object CacheAutoRelease {
   def afterFirstUse(cached: DataFrame): DataFrame = {
     val session = cached.sparkSession
     val target = cached.queryExecution.analyzed
+    // Id watermark: constructing any Dataset allocates the next monotonic
+    // QueryExecution id, so every execution created before this point —
+    // including the operator's own gate probes, whose async bus events may
+    // not have been delivered yet — has a smaller id and can never fire
+    // the release.
+    val sentinelId = session.range(1).queryExecution.id
     val released = new AtomicBoolean(false)
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
         // Never let bookkeeping break a user query: a plan we cannot
         // inspect simply doesn't release the cache.
         val hit =
-          try qe.analyzed.exists(_.sameResult(target))
+          try qe.id > sentinelId && qe.analyzed.exists(_.sameResult(target))
           catch { case _: Throwable => false }
         if (hit && released.compareAndSet(false, true)) {
           try cached.unpersist(blocking = false)

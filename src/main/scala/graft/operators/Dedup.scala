@@ -212,14 +212,21 @@ object Dedup {
     * set is a large fraction of all documents and an unbounded broadcast
     * OOMs the driver; the gate keeps the fast path for the common case and
     * degrades to a shuffle instead of an OOM on the degenerate one. */
-  private def sizeGatedFilterJoin(big: DataFrame, small: DataFrame,
-                                  keys: Seq[String], joinType: String,
-                                  maxBroadcastRows: Long): DataFrame = {
+  private[operators] def sizeGatedFilterJoin(big: DataFrame, small: DataFrame,
+                                             keys: Seq[String], joinType: String,
+                                             maxBroadcastRows: Long): DataFrame = {
     val s = small.persist(StorageLevel.MEMORY_AND_DISK)
     // Short-circuiting membership probe: LocalLimit stops each task once
     // the gate is exceeded, so an over-the-gate small side costs O(gate)
     // scanned rows here instead of a full count — the probe's price is
-    // bounded by the threshold, not by |small|.
+    // bounded by the threshold, not by |small|. Trade-off, deliberate: on
+    // the UNDER-gate (common) branch the probe consumes every partition,
+    // so the persist is fully populated exactly as a full count would
+    // leave it; on the over-gate branch partitions the probe cut short
+    // are left uncached and the shuffled join recomputes them — the
+    // degenerate corpus pays one recompute where the old full count() paid
+    // an O(|small|) driver-side count on EVERY call, including the common
+    // case. We optimize the branch that actually dominates.
     val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
     val hinted =
       if (s.limit(probeLimit).count() <= maxBroadcastRows) broadcast(s) else s
@@ -325,6 +332,28 @@ object Dedup {
     result
   }
 
+  /** Routes a `strategy` name onto [[jaccardPairsFromShingles]]'s
+    * candidate-generation paths: `"single"` forces the one-pass
+    * string-keyed join, `"hashed"` forces the two-phase hashed-candidate
+    * join, and `"auto"` keeps the measured default (single-pass — see the
+    * ScaleProbe numbers on [[jaccardPairsFromShingles]]) unless the caller
+    * explicitly opted into `hashedCandidates` via the legacy boolean. */
+  private def jaccardPairsDispatch(shingled: DataFrame, idCol: String,
+                                   threshold: Double, maxDf: Long,
+                                   hashedCandidates: Boolean,
+                                   maxBroadcastRows: Long,
+                                   strategy: String): DataFrame = {
+    val hashed = strategy match {
+      case "auto"   => hashedCandidates
+      case "single" => false
+      case "hashed" => true
+      case other => throw new IllegalArgumentException(
+        s"unknown jaccard pair strategy '$other' (expected auto|single|hashed)")
+    }
+    jaccardPairsFromShingles(shingled, idCol, threshold, maxDf,
+      hashedCandidates = hashed, maxBroadcastRows = maxBroadcastRows)
+  }
+
   /** Character-n-gram variant of [[ngramJaccardPairs]]: shingles are
     * n-character windows of the normalized text instead of word n-grams —
     * the form that works on scripts without whitespace word boundaries
@@ -395,9 +424,18 @@ object Dedup {
     * are dense and shallow (diameter is typically ≤ 3), so a handful of
     * iterations suffices; `maxIter` bounds pathological chains, and each
     * iteration is localCheckpoint-ed so the loop does not stack lineage.
-    * At extreme graph sizes the alternating small-star/large-star variant
-    * halves the iteration count, but the per-iteration shape (join +
-    * min-aggregate on the edge exchange) is the same as here.
+    *
+    * `pointerDoubling = true` adds a path-halving shortcut after each
+    * propagation hop: every label is re-pointed at its label's label
+    * (`label ← label(label)`, one self-join on the label relation — sound
+    * because labels only ever decrease and every label is itself a node
+    * id). Distance-to-representative then shrinks geometrically, so deep
+    * chains converge in O(log diameter) hops instead of O(diameter), at
+    * the price of a second join per hop. MEASURED (graft.ScaleProbe
+    * `clusters_chain`, 3000 × 64-node chains): the shallow-cluster default
+    * corpus shape is FASTER without doubling (the extra join buys
+    * nothing at diameter ≤ 3), hence opt-in, not default; on the deep
+    * chains it wins by the round-count ratio.
     *
     * Returns ("id", "cluster") in the pair columns' own type — any
     * orderable id type works (the label is the component MINIMUM under the
@@ -405,7 +443,7 @@ object Dedup {
     * engine-independent (oracle-checked against a recursive-CTE closure in
     * DuckDB). */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 20, pointerDoubling: Boolean = false): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -439,6 +477,17 @@ object Dedup {
           .select(col("id"), col("__prev"),
             least(col("label"), col("__nbrMin")).as("label"))
           .localCheckpoint(false)
+        if (pointerDoubling) {
+          // Path halving: label ← label(label). Every label is a node id
+          // (the min of ids seen so far), so the lookup is a self-join;
+          // labels are monotone non-increasing, so label(label) ≤ label
+          // and `least` + coalesce are only null-guards.
+          val parent = cur.select(col("id").as("label"), col("label").as("__ll"))
+          cur = cur.join(parent, Seq("label"), "left")
+            .select(col("id"), col("__prev"),
+              coalesce(least(col("label"), col("__ll")), col("label")).as("label"))
+            .localCheckpoint(false)
+        }
       }
       changed = cur.filter(col("label") < col("__prev")).count()
       labels = cur.drop("__prev")

@@ -72,20 +72,26 @@ object Selection {
 
   /** Scale path for [[topFractionPerStratum]]: per-stratum score threshold
     * from `approx_percentile` (one aggregation pass, error bounded by
-    * `accuracy`), broadcast back and filtered — no per-stratum sort, no
+    * `accuracy`), joined back and filtered — no per-stratum sort, no
     * single-task stratum, the plan that survives an unbounded stratum at
     * 100 TB. Keeps rows with `scoreCol` ≥ the (1−fraction) quantile of
     * their stratum; ties at the threshold are all kept, so the kept count
     * is approximate in exchange for the missing sort (the documented
-    * trade-off vs the exact variant). */
+    * trade-off vs the exact variant). The thresholds relation has one row
+    * per stratum: it is broadcast only while MEASURED under
+    * `maxBroadcastRows` (via [[Dedup.sizeGatedFilterJoin]]) — a
+    * high-cardinality strata column (e.g. domain) degrades to a shuffled
+    * join instead of an unbounded driver broadcast. */
   def topFractionApproxPerStratum(df: DataFrame, strataCol: String,
                                   scoreCol: String, fraction: Double,
-                                  accuracy: Int = 10000): DataFrame = {
+                                  accuracy: Int = 10000,
+                                  maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     val thresholds = df.groupBy(strataCol).agg(
       percentile_approx(col(scoreCol), lit(1.0 - fraction), lit(accuracy))
         .as("__thr"))
-    df.join(broadcast(thresholds), Seq(strataCol))
+    Dedup.sizeGatedFilterJoin(df, thresholds, Seq(strataCol), "inner",
+        maxBroadcastRows)
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
   }

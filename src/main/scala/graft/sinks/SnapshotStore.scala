@@ -84,16 +84,41 @@ object SnapshotStore {
     if (!f.exists(p)) None else Some(readSmallFile(f, p).trim.toLong)
   }
 
-  /** Bucket count fixed at store creation (None until the first commit). */
-  def numBuckets(spark: SparkSession, root: String): Option[Int] = {
-    val f = fs(spark, root)
+  private def readProps(f: FileSystem, root: String): Map[String, String] = {
     val p = new Path(root, metaName)
-    if (!f.exists(p)) None
-    else Some(readSmallFile(f, p).linesIterator
-      .collectFirst { case l if l.startsWith("nBuckets=") =>
-        l.stripPrefix("nBuckets=").trim.toInt }
-      .getOrElse(DefaultBuckets))
+    if (!f.exists(p)) Map.empty
+    else readSmallFile(f, p).linesIterator.flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }.toMap
   }
+
+  private def writeProps(f: FileSystem, root: String,
+                         props: Map[String, String]): Unit =
+    writeSmallFile(f, new Path(root, metaName),
+      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"),
+      overwrite = true)
+
+  /** Application-level store property (e.g. the signature width a
+    * streaming dedup store was built with), kept in the same tiny meta
+    * file as the bucket count. */
+  def getProperty(spark: SparkSession, root: String, key: String): Option[String] =
+    readProps(fs(spark, root), root).get(key)
+
+  /** Set (or overwrite) an application-level store property, preserving
+    * all other meta lines. A read-merge-write of a small file — callers
+    * serialize writers the same way they do for `upsert`. */
+  def setProperty(spark: SparkSession, root: String, key: String,
+                  value: String): Unit = {
+    val f = fs(spark, root)
+    writeProps(f, root, readProps(f, root) + (key -> value))
+  }
+
+  /** Bucket count fixed at store creation (None until the first commit). */
+  def numBuckets(spark: SparkSession, root: String): Option[Int] =
+    getProperty(spark, root, "nBuckets").map(_.toInt)
 
   private def bucketExpr(disc: Seq[Column], nBuckets: Int): Column =
     pmod(hash(disc: _*), lit(nBuckets))
@@ -315,10 +340,10 @@ object SnapshotStore {
     writeManifest(f, root, next,
       Manifest(result.target.schema, newBuckets))
 
-    // absent for new stores AND legacy stores being migrated
+    // absent for new stores AND legacy stores being migrated; merged so
+    // application properties set before the first commit survive
     if (numBuckets(spark, root).isEmpty)
-      writeSmallFile(f, new Path(root, metaName), s"nBuckets=$buckets\n",
-        overwrite = true)
+      writeProps(f, root, readProps(f, root) + ("nBuckets" -> buckets.toString))
     commitPointer(spark, f, root, next)
     MergeResult(
       target = readVersion(spark, root, next),

@@ -144,21 +144,35 @@ object StreamOps {
       emit: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // Fail fast on a numHashes config change BEFORE the query starts:
-    // zip_with against a different signature width pads with nulls,
-    // silently capping the agreement fraction — near-dups of everything
-    // previously retained would pass through, and mixed-width rows would
-    // make the corruption permanent. Checked ONCE here, not per batch: the
-    // query itself only ever writes numHashes-wide signatures, so a store
-    // that is consistent at start stays consistent, and a per-batch scan
-    // of the store would cost O(retained corpus) on every micro-batch.
-    SnapshotStore.read(stream.sparkSession, storeRoot).foreach { st =>
-      require(st.filter(size(col("sig")) =!= numHashes).limit(1).count() == 0,
-        s"store at $storeRoot holds signatures whose width differs " +
-          s"from numHashes=$numHashes — rebuild the store or match the config")
-    }
+    // Guard against a numHashes config change: zip_with against a
+    // different signature width pads with nulls, silently capping the
+    // agreement fraction — near-dups of everything previously retained
+    // would pass through, and mixed-width rows would make the corruption
+    // permanent. The width is persisted as a store property (`sigWidth`)
+    // and re-validated on EVERY batch before writing — a tiny meta-file
+    // read, not a store scan — so a store first created or rewritten by
+    // another writer after this query was constructed is still caught.
+    // Legacy stores written before the property existed get one O(store)
+    // row-width scan here, then carry the property forward.
+    def checkSigWidth(spark: org.apache.spark.sql.SparkSession): Unit =
+      SnapshotStore.getProperty(spark, storeRoot, "sigWidth") match {
+        case Some(w) => require(w.toInt == numHashes,
+          s"store at $storeRoot was built with signature width $w but this " +
+            s"query uses numHashes=$numHashes — rebuild the store or match " +
+            "the config")
+        case None =>
+          SnapshotStore.read(spark, storeRoot).foreach { st =>
+            require(st.filter(size(col("sig")) =!= numHashes).limit(1).count() == 0,
+              s"store at $storeRoot holds signatures whose width differs " +
+                s"from numHashes=$numHashes — rebuild the store or match the config")
+          }
+          SnapshotStore.setProperty(spark, storeRoot, "sigWidth",
+            numHashes.toString)
+      }
+    checkSigWidth(stream.sparkSession)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
+      checkSigWidth(spark)
       val sigged = batch.withColumn("__sig",
           H.minHash(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize),
             numHashes))

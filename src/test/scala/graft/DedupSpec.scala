@@ -150,6 +150,14 @@ class DedupSpec extends SparkSpec {
       shingleSize = 3, threshold = 0.1, maxDf = 4)
     // construction persisted the shingle intermediate + gate small sides
     Bridge.hasCachedData(spark) shouldBe true
+    // The operator's own eager gate probes finished just before the
+    // release listener registered; their execution-end events ride the
+    // SAME async bus and may be delivered after registration. Give the
+    // bus time to drain and assert they did NOT release the cache (the
+    // QueryExecution-id sentinel must exclude them) — without this the
+    // final assert would also pass on a premature release.
+    Thread.sleep(500)
+    Bridge.hasCachedData(spark) shouldBe true
     pairs.count()
     // release rides the async QueryExecutionListener bus; poll briefly
     val deadline = System.nanoTime() + 10000000000L
@@ -189,6 +197,24 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     // one per cluster + the never-paired doc 42
     kept shouldBe Array(1L, 7L, 42L)
+  }
+
+  test("pointer-doubling clusters variant matches the default on chains, " +
+    "branches, and isolated pairs — and converges on a chain DEEPER than " +
+    "maxIter hops would allow plain propagation") {
+    // two 40-deep chains + a star + a pair; plain propagation needs ~40
+    // hops, path halving must finish inside maxIter = 16
+    val chainA = (0L until 40L).map(i => (i, i + 1))
+    val chainB = (100L until 140L).map(i => (i, i + 1))
+    val star = Seq((200L, 201L), (200L, 202L), (200L, 203L))
+    val pairs = (chainA ++ chainB ++ star ++ Seq((300L, 301L)))
+      .toDF("id_a", "id_b")
+    val doubled = Dedup.clusters(pairs, maxIter = 16, pointerDoubling = true)
+      .as[(Long, Long)].collect().toMap
+    val expected = Dedup.clusters(pairs, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    doubled shouldBe expected
+    doubled.filter(_._1 <= 40L).values.toSet shouldBe Set(0L)
   }
 
   test("dropNearDuplicatesBy keeps the best-scoring row per cluster, not " +

@@ -67,6 +67,58 @@ class SelectionSpec extends SparkSpec {
     approx should not contain 4L
   }
 
+  test("PROPERTY: approx top-fraction is a superset of the exact top " +
+    "fraction and never admits a row below the kept threshold — including " +
+    "tied scores, single-element strata, and all-equal strata") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // adversarial score pool: heavy ties (few distinct values), plus
+    // all-equal and single-row strata arise naturally from the generator
+    val rowsGen: Gen[List[(Long, String, Double)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        stratum <- Gen.oneOf("en", "fr", "de")
+        score <- Gen.oneOf(0.0, 0.25, 0.25, 0.5, 1.0) // deliberate tie mass
+      } yield (stratum, score))
+    } yield rows.zipWithIndex.map { case ((s, sc), i) => (i.toLong, s, sc) }
+    val fracGen = Gen.oneOf(0.0, 0.1, 0.5, 0.9, 1.0)
+    for (i <- 0 until 12) {
+      val rows = rowsGen(Gen.Parameters.default, Seed(7L + i)).get
+      val fraction = fracGen(Gen.Parameters.default, Seed(100L + i)).get
+      val df = rows.toDF("doc_id", "stratum", "score")
+      // exact variant ranks by score desc (doc_id tie-break) — the approx
+      // variant thresholds on score alone, so exact-kept MODULO ties must
+      // survive; with accuracy high enough the quantile is exact here
+      val exact = Selection.topFractionPerStratum(df, "stratum", fraction,
+          rankBy = Seq(col("score").desc, col("doc_id")))
+        .select("doc_id", "stratum", "score")
+        .as[(Long, String, Double)].collect()
+      val approx = Selection.topFractionApproxPerStratum(
+          df, "stratum", "score", fraction)
+        .select("doc_id", "stratum", "score")
+        .as[(Long, String, Double)].collect()
+      val approxIds = approx.map(_._1).toSet
+      // (1) superset of exact: every exactly-kept row is approx-kept
+      //     (ties at the cut are kept, never dropped)
+      withClue(s"seed $i fraction $fraction exact-not-in-approx: ") {
+        exact.filterNot(r => approxIds(r._1)) shouldBe empty
+      }
+      // (2) per-stratum threshold soundness: kept rows all score >= the
+      //     stratum's minimum kept score, and every row tying a kept
+      //     score is kept (no nondeterministic tie split)
+      approx.groupBy(_._2).foreach { case (stratum, kept) =>
+        val thr = kept.map(_._3).min
+        val all = rows.filter(_._2 == stratum)
+        withClue(s"seed $i stratum $stratum ties at $thr: ") {
+          all.filter(_._3 >= thr).map(_._1).toSet shouldBe
+            kept.map(_._1).toSet
+        }
+      }
+      // (3) every nonempty stratum keeps at least one row
+      approx.map(_._2).toSet shouldBe rows.map(_._2).toSet
+    }
+  }
+
   test("zero-token docs are excluded either way, so setting maxDocs never " +
     "changes which docs are selected") {
     // doc 7 ranks ABOVE the en cut, docs 8/9 rank past any maxDocs pre-cut;
