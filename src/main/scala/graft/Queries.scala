@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{ServiceRegistry, Graph => GGraph}
-import graft.operators.{Dedup, Joins, Multimodal, Selection, Similarity}
+import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Selection, Similarity}
 import graft.sinks.{InsertOrUpdate, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
@@ -717,6 +717,23 @@ object Queries {
       .orderBy("domain")
   }
 
+  /** Corpus vocabulary profile: top word 3-grams by document frequency
+    * ([[CorpusStats.vocabTopK]]) — the stop-shingle candidate report whose
+    * head feeds the pair joins' `maxDf` guard. Exact integer counts over
+    * the same shingler as the dedup operators, deterministic total order
+    * (df desc, gram), TakeOrderedAndProject top-k. */
+  private def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabTopK(tab(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, k = 100)
+
+  /** Per-document keyword extraction: top-5 terms by tf-idf
+    * ([[CorpusStats.tfidfTopK]]). tf/df are exact integers; tf·ln(N/df)
+    * rounds to 6 before ranking with ties broken on the term string, so
+    * the per-document cut is engine-independent. */
+  private def tfidfTopk(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.tfidfTopK(tab(s, dir, "documents"), "text", "doc_id", k = 5)
+      .orderBy("doc_id", "rank")
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -781,7 +798,9 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "pii_scrub" -> piiScrub _,
     "url_stats" -> urlStats _,
-    "top_fraction" -> topFraction _
+    "top_fraction" -> topFraction _,
+    "vocab_topk" -> vocabTopk _,
+    "tfidf_topk" -> tfidfTopk _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1512,6 +1531,44 @@ object Queries {
         |                         ORDER BY quality DESC, doc_id) AS pr
         |  FROM scored)
         |SELECT lang_id, doc_id, quality FROM ranked
-        |WHERE pr <= 0.2 ORDER BY lang_id, doc_id""".stripMargin
+        |WHERE pr <= 0.2 ORDER BY lang_id, doc_id""".stripMargin,
+    // same 3-gram shingle construction as decontaminate's 5-gram CTE;
+    // shingle sets are distinct per doc, so count(*) is document frequency
+    "vocab_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS gram FROM t)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS df FROM s
+        |GROUP BY gram ORDER BY df DESC, gram LIMIT 100""".stripMargin,
+    // tf, df are exact integers; tf*ln(N/df) rounds to 6 BEFORE the
+    // per-document ranking, ties on the term string — engine-independent
+    "tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Corpus-level vocabulary and term-weight statistics — the profiling side
+  * of training-data curation: what the corpus is made of (dominant n-grams,
+  * boilerplate candidates for `maxDf` stop lists) and what each document is
+  * about (tf-idf keywords for topic mixing / dedup explanations).
+  *
+  * Everything is exact integer or round-6 arithmetic over the same
+  * tokenizer/shingler as the dedup operators ([[graft.functions
+  * .TextFunctions.tokens]], [[graft.functions.HashFunctions
+  * .wordShingles]]), so results are engine-independent and DuckDB
+  * oracle-checkable, and a stop list produced here plugs directly into
+  * [[Dedup.ngramJaccardPairs]]'s `maxDf` semantics.
+  */
+object CorpusStats {
+
+  /** Top-`k` word `shingleSize`-grams by DOCUMENT frequency (shingle sets
+    * are distinct per document, so `count` counts documents, not
+    * occurrences). The corpus-profiling primitive: its head is exactly the
+    * boilerplate the pair joins' `maxDf` guard drops, so this query IS the
+    * stop-shingle candidate report.
+    *
+    * Scale shape: one scan-side shingle explode, one map-side-combined
+    * aggregation on the gram key, then `TakeOrderedAndProject` for the
+    * top-k (each task keeps k rows; no global sort, no single-task
+    * stratum) — O(k) driver result at any corpus size. */
+  def vocabTopK(df: DataFrame, textCol: String, idCol: String,
+                shingleSize: Int = 3, k: Int = 100): DataFrame =
+    df.select(col(idCol),
+        explode(H.wordShingles(T.tokens(trim(lower(col(textCol)))), shingleSize))
+          .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(k)
+
+  /** Per-document top-`k` tf-idf keywords: term frequency × ln(N/df),
+    * rounded to 6 decimals BEFORE ranking (ties then break on the term
+    * string) so the cut is engine-independent — ln differs from DuckDB's
+    * by at most an ulp, which round-6 absorbs except within 2⁻⁵² of a
+    * rounding boundary. Empty terms (blank documents tokenize to [""])
+    * are excluded.
+    *
+    * Scale shape: tf is one composite-key (doc, term) aggregation; df is
+    * a second aggregation over the tf relation (already one row per
+    * doc×term — cheaper than re-scanning text); N is a one-row broadcast;
+    * the per-document top-k plans a WindowGroupLimit, so each task keeps
+    * k rows per document ahead of the final exchange. */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 5): DataFrame = {
+    val terms = df.select(col(idCol),
+        explode(T.tokens(trim(lower(col(textCol))))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count_distinct(col(idCol)).as("__n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+}

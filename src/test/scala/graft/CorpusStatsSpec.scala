@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown cat sleeps"),
+    (3L, "the quick brown fox runs"),
+    (4L, "entirely different words here now"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("vocabTopK counts DOCUMENT frequency (not occurrences) of word " +
+    "n-grams and orders by df desc then gram") {
+    val top = CorpusStats.vocabTopK(docs, "text", "doc_id",
+        shingleSize = 3, k = 3)
+      .as[(String, Long)].collect()
+    // "the quick brown" appears in docs 1,2,3; "quick brown fox" in 1,3
+    top.head shouldBe ("the quick brown", 3L)
+    top(1) shouldBe ("quick brown fox", 2L)
+    // everything else is df=1; the k=3 cut takes the lexicographically
+    // first of the df=1 grams
+    top(2)._2 shouldBe 1L
+  }
+
+  test("a document repeating a shingle still counts once toward df " +
+    "(shingle sets are distinct per document)") {
+    val rep = Seq(
+      (1L, "a b c a b c a b c"), // "a b c" many times, one doc
+      (2L, "a b c only")
+    ).toDF("doc_id", "text")
+    val top = CorpusStats.vocabTopK(rep, "text", "doc_id",
+        shingleSize = 3, k = 1)
+      .as[(String, Long)].collect()
+    top.head shouldBe ("a b c", 2L)
+  }
+
+  test("tfidfTopK ranks per-document terms by tf*ln(N/df) with round-6 " +
+    "tie-break on the term, excludes corpus-universal terms at weight 0, " +
+    "and skips blank documents") {
+    val out = CorpusStats.tfidfTopK(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    // doc 5 is blank: tokenizes to [""] which is excluded -> absent
+    out.map(_._1).distinct.sorted shouldBe Array(1L, 2L, 3L, 4L)
+    // "the" appears in 4 of 5 docs -> idf = ln(5/4) > 0 but small;
+    // doc-unique words (df=1) get idf = ln(5) and outrank it
+    val doc1 = out.filter(_._1 == 1L)
+    doc1.map(_._2).toSet shouldBe Set("jumps", "fox")
+    doc1.foreach { r => r._5 shouldBe math.round(
+      r._3 * math.log(5.0 / r._4) * 1e6) / 1e6 +- 1e-9 }
+    // rank is contiguous from 1 within each doc
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._6).sorted shouldBe (1L to rows.length).toArray
+    }
+  }
+
+  test("tfidfTopK WindowGroupLimit pre-cut appears in the physical plan " +
+    "(per-document top-k is cut before the final exchange)") {
+    val q = CorpusStats.tfidfTopK(docs, "text", "doc_id", k = 2)
+    q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+}
