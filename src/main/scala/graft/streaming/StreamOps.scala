@@ -52,6 +52,58 @@ object StreamOps {
       }
   }
 
+  /** Streaming first-occurrence-wins dedup with PROCESSING-TIME TTL state:
+    * the first row of each key passes, later rows are suppressed while the
+    * key's state is fresh, and state evicts `ttlMs` after the key was last
+    * seen (sliding TTL) — the at-least-once-ingestion dedup shape when
+    * events carry NO usable event-time column (otherwise prefer
+    * [[dedupeStream]], whose watermark bound is deterministic).
+    * `flatMapGroupsWithState` + `GroupStateTimeout.ProcessingTimeTimeout`:
+    * state is one boolean per live key, evicted by the state store itself,
+    * so memory is bounded by keys-per-TTL-window, not stream length.
+    *
+    * Eviction happens at the first trigger AFTER expiry: a duplicate
+    * arriving in the very trigger its key would expire is still suppressed
+    * (conservative — a late duplicate is dropped rather than re-admitted).
+    * Rows are carried through a JSON round-trip of the input schema, so
+    * exotic payload types (binary → base64) survive unchanged.
+    *
+    * RUN WITH AN EXPLICIT TRIGGER INTERVAL (`Trigger.ProcessingTime`):
+    * with a processing-time timeout registered, Structured Streaming
+    * re-triggers batches even with no new data so expiries can fire — under
+    * the default 0 ms trigger that is a busy loop of empty micro-batches.
+    * An interval of roughly the TTL's granularity bounds the idle cost. */
+  def dedupeKeysWithTTL(stream: DataFrame, keyCols: Seq[String],
+                        ttlMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(keyCols.nonEmpty, "at least one key column")
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+    val keyed = stream.select(
+        concat_ws("\u0000", keyCols.map(c => col(c).cast("string")): _*)
+          .as("__key"),
+        to_json(struct(stream.columns.map(col): _*)).as("__payload"))
+      .as[(String, String)]
+    val firstSeen = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, String](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, rows: Iterator[(String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fresh = !state.exists
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            if (fresh) rows.take(1).map(_._2) else Iterator.empty
+          }
+      }
+    firstSeen.toDF("__payload")
+      .select(from_json(col("__payload"), schema).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Watermarked stream-stream interval join: match each left event to
     * right events of the same `key` whose timestamp lies in
     * [left.ts − before, left.ts + after]. Both sides carry watermarks so

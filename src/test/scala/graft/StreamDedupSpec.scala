@@ -166,4 +166,54 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
     emitted.sorted shouldBe Seq(11L)
   }
+
+  test("TTL key dedup (flatMapGroupsWithState + ProcessingTimeTimeout): " +
+    "first occurrence passes, duplicates are suppressed while state is " +
+    "fresh, and an evicted key is re-admitted after expiry") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val emitted = ArrayBuffer[(Long, String)]()
+    val deduped = StreamOps.dedupeKeysWithTTL(
+      mem.toDF.toDF("event_id", "payload"), Seq("event_id"), ttlMs = 500L)
+    // Explicit trigger interval (see the operator scaladoc): processing-
+    // time timeouts re-trigger empty batches so expiries can fire; the
+    // interval also means processAllAvailable cannot be starved by a 0 ms
+    // busy loop. Assertions after the TTL phase POLL instead of calling
+    // processAllAvailable, because eviction work is not "available data".
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.as[(Long, String)].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    def emittedIds: Seq[Long] =
+      emitted.synchronized { emitted.map(_._1).toSeq }.sorted
+    def awaitIds(expect: Seq[Long]): Unit = {
+      val deadline = System.nanoTime() + 30000000000L
+      while (emittedIds != expect && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      emittedIds shouldBe expect
+    }
+    try {
+      // batch 1: duplicate INSIDE the batch — one survivor per key
+      mem.addData((1L, "a"), (1L, "a-dup"), (2L, "b"))
+      awaitIds(Seq(1L, 2L))
+      // batch 2: cross-batch duplicate suppressed; fresh key passes
+      mem.addData((1L, "a-again"), (3L, "c"))
+      awaitIds(Seq(1L, 2L, 3L))
+      // let the TTL lapse; the engine's timeout triggers evict the
+      // expired keys, after which key 1 is re-admitted
+      Thread.sleep(1200L)
+      mem.addData((4L, "d"))
+      awaitIds(Seq(1L, 2L, 3L, 4L))
+      mem.addData((1L, "a-after-ttl"))
+      awaitIds(Seq(1L, 1L, 2L, 3L, 4L))
+      emitted.synchronized {
+        emitted.filter(_._1 == 1L).map(_._2).sorted.toSeq shouldBe
+          Seq("a", "a-after-ttl")
+      }
+    } finally q.stop()
+  }
 }
