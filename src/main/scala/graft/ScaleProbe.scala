@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Scale probe for the exact pair-join variants (dev tool, not part of the
   * driver contract): measures, on a corpus N× the largest local fixture,
@@ -61,6 +61,11 @@ object ScaleProbe {
     val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES")
       .flatMap(_.trim.toIntOption).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Probe selection (comma list): re-run one probe and merge its entry
+    // into SCALEPROBE.json without paying for the others.
+    val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
+        "pair_join_scale,clusters_chain,ann_scale")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,6 +75,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (probes("pair_join_scale")) {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -115,7 +121,9 @@ object ScaleProbe {
       s""""passes":$passes,"variants":$qs,"sf":"$sfDir"}"""
     println(s"""{"probe":"pair_join_scale",${entry.tail}""")
     writeArtifact("pair_join_scale", entry)
+    }
 
+    if (probes("clusters_chain")) {
     // Deep-chain clusters probe: the adversarial shape for min-label
     // propagation (diameter = chain length, so plain propagation pays one
     // distributed hop per level) vs the pointer-doubling variant
@@ -157,6 +165,63 @@ object ScaleProbe {
       s""""passes":$passes,"variants":$cq}"""
     println(s"""{"probe":"clusters_chain",${cEntry.tail}""")
     writeArtifact("clusters_chain", cEntry)
+    }
+
+    if (probes("ann_scale")) {
+    // ANN probe at SCALE×: per-query-batch cost of brute force (scores
+    // every corpus row) vs a PERSISTED IVF index (ivfBuild once — paid
+    // separately and reported as build_sec — then ivfProbeTopK reads only
+    // the probed ~nProbe/nCells of the data via static partition pruning
+    // and reuses persisted norms). The INLINE ivfTopK is deliberately not
+    // the variant here: its per-call cell assignment does nCells dot
+    // products per corpus row, which can never beat a 20-query brute pass
+    // (20 < nCells) — the amortized index is the actual scale path.
+    // Replicas reuse the same vectors (cell populations scale linearly,
+    // like a denser crawl of the same distribution); queries are a fixed
+    // 20-vector batch.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embScaled = (0 until scale).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ union _)
+    val embPath = java.nio.file.Files.createTempDirectory("graft_ann")
+      .resolve("embeddings.parquet").toString
+    embScaled.repartition(cpus.toInt).write.mode("overwrite").parquet(embPath)
+    val annCorpus = spark.read.parquet(embPath)
+    val nVecs = annCorpus.count()
+    val annQueries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val tBuild = System.nanoTime()
+    Similarity.ivfBuild(annCorpus, "embedding", ivfPath, nCells = 64)
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+    val annVariants: Seq[(String, () => Long)] = Seq(
+      "brute_force" -> (() => Similarity.bruteForceTopK(
+        annCorpus, annQueries, "embedding", "vec_id", "query_id",
+        k = 10).count()),
+      "ivf_probe_nprobe8_of64" -> (() => Similarity.ivfProbeTopK(
+        spark, ivfPath, annQueries, "embedding", "vec_id", "query_id",
+        k = 10, nProbe = 8).count())
+    )
+    val annResults = annVariants.map { case (name, run) =>
+      val times = (1 to passes).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = run()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      name -> (times.map(_._1).min, times.head._2)
+    }
+    val aq = annResults.map { case (k, (secs, rows)) =>
+      s""""$k":{"sec":$secs,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    val aEntry = s"""{"scale":$scale,"vectors":$nVecs,"queries":20,""" +
+      s""""passes":$passes,"ivf_build_sec":$buildSec,""" +
+      s""""variants":$aq,"sf":"$sfDir"}"""
+    println(s"""{"probe":"ann_scale",${aEntry.tail}""")
+    writeArtifact("ann_scale", aEntry)
+    }
     spark.stop()
   }
 }
