@@ -55,6 +55,8 @@ object api {
   val Similarity = operators.Similarity
   val Joins = operators.Joins
   val Multimodal = operators.Multimodal
+  val Selection = operators.Selection
+  val CorpusStats = operators.CorpusStats
   val EventWindows = streaming.EventWindows
   val StreamOps = streaming.StreamOps
 }

@@ -65,4 +65,11 @@ class CorpusStatsSpec extends SparkSpec {
     val q = CorpusStats.tfidfTopK(docs, "text", "doc_id", k = 2)
     q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
+
+  test("vocabTopK plans TakeOrderedAndProject — each task keeps k rows, " +
+    "no global sort of the vocabulary") {
+    val q = CorpusStats.vocabTopK(docs, "text", "doc_id", shingleSize = 3,
+      k = 3)
+    q.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
 }
