@@ -530,15 +530,26 @@ object Queries {
 
   // -------------------------------------- rows-only (no SQL-expressible oracle)
 
-  /** HLL++ sketch counts (approx_count_distinct): engine-specific sketch —
-    * no cross-engine oracle; `FunctionsSpec`-adjacent accuracy bound is
-    * asserted in tests. Exact counts ride along for self-evidence. */
+  /** HLL++ sketch counts (approx_count_distinct): the sketch VALUE is
+    * engine-specific, but its CONTRACT — estimate within the configured
+    * relative standard deviation of the exact count — is not. The query
+    * emits the exact counts plus a bounded-error boolean (|est − exact| ≤
+    * 3·rsd·exact, the 3σ band of the rsd guarantee), so the DuckDB oracle
+    * can check the sketch's contract: it computes the exact counts and
+    * expects the bounds to hold. Deterministic — Spark's HLL++ hash is
+    * fixed, so the booleans are stable across runs. */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+      approx_count_distinct(col("l_suppkey"), 0.05).as("__approx_supp"),
       countDistinct(col("l_suppkey")).as("exact_supp"),
-      approx_count_distinct(col("l_partkey")).as("approx_part"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("__approx_part"),
       countDistinct(col("l_partkey")).as("exact_part"))
+      .select(col("exact_supp"),
+        (abs(col("__approx_supp") - col("exact_supp"))
+          <= col("exact_supp") * (3 * 0.05)).as("supp_within_bounds"),
+        col("exact_part"),
+        (abs(col("__approx_part") - col("exact_part"))
+          <= col("exact_part") * (3 * 0.05)).as("part_within_bounds"))
 
   /** MinHash-LSH pairs: signatures depend on the engine's hash family, so
     * there is no cross-engine SQL oracle; correctness is covered by the
@@ -588,15 +599,22 @@ object Queries {
         count(lit(1)).as("n_docs"))
       .orderBy("lang_id")
 
-  /** IVF coarse-quantized ANN: rows-only (k-means centroids are
-    * engine-specific); recall vs brute force is pinned in ScalaTest. */
+  /** IVF coarse-quantized ANN in its FULL-PROBE configuration
+    * (nProbe = nCells): every cell is probed, so the result is exactly
+    * brute-force cosine top-k regardless of where the engine-specific
+    * k-means quantizer placed its centroids — which makes the query
+    * oracle-checkable against the same exact-cosine SQL as
+    * `similarity_topk` while still exercising the complete IVF machinery
+    * (fit, assignment, probe expansion, per-cell join). Partial-probe
+    * recall (the production configuration) is pinned by `SimilaritySpec`
+    * and measured at scale in SCALEPROBE.json `ann_scale`. */
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = tab(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = emb.filter(col("vec_id") >= 5)
     Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", "query_id",
-        k = 10, nCells = 16, nProbe = 4)
+        k = 10, nCells = 16, nProbe = 16)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
@@ -1569,6 +1587,37 @@ object Queries {
         |                            ORDER BY tfidf DESC, term) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
-        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // the sketch's CONTRACT is oracle-checkable even though its value is
+    // engine-specific: the oracle computes the exact distinct counts and
+    // expects the Spark side's 3σ bounded-error booleans to be true
+    "approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
+        |  TRUE AS supp_within_bounds,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_part,
+        |  TRUE AS part_within_bounds
+        |FROM lineitem""".stripMargin,
+    // full-probe IVF (nProbe = nCells) is exact cosine top-k — identical
+    // semantics to similarity_topk's brute-force oracle
+    "ivf_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_dot_product(qv, v) /
+        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }
