@@ -126,9 +126,12 @@ object ScaleProbe {
     if (probes("clusters_chain")) {
     // Deep-chain clusters probe: the adversarial shape for min-label
     // propagation (diameter = chain length, so plain propagation pays one
-    // distributed hop per level) vs the pointer-doubling variant
-    // (O(log diameter) hops). Real near-dup graphs are shallow — this
-    // measures the pathological tail that motivates the opt-in flag.
+    // distributed hop per level) vs pointer doubling (O(log diameter)
+    // hops). Real near-dup graphs are shallow — this measures the
+    // pathological tail. Three variants since the adaptive escalation
+    // landed: pure propagation (adaptAfter disabled), the DEFAULT
+    // arguments (plain hops until adaptAfter, then path-halving), and
+    // doubling forced from the first hop.
     val chainLen = 64
     val nChains = 3000
     val chainEdges = spark.range(0L, chainLen.toLong * nChains)
@@ -138,7 +141,11 @@ object ScaleProbe {
       .persist()
     chainEdges.count()
     val clusterVariants: Seq[(String, () => Long)] = Seq(
-      "propagate" -> (() => Dedup.clusters(chainEdges, maxIter = 200)
+      "propagate" -> (() => Dedup.clusters(chainEdges, maxIter = 200,
+          adaptAfter = Int.MaxValue)
+        .select(countDistinct("cluster")).as[Long](spark.implicits.newLongEncoder)
+        .head()),
+      "adaptive_default" -> (() => Dedup.clusters(chainEdges, maxIter = 200)
         .select(countDistinct("cluster")).as[Long](spark.implicits.newLongEncoder)
         .head()),
       "pointer_doubling" -> (() => Dedup.clusters(chainEdges, maxIter = 200,

@@ -434,8 +434,18 @@ object Dedup {
     * the price of a second join per hop. MEASURED (graft.ScaleProbe
     * `clusters_chain`, 3000 × 64-node chains): the shallow-cluster default
     * corpus shape is FASTER without doubling (the extra join buys
-    * nothing at diameter ≤ 3), hence opt-in, not default; on the deep
+    * nothing at diameter ≤ 3), hence not the round-1 default; on the deep
     * chains it wins by the round-count ratio.
+    *
+    * The flag is ADAPTIVE rather than all-or-nothing: with
+    * `pointerDoubling = false` the loop starts as pure propagation and
+    * escalates to path-halving on its own when the convergence check
+    * (every `checkEvery` hops) sees labels still moving after `adaptAfter`
+    * hops — shallow corpora (diameter ≤ adaptAfter) never pay the extra
+    * join, and a forgotten flag on a deep-chain corpus costs O(log
+    * diameter) extra hops instead of silently hitting `maxIter` with
+    * unconverged labels. `pointerDoubling = true` forces halving from the
+    * first hop (the right call when the input is KNOWN chain-shaped).
     *
     * Returns ("id", "cluster") in the pair columns' own type — any
     * orderable id type works (the label is the component MINIMUM under the
@@ -443,7 +453,8 @@ object Dedup {
     * engine-independent (oracle-checked against a recursive-CTE closure in
     * DuckDB). */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 20, pointerDoubling: Boolean = false): DataFrame = {
+               maxIter: Int = 20, pointerDoubling: Boolean = false,
+               adaptAfter: Int = 6): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -466,6 +477,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
+    var doubling = pointerDoubling
     while (changed > 0 && iter < maxIter) {
       val hops = math.min(checkEvery, maxIter - iter)
       var cur = labels.withColumn("__prev", col("label"))
@@ -477,7 +489,7 @@ object Dedup {
           .select(col("id"), col("__prev"),
             least(col("label"), col("__nbrMin")).as("label"))
           .localCheckpoint(false)
-        if (pointerDoubling) {
+        if (doubling) {
           // Path halving: label ← label(label). Every label is a node id
           // (the min of ids seen so far), so the lookup is a self-join;
           // labels are monotone non-increasing, so label(label) ≤ label
@@ -492,6 +504,11 @@ object Dedup {
       changed = cur.filter(col("label") < col("__prev")).count()
       labels = cur.drop("__prev")
       iter += hops
+      // adaptive escalation: still moving after `adaptAfter` hops means the
+      // graph is deeper than the shallow near-dup shape the plain loop is
+      // tuned for — switch the remaining hops to path-halving so distance
+      // to the representative shrinks geometrically instead of by 1
+      if (!doubling && changed > 0 && iter >= adaptAfter) doubling = true
     }
     sym.unpersist()
     labels.withColumnRenamed("label", "cluster")

@@ -246,6 +246,19 @@ class DedupSpec extends SparkSpec {
     got.forall(_._2 == 0L) shouldBe true
   }
 
+  test("clusters escalates to path-halving on its own: a chain deeper than " +
+    "maxIter plain hops converges with DEFAULT arguments") {
+    // path graph of 200 nodes (diameter 199 >> maxIter = 20): pure
+    // propagation would exhaust maxIter with unconverged labels; the
+    // adaptive switch must kick in at adaptAfter hops and finish the rest
+    // in O(log diameter). Offset doubles per escalated hop (o <- 2(o+1)),
+    // so ~5 escalated hops reach 199 — well inside the default budget.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
+    got.length shouldBe 200
+    got.forall(_._2 == 0L) shouldBe true
+  }
+
   test("embedding cosine dedup reports only pairs above threshold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
