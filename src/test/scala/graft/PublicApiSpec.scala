@@ -24,8 +24,10 @@ class PublicApiSpec extends SparkSpec {
   }
 
   test("every declared query has either an oracle or is documented rows-only") {
+    // ivf_topk (full-probe == exact) and approx_distinct (bounded-error
+    // booleans) graduated to real oracles in round 7
     val rowsOnly = Set("minhash_pairs", "simhash_pairs", "embcos_pairs",
-      "lsh_topk", "ivf_topk", "approx_distinct", "group_sketch")
+      "lsh_topk", "group_sketch")
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet shouldBe rowsOnly
     // no orphan oracles
     SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet shouldBe Set.empty
