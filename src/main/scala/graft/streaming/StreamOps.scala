@@ -65,8 +65,9 @@ object StreamOps {
     * Eviction happens at the first trigger AFTER expiry: a duplicate
     * arriving in the very trigger its key would expire is still suppressed
     * (conservative — a late duplicate is dropped rather than re-admitted).
-    * Rows are carried through a JSON round-trip of the input schema, so
-    * exotic payload types (binary → base64) survive unchanged.
+    * Rows pass through TYPED, via the input schema's Row encoder — no
+    * serialization format in the middle, so every column type (binary,
+    * maps with non-string keys, nested structs) round-trips exactly.
     *
     * RUN WITH AN EXPLICIT TRIGGER INTERVAL (`Trigger.ProcessingTime`):
     * with a processing-time timeout registered, Structured Streaming
@@ -76,20 +77,22 @@ object StreamOps {
   def dedupeKeysWithTTL(stream: DataFrame, keyCols: Seq[String],
                         ttlMs: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
     require(keyCols.nonEmpty, "at least one key column")
     require(ttlMs > 0, "ttlMs must be positive")
     val spark = stream.sparkSession
     import spark.implicits._
-    val schema = stream.schema
+    val rowEnc = Encoders.row(stream.schema)
+    // tuple-encoder field resolution is by the _1/_2 names, so alias to them
     val keyed = stream.select(
         concat_ws("\u0000", keyCols.map(c => col(c).cast("string")): _*)
-          .as("__key"),
-        to_json(struct(stream.columns.map(col): _*)).as("__payload"))
-      .as[(String, String)]
-    val firstSeen = keyed.groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, String](
+          .as("_1"),
+        struct(stream.columns.map(col): _*).as("_2"))
+      .as(Encoders.tuple(Encoders.STRING, rowEnc))
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (_: String, rows: Iterator[(String, String)],
+        (_: String, rows: Iterator[(String, Row)],
          state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -98,10 +101,83 @@ object StreamOps {
             state.setTimeoutDuration(ttlMs)
             if (fresh) rows.take(1).map(_._2) else Iterator.empty
           }
-      }
-    firstSeen.toDF("__payload")
-      .select(from_json(col("__payload"), schema).as("__r"))
-      .select(col("__r.*"))
+      }(Encoders.scalaBoolean, rowEnc)
+      .toDF()
+  }
+
+  /** EVENT-TIME variant of [[dedupeKeysWithTTL]]: the TTL is measured on
+    * the stream's own `tsCol` against the watermark, not on wall-clock
+    * trigger times — the right shape when events DO carry an event-time
+    * column. First occurrence (in arrival order) wins; every sighting of
+    * the key — kept or suppressed — extends the key's expiry to its
+    * event-time + `ttlMs` (sliding TTL, the same contract as the
+    * processing-time variant); state evicts once the watermark passes the
+    * expiry, after which the key is admitted again.
+    *
+    * Determinism is the point: eviction depends only on the data's own
+    * timestamps and the watermark `delay`, so a test (or a backfill rerun)
+    * sees identical keep/suppress decisions regardless of trigger timing
+    * — no explicit-trigger-interval caveat. Rows later than the watermark
+    * are dropped by the engine before they reach the state function (the
+    * standard late-data policy; choose `delay` accordingly). Expiry
+    * timestamps are clamped above the current watermark — EventTimeTimeout
+    * rejects timestamps at or behind it, and an on-time row whose short
+    * TTL already ended relative to the watermark would otherwise register
+    * an illegal expiry. The watermark is applied HERE; pass the raw
+    * stream. */
+  def dedupeKeysWithTTLEventTime(stream: DataFrame, keyCols: Seq[String],
+                                 tsCol: String, delay: String,
+                                 ttlMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keyCols.nonEmpty, "at least one key column")
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rowEnc = Encoders.row(stream.schema)
+    // watermark goes on the PROJECTED timestamp (_2): a cast after
+    // withWatermark would strip the watermark metadata from the attribute
+    // the state operator sees, failing the unsupported-operation check
+    val keyed = stream
+      .select(
+        concat_ws("\u0000", keyCols.map(c => col(c).cast("string")): _*)
+          .as("_1"),
+        col(tsCol).cast("timestamp").as("_2"),
+        struct(stream.columns.map(col): _*).as("_3"))
+      .withWatermark("_2", delay)
+      .as(Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc))
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(String, java.sql.Timestamp, Row)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // a key whose stored expiry is already behind the watermark is
+            // expired even if its timeout sweep hasn't run yet (data
+            // arriving for a key defers its timeout callback) — treating
+            // it as fresh makes re-admission a pure function of event
+            // times and the delay, not of trigger interleaving
+            val wm = state.getCurrentWatermarkMs()
+            val fresh = !state.exists || state.get <= wm
+            // one pass: remember the first row (the keeper) and the max
+            // event time (the sliding-TTL anchor) without buffering the
+            // group
+            var first: Row = null
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, ts, row) =>
+              if (first == null) first = row
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            val expiry = math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1)
+            state.update(expiry)
+            state.setTimeoutTimestamp(expiry)
+            if (fresh && first != null) Iterator.single(first)
+            else Iterator.empty
+          }
+      }(Encoders.scalaLong, rowEnc)
+      .toDF()
   }
 
   /** Watermarked stream-stream interval join: match each left event to

@@ -173,8 +173,11 @@ class StreamDedupSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val emitted = ArrayBuffer[(Long, String)]()
+    // TTL sized >> batch duration: state-store batches run ~100-400 ms
+    // here, and the cross-batch suppression assertion needs key 1 still
+    // alive when batch 2 processes — a tight TTL makes the test racy
     val deduped = StreamOps.dedupeKeysWithTTL(
-      mem.toDF.toDF("event_id", "payload"), Seq("event_id"), ttlMs = 500L)
+      mem.toDF.toDF("event_id", "payload"), Seq("event_id"), ttlMs = 2000L)
     // Explicit trigger interval (see the operator scaladoc): processing-
     // time timeouts re-trigger empty batches so expiries can fire; the
     // interval also means processAllAvailable cannot be starved by a 0 ms
@@ -205,7 +208,7 @@ class StreamDedupSpec extends SparkSpec {
       awaitIds(Seq(1L, 2L, 3L))
       // let the TTL lapse; the engine's timeout triggers evict the
       // expired keys, after which key 1 is re-admitted
-      Thread.sleep(1200L)
+      Thread.sleep(3000L)
       mem.addData((4L, "d"))
       awaitIds(Seq(1L, 2L, 3L, 4L))
       mem.addData((1L, "a-after-ttl"))
@@ -213,6 +216,98 @@ class StreamDedupSpec extends SparkSpec {
       emitted.synchronized {
         emitted.filter(_._1 == 1L).map(_._2).sorted.toSeq shouldBe
           Seq("a", "a-after-ttl")
+      }
+    } finally q.stop()
+  }
+
+  test("TTL key dedup payload is TYPED: binary columns round-trip " +
+    "byte-exact through the state operator (no serialization format in " +
+    "the middle)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val emitted = ArrayBuffer[(Long, Array[Byte])]()
+    val deduped = StreamOps.dedupeKeysWithTTL(
+      mem.toDF.toDF("event_id", "blob"), Seq("event_id"), ttlMs = 60000L)
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.as[(Long, Array[Byte])].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    // POLL, don't processAllAvailable: with a processing-time timeout
+    // registered every trigger is a cleanup batch, so the engine never
+    // reports "no new data" (same caveat as the TTL test above)
+    def got: Seq[(Long, Seq[Byte])] = emitted.synchronized {
+      emitted.map(t => (t._1, t._2.toSeq)).sortBy(_._1).toSeq
+    }
+    try {
+      // full signed-byte range incl. NUL and an empty blob — the payloads
+      // a JSON round-trip would mangle (base64 or charset re-encode)
+      val blob = Array[Byte](0, 1, -1, 127, -128, 42)
+      mem.addData((1L, blob), (1L, Array[Byte](9, 9)), (2L, Array.empty[Byte]))
+      val deadline = System.nanoTime() + 30000000000L
+      while (got.map(_._1) != Seq(1L, 2L) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      got.map(_._1) shouldBe Seq(1L, 2L)
+      got.head._2 shouldBe blob.toSeq // first occurrence's payload, exact
+      got(1)._2 shouldBe Seq.empty
+      deduped.schema("blob").dataType shouldBe
+        org.apache.spark.sql.types.BinaryType
+    } finally q.stop()
+  }
+
+  test("EVENT-TIME TTL key dedup: suppression and re-admission are a pure " +
+    "function of event timestamps and the watermark delay, with " +
+    "out-of-order and late events") {
+    implicit val sql = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val emitted = ArrayBuffer[(Long, String)]()
+    val deduped = StreamOps.dedupeKeysWithTTLEventTime(
+      mem.toDF.toDF("event_id", "ts", "payload"), Seq("event_id"),
+      "ts", delay = "0 seconds", ttlMs = 10000L)
+    // no explicit trigger needed: eviction rides the watermark, so the
+    // test is deterministic under processAllAvailable alone
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.selectExpr("event_id", "payload")
+          .as[(Long, String)].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    def ids: Seq[Long] = emitted.synchronized { emitted.map(_._1).sorted.toSeq }
+    try {
+      // batch 1: in-batch duplicate of key 1, out of order (t=11 arrives
+      // before t=10) — first ARRIVAL wins; watermark after batch = 12
+      mem.addData((1L, ts(11), "first-arrival"), (1L, ts(10), "earlier-ts"),
+        (2L, ts(12), "b"))
+      q.processAllAvailable()
+      ids shouldBe Seq(1L, 2L)
+      emitted.synchronized {
+        emitted.find(_._1 == 1L).get._2 shouldBe "first-arrival"
+      }
+      // batch 2: key 1 at t=15 is inside its TTL window (expiry 11+10=21)
+      // -> suppressed, and the sighting slides expiry to 25; key 4 is LATE
+      // (t=5 behind watermark 12) and the engine drops late rows before
+      // they reach the state function — standard late-data policy, so key
+      // 4 never appears
+      mem.addData((1L, ts(15), "a-again"), (3L, ts(16), "c"),
+        (4L, ts(5), "late-arrival"))
+      q.processAllAvailable()
+      ids shouldBe Seq(1L, 2L, 3L)
+      // batch 3: advance the watermark to 40, past key 1's expiry (25)
+      mem.addData((9L, ts(40), "advance-watermark"))
+      q.processAllAvailable()
+      // batch 4: key 1 re-admitted purely because watermark (40) passed
+      // its event-time expiry — no wall-clock sleep, no trigger timing
+      mem.addData((1L, ts(41), "a-after-ttl"))
+      q.processAllAvailable()
+      ids shouldBe Seq(1L, 1L, 2L, 3L, 9L)
+      emitted.synchronized {
+        emitted.filter(_._1 == 1L).map(_._2).sorted.toSeq shouldBe
+          Seq("a-after-ttl", "first-arrival")
       }
     } finally q.stop()
   }
