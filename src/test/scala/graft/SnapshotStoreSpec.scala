@@ -155,6 +155,52 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.read(spark, root).get.count() shouldBe 1
   }
 
+  test("writer crash BETWEEN bucket writes and manifest commit: readers " +
+    "stay on the old version, a racing writer fails on the claim, and " +
+    "vacuum reclaims the orphan so the retry lands cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapA").toString
+    SnapshotStore.upsert(spark, root,
+      (1 to 100).map(i => (i, s"v$i")).toDF("id", "value"), cfg, nBuckets = 8)
+
+    // Stage the exact crash point of the commit protocol: the writer has
+    // (1) claimed version 1 and (2) written its rewritten-bucket parquet
+    // under snapshot=1/__bucket=*, then died before writeManifest — so no
+    // _MANIFEST and no pointer move. This is the largest-footprint crash
+    // (full-size data on disk) the protocol must keep invisible.
+    new java.io.File(root, "claim=1").createNewFile() shouldBe true
+    Seq((1, "torn"), (2, "torn")).toDF("id", "value")
+      .write.parquet(s"$root/snapshot=1/__bucket=3")
+    Seq((3, "torn")).toDF("id", "value")
+      .write.parquet(s"$root/snapshot=1/__bucket=5")
+
+    // readers resolve the pointer -> still version 0, original content
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
+    val seen = SnapshotStore.read(spark, root).get
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    seen.size shouldBe 100
+    seen(1) shouldBe "v1"
+
+    // a new writer re-reads version 0 and targets 1 -> the dead writer's
+    // claim makes it fail loudly instead of mixing output into the orphan
+    intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.upsert(spark, root, Seq((1, "update")).toDF("id", "value"), cfg)
+    }
+
+    // vacuum reaps the orphan data AND the stale claim...
+    SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(1L)
+    new java.io.File(s"$root/snapshot=1").exists() shouldBe false
+    new java.io.File(s"$root/claim=1").exists() shouldBe false
+
+    // ...after which the retry commits, sharing v0's untouched buckets
+    SnapshotStore.upsert(spark, root, Seq((1, "update")).toDF("id", "value"), cfg)
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(1L)
+    val after = SnapshotStore.read(spark, root).get
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    after.size shouldBe 100
+    after(1) shouldBe "update"
+    after(2) shouldBe "v2"
+  }
+
   test("discriminant type drift: an INT-keyed batch still lands in the " +
     "BIGINT-keyed store's bucket (no duplicate keys)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap9").toString
