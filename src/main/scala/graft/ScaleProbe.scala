@@ -200,16 +200,20 @@ object ScaleProbe {
     val annQueries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // the √n heuristic (autoCells) picks the list count; probe 1/8 of the
+    // cells so the scored fraction matches the old fixed 8-of-64 config
+    val cells = Similarity.autoCells(nVecs)
+    val nProbe = math.max(1, cells / 8)
     val tBuild = System.nanoTime()
-    Similarity.ivfBuild(annCorpus, "embedding", ivfPath, nCells = 64)
+    Similarity.ivfBuild(annCorpus, "embedding", ivfPath)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     val annVariants: Seq[(String, () => Long)] = Seq(
       "brute_force" -> (() => Similarity.bruteForceTopK(
         annCorpus, annQueries, "embedding", "vec_id", "query_id",
         k = 10).count()),
-      "ivf_probe_nprobe8_of64" -> (() => Similarity.ivfProbeTopK(
+      s"ivf_probe_nprobe${nProbe}_of$cells" -> (() => Similarity.ivfProbeTopK(
         spark, ivfPath, annQueries, "embedding", "vec_id", "query_id",
-        k = 10, nProbe = 8).count())
+        k = 10, nProbe = nProbe).count())
     )
     val annResults = annVariants.map { case (name, run) =>
       val times = (1 to passes).map { _ =>
@@ -224,7 +228,7 @@ object ScaleProbe {
       s""""$k":{"sec":$secs,"rows":$rows}"""
     }.mkString("{", ",", "}")
     val aEntry = s"""{"scale":$scale,"vectors":$nVecs,"queries":20,""" +
-      s""""passes":$passes,"ivf_build_sec":$buildSec,""" +
+      s""""passes":$passes,"ivf_build_sec":$buildSec,"cells":$cells,""" +
       s""""variants":$aq,"sf":"$sfDir"}"""
     println(s"""{"probe":"ann_scale",${aEntry.tail}""")
     writeArtifact("ann_scale", aEntry)

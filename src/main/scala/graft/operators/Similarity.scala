@@ -110,6 +110,18 @@ object Similarity {
       .withColumn("__cell", explode(col("__probe.cell")))
       .drop("__probe")
 
+  /** Cell-count heuristic for a corpus of `n` vectors: ~√n, floored at 16
+    * and capped at 256. FAISS guidance for IVF list counts is the same √n
+    * order; the cap is specific to this engine — cell ASSIGNMENT is one
+    * generated dot-product expression per cell per row, so unbounded cell
+    * counts inflate the assignment projection past what codegen/JIT
+    * handles well, while the probed fraction (~nProbe/nCells) keeps
+    * shrinking as 1/√n up to the cap. Measured in SCALEPROBE.json
+    * `ann_scale` (probe cost stays flat in corpus size under this
+    * default). */
+  private[graft] def autoCells(n: Long): Int =
+    math.max(16, math.min(256, math.sqrt(n.toDouble).toInt))
+
   /** Coarse-quantizer fit: k-means over a BOUNDED sample collected to the
     * driver (the FAISS recipe). The sample is capped at `fitSampleRows`
     * vectors, so the fit costs one counted+sampled scan plus an in-memory
@@ -163,16 +175,28 @@ object Similarity {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding: next center drawn ∝ distance² to nearest center
+    // k-means++ seeding: next center drawn ∝ distance² to nearest center.
+    // The nearest-center distance array is maintained INCREMENTALLY (only
+    // the newest center can lower it), so seeding is O(k·n·d) instead of
+    // the O(k²·n·d) of recomputing the min over all centers per step —
+    // the difference between milliseconds and tens of seconds once the
+    // √n heuristic pushes k to 256.
     val centers = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(points.length)))
+    val minD = points.map(p => d2(p, centers(0)))
     while (centers.length < kk) {
-      val dists = points.map(p => centers.iterator.map(c => d2(p, c)).min)
-      val total = dists.sum
+      val total = minD.sum
       if (total <= 0) centers += points(rnd.nextInt(points.length))
       else {
         var r = rnd.nextDouble() * total; var i = 0
-        while (i < points.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        while (i < points.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
         centers += points(i)
+      }
+      val c = centers.last
+      var j = 0
+      while (j < points.length) {
+        val d = d2(points(j), c)
+        if (d < minD(j)) minD(j) = d
+        j += 1
       }
     }
     var cents = centers.toArray
@@ -203,13 +227,16 @@ object Similarity {
     * cells + the bounded [[TopKAggregator]] — recall < 1 by construction,
     * scores never approximate. Deterministic for a fixed seed. For a
     * persisted, physically cell-partitioned corpus (probes become
-    * partition-pruned reads) see [[ivfBuild]]/[[ivfProbeTopK]]. */
+    * partition-pruned reads) see [[ivfBuild]]/[[ivfProbeTopK]].
+    * `nCells ≤ 0` (the default) sizes the quantizer as ~√n via
+    * [[autoCells]] — one extra metadata-cheap count of the corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              k: Int, nCells: Int = 0, nProbe: Int = 4,
               seed: Long = 42L, fitSampleFraction: Double = 0.0,
               fitSampleRows: Int = 4096): DataFrame = {
-    val centroids = fitCentroids(corpus, vecCol, nCells, seed,
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val centroids = fitCentroids(corpus, vecCol, cells, seed,
       fitSampleFraction, fitSampleRows)
     val assigned = corpus
       .select(col(idCol), col(vecCol),
@@ -231,14 +258,17 @@ object Similarity {
     * centroids, under `path`. After this, [[ivfProbeTopK]] reads ONLY the
     * probed cells' directories — at 100 TB a probe is a partition-pruned
     * read of ~nProbe/nCells of the data, with no quantizer refit, no
-    * assignment pass, and no norm recomputation per query batch. */
+    * assignment pass, and no norm recomputation per query batch.
+    * `nCells ≤ 0` (the default) sizes the quantizer as ~√n via
+    * [[autoCells]]. */
   def ivfBuild(corpus: DataFrame, vecCol: String, path: String,
-               nCells: Int = 16, seed: Long = 42L,
+               nCells: Int = 0, seed: Long = 42L,
                fitSampleFraction: Double = 0.0,
                fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = fitCentroids(corpus, vecCol, nCells, seed,
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val centroids = fitCentroids(corpus, vecCol, cells, seed,
       fitSampleFraction, fitSampleRows)
     corpus
       .withColumn("__cn", V.norm(col(vecCol)))
