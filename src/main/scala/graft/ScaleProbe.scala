@@ -102,7 +102,15 @@ object ScaleProbe {
         maxDf = 50L * scale).count()),
       "chargram_hashed" -> (() => Dedup.charJaccardPairs(
         corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
-        maxDf = 50L * scale, hashedCandidates = true).count())
+        maxDf = 50L * scale, hashedCandidates = true).count()),
+      // MinHash prefilter → exact verify: corpus-linear candidate
+      // generation instead of the |shared shingles|-bound self-join;
+      // recall is probabilistic (r=2, b=64 → ~0.998 per pair at j=0.3)
+      // so `rows` may undercount the exact variants — compare both
+      // columns when reading the entry.
+      "chargram_minhash" -> (() => Dedup.charJaccardPairs(
+        corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
+        maxDf = 50L * scale, strategy = "minhash").count())
     )
     val results = variants.map { case (name, run) =>
       val times = (1 to passes).map { _ =>

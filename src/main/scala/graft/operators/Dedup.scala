@@ -191,16 +191,24 @@ object Dedup {
     * opts into the two-phase narrow-key candidate join (see
     * [[jaccardPairsFromShingles]]); `maxBroadcastRows` caps the small-side
     * broadcasts (stop set, candidate ids) — above it they degrade to
-    * shuffled joins instead of unbounded driver broadcasts. */
+    * shuffled joins instead of unbounded driver broadcasts.
+    * `strategy = "minhash"` swaps candidate generation for a banded
+    * MinHash prefilter with exact per-pair verification
+    * ([[minhashPrefilterPairs]]) — identical values on every emitted
+    * pair, probabilistic recall, tuned by `minhashHashes`/`minhashBands`
+    * and skew-capped by `maxBucket`. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
                         maxDf: Long = 0L, hashedCandidates: Boolean = false,
                         maxBroadcastRows: Long = 1000000L,
-                        strategy: String = "auto"): DataFrame =
+                        strategy: String = "auto",
+                        minhashHashes: Int = 128, minhashBands: Int = 64,
+                        maxBucket: Int = 2000): DataFrame =
     jaccardPairsDispatch(
       df.select(col(idCol),
         H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs")),
-      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy)
+      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy,
+      minhashHashes, minhashBands, maxBucket)
 
   /** Join `big` against a derived small relation (`left_semi`/`left_anti`
     * filter joins, or `inner` when the matched rows themselves are
@@ -332,23 +340,98 @@ object Dedup {
     result
   }
 
-  /** Routes a `strategy` name onto [[jaccardPairsFromShingles]]'s
-    * candidate-generation paths: `"single"` forces the one-pass
-    * string-keyed join, `"hashed"` forces the two-phase hashed-candidate
-    * join, and `"auto"` keeps the measured default (single-pass — see the
+  /** MinHash-prefilter → exact-verify hybrid tail: candidate pairs come
+    * from banded MinHash signatures over the shingle ARRAYS (the
+    * signature is one compiled scan-side pass per document; only the
+    * (id, bandKey) rows are exchanged), and each candidate pair is then
+    * verified with exact integer intersection arithmetic on the arrays —
+    * so every EMITTED row carries the same (inter, uni, jaccard) values
+    * the exact inverted-index path computes, but recall is probabilistic:
+    * a true pair whose signature never collides in any band is missed
+    * (P[candidate] = 1−(1−j^r)^b at exact Jaccard j, r = hashes/bands).
+    * Pick r from the target threshold as t ≈ (1/b)^(1/r) — the defaults
+    * (128 hashes / 64 bands, r = 2) put the S-curve knee at ~0.125, i.e.
+    * near-total recall for thresholds ≥ 0.3, and need bands = hashes
+    * (r = 1) for thresholds near 0.1.
+    *
+    * What this buys at scale: the exact paths aggregate one row per
+    * SHARED SHINGLE per pair (boilerplate-heavy corpora make that
+    * quadratic-ish even under `maxDf`); this path exchanges one row per
+    * (doc, band) — corpus-linear — and pays exact arithmetic only on
+    * candidates. `maxDf` keeps result parity with the exact paths: stop
+    * shingles are dropped BEFORE both the signature and the verification
+    * arithmetic, which costs this path one regroup exchange
+    * (explode → anti join → collect_set) the exact paths fold into their
+    * inverted-index join. */
+  private def minhashPrefilterPairs(shingledIn: DataFrame, idCol: String,
+                                    threshold: Double, maxDf: Long,
+                                    maxBroadcastRows: Long,
+                                    numHashes: Int, bands: Int,
+                                    maxBucket: Int): DataFrame = {
+    // `__n0` carries the PRE-drop set size: the exact paths size the union
+    // from the full shingle sets while intersecting only non-stop shingles
+    // (their `__n` is computed before the stop anti join) — value parity on
+    // emitted pairs requires reproducing exactly that arithmetic here.
+    val base =
+      if (maxDf <= 0)
+        shingledIn.withColumn("__n0", size(col("__shs")).cast("long"))
+      else {
+        val sh = shingledIn.select(col(idCol),
+          size(col("__shs")).cast("long").as("__n0"), explode(col("__shs")).as("__sh"))
+        val stop = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("__sh")
+        sizeGatedFilterJoin(sh, stop, Seq("__sh"), "left_anti", maxBroadcastRows)
+          .groupBy(col(idCol))
+          .agg(min(col("__n0")).as("__n0"), collect_set(col("__sh")).as("__shs"))
+      }
+    // consumed by the signature branch and both verification joins
+    val shingled = base.persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = math.max(1, numHashes / bands)
+    val keyed = shingled
+      .select(col(idCol), H.minHash(col("__shs"), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol), explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
+      .select(col(idCol), col("__band").cast("string").as("__key"))
+    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val result = withPairPayloads(pairs, shingled, idCol)
+      .withColumn("inter",
+        size(array_intersect(col("__shs_a"), col("__shs_b"))).cast("long"))
+      .withColumn("uni", col("__n0_a") + col("__n0_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        round(col("jaccard"), 6).as("jaccard"))
+    graft.core.CacheAutoRelease.afterFirstUse(shingled)
+    result
+  }
+
+  /** Routes a `strategy` name onto the pair operators' candidate-generation
+    * paths: `"single"` forces the one-pass string-keyed inverted-index
+    * join, `"hashed"` forces the two-phase hashed-candidate join,
+    * `"minhash"` takes the [[minhashPrefilterPairs]] hybrid (exact values,
+    * probabilistic recall — the only strategy whose OUTPUT may differ),
+    * and `"auto"` keeps the measured default (single-pass — see the
     * ScaleProbe numbers on [[jaccardPairsFromShingles]]) unless the caller
     * explicitly opted into `hashedCandidates` via the legacy boolean. */
   private def jaccardPairsDispatch(shingled: DataFrame, idCol: String,
                                    threshold: Double, maxDf: Long,
                                    hashedCandidates: Boolean,
                                    maxBroadcastRows: Long,
-                                   strategy: String): DataFrame = {
+                                   strategy: String,
+                                   minhashHashes: Int,
+                                   minhashBands: Int,
+                                   maxBucket: Int): DataFrame = {
     val hashed = strategy match {
       case "auto"   => hashedCandidates
       case "single" => false
       case "hashed" => true
+      case "minhash" =>
+        return minhashPrefilterPairs(shingled, idCol, threshold, maxDf,
+          maxBroadcastRows, minhashHashes, minhashBands, maxBucket)
       case other => throw new IllegalArgumentException(
-        s"unknown jaccard pair strategy '$other' (expected auto|single|hashed)")
+        s"unknown jaccard pair strategy '$other' " +
+          "(expected auto|single|hashed|minhash)")
     }
     jaccardPairsFromShingles(shingled, idCol, threshold, maxDf,
       hashedCandidates = hashed, maxBroadcastRows = maxBroadcastRows)
@@ -365,11 +448,14 @@ object Dedup {
                        shingleSize: Int = 5, threshold: Double = 0.1,
                        maxDf: Long = 0L, hashedCandidates: Boolean = false,
                        maxBroadcastRows: Long = 1000000L,
-                       strategy: String = "auto"): DataFrame =
+                       strategy: String = "auto",
+                       minhashHashes: Int = 128, minhashBands: Int = 64,
+                       maxBucket: Int = 2000): DataFrame =
     jaccardPairsDispatch(
       df.select(col(idCol),
         H.charShingles(trim(lower(col(textCol))), shingleSize).as("__shs")),
-      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy)
+      idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy,
+      minhashHashes, minhashBands, maxBucket)
 
   /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
     * minimum shingle hash — documents sharing their rarest-hashed shingle

@@ -96,6 +96,32 @@ class DedupSpec extends SparkSpec {
     hashed shouldBe base
   }
 
+  test("minhash-prefilter strategy reproduces the exact path's pairs and " +
+    "values on a high-jaccard corpus, including the maxDf union arithmetic") {
+    // defaults (128 hashes / 64 bands, r = 2) give near-total recall for
+    // the fixture's pair jaccards (>= 0.6), so the hybrid must emit the
+    // IDENTICAL rows: same pairs, same (inter, uni, jaccard) — the union
+    // sized from the pre-drop shingle sets exactly like the exact path
+    val base = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, maxDf = 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val hybrid = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, maxDf = 4, strategy = "minhash")
+      .orderBy("id_a", "id_b").collect().toSeq
+    base.nonEmpty shouldBe true
+    hybrid shouldBe base
+  }
+
+  test("minhash-prefilter strategy is sound on char shingles: every emitted " +
+    "pair appears in the exact path's output with identical values") {
+    val exact = Dedup.charJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 5, threshold = 0.2).collect().toSet
+    val hybrid = Dedup.charJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 5, threshold = 0.2, strategy = "minhash").collect().toSet
+    hybrid.nonEmpty shouldBe true
+    hybrid.subsetOf(exact) shouldBe true
+  }
+
   test("broadcast size gate: above maxBroadcastRows the stop-set and " +
     "candidate-id joins run shuffled instead of broadcast, with identical " +
     "results (high-duplication corpus guard)") {
