@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{ServiceRegistry, Graph => GGraph}
-import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Selection, Similarity}
+import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Packing, Selection, Similarity}
 import graft.sinks.{InsertOrUpdate, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
@@ -752,6 +752,34 @@ object Queries {
     CorpusStats.tfidfTopK(tab(s, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Sequence packing for pretraining batch prep: next-fit token-capacity
+    * bins per shard ([[Packing.packSequences]]). Sharding is doc_id mod 8
+    * (engine-independent on the non-negative ids), walk order is doc_id,
+    * capacity 96 whitespace tokens — low enough that the fixture (10–99
+    * tokens/doc) exercises both frequent bin rollover and the
+    * oversize-doc-gets-own-bin branch; the oracle replays the identical
+    * walk as a recursive CTE. */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents").select(col("doc_id"),
+      T.tokenCount(col("text")).cast("long").as("ntok"),
+      pmod(col("doc_id"), lit(8)).cast("int").as("shard"))
+    Packing.packSequences(docs, "doc_id", "ntok", capacity = 96,
+        shardCol = "shard")
+      .orderBy("shard", "seq", "doc_id")
+  }
+
+  /** Weighted mixture re-sampling of the corpus by language
+    * ([[Selection.sampleStrata]]): keep 90% of en, 25% of fr, all of es,
+    * none of zh, half of the rest — decided per document by the md5 coin,
+    * with per-language doc and char totals as the checkable aggregate. */
+  private def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    Selection.sampleStrata(tab(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.9, "fr" -> 0.25, "es" -> 1.0, "zh" -> 0.0),
+        defaultRate = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -818,7 +846,9 @@ object Queries {
     "url_stats" -> urlStats _,
     "top_fraction" -> topFraction _,
     "vocab_topk" -> vocabTopk _,
-    "tfidf_topk" -> tfidfTopk _
+    "tfidf_topk" -> tfidfTopk _,
+    "pack_sequences" -> packSequences _,
+    "mixture_sample" -> mixtureSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1618,6 +1648,38 @@ object Queries {
         |           ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the recursive CTE replays packSequences' next-fit walk: same ntok
+    // formula as corpus_split, same shard (doc_id % 8), same id order,
+    // same "open bin only rolls when non-empty AND overflowing" rule
+    "pack_sequences" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ntok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, shard, ntok, rn, CAST(0 AS BIGINT) AS seq, ntok AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.ntok, o.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.ntok > 96
+        |         THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.ntok > 96
+        |         THEN o.ntok ELSE p.fill + o.ntok END
+        |  FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq FROM pack ORDER BY shard, seq, doc_id""".stripMargin,
+    // thresholds are f"%08x"((rate * 2^32).toLong) exactly as sampleStrata
+    // computes them; rate 1.0 compares against 'g', above every hex digest
+    "mixture_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN 'e6666666' WHEN 'fr' THEN '40000000'
+        |            WHEN 'zh' THEN '00000000' WHEN 'es' THEN 'g'
+        |            ELSE '80000000' END
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

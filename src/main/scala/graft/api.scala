@@ -57,6 +57,7 @@ object api {
   val Multimodal = operators.Multimodal
   val Selection = operators.Selection
   val CorpusStats = operators.CorpusStats
+  val Packing = operators.Packing
   val EventWindows = streaming.EventWindows
   val StreamOps = streaming.StreamOps
 }
