@@ -780,6 +780,41 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  /** [[Dedup.decontaminateBloom]] over the same corpus/eval split as
+    * `decontaminate` — result-identical by construction (the Bloom filter
+    * only PREfilters; exact verification decides), so it shares the same
+    * oracle. `expectedItems` deliberately small for the fixture; at 100 TB
+    * the filter is sized to the benchmark suite's shingle count. */
+  private def decontaminateBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    Dedup.decontaminateBloom(docs, eval, "text", "doc_id",
+        shingleSize = 5, minOverlap = 1L, expectedItems = 100000L)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Sliding-window chunking of long documents ([[Packing.chunkDocuments]],
+    * 32-token windows advancing by 24): the preprocessing step ahead of
+    * packing. Chunk text is emitted as md5 (hash-stable, small) plus the
+    * window's token count. */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocuments(tab(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk"),
+        md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+      .orderBy("doc_id", "chunk")
+
+  /** Cross-source duplication matrix ([[CorpusStats.groupOverlap]]):
+    * distinct shared word 8-grams per source pair — which sources
+    * re-publish each other's text. */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.groupOverlap(tab(s, dir, "documents"), "text", "source",
+        shingleSize = 8)
+      .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+        col("n_shared"))
+      .orderBy("source_a", "source_b")
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -848,8 +883,32 @@ object Queries {
     "vocab_topk" -> vocabTopk _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
-    "mixture_sample" -> mixtureSample _
+    "mixture_sample" -> mixtureSample _,
+    "chunk_docs" -> chunkDocs _,
+    "source_overlap" -> sourceOverlap _,
+    "decontaminate_bloom" -> decontaminateBloomQ _
   )
+
+  /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
+    * is row-identical by construction (prefilter + exact verify). */
+  private val decontaminateOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+      |                i -> array_to_string(toks[i:i+4], ' '))) END AS sh
+      |  FROM tk),
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+      |e AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0),
+      |doomed AS (
+      |  SELECT s.doc_id FROM s JOIN e USING (g)
+      |  GROUP BY s.doc_id HAVING count(*) >= 1)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
+      |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "select_sql" ->
@@ -1411,24 +1470,8 @@ object Queries {
         |  ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     // same 5-gram shingle CTE shape as ngram_pairs; eval set = every 20th doc
-    "decontaminate" ->
-      """WITH tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(toks) - 5 + 2),
-        |                i -> array_to_string(toks[i:i+4], ' '))) END AS sh
-        |  FROM tk),
-        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
-        |e AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0),
-        |doomed AS (
-        |  SELECT s.doc_id FROM s JOIN e USING (g)
-        |  GROUP BY s.doc_id HAVING count(*) >= 1)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
-        |ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+    "decontaminate_bloom" -> decontaminateOracle,
     // langId/quality/token CTEs from stratified_topk; per-language running
     // token total cut at 1000 (ROWS UNBOUNDED PRECEDING = inclusive cum)
     "budget_select" ->
@@ -1680,6 +1723,43 @@ object Queries {
         |  CASE lang WHEN 'en' THEN 'e6666666' WHEN 'fr' THEN '40000000'
         |            WHEN 'zh' THEN '00000000' WHEN 'es' THEN 'g'
         |            ELSE '80000000' END
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same tokenizer as corpus_split's ntok; starts = range(0,
+    // max(n-overlap,1), step) so the trailing window adds >= 1 new token;
+    // DuckDB list slice is 1-based inclusive, clamped at the list end
+    "chunk_docs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, greatest(n - 8, 1), 24)) AS start
+        |  FROM tk WHERE n > 0),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS BIGINT) AS chunk,
+        |    array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+        |    CAST(least(32, n - start) AS BIGINT) AS n_tokens
+        |  FROM st)
+        |SELECT doc_id, chunk, md5(chunk_text) AS chunk_md5, n_tokens FROM ch
+        |ORDER BY doc_id, chunk""".stripMargin,
+    // same 8-gram shingle CTE shape as decontaminate; shingle sets are
+    // distinct per doc, DISTINCT again per source
+    "source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 8 + 2),
+        |                i -> array_to_string(toks[i:i+7], ' '))) END AS sh
+        |  FROM tk),
+        |g AS (SELECT DISTINCT source, unnest(sh) AS gram FROM t)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -71,4 +71,34 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }
+
+  /** Cross-group duplication matrix: for every pair of `groupCol` values
+    * (sources, crawls, snapshots), the number of distinct word
+    * `shingleSize`-grams they share — the curation report that says which
+    * sources re-publish each other's text and should be deduped against
+    * each other first. Exact integer counts over the dedup operators' own
+    * shingler, so the report's numbers mean the same thing as the pair
+    * joins' overlap arithmetic (and are DuckDB oracle-checkable).
+    *
+    * Scale shape: one scan-side shingle explode → distinct (group, gram)
+    * — the relation is corpus-shingle-bounded but the JOIN fan-out is not
+    * corpus-bounded, it is GROUP-bounded: a gram appearing in g groups
+    * contributes C(g,2) rows and g ≤ |distinct groups| (a recipe-sized
+    * constant — sources, not documents), so the self-join can never go
+    * corpus-quadratic the way a document-level pair join can. Both join
+    * sides are the same subplan (ReusedExchange); output is
+    * C(|groups|, 2) rows at most. */
+  def groupOverlap(df: DataFrame, textCol: String, groupCol: String,
+                   shingleSize: Int = 8): DataFrame = {
+    val grams = df.select(col(groupCol).as("__grp"),
+        explode(H.wordShingles(T.tokens(trim(lower(col(textCol)))), shingleSize))
+          .as("__g"))
+      .distinct()
+    val a = grams.select(col("__grp").as("group_a"), col("__g"))
+    val b = grams.select(col("__grp").as("group_b"), col("__g"))
+    a.join(b, Seq("__g"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -262,15 +262,19 @@ object Dedup {
     * exact string join (a hash collision can only MERGE shingles, so the
     * estimated Jaccard is an upper bound and the candidate set a superset;
     * final results are identical to the default path). MEASURED
-    * (graft.ScaleProbe, 10× sf0.1 = 50k docs, disjoint-shingle replicas):
-    * the single pass still wins — ngram 6.6 s vs 7.5 s hashed (the gap
-    * narrows from ~2× at sf0.1 to 1.14× at 10×, but never crosses),
-    * chargram-12 110 s vs 143 s. On single-host shuffle the exchange is
+    * (graft.ScaleProbe round 7, 10× sf0.1 = 50k docs, disjoint-shingle
+    * replicas): the single pass wins — ngram 4.0 s vs 4.7 s hashed,
+    * chargram-12 95.7 s vs 195.9 s. On single-host shuffle the exchange is
     * memory-speed, so the narrow key saves little while the second
     * explode+join pass is pure extra work; the remaining case for this
     * path is a NETWORK-bound cluster shuffle, where exchanged bytes (not
     * local sort compares) dominate and 8-byte keys cut the wire volume
-    * ~2–3× for wide shingles. Hence: opt-in, not default. */
+    * ~2–3× for wide shingles. Hence: opt-in, not default. For DENSE
+    * shingle sets (char-grams) the measured scale path is the MinHash
+    * prefilter instead ([[minhashPrefilterPairs]], `strategy =
+    * "minhash"`): 18.5 s on the same chargram workload — 5.2× over the
+    * single pass with identical emitted pairs — at the price of
+    * probabilistic recall; see PLANS.md for the adoption decision. */
   private def jaccardPairsFromShingles(shingledIn: DataFrame, idCol: String,
                                        threshold: Double, maxDf: Long,
                                        hashedCandidates: Boolean = false,
@@ -490,6 +494,62 @@ object Dedup {
     // is distinct, so count(*) == number of distinct shared shingles
     val doomed = sizeGatedFilterJoin(cSh, eSh, Seq("__sh"), "inner",
         maxBroadcastRows)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__overlap"))
+      .filter(col("__overlap") >= minOverlap)
+      .select(col(idCol))
+    sizeGatedFilterJoin(corpus, doomed, Seq(idCol), "left_anti",
+      maxBroadcastRows)
+  }
+
+  /** Bloom-gated decontamination: result-identical to [[decontaminate]],
+    * built for the regime where the eval shingle set is too large to
+    * broadcast as a set but the corpus is vastly larger still. The eval
+    * shingles are folded ENGINE-SIDE into one Bloom filter (Spark's own
+    * `BloomFilterAggregate`, the runtime-row-filter machinery — one
+    * aggregation job, xxhash64 keys); the corpus's exploded shingles are
+    * then prefiltered scan-side by `BloomFilterMightContain` against the
+    * serialized filter (a codegen'd literal — `fpp`·|corpus shingles|
+    * expected survivors), and only those rare survivors reach the exact
+    * membership join, overlap count and anti join of the exact path.
+    * False positives are removed by the exact verify; Bloom filters have
+    * no false negatives — so the output is row-identical to
+    * [[decontaminate]] and shares its oracle.
+    *
+    * Driver/plan footprint is the SERIALIZED FILTER SIZE — set by
+    * (`expectedItems`, `fpp`), not by the data (~1.2 MiB per million
+    * items at 1% fpp); undersizing `expectedItems` degrades fpp (more
+    * exact-verify work), never correctness. The corpus relation itself is
+    * never exchanged in full: the only full-corpus work is the scan-side
+    * shingle explode + Bloom probe. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleSize: Int = 8, minOverlap: Long = 1L,
+                         expectedItems: Long = 10000000L, fpp: Double = 0.01,
+                         maxBroadcastRows: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0,1)")
+    def shingles(df: DataFrame) =
+      H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)
+    val eSh = evalSet.select(explode(shingles(evalSet)).as("__sh")).distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomCol = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("__sh"))),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression(isDistinct = false))
+    // one engine-side aggregation; the driver holds only the serialized
+    // filter (numBits/8 bytes — a parameter, not a data size)
+    val bloomBytes = eSh.agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) return corpus // empty eval set: nothing to remove
+    val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("__sh")))))
+    val doomed = sizeGatedFilterJoin(cSh.filter(mightContain), eSh,
+        Seq("__sh"), "inner", maxBroadcastRows)
       .groupBy(col(idCol)).agg(count(lit(1)).as("__overlap"))
       .filter(col("__overlap") >= minOverlap)
       .select(col(idCol))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
+import graft.functions.{TextFunctions => T}
+
 /** Sequence packing for LLM pretraining batch prep: assign each document to
   * a fixed-token-capacity training sequence (bin) so downstream tokenization
   * can concatenate bin members into context windows with minimal padding.
@@ -76,5 +78,40 @@ object Packing {
           Row(r.get(1), sh, seq)
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** Sliding-window document chunking: split each document's whitespace
+    * tokens into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens − overlap` — the long-document preprocessing step ahead
+    * of [[packSequences]] (chunk to ≤ context size, then pack chunks).
+    * Chunk starts are `range(0, max(n − overlap, 1), step)`, so the final
+    * window always contributes ≥ 1 new token (no fully-redundant trailing
+    * chunk) and a document shorter than one window yields exactly one
+    * chunk. Zero-token documents yield none. Chunk text re-joins tokens
+    * with single spaces (whitespace runs are normalized — the tokenizer
+    * already erased their shape).
+    *
+    * Purely scan-side: tokens, starts and slices are one generated
+    * projection per row — no shuffle, no state, corpus-linear. Output:
+    * (idCol, chunk 0-based long, chunk_text, n_tokens). Deterministic and
+    * engine-independent (the oracle replays the same slicing in SQL). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    df.select(col(idCol), T.tokens(col(textCol)).as("__toks"),
+        T.tokenCount(col(textCol)).cast("int").as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0),
+          greatest(col("__n") - overlap, lit(1)) - 1, lit(step)))
+          .as(Seq("chunk", "__start")))
+      .select(col(idCol), col("chunk").cast("long").as("chunk"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long")
+          .as("n_tokens"))
   }
 }

@@ -72,4 +72,29 @@ class CorpusStatsSpec extends SparkSpec {
       k = 3)
     q.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
   }
+
+  test("groupOverlap counts distinct shared grams per group pair, once " +
+    "per gram regardless of per-group repetition") {
+    val byGroup = Seq(
+      (1L, "g1", "alpha beta gamma"),   // 3-grams (size 3): {alpha beta gamma}
+      (2L, "g1", "alpha beta gamma"),   // same gram again in g1 — counted once
+      (3L, "g2", "alpha beta gamma"),
+      (4L, "g2", "delta epsilon zeta"),
+      (5L, "g3", "delta epsilon zeta")
+    ).toDF("doc_id", "grp", "text")
+    val got = CorpusStats.groupOverlap(byGroup, "text", "grp", shingleSize = 3)
+      .as[(String, String, Long)].collect().sorted
+    got shouldBe Array(("g1", "g2", 1L), ("g2", "g3", 1L))
+  }
+
+  test("groupOverlap pairs are ordered (a < b) and disjoint groups are absent") {
+    val byGroup = Seq(
+      (1L, "b", "one two three"),
+      (2L, "a", "one two three"),
+      (3L, "c", "entirely different content")
+    ).toDF("doc_id", "grp", "text")
+    val got = CorpusStats.groupOverlap(byGroup, "text", "grp", shingleSize = 3)
+      .as[(String, String, Long)].collect()
+    got shouldBe Array(("a", "b", 1L))
+  }
 }

@@ -210,6 +210,41 @@ class DedupSpec extends SparkSpec {
     kept3 shouldBe Array(3L, 4L)  // one shared shingle no longer disqualifies
   }
 
+  test("decontaminateBloom is row-identical to decontaminate, including " +
+    "under a deliberately undersized (high-fpp) filter") {
+    val corpus = Seq(
+      (1L, "the benchmark question about apples and oranges here"),
+      (2L, "the benchmark question about apples and oranges here exactly"),
+      (3L, "completely unrelated training document about spark shuffles"),
+      (4L, "shares about apples and only that much text")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the benchmark question about apples and oranges here"))
+      .toDF("doc_id", "text")
+    for (minOverlap <- Seq(1L, 3L)) {
+      val exact = Dedup.decontaminate(corpus, eval, "text", "doc_id",
+        shingleSize = 3, minOverlap = minOverlap)
+        .select("doc_id").as[Long].collect().sorted
+      // well-sized filter
+      Dedup.decontaminateBloom(corpus, eval, "text", "doc_id",
+        shingleSize = 3, minOverlap = minOverlap, expectedItems = 1000L)
+        .select("doc_id").as[Long].collect().sorted shouldBe exact
+      // undersized filter: high fpp floods the exact verify with false
+      // positives, which it must reject — output unchanged
+      Dedup.decontaminateBloom(corpus, eval, "text", "doc_id",
+        shingleSize = 3, minOverlap = minOverlap, expectedItems = 1000L,
+        fpp = 0.5)
+        .select("doc_id").as[Long].collect().sorted shouldBe exact
+    }
+  }
+
+  test("decontaminateBloom with an empty eval set keeps the whole corpus") {
+    val corpus = Seq((1L, "some text here"), (2L, "other text there"))
+      .toDF("doc_id", "text")
+    val eval = corpus.filter(col("doc_id") < 0)
+    Dedup.decontaminateBloom(corpus, eval, "text", "doc_id",
+      shingleSize = 3).count() shouldBe 2L
+  }
+
   test("clusters resolves transitive chains (A~B, B~C, D~E -> {A,B,C}, {D,E}) " +
     "and dropNearDuplicates keeps exactly the canonical representative") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

@@ -68,6 +68,36 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  private def chunks(text: String, chunkTokens: Int, overlap: Int) =
+    Packing.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", "doc_id", chunkTokens, overlap)
+      .select("chunk", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+
+  test("chunkDocuments slides a window with the requested overlap and a " +
+    "short final chunk") {
+    // 7 tokens, window 4, overlap 2 -> starts 0, 2, 4 (n-overlap = 5)
+    val got = chunks("a b c d e f g", 4, 2)
+    got shouldBe Seq((0L, "a b c d", 4L), (1L, "c d e f", 4L), (2L, "e f g", 3L))
+  }
+
+  test("chunkDocuments never emits a fully-redundant trailing chunk") {
+    // 6 tokens, window 4, overlap 2 -> starts 0, 2 (start 4 would add
+    // only tokens already covered by the start-2 window)
+    val got = chunks("a b c d e f", 4, 2)
+    got shouldBe Seq((0L, "a b c d", 4L), (1L, "c d e f", 4L))
+  }
+
+  test("chunkDocuments yields one chunk for short docs and none for blank") {
+    chunks("a b", 16, 4) shouldBe Seq((0L, "a b", 2L))
+    chunks("   ", 16, 4) shouldBe Seq.empty
+  }
+
+  test("chunkDocuments with zero overlap tiles the document exactly") {
+    val got = chunks("a b c d e", 2, 0)
+    got shouldBe Seq((0L, "a b", 2L), (1L, "c d", 2L), (2L, "e", 1L))
+  }
+
   test("sampleStrata keeps strata at their md5 rate: 1.0 keeps all, 0.0 " +
     "none, and membership is deterministic and key-stable") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
