@@ -90,15 +90,22 @@ object CorpusStats {
     * C(|groups|, 2) rows at most. */
   def groupOverlap(df: DataFrame, textCol: String, groupCol: String,
                    shingleSize: Int = 8): DataFrame = {
+    // persist the distinct (group, gram) relation: both join sides read it,
+    // and without the cache each side re-shingles the corpus (two full
+    // scans + two distinct exchanges — the plan showed no ReusedExchange
+    // because AQE may broadcast one side, breaking subplan identity)
     val grams = df.select(col(groupCol).as("__grp"),
         explode(H.wordShingles(T.tokens(trim(lower(col(textCol)))), shingleSize))
           .as("__g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = grams.select(col("__grp").as("group_a"), col("__g"))
     val b = grams.select(col("__grp").as("group_b"), col("__g"))
-    a.join(b, Seq("__g"))
+    val out = a.join(b, Seq("__g"))
       .filter(col("group_a") < col("group_b"))
       .groupBy("group_a", "group_b")
       .agg(count(lit(1)).as("n_shared"))
+    graft.core.CacheAutoRelease.afterFirstUse(grams)
+    out
   }
 }

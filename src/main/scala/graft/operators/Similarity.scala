@@ -280,6 +280,37 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally extend an index persisted by [[ivfBuild]]: assign the
+    * new rows with the EXISTING quantizer (read from `path/centroids`) and
+    * append them into their cells' directories — no refit, no rewrite of
+    * the standing data; the daily-increment path for an index whose full
+    * rebuild is a 100 TB job. Because probes rank the SAME centroids the
+    * assignment used, [[ivfProbeTopK]] stays exact under full probe and
+    * its partial-probe recall contract is unchanged; what drifts under a
+    * shifting distribution is cell BALANCE (new mass concentrates in few
+    * cells, making their probes more expensive) — watch [[ivfCellStats]]
+    * and rebuild when the skew crosses the caller's bound. `newRows` must
+    * carry the schema the index was built from. */
+  def ivfAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
+    val spark = newRows.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    newRows
+      .withColumn("__cn", V.norm(col(vecCol)))
+      .withColumn("__cell", nearestCell(col(vecCol), centroids))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
+  }
+
+  /** Per-cell row counts of a persisted index — the [[ivfAppend]] rebuild
+    * trigger (skewed counts = expensive probes on the hot cells). Scans
+    * only the partition column (directory-derived), not the vectors. */
+  def ivfCellStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/data")
+      .groupBy("__cell")
+      .agg(count(lit(1)).as("n"))
+      .select(col("__cell").as("cell"), col("n"))
+
   /** Probe a corpus persisted by [[ivfBuild]]: the probed cell set (at most
     * queries × nProbe distinct cells, collected driver-side — bounded by
     * nCells) becomes a LITERAL partition filter, so the scan reads only the

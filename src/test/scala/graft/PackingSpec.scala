@@ -120,4 +120,32 @@ class PackingSpec extends SparkSpec {
     val kept = Selection.sampleStrata(df, "g", "id", Map("x" -> 0.5)).count()
     kept.toDouble / 2000.0 shouldBe 0.5 +- 0.05
   }
+
+  test("chunking and mixture sampling compose in Structured Streaming: " +
+    "stateless scan-side ops apply per micro-batch with batch semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF.toDF("doc_id", "lang", "text")
+    val sampled = Selection.sampleStrata(stream, "lang", "doc_id",
+      Map("en" -> 1.0, "zh" -> 0.0))
+    val chunked = Packing.chunkDocuments(sampled, "text", "doc_id",
+      chunkTokens = 3, overlap = 0)
+    val q = chunked.writeStream.format("memory").queryName("pack_chunks")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "en", "a b c d e"), (2L, "zh", "x y z"))
+      q.processAllAvailable()
+      val batch = spark.table("pack_chunks")
+        .select("doc_id", "chunk", "chunk_text")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      // zh doc sampled out; en doc chunked exactly as the batch operator does
+      batch shouldBe Seq((1L, 0L, "a b c"), (1L, 1L, "d e"))
+      val expected = Packing.chunkDocuments(
+        Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", "doc_id", 3, 0)
+        .select("doc_id", "chunk", "chunk_text")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      batch shouldBe expected
+    } finally q.stop()
+  }
 }

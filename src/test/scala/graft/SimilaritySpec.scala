@@ -129,6 +129,41 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { case (id, c) => c shouldBe brute(id) +- 1e-6 }
   }
 
+  test("ivfAppend extends a persisted index in place: full-probe results on " +
+    "the union match brute force, appended rows land in existing cells, " +
+    "and cell stats account for every row") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val base = emb.filter($"vec_id" >= 5 && $"vec_id" % 2 === 0)
+    val extra = emb.filter($"vec_id" >= 5 && $"vec_id" % 2 =!= 0)
+    Similarity.ivfBuild(base, "embedding", path, nCells = 8)
+    val dirsBefore = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).filter(_.startsWith("__cell=")).toSet
+    Similarity.ivfAppend(extra, "embedding", path)
+    // the quantizer is unchanged: every cell (old and newly materialized)
+    // is one of the 8 built centroids, and no standing dir disappears
+    val dirsAfter = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).filter(_.startsWith("__cell=")).toSet
+    dirsBefore.subsetOf(dirsAfter) shouldBe true
+    dirsAfter.map(_.stripPrefix("__cell=").toInt).foreach(_ should be < 8)
+    // per-cell stats see the union
+    val total = Similarity.ivfCellStats(spark, path)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    total shouldBe (base.count() + extra.count())
+    // full probe over the appended index == brute force over the union
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.ivfProbeTopK(spark, path, qs,
+        "embedding", "vec_id", "query_id", k = 5, nProbe = 8)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    val want = Similarity.bruteForceTopK(base.unionByName(extra), qs,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    got shouldBe want
+  }
+
   test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +
     "(approximation loses candidates, never mis-scores them)") {
     val brute = Similarity.bruteForceTopK(corpus, queries,
