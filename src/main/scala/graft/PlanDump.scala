@@ -25,7 +25,9 @@ object PlanDump {
       "embcos_exact" -> "norms once per row; small side broadcast into the non-equi pair join; exact f64 scoring",
       "stratified_topk" -> "per-stratum rank<=k plans a WindowGroupLimit: k rows per group retained BEFORE the exchange",
       "events_interval" -> "banded range join: plain equi-join on (user, time-bin) + in-bin filter, no per-key cartesian",
-      "chargram_pairs" -> "single-pass inverted-index self-join (default path); stop-shingle anti join broadcasts only under the measured size gate"
+      "chargram_pairs" -> "single-pass inverted-index self-join (default path); stop-shingle anti join broadcasts only under the measured size gate",
+      "pack_sequences" -> "one shard exchange + partition-local sort + O(1)-state scan; no global sort, parallelism = shard count",
+      "decontaminate_bloom" -> "bloom might_contain prefilter runs scan-side inside the corpus's WholeStageCodegen; only survivors reach the membership join"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")
