@@ -815,6 +815,20 @@ object Queries {
         col("n_shared"))
       .orderBy("source_a", "source_b")
 
+  /** Exact-count uniform sample: 10 docs per language under md5 order
+    * ([[Selection.sampleExactPerStratum]]) — the count-based companion of
+    * `mixture_sample`'s rates. Emits the per-stratum rank so the oracle
+    * checks the md5 ordering itself, not just membership. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Selection.sampleExactPerStratum(tab(s, dir, "documents"), "lang",
+        "doc_id", n = 10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long"))
+      .select("lang", "doc_id", "rk")
+      .orderBy("lang", "rk")
+
   // ------------------------------------------------------------ the contract
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -886,7 +900,8 @@ object Queries {
     "mixture_sample" -> mixtureSample _,
     "chunk_docs" -> chunkDocs _,
     "source_overlap" -> sourceOverlap _,
-    "decontaminate_bloom" -> decontaminateBloomQ _
+    "decontaminate_bloom" -> decontaminateBloomQ _,
+    "stratified_sample" -> stratifiedSample _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -1760,6 +1775,17 @@ object Queries {
         |SELECT a.source AS source_a, b.source AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // fixed-width lowercase-hex md5 strings order identically in both
+    // engines; the doc_id tie-break never fires (no md5 collisions) but
+    // keeps the ORDER deterministic by construction
+    "stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin
   )
 }

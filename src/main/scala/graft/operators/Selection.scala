@@ -110,6 +110,25 @@ object Selection {
     * chain over `rates` (strata-count literals, not data), so keep `rates`
     * to the explicit mix recipe — per-key thresholds at data cardinality
     * belong in a join, not here. */
+  /** Exact-COUNT uniform sample per stratum: each stratum's first `n`
+    * rows under `md5(key)` order — "exactly 100 docs per language",
+    * uniform without replacement (the md5 order is independent of any
+    * data column), deterministic and reproducible across engines/runs.
+    * The count-based companion of the rate-based [[sampleStrata]]: rates
+    * compose under resampling but drift with corpus growth; exact counts
+    * pin the output size. `row_number <= n` plans a WindowGroupLimit, so
+    * each task keeps n rows per stratum ahead of the exchange — no
+    * stratum funnels the corpus through one task. */
+  def sampleExactPerStratum(df: DataFrame, strataCol: String,
+                            keyCol: String, n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   def sampleStrata(df: DataFrame, strataCol: String, keyCol: String,
                    rates: Map[String, Double],
                    defaultRate: Double = 0.0): DataFrame = {

@@ -137,4 +137,20 @@ class SelectionSpec extends SparkSpec {
     sel(0) shouldBe Array(1L, 2L, 5L)
     sel(3) shouldBe sel(0)
   }
+
+  test("sampleExactPerStratum keeps exactly n per stratum (all rows when " +
+    "the stratum is smaller), deterministically, via a WindowGroupLimit") {
+    val df = ((0L until 50L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small"))).toDF("id", "g")
+    val q = Selection.sampleExactPerStratum(df, "g", "id", n = 10)
+    val got = q.select("g", "id").as[(String, Long)].collect()
+    got.count(_._1 == "big") shouldBe 10
+    got.count(_._1 == "small") shouldBe 3
+    // reproducible row-for-row
+    Selection.sampleExactPerStratum(df, "g", "id", n = 10)
+      .select("g", "id").as[(String, Long)].collect()
+      .sorted shouldBe got.sorted
+    // rank<=n pre-cuts per task before the exchange
+    q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
 }
