@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Graph, Node, RunContext, ServiceRegistry}
-import graft.operators.{Dedup, Selection}
+import graft.operators.{Dedup, Packing, Selection}
 import graft.sinks.{SnapshotStore, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select}
 import graft.functions.{TextFunctions => T}
@@ -53,6 +53,26 @@ object CorpusCurationExample {
     selected.select("doc_id", "lang_id", "quality", "split", "text")
   }
 
+  /** Batch prep on top of [[curate]]'s output: chunk long documents to the
+    * context size (sliding windows, 1/8 overlap), then next-fit-pack the
+    * chunks into `contextTokens`-capacity training sequences — each output
+    * row is a chunk with its (shard, seq) bin assignment, ready for a
+    * tokenizer to concatenate per bin. Both stages are the oracle-checked
+    * operators behind `chunk_docs` and `pack_sequences`. */
+  def prepareBatches(curated: DataFrame, contextTokens: Int = 2048,
+                     shards: Int = 64): DataFrame = {
+    val chunks = Packing.chunkDocuments(curated, "text", "doc_id",
+        chunkTokens = contextTokens, overlap = contextTokens / 8)
+      .withColumn("chunk_id",
+        concat_ws(":", col("doc_id"), col("chunk")))
+      .withColumn("shard", pmod(xxhash64(col("chunk_id")), lit(shards)).cast("int"))
+    Packing.packSequences(chunks, "chunk_id", "n_tokens",
+        capacity = contextTokens, shardCol = "shard")
+      .join(chunks.drop("shard"), Seq("chunk_id"))
+      .select("chunk_id", "doc_id", "chunk", "chunk_text", "n_tokens",
+        "shard", "seq")
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -79,6 +99,11 @@ object CorpusCurationExample {
       SnapshotStore.read(spark, store).foreach { t =>
         t.groupBy("lang_id", "split").count()
           .orderBy("lang_id", "split").show()
+        val packed = prepareBatches(t.filter(col("split") === "train"),
+          contextTokens = 512, shards = 8)
+        val bins = packed.select("shard", "seq").distinct().count()
+        println(s"packed ${packed.count()} chunks into $bins sequences " +
+          "(512-token capacity)")
       }
     } finally spark.stop()
   }

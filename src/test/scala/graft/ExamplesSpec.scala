@@ -46,4 +46,23 @@ class ExamplesSpec extends SparkSpec {
       .collect().foreach(_.getLong(1) should be <= 500L)
     curated.count() should be > 0L
   }
+
+  test("batch prep on curated output: every chunk fits the context size, " +
+    "every chunk is packed exactly once, and no bin exceeds capacity") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val curated = examples.CorpusCurationExample.curate(docs)
+    val packed = examples.CorpusCurationExample
+      .prepareBatches(curated, contextTokens = 64, shards = 4)
+    packed.count() should be > 0L
+    // chunks respect the context size
+    packed.agg(max("n_tokens")).collect().head.getLong(0) should be <= 64L
+    // each chunk assigned exactly once
+    packed.select("chunk_id").distinct().count() shouldBe packed.count()
+    // bins never exceed capacity (chunks are <= capacity, so no oversize)
+    packed.groupBy("shard", "seq")
+      .agg(sum("n_tokens").as("fill")).collect()
+      .foreach(_.getAs[Long]("fill") should be <= 64L)
+  }
 }
