@@ -164,4 +164,58 @@ class PropertySpec extends SparkSpec {
       ids60.subsetOf(ids90) shouldBe true
     }
   }
+
+  test("property: packSequences == the sequential next-fit reference model " +
+    "on random corpora (any shard layout, any token mix incl. 0 and " +
+    "oversize)") {
+    val rowGen: Gen[List[(Long, Long, Int)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        tok <- Gen.oneOf(Gen.choose(0L, 12L), Gen.choose(30L, 60L)) // incl. oversize
+        sh <- Gen.choose(0, 3)
+      } yield (tok, sh))
+    } yield rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+    def model(rows: List[(Long, Long, Int)], cap: Long): Map[Long, (Int, Long)] =
+      rows.groupBy(_._3).flatMap { case (sh, grp) =>
+        var seq = 0L; var fill = 0L
+        grp.sortBy(_._1).map { case (id, n, _) =>
+          if (fill > 0 && fill + n > cap) { seq += 1; fill = 0L }
+          fill += n
+          id -> (sh, seq)
+        }
+      }
+    (0 until 12).foreach { i =>
+      val rows = rowGen(Gen.Parameters.default, Seed(7L + i)).get
+      val got = operators.Packing.packSequences(
+          rows.toDF("id", "ntok", "shard"), "id", "ntok", 25L, "shard")
+        .as[(Long, Int, Long)].collect()
+        .map { case (id, sh, seq) => id -> (sh, seq) }.toMap
+      got shouldBe model(rows, 25L)
+    }
+  }
+
+  test("property: sampleStrata == the md5-threshold reference model row " +
+    "for row") {
+    val rowGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.oneOf("en", "fr", "zh").map(identity))
+    } yield rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val rates = Map("en" -> 0.7, "fr" -> 0.2)
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def model(rows: List[(Long, String)]): Set[Long] = rows.collect {
+      case (id, s) if md5hex8(id.toString) <
+        f"${(rates.getOrElse(s, 0.4) * 4294967296.0).toLong}%08x" => id
+    }.toSet
+    (0 until 12).foreach { i =>
+      val rows = rowGen(Gen.Parameters.default, Seed(31L + i)).get
+      val got = operators.Selection.sampleStrata(
+          rows.toDF("id", "g"), "g", "id", rates, defaultRate = 0.4)
+        .select("id").as[Long].collect().toSet
+      got shouldBe model(rows)
+    }
+  }
 }
