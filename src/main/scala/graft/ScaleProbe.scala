@@ -213,7 +213,9 @@ object ScaleProbe {
     val cells = Similarity.autoCells(nVecs)
     val nProbe = math.max(1, cells / 8)
     val tBuild = System.nanoTime()
-    Similarity.ivfBuild(annCorpus, "embedding", ivfPath)
+    // pass the pre-computed cell count: the label and the built index then
+    // agree by construction, and ivfBuild skips its own corpus count
+    Similarity.ivfBuild(annCorpus, "embedding", ivfPath, nCells = cells)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     val annVariants: Seq[(String, () => Long)] = Seq(
       "brute_force" -> (() => Similarity.bruteForceTopK(

@@ -61,16 +61,22 @@ object CorpusCurationExample {
     * operators behind `chunk_docs` and `pack_sequences`. */
   def prepareBatches(curated: DataFrame, contextTokens: Int = 2048,
                      shards: Int = 64): DataFrame = {
+    // both packSequences' walk and the payload join read the chunk
+    // relation — persist it so the tokenize+slice projection over the
+    // curated corpus runs once, not per consumer
     val chunks = Packing.chunkDocuments(curated, "text", "doc_id",
         chunkTokens = contextTokens, overlap = contextTokens / 8)
       .withColumn("chunk_id",
         concat_ws(":", col("doc_id"), col("chunk")))
       .withColumn("shard", pmod(xxhash64(col("chunk_id")), lit(shards)).cast("int"))
-    Packing.packSequences(chunks, "chunk_id", "n_tokens",
+      .persist()
+    val packed = Packing.packSequences(chunks, "chunk_id", "n_tokens",
         capacity = contextTokens, shardCol = "shard")
       .join(chunks.drop("shard"), Seq("chunk_id"))
       .select("chunk_id", "doc_id", "chunk", "chunk_text", "n_tokens",
         "shard", "seq")
+    graft.core.CacheAutoRelease.afterFirstUse(chunks)
+    packed
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,11 +105,14 @@ object CorpusCurationExample {
       SnapshotStore.read(spark, store).foreach { t =>
         t.groupBy("lang_id", "split").count()
           .orderBy("lang_id", "split").show()
+        // two actions below — cache the packed result so the pipeline
+        // (curation scan included) doesn't re-execute per action
         val packed = prepareBatches(t.filter(col("split") === "train"),
-          contextTokens = 512, shards = 8)
+          contextTokens = 512, shards = 8).persist()
         val bins = packed.select("shard", "seq").distinct().count()
         println(s"packed ${packed.count()} chunks into $bins sequences " +
           "(512-token capacity)")
+        packed.unpersist()
       }
     } finally spark.stop()
   }

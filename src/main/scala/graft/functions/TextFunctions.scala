@@ -23,24 +23,30 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** The md5-coin threshold for probability `rate`, as a string comparable
+    * against the first 8 hex digits of a key's md5: `md5hex8(key) <
+    * coinThreshold(rate)` holds for a `rate` fraction of keys (1/2^32
+    * granularity). rate ≥ 1.0 must be TOTAL — clamping to "ffffffff" and
+    * comparing strictly would still lose md5-prefix-ffffffff keys, so a
+    * total rate returns "g", which every hex digest sorts below. The ONE
+    * home of this arithmetic: [[stableSplit]], `Selection.sampleStrata`
+    * and the DuckDB oracles all evaluate exactly this formula. */
+  private[graft] def coinThreshold(rate: Double): String =
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+
   /** Deterministic, content-stable train/holdout assignment: md5 of the
-    * key compared against an 8-hex-digit threshold. Stable across runs,
-    * engines and cluster layouts (md5 is standardized — unlike xxhash64,
-    * this split is reproducible outside Spark), unbiased w.r.t. key order,
-    * and requires no global count or shuffle — the property a 100 TB eval
-    * holdout needs. `trainFrac` resolves at 1/2^32 granularity. */
+    * key compared against an 8-hex-digit threshold ([[coinThreshold]]).
+    * Stable across runs, engines and cluster layouts (md5 is
+    * standardized — unlike xxhash64, this split is reproducible outside
+    * Spark), unbiased w.r.t. key order, and requires no global count or
+    * shuffle — the property a 100 TB eval holdout needs. `trainFrac`
+    * resolves at 1/2^32 granularity. */
   def stableSplit(key: Column, trainFrac: Double,
                   trainLabel: String = "train",
                   holdoutLabel: String = "holdout"): Column = {
     require(trainFrac >= 0.0 && trainFrac <= 1.0, "trainFrac must be in [0,1]")
-    // 1.0 must be total — clamping the threshold to ffffffff and comparing
-    // strictly would still send md5-prefix-ffffffff keys to holdout
-    if (trainFrac >= 1.0) lit(trainLabel)
-    else {
-      val thr = f"${(trainFrac * 4294967296.0).toLong}%08x"
-      when(substring(md5(key.cast("string")), 1, 8) < lit(thr), trainLabel)
-        .otherwise(holdoutLabel)
-    }
+    when(substring(md5(key.cast("string")), 1, 8) < lit(coinThreshold(trainFrac)),
+      trainLabel).otherwise(holdoutLabel)
   }
 
   /** BPE-ish subword count: number of matches of a GPT-2-style pre-tokenizer

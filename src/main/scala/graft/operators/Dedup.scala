@@ -101,6 +101,43 @@ object Dedup {
     pairs
   }
 
+  /** Banded-MinHash candidate generation shared by [[minHashLsh]] and
+    * [[minhashPrefilterPairs]]: native scan-side signature over
+    * `shinglesCol` → band keys → size-capped bucket self-join. Documents
+    * with empty shingle sets (null signature) have nothing to band and are
+    * dropped. */
+  private def bandedCandidates(rel: DataFrame, idCol: String,
+                               shinglesCol: String, numHashes: Int,
+                               bands: Int, maxBucket: Int): DataFrame = {
+    val rows = math.max(1, numHashes / bands)
+    val keyed = rel
+      .select(col(idCol), H.minHash(col(shinglesCol), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol),
+        explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
+      .select(col(idCol), col("__band").cast("string").as("__key"))
+    pairsFromBuckets(keyed, idCol, maxBucket)
+  }
+
+  /** Default band count for the minhash prefilter at a given `threshold`:
+    * the largest rows-per-band r (among divisors of `numHashes`, 16 down
+    * to 1) whose band count still gives ≥95% per-pair recall at
+    * jaccard = threshold — 1−(1−t^r)^b ≥ 0.95 ⟺ b ≥ ln 20 / t^r ≈ 3/t^r.
+    * Larger r = fewer, more selective candidate buckets; r must shrink as
+    * the threshold drops or recall collapses (at t = 0.1, r = 2 misses
+    * half the threshold-level pairs — the reason this is derived from the
+    * threshold instead of fixed). threshold ≤ 0 degrades to r = 1, the
+    * highest-recall banding (no finite b guarantees recall at t = 0 —
+    * use an exact strategy there). */
+  private[graft] def autoBands(numHashes: Int, threshold: Double): Int = {
+    val r = Seq(16, 8, 4, 2)
+      .filter(r => r <= numHashes && numHashes % r == 0)
+      .find(r => threshold > 0.0 &&
+        (numHashes / r).toDouble >= 3.0 / math.pow(threshold, r))
+      .getOrElse(1)
+    numHashes / r
+  }
+
   /** Attach each pair side's payload: every non-id column of `byId` joins
     * in twice, suffixed `_a`/`_b` — the shared verification-join shape of
     * the pair operators. */
@@ -123,29 +160,22 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
     // Shingling is the expensive scan-side computation and is consumed by
     // three branches (signature computation + both verification joins);
     // persist it once instead of recomputing per branch. MEMORY_AND_DISK:
     // at cluster scale this relation exceeds memory and spills, which is
     // still far cheaper than re-tokenizing the corpus per branch.
+    // The signature inside bandedCandidates is the native MinHashSigExpr:
+    // one compiled pass per document, entirely scan-side. The previous
+    // explode + 64-min-aggregate plan produced identical values but
+    // exchanged every exploded shingle hash to regroup by document — at
+    // corpus scale that shuffle carries |corpus|·|shingles| rows and
+    // dwarfs the band-key exchange LSH actually needs.
     val shingled = df.select(col(idCol),
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Signature via the native MinHashSigExpr: one compiled pass per
-    // document, entirely scan-side. The previous explode + 64-min-aggregate
-    // plan produced identical values but exchanged every exploded shingle
-    // hash to regroup by document — at corpus scale that shuffle carries
-    // |corpus|·|shingles| rows and dwarfs the band-key exchange LSH
-    // actually needs. Empty-shingle docs (null signature) have nothing to
-    // band and are dropped, as the explode plan also dropped them.
-    val withSig = shingled
-      .select(col(idCol), H.minHash(col("__shingles"), numHashes).as("__sig"))
-      .filter(col("__sig").isNotNull)
-    val keyed = withSig
-      .select(col(idCol), explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
-      .select(col(idCol), col("__band").cast("string").as("__key"))
-    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val pairs = bandedCandidates(shingled, idCol, "__shingles",
+      numHashes, bands, maxBucket)
     val shingles = shingled.select(col(idCol), col("__shingles"))
     val result = withPairPayloads(pairs, shingles, idCol)
       .withColumn("jaccard", H.jaccard(col("__shingles_a"), col("__shingles_b")))
@@ -195,14 +225,16 @@ object Dedup {
     * `strategy = "minhash"` swaps candidate generation for a banded
     * MinHash prefilter with exact per-pair verification
     * ([[minhashPrefilterPairs]]) — identical values on every emitted
-    * pair, probabilistic recall, tuned by `minhashHashes`/`minhashBands`
-    * and skew-capped by `maxBucket`. */
+    * pair, probabilistic recall, skew-capped by `maxBucket`;
+    * `minhashBands ≤ 0` (the default) derives the banding from the
+    * threshold ([[autoBands]], ≥95% per-pair recall at jaccard =
+    * threshold). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
                         maxDf: Long = 0L, hashedCandidates: Boolean = false,
                         maxBroadcastRows: Long = 1000000L,
                         strategy: String = "auto",
-                        minhashHashes: Int = 128, minhashBands: Int = 64,
+                        minhashHashes: Int = 128, minhashBands: Int = 0,
                         maxBucket: Int = 2000): DataFrame =
     jaccardPairsDispatch(
       df.select(col(idCol),
@@ -353,10 +385,10 @@ object Dedup {
     * the exact inverted-index path computes, but recall is probabilistic:
     * a true pair whose signature never collides in any band is missed
     * (P[candidate] = 1−(1−j^r)^b at exact Jaccard j, r = hashes/bands).
-    * Pick r from the target threshold as t ≈ (1/b)^(1/r) — the defaults
-    * (128 hashes / 64 bands, r = 2) put the S-curve knee at ~0.125, i.e.
-    * near-total recall for thresholds ≥ 0.3, and need bands = hashes
-    * (r = 1) for thresholds near 0.1.
+    * The dispatcher derives the banding from the threshold by default
+    * ([[autoBands]]: the most selective r that still keeps ≥95% per-pair
+    * recall at j = threshold — e.g. 128 hashes → r = 2/b = 64 at t = 0.3,
+    * r = 1/b = 128 at t = 0.1); explicit `bands` overrides it.
     *
     * What this buys at scale: the exact paths aggregate one row per
     * SHARED SHINGLE per pair (boilerplate-heavy corpora make that
@@ -391,13 +423,8 @@ object Dedup {
       }
     // consumed by the signature branch and both verification joins
     val shingled = base.persist(StorageLevel.MEMORY_AND_DISK)
-    val rows = math.max(1, numHashes / bands)
-    val keyed = shingled
-      .select(col(idCol), H.minHash(col("__shs"), numHashes).as("__sig"))
-      .filter(col("__sig").isNotNull)
-      .select(col(idCol), explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
-      .select(col(idCol), col("__band").cast("string").as("__key"))
-    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val pairs = bandedCandidates(shingled, idCol, "__shs",
+      numHashes, bands, maxBucket)
     val result = withPairPayloads(pairs, shingled, idCol)
       .withColumn("inter",
         size(array_intersect(col("__shs_a"), col("__shs_b"))).cast("long"))
@@ -431,8 +458,15 @@ object Dedup {
       case "single" => false
       case "hashed" => true
       case "minhash" =>
+        // bands <= 0: derive the banding from the threshold (autoBands) —
+        // a fixed default composes badly with low thresholds (recall
+        // collapses), so the knee follows the caller's threshold unless
+        // they pin the banding explicitly
+        val bands =
+          if (minhashBands > 0) minhashBands
+          else autoBands(minhashHashes, threshold)
         return minhashPrefilterPairs(shingled, idCol, threshold, maxDf,
-          maxBroadcastRows, minhashHashes, minhashBands, maxBucket)
+          maxBroadcastRows, minhashHashes, bands, maxBucket)
       case other => throw new IllegalArgumentException(
         s"unknown jaccard pair strategy '$other' " +
           "(expected auto|single|hashed|minhash)")
@@ -453,7 +487,7 @@ object Dedup {
                        maxDf: Long = 0L, hashedCandidates: Boolean = false,
                        maxBroadcastRows: Long = 1000000L,
                        strategy: String = "auto",
-                       minhashHashes: Int = 128, minhashBands: Int = 64,
+                       minhashHashes: Int = 128, minhashBands: Int = 0,
                        maxBucket: Int = 2000): DataFrame =
     jaccardPairsDispatch(
       df.select(col(idCol),

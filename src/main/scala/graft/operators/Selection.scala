@@ -96,20 +96,6 @@ object Selection {
       .drop("__thr")
   }
 
-  /** Weighted mixture sampling: keep each row of stratum `s` with
-    * probability `rates(s)` (`defaultRate` for unlisted strata), decided
-    * by the row's own key — the first 8 hex digits of `md5(key)` compared
-    * against the rate's threshold, the same engine-independent coin as
-    * [[graft.functions.TextFunctions.stableSplit]]. This is how a training
-    * mix is re-weighted ("keep 90% of en, 25% of fr, 10% of the rest"):
-    * deterministic per document (stable across runs, engines, partition
-    * layouts — re-running the pipeline keeps the SAME documents), unbiased
-    * w.r.t. key order, and a pure scan-side filter: no shuffle, no
-    * sampling state, no driver coordination at any corpus size. Rates
-    * resolve at 1/2^32 granularity; the rate lookup compiles to a CASE
-    * chain over `rates` (strata-count literals, not data), so keep `rates`
-    * to the explicit mix recipe — per-key thresholds at data cardinality
-    * belong in a join, not here. */
   /** Exact-COUNT uniform sample per stratum: each stratum's first `n`
     * rows under `md5(key)` order — "exactly 100 docs per language",
     * uniform without replacement (the md5 order is independent of any
@@ -129,20 +115,30 @@ object Selection {
       .drop("__rk")
   }
 
+  /** Weighted mixture sampling: keep each row of stratum `s` with
+    * probability `rates(s)` (`defaultRate` for unlisted strata), decided
+    * by the row's own key — the first 8 hex digits of `md5(key)` compared
+    * against the rate's threshold, the same engine-independent coin as
+    * [[graft.functions.TextFunctions.stableSplit]]. This is how a training
+    * mix is re-weighted ("keep 90% of en, 25% of fr, 10% of the rest"):
+    * deterministic per document (stable across runs, engines, partition
+    * layouts — re-running the pipeline keeps the SAME documents), unbiased
+    * w.r.t. key order, and a pure scan-side filter: no shuffle, no
+    * sampling state, no driver coordination at any corpus size. Rates
+    * resolve at 1/2^32 granularity; the rate lookup compiles to a CASE
+    * chain over `rates` (strata-count literals, not data), so keep `rates`
+    * to the explicit mix recipe — per-key thresholds at data cardinality
+    * belong in a join, not here. */
   def sampleStrata(df: DataFrame, strataCol: String, keyCol: String,
                    rates: Map[String, Double],
                    defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0,1]")
-    def thr(rate: Double): String = f"${(rate * 4294967296.0).toLong}%08x"
-    // rate >= 1.0 must keep ALL rows of the stratum: md5-prefix-ffffffff
-    // keys would lose a strict compare against the clamped max threshold,
-    // so total strata compare against a sentinel above every hex digest
-    def thrLit(rate: Double) = lit(if (rate >= 1.0) "g" else thr(rate))
+    import graft.functions.{TextFunctions => T}
     val threshold = rates.foldLeft(when(lit(false), lit(""))) {
       case (acc, (stratum, rate)) =>
-        acc.when(col(strataCol) === lit(stratum), thrLit(rate))
-    }.otherwise(thrLit(defaultRate))
+        acc.when(col(strataCol) === lit(stratum), lit(T.coinThreshold(rate)))
+    }.otherwise(lit(T.coinThreshold(defaultRate)))
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < threshold)
   }
 }

@@ -229,13 +229,19 @@ object Similarity {
     * persisted, physically cell-partitioned corpus (probes become
     * partition-pruned reads) see [[ivfBuild]]/[[ivfProbeTopK]].
     * `nCells ≤ 0` (the default) sizes the quantizer as ~√n via
-    * [[autoCells]] — one extra metadata-cheap count of the corpus. */
+    * [[autoCells]] — one extra metadata-cheap count of the corpus.
+    * `nProbe ≤ 0` (the default) probes cells/8: with auto-sized cells a
+    * FIXED probe count would silently collapse the scored fraction (and
+    * recall) as the corpus grows — tying the default to the cell count
+    * keeps the scored fraction at ~1/8 regardless of what autoCells
+    * picked. Pass an explicit nProbe to trade recall for probe cost. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
-              k: Int, nCells: Int = 0, nProbe: Int = 4,
+              k: Int, nCells: Int = 0, nProbe: Int = 0,
               seed: Long = 42L, fitSampleFraction: Double = 0.0,
               fitSampleRows: Int = 4096): DataFrame = {
     val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val probes = if (nProbe > 0) nProbe else math.max(1, cells / 8)
     val centroids = fitCentroids(corpus, vecCol, cells, seed,
       fitSampleFraction, fitSampleRows)
     val assigned = corpus
@@ -244,7 +250,7 @@ object Similarity {
         V.norm(col(vecCol)).as("__cn"))
     val q = withProbeCells(
       withQueryNorm(queries, corpus.columns, queryIdCol, vecCol),
-      centroids, nProbe)
+      centroids, probes)
     val scored = assigned
       .join(broadcast(q), Seq("__cell"))
       .withColumn("cosine", V.cosineGivenNorms(
@@ -319,10 +325,14 @@ object Similarity {
     * per-row norms. Same output shape and semantics as [[ivfTopK]]. */
   def ivfProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                    vecCol: String, idCol: String, queryIdCol: String,
-                   k: Int, nProbe: Int = 4): DataFrame = {
+                   k: Int, nProbe: Int = 0): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
+    // nProbe <= 0: probe 1/8 of the index's cells — tied to the stored
+    // cell count the same way ivfTopK's default is, so a √n-sized index
+    // keeps its scored fraction instead of collapsing recall
+    val probes = if (nProbe > 0) nProbe else math.max(1, centroids.length / 8)
     val corpus = spark.read.parquet(s"$path/data")
     // materialize the (small, broadcast-bound) probe-expanded query batch
     // once: both the collected IN-list below and the join read it, and
@@ -330,7 +340,7 @@ object Similarity {
     val q = withProbeCells(
       withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
         allowed = Set("__cell", "__cn")),
-      centroids, nProbe)
+      centroids, probes)
       .localCheckpoint(true)
     val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
     val scored = corpus

@@ -58,6 +58,11 @@ object StreamOps {
     * seen (sliding TTL) — the at-least-once-ingestion dedup shape when
     * events carry NO usable event-time column (otherwise prefer
     * [[dedupeStream]], whose watermark bound is deterministic).
+    * "First" is the first row the group's iterator yields: arrival order
+    * within a source partition, but ARBITRARY across partitions (the
+    * groupByKey exchange does not preserve a global order) — which
+    * duplicate's payload survives is as nondeterministic as processing
+    * time itself; the event-time variant below picks deterministically.
     * `flatMapGroupsWithState` + `GroupStateTimeout.ProcessingTimeTimeout`:
     * state is one boolean per live key, evicted by the state store itself,
     * so memory is bounded by keys-per-TTL-window, not stream length.
@@ -108,11 +113,14 @@ object StreamOps {
   /** EVENT-TIME variant of [[dedupeKeysWithTTL]]: the TTL is measured on
     * the stream's own `tsCol` against the watermark, not on wall-clock
     * trigger times — the right shape when events DO carry an event-time
-    * column. First occurrence (in arrival order) wins; every sighting of
-    * the key — kept or suppressed — extends the key's expiry to its
-    * event-time + `ttlMs` (sliding TTL, the same contract as the
-    * processing-time variant); state evicts once the watermark passes the
-    * expiry, after which the key is admitted again.
+    * column. Within an admission window the sighting with the MINIMAL
+    * event time in its batch wins (deterministic under shuffle
+    * reordering, up to equal-timestamp ties); every sighting of the key —
+    * kept or suppressed — can only EXTEND the key's expiry (to the max of
+    * the standing expiry and the sighting's event-time + `ttlMs`: sliding
+    * TTL, and an out-of-order older sighting never shrinks the window);
+    * state evicts once the watermark passes the expiry, after which the
+    * key is admitted again.
     *
     * Determinism is the point: eviction depends only on the data's own
     * timestamps and the watermark `delay`, so a test (or a backfill rerun)
@@ -160,20 +168,28 @@ object StreamOps {
             // times and the delay, not of trigger interleaving
             val wm = state.getCurrentWatermarkMs()
             val fresh = !state.exists || state.get <= wm
-            // one pass: remember the first row (the keeper) and the max
-            // event time (the sliding-TTL anchor) without buffering the
-            // group
-            var first: Row = null
+            // one pass: remember the MINIMAL-event-time row (the keeper —
+            // deterministic under shuffle reordering, unlike "first seen")
+            // and the max event time (the sliding-TTL anchor) without
+            // buffering the group
+            var keeper: Row = null
+            var minTs = Long.MaxValue
             var maxTs = Long.MinValue
             rows.foreach { case (_, ts, row) =>
-              if (first == null) first = row
-              if (ts.getTime > maxTs) maxTs = ts.getTime
+              val t = ts.getTime
+              if (t < minTs) { minTs = t; keeper = row }
+              if (t > maxTs) maxTs = t
             }
-            val expiry = math.max(maxTs + ttlMs,
-              state.getCurrentWatermarkMs() + 1)
+            // the expiry only ever EXTENDS: an out-of-order suppressed
+            // sighting (ts below the key's latest) must not shrink the
+            // stored expiry and re-admit a duplicate early — take the max
+            // with the standing state (an expired prior is <= wm and
+            // cannot win)
+            val prior = if (state.exists) state.get else Long.MinValue
+            val expiry = math.max(math.max(prior, maxTs + ttlMs), wm + 1)
             state.update(expiry)
             state.setTimeoutTimestamp(expiry)
-            if (fresh && first != null) Iterator.single(first)
+            if (fresh && keeper != null) Iterator.single(keeper)
             else Iterator.empty
           }
       }(Encoders.scalaLong, rowEnc)

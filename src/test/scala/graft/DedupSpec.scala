@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
     hybrid shouldBe base
   }
 
+  test("autoBands picks the most selective banding that keeps >=95% recall " +
+    "at the threshold, degrading to r=1 for low/zero thresholds") {
+    // 1-(1-t^r)^b >= 0.95 <=> b >= ~3/t^r, b = numHashes/r
+    Dedup.autoBands(128, 0.3) shouldBe 64   // r=2: 64 >= 3/0.09 = 33
+    Dedup.autoBands(128, 0.1) shouldBe 128  // r=2 would need 300 bands -> r=1
+    Dedup.autoBands(128, 0.7) shouldBe 32   // r=4: 32 >= 3/0.24 = 12.5
+    Dedup.autoBands(128, 0.0) shouldBe 128  // no finite b at t=0 -> r=1
+    // the guarantee itself: P[candidate] at j = t clears 0.95
+    for (t <- Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.9)) {
+      val b = Dedup.autoBands(128, t)
+      val r = 128 / b
+      (1.0 - math.pow(1.0 - math.pow(t, r), b)) should be >= 0.95
+    }
+  }
+
   test("minhash-prefilter strategy is sound on char shingles: every emitted " +
     "pair appears in the exact path's output with identical values") {
     val exact = Dedup.charJaccardPairs(docs, "text", "doc_id",

@@ -280,13 +280,14 @@ class StreamDedupSpec extends SparkSpec {
     def ids: Seq[Long] = emitted.synchronized { emitted.map(_._1).sorted.toSeq }
     try {
       // batch 1: in-batch duplicate of key 1, out of order (t=11 arrives
-      // before t=10) — first ARRIVAL wins; watermark after batch = 12
-      mem.addData((1L, ts(11), "first-arrival"), (1L, ts(10), "earlier-ts"),
+      // before t=10) — the MINIMAL event time wins (deterministic under
+      // shuffle reordering, unlike arrival order); watermark after = 12
+      mem.addData((1L, ts(11), "later-ts"), (1L, ts(10), "earlier-ts"),
         (2L, ts(12), "b"))
       q.processAllAvailable()
       ids shouldBe Seq(1L, 2L)
       emitted.synchronized {
-        emitted.find(_._1 == 1L).get._2 shouldBe "first-arrival"
+        emitted.find(_._1 == 1L).get._2 shouldBe "earlier-ts"
       }
       // batch 2: key 1 at t=15 is inside its TTL window (expiry 11+10=21)
       // -> suppressed, and the sighting slides expiry to 25; key 4 is LATE
@@ -307,8 +308,53 @@ class StreamDedupSpec extends SparkSpec {
       ids shouldBe Seq(1L, 1L, 2L, 3L, 9L)
       emitted.synchronized {
         emitted.filter(_._1 == 1L).map(_._2).sorted.toSeq shouldBe
-          Seq("a-after-ttl", "first-arrival")
+          Seq("a-after-ttl", "earlier-ts")
       }
+    } finally q.stop()
+  }
+
+  test("EVENT-TIME TTL: an out-of-order suppressed sighting never SHRINKS " +
+    "the stored expiry (regression: expiry ignored standing state)") {
+    implicit val sql = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val emitted = ArrayBuffer[(Long, String)]()
+    val deduped = StreamOps.dedupeKeysWithTTLEventTime(
+      mem.toDF.toDF("event_id", "ts", "payload"), Seq("event_id"),
+      "ts", delay = "10 seconds", ttlMs = 10000L)
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.selectExpr("event_id", "payload")
+          .as[(Long, String)].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    def aCount: Int = emitted.synchronized { emitted.count(_._1 == 1L) }
+    try {
+      // key 1 at t=20: emitted, expiry 30; watermark after batch = 10
+      mem.addData((1L, ts(20), "first"))
+      q.processAllAvailable()
+      aCount shouldBe 1
+      // out-of-order sighting at t=12 (not late: wm=10). Suppressed — and
+      // it must NOT pull the expiry down to 12+10=22: the standing window
+      // from the t=20 sighting runs to 30
+      mem.addData((1L, ts(12), "out-of-order"))
+      q.processAllAvailable()
+      aCount shouldBe 1
+      // advance the watermark to 25 — past the WRONG expiry (22), still
+      // inside the real one (30). Key 1 at t=26 must stay suppressed.
+      mem.addData((8L, ts(35), "advance"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(26), "still-inside-window"))
+      q.processAllAvailable()
+      aCount shouldBe 1
+      // the t=26 sighting slid the expiry to 36; watermark past it ->
+      // re-admission works as before
+      mem.addData((9L, ts(50), "advance-2"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(41), "re-admitted"))
+      q.processAllAvailable()
+      aCount shouldBe 2
     } finally q.stop()
   }
 }
