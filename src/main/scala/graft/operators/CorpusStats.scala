@@ -83,29 +83,46 @@ object CorpusStats {
     * Scale shape: one scan-side shingle explode → distinct (group, gram)
     * — the relation is corpus-shingle-bounded but the JOIN fan-out is not
     * corpus-bounded, it is GROUP-bounded: a gram appearing in g groups
-    * contributes C(g,2) rows and g ≤ |distinct groups| (a recipe-sized
-    * constant — sources, not documents), so the self-join can never go
-    * corpus-quadratic the way a document-level pair join can. Both join
-    * sides are the same subplan (ReusedExchange); output is
-    * C(|groups|, 2) rows at most. */
+    * contributes C(g,2) rows and g ≤ |distinct groups|, so with a
+    * recipe-sized `groupCol` (sources, not documents) the self-join can
+    * never go corpus-quadratic the way a document-level pair join can.
+    * That bound is an assumption about `groupCol`'s cardinality, not a
+    * property of the plan — a high-cardinality group column (e.g. domain)
+    * combined with ubiquitous boilerplate grams re-creates the quadratic
+    * blow-up. `maxGroups > 0` makes the bound real: grams present in more
+    * than `maxGroups` groups are dropped before the join (the [[Dedup
+    * .ngramJaccardPairs]] `maxDf` guard, one counting aggregation over the
+    * already-cached relation) — such grams are boilerplate by definition
+    * and dominate the fan-out while carrying no pairwise signal. Both join
+    * sides read the cached relation; output is C(|groups|, 2) rows at
+    * most. */
   def groupOverlap(df: DataFrame, textCol: String, groupCol: String,
-                   shingleSize: Int = 8): DataFrame = {
+                   shingleSize: Int = 8, maxGroups: Int = 0): DataFrame = {
     // persist the distinct (group, gram) relation: both join sides read it,
     // and without the cache each side re-shingles the corpus (two full
     // scans + two distinct exchanges — the plan showed no ReusedExchange
     // because AQE may broadcast one side, breaking subplan identity)
-    val grams = df.select(col(groupCol).as("__grp"),
+    val all = df.select(col(groupCol).as("__grp"),
         explode(H.wordShingles(T.tokens(trim(lower(col(textCol)))), shingleSize))
           .as("__g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stop-gram guard: a gram in > maxGroups groups would fan out C(g,2)
+    // join rows; the rare-gram filter reads the cached relation once more
+    val grams =
+      if (maxGroups <= 0) all
+      else {
+        val rare = all.groupBy("__g").agg(count(lit(1)).as("__ng"))
+          .filter(col("__ng") <= maxGroups).select("__g")
+        all.join(rare, Seq("__g"))
+      }
     val a = grams.select(col("__grp").as("group_a"), col("__g"))
     val b = grams.select(col("__grp").as("group_b"), col("__g"))
     val out = a.join(b, Seq("__g"))
       .filter(col("group_a") < col("group_b"))
       .groupBy("group_a", "group_b")
       .agg(count(lit(1)).as("n_shared"))
-    graft.core.CacheAutoRelease.afterFirstUse(grams)
+    graft.core.CacheAutoRelease.afterFirstUse(all)
     out
   }
 }

@@ -554,7 +554,16 @@ object Dedup {
     * items at 1% fpp); undersizing `expectedItems` degrades fpp (more
     * exact-verify work), never correctness. The corpus relation itself is
     * never exchanged in full: the only full-corpus work is the scan-side
-    * shingle explode + Bloom probe. */
+    * shingle explode + Bloom probe.
+    *
+    * Spark's `BloomFilterAggregate` silently clamps its sizing to the
+    * runtime-row-filter confs (`spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`.maxNumBits`, defaults 4M items / 64M bits) — below
+    * this operator's defaults, which would quietly degrade the effective
+    * fpp above ~4M eval shingles. The aggregation therefore RAISES both
+    * confs to cover (`expectedItems`, the derived bit count) for the
+    * duration of the build and restores them after, so the documented
+    * sizing contract holds as stated. */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
                          textCol: String, idCol: String,
                          shingleSize: Int = 8, minOverlap: Long = 1L,
@@ -575,8 +584,24 @@ object Dedup {
         Literal(expectedItems), Literal(numBits))
       .toAggregateExpression(isDistinct = false))
     // one engine-side aggregation; the driver holds only the serialized
-    // filter (numBits/8 bytes — a parameter, not a data size)
-    val bloomBytes = eSh.agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
+    // filter (numBits/8 bytes — a parameter, not a data size). The
+    // aggregate clamps (items, bits) to the runtime bloomFilter confs at
+    // evaluation time — raise them to the requested sizing for the build
+    // and restore, so expectedItems > 4M keeps its fpp instead of being
+    // silently capped.
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (itemsOld, bitsOld) = (conf.get(itemsKey), conf.get(bitsKey))
+    val bloomBytes =
+      try {
+        conf.set(itemsKey, math.max(itemsOld.toLong, expectedItems))
+        conf.set(bitsKey, math.max(bitsOld.toLong, numBits))
+        eSh.agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
+      } finally {
+        conf.set(itemsKey, itemsOld)
+        conf.set(bitsKey, bitsOld)
+      }
     if (bloomBytes == null) return corpus // empty eval set: nothing to remove
     val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
     val mightContain = Bridge.column(new BloomFilterMightContain(

@@ -41,8 +41,12 @@ object Packing {
     * index of the row's bin within its shard under next-fit in ascending
     * `idCol` order. A document larger than `capacity` gets a bin of its
     * own (emitted, not dropped — dropping is a filtering decision that
-    * belongs to the caller). Empty documents (0 tokens) never overflow and
-    * ride along in the open bin.
+    * belongs to the caller). Empty documents (0 tokens) never overflow an
+    * open bin that is within capacity and ride along in it; the one
+    * exception is an open bin already OVER capacity from an oversize
+    * document (fill > capacity makes fill + 0 > capacity), where the
+    * zero-token doc rolls the bin and lands alone in a fresh one — the
+    * same rule the oracle replays.
     *
     * Output: (idCol — original type, shardCol int, seq long). `idCol` must
     * be orderable and unique per row (it is the walk order); `tokenCol` is

@@ -104,7 +104,12 @@ object Selection {
     * compose under resampling but drift with corpus growth; exact counts
     * pin the output size. `row_number <= n` plans a WindowGroupLimit, so
     * each task keeps n rows per stratum ahead of the exchange — no
-    * stratum funnels the corpus through one task. */
+    * stratum funnels the corpus through one task.
+    *
+    * `keyCol` must be UNIQUE per stratum (use the row id): duplicate keys
+    * tie on both `md5(key)` and the key tie-break, so which of the tied
+    * boundary rows survive `rk ≤ n` would be engine/partition-arbitrary —
+    * the same contract [[packSequences]] documents for its `idCol`. */
   def sampleExactPerStratum(df: DataFrame, strataCol: String,
                             keyCol: String, n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
@@ -126,12 +131,19 @@ object Selection {
     * w.r.t. key order, and a pure scan-side filter: no shuffle, no
     * sampling state, no driver coordination at any corpus size. Rates
     * resolve at 1/2^32 granularity; the rate lookup compiles to a CASE
-    * chain over `rates` (strata-count literals, not data), so keep `rates`
-    * to the explicit mix recipe — per-key thresholds at data cardinality
-    * belong in a join, not here. */
+    * chain over `rates` (strata-count literals, not data), so `rates` is
+    * REQUIRED to be an explicit mix recipe of at most 64 strata — the
+    * machine-checked form of "recipe-sized, not data-sized". Per-stratum
+    * thresholds at data cardinality belong in a join: derive a (stratum,
+    * threshold) DataFrame and filter through [[Dedup.sizeGatedFilterJoin]]
+    * instead. */
   def sampleStrata(df: DataFrame, strataCol: String, keyCol: String,
                    rates: Map[String, Double],
                    defaultRate: Double = 0.0): DataFrame = {
+    require(rates.size <= 64,
+      s"sampleStrata compiles rates to a CASE chain and is bounded to 64 " +
+        s"strata (got ${rates.size}); data-cardinality rate maps belong in " +
+        "a broadcast join, not an expression")
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0,1]")
     import graft.functions.{TextFunctions => T}

@@ -97,4 +97,24 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
     got shouldBe Array(("a", "b", 1L))
   }
+
+  test("groupOverlap maxGroups drops boilerplate grams present in more " +
+    "groups than the cap before the self-join") {
+    val byGroup = Seq(
+      (1L, "g1", "common boiler plate"), // in ALL three groups (g = 3)
+      (2L, "g2", "common boiler plate"),
+      (3L, "g3", "common boiler plate"),
+      (4L, "g1", "alpha beta gamma"),    // only g1, g2 (g = 2)
+      (5L, "g2", "alpha beta gamma")
+    ).toDF("doc_id", "grp", "text")
+    // uncapped: the ubiquitous gram links every pair
+    CorpusStats.groupOverlap(byGroup, "text", "grp", shingleSize = 3)
+      .as[(String, String, Long)].collect().sorted shouldBe
+      Array(("g1", "g2", 2L), ("g1", "g3", 1L), ("g2", "g3", 1L))
+    // maxGroups = 2 drops the 3-group gram; only the rare gram's pair stays
+    CorpusStats.groupOverlap(byGroup, "text", "grp", shingleSize = 3,
+        maxGroups = 2)
+      .as[(String, String, Long)].collect().sorted shouldBe
+      Array(("g1", "g2", 1L))
+  }
 }

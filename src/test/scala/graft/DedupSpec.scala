@@ -252,6 +252,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateBloom honors an expectedItems above Spark's runtime " +
+    "bloomFilter caps (confs raised for the build, restored after)") {
+    val corpus = Seq(
+      (1L, "the benchmark question about apples and oranges here"),
+      (3L, "completely unrelated training document about spark shuffles"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the benchmark question about apples and oranges here"))
+      .toDF("doc_id", "text")
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    // default caps are 4M items / 64M bits — 10M items would be silently
+    // clamped without the conf raise; the call must succeed AND restore
+    Dedup.decontaminateBloom(corpus, eval, "text", "doc_id",
+      shingleSize = 3, expectedItems = 10000000L)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(3L)
+    spark.conf.get(itemsKey) shouldBe items0
+    spark.conf.get(bitsKey) shouldBe bits0
+  }
+
   test("decontaminateBloom with an empty eval set keeps the whole corpus") {
     val corpus = Seq((1L, "some text here"), (2L, "other text there"))
       .toDF("doc_id", "text")

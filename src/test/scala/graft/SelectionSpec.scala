@@ -153,4 +153,18 @@ class SelectionSpec extends SparkSpec {
     // rank<=n pre-cuts per task before the exchange
     q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
+
+  test("sampleStrata rejects a rate map beyond the 64-stratum recipe bound " +
+    "(the CASE chain is recipe-sized by contract, not by hope)") {
+    val df = Seq((1L, "en")).toDF("doc_id", "stratum")
+    val oversized = (0 until 65).map(i => s"s$i" -> 0.5).toMap
+    val err = intercept[IllegalArgumentException] {
+      Selection.sampleStrata(df, "stratum", "doc_id", oversized)
+    }
+    err.getMessage should include("64")
+    // the boundary itself is fine
+    val atBound = (0 until 64).map(i => s"s$i" -> 1.0).toMap
+    Selection.sampleStrata(df, "stratum", "doc_id", atBound + ("en" -> 1.0) - "s0")
+      .count() shouldBe 1L
+  }
 }
