@@ -9,7 +9,7 @@ import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Packing, Selectio
 import graft.sinks.{InsertOrUpdate, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
-import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 
 /** The driver-contract query inventory: one named query per operator /
   * capability from SURVEY.md §2, each with a DuckDB-equivalent oracle in
@@ -551,52 +551,183 @@ object Queries {
         (abs(col("__approx_part") - col("exact_part"))
           <= col("exact_part") * (3 * 0.05)).as("part_within_bounds"))
 
-  /** MinHash-LSH pairs: signatures depend on the engine's hash family, so
-    * there is no cross-engine SQL oracle; correctness is covered by the
-    * ScalaTest property (LSH pairs ⊆ exact-Jaccard pairs). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(tab(s, dir, "documents"), "text", "doc_id",
-        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.1)
-      .orderBy("id_a", "id_b")
+  /** MinHash-LSH pairs, reshaped to the bounded-assertion contract (the
+    * `approx_distinct` pattern): the signature family is engine-specific,
+    * so the emitted PAIR SET has no cross-engine oracle — but its CONTRACT
+    * does. The query computes both the LSH pairs and the exact-Jaccard
+    * pair set ([[Dedup.ngramJaccardPairs]], engine-independent integer
+    * arithmetic) and emits one row of checkable claims: the exact pair
+    * count (DuckDB recomputes it), LSH ⊆ exact, every emitted jaccard
+    * equal to the exact pair's jaccard, and recall ≥ 0.8 (measured 1.0 at
+    * sf0.01 with this banding — 16 bands × 4 rows at threshold 0.1; the
+    * 0.8 floor leaves margin without becoming vacuous). Deterministic:
+    * Spark's xxhash64 family is fixed, so every boolean is stable. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val lsh = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.1)
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, threshold = 0.1)
+      .select(col("id_a"), col("id_b"), col("jaccard").as("__je"))
+    val checked = lsh.join(exact, Seq("id_a", "id_b"), "left").agg(
+      count(lit(1)).as("__n_lsh"),
+      count(col("__je")).as("__n_in_exact"),
+      coalesce(bool_and(col("jaccard") === col("__je")), lit(true))
+        .as("__vals_ok"))
+    exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(checked).select(
+      col("n_exact_pairs"),
+      (col("__n_in_exact") === col("__n_lsh")).as("lsh_subset_of_exact"),
+      col("__vals_ok").as("jaccard_values_match"),
+      (col("__n_lsh") >= col("n_exact_pairs") * 0.8).as("recall_floor_ok"))
+  }
 
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(tab(s, dir, "documents"), "text", "doc_id",
-        chunks = 4, maxHamming = 3)
-      .orderBy("id_a", "id_b")
+  /** SimHash pairs under the bounded-assertion contract. The 64-bit sketch
+    * is hash-family-specific, so the emitted pair set itself has no SQL
+    * oracle; the checkable claims are: (a) every emitted pair is a genuine
+    * near-duplicate — exact distinct-token-set Jaccard ≥ 0.8 (measured
+    * minimum 0.862 at sf0.01; a random pair clears 0.8 with p ≈ 0.24 on
+    * this corpus, so 17 random pairs would all clear it with p ≈ 3e-11);
+    * (b) chunk-LSH exactness — every pair of documents with IDENTICAL
+    * normalized token multisets has hamming 0 < chunks and MUST be
+    * emitted; (c) the emitted count is sane (nonempty, and no larger than
+    * the loose unigram-0.8 pair set that contains it). DuckDB recomputes
+    * both engine-independent counts and expects the booleans true. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val sim = Dedup.simHash(docs, "text", "doc_id", chunks = 4, maxHamming = 3)
+    // exact distinct-token-set jaccard attached to each emitted pair
+    val toksets = docs.select(col("doc_id"),
+      H.wordShingles(T.tokens(lower(col("text"))), 1).as("__ts"))
+    val simJ = sim
+      .join(toksets.select(col("doc_id").as("id_a"), col("__ts").as("__ta")), Seq("id_a"))
+      .join(toksets.select(col("doc_id").as("id_b"), col("__ts").as("__tb")), Seq("id_b"))
+      .withColumn("__juni", H.jaccard(col("__ta"), col("__tb")))
+    // identical-token-multiset pairs: the chunk-LSH exactness anchor
+    val msets = docs.select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(T.tokens(lower(col("text")))))).as("__fp"))
+    val msPairs = msets.toDF("id_a", "__fp")
+      .join(msets.toDF("id_b", "__fp"), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val simAgg = simJ.agg(
+      count(lit(1)).as("__n_sim"),
+      coalesce(bool_and(col("__juni") >= 0.8), lit(true)).as("__floor_ok"))
+    val msAgg = msPairs
+      .join(sim.select(col("id_a"), col("id_b"), lit(true).as("__hit")),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_multiset_pairs"),
+        coalesce(bool_and(col("__hit").isNotNull), lit(true)).as("multiset_pairs_found"))
+    val uniAgg = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 1, threshold = 0.8)
+      .agg(count(lit(1)).as("n_unigram_high"))
+    uniAgg.crossJoin(msAgg).crossJoin(simAgg).select(
+      col("n_unigram_high"),
+      col("n_multiset_pairs"),
+      col("multiset_pairs_found"),
+      col("__floor_ok").as("sim_pairs_are_near_dups"),
+      (col("__n_sim") >= 1 && col("__n_sim") <= col("n_unigram_high"))
+        .as("n_sim_bounded"))
+  }
 
   private def embcosExact(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosineExact(tab(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  private def embcosPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosine(tab(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, nPlanes = 8, tables = 12)
-      .orderBy("id_a", "id_b")
+  /** Sign-LSH cosine pairs under the bounded-assertion contract, against
+    * the exact all-pairs shape `embcos_exact` already oracle-checks:
+    * precision must be 1.0 (every emitted pair is in the exact set — the
+    * operator verifies candidates with exact cosine, so a miss here means
+    * the verification arithmetic broke), emitted cosines must equal the
+    * exact pair's cosine, and recall ≥ 0.75 (5 planes × 24 OR-amplified
+    * tables measured 0.898 at sf0.01; the floor leaves margin while still
+    * catching a collapsed banding). DuckDB recomputes the exact pair
+    * count and expects the booleans true. */
+  private def embcosPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val lsh = Dedup.embeddingCosine(emb, "embedding", "vec_id",
+      threshold = 0.4, nPlanes = 5, tables = 24)
+    val exact = Dedup.embeddingCosineExact(emb, "embedding", "vec_id",
+        threshold = 0.4)
+      .select(col("id_a"), col("id_b"), col("cosine").as("__ce"))
+    val checked = lsh.join(exact, Seq("id_a", "id_b"), "left").agg(
+      count(lit(1)).as("__n_lsh"),
+      count(col("__ce")).as("__n_in_exact"),
+      coalesce(bool_and(col("cosine") === col("__ce")), lit(true))
+        .as("__vals_ok"))
+    exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(checked).select(
+      col("n_exact_pairs"),
+      (col("__n_in_exact") === col("__n_lsh")).as("precision_ok"),
+      col("__vals_ok").as("cosine_values_match"),
+      (col("__n_lsh") >= col("n_exact_pairs") * 0.75).as("recall_floor_ok"))
+  }
 
+  /** Multi-probe LSH top-k under the bounded-assertion contract, against
+    * the exact shape `similarity_topk` already oracle-checks. Per query:
+    * the probe must fill all k slots, at least 2 of the exact top-10 must
+    * be recalled (8 planes probed to Hamming radius 3 ≈ 36% of cells;
+    * measured per-query hits {6,3,5,8,5} at sf0.01), and every returned
+    * cosine must equal the exact cosine of that (query, vector) pair —
+    * the ranking arithmetic check. DuckDB emits the query ids (engine-
+    * independent) and expects the booleans true. */
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = tab(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = emb.filter(col("vec_id") >= 5)
-    Similarity.lshTopK(corpus, queries, "embedding", "vec_id", "query_id",
-        k = 10, nPlanes = 8, dim = 64)
-      .withColumn("rank", col("rank").cast("long"))
-      .orderBy("query_id", "rank")
+    val approx = Similarity.lshTopK(corpus, queries, "embedding", "vec_id",
+      "query_id", k = 10, nPlanes = 8, dim = 64, probeHamming = 3)
+    val exactTop = Similarity.bruteForceTopK(corpus, queries, "embedding",
+        "vec_id", "query_id", k = 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("__in_exact"))
+    // exact cosine of every (query, corpus vector) — the queries are tiny
+    // and broadcast; corpus is scanned once, never shuffled
+    val qv = queries.select(col("query_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"), V.norm(col("embedding")).as("__qn"))
+    val allScores = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").as("__cv"),
+        V.norm(col("embedding")).as("__cn"))
+      .join(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosineGivenNorms(col("__cv"), col("__qv"), col("__cn"),
+          col("__qn")), 6).as("__ce"))
+    approx
+      .join(exactTop, Seq("query_id", "vec_id"), "left")
+      .join(allScores, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(
+        (count(lit(1)) === 10).as("returned_full_k"),
+        (count(col("__in_exact")) >= 2).as("recall_floor_ok"),
+        coalesce(bool_and(col("cosine") === col("__ce")), lit(false))
+          .as("cosines_exact"))
+      .orderBy("query_id")
   }
 
   /** Per-language corpus sketch via the custom
     * [[graft.functions.SimHashAgg]] (TypedImperativeAggregate — 256-byte
-    * vote buffers merge map-side; only buffers cross the exchange).
-    * Rows-only: the sketch is xxhash64-family-specific; value-equivalence
-    * to the per-document expression is pinned in FunctionsSpec. */
+    * vote buffers merge map-side; only buffers cross the exchange), under
+    * the bounded-assertion contract: the sketch VALUE is xxhash64-family-
+    * specific, but the aggregate's defining property is checkable inside
+    * the query — the merged group sketch must equal [[graft.functions
+    * .SimHashExpr]] over the concatenation of the group's token arrays
+    * (vote addition commutes, so the nondeterministic collect order cannot
+    * change the boolean). This exercises the buffer merge path across
+    * partitions — exactly what FunctionsSpec can only pin single-node.
+    * The flatten/collect_list verification side is sized by the group's
+    * token count and exists for the contract check; production callers
+    * use the aggregate alone. DuckDB recomputes (lang_id, n_docs) and
+    * expects the equivalence boolean true. */
   private def groupSketch(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "documents")
       .select(T.langId(col("text")).as("lang_id"),
         T.tokens(lower(col("text"))).as("__toks"))
       .groupBy("lang_id")
-      .agg(graft.functions.SimHashAgg(col("__toks")).as("sketch"),
-        count(lit(1)).as("n_docs"))
+      .agg(graft.functions.SimHashAgg(col("__toks")).as("__sketch"),
+        count(lit(1)).as("n_docs"),
+        flatten(collect_list(col("__toks"))).as("__all"))
+      .select(col("lang_id"), col("n_docs"),
+        (col("__sketch") === graft.functions.SimHashExpr(col("__all")))
+          .as("sketch_matches_expr"))
       .orderBy("lang_id")
 
   /** IVF coarse-quantized ANN in its FULL-PROBE configuration
@@ -1786,6 +1917,106 @@ object Queries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
-        |ORDER BY lang, rk""".stripMargin
+        |ORDER BY lang, rk""".stripMargin,
+    // bounded-assertion contract (approx_distinct pattern): the oracle
+    // recomputes the exact trigram pair count — same CTE as ngram_pairs —
+    // and expects the Spark side's subset/value/recall booleans to hold
+    "minhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        |  TRUE AS lsh_subset_of_exact,
+        |  TRUE AS jaccard_values_match,
+        |  TRUE AS recall_floor_ok
+        |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1""".stripMargin,
+    // unigram (distinct-token-set) jaccard pairs at 0.8 (size-1 variant of
+    // the ngram_pairs CTE) + identical-token-multiset pair count; the
+    // sketch-dependent booleans are expected true
+    "simhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(toks) END AS sh
+        |  FROM tk),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+        |uhigh AS (
+        |  SELECT count(*) AS n
+        |  FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |ms AS (SELECT doc_id, md5(array_to_string(list_sort(toks), ' ')) AS fp
+        |       FROM tk),
+        |msp AS (SELECT count(*) AS n FROM ms a JOIN ms b
+        |        ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT CAST(uhigh.n AS BIGINT) AS n_unigram_high,
+        |  CAST(msp.n AS BIGINT) AS n_multiset_pairs,
+        |  TRUE AS multiset_pairs_found,
+        |  TRUE AS sim_pairs_are_near_dups,
+        |  TRUE AS n_sim_bounded
+        |FROM uhigh, msp""".stripMargin,
+    // exact pair count from the embcos_exact predicate; precision/value/
+    // recall booleans expected true
+    "embcos_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        |  TRUE AS precision_ok,
+        |  TRUE AS cosine_values_match,
+        |  TRUE AS recall_floor_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    // the query ids are engine-independent; per-query probe-contract
+    // booleans expected true
+    "lsh_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  TRUE AS returned_full_k,
+        |  TRUE AS recall_floor_ok,
+        |  TRUE AS cosines_exact
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // langId CTE from text_stats aggregated per language; the agg==expr
+    // equivalence boolean is expected true
+    "group_sketch" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |l AS (
+        |  SELECT CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |       WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |       WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |       WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |       WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |       ELSE 'zh' END AS lang_id
+        |  FROM sc)
+        |SELECT lang_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS sketch_matches_expr
+        |FROM l GROUP BY lang_id ORDER BY lang_id""".stripMargin
   )
 }

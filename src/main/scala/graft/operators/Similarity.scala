@@ -352,20 +352,39 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries are assigned
-    * sign-projection cells; queries probe their own cell and every cell at
-    * Hamming distance 1 (`probes` ≤ nPlanes extra cells). Same output shape
-    * as [[bruteForceTopK]]; recall < 1 by construction. */
+    * sign-projection cells; queries probe their own cell and every cell
+    * within Hamming distance `probeHamming` of it (multi-probe LSH — the
+    * standard recall lever that reuses one table instead of building
+    * more). `probes` caps how many of the 1-bit flips participate (legacy
+    * knob); the probed-cell count is 1 + C(planes,1) + … up to the
+    * hamming radius, so the scored fraction grows combinatorially —
+    * radius 2 on 8 planes probes 37/256 ≈ 14% of the corpus. Same output
+    * shape as [[bruteForceTopK]]; recall < 1 by construction. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
               k: Int, nPlanes: Int = 8, dim: Int = 64,
-              probes: Int = 8): DataFrame = {
+              probes: Int = 8, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 1 && probeHamming <= 3,
+      "probeHamming must be in [1, 3] — beyond 3 the probe set approaches " +
+        "the full cell space; use bruteForceTopK instead")
     val planes = V.hyperplanes(nPlanes, dim)
     val c = corpus
       .withColumn("__cell", V.signBucket(col(vecCol), planes))
       .withColumn("__cn", V.norm(col(vecCol)))
-    // query probes: own cell + cells with one flipped bit
-    val probeCells = array(
-      (lit(0L) +: (0 until math.min(probes, nPlanes)).map(i => lit(1L << i))): _*)
+    // query probes: own cell + every XOR mask of weight <= probeHamming
+    // over the first `probes` planes (masks are a tiny driver-side list —
+    // at most C(planes, <=3) literals — broadcast with the query batch)
+    val bits = 0 until math.min(probes, nPlanes)
+    val masks = Seq(0L) ++
+      bits.map(i => 1L << i) ++
+      (if (probeHamming >= 2)
+        for (i <- bits; j <- bits if i < j) yield (1L << i) | (1L << j)
+      else Seq.empty) ++
+      (if (probeHamming >= 3)
+        for (i <- bits; j <- bits; l <- bits if i < j && j < l)
+          yield (1L << i) | (1L << j) | (1L << l)
+      else Seq.empty)
+    val probeCells = array(masks.map(lit): _*)
     val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
       .withColumn("__qcell", V.signBucket(col("__qvec"), planes))
       .withColumn("__cell", explode(transform(probeCells,

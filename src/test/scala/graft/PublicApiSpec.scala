@@ -23,12 +23,10 @@ class PublicApiSpec extends SparkSpec {
     api.SelectConfig().packSize shouldBe 1000
   }
 
-  test("every declared query has either an oracle or is documented rows-only") {
-    // ivf_topk (full-probe == exact) and approx_distinct (bounded-error
-    // booleans) graduated to real oracles in round 7
-    val rowsOnly = Set("minhash_pairs", "simhash_pairs", "embcos_pairs",
-      "lsh_topk", "group_sketch")
-    SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet shouldBe rowsOnly
+  test("every declared query has an oracle") {
+    // the last 5 rows-only entries (minhash/simhash/embcos pairs, lsh_topk,
+    // group_sketch) graduated to bounded-assertion oracles in round 9
+    SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet shouldBe Set.empty
     // no orphan oracles
     SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet shouldBe Set.empty
   }
