@@ -186,6 +186,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Image near-duplicate detection end to end — REAL codec path: a
+    * deterministic 64-block grayscale PNG is synthesized per document
+    * ([[graft.functions.GrayPngExpr]] over 4 chained md5s of the text — 64
+    * independent block bytes, so distinct documents are maximally far
+    * apart in dHash space), a resized copy of every image is planted
+    * ([[graft.functions.ImageResizeExpr]], real decode + bilinear + PNG
+    * re-encode), and [[Dedup.imageDHashPairs]] must find the planted
+    * (original, resize) pairs by perceptual hash + chunk-LSH + Hamming
+    * verification. Bounded-assertion contract: DuckDB recomputes the
+    * document count and expects ≥ 90% planted recall (measured 100% at
+    * sf0.01; cross-doc dHash distance ≥ 14 vs the ≤ 6 pair radius) and
+    * that any non-planted pair joins exact text duplicates (identical
+    * md5 ⇒ identical synthesized image; zero such pairs at sf0.01). */
+  private def imagePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val offset = 10000000L
+    val payload = concat(unhex(md5(col("text"))),
+      unhex(md5(concat(lit("a"), col("text")))),
+      unhex(md5(concat(lit("b"), col("text")))),
+      unhex(md5(concat(lit("c"), col("text")))))
+    val orig = docs.select(col("doc_id"),
+      graft.functions.GrayPngExpr(payload, 64, 64, 8).as("png"))
+    val dup = orig.select((col("doc_id") + lit(offset)).as("doc_id"),
+      graft.functions.ImageResizeExpr(col("png"), 48, 48).as("png"))
+    val pairs = Dedup.imageDHashPairs(orig.unionByName(dup), "png", "doc_id",
+      chunks = 8, maxHamming = 6)
+    val withKind = pairs.withColumn("__planted",
+      col("id_b") - col("id_a") === lit(offset))
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
+    val crossOk = withKind.filter(!col("__planted"))
+      .withColumn("__da", col("id_a") % lit(offset))
+      .withColumn("__db", col("id_b") % lit(offset))
+      .join(fp.select(col("doc_id").as("__da"), col("__fp").as("__fa")),
+        Seq("__da"), "left")
+      .join(fp.select(col("doc_id").as("__db"), col("__fp").as("__fb")),
+        Seq("__db"), "left")
+      .agg(coalesce(bool_and(col("__fa") === col("__fb")), lit(true))
+        .as("cross_pairs_are_exact_dups"))
+    val plantedAgg = withKind.filter(col("__planted"))
+      .agg(count(lit(1)).as("__n_planted_found"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(plantedAgg).crossJoin(crossOk)
+      .select(col("n_docs"),
+        (col("__n_planted_found") >= col("n_docs") * 0.9).as("planted_recall_ok"),
+        col("cross_pairs_are_exact_dups"))
+  }
+
   private def eventsTumbling(s: SparkSession, dir: String): DataFrame =
     EventWindows.tumbling(events(s, dir), "ts", "1 hour")
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
@@ -1032,7 +1078,8 @@ object Queries {
     "chunk_docs" -> chunkDocs _,
     "source_overlap" -> sourceOverlap _,
     "decontaminate_bloom" -> decontaminateBloomQ _,
-    "stratified_sample" -> stratifiedSample _
+    "stratified_sample" -> stratifiedSample _,
+    "image_pairs" -> imagePairs _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2017,6 +2064,14 @@ object Queries {
         |  FROM sc)
         |SELECT lang_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  TRUE AS sketch_matches_expr
-        |FROM l GROUP BY lang_id ORDER BY lang_id""".stripMargin
+        |FROM l GROUP BY lang_id ORDER BY lang_id""".stripMargin,
+    // the synthesized images and their planted resizes are deterministic
+    // functions of the text, so the oracle is the document count plus the
+    // recall/precision contract booleans
+    "image_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS planted_recall_ok,
+        |  TRUE AS cross_pairs_are_exact_dups
+        |FROM documents""".stripMargin
   )
 }

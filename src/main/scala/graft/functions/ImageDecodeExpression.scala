@@ -95,6 +95,134 @@ object ImageResizeExpr {
     Bridge.column(ImageResizeExpr(Bridge.expression(payload), width, height))
 }
 
+/** Scan-side perceptual image hash (dHash), JDK-only: decodes the payload
+  * (same readers and decode-bomb guards as [[ImageFeaturesExpr]]),
+  * area-averages the grayscale pixels into a 9×8 grid, and emits a 64-bit
+  * hash — bit (r, c) set iff grid(r, c) < grid(r, c+1), the row-wise
+  * brightness gradient. Near-duplicate images (resizes, re-encodes, mild
+  * edits) land within a few bits of each other, so the existing 64-bit
+  * chunk-LSH banding ([[graft.operators.Dedup.hamming64Pairs]]) finds
+  * image near-duplicates exactly like SimHash finds text ones. The
+  * downscale is an explicit box average over integer cell boundaries —
+  * not Graphics2D resampling — so the hash is a pure arithmetic function
+  * of the decoded pixels. Non-decodable payloads yield NULL, not task
+  * failures. */
+case class ImageDHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    ImageDecode.withGuardedReader(bytes) { (reader, w, h) =>
+      val img = reader.read(0)
+      val cols = 9; val rows = 8
+      val sums = Array.ofDim[Double](rows, cols)
+      val counts = Array.ofDim[Long](rows, cols)
+      var y = 0
+      while (y < h) {
+        // target row: floor(y * rows / h) — every source pixel lands in
+        // exactly one cell, so the grid is a partition (a true box filter)
+        val r = (y.toLong * rows / h).toInt
+        var x = 0
+        while (x < w) {
+          val c = (x.toLong * cols / w).toInt
+          val rgb = img.getRGB(x, y)
+          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          sums(r)(c) += gray
+          counts(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < cols - 1) {
+          // empty cells (w < 9 or h < 8) average to 0 — deterministic
+          val a = if (counts(r)(c) == 0) 0.0 else sums(r)(c) / counts(r)(c)
+          val b = if (counts(r)(c + 1) == 0) 0.0 else sums(r)(c + 1) / counts(r)(c + 1)
+          if (a < b) hash |= 1L << (r * (cols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDHashExpr =
+    copy(child = newChild)
+}
+
+object ImageDHashExpr {
+  def apply(payload: Column): Column =
+    Bridge.column(ImageDHashExpr(Bridge.expression(payload)))
+}
+
+/** Deterministic grayscale-PNG synthesis: interprets the payload bytes as
+  * 8-bit gray intensities tiled row-major (cyclically) over a `imgWidth` ×
+  * `imgHeight` canvas and encodes a real PNG through `javax.imageio` —
+  * genuine image bytes fabricated from any deterministic byte source, so
+  * contract queries and specs can exercise the REAL decode/resize/hash
+  * path on tables that ship no image columns. `blockSize` > 1 paints each
+  * byte as a `blockSize`-square block instead of a single pixel, giving
+  * the image the low-frequency structure natural photos have — byte-per-
+  * pixel output is white noise, which no resampling-stable perceptual
+  * hash can survive (measured: dHash hamming ~15/64 after a 2:1 resize of
+  * noise vs ~1/64 of block texture). Gray PNG encoding is lossless, so
+  * the decoded pixels are exactly the painted intensities. */
+case class GrayPngExpr(child: Expression, imgWidth: Int, imgHeight: Int,
+                       blockSize: Int = 1)
+    extends UnaryExpression with CodegenFallback {
+  require(imgWidth > 0 && imgHeight > 0, "image dimensions must be positive")
+  require(blockSize > 0, "blockSize must be positive")
+  require(imgWidth.toLong * imgHeight <= ImageFeaturesExpr.MaxPixels,
+    "refusing to synthesize an image larger than the decode-bomb guard")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gray_png"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null
+    else {
+      val img = new java.awt.image.BufferedImage(imgWidth, imgHeight,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      val blocksPerRow = math.max(1, imgWidth / blockSize)
+      var y = 0
+      while (y < imgHeight) {
+        var x = 0
+        while (x < imgWidth) {
+          val block = (y / blockSize) * blocksPerRow + (x / blockSize)
+          raster.setSample(x, y, 0, bytes(block % bytes.length) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GrayPngExpr =
+    copy(child = newChild)
+}
+
+object GrayPngExpr {
+  def apply(payload: Column, width: Int, height: Int): Column =
+    Bridge.column(GrayPngExpr(Bridge.expression(payload), width, height, 1))
+  def apply(payload: Column, width: Int, height: Int, blockSize: Int): Column =
+    Bridge.column(GrayPngExpr(Bridge.expression(payload), width, height,
+      blockSize))
+}
+
 /** Shared reader scaffolding of the image expressions. */
 private[functions] object ImageDecode {
 

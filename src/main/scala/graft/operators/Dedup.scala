@@ -185,6 +185,36 @@ object Dedup {
     result
   }
 
+  /** Near-duplicate pairs from ANY 64-bit sketch column: chunk-LSH
+    * candidates (the 64 bits split into `chunks` pieces; two sketches
+    * within Hamming distance < chunks must agree on at least one whole
+    * chunk — pigeonhole — so candidate generation is EXACT for
+    * maxHamming < chunks), exact Hamming verification ≤ maxHamming. The
+    * shared engine under [[simHash]] (text sketches) and
+    * [[imageDHashPairs]] (perceptual image hashes); any other 64-bit
+    * locality-sensitive sketch plugs in the same way. Sketches are
+    * computed once scan-side and persisted for the band + verification
+    * consumers; null sketches (undecodable payloads) have nothing to band
+    * and drop out. */
+  def hamming64Pairs(df: DataFrame, sketch: Column, idCol: String,
+                     chunks: Int = 4, maxHamming: Int = 3,
+                     maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
+    // consumed by the chunk-LSH branch and both verification joins
+    val withSk = df.select(col(idCol), sketch.as("__sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = withSk
+      .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
+      .select(col(idCol), col("__c").cast("string").as("__key"))
+    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
+    val result = withPairPayloads(pairs, withSk, idCol)
+      .withColumn("hamming", H.hamming(col("__sim_a"), col("__sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    graft.core.CacheAutoRelease.afterFirstUse(withSk)
+    result
+  }
+
   /** SimHash near-duplicate pairs: 64-bit sketch, chunk-LSH candidates,
     * exact Hamming verification ≤ maxHamming. The sketch is the native
     * [[graft.functions.SimHashExpr]] — one compiled pass per document,
@@ -192,23 +222,27 @@ object Dedup {
     * to [[graft.functions.HashFunctions.simHash]], the HOF spec. */
   def simHash(df: DataFrame, textCol: String, idCol: String,
               chunks: Int = 4, maxHamming: Int = 3,
-              maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
-    // consumed by the chunk-LSH branch and both verification joins
-    val withSim = df.select(col(idCol),
-        graft.functions.SimHashExpr(T.tokens(lower(col(textCol)))).as("__sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val keyed = withSim
-      .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
-      .select(col(idCol), col("__c").cast("string").as("__key"))
-    val pairs = pairsFromBuckets(keyed, idCol, maxBucket)
-    val result = withPairPayloads(pairs, withSim, idCol)
-      .withColumn("hamming", H.hamming(col("__sim_a"), col("__sim_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-    graft.core.CacheAutoRelease.afterFirstUse(withSim)
-    result
-  }
+              maxBucket: Int = 10000): DataFrame =
+    hamming64Pairs(df,
+      graft.functions.SimHashExpr(T.tokens(lower(col(textCol)))),
+      idCol, chunks, maxHamming, maxBucket)
+
+  /** Image near-duplicate pairs: perceptual dHash
+    * ([[graft.functions.ImageDHashExpr]] — real decode, box-averaged 9×8
+    * grayscale, row-gradient bits) over a binary payload column, then the
+    * same chunk-LSH + exact-Hamming machinery as [[simHash]]. Resized or
+    * re-encoded copies of an image land within a few bits, so the default
+    * radius is wider than text SimHash's and the chunk count rises with it
+    * (exactness needs maxHamming < chunks). Undecodable payloads hash to
+    * NULL and are excluded, mirroring the decode expressions' corrupt-blob
+    * contract. Reference anchor: the ingest→dedup→re-emit round-trip of
+    * `tests/test_integration.py:171-188`, extended to image columns. */
+  def imageDHashPairs(df: DataFrame, payloadCol: String, idCol: String,
+                      chunks: Int = 8, maxHamming: Int = 6,
+                      maxBucket: Int = 10000): DataFrame =
+    hamming64Pairs(df,
+      graft.functions.ImageDHashExpr(col(payloadCol)),
+      idCol, chunks, maxHamming, maxBucket)
 
   /** Exact n-gram Jaccard pairs via a shingle-inverted-index self-join:
     * explode distinct shingles, join on the shingle, count shared shingles

@@ -75,6 +75,38 @@ class MultimodalSpec extends SparkSpec {
     out(1).isNullAt(1) shouldBe true
   }
 
+  test("imageDHashPairs finds a real resized-duplicate PNG and leaves an " +
+    "unrelated image unpaired") {
+    // a structured 64x64 image (smooth gradient + bright square): the
+    // shape dHash is built for — resizes keep the gradient field
+    def render(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(y => (0 until 64).foreach { x =>
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val photo = render((x, y) =>
+      if (x > 40 && x < 56 && y > 8 && y < 24) 250 else (x * 2 + y) / 2)
+    val other = render((x, y) =>
+      if (x < 24 && y > 40) 10 else 255 - (x + y * 2) / 2)
+    val rows = Seq((1L, photo), (3L, other), (4L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val resized = graft.operators.Multimodal.resizeImages(
+        rows.filter(col("doc_id") === 1L), "payload", 32, 32)
+      .select(lit(2L).as("doc_id"), col("resized").as("payload"))
+    val all = rows.unionByName(resized)
+    val pairs = graft.operators.Dedup.imageDHashPairs(all, "payload", "doc_id")
+      .collect()
+    // exactly the planted (original, half-size copy) pair — the unrelated
+    // image pairs with nothing and the junk payload hashes to NULL
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    pairs.head.getAs[Number]("hamming").intValue should be <= 6
+  }
+
   test("sampleFrames slices payload bytes into indexed frames") {
     val payload = Multimodal.asBinaryPayload(docs.filter(col("doc_id") === 1L),
       "text", "text/plain")
