@@ -635,9 +635,12 @@ object Queries {
     * this corpus, so 17 random pairs would all clear it with p ≈ 3e-11);
     * (b) chunk-LSH exactness — every pair of documents with IDENTICAL
     * normalized token multisets has hamming 0 < chunks and MUST be
-    * emitted; (c) the emitted count is sane (nonempty, and no larger than
-    * the loose unigram-0.8 pair set that contains it). DuckDB recomputes
-    * both engine-independent counts and expects the booleans true. */
+    * emitted; (c) the emitted volume is sane (nonempty, and bounded by a
+    * per-document near-dup degree of 10 — pair output stays corpus-
+    * linear, never quadratic). Every verification here is per-EMITTED-pair
+    * or per-document; a global unigram pair join was measured quadratic at
+    * sf0.1 and deliberately avoided. DuckDB recomputes the two counts and
+    * expects the booleans true. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = tab(s, dir, "documents")
     val sim = Dedup.simHash(docs, "text", "doc_id", chunks = 4, maxHamming = 3)
@@ -663,16 +666,14 @@ object Queries {
         Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_multiset_pairs"),
         coalesce(bool_and(col("__hit").isNotNull), lit(true)).as("multiset_pairs_found"))
-    val uniAgg = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        shingleSize = 1, threshold = 0.8)
-      .agg(count(lit(1)).as("n_unigram_high"))
-    uniAgg.crossJoin(msAgg).crossJoin(simAgg).select(
-      col("n_unigram_high"),
-      col("n_multiset_pairs"),
-      col("multiset_pairs_found"),
-      col("__floor_ok").as("sim_pairs_are_near_dups"),
-      (col("__n_sim") >= 1 && col("__n_sim") <= col("n_unigram_high"))
-        .as("n_sim_bounded"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(msAgg).crossJoin(simAgg)
+      .select(
+        col("n_docs"),
+        col("n_multiset_pairs"),
+        col("multiset_pairs_found"),
+        col("__floor_ok").as("sim_pairs_are_near_dups"),
+        (col("__n_sim") >= 1 && col("__n_sim") <= col("n_docs") * 10)
+          .as("n_sim_bounded"))
   }
 
   private def embcosExact(s: SparkSession, dir: String): DataFrame =
@@ -1990,38 +1991,23 @@ object Queries {
         |  TRUE AS recall_floor_ok
         |FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.1""".stripMargin,
-    // unigram (distinct-token-set) jaccard pairs at 0.8 (size-1 variant of
-    // the ngram_pairs CTE) + identical-token-multiset pair count; the
+    // document count + identical-token-multiset pair count; the
     // sketch-dependent booleans are expected true
     "simhash_pairs" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
-        |t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_distinct(toks) END AS sh
-        |  FROM tk),
-        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM t),
-        |uhigh AS (
-        |  SELECT count(*) AS n
-        |  FROM p JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
         |ms AS (SELECT doc_id, md5(array_to_string(list_sort(toks), ' ')) AS fp
         |       FROM tk),
         |msp AS (SELECT count(*) AS n FROM ms a JOIN ms b
-        |        ON a.fp = b.fp AND a.doc_id < b.doc_id)
-        |SELECT CAST(uhigh.n AS BIGINT) AS n_unigram_high,
+        |        ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |nd AS (SELECT count(*) AS n FROM documents)
+        |SELECT CAST(nd.n AS BIGINT) AS n_docs,
         |  CAST(msp.n AS BIGINT) AS n_multiset_pairs,
         |  TRUE AS multiset_pairs_found,
         |  TRUE AS sim_pairs_are_near_dups,
         |  TRUE AS n_sim_bounded
-        |FROM uhigh, msp""".stripMargin,
+        |FROM nd, msp""".stripMargin,
     // exact pair count from the embcos_exact predicate; precision/value/
     // recall booleans expected true
     "embcos_pairs" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Packing, Similarity}
 
 /** Scale probe for the exact pair-join variants (dev tool, not part of the
   * driver contract): measures, on a corpus N× the largest local fixture,
@@ -64,7 +64,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_maintain,packing_skew")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -243,6 +243,118 @@ object ScaleProbe {
     println(s"""{"probe":"ann_scale",${aEntry.tail}""")
     writeArtifact("ann_scale", aEntry)
     }
+    if (probes("packing_skew")) {
+    // Packing under shard skew: packSequences' parallelism is the shard
+    // count (one O(1)-state walker per shard), so its worst case is a
+    // shard holding a disproportionate share of the corpus — that walker
+    // runs serially over its whole shard. Measured shapes: 64 uniform
+    // shards vs one shard holding 50% of all documents (the other half
+    // spread over 63). The probe records the wall-time ratio; the guard
+    // decision (split hot shards, e.g. by sub-sharding on id ranges)
+    // is taken only if the ratio demands it — see PLANS.md.
+    val pDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val pScaled = (0 until scale).map { i =>
+      pDocs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ union _)
+    val packPath = java.nio.file.Files.createTempDirectory("graft_pack")
+      .resolve("docs.parquet").toString
+    pScaled.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .repartition(cpus.toInt).write.mode("overwrite").parquet(packPath)
+    val packBase = spark.read.parquet(packPath)
+    val nPackDocs = packBase.count()
+    val packVariants: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      // 64 uniform shards: every walker gets ~1/64 of the corpus
+      "uniform_64" -> pmod(col("doc_id"), lit(64)).cast("int"),
+      // hot shard: even ids (50% of docs) all in shard 0
+      "skewed_50pct" -> when(col("doc_id") % 2 === 0, lit(0))
+        .otherwise(pmod(col("doc_id"), lit(63)).cast("int") + 1))
+    val packResults = packVariants.map { case (name, shardExpr) =>
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val bins = Packing.packSequences(
+            packBase.withColumn("shard", shardExpr),
+            "doc_id", "n_tokens", capacity = 2048L, shardCol = "shard")
+          .select(countDistinct(col("shard"), col("seq")))
+          .as[Long](spark.implicits.newLongEncoder).head()
+        ((System.nanoTime() - t0) / 1e9, bins)
+      }
+      name -> (times.map(_._1).min, times.head._2)
+    }
+    val pq = packResults.map { case (k, (secs, bins)) =>
+      s""""$k":{"sec":$secs,"bins":$bins}"""
+    }.mkString("{", ",", "}")
+    val pEntry = s"""{"scale":$scale,"docs":$nPackDocs,"passes":$passes,""" +
+      s""""capacity":2048,"variants":$pq,"sf":"$sfDir"}"""
+    println(s"""{"probe":"packing_skew",${pEntry.tail}""")
+    writeArtifact("packing_skew", pEntry)
+    }
+
+    if (probes("ivf_maintain")) {
+    // Index-drift probe: build an IVF index, append +50% mass concentrated
+    // near ONE direction (0.7·hot + 0.3·vᵢ blends — distinct vectors, one
+    // dense region: the "distribution shifted" regime ivfAppend warns
+    // about), and measure partial-probe recall@10 and cell skew before the
+    // append, after it, and after ivfMaintain's automatic rebuild. The
+    // claim under test: maintain notices the skew, refits the quantizer on
+    // the drifted distribution, and recall/balance recover without manual
+    // intervention.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivfMntPath = java.nio.file.Files.createTempDirectory("graft_ivf_mnt").toString
+    val mq = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus0 = emb.filter(col("vec_id") >= 20)
+    def recallNow(corpusNow: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(corpusNow, mq,
+        "embedding", "vec_id", "query_id", k = 10).select("query_id", "vec_id")
+      val probe = Similarity.ivfProbeTopK(spark, ivfMntPath, mq,
+        "embedding", "vec_id", "query_id", k = 10).select("query_id", "vec_id")
+      probe.join(brute, Seq("query_id", "vec_id"), "left_semi").count()
+        .toDouble / brute.count()
+    }
+    def skewNow(): Double = {
+      val counts = Similarity.ivfCellStats(spark, ivfMntPath)
+        .select("n").as[Long](spark.implicits.newLongEncoder).collect()
+      val nCells = spark.read.parquet(s"$ivfMntPath/centroids").count()
+      counts.max.toDouble / (counts.sum.toDouble / nCells)
+    }
+    Similarity.ivfBuild(corpus0, "embedding", ivfMntPath)
+    val recallBase = recallNow(corpus0)
+    val skewBase = skewNow()
+    val hotVec = corpus0.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("__hot"))
+    val appended = corpus0.sample(withReplacement = false, 0.5, 42)
+      .crossJoin(broadcast(hotVec))
+      .select((col("vec_id") + 900000000L).as("vec_id"),
+        transform(zip_with(col("embedding"), col("__hot"),
+          (a, b) => a * lit(0.3) + b * lit(0.7)),
+          x => x.cast("float")).as("embedding"))
+    Similarity.ivfAppend(appended, "embedding", ivfMntPath)
+    val grown = corpus0.unionByName(spark.read.parquet(s"$ivfMntPath/data")
+      .filter(col("vec_id") >= 900000000L).select("vec_id", "embedding"))
+    val recallDrifted = recallNow(grown)
+    val skewDrifted = skewNow()
+    val tMnt = System.nanoTime()
+    val decision = Similarity.ivfMaintain(spark, ivfMntPath, "embedding",
+      maxSkew = 2.0)
+    val maintainSec = (System.nanoTime() - tMnt) / 1e9
+    val recallMaintained = recallNow(grown)
+    val skewMaintained = skewNow()
+    val mEntry = s"""{"base_vectors":${corpus0.count()},""" +
+      s""""appended":${appended.count()},"decision":"$decision",""" +
+      s""""maintain_sec":$maintainSec,""" +
+      s""""recall":{"base":$recallBase,"drifted":$recallDrifted,""" +
+      s""""maintained":$recallMaintained},""" +
+      s""""skew":{"base":$skewBase,"drifted":$skewDrifted,""" +
+      s""""maintained":$skewMaintained},"sf":"$sfDir"}"""
+    println(s"""{"probe":"ivf_maintain",${mEntry.tail}""")
+    writeArtifact("ivf_maintain", mEntry)
+    }
+
     spark.stop()
   }
 }

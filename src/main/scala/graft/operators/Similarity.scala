@@ -317,6 +317,71 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
       .select(col("__cell").as("cell"), col("n"))
 
+  /** Append-vs-rebuild automation for an index persisted by [[ivfBuild]]
+    * and grown by [[ivfAppend]]: reads the per-cell counts (bounded by the
+    * cell count — directory metadata, not data) and rebuilds the index
+    * in place when either health bound is crossed, returning `"ok"` or
+    * `"rebuilt"` so callers can log/alert on the decision.
+    *
+    *  - **Skew**: max cell population / mean > `maxSkew` — appended mass
+    *    concentrated in few cells, making their probes expensive and
+    *    recall lopsided (a probe budget spent on one bloated cell).
+    *  - **Growth**: the √n heuristic's cell count for the CURRENT corpus
+    *    exceeds `maxGrowth` × the stored cell count — the quantizer was
+    *    fit for a corpus this one has outgrown, so per-cell scan cost has
+    *    drifted up by the same factor.
+    *
+    * The rebuild refits the quantizer on the current distribution
+    * ([[fitCentroids]] — bounded driver sample) and rewrites the data
+    * partition-by-cell into a staging directory, then swaps directories.
+    * The swap is rename-based and brief but NOT atomic: run maintenance
+    * from the single writer that owns the index (the same assumption
+    * [[ivfAppend]] already makes — concurrent appends during a rebuild
+    * would be lost), while readers hold the previous listing. A crashed
+    * rebuild leaves only a `.staging`/`.old` directory to delete; the
+    * live index is replaced only after the staging write completed. */
+  def ivfMaintain(spark: SparkSession, path: String, vecCol: String,
+                  maxSkew: Double = 4.0, maxGrowth: Double = 4.0,
+                  seed: Long = 42L, fitSampleRows: Int = 4096): String = {
+    require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
+    require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
+    val counts = ivfCellStats(spark, path).collect().map(_.getLong(1))
+    val nCellsStored = spark.read.parquet(s"$path/centroids").count().toInt
+    val total = counts.sum
+    if (total == 0) return "ok"
+    // mean over ALL stored cells (empty cells have no directory but do
+    // dilute the mean — an index where half the cells emptied out is skewed)
+    val mean = total.toDouble / math.max(1, nCellsStored)
+    val skew = counts.max / mean
+    val wantCells = autoCells(total)
+    if (skew <= maxSkew && wantCells <= nCellsStored * maxGrowth) "ok"
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val staging = new org.apache.hadoop.fs.Path(root, ".staging")
+      fs.delete(staging, true) // a crashed previous rebuild
+      // original columns only: assignment/norm are recomputed by the build
+      val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
+      ivfBuild(data, vecCol, staging.toString, nCells = wantCells,
+        seed = seed, fitSampleRows = fitSampleRows)
+      val old = new org.apache.hadoop.fs.Path(root, ".old")
+      fs.delete(old, true)
+      fs.mkdirs(old)
+      def swap(name: String): Unit = {
+        fs.rename(new org.apache.hadoop.fs.Path(root, name),
+          new org.apache.hadoop.fs.Path(old, name))
+        fs.rename(new org.apache.hadoop.fs.Path(staging, name),
+          new org.apache.hadoop.fs.Path(root, name))
+      }
+      swap("data")
+      swap("centroids")
+      fs.delete(old, true)
+      fs.delete(staging, true)
+      "rebuilt"
+    }
+  }
+
   /** Probe a corpus persisted by [[ivfBuild]]: the probed cell set (at most
     * queries × nProbe distinct cells, collected driver-side — bounded by
     * nCells) becomes a LITERAL partition filter, so the scan reads only the

@@ -249,6 +249,71 @@ object SnapshotStore {
     (droppedOld ++ orphans).sorted
   }
 
+  // --------------------------------------------------------------- compact
+
+  /** Rewrite the live version's FRAGMENTED buckets — bucket directories
+    * holding more than `maxFilesPerBucket` parquet files — into one file
+    * each, committed as a new snapshot under the same claim + manifest +
+    * atomic-pointer protocol as [[upsert]]. Incremental upserts fragment
+    * buckets because each merge writes its bucket through the shuffle's
+    * partitioning (up to `spark.sql.shuffle.partitions` files per touched
+    * bucket per version); a long-lived store degrades into many small
+    * files per bucket, which taxes every read's file listing and scan
+    * setup. `vacuum` reclaims dead VERSIONS; compact reclaims
+    * fragmentation inside the live one.
+    *
+    * Untouched buckets keep their existing (version, directory) reference
+    * in the new manifest — compaction is O(fragmented buckets), not
+    * O(table). Readers are never disturbed: they resolve the old pointer
+    * (and its intact manifest) until the atomic rename publishes the new
+    * version, and time travel to prior versions keeps working until
+    * `vacuum` drops them. A crashed compactor leaves an orphan claim +
+    * snapshot above the committed pointer — exactly the leftovers
+    * `vacuum` already reclaims. Do not run concurrently with a writer
+    * (the claim makes the race fail loudly, not silently).
+    *
+    * Returns the number of buckets rewritten (0 = store already compact —
+    * nothing claimed, no version consumed). */
+  def compact(spark: SparkSession, root: String,
+              maxFilesPerBucket: Int = 1): Int = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val f = fs(spark, root)
+    val currentOpt = currentVersion(spark, root)
+    if (currentOpt.isEmpty) return 0
+    val v = currentOpt.get
+    // legacy full-snapshot stores have no manifest; the next upsert
+    // migrates them, after which compact applies
+    if (!f.exists(manifestPath(root, v))) return 0
+    val m = readManifest(spark, root, v)
+    def dataFiles(b: Int, ver: Long): Int =
+      f.listStatus(new Path(bucketPath(root, ver, b))).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val frag = m.buckets.filter { case (b, ver) =>
+      dataFiles(b, ver) > maxFilesPerBucket
+    }.keySet
+    if (frag.isEmpty) return 0
+    val next = v + 1
+    claim(f, root, next)
+    // one read per fragmented bucket, bucket id re-attached as a literal
+    // (the store does not record the discriminant, so the bucket id cannot
+    // be recomputed from the rows — it doesn't need to be: membership is
+    // already decided); repartition on the bucket column sends each bucket
+    // to exactly one task, so each rewritten directory holds ONE file
+    val union = frag.toSeq.sorted.map { b =>
+      spark.read.schema(m.schema).parquet(bucketPath(root, m.buckets(b), b))
+        .withColumn(bucketCol, lit(b))
+    }.reduce(_ unionByName _)
+    union.repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(s"$root/snapshot=$next")
+    writeManifest(f, root, next,
+      Manifest(m.schema, m.buckets ++ frag.map(_ -> next)))
+    commitPointer(spark, f, root, next)
+    frag.size
+  }
+
   // ---------------------------------------------------------------- upsert
 
   /** Merge `updates` into the store and commit a new snapshot, rewriting

@@ -164,6 +164,51 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("ivfMaintain: healthy index is a no-op; outgrown appends trigger an " +
+    "in-place rebuild (re-sized quantizer, exact results, no residue, " +
+    "healthy afterwards)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_mnt").toString
+    val base = emb.filter($"vec_id" >= 5)
+    Similarity.ivfBuild(base, "embedding", path, nCells = 8)
+    // freshly built index is healthy — no rebuild
+    Similarity.ivfMaintain(spark, path, "embedding") shouldBe "ok"
+
+    // triple the corpus with id-shifted copies: uniform growth (no skew),
+    // but the 8-cell quantizer is now sized for a third of the data
+    val copies = (1 to 2).map(i => base.select(
+      ($"vec_id" + i * 1000000L).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    Similarity.ivfAppend(copies, "embedding", path)
+    val total = base.count() * 3
+    val wantCells = Similarity.autoCells(total)
+    wantCells should be > 16 // the growth bound below actually binds
+
+    Similarity.ivfMaintain(spark, path, "embedding",
+      maxSkew = 1e9, maxGrowth = 2.0) shouldBe "rebuilt"
+    // no staging/old residue; the quantizer was re-sized for the corpus
+    new java.io.File(s"$path/.staging").exists() shouldBe false
+    new java.io.File(s"$path/.old").exists() shouldBe false
+    val nCellsNow = spark.read.parquet(s"$path/centroids").count().toInt
+    nCellsNow shouldBe wantCells
+    // full-probe results on the rebuilt index == brute force on the union
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.ivfProbeTopK(spark, path, qs,
+        "embedding", "vec_id", "query_id", k = 5, nProbe = nCellsNow)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    val want = Similarity.bruteForceTopK(base.unionByName(copies), qs,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    got shouldBe want
+    // and the rebuilt index passes the same growth bound it just failed
+    Similarity.ivfMaintain(spark, path, "embedding",
+      maxSkew = 1e9, maxGrowth = 2.0) shouldBe "ok"
+  }
+
   test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +
     "(approximation loses candidates, never mis-scores them)") {
     val brute = Similarity.bruteForceTopK(corpus, queries,

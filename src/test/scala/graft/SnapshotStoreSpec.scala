@@ -304,6 +304,69 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites fragmented buckets to one file each behind the " +
+    "claim protocol: identical reads before/during/after, untouched " +
+    "buckets keep their old reference, crashed compactor is vacuumable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cmp").toString
+    // force multi-file bucket writes: without AQE's coalescing, the merge
+    // output keeps its shuffle partitioning, so each bucket directory gets
+    // one file per partition holding its rows
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      (0 until 3).foreach { i =>
+        SnapshotStore.upsert(spark, root,
+          (0 until 40).map(k => (k, s"v$i-$k")).toDF("id", "value")
+            .repartition(4), cfg,
+          // 3 buckets vs 4 shuffle partitions: the merge's hash
+          // partitioning does NOT align with the bucket modulus, so each
+          // bucket's rows span several write tasks -> several files
+          nBuckets = 3)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val before = SnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val vBefore = SnapshotStore.currentVersion(spark, root).get
+
+    def bucketFiles(): Map[String, Int] = {
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("snapshot="))
+        .flatMap(_.listFiles().filter(_.getName.startsWith("__bucket=")))
+        .map(d => d.getParentFile.getName + "/" + d.getName ->
+          d.listFiles().count(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")))
+        .toMap
+    }
+    bucketFiles().values.max should be > 1 // fragmentation actually exists
+
+    // a crashed compactor: claim + partial snapshot above the pointer —
+    // readers unaffected, vacuum reclaims, then compaction proceeds
+    val orphanV = vBefore + 1
+    new java.io.File(root, s"claim=$orphanV").createNewFile()
+    new java.io.File(root, s"snapshot=$orphanV/__bucket=0").mkdirs()
+    SnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))) shouldBe before
+    SnapshotStore.vacuum(spark, root, keep = Int.MaxValue) shouldBe Seq(orphanV)
+
+    val rewritten = SnapshotStore.compact(spark, root)
+    rewritten should be > 0
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(vBefore + 1)
+    // identical content, every live bucket now a single file
+    SnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))) shouldBe before
+    val liveDirs = bucketFiles().filter(_._1.startsWith(s"snapshot=${vBefore + 1}/"))
+    liveDirs.values.foreach(_ shouldBe 1)
+    // prior version still time-travels until vacuumed
+    SnapshotStore.readVersion(spark, root, vBefore).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))) shouldBe before
+    // already-compact store: no-op, no version consumed
+    SnapshotStore.compact(spark, root) shouldBe 0
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(vBefore + 1)
+    // and the next upsert proceeds normally on the compacted store
+    SnapshotStore.upsert(spark, root, Seq((1, "zz")).toDF("id", "value"), cfg)
+    SnapshotStore.read(spark, root).get.filter($"id" === 1)
+      .select("value").as[String].head() shouldBe "zz"
+  }
+
   test("written/errors outputs survive vacuum (eagerly materialized)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap5").toString
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
