@@ -958,6 +958,40 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  /** The batch-prep pipeline composed end to end as ONE oracle-checked
+    * contract entry — what `corpus_dedup` is to the dedup family:
+    * mixture-sample the corpus (same md5-coin recipe as
+    * `mixture_sample`) → chunk survivors to 32-token windows (same
+    * slicing as `chunk_docs`) → next-fit-pack the chunks into 64-token
+    * bins per shard (same walk as `pack_sequences`, over chunk ids).
+    * Every stage is individually oracle-checked; this entry pins their
+    * COMPOSITION — the DuckDB oracle replays all three in sequence, so a
+    * drift in any stage's contract (or in how stages hand off columns)
+    * breaks the hash. Chunk ids are doc_id·100 + chunk (fixture docs
+    * yield ≤ 5 chunks, so the encoding is collision-free and the walk
+    * order is (doc_id, chunk) within each doc_id-mod-4 shard). */
+  private def corpusBatchPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val sampled = Selection.sampleStrata(docs, "lang", "doc_id",
+      rates = Map("en" -> 0.9, "fr" -> 0.25, "es" -> 1.0, "zh" -> 0.0),
+      defaultRate = 0.5)
+    // consumed by the packing walk and the payload join
+    val chunks = Packing.chunkDocuments(sampled, "text", "doc_id",
+        chunkTokens = 32, overlap = 8)
+      .withColumn("chunk_id", col("doc_id") * 100 + col("chunk"))
+      .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int"))
+      .persist()
+    val packed = Packing.packSequences(chunks, "chunk_id", "n_tokens",
+        capacity = 64, shardCol = "shard")
+      .join(chunks.select(col("chunk_id"), col("doc_id"), col("chunk"),
+        md5(col("chunk_text")).as("chunk_md5"), col("n_tokens")), Seq("chunk_id"))
+      .select(col("doc_id"), col("chunk"), col("chunk_md5"), col("n_tokens"),
+        col("shard"), col("seq"))
+      .orderBy("doc_id", "chunk")
+    graft.core.CacheAutoRelease.afterFirstUse(chunks)
+    packed
+  }
+
   /** [[Dedup.decontaminateBloom]] over the same corpus/eval split as
     * `decontaminate` — result-identical by construction (the Bloom filter
     * only PREfilters; exact verification decides), so it shares the same
@@ -1080,7 +1114,8 @@ object Queries {
     "source_overlap" -> sourceOverlap _,
     "decontaminate_bloom" -> decontaminateBloomQ _,
     "stratified_sample" -> stratifiedSample _,
-    "image_pairs" -> imagePairs _
+    "image_pairs" -> imagePairs _,
+    "corpus_batch_prep" -> corpusBatchPrep _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2058,6 +2093,51 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  TRUE AS planted_recall_ok,
         |  TRUE AS cross_pairs_are_exact_dups
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // the three stage oracles composed: mixture_sample's md5-coin WHERE →
+    // chunk_docs' slicing CTEs → pack_sequences' recursive next-fit walk
+    // (per doc_id%4 shard, ordered by chunk_id = doc_id*100 + chunk)
+    "corpus_batch_prep" ->
+      """WITH RECURSIVE sampled AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |    CASE lang WHEN 'en' THEN 'e6666666' WHEN 'fr' THEN '40000000'
+        |              WHEN 'zh' THEN '00000000' WHEN 'es' THEN 'g'
+        |              ELSE '80000000' END),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n
+        |  FROM sampled),
+        |st AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, greatest(n - 8, 1), 24)) AS start
+        |  FROM tk WHERE n > 0),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS BIGINT) AS chunk,
+        |    array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+        |    CAST(least(32, n - start) AS BIGINT) AS n_tokens
+        |  FROM st),
+        |ord AS (
+        |  SELECT doc_id, chunk, md5(chunk_text) AS chunk_md5, n_tokens,
+        |    doc_id * 100 + chunk AS chunk_id,
+        |    CAST(doc_id % 4 AS INT) AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 4
+        |                       ORDER BY doc_id * 100 + chunk) AS rn
+        |  FROM ch),
+        |pack AS (
+        |  SELECT chunk_id, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq, n_tokens AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.chunk_id, o.shard, o.n_tokens, o.rn,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 64
+        |         THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 64
+        |         THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        |  FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT o.doc_id, o.chunk, o.chunk_md5, o.n_tokens, o.shard, p.seq
+        |FROM pack p JOIN ord o ON p.chunk_id = o.chunk_id
+        |ORDER BY doc_id, chunk""".stripMargin
   )
 }

@@ -597,45 +597,30 @@ object Dedup {
     * fpp above ~4M eval shingles. The aggregation therefore RAISES both
     * confs to cover (`expectedItems`, the derived bit count) for the
     * duration of the build and restores them after, so the documented
-    * sizing contract holds as stated. */
+    * sizing contract holds as stated.
+    *
+    * CONCURRENCY CAVEAT: that raise/restore mutates the shared session's
+    * RuntimeConfig for the (short) window of the build action. A
+    * concurrent query on the SAME SparkSession can plan its own runtime
+    * row-filters under the raised caps, and two concurrent
+    * `decontaminateBloom` builds can interleave set/restore so one build
+    * runs clamped (degraded fpp → more exact-verify work; output stays
+    * row-identical — Bloom undersizing never affects correctness, only
+    * cost). Callers that build filters concurrently should serialize the
+    * builds or use separate sessions (`spark.newSession()`). */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
                          textCol: String, idCol: String,
                          shingleSize: Int = 8, minOverlap: Long = 1L,
                          expectedItems: Long = 10000000L, fpp: Double = 0.01,
                          maxBroadcastRows: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0,1)")
     def shingles(df: DataFrame) =
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)
     val eSh = evalSet.select(explode(shingles(evalSet)).as("__sh")).distinct()
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
-    val bloomCol = Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("__sh"))),
-        Literal(expectedItems), Literal(numBits))
-      .toAggregateExpression(isDistinct = false))
-    // one engine-side aggregation; the driver holds only the serialized
-    // filter (numBits/8 bytes — a parameter, not a data size). The
-    // aggregate clamps (items, bits) to the runtime bloomFilter confs at
-    // evaluation time — raise them to the requested sizing for the build
-    // and restore, so expectedItems > 4M keeps its fpp instead of being
-    // silently capped.
-    val conf = corpus.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (itemsOld, bitsOld) = (conf.get(itemsKey), conf.get(bitsKey))
-    val bloomBytes =
-      try {
-        conf.set(itemsKey, math.max(itemsOld.toLong, expectedItems))
-        conf.set(bitsKey, math.max(bitsOld.toLong, numBits))
-        eSh.agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
-      } finally {
-        conf.set(itemsKey, itemsOld)
-        conf.set(bitsKey, bitsOld)
-      }
+    val bloomBytes = buildShingleBloom(eSh, expectedItems, fpp)
     if (bloomBytes == null) return corpus // empty eval set: nothing to remove
     val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
     val mightContain = Bridge.column(new BloomFilterMightContain(
@@ -648,6 +633,45 @@ object Dedup {
       .select(col(idCol))
     sizeGatedFilterJoin(corpus, doomed, Seq(idCol), "left_anti",
       maxBroadcastRows)
+  }
+
+  /** Engine-side Bloom build over a distinct `__sh` shingle relation:
+    * one `BloomFilterAggregate` job returning the serialized filter bytes
+    * (null for an empty relation). Factored out of [[decontaminateBloom]]
+    * so the EFFECTIVE sizing is testable — the returned byte length is
+    * ~numBits/8, which proves the conf raise actually defeated the
+    * 64M-bit clamp (a silently clamped filter is output-identical, only
+    * its fpp degrades). See [[decontaminateBloom]]'s concurrency caveat
+    * for the conf raise/restore semantics. */
+  private[graft] def buildShingleBloom(eSh: DataFrame, expectedItems: Long,
+                                       fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomCol = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("__sh"))),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression(isDistinct = false))
+    // one engine-side aggregation; the driver holds only the serialized
+    // filter (numBits/8 bytes — a parameter, not a data size). The
+    // aggregate clamps (items, bits) to the runtime bloomFilter confs at
+    // evaluation time — raise them to the requested sizing for the build
+    // and restore, so expectedItems > 4M keeps its fpp instead of being
+    // silently capped.
+    val conf = eSh.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (itemsOld, bitsOld) = (conf.get(itemsKey), conf.get(bitsKey))
+    try {
+      conf.set(itemsKey, math.max(itemsOld.toLong, expectedItems))
+      conf.set(bitsKey, math.max(bitsOld.toLong, numBits))
+      eSh.agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
+    } finally {
+      conf.set(itemsKey, itemsOld)
+      conf.set(bitsKey, bitsOld)
+    }
   }
 
   /** Connected components over a near-duplicate pair list: every id that

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** Largest rate map [[sampleStrata]] compiles into its CASE chain.
+    * Sized for real mix recipes — per-language maps top out around the
+    * ~200 living written languages — while still rejecting data-sized
+    * maps (per-domain, per-url-host) that belong in a broadcast join. */
+  val MaxRecipeStrata = 512
+
   /** Token-budget selection per stratum: walk each stratum in `rankBy`
     * order (best first) and keep documents while the RUNNING token total
     * stays within `budget` — "fill a 1 B-token training mix with the best
@@ -132,18 +138,22 @@ object Selection {
     * sampling state, no driver coordination at any corpus size. Rates
     * resolve at 1/2^32 granularity; the rate lookup compiles to a CASE
     * chain over `rates` (strata-count literals, not data), so `rates` is
-    * REQUIRED to be an explicit mix recipe of at most 64 strata — the
-    * machine-checked form of "recipe-sized, not data-sized". Per-stratum
+    * REQUIRED to be an explicit mix recipe of at most [[MaxRecipeStrata]]
+    * strata — the machine-checked form of "recipe-sized, not data-sized",
+    * sized to admit real mix recipes (a ~100-language rate map is a
+    * recipe; ten thousand per-domain rates are data). Per-stratum
     * thresholds at data cardinality belong in a join: derive a (stratum,
     * threshold) DataFrame and filter through [[Dedup.sizeGatedFilterJoin]]
     * instead. */
   def sampleStrata(df: DataFrame, strataCol: String, keyCol: String,
                    rates: Map[String, Double],
                    defaultRate: Double = 0.0): DataFrame = {
-    require(rates.size <= 64,
-      s"sampleStrata compiles rates to a CASE chain and is bounded to 64 " +
-        s"strata (got ${rates.size}); data-cardinality rate maps belong in " +
-        "a broadcast join, not an expression")
+    require(rates.size <= MaxRecipeStrata,
+      s"sampleStrata compiles rates to a CASE chain and is bounded to " +
+        s"$MaxRecipeStrata strata (got ${rates.size}); data-cardinality " +
+        "rate maps belong in a broadcast join (derive a (stratum, " +
+        "threshold) DataFrame and filter via Dedup.sizeGatedFilterJoin), " +
+        "not an expression")
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0,1]")
     import graft.functions.{TextFunctions => T}

@@ -270,6 +270,23 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe Array(3L)
     spark.conf.get(itemsKey) shouldBe items0
     spark.conf.get(bitsKey) shouldBe bits0
+    // the EFFECTIVE sizing, not just the restore: a silently clamped
+    // filter is output-identical (undersizing only degrades fpp), so probe
+    // the built filter's byte length — ~optimalNumOfBits(10M, 0.01)/8 ≈
+    // 12 MB, strictly above the 64M-bit clamp's 8 MiB
+    val eSh = eval.select(explode(
+      graft.functions.HashFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), 3))
+      .as("__sh")).distinct()
+    val bytes = Dedup.buildShingleBloom(eSh, expectedItems = 10000000L,
+      fpp = 0.01)
+    val wantBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(10000000L, 0.01)
+    bytes.length.toLong should be > 64L * 1024 * 1024 / 8 // beats the clamp
+    bytes.length.toLong should be >= wantBits / 8
+    bytes.length.toLong should be < wantBits / 8 + 1024 // header slack only
+    spark.conf.get(itemsKey) shouldBe items0
+    spark.conf.get(bitsKey) shouldBe bits0
   }
 
   test("decontaminateBloom with an empty eval set keeps the whole corpus") {

@@ -154,17 +154,21 @@ class SelectionSpec extends SparkSpec {
     q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
-  test("sampleStrata rejects a rate map beyond the 64-stratum recipe bound " +
-    "(the CASE chain is recipe-sized by contract, not by hope)") {
+  test("sampleStrata rejects a rate map beyond the recipe-strata bound " +
+    "(the CASE chain is recipe-sized by contract, not by hope) and the " +
+    "error points at the join-based alternative") {
+    val bound = Selection.MaxRecipeStrata
+    bound should be >= 200 // a per-language recipe (~200 languages) fits
     val df = Seq((1L, "en")).toDF("doc_id", "stratum")
-    val oversized = (0 until 65).map(i => s"s$i" -> 0.5).toMap
+    val oversized = (0 to bound).map(i => s"s$i" -> 0.5).toMap
     val err = intercept[IllegalArgumentException] {
       Selection.sampleStrata(df, "stratum", "doc_id", oversized)
     }
-    err.getMessage should include("64")
+    err.getMessage should include(bound.toString)
+    err.getMessage should include("sizeGatedFilterJoin")
     // the boundary itself is fine
-    val atBound = (0 until 64).map(i => s"s$i" -> 1.0).toMap
-    Selection.sampleStrata(df, "stratum", "doc_id", atBound + ("en" -> 1.0) - "s0")
+    val atBound = (1 until bound).map(i => s"s$i" -> 1.0).toMap
+    Selection.sampleStrata(df, "stratum", "doc_id", atBound + ("en" -> 1.0))
       .count() shouldBe 1L
   }
 }
