@@ -334,8 +334,10 @@ object ScaleProbe {
           (a, b) => a * lit(0.3) + b * lit(0.7)),
           x => x.cast("float")).as("embedding"))
     Similarity.ivfAppend(appended, "embedding", ivfMntPath)
-    val grown = corpus0.unionByName(spark.read.parquet(s"$ivfMntPath/data")
-      .filter(col("vec_id") >= 900000000L).select("vec_id", "embedding"))
+    // the appended expression is deterministic (seeded sample, fixed
+    // blend), so the union reconstructs the grown corpus without reading
+    // back the index directory the rebuild below will replace
+    val grown = corpus0.unionByName(appended)
     val recallDrifted = recallNow(grown)
     val skewDrifted = skewNow()
     val tMnt = System.nanoTime()

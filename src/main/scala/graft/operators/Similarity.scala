@@ -378,6 +378,11 @@ object Similarity {
       swap("centroids")
       fs.delete(old, true)
       fs.delete(staging, true)
+      // the session may hold cached file listings for the replaced
+      // directories (FileStatusCache); drop them so same-session reads see
+      // the rebuilt files instead of failing on vanished part files
+      spark.catalog.refreshByPath(s"$path/data")
+      spark.catalog.refreshByPath(s"$path/centroids")
       "rebuilt"
     }
   }
