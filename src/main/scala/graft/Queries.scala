@@ -206,12 +206,17 @@ object Queries {
       unhex(md5(concat(lit("a"), col("text")))),
       unhex(md5(concat(lit("b"), col("text")))),
       unhex(md5(concat(lit("c"), col("text")))))
+    // persist the synthesized originals: consumed by the union's original
+    // branch AND as the resize input of the planted-duplicate branch —
+    // without this the PNG encoder runs twice per document
     val orig = docs.select(col("doc_id"),
-      graft.functions.GrayPngExpr(payload, 64, 64, 8).as("png"))
+        graft.functions.GrayPngExpr(payload, 64, 64, 8).as("png"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = orig.select((col("doc_id") + lit(offset)).as("doc_id"),
       graft.functions.ImageResizeExpr(col("png"), 48, 48).as("png"))
     val pairs = Dedup.imageDHashPairs(orig.unionByName(dup), "png", "doc_id",
       chunks = 8, maxHamming = 6)
+    graft.core.CacheAutoRelease.afterFirstUse(orig)
     val withKind = pairs.withColumn("__planted",
       col("id_b") - col("id_a") === lit(offset))
     val fp = docs.select(col("doc_id"), md5(col("text")).as("__fp"))

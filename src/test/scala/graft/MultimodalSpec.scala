@@ -107,6 +107,56 @@ class MultimodalSpec extends SparkSpec {
     pairs.head.getAs[Number]("hamming").intValue should be <= 6
   }
 
+  test("image dHash properties: deterministic, brightness-shift invariant, " +
+    "NULL on junk/empty, and GrayPng round-trips its painted pixels") {
+    import graft.functions.{GrayPngExpr, ImageDHashExpr}
+    val rows = Seq(
+      (1L, "some document text"),
+      (2L, "other words entirely different"),
+      (3L, "")).toDF("doc_id", "text")
+    val pngs = rows.select(col("doc_id"),
+      GrayPngExpr(encode(col("text"), "UTF-8"), 32, 32, 4).as("png"))
+    // empty payload -> NULL png -> NULL hash; junk bytes -> NULL hash
+    val hashed = pngs.select(col("doc_id"), ImageDHashExpr(col("png")).as("h"))
+      .orderBy("doc_id").collect()
+    hashed(0).isNullAt(1) shouldBe false
+    hashed(1).isNullAt(1) shouldBe false
+    hashed(2).isNullAt(1) shouldBe true // empty text -> no image
+    Seq((9L, "junk".getBytes("UTF-8"))).toDF("id", "p")
+      .select(ImageDHashExpr(col("p"))).head().isNullAt(0) shouldBe true
+    // determinism: same bytes, same hash, across separate evaluations
+    val again = pngs.select(col("doc_id"), ImageDHashExpr(col("png")).as("h"))
+      .orderBy("doc_id").collect()
+    again.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))) shouldBe
+      hashed.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    // distinct content -> distant hashes (not a constant function)
+    java.lang.Long.bitCount(hashed(0).getLong(1) ^ hashed(1).getLong(1)) should be > 4
+    // brightness-shift invariance: dHash reads gradients, not levels —
+    // painting every pixel +40 gray levels must not change a single bit
+    def grayPng(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 32 * 32).foreach(i =>
+        img.getRaster.setSample(i % 32, i / 32, 0, f(i) & 0xff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val tex = (i: Int) => (i * 37) % 180
+    val shifted = Seq((1L, grayPng(tex)), (2L, grayPng(i => tex(i) + 40)))
+      .toDF("id", "p").select(ImageDHashExpr(col("p")).as("h"))
+      .collect().map(_.getLong(0))
+    shifted(0) shouldBe shifted(1)
+    // GrayPng paints exactly the input bytes (lossless gray round-trip)
+    val png = Seq((1L, Array[Byte](10, 20, 30, 40))).toDF("id", "p")
+      .select(GrayPngExpr(col("p"), 2, 2, 1)).head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    (img.getWidth, img.getHeight) shouldBe ((2, 2))
+    Seq((0, 0, 10), (1, 0, 20), (0, 1, 30), (1, 1, 40)).foreach {
+      case (x, y, v) => img.getRaster.getSample(x, y, 0) shouldBe v
+    }
+  }
+
   test("sampleFrames slices payload bytes into indexed frames") {
     val payload = Multimodal.asBinaryPayload(docs.filter(col("doc_id") === 1L),
       "text", "text/plain")
