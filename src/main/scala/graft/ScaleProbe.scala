@@ -64,7 +64,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_maintain,packing_skew")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_maintain,packing_skew,image_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -291,6 +291,56 @@ object ScaleProbe {
       s""""capacity":2048,"variants":$pq,"sf":"$sfDir"}"""
     println(s"""{"probe":"packing_skew",${pEntry.tail}""")
     writeArtifact("packing_skew", pEntry)
+    }
+
+    if (probes("image_dedup_scale")) {
+    // Image near-dup at SCALE×: synthesize one 64×64 block-texture PNG per
+    // document (replicas get per-replica payload salts, so their dHashes
+    // are independent — pair structure stays per-replica, workload scales
+    // linearly), plant a 48×48 resized copy of every image, and measure
+    // imageDHashPairs wall time + planted recall at 2·docs·SCALE images.
+    // The claim under test: the codec chain is corpus-linear scan-side
+    // work and candidate generation stays banded (no quadratic blowup as
+    // the image count grows).
+    val iDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val iScaled = (0 until scale).map { i =>
+      iDocs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        concat(lit(s"salt$i "), col("text")).as("text"))
+    }.reduce(_ union _)
+    val imgPath = java.nio.file.Files.createTempDirectory("graft_imgscale")
+      .resolve("docs.parquet").toString
+    iScaled.repartition(cpus.toInt).write.mode("overwrite").parquet(imgPath)
+    val iBase = spark.read.parquet(imgPath)
+    val nImgDocs = iBase.count()
+    val payload = concat(unhex(md5(col("text"))),
+      unhex(md5(concat(lit("a"), col("text")))),
+      unhex(md5(concat(lit("b"), col("text")))),
+      unhex(md5(concat(lit("c"), col("text")))))
+    val times = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val orig = iBase.select(col("doc_id"),
+          graft.functions.GrayPngExpr(payload, 64, 64, 8).as("png"))
+        .persist()
+      val dup = orig.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        graft.functions.ImageResizeExpr(col("png"), 48, 48).as("png"))
+      val pairs = Dedup.imageDHashPairs(orig.unionByName(dup), "png",
+        "doc_id", chunks = 8, maxHamming = 6)
+      val planted = pairs
+        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      orig.unpersist()
+      (secs, planted)
+    }
+    val iEntry = s"""{"scale":$scale,"docs":$nImgDocs,""" +
+      s""""images":${2 * nImgDocs},"passes":$passes,""" +
+      s""""sec":${times.map(_._1).min},""" +
+      s""""planted_found":${times.head._2},""" +
+      s""""planted_recall":${times.head._2.toDouble / nImgDocs},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"image_dedup_scale",${iEntry.tail}""")
+    writeArtifact("image_dedup_scale", iEntry)
     }
 
     if (probes("ivf_maintain")) {
