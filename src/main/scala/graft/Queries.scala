@@ -997,6 +997,17 @@ object Queries {
     packed
   }
 
+  /** Verbatim shared-span forensics ([[Dedup.sharedSpans]]): for every
+    * document pair sharing a ≥ 12-token consecutive run, the longest such
+    * run and how many distinct qualifying runs exist — the exact-substring
+    * contamination primitive set-overlap queries cannot express. Exact
+    * positional-gram arithmetic; the oracle replays the same
+    * diagonal/gaps-and-islands construction in SQL. */
+  private def sharedSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(tab(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 6, minSpanTokens = 12)
+      .orderBy("id_a", "id_b")
+
   /** [[Dedup.decontaminateBloom]] over the same corpus/eval split as
     * `decontaminate` — result-identical by construction (the Bloom filter
     * only PREfilters; exact verification decides), so it shares the same
@@ -1120,7 +1131,8 @@ object Queries {
     "decontaminate_bloom" -> decontaminateBloomQ _,
     "stratified_sample" -> stratifiedSample _,
     "image_pairs" -> imagePairs _,
-    "corpus_batch_prep" -> corpusBatchPrep _
+    "corpus_batch_prep" -> corpusBatchPrep _,
+    "shared_spans" -> sharedSpansQ _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2143,6 +2155,40 @@ object Queries {
         |  FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1)
         |SELECT o.doc_id, o.chunk, o.chunk_md5, o.n_tokens, o.shard, p.seq
         |FROM pack p JOIN ord o ON p.chunk_id = o.chunk_id
-        |ORDER BY doc_id, chunk""".stripMargin
+        |ORDER BY doc_id, chunk""".stripMargin,
+    // positional 6-grams (duplicates + positions kept), inverted-index
+    // self-join, shared runs = consecutive positions on one diagonal
+    // (gaps-and-islands), span = run + 5 tokens; stop-gram guard mirrors
+    // the operator's maxDf = 1000
+    "shared_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 6),
+        |gpos AS (SELECT doc_id, toks, unnest(range(0, n - 6 + 1)) AS pos FROM t),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[pos + 1 : pos + 6], ' ') AS gram
+        |  FROM gpos),
+        |keep AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |  GROUP BY gram HAVING count(*) <= 1000),
+        |gf AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)),
+        |hits AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.pos AS pa, a.pos - b.pos AS diag
+        |  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT id_a, id_b, diag, pa,
+        |    pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |                            ORDER BY pa) AS rk
+        |  FROM hits),
+        |spans AS (
+        |  SELECT id_a, id_b, count(*) + 5 AS span_tokens
+        |  FROM r GROUP BY id_a, id_b, diag, rk
+        |  HAVING count(*) + 5 >= 12)
+        |SELECT id_a, id_b, CAST(max(span_tokens) AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM spans GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
   )
 }

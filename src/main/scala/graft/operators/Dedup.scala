@@ -635,6 +635,77 @@ object Dedup {
       maxBroadcastRows)
   }
 
+  /** Verbatim shared-span detection: for every document pair sharing at
+    * least one `shingleSize`-token run, the length (in tokens) of their
+    * LONGEST common consecutive token run, kept when ≥ `minSpanTokens` —
+    * the exact-substring contamination/forensics primitive (quote
+    * detection, boilerplate provenance, eval-set verbatim leaks) that
+    * set-overlap operators like [[ngramJaccardPairs]] cannot express: a
+    * 200-token verbatim quote inside two otherwise-unrelated documents is
+    * invisible to Jaccard but decisive here.
+    *
+    * Algorithm (all relational, no suffix arrays): positional
+    * `shingleSize`-gram explode (positions KEPT, duplicates kept — unlike
+    * the deduplicating shingle expressions) → inverted-index self-join on
+    * the gram → a shared gram at positions (i, j) lies on diagonal
+    * d = i − j; consecutive positions on one diagonal are one shared run,
+    * so within each (pair, diagonal) group the classic gaps-and-islands
+    * key (pos − row_number over pos) splits runs, and a run of R grams is
+    * a span of R + shingleSize − 1 tokens. One exchange for the gram
+    * join, one for the per-pair aggregation; `maxDf` drops grams occurring
+    * in more than that many documents (the boilerplate/skew guard — same
+    * contract as [[ngramJaccardPairs]], without which a stop-phrase makes
+    * the self-join quadratic). Exact integer arithmetic throughout —
+    * engine-independent and oracle-checkable. Output: (id_a, id_b,
+    * span_tokens = the pair's LONGEST shared run, n_spans = how many
+    * distinct maximal runs clear `minSpanTokens`), with id_a < id_b. */
+  def sharedSpans(df: DataFrame, textCol: String, idCol: String,
+                  shingleSize: Int = 8, minSpanTokens: Int = 16,
+                  maxDf: Long = 1000L,
+                  maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(shingleSize >= 1, "shingleSize must be >= 1")
+    require(minSpanTokens >= shingleSize,
+      "a span cannot be shorter than one shingle")
+    // positional grams: (id, pos, gram), duplicates preserved — a document
+    // repeating a phrase contributes every occurrence's position
+    val toks = df.select(col(idCol), T.tokens(lower(col(textCol))).as("__t"))
+      .select(col(idCol), col("__t"),
+        (size(col("__t")) - shingleSize).as("__last"))
+      .filter(col("__last") >= 0)
+    val grams = toks.select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__last")),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(shingleSize)))))
+          .as(Seq("__pos", "__g")))
+    // document-frequency stop-gram guard (count each doc once per gram)
+    val sized = if (maxDf <= 0) grams else {
+      val stop = grams.select(col(idCol), col("__g")).distinct()
+        .groupBy("__g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select("__g")
+      sizeGatedFilterJoin(grams, stop, Seq("__g"), "left_anti",
+        maxBroadcastRows)
+    }
+    val a = sized.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__g"))
+    val b = sized.select(col(idCol).as("id_b"), col("__pos").as("__pb"), col("__g"))
+    val hits = a.join(b, Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"),
+        (col("__pa") - col("__pb")).as("__diag"))
+    // gaps-and-islands on each (pair, diagonal): consecutive __pa values
+    // form one shared run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    val runs = hits
+      .withColumn("__run", col("__pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__diag", "__run")
+      .agg(count(lit(1)).as("__len"))
+      .withColumn("span_tokens", col("__len") + (shingleSize - 1))
+      .filter(col("span_tokens") >= minSpanTokens)
+    runs.groupBy("id_a", "id_b")
+      .agg(max("span_tokens").as("span_tokens"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** Engine-side Bloom build over a distinct `__sh` shingle relation:
     * one `BloomFilterAggregate` job returning the serialized filter bytes
     * (null for an empty relation). Factored out of [[decontaminateBloom]]

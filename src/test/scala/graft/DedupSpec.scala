@@ -372,6 +372,40 @@ class DedupSpec extends SparkSpec {
     got.forall(_._2 == 0L) shouldBe true
   }
 
+  test("sharedSpans finds maximal verbatim runs: exact span length, " +
+    "separate spans counted separately, sub-threshold runs and unrelated " +
+    "docs excluded, repeated phrases within a doc handled") {
+    val quote = (1 to 15).map(i => s"q$i").mkString(" ")   // 15-token quote
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")   // 12-token quote
+    val short = (1 to 8).map(i => s"s$i").mkString(" ")    // below minSpan
+    val docs = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon zeta eta theta"),
+      (2L, s"one two three four five $quote six seven $other eight"),
+      (3L, s"unrelated words nothing shared here at all in this text ok"),
+      (4L, s"intro $other outro filler words to pad this document body"),
+      (5L, s"pre $short mid $short post tokens fill out this line")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "text", "doc_id",
+        shingleSize = 6, minSpanTokens = 12)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (1,2): the 15-token quote, exactly once; (2,4): the 12-token quote;
+    // doc 3 pairs with nothing; doc 5's repeated 8-token phrase is below
+    // the 12-token floor even though it repeats
+    spans shouldBe Array((1L, 2L, 15L, 1L), (2L, 4L, 12L, 1L))
+
+    // two DISTINCT qualifying spans in one pair are counted separately and
+    // the longest is reported
+    val two = Seq(
+      (10L, s"a b c d e f $quote g h i j k l $other m n"),
+      (11L, s"$quote filler tokens between quotes pad pad pad $other end")
+    ).toDF("doc_id", "text")
+    val t = Dedup.sharedSpans(two, "text", "doc_id",
+        shingleSize = 6, minSpanTokens = 12).collect()
+    t.length shouldBe 1
+    (t.head.getLong(2), t.head.getLong(3)) shouldBe ((15L, 2L))
+  }
+
   test("embedding cosine dedup reports only pairs above threshold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
