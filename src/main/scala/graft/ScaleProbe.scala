@@ -64,7 +64,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_maintain,packing_skew,image_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_maintain,packing_skew,image_dedup_scale,shared_spans_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -291,6 +291,42 @@ object ScaleProbe {
       s""""capacity":2048,"variants":$pq,"sf":"$sfDir"}"""
     println(s"""{"probe":"packing_skew",${pEntry.tail}""")
     writeArtifact("packing_skew", pEntry)
+    }
+
+    if (probes("shared_spans_scale")) {
+    // Verbatim-span forensics at SCALE×: the positional-gram self-join is
+    // the same inverted-index family as pair_join_scale (letter-rotated
+    // replicas keep gram sets disjoint, so workload scales linearly) plus
+    // the per-(pair, diagonal) window. The claim under test: wall time
+    // stays corpus-linear under the maxDf stop-gram guard — no quadratic
+    // term from the positional explode (duplicates kept, unlike the
+    // deduplicating shingle operators).
+    val alpha2 = "abcdefghijklmnopqrstuvwxyz"
+    def rotated2(i: Int) = alpha2.drop(i % 26) + alpha2.take(i % 26)
+    val sDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val sScaled = (0 until scale).map { i =>
+      sDocs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        translate(lower(col("text")), alpha2, rotated2(i)).as("text"))
+    }.reduce(_ union _)
+    val spanPath = java.nio.file.Files.createTempDirectory("graft_spans")
+      .resolve("docs.parquet").toString
+    sScaled.repartition(cpus.toInt).write.mode("overwrite").parquet(spanPath)
+    val spanBase = spark.read.parquet(spanPath)
+    val nSpanDocs = spanBase.count()
+    val spanTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = Dedup.sharedSpans(spanBase, "text", "doc_id",
+        shingleSize = 6, minSpanTokens = 12, maxDf = 1000L * scale).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val sEntry = s"""{"scale":$scale,"docs":$nSpanDocs,"passes":$passes,""" +
+      s""""sec":${spanTimes.map(_._1).min},"rows":${spanTimes.head._2},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"shared_spans_scale",${sEntry.tail}""")
+    writeArtifact("shared_spans_scale", sEntry)
     }
 
     if (probes("image_dedup_scale")) {

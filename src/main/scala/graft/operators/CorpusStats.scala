@@ -122,6 +122,12 @@ object CorpusStats {
       .filter(col("group_a") < col("group_b"))
       .groupBy("group_a", "group_b")
       .agg(count(lit(1)).as("n_shared"))
+    // cache lifecycle note: `rare` and both join sides all read `all`, and
+    // the release below fires after the FIRST consuming action — correct
+    // for the intended use (one action consumes this whole plan), but a
+    // caller that materializes an intermediate (e.g. collects `rare`
+    // separately before running the join) would recompute `all` uncached
+    // on the second action. Consume the returned DataFrame in one action.
     graft.core.CacheAutoRelease.afterFirstUse(all)
     out
   }

@@ -543,7 +543,15 @@ object Dedup {
   /** Decontamination: remove corpus documents sharing at least `minOverlap`
     * distinct word `shingleSize`-grams with ANY document of `evalSet` —
     * the benchmark-hygiene step of a training pipeline (eval data must not
-    * leak into the training mix, nor near-copies of it). The eval side is
+    * leak into the training mix, nor near-copies of it).
+    *
+    * This is also the VERBATIM-SPAN decontamination primitive: a document
+    * shares a ≥ L-token consecutive run with the eval set if and only if
+    * it shares at least one L-token gram, so "drop anything containing a
+    * 50-token verbatim eval span" is exactly
+    * `decontaminate(shingleSize = 50, minOverlap = 1)` — no separate span
+    * operator needed on this path (use [[sharedSpans]] when the span
+    * LENGTHS themselves are the output). The eval side is
     * tiny relative to the corpus (benchmark suites vs a 100 TB corpus):
     * its distinct shingles broadcast under the size gate, so the corpus is
     * shingled in one scan-side pass and only the (rare) matching rows
