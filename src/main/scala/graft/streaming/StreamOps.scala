@@ -385,6 +385,85 @@ object StreamOps {
     }.start()
   }
 
+  /** Streaming IMAGE near-duplicate dedup with durable bounded state: per
+    * batch each payload gets its perceptual dHash scan-side
+    * ([[graft.functions.ImageDHashExpr]] — real decode, 9×8 box-average,
+    * gradient bits); chunk-LSH keys generate candidates against (a) the
+    * sketches of all previously retained images (read from the
+    * [[SnapshotStore]]) and (b) smaller-id images of the same batch;
+    * candidates verify on EXACT Hamming distance ≤ maxHamming. Unlike the
+    * MinHash text path, the 64-bit sketch IS the complete state, so
+    * streaming verification is exactly the batch operator's
+    * ([[graft.operators.Dedup.imageDHashPairs]]) — nothing is estimated,
+    * and a chunk-count config change cannot corrupt the store (bands are
+    * re-derived from the full stored hash every batch). State is 8 bytes
+    * + id
+    * per retained image. Undecodable payloads (null hash) are always kept
+    * and never stored. Same band cap and within-batch smaller-id
+    * suppression contract as [[dedupeNearAgainstStore]]. */
+  def dedupeImagesAgainstStore(stream: DataFrame, payloadCol: String,
+                               idCol: String, storeRoot: String,
+                               chunks: Int = 8, maxHamming: Int = 6,
+                               maxBucket: Int = 10000)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val hashed = batch.withColumn("__dh",
+          graft.functions.ImageDHashExpr(col(payloadCol)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bk = hashed.filter(col("__dh").isNotNull)
+        .select(col(idCol).as("__bid"), col("__dh").as("__bh"))
+      val bKeyed = bk.select(col("__bid"),
+        explode(H.simHashChunks(col("__bh"), chunks)).as("__band"))
+      def verifiedSuppressed(other: DataFrame,
+                             pairFilter: org.apache.spark.sql.Column,
+                             selfJoin: Boolean) = {
+        val oKeyed = other.select(col("__oid"),
+          explode(H.simHashChunks(col("__oh"), chunks)).as("__band"))
+        // band cap sizing: union both sides except in the self-join pass,
+        // where that would double-count — same rationale as the text path
+        val bandSource =
+          if (selfJoin) bKeyed.select(col("__band"))
+          else bKeyed.select(col("__band")).union(oKeyed.select(col("__band")))
+        val overfull = bandSource
+          .groupBy("__band").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select("__band")
+        val bCapped = bKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
+        val oCapped = oKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
+        bCapped.join(oCapped.select("__oid", "__band"), Seq("__band"))
+          .filter(pairFilter)
+          .select("__bid", "__oid").distinct()
+          .join(bk, Seq("__bid"))
+          .join(other.select(col("__oid"), col("__oh")), Seq("__oid"))
+          .filter(H.hamming(col("__bh"), col("__oh")) <= maxHamming)
+          .select(col("__bid"))
+      }
+      val vsBatch = verifiedSuppressed(
+        bk.select(col("__bid").as("__oid"), col("__bh").as("__oh")),
+        col("__oid") < col("__bid"), selfJoin = true)
+      val suppressed = SnapshotStore.read(spark, storeRoot) match {
+        case Some(st) =>
+          val stored = st.select(col(idCol).as("__oid"), col("dhash").as("__oh"))
+          vsBatch.union(verifiedSuppressed(stored, lit(true), selfJoin = false))
+        case None => vsBatch
+      }
+      val survivors = hashed.join(
+          suppressed.distinct().withColumnRenamed("__bid", idCol),
+          Seq(idCol), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      emit(survivors.drop("__dh"), epoch)
+      SnapshotStore.upsert(spark, storeRoot,
+        survivors.filter(col("__dh").isNotNull)
+          .select(col(idCol), col("__dh").as("dhash")),
+        UpsertConfig(discriminant = Seq(idCol)))
+      survivors.unpersist()
+      hashed.unpersist()
+      ()
+    }.start()
+  }
+
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
     * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
     * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.

@@ -357,4 +357,56 @@ class StreamDedupSpec extends SparkSpec {
       aCount shouldBe 2
     } finally q.stop()
   }
+
+  test("streaming image dedup: a resized copy arriving in a LATER batch is " +
+    "suppressed by the stored dHash; unrelated and undecodable payloads " +
+    "pass; state holds one long + id per retained image") {
+    val root = tmpRoot("graft_sdi")
+    implicit val sql = spark.sqlContext
+    // structured 64x64 grayscale PNGs (the shape dHash is built for)
+    def render(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(y => (0 until 64).foreach { x =>
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val photo = render((x, y) =>
+      if (x > 40 && x < 56 && y > 8 && y < 24) 250 else (x * 2 + y) / 2)
+    val other = render((x, y) =>
+      if (x < 24 && y > 40) 10 else 255 - (x + y * 2) / 2)
+    val photoHalf = { // 32x32 resize of photo, via the library's own path
+      import org.apache.spark.sql.functions._
+      Seq((0L, photo)).toDF("id", "p")
+        .select(graft.functions.ImageResizeExpr(col("p"), 32, 32))
+        .head().getAs[Array[Byte]](0)
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val emitted = ArrayBuffer[Long]()
+    val q = StreamOps.dedupeImagesAgainstStore(
+      mem.toDF.toDF("img_id", "payload"), "payload", "img_id", root) { (df, _) =>
+      emitted ++= df.select("img_id").as[Long].collect()
+    }
+    try {
+      // batch 1: the photo and an unrelated image
+      mem.addData((1L, photo), (2L, other))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L)
+      // batch 2: a half-size copy of the photo (suppressed cross-batch), a
+      // junk payload (kept — undecodable), and a fresh in-batch dup pair
+      mem.addData((3L, photoHalf), (4L, "not an image".getBytes("UTF-8")),
+        (5L, other), (6L, other))
+      q.processAllAvailable()
+      // 3 suppressed vs stored photo; 5 suppressed vs stored other;
+      // 6 suppressed (vs store AND vs smaller-id 5); junk 4 kept
+      emitted.sorted shouldBe Seq(1L, 2L, 4L)
+    } finally q.stop()
+    // bounded binary-free state: (img_id, dhash) per retained DECODABLE image
+    val state = SnapshotStore.read(spark, root).get
+    state.columns.sorted shouldBe Array("dhash", "img_id")
+    state.select("img_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
 }
