@@ -194,7 +194,10 @@ case class GrayPngExpr(child: Expression, imgWidth: Int, imgHeight: Int,
       val img = new java.awt.image.BufferedImage(imgWidth, imgHeight,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
-      val blocksPerRow = math.max(1, imgWidth / blockSize)
+      // ceil division: a partial right-edge column is its own block — an
+      // integer floor here would alias it onto the next block-row's first
+      // byte whenever blockSize does not divide imgWidth
+      val blocksPerRow = (imgWidth + blockSize - 1) / blockSize
       var y = 0
       while (y < imgHeight) {
         var x = 0

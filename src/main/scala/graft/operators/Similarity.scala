@@ -311,11 +311,13 @@ object Similarity {
   /** Per-cell row counts of a persisted index — the [[ivfAppend]] rebuild
     * trigger (skewed counts = expensive probes on the hot cells). Scans
     * only the partition column (directory-derived), not the vectors. */
-  def ivfCellStats(spark: SparkSession, path: String): DataFrame =
+  def ivfCellStats(spark: SparkSession, path: String): DataFrame = {
+    requireNotRebuilding(spark, path)
     spark.read.parquet(s"$path/data")
       .groupBy("__cell")
       .agg(count(lit(1)).as("n"))
       .select(col("__cell").as("cell"), col("n"))
+  }
 
   /** Append-vs-rebuild automation for an index persisted by [[ivfBuild]]
     * and grown by [[ivfAppend]]: reads the per-cell counts (bounded by the
@@ -337,9 +339,16 @@ object Similarity {
     * The swap is rename-based and brief but NOT atomic: run maintenance
     * from the single writer that owns the index (the same assumption
     * [[ivfAppend]] already makes — concurrent appends during a rebuild
-    * would be lost), while readers hold the previous listing. A crashed
-    * rebuild leaves only a `.staging`/`.old` directory to delete; the
-    * live index is replaced only after the staging write completed. */
+    * would be lost), while readers hold the previous listing. The torn
+    * window (new data, old centroids — which would silently collapse
+    * recall) is fenced by a `.rebuilding` marker written before the first
+    * rename and removed after the last: [[ivfProbeTopK]] and
+    * [[ivfCellStats]] refuse to open a marked index, every rename result
+    * is checked, and a crashed swap is recovered by restoring the
+    * `.old`/`.staging` halves (both live next to the marker) rather than
+    * by trusting whatever mix the crash left. A crash BEFORE the first
+    * rename leaves only `.staging` to delete; the live index is touched
+    * only after the staging write completed. */
   def ivfMaintain(spark: SparkSession, path: String, vecCol: String,
                   maxSkew: Double = 4.0, maxGrowth: Double = 4.0,
                   seed: Long = 42L, fitSampleRows: Int = 4096): String = {
@@ -360,7 +369,7 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(conf)
       val staging = new org.apache.hadoop.fs.Path(root, ".staging")
-      fs.delete(staging, true) // a crashed previous rebuild
+      fs.delete(staging, true) // a crashed previous rebuild's write half
       // original columns only: assignment/norm are recomputed by the build
       val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
       ivfBuild(data, vecCol, staging.toString, nCells = wantCells,
@@ -368,14 +377,26 @@ object Similarity {
       val old = new org.apache.hadoop.fs.Path(root, ".old")
       fs.delete(old, true)
       fs.mkdirs(old)
+      def renameOrDie(from: org.apache.hadoop.fs.Path,
+                      to: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(from, to)) throw new IllegalStateException(
+          s"ivfMaintain: rename $from -> $to failed mid-swap; the index at " +
+            s"$path is fenced by its .rebuilding marker — restore the " +
+            "halves from .old/.staging (or rebuild from source) before " +
+            "removing the marker")
       def swap(name: String): Unit = {
-        fs.rename(new org.apache.hadoop.fs.Path(root, name),
+        renameOrDie(new org.apache.hadoop.fs.Path(root, name),
           new org.apache.hadoop.fs.Path(old, name))
-        fs.rename(new org.apache.hadoop.fs.Path(staging, name),
+        renameOrDie(new org.apache.hadoop.fs.Path(staging, name),
           new org.apache.hadoop.fs.Path(root, name))
       }
+      // fence: readers refuse a marked index, so a crash between the data
+      // and centroids swaps fails loudly instead of probing new cells with
+      // old centroids (silent recall collapse)
+      fs.create(new org.apache.hadoop.fs.Path(root, RebuildMarker), true).close()
       swap("data")
       swap("centroids")
+      fs.delete(new org.apache.hadoop.fs.Path(root, RebuildMarker), false)
       fs.delete(old, true)
       fs.delete(staging, true)
       // the session may hold cached file listings for the replaced
@@ -387,6 +408,23 @@ object Similarity {
     }
   }
 
+  /** Fence file a mid-swap [[ivfMaintain]] leaves behind; see
+    * [[requireNotRebuilding]]. */
+  private val RebuildMarker = ".rebuilding"
+
+  /** Readers call this before opening a persisted index: a present marker
+    * means a rebuild crashed between its directory swaps and data/
+    * centroids may be MIXED generations — probing would return silently
+    * wrong neighbors, so fail loudly instead. */
+  private def requireNotRebuilding(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, RebuildMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"index at $path is marked $RebuildMarker: an ivfMaintain rebuild " +
+        "did not complete its directory swap; restore data/centroids from " +
+        "the .old/.staging halves (or rebuild) and remove the marker")
+  }
+
   /** Probe a corpus persisted by [[ivfBuild]]: the probed cell set (at most
     * queries × nProbe distinct cells, collected driver-side — bounded by
     * nCells) becomes a LITERAL partition filter, so the scan reads only the
@@ -396,6 +434,7 @@ object Similarity {
   def ivfProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                    vecCol: String, idCol: String, queryIdCol: String,
                    k: Int, nProbe: Int = 0): DataFrame = {
+    requireNotRebuilding(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)

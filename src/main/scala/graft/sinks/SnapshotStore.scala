@@ -285,13 +285,28 @@ object SnapshotStore {
     // migrates them, after which compact applies
     if (!f.exists(manifestPath(root, v))) return 0
     val m = readManifest(spark, root, v)
-    def dataFiles(b: Int, ver: Long): Int =
-      f.listStatus(new Path(bucketPath(root, ver, b))).count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+    // one RECURSIVE listing per referenced snapshot directory instead of a
+    // listStatus per bucket: at the documented O(10k)-bucket sizing the
+    // per-bucket probe is thousands of serial driver round-trips on every
+    // invocation (including no-op ones); grouped listing is O(versions)
+    val filesPerBucket: Map[(Long, Int), Int] = m.buckets.values.toSet
+      .flatMap { (ver: Long) =>
+        val counts = scala.collection.mutable.Map.empty[(Long, Int), Int]
+        val it = f.listFiles(new Path(root, s"snapshot=$ver"), true)
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          val dir = st.getPath.getParent.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+              dir.startsWith(s"$bucketCol=")) {
+            val key = (ver, dir.stripPrefix(s"$bucketCol=").toInt)
+            counts(key) = counts.getOrElse(key, 0) + 1
+          }
+        }
+        counts
+      }.toMap
     val frag = m.buckets.filter { case (b, ver) =>
-      dataFiles(b, ver) > maxFilesPerBucket
+      filesPerBucket.getOrElse((ver, b), 0) > maxFilesPerBucket
     }.keySet
     if (frag.isEmpty) return 0
     val next = v + 1

@@ -314,27 +314,50 @@ object StreamOps {
             numHashes.toString)
       }
     checkSigWidth(stream.sparkSession)
+    // signature agreement fraction = E[Jaccard]; both sides' signatures
+    // use the same hash family so componentwise equality is meaningful
+    dedupeSketchAgainstStore(stream, idCol, storeRoot,
+      sketch = H.minHash(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize),
+        numHashes),
+      bandsOf = sig => H.lshBands(sig, bands, rowsPerBand),
+      verify = (bsig, osig) => aggregate(
+        zip_with(bsig, osig, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes >= threshold,
+      stateCol = "sig", maxBucket = maxBucket,
+      perBatchCheck = checkSigWidth)(emit)
+  }
+
+  /** Shared skeleton of the durable sketch-dedup paths
+    * ([[dedupeNearAgainstStore]], [[dedupeImagesAgainstStore]]): per batch,
+    * compute `sketch` scan-side, generate band-key candidates against the
+    * store's retained sketches and smaller-id batch rows, verify with the
+    * caller's predicate, emit survivors and upsert their (id, sketch)
+    * state. Parameterized on the sketch expression, the band derivation,
+    * the verification predicate, and the state column so the two paths
+    * cannot drift on the shared mechanics (band cap sizing, within-batch
+    * smaller-id suppression, null-sketch passthrough, emit-then-upsert
+    * order). */
+  private def dedupeSketchAgainstStore(stream: DataFrame, idCol: String,
+      storeRoot: String, sketch: org.apache.spark.sql.Column,
+      bandsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      verify: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column,
+      stateCol: String, maxBucket: Int,
+      perBatchCheck: org.apache.spark.sql.SparkSession => Unit = _ => ())(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
-      checkSigWidth(spark)
-      val sigged = batch.withColumn("__sig",
-          H.minHash(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize),
-            numHashes))
+      perBatchCheck(spark)
+      val sketched = batch.withColumn("__sk", sketch)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bk = sigged.filter(col("__sig").isNotNull)
-        .select(col(idCol).as("__bid"), col("__sig").as("__bsig"))
+      val bk = sketched.filter(col("__sk").isNotNull)
+        .select(col(idCol).as("__bid"), col("__sk").as("__bsig"))
       val bKeyed = bk.select(col("__bid"),
-        explode(H.lshBands(col("__bsig"), bands, rowsPerBand)).as("__band"))
-      // signature agreement fraction = E[Jaccard]; both sides' signatures
-      // use the same hash family so componentwise equality is meaningful
-      val simFrac = aggregate(
-        zip_with(col("__bsig"), col("__osig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x).cast("double") / numHashes
+        explode(bandsOf(col("__bsig"))).as("__band"))
       def verifiedSuppressed(other: DataFrame, pairFilter: org.apache.spark.sql.Column,
                              selfJoin: Boolean) = {
         val oKeyed = other.select(col("__oid"),
-          explode(H.lshBands(col("__osig"), bands, rowsPerBand)).as("__band"))
+          explode(bandsOf(col("__osig"))).as("__band"))
         // Band cap, same guard as the batch operators' pairsFromBuckets: a
         // band holding more than maxBucket entries across batch + retained
         // docs is degenerate boilerplate whose join would cost
@@ -357,8 +380,8 @@ object StreamOps {
           .filter(pairFilter)
           .select("__bid", "__oid").distinct()
           .join(bk, Seq("__bid"))
-          .join(other, Seq("__oid"))
-          .filter(simFrac >= threshold)
+          .join(other.select(col("__oid"), col("__osig")), Seq("__oid"))
+          .filter(verify(col("__bsig"), col("__osig")))
           .select(col("__bid"))
       }
       val vsBatch = verifiedSuppressed(
@@ -366,24 +389,24 @@ object StreamOps {
         col("__oid") < col("__bid"), selfJoin = true)
       val suppressed = SnapshotStore.read(spark, storeRoot) match {
         case Some(st) =>
-          val stored = st.select(col(idCol).as("__oid"), col("sig").as("__osig"))
+          val stored = st.select(col(idCol).as("__oid"),
+            col(stateCol).as("__osig"))
           vsBatch.union(verifiedSuppressed(stored, lit(true), selfJoin = false))
         case None => vsBatch
       }
-      val survivors = sigged.join(
+      val survivors = sketched.join(
           suppressed.distinct().withColumnRenamed("__bid", idCol),
           Seq(idCol), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      emit(survivors.drop("__sig"), epoch)
+      emit(survivors.drop("__sk"), epoch)
       SnapshotStore.upsert(spark, storeRoot,
-        survivors.filter(col("__sig").isNotNull)
-          .select(col(idCol), col("__sig").as("sig")),
+        survivors.filter(col("__sk").isNotNull)
+          .select(col(idCol), col("__sk").as(stateCol)),
         UpsertConfig(discriminant = Seq(idCol)))
       survivors.unpersist()
-      sigged.unpersist()
+      sketched.unpersist()
       ()
     }.start()
-  }
 
   /** Streaming IMAGE near-duplicate dedup with durable bounded state: per
     * batch each payload gets its perceptual dHash scan-side
@@ -407,61 +430,11 @@ object StreamOps {
                                maxBucket: Int = 10000)(
       emit: (DataFrame, Long) => Unit): StreamingQuery = {
     require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
-    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      val spark = batch.sparkSession
-      val hashed = batch.withColumn("__dh",
-          graft.functions.ImageDHashExpr(col(payloadCol)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val bk = hashed.filter(col("__dh").isNotNull)
-        .select(col(idCol).as("__bid"), col("__dh").as("__bh"))
-      val bKeyed = bk.select(col("__bid"),
-        explode(H.simHashChunks(col("__bh"), chunks)).as("__band"))
-      def verifiedSuppressed(other: DataFrame,
-                             pairFilter: org.apache.spark.sql.Column,
-                             selfJoin: Boolean) = {
-        val oKeyed = other.select(col("__oid"),
-          explode(H.simHashChunks(col("__oh"), chunks)).as("__band"))
-        // band cap sizing: union both sides except in the self-join pass,
-        // where that would double-count — same rationale as the text path
-        val bandSource =
-          if (selfJoin) bKeyed.select(col("__band"))
-          else bKeyed.select(col("__band")).union(oKeyed.select(col("__band")))
-        val overfull = bandSource
-          .groupBy("__band").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket)
-          .select("__band")
-        val bCapped = bKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
-        val oCapped = oKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
-        bCapped.join(oCapped.select("__oid", "__band"), Seq("__band"))
-          .filter(pairFilter)
-          .select("__bid", "__oid").distinct()
-          .join(bk, Seq("__bid"))
-          .join(other.select(col("__oid"), col("__oh")), Seq("__oid"))
-          .filter(H.hamming(col("__bh"), col("__oh")) <= maxHamming)
-          .select(col("__bid"))
-      }
-      val vsBatch = verifiedSuppressed(
-        bk.select(col("__bid").as("__oid"), col("__bh").as("__oh")),
-        col("__oid") < col("__bid"), selfJoin = true)
-      val suppressed = SnapshotStore.read(spark, storeRoot) match {
-        case Some(st) =>
-          val stored = st.select(col(idCol).as("__oid"), col("dhash").as("__oh"))
-          vsBatch.union(verifiedSuppressed(stored, lit(true), selfJoin = false))
-        case None => vsBatch
-      }
-      val survivors = hashed.join(
-          suppressed.distinct().withColumnRenamed("__bid", idCol),
-          Seq(idCol), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      emit(survivors.drop("__dh"), epoch)
-      SnapshotStore.upsert(spark, storeRoot,
-        survivors.filter(col("__dh").isNotNull)
-          .select(col(idCol), col("__dh").as("dhash")),
-        UpsertConfig(discriminant = Seq(idCol)))
-      survivors.unpersist()
-      hashed.unpersist()
-      ()
-    }.start()
+    dedupeSketchAgainstStore(stream, idCol, storeRoot,
+      sketch = graft.functions.ImageDHashExpr(col(payloadCol)),
+      bandsOf = h => H.simHashChunks(h, chunks),
+      verify = (bh, oh) => H.hamming(bh, oh) <= maxHamming,
+      stateCol = "dhash", maxBucket = maxBucket)(emit)
   }
 
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot

@@ -77,23 +77,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("imageDHashPairs finds a real resized-duplicate PNG and leaves an " +
     "unrelated image unpaired") {
-    // a structured 64x64 image (smooth gradient + bright square): the
-    // shape dHash is built for — resizes keep the gradient field
-    def render(f: (Int, Int) => Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(64, 64,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      (0 until 64).foreach(y => (0 until 64).foreach { x =>
-        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      })
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
-    val photo = render((x, y) =>
-      if (x > 40 && x < 56 && y > 8 && y < 24) 250 else (x * 2 + y) / 2)
-    val other = render((x, y) =>
-      if (x < 24 && y > 40) 10 else 255 - (x + y * 2) / 2)
-    val rows = Seq((1L, photo), (3L, other), (4L, "junk".getBytes("UTF-8")))
+    val rows = Seq((1L, ImageFixtures.photo), (3L, ImageFixtures.other),
+      (4L, "junk".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
     val resized = graft.operators.Multimodal.resizeImages(
         rows.filter(col("doc_id") === 1L), "payload", 32, 32)
@@ -155,6 +140,19 @@ class MultimodalSpec extends SparkSpec {
     Seq((0, 0, 10), (1, 0, 20), (0, 1, 30), (1, 1, 40)).foreach {
       case (x, y, v) => img.getRaster.getSample(x, y, 0) shouldBe v
     }
+    // non-divisible block layout: a partial right-edge column is its OWN
+    // block (ceil division), never the next block-row's first byte —
+    // 5x3 canvas, blockSize 2 -> 3 blocks per block-row, 2 block-rows
+    val png2 = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6))).toDF("id", "p")
+      .select(GrayPngExpr(col("p"), 5, 3, 2)).head().getAs[Array[Byte]](0)
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png2))
+    // block-row 0 (y in 0..1): bytes 1,1,2,2,3 ; block-row 1 (y=2): 4,4,5,5,6
+    (0 until 5).map(x => img2.getRaster.getSample(x, 0, 0)) shouldBe
+      Seq(1, 1, 2, 2, 3)
+    (0 until 5).map(x => img2.getRaster.getSample(x, 1, 0)) shouldBe
+      Seq(1, 1, 2, 2, 3)
+    (0 until 5).map(x => img2.getRaster.getSample(x, 2, 0)) shouldBe
+      Seq(4, 4, 5, 5, 6)
   }
 
   test("sampleFrames slices payload bytes into indexed frames") {

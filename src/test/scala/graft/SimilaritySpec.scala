@@ -207,6 +207,20 @@ class SimilaritySpec extends SparkSpec {
     // and the rebuilt index passes the same growth bound it just failed
     Similarity.ivfMaintain(spark, path, "embedding",
       maxSkew = 1e9, maxGrowth = 2.0) shouldBe "ok"
+
+    // torn-swap fence: a crashed rebuild leaves the .rebuilding marker and
+    // possibly MIXED data/centroids generations — readers must fail loudly
+    // rather than probe silently wrong cells
+    new java.io.File(path, ".rebuilding").createNewFile() shouldBe true
+    intercept[IllegalStateException] {
+      Similarity.ivfProbeTopK(spark, path, qs,
+        "embedding", "vec_id", "query_id", k = 5)
+    }.getMessage should include(".rebuilding")
+    intercept[IllegalStateException] {
+      Similarity.ivfCellStats(spark, path).count()
+    }
+    new java.io.File(path, ".rebuilding").delete() shouldBe true
+    Similarity.ivfCellStats(spark, path).count() should be > 0L
   }
 
   test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +

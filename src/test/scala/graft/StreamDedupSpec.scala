@@ -363,21 +363,8 @@ class StreamDedupSpec extends SparkSpec {
     "pass; state holds one long + id per retained image") {
     val root = tmpRoot("graft_sdi")
     implicit val sql = spark.sqlContext
-    // structured 64x64 grayscale PNGs (the shape dHash is built for)
-    def render(f: (Int, Int) => Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(64, 64,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      (0 until 64).foreach(y => (0 until 64).foreach { x =>
-        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      })
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
-    val photo = render((x, y) =>
-      if (x > 40 && x < 56 && y > 8 && y < 24) 250 else (x * 2 + y) / 2)
-    val other = render((x, y) =>
-      if (x < 24 && y > 40) 10 else 255 - (x + y * 2) / 2)
+    val photo = ImageFixtures.photo
+    val other = ImageFixtures.other
     val photoHalf = { // 32x32 resize of photo, via the library's own path
       import org.apache.spark.sql.functions._
       Seq((0L, photo)).toDF("id", "p")
