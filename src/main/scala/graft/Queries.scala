@@ -214,8 +214,13 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = orig.select((col("doc_id") + lit(offset)).as("doc_id"),
       graft.functions.ImageResizeExpr(col("png"), 48, 48).as("png"))
+    // the pair list feeds the planted-recall and cross-pair branches;
+    // persist so the banded pair join (the codec-side sketch is already
+    // cached inside hamming64Pairs) runs once
     val pairs = Dedup.imageDHashPairs(orig.unionByName(dup), "png", "doc_id",
-      chunks = 8, maxHamming = 6)
+        chunks = 8, maxHamming = 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(pairs)
     graft.core.CacheAutoRelease.afterFirstUse(orig)
     val withKind = pairs.withColumn("__planted",
       col("id_b") - col("id_a") === lit(offset))
@@ -617,9 +622,15 @@ object Queries {
     val docs = tab(s, dir, "documents")
     val lsh = Dedup.minHashLsh(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.1)
+    // the exact pair set feeds the subset join AND the count aggregate;
+    // without the persist the plan holds TWO copies of the inverted-index
+    // join (verified via PlanDumpOne) — locally the copies run in parallel
+    // stages so wall time hides it, but the work is genuinely doubled
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         shingleSize = 3, threshold = 0.1)
       .select(col("id_a"), col("id_b"), col("jaccard").as("__je"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(exact)
     val checked = lsh.join(exact, Seq("id_a", "id_b"), "left").agg(
       count(lit(1)).as("__n_lsh"),
       count(col("__je")).as("__n_in_exact"),
@@ -648,7 +659,10 @@ object Queries {
     * expects the booleans true. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = tab(s, dir, "documents")
+    // consumed by the near-dup floor branch and the multiset-recall branch
     val sim = Dedup.simHash(docs, "text", "doc_id", chunks = 4, maxHamming = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(sim)
     // exact distinct-token-set jaccard attached to each emitted pair
     val toksets = docs.select(col("doc_id"),
       H.wordShingles(T.tokens(lower(col("text"))), 1).as("__ts"))
@@ -699,9 +713,13 @@ object Queries {
     val emb = tab(s, dir, "embeddings")
     val lsh = Dedup.embeddingCosine(emb, "embedding", "vec_id",
       threshold = 0.4, nPlanes = 5, tables = 24)
+    // persisted for the same two-consumer reason as minhash_pairs: the
+    // O(n²) exact scoring otherwise plans twice (precision join + count)
     val exact = Dedup.embeddingCosineExact(emb, "embedding", "vec_id",
         threshold = 0.4)
       .select(col("id_a"), col("id_b"), col("cosine").as("__ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(exact)
     val checked = lsh.join(exact, Seq("id_a", "id_b"), "left").agg(
       count(lit(1)).as("__n_lsh"),
       count(col("__ce")).as("__n_in_exact"),
