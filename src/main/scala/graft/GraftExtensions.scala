@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ImageFeaturesExpr, MinHashSigExpr, PolyHashExpr, SimHashExpr, WordShingleExpr}
+import graft.functions.{ImageDHashExpr, ImageFeaturesExpr, ImageResizeExpr, MinHashSigExpr, PolyHashExpr, SimHashExpr, WordShingleExpr}
 
 /** Registration of graft's native expressions as SQL functions, via the
   * standard `SparkSessionExtensions` hook:
@@ -66,7 +66,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ImageFeaturesExpr].getName, "image_features"),
       { case Seq(payload) => ImageFeaturesExpr(payload)
         case args => throw new IllegalArgumentException(
-          s"image_features(payload) expects 1 arg, got ${args.size}") })
+          s"image_features(payload) expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(classOf[ImageDHashExpr].getName, "image_dhash"),
+      { case Seq(payload) => ImageDHashExpr(payload)
+        case args => throw new IllegalArgumentException(
+          s"image_dhash(payload) expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("image_resize"),
+      new ExpressionInfo(classOf[ImageResizeExpr].getName, "image_resize"),
+      { case Seq(payload, w, h) => ImageResizeExpr(payload,
+          intArg(w, "image_resize"), intArg(h, "image_resize"))
+        case args => throw new IllegalArgumentException(
+          s"image_resize(payload, width, height) expects 3 args, got ${args.size}") })
   )
 
   /** Imperative registration for sessions created without the extensions

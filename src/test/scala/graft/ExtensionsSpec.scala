@@ -45,6 +45,19 @@ class ExtensionsSpec extends SparkSpec {
     viaSql.length shouldBe 16
   }
 
+  test("image_dhash + image_resize SQL functions compose: a half-size copy " +
+    "lands within the pair radius of its original") {
+    GraftExtensions.register(spark)
+    val r = Seq((1L, ImageFixtures.photo)).toDF("id", "payload")
+      .selectExpr(
+        "bit_count(image_dhash(payload) ^ " +
+          "image_dhash(image_resize(payload, 32, 32))) AS ham",
+        "image_dhash(CAST('junk' AS BINARY)) AS junk")
+      .head()
+    r.getInt(0) should be <= 6
+    r.isNullAt(1) shouldBe true
+  }
+
   test("image_features SQL function decodes a real PNG and NULLs junk bytes") {
     GraftExtensions.register(spark)
     val img = new java.awt.image.BufferedImage(1, 2,
@@ -70,7 +83,7 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions()
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
       Set("word_shingles", "simhash64", "minhash_sig", "vec_dot", "poly_hash",
-        "image_features")
+        "image_features", "image_dhash", "image_resize")
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {
