@@ -142,18 +142,17 @@ object Selection {
     * strata — the machine-checked form of "recipe-sized, not data-sized",
     * sized to admit real mix recipes (a ~100-language rate map is a
     * recipe; ten thousand per-domain rates are data). Per-stratum
-    * thresholds at data cardinality belong in a join: derive a (stratum,
-    * threshold) DataFrame and filter through [[Dedup.sizeGatedFilterJoin]]
-    * instead. */
+    * thresholds at data cardinality belong in a join —
+    * [[sampleStrataJoin]] is that form, with identical survivors. */
   def sampleStrata(df: DataFrame, strataCol: String, keyCol: String,
                    rates: Map[String, Double],
                    defaultRate: Double = 0.0): DataFrame = {
     require(rates.size <= MaxRecipeStrata,
       s"sampleStrata compiles rates to a CASE chain and is bounded to " +
         s"$MaxRecipeStrata strata (got ${rates.size}); data-cardinality " +
-        "rate maps belong in a broadcast join (derive a (stratum, " +
-        "threshold) DataFrame and filter via Dedup.sizeGatedFilterJoin), " +
-        "not an expression")
+        "rate maps belong in a join — use sampleStrataJoin with a " +
+        "(stratum, rate) DataFrame (identical survivors, size-gated " +
+        "broadcast)")
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0,1]")
     import graft.functions.{TextFunctions => T}
@@ -162,5 +161,51 @@ object Selection {
         acc.when(col(strataCol) === lit(stratum), lit(T.coinThreshold(rate)))
     }.otherwise(lit(T.coinThreshold(defaultRate)))
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < threshold)
+  }
+
+  /** Join-based companion of [[sampleStrata]] for DATA-CARDINALITY rate
+    * maps (per-domain, per-url-host — strata counts far past
+    * [[MaxRecipeStrata]]): `ratesDf` is a (strataCol, `rate` DOUBLE)
+    * relation; each row's md5 coin is compared against its stratum's
+    * threshold after a size-gated join (broadcast under the row cap,
+    * shuffled past it — never an unbounded driver broadcast). Strata
+    * absent from `ratesDf` fall back to `defaultRate`. Rate-for-rate
+    * IDENTICAL survivors to [[sampleStrata]] — the same md5 coin and the
+    * same 1/2^32 threshold arithmetic, reproduced engine-side
+    * ([[thresholdExpr]]) instead of as driver literals — so recipes can
+    * migrate between the two forms as they grow without changing which
+    * documents survive. Rates outside [0, 1] fail at evaluation time via
+    * an engine-side check constraint. */
+  def sampleStrataJoin(df: DataFrame, strataCol: String, keyCol: String,
+                       ratesDf: DataFrame, defaultRate: Double = 0.0,
+                       maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(defaultRate >= 0.0 && defaultRate <= 1.0,
+      "defaultRate must be in [0,1]")
+    val rates = ratesDf.select(col(strataCol),
+      col("rate").cast("double").as("__rate"))
+    val joined = graft.operators.Dedup.sizeGatedFilterJoin(
+      df, rates, Seq(strataCol), "inner", maxBroadcastRows)
+    // anti join catches strata with no rate row; they take the default
+    val unlisted = graft.operators.Dedup.sizeGatedFilterJoin(
+        df, rates.select(strataCol), Seq(strataCol), "left_anti",
+        maxBroadcastRows)
+      .withColumn("__rate", lit(defaultRate))
+    joined.unionByName(unlisted)
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 8)
+        < thresholdExpr(col("__rate")))
+      .drop("__rate")
+  }
+
+  /** Engine-side [[graft.functions.TextFunctions.coinThreshold]]: the same
+    * 8-lowercase-hex threshold (`"g"` at rate ≥ 1 — above every hex
+    * digest) computed from a rate COLUMN, for rate maps that live in data
+    * rather than in the recipe. Out-of-range rates raise instead of
+    * silently sampling nothing/everything. */
+  private[graft] def thresholdExpr(rate: Column): Column = {
+    val checked = when(rate < 0.0 || rate > 1.0,
+      raise_error(concat(lit("sampling rate out of [0,1]: "), rate)))
+      .otherwise(rate)
+    when(checked >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex((checked * 4294967296.0).cast("long"))), 8, "0"))
   }
 }

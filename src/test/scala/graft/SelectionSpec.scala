@@ -154,6 +154,26 @@ class SelectionSpec extends SparkSpec {
     q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
   }
 
+  test("sampleStrataJoin == sampleStrata for the same recipe (identical " +
+    "survivors via the same md5 coin), handles unlisted strata through " +
+    "defaultRate, and rejects out-of-range rates engine-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    val recipe = Map("en" -> 0.9, "fr" -> 0.25, "es" -> 1.0, "zh" -> 0.0)
+    val ratesDf = recipe.toSeq.toDF("lang", "rate")
+    val viaCase = Selection.sampleStrata(docs, "lang", "doc_id",
+      recipe, defaultRate = 0.5).select("doc_id").as[Long].collect().sorted
+    val viaJoin = Selection.sampleStrataJoin(docs, "lang", "doc_id",
+      ratesDf, defaultRate = 0.5).select("doc_id").as[Long].collect().sorted
+    viaJoin shouldBe viaCase
+    viaJoin.length should be > 0
+    // an out-of-range rate in the DATA fails at evaluation, not silently
+    val bad = Seq(("en", 1.5)).toDF("lang", "rate")
+    intercept[Exception] {
+      Selection.sampleStrataJoin(docs, "lang", "doc_id", bad).count()
+    }.getMessage should include("out of [0,1]")
+  }
+
   test("sampleStrata rejects a rate map beyond the recipe-strata bound " +
     "(the CASE chain is recipe-sized by contract, not by hope) and the " +
     "error points at the join-based alternative") {
@@ -165,7 +185,7 @@ class SelectionSpec extends SparkSpec {
       Selection.sampleStrata(df, "stratum", "doc_id", oversized)
     }
     err.getMessage should include(bound.toString)
-    err.getMessage should include("sizeGatedFilterJoin")
+    err.getMessage should include("sampleStrataJoin")
     // the boundary itself is fine
     val atBound = (1 until bound).map(i => s"s$i" -> 1.0).toMap
     Selection.sampleStrata(df, "stratum", "doc_id", atBound + ("en" -> 1.0))
