@@ -406,6 +406,34 @@ class DedupSpec extends SparkSpec {
     (t.head.getLong(2), t.head.getLong(3)) shouldBe ((15L, 2L))
   }
 
+  test("PROPERTY: hamming64Pairs is EXACT for maxHamming < chunks — " +
+    "emitted pairs equal the brute-force hamming-radius pair set on " +
+    "random sketches with planted near-pairs") {
+    val rnd = new scala.util.Random(20260813L)
+    // 120 random base sketches + 30 planted near-copies (flip <= maxHamming
+    // random bits of a base) — ids 1000+ mark the planted copies
+    val base = (0 until 120).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 30).map { i =>
+      val (srcId, src) = base(rnd.nextInt(base.size))
+      val flips = rnd.nextInt(4) // 0..3 bit flips (maxHamming = 3 below)
+      val mutated = (0 until flips).foldLeft(src)((h, _) => h ^ (1L << rnd.nextInt(64)))
+      (1000L + i, mutated, srcId)
+    }
+    val rows = (base ++ planted.map(p => (p._1, p._2))).toDF("id", "sketch")
+    val got = Dedup.hamming64Pairs(rows, col("sketch"), "id",
+        chunks = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs
+    val all = (base ++ planted.map(p => (p._1, p._2)))
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    got shouldBe want
+    // the planted copies guarantee the property is exercised non-vacuously
+    want.size should be >= 25
+  }
+
   test("embedding cosine dedup reports only pairs above threshold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
