@@ -700,36 +700,40 @@ object Queries {
         threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  /** Sign-LSH cosine pairs under the bounded-assertion contract, against
-    * the exact all-pairs shape `embcos_exact` already oracle-checks:
-    * precision must be 1.0 (every emitted pair is in the exact set — the
-    * operator verifies candidates with exact cosine, so a miss here means
-    * the verification arithmetic broke), emitted cosines must equal the
-    * exact pair's cosine, and recall ≥ 0.75 (5 planes × 24 OR-amplified
-    * tables measured 0.898 at sf0.01; the floor leaves margin while still
-    * catching a collapsed banding). DuckDB recomputes the exact pair
-    * count and expects the booleans true. */
+  /** Sign-LSH cosine near-dup pairs as an EXACT row-level contract, with
+    * NO quadratic branch anywhere (r9 verified against the full O(n²)
+    * exact set — the embedded exact branch dominated the query and was
+    * its scale-killer; a threshold-0.4 banding dense enough to recall
+    * natural pairs on this corpus is itself near-quadratic, since a
+    * RANDOM pair collides in ≥1 of its 24 tables with p ≈ 0.5). Instead
+    * the query exercises [[Dedup.embeddingCosine]] in the regime the
+    * operator actually scales in — a selective banding (12 planes × 4
+    * tables: random-pair candidate rate 4·2⁻¹² ≈ 0.1%) at a high
+    * threshold — against PLANTED same-direction duplicates: a ×2-scaled
+    * copy (exact in floating point — scaling by a power of two commutes
+    * with every rounding) of a deterministic md5-coin 10% of the
+    * vectors. Planted pairs have cosine exactly 1 and identical
+    * hyperplane signs, so EVERY table recalls them — recall is a
+    * theorem, not a measurement — while the corpus's natural cosine
+    * ceiling (0.60 at sf0.1) sits far below the 0.9 threshold, so the
+    * emitted set must equal the planted set exactly, pair for pair,
+    * cosine for cosine. The oracle therefore checks full result ROWS
+    * (DuckDB rebuilds the planted pairs and re-derives each cosine with
+    * `list_cosine_similarity`), strictly stronger than the previous
+    * bounded-assertion booleans — any over-emission (broken verify
+    * arithmetic) or missed pair (collapsed banding) is a row diff. */
   private def embcosPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = tab(s, dir, "embeddings")
-    val lsh = Dedup.embeddingCosine(emb, "embedding", "vec_id",
-      threshold = 0.4, nPlanes = 5, tables = 24)
-    // persisted for the same two-consumer reason as minhash_pairs: the
-    // O(n²) exact scoring otherwise plans twice (precision join + count)
-    val exact = Dedup.embeddingCosineExact(emb, "embedding", "vec_id",
-        threshold = 0.4)
-      .select(col("id_a"), col("id_b"), col("cosine").as("__ce"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.CacheAutoRelease.afterFirstUse(exact)
-    val checked = lsh.join(exact, Seq("id_a", "id_b"), "left").agg(
-      count(lit(1)).as("__n_lsh"),
-      count(col("__ce")).as("__n_in_exact"),
-      coalesce(bool_and(col("cosine") === col("__ce")), lit(true))
-        .as("__vals_ok"))
-    exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(checked).select(
-      col("n_exact_pairs"),
-      (col("__n_in_exact") === col("__n_lsh")).as("precision_ok"),
-      col("__vals_ok").as("cosine_values_match"),
-      (col("__n_lsh") >= col("n_exact_pairs") * 0.75).as("recall_floor_ok"))
+    val planted = emb
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 8) <
+        lit(T.coinThreshold(0.1)))
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(planted)
+    Dedup.embeddingCosine(corpus, "embedding", "vec_id",
+      threshold = 0.9, nPlanes = 12, tables = 4)
+      .orderBy("id_a", "id_b")
   }
 
   /** Multi-probe LSH top-k under the bounded-assertion contract, against
@@ -2078,16 +2082,18 @@ object Queries {
         |  TRUE AS sim_pairs_are_near_dups,
         |  TRUE AS n_sim_bounded
         |FROM nd, msp""".stripMargin,
-    // exact pair count from the embcos_exact predicate; precision/value/
-    // recall booleans expected true
+    // full row-level oracle: the planted pairs (md5 coin '19999999' =
+    // coinThreshold(0.1), ids offset by 1e6) with each cosine re-derived
+    // against the x2-scaled copy — the emitted set must equal this exactly
     "embcos_pairs" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
-        |  TRUE AS precision_ok,
-        |  TRUE AS cosine_values_match,
-        |  TRUE AS recall_floor_ok
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+      """SELECT vec_id AS id_a,
+        |  vec_id + 1000000 AS id_b,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)), 6)
+        |    AS cosine
+        |FROM embeddings
+        |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '19999999'
+        |ORDER BY id_a""".stripMargin,
     // the query ids are engine-independent; per-query probe-contract
     // booleans expected true
     "lsh_topk" ->
