@@ -174,15 +174,33 @@ object Selection {
     * same 1/2^32 threshold arithmetic, reproduced engine-side
     * ([[thresholdExpr]]) instead of as driver literals — so recipes can
     * migrate between the two forms as they grow without changing which
-    * documents survive. Rates outside [0, 1] fail at evaluation time via
-    * an engine-side check constraint. */
+    * documents survive. `ratesDf` is validated engine-side the same way
+    * the rates themselves are: a DUPLICATE stratum row raises (the inner
+    * join would otherwise fan each document out once per rate row — a
+    * sampler that silently duplicates its survivors), a NULL rate raises
+    * (it would otherwise null the coin comparison and silently drop the
+    * stratum, indistinguishable from rate 0), and rates outside [0, 1]
+    * fail at evaluation time via an engine-side check constraint. */
   def sampleStrataJoin(df: DataFrame, strataCol: String, keyCol: String,
                        ratesDf: DataFrame, defaultRate: Double = 0.0,
                        maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(defaultRate >= 0.0 && defaultRate <= 1.0,
       "defaultRate must be in [0,1]")
-    val rates = ratesDf.select(col(strataCol),
-      col("rate").cast("double").as("__rate"))
+    // one rate per stratum is a correctness precondition, so it is
+    // enforced on the rates relation (strata-cardinality, one tiny agg)
+    // before any document touches the join
+    val rates = ratesDf
+      .select(col(strataCol), col("rate").cast("double").as("__rate"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("__n"), first(col("__rate")).as("__rate"))
+      .select(col(strataCol),
+        when(col("__n") > lit(1), raise_error(concat(
+            lit("sampleStrataJoin: duplicate rate rows for stratum "),
+            col(strataCol).cast("string"))))
+          .when(col("__rate").isNull, raise_error(concat(
+            lit("sampleStrataJoin: NULL rate for stratum "),
+            col(strataCol).cast("string"))))
+          .otherwise(col("__rate")).as("__rate"))
     val joined = graft.operators.Dedup.sizeGatedFilterJoin(
       df, rates, Seq(strataCol), "inner", maxBroadcastRows)
     // anti join catches strata with no rate row; they take the default

@@ -174,6 +174,22 @@ class SelectionSpec extends SparkSpec {
     }.getMessage should include("out of [0,1]")
   }
 
+  test("sampleStrataJoin rejects a data-derived rate map with duplicate " +
+    "stratum rows (the join would silently duplicate survivors) and with " +
+    "NULL rates (a null coin comparison would silently drop the stratum)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    val dup = Seq(("en", 0.5), ("en", 0.9), ("fr", 0.25)).toDF("lang", "rate")
+    intercept[Exception] {
+      Selection.sampleStrataJoin(docs, "lang", "doc_id", dup).count()
+    }.getMessage should include("duplicate rate rows")
+    val withNull = Seq(("en", Option(0.5)), ("fr", Option.empty[Double]))
+      .toDF("lang", "rate")
+    intercept[Exception] {
+      Selection.sampleStrataJoin(docs, "lang", "doc_id", withNull).count()
+    }.getMessage should include("NULL rate")
+  }
+
   test("sampleStrata rejects a rate map beyond the recipe-strata bound " +
     "(the CASE chain is recipe-sized by contract, not by hope) and the " +
     "error points at the join-based alternative") {
