@@ -64,7 +64,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_maintain,packing_skew,image_dedup_scale,shared_spans_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,packing_skew,image_dedup_scale,shared_spans_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -243,6 +243,67 @@ object ScaleProbe {
     println(s"""{"probe":"ann_scale",${aEntry.tail}""")
     writeArtifact("ann_scale", aEntry)
     }
+    if (probes("ivf_recall_curve")) {
+    // What the nProbe knob buys: sweep the probed-cell budget on a
+    // persisted index at SCALE× and record recall@10 (vs brute force) and
+    // wall per 20-query batch — the context for ivf_maintain's
+    // partial-probe recall numbers and for the guidance table in
+    // [[Similarity.ivfProbeTopK]]'s scaladoc. Replicas here are array
+    // ROTATIONS of the base vectors (distinct directions, same norm/
+    // coordinate distribution) rather than ann_scale's verbatim copies:
+    // verbatim copies make every true neighbor a co-located duplicate of
+    // the query's own cell — recall@10 degenerates to 1.0 at any probe
+    // budget. The base copies of the query vectors are excluded from the
+    // corpus for the same reason.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def rotArr(c: org.apache.spark.sql.Column, s: Int) =
+      if (s == 0) c else concat(slice(c, s + 1, 64 - s), slice(c, 1, s))
+    val embScaled = (0 until scale).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        rotArr(col("embedding"), (i * 7) % 64).as("embedding"))
+    }.reduce(_ union _)
+    val rcPath = java.nio.file.Files.createTempDirectory("graft_ivf_rc")
+      .resolve("embeddings.parquet").toString
+    embScaled.repartition(cpus.toInt).write.mode("overwrite").parquet(rcPath)
+    val rcCorpus = spark.read.parquet(rcPath).filter(col("vec_id") >= 20)
+    val nRcVecs = rcCorpus.count()
+    val rcQueries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rcIdx = java.nio.file.Files.createTempDirectory("graft_ivf_rci")
+      .toString
+    val rcCells = Similarity.autoCells(nRcVecs)
+    Similarity.ivfBuild(rcCorpus, "embedding", rcIdx, nCells = rcCells)
+    val rcBrute = Similarity.bruteForceTopK(rcCorpus, rcQueries,
+        "embedding", "vec_id", "query_id", k = 10)
+      .select("query_id", "vec_id").persist()
+    val rcBruteN = rcBrute.count().toDouble
+    val sweep = Seq(
+      "cells_16th" -> math.max(1, rcCells / 16),
+      "cells_8th" -> math.max(1, rcCells / 8),
+      "cells_4th" -> math.max(1, rcCells / 4),
+      "full" -> rcCells)
+    val rcResults = sweep.map { case (label, np) =>
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val hits = Similarity.ivfProbeTopK(spark, rcIdx, rcQueries,
+            "embedding", "vec_id", "query_id", k = 10, nProbe = np)
+          .select("query_id", "vec_id")
+          .join(rcBrute, Seq("query_id", "vec_id"), "left_semi").count()
+        ((System.nanoTime() - t0) / 1e9, hits)
+      }
+      (label, np, times.map(_._1).min, times.head._2 / rcBruteN)
+    }
+    rcBrute.unpersist()
+    val rq = rcResults.map { case (label, np, secs, recall) =>
+      s""""$label":{"n_probe":$np,"sec":$secs,"recall_at_10":$recall}"""
+    }.mkString("{", ",", "}")
+    val rcEntry = s"""{"scale":$scale,"vectors":$nRcVecs,"queries":20,""" +
+      s""""cells":$rcCells,"passes":$passes,"variants":$rq,"sf":"$sfDir"}"""
+    println(s"""{"probe":"ivf_recall_curve",${rcEntry.tail}""")
+    writeArtifact("ivf_recall_curve", rcEntry)
+    }
+
     if (probes("packing_skew")) {
     // Packing under shard skew: packSequences' parallelism is the shard
     // count (one O(1)-state walker per shard), so its worst case is a

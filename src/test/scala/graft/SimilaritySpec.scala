@@ -139,7 +139,25 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfBuild(base, "embedding", path, nCells = 8)
     val dirsBefore = new java.io.File(s"$path/data").listFiles()
       .map(_.getName).filter(_.startsWith("__cell=")).toSet
-    Similarity.ivfAppend(extra, "embedding", path)
+    // prefix-visibility contract: an append is non-atomic to concurrent
+    // readers, but any prefix of it is a consistent smaller index — after
+    // only part of the batch lands, a full probe is exactly brute force
+    // over base ∪ the visible prefix (assigned by the same quantizer,
+    // exactly scored), never a torn view
+    val prefix = extra.filter($"vec_id" % 4 === 1)
+    Similarity.ivfAppend(prefix, "embedding", path)
+    val qsMid = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val midGot = Similarity.ivfProbeTopK(spark, path, qsMid,
+        "embedding", "vec_id", "query_id", k = 5, nProbe = 8)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    val midWant = Similarity.bruteForceTopK(base.unionByName(prefix), qsMid,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    midGot shouldBe midWant
+    Similarity.ivfAppend(extra.filter($"vec_id" % 4 =!= 1), "embedding", path)
     // the quantizer is unchanged: every cell (old and newly materialized)
     // is one of the 8 built centroids, and no standing dir disappears
     val dirsAfter = new java.io.File(s"$path/data").listFiles()
@@ -219,7 +237,20 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalStateException] {
       Similarity.ivfCellStats(spark, path).count()
     }
+    // the routine WRITER path honors the fence too: appending to a torn
+    // index would assign new rows with whichever centroids file survived
+    // and extend exactly the halves the marker says to restore
+    intercept[IllegalStateException] {
+      Similarity.ivfAppend(copies, "embedding", path)
+    }.getMessage should include(".rebuilding")
     new java.io.File(path, ".rebuilding").delete() shouldBe true
+    Similarity.ivfCellStats(spark, path).count() should be > 0L
+    // recovery path: a COMPLETED rebuild-from-source overwrites both
+    // halves from one generation and lifts the fence itself
+    new java.io.File(path, ".rebuilding").createNewFile() shouldBe true
+    Similarity.ivfBuild(base.unionByName(copies), "embedding", path,
+      nCells = 8)
+    new java.io.File(path, ".rebuilding").exists() shouldBe false
     Similarity.ivfCellStats(spark, path).count() should be > 0L
   }
 
