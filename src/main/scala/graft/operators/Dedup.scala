@@ -262,7 +262,13 @@ object Dedup {
     * pair, probabilistic recall, skew-capped by `maxBucket`;
     * `minhashBands ≤ 0` (the default) derives the banding from the
     * threshold ([[autoBands]], ≥95% per-pair recall at jaccard =
-    * threshold). */
+    * threshold). The default `strategy = "auto"` stays on the exact
+    * single-pass join below a measured shingle-volume knee and escalates
+    * to the minhash prefilter above it ([[autoStrategy]], logged
+    * decision) — so recall becomes probabilistic (≥95% per pair at
+    * jaccard = threshold) exactly on corpora dense enough that the exact
+    * join was measured unusable; pin `"single"`/`"hashed"` when the
+    * contract is exactness at any volume. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
                         maxDf: Long = 0L, hashedCandidates: Boolean = false,
@@ -471,14 +477,62 @@ object Dedup {
     result
   }
 
+  /** Exploded-shingle-volume knee above which `strategy = "auto"`
+    * escalates from the exact single-pass inverted-index join to the
+    * [[minhashPrefilterPairs]] hybrid. Measured (SCALEPROBE.json
+    * `pair_join_scale`, char 5-grams): at ~40M exploded shingle rows
+    * (50k docs) the single-pass join took 257.5s vs 19.3s for the
+    * minhash prefilter (13×, identical emitted pairs on that corpus); at
+    * ~4M rows (5k docs, the sf0.1 `chargram_pairs` shape) single-pass
+    * still wins (4.9s). The knee sits between those measurements, on the
+    * side that keeps every measured-exact-is-fine corpus on the exact
+    * path. */
+  private[graft] val AutoEscalateShingleRows: Long = 10000000L
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** The `strategy = "auto"` decision, factored out so the gate itself is
+    * testable: the legacy `hashedCandidates` boolean still forces the
+    * hashed exact path (explicit caller opt-in wins); otherwise the
+    * exploded shingle volume is ESTIMATED as docs × mean shingles/doc
+    * (the mean over a bounded prefix sample — one tiny job, no full
+    * shingling pass; the doc count prunes the shingle column entirely)
+    * and compared against the measured knee. The decision is logged with
+    * its inputs so a production run records WHY it took the path it
+    * took. */
+  private[graft] def autoStrategy(shingled: DataFrame, idCol: String,
+                                  hashedCandidates: Boolean,
+                                  knee: Long = AutoEscalateShingleRows,
+                                  sampleRows: Int = 1000): String =
+    if (hashedCandidates) "hashed"
+    else {
+      val nDocs = shingled.count()
+      val meanShingles = shingled.limit(sampleRows)
+        .agg(coalesce(avg(size(col("__shs"))), lit(0.0)))
+        .head.getDouble(0)
+      val estimate = (nDocs * meanShingles).toLong
+      val chosen = if (estimate > knee) "minhash" else "single"
+      log.info(s"jaccard strategy=auto: $nDocs docs x $meanShingles mean " +
+        s"shingles/doc = ~$estimate exploded rows vs knee $knee -> $chosen")
+      chosen
+    }
+
   /** Routes a `strategy` name onto the pair operators' candidate-generation
     * paths: `"single"` forces the one-pass string-keyed inverted-index
     * join, `"hashed"` forces the two-phase hashed-candidate join,
     * `"minhash"` takes the [[minhashPrefilterPairs]] hybrid (exact values,
     * probabilistic recall — the only strategy whose OUTPUT may differ),
-    * and `"auto"` keeps the measured default (single-pass — see the
-    * ScaleProbe numbers on [[jaccardPairsFromShingles]]) unless the caller
-    * explicitly opted into `hashedCandidates` via the legacy boolean. */
+    * and `"auto"` is a stats-gated escalation ([[autoStrategy]]): the
+    * exact single-pass default below the measured volume knee
+    * ([[AutoEscalateShingleRows]]), the minhash prefilter above it —
+    * which means `"auto"` inherits minhash's probabilistic recall
+    * (≥95% per emitted-able pair at jaccard = threshold under
+    * [[autoBands]]) precisely when the corpus is dense enough that the
+    * exact join was measured quadratic-unusable; callers whose contract
+    * is exactness at ANY volume must pin `"single"`/`"hashed"`. The
+    * legacy `hashedCandidates` boolean still forces the hashed path under
+    * `"auto"`. */
   private def jaccardPairsDispatch(shingled: DataFrame, idCol: String,
                                    threshold: Double, maxDf: Long,
                                    hashedCandidates: Boolean,
@@ -487,8 +541,11 @@ object Dedup {
                                    minhashHashes: Int,
                                    minhashBands: Int,
                                    maxBucket: Int): DataFrame = {
-    val hashed = strategy match {
-      case "auto"   => hashedCandidates
+    val resolved = strategy match {
+      case "auto" => autoStrategy(shingled, idCol, hashedCandidates)
+      case s      => s
+    }
+    val hashed = resolved match {
       case "single" => false
       case "hashed" => true
       case "minhash" =>
@@ -602,20 +659,12 @@ object Dedup {
     * runtime-row-filter confs (`spark.sql.optimizer.runtime.bloomFilter
     * .maxNumItems`/`.maxNumBits`, defaults 4M items / 64M bits) — below
     * this operator's defaults, which would quietly degrade the effective
-    * fpp above ~4M eval shingles. The aggregation therefore RAISES both
-    * confs to cover (`expectedItems`, the derived bit count) for the
-    * duration of the build and restores them after, so the documented
-    * sizing contract holds as stated.
-    *
-    * CONCURRENCY CAVEAT: that raise/restore mutates the shared session's
-    * RuntimeConfig for the (short) window of the build action. A
-    * concurrent query on the SAME SparkSession can plan its own runtime
-    * row-filters under the raised caps, and two concurrent
-    * `decontaminateBloom` builds can interleave set/restore so one build
-    * runs clamped (degraded fpp → more exact-verify work; output stays
-    * row-identical — Bloom undersizing never affects correctness, only
-    * cost). Callers that build filters concurrently should serialize the
-    * builds or use separate sessions (`spark.newSession()`). */
+    * fpp above ~4M eval shingles. The build therefore RAISES both confs
+    * to cover (`expectedItems`, the derived bit count) — on a PRIVATE
+    * cloned session (same context/cache, isolated SQLConf), so the
+    * caller's session never observes the raised caps: concurrent queries
+    * keep planning their runtime row-filters under the configured caps
+    * and concurrent builds cannot clamp each other. */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
                          textCol: String, idCol: String,
                          shingleSize: Int = 8, minOverlap: Long = 1L,
@@ -720,8 +769,8 @@ object Dedup {
     * so the EFFECTIVE sizing is testable — the returned byte length is
     * ~numBits/8, which proves the conf raise actually defeated the
     * 64M-bit clamp (a silently clamped filter is output-identical, only
-    * its fpp degrades). See [[decontaminateBloom]]'s concurrency caveat
-    * for the conf raise/restore semantics. */
+    * its fpp degrades). The conf raise runs on a private cloned session —
+    * see [[decontaminateBloom]]. */
   private[graft] def buildShingleBloom(eSh: DataFrame, expectedItems: Long,
                                        fpp: Double): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -736,21 +785,21 @@ object Dedup {
     // one engine-side aggregation; the driver holds only the serialized
     // filter (numBits/8 bytes — a parameter, not a data size). The
     // aggregate clamps (items, bits) to the runtime bloomFilter confs at
-    // evaluation time — raise them to the requested sizing for the build
-    // and restore, so expectedItems > 4M keeps its fpp instead of being
-    // silently capped.
-    val conf = eSh.sparkSession.conf
+    // evaluation time — raise them to the requested sizing so
+    // expectedItems > 4M keeps its fpp instead of being silently capped.
+    // The raise happens on a PRIVATE cloned session (same context, cache
+    // and conf values; isolated SQLConf), so the shared session never
+    // observes the raised caps: a concurrent query cannot plan its
+    // runtime row-filters under them, and concurrent builds cannot
+    // interleave set/restore — each clamps only its own clone.
+    val session = Bridge.cloneSession(eSh.sparkSession)
+    val conf = session.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (itemsOld, bitsOld) = (conf.get(itemsKey), conf.get(bitsKey))
-    try {
-      conf.set(itemsKey, math.max(itemsOld.toLong, expectedItems))
-      conf.set(bitsKey, math.max(bitsOld.toLong, numBits))
-      eSh.agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
-    } finally {
-      conf.set(itemsKey, itemsOld)
-      conf.set(bitsKey, bitsOld)
-    }
+    conf.set(itemsKey, math.max(conf.get(itemsKey).toLong, expectedItems))
+    conf.set(bitsKey, math.max(conf.get(bitsKey).toLong, numBits))
+    Bridge.rebind(eSh, session)
+      .agg(bloomCol.as("__bf")).head().getAs[Array[Byte]](0)
   }
 
   /** Connected components over a near-duplicate pair list: every id that

@@ -21,6 +21,29 @@ object Bridge {
     !spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
 
+  /** Clone a session: same SparkContext, cache and (copied) session
+    * state, but an ISOLATED SQLConf — runtime conf mutations on the clone
+    * are invisible to the parent. `SparkSession.newSession()` is the
+    * public cousin but resets runtime-set confs to SparkConf defaults;
+    * the clone preserves them (the same mechanism Structured Streaming
+    * uses for its per-run sessions). */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+
+  /** Re-bind a DataFrame's logical plan to another session (of the same
+    * SparkContext) so it executes under THAT session's conf. */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+             target: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val cds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      cds.queryExecution.logical)
+  }
+
   /** Install a function builder into an existing session's registry (the
     * per-creation `SparkSessionExtensions` path can't reach sessions that
     * already exist). */

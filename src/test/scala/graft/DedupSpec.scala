@@ -112,6 +112,33 @@ class DedupSpec extends SparkSpec {
     hybrid shouldBe base
   }
 
+  test("strategy=auto is stats-gated: sparse corpora stay on the exact " +
+    "single-pass path, dense-shingle corpora escalate to the minhash " +
+    "prefilter, and the legacy hashedCandidates boolean still wins") {
+    val shingled = docs.select(col("doc_id"),
+      graft.functions.HashFunctions
+        .charShingles(trim(lower(col("text"))), 5).as("__shs"))
+    // the fixture is tiny: the measured default knee keeps it exact
+    Dedup.autoStrategy(shingled, "doc_id",
+      hashedCandidates = false) shouldBe "single"
+    // a knee below the fixture's volume escalates — the same gate that
+    // fires on a dense-shingle corpus, exercised by shrinking the knee
+    // instead of materializing 10M shingle rows in a unit test
+    Dedup.autoStrategy(shingled, "doc_id",
+      hashedCandidates = false, knee = 10L) shouldBe "minhash"
+    // explicit legacy opt-in beats the gate
+    Dedup.autoStrategy(shingled, "doc_id",
+      hashedCandidates = true, knee = 10L) shouldBe "hashed"
+    // end-to-end: below the knee auto IS the exact path, output-identical
+    val auto = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, strategy = "auto")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val single = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.1, strategy = "single")
+      .orderBy("id_a", "id_b").collect().toSeq
+    auto shouldBe single
+  }
+
   test("autoBands picks the most selective banding that keeps >=95% recall " +
     "at the threshold, degrading to r=1 for low/zero thresholds") {
     // 1-(1-t^r)^b >= 0.95 <=> b >= ~3/t^r, b = numHashes/r
@@ -253,7 +280,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("decontaminateBloom honors an expectedItems above Spark's runtime " +
-    "bloomFilter caps (confs raised for the build, restored after)") {
+    "bloomFilter caps (confs raised on a private cloned session — the " +
+    "shared session's caps are never touched)") {
     val corpus = Seq(
       (1L, "the benchmark question about apples and oranges here"),
       (3L, "completely unrelated training document about spark shuffles"))
@@ -264,7 +292,9 @@ class DedupSpec extends SparkSpec {
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
     // default caps are 4M items / 64M bits — 10M items would be silently
-    // clamped without the conf raise; the call must succeed AND restore
+    // clamped without the conf raise; the call must succeed and the
+    // SHARED session's caps must be untouched throughout (the raise
+    // lives on a private clone)
     Dedup.decontaminateBloom(corpus, eval, "text", "doc_id",
       shingleSize = 3, expectedItems = 10000000L)
       .select("doc_id").as[Long].collect().sorted shouldBe Array(3L)
