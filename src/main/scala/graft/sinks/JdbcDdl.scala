@@ -31,19 +31,32 @@ object JdbcDdl {
       throw new IllegalArgumentException(s"no JDBC DDL mapping for $other")
   }
 
+  /** `typeFor` is the dialect seam: the default synthesizes Postgres
+    * (what the reference manages); tests run the same statements against
+    * embedded Derby by mapping the two Postgres-only types (TEXT, BYTEA)
+    * to their Derby spellings. `existenceGuard` controls the
+    * `IF NOT EXISTS` clause — the reference gets the same tolerance from
+    * SQLAlchemy's `checkfirst` catalog probe; engines without the clause
+    * (Derby) pass `false` and manage existence themselves. */
   def createTableSql(table: String, schema: StructType,
-                     primaryKey: Seq[String] = Seq.empty): String = {
+                     primaryKey: Seq[String] = Seq.empty,
+                     typeFor: DataType => String = sqlType,
+                     existenceGuard: Boolean = true): String = {
     val cols = schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
-      s""""${f.name}" ${sqlType(f.dataType)}$nn"""
+      s""""${f.name}" ${typeFor(f.dataType)}$nn"""
     }
     val pk =
       if (primaryKey.isEmpty) ""
       else primaryKey.mkString(", PRIMARY KEY (\"", "\", \"", "\")")
-    s"""CREATE TABLE IF NOT EXISTS "$table" (${cols.mkString(", ")}$pk)"""
+    val guard = if (existenceGuard) "IF NOT EXISTS " else ""
+    s"""CREATE TABLE $guard"$table" (${cols.mkString(", ")}$pk)"""
   }
 
-  def dropTableSql(table: String): String = s"""DROP TABLE IF EXISTS "$table""""
+  def dropTableSql(table: String, existenceGuard: Boolean = true): String = {
+    val guard = if (existenceGuard) "IF EXISTS " else ""
+    s"""DROP TABLE $guard"$table""""
+  }
 
   def execute(engine: JdbcEngine, sql: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(

@@ -98,4 +98,45 @@ class JdbcIntegrationSpec extends SparkSpec
           allowedOperations = Set(Operation.Update), errorsAsData = false))
     }
   }
+
+  test("Main --drop/--create DDL mode (commands.py:20-59): statements " +
+    "synthesized from the catalog parquet schema echo in dry-run and " +
+    "execute against live Derby through the dialect seam") {
+    val derbyTypes: org.apache.spark.sql.types.DataType => String = {
+      case org.apache.spark.sql.types.StringType => "VARCHAR(255)"
+      case org.apache.spark.sql.types.BinaryType => "BLOB"
+      case other => graft.sinks.JdbcDdl.sqlType(other)
+    }
+    // dry-run form: no --jdbc → echoed, not executed (drop precedes create)
+    val echoed = scala.collection.mutable.Buffer[String]()
+    Main.runDdl(spark, sf, drop = Some("region"), create = Some("region"),
+      pk = Seq.empty, jdbcUrl = None, echo = false,
+      typeFor = derbyTypes, existenceGuard = false, out = echoed += _)
+    echoed.toSeq shouldBe Seq(
+      """DROP TABLE "region"""",
+      """CREATE TABLE "region" ("r_regionkey" INTEGER, """ +
+        """"r_name" VARCHAR(255))""")
+    // the default Postgres dialect keeps the reference's guarded DDL
+    val pg = scala.collection.mutable.Buffer[String]()
+    Main.runDdl(spark, sf, drop = Some("region"), create = None,
+      pk = Seq.empty, jdbcUrl = None, echo = false, out = pg += _)
+    pg.head shouldBe """DROP TABLE IF EXISTS "region""""
+    // live form: create against Derby, prove it exists, drop, prove gone
+    Main.runDdl(spark, sf, drop = None, create = Some("region"),
+      pk = Seq.empty, jdbcUrl = Some(engine.url), echo = false,
+      typeFor = derbyTypes, existenceGuard = false)
+    withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("""SELECT count(*) FROM "region"""")
+      rs.next() shouldBe true
+      rs.getInt(1) shouldBe 0
+    }
+    Main.runDdl(spark, sf, drop = Some("region"), create = None,
+      pk = Seq.empty, jdbcUrl = Some(engine.url), echo = false,
+      existenceGuard = false)
+    intercept[java.sql.SQLException] {
+      withConn(_.createStatement()
+        .executeQuery("""SELECT count(*) FROM "region""""))
+    }
+  }
 }
