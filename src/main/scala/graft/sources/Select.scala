@@ -23,6 +23,13 @@ final case class SelectConfig(
     query: String = "SELECT 1",
     packSize: Int = 1000,
     limit: Option[Long] = None,
+    /** Divergence from the reference: `readers.py:66` passes
+      * `use_labels=True` unconditionally (every SQLAlchemy column comes
+      * back `table_column`-qualified), while here labeling is OPT-IN —
+      * Spark schemas already qualify ambiguous columns at analysis time,
+      * so the default keeps natural names and `useLabels = true`
+      * reproduces the reference's wire format when a downstream contract
+      * expects it (SURVEY.md §2.1 fine print). */
     useLabels: Boolean = false,
     /** Parallel JDBC read spec: (column, lowerBound, upperBound,
       * numPartitions). Replaces the reference's serial LIMIT/OFFSET page
