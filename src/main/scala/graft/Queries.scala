@@ -344,7 +344,7 @@ object Queries {
 
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(tab(s, dir, "documents"), "text", "doc_id",
-        shingleSize = 3, threshold = 0.1)
+        shingleSize = 3, threshold = 0.1, strategy = "single")
       .orderBy("id_a", "id_b")
 
   /** End-to-end training-corpus curation pipeline — THE use-case shape this
@@ -361,7 +361,7 @@ object Queries {
       .filter(col("quality") >= 0.5)
     val exact = Dedup.exactByFingerprint(kept, "text", "doc_id")
     val pairs = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
-      shingleSize = 3, threshold = 0.1)
+      shingleSize = 3, threshold = 0.1, strategy = "single")
     Dedup.dropNearDuplicates(exact, "doc_id", pairs)
       .select("doc_id", "quality")
       .orderBy("doc_id")
@@ -423,7 +423,7 @@ object Queries {
     * longer windows stay discriminative as the corpus grows. */
   private def chargramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.charJaccardPairs(tab(s, dir, "documents"), "text", "doc_id",
-        shingleSize = 12, threshold = 0.3, maxDf = 50L)
+        shingleSize = 12, threshold = 0.3, maxDf = 50L, strategy = "single")
       .orderBy("id_a", "id_b")
 
   /** Transitive closure of the exact n-gram pair graph: cluster ids via
@@ -431,7 +431,8 @@ object Queries {
     * reachability over the same edges in DuckDB — both engine-independent. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.clusters(Dedup.ngramJaccardPairs(tab(s, dir, "documents"),
-        "text", "doc_id", shingleSize = 3, threshold = 0.1))
+        "text", "doc_id", shingleSize = 3, threshold = 0.1,
+        strategy = "single"))
       .select(col("id").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
 
@@ -627,7 +628,7 @@ object Queries {
     // join (verified via PlanDumpOne) — locally the copies run in parallel
     // stages so wall time hides it, but the work is genuinely doubled
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        shingleSize = 3, threshold = 0.1)
+        shingleSize = 3, threshold = 0.1, strategy = "single")
       .select(col("id_a"), col("id_b"), col("jaccard").as("__je"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.CacheAutoRelease.afterFirstUse(exact)

@@ -64,7 +64,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,packing_skew,image_dedup_scale,shared_spans_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,packing_skew,image_dedup_scale,shared_spans_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,18 +91,23 @@ object ScaleProbe {
     val nDocs = spark.read.parquet(path).count()
 
     def corpus = spark.read.parquet(path)
+    // strategies are PINNED per variant: the default is now the stats-
+    // gated "auto", which escalates dense char-gram corpora to minhash on
+    // its own — an unpinned "single" variant would silently measure the
+    // escalated path instead of the one its label names
     val variants: Seq[(String, () => Long)] = Seq(
       "ngram_single" -> (() => Dedup.ngramJaccardPairs(
-        corpus, "text", "doc_id", shingleSize = 3, threshold = 0.1).count()),
+        corpus, "text", "doc_id", shingleSize = 3, threshold = 0.1,
+        strategy = "single").count()),
       "ngram_hashed" -> (() => Dedup.ngramJaccardPairs(
         corpus, "text", "doc_id", shingleSize = 3, threshold = 0.1,
-        hashedCandidates = true).count()),
+        strategy = "hashed").count()),
       "chargram_single" -> (() => Dedup.charJaccardPairs(
         corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
-        maxDf = 50L * scale).count()),
+        maxDf = 50L * scale, strategy = "single").count()),
       "chargram_hashed" -> (() => Dedup.charJaccardPairs(
         corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
-        maxDf = 50L * scale, hashedCandidates = true).count()),
+        maxDf = 50L * scale, strategy = "hashed").count()),
       // MinHash prefilter → exact verify: corpus-linear candidate
       // generation instead of the |shared shingles|-bound self-join;
       // recall is probabilistic (r=2, b=64 → ~0.998 per pair at j=0.3)
@@ -110,7 +115,14 @@ object ScaleProbe {
       // columns when reading the entry.
       "chargram_minhash" -> (() => Dedup.charJaccardPairs(
         corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
-        maxDf = 50L * scale, strategy = "minhash").count())
+        maxDf = 50L * scale, strategy = "minhash").count()),
+      // the stats gate itself: at this volume (~40M exploded shingle
+      // rows, far past the 10M knee) "auto" must escalate to the minhash
+      // prefilter on its own — expect ~chargram_minhash wall, not
+      // ~chargram_single (decision logged by Dedup.autoStrategy)
+      "chargram_auto" -> (() => Dedup.charJaccardPairs(
+        corpus, "text", "doc_id", shingleSize = 12, threshold = 0.3,
+        maxDf = 50L * scale, strategy = "auto").count())
     )
     val results = variants.map { case (name, run) =>
       val times = (1 to passes).map { _ =>
@@ -302,6 +314,53 @@ object ScaleProbe {
       s""""cells":$rcCells,"passes":$passes,"variants":$rq,"sf":"$sfDir"}"""
     println(s"""{"probe":"ivf_recall_curve",${rcEntry.tail}""")
     writeArtifact("ivf_recall_curve", rcEntry)
+    }
+
+    if (probes("embcos_scale")) {
+    // The redesigned embcos_pairs regime at SCALE×: selective sign-LSH
+    // banding (12 planes × 4 tables) + planted ×2-scaled duplicates of a
+    // 10% md5 coin. Claims under test: planted recall stays exactly 1.0
+    // (structural — identical hyperplane signs — not statistical) and
+    // wall stays corpus-linear: candidates are the planted pairs plus the
+    // ~0.1% random-collision floor, never the half-of-all-pairs a
+    // recall-dense threshold-0.4 banding produces. Replicas are rotations
+    // (distinct directions), as in ivf_recall_curve.
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def rotA(c: org.apache.spark.sql.Column, s: Int) =
+      if (s == 0) c else concat(slice(c, s + 1, 64 - s), slice(c, 1, s))
+    val embR = (0 until scale).map { i =>
+      emb0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        rotA(col("embedding"), (i * 7) % 64).as("embedding"))
+    }.reduce(_ union _)
+    val ePath = java.nio.file.Files.createTempDirectory("graft_embsc")
+      .resolve("embeddings.parquet").toString
+    embR.repartition(cpus.toInt).write.mode("overwrite").parquet(ePath)
+    val eBase = spark.read.parquet(ePath)
+    val nEVecs = eBase.count()
+    val ePlanted = eBase
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 8) <
+        lit("19999999"))
+    val nPlanted = ePlanted.count()
+    val eCorpus = eBase.unionByName(ePlanted
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val eTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val found = Dedup.embeddingCosine(eCorpus, "embedding", "vec_id",
+          threshold = 0.9, nPlanes = 12, tables = 4)
+        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+      ((System.nanoTime() - t0) / 1e9, found)
+    }
+    val eEntry = s"""{"scale":$scale,"vectors":$nEVecs,""" +
+      s""""planted":$nPlanted,"passes":$passes,""" +
+      s""""sec":${eTimes.map(_._1).min},""" +
+      s""""planted_found":${eTimes.head._2},""" +
+      s""""planted_recall":${eTimes.head._2.toDouble / nPlanted},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"embcos_scale",${eEntry.tail}""")
+    writeArtifact("embcos_scale", eEntry)
     }
 
     if (probes("packing_skew")) {

@@ -475,4 +475,23 @@ class DedupSpec extends SparkSpec {
     val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     got shouldBe Set(0L -> 1L)
   }
+
+  test("embedding cosine recall of a same-direction (x2-scaled) copy is " +
+    "STRUCTURAL: cosine is exactly 1 and hyperplane signs are identical, " +
+    "so a single table recalls every planted pair — the embcos_pairs " +
+    "query contract at unit scale") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val nPlanted = planted.count()
+    // ONE selective table — structural recall needs no OR-amplification
+    val pairs = Dedup.embeddingCosine(emb.unionByName(planted),
+        "embedding", "vec_id", threshold = 0.9, nPlanes = 12, tables = 1)
+      .filter(col("id_b") - col("id_a") === 1000000L)
+    pairs.count() shouldBe nPlanted
+    // and fp scaling by a power of two leaves the rounded cosine at 1
+    pairs.agg(min("cosine"), max("cosine"))
+      .as[(Double, Double)].head() shouldBe ((1.0, 1.0))
+  }
 }
