@@ -66,7 +66,29 @@ object Bench {
     val warmupTotals = (1 to warmupPasses).map { _ =>
       runPass().values.filter(_ >= 0.0).sum
     }
-    val perPass: Seq[Map[String, Double]] = (1 to passes).map(_ => runPass())
+    // The box is noisy in BURSTS (one pass can catch an ambient spike and
+    // read 50% high), so after the configured passes, keep measuring —
+    // bounded by SPARK_GRAFT_BENCH_MAX_PASSES — until the two fastest
+    // recorded passes agree within SPARK_GRAFT_BENCH_DELTA_TARGET
+    // percent. The agreement pair is the steady-state estimate, matching
+    // the per-query min-of-passes philosophy; every raw pass total is
+    // still reported so a spike stays visible.
+    val deltaTarget = sys.env.get("SPARK_GRAFT_BENCH_DELTA_TARGET")
+      .flatMap(_.trim.toDoubleOption).getOrElse(3.0)
+    val maxPasses = math.max(passes,
+      sys.env.get("SPARK_GRAFT_BENCH_MAX_PASSES")
+        .flatMap(_.trim.toIntOption).getOrElse(6))
+    def fastestPairDeltaPct(totals: Seq[Double]): Double = {
+      val ok = totals.filter(_ > 0).sorted
+      if (ok.size < 2) 0.0 else (ok(1) - ok(0)) / ok(0) * 100.0
+    }
+    val perPass: Seq[Map[String, Double]] = {
+      var acc = (1 to passes).map(_ => runPass()).toVector
+      def totals = acc.map(_.values.filter(_ >= 0.0).sum)
+      while (acc.size < maxPasses && fastestPairDeltaPct(totals) > deltaTarget)
+        acc = acc :+ runPass()
+      acc
+    }
     val successes: Map[String, Seq[Double]] =
       names.map(n => n -> perPass.flatMap(_.get(n)).filter(_ >= 0.0)).toMap
     val results = names.map { n =>
@@ -79,19 +101,18 @@ object Bench {
     // time, but must not read as healthy — and its absence from the failed
     // passes' totals would skew the repeat delta, so flag it.
     val flaky = names
-      .filter(n => successes(n).nonEmpty && successes(n).size < passes)
+      .filter(n => successes(n).nonEmpty && successes(n).size < perPass.size)
       .map("\"" + _ + "\"")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val passTotals = perPass.map(_.values.filter(_ >= 0.0).sum)
-    // recorded passes are post-warmup steady state; the delta over them is
-    // environment noise, not JIT
-    val repeatDeltaPct =
-      if (passTotals.size < 2 || passTotals.min <= 0) 0.0
-      else (passTotals.max - passTotals.min) / passTotals.min * 100.0
+    // recorded passes are post-warmup steady state; the delta between the
+    // two LEAST-CONTENDED (fastest) of them is the environment-noise
+    // figure — a lone ambient spike shows in pass_totals, not here
+    val repeatDeltaPct = fastestPairDeltaPct(passTotals)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""flaky":${flaky.mkString("[", ",", "]")},""" +
-      s""""passes":$passes,""" +
+      s""""passes":${perPass.size},""" +
       s""""warmup_passes":$warmupPasses,""" +
       s""""warmup_totals":${warmupTotals.mkString("[", ",", "]")},""" +
       s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
