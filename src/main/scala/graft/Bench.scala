@@ -78,37 +78,22 @@ object Bench {
     val maxPasses = math.max(passes,
       sys.env.get("SPARK_GRAFT_BENCH_MAX_PASSES")
         .flatMap(_.trim.toIntOption).getOrElse(6))
-    def fastestPairDeltaPct(totals: Seq[Double]): Double = {
-      val ok = totals.filter(_ > 0).sorted
-      if (ok.size < 2) 0.0 else (ok(1) - ok(0)) / ok(0) * 100.0
-    }
-    val perPass: Seq[Map[String, Double]] = {
-      var acc = (1 to passes).map(_ => runPass()).toVector
-      def totals = acc.map(_.values.filter(_ >= 0.0).sum)
-      while (acc.size < maxPasses && fastestPairDeltaPct(totals) > deltaTarget)
-        acc = acc :+ runPass()
-      acc
-    }
-    val successes: Map[String, Seq[Double]] =
-      names.map(n => n -> perPass.flatMap(_.get(n)).filter(_ >= 0.0)).toMap
-    val results = names.map { n =>
-      n -> (if (successes(n).isEmpty) -1.0 else successes(n).min)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val perPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget)(
+      () => runPass())
     // A query that failed SOME passes still reports its best successful
     // time, but must not read as healthy — and its absence from the failed
     // passes' totals would skew the repeat delta, so flag it.
-    val flaky = names
-      .filter(n => successes(n).nonEmpty && successes(n).size < perPass.size)
-      .map("\"" + _ + "\"")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val passTotals = perPass.map(_.values.filter(_ >= 0.0).sum)
+    val summary = BenchRuns.summarize(names, perPass)
+    val qs = summary.minTimes.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = summary.failed.map("\"" + _ + "\"")
+    val flaky = summary.flaky.map("\"" + _ + "\"")
+    val total = summary.minTimes.collect { case (_, v) if v >= 0 => v }.sum
+    val passTotals = perPass.map(BenchRuns.passTotal)
     // recorded passes are post-warmup steady state; the delta between the
     // two LEAST-CONTENDED (fastest) of them is the environment-noise
     // figure — a lone ambient spike shows in pass_totals, not here
-    val repeatDeltaPct = fastestPairDeltaPct(passTotals)
+    val repeatDeltaPct = BenchRuns.fastestPairDeltaPct(passTotals)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""flaky":${flaky.mkString("[", ",", "]")},""" +

@@ -1,0 +1,67 @@
+package graft
+
+/** Pass scheduling and summarization for [[Bench]], factored out of the
+  * `main` so the measurement policy is spec-testable without a SparkSession.
+  *
+  * Policy (see Bench.scala's comments for the measured motivation):
+  *   - per-query headline = MINIMUM over recorded passes (least-contended
+  *     observation; a failed pass reports -1 and is excluded);
+  *   - environment noise = the delta between the two FASTEST pass totals —
+  *     a lone ambient spike stays visible in the raw `pass_totals` without
+  *     polluting the steady-state figure;
+  *   - the recorded-pass count is adaptive: after `passes` runs, keep
+  *     measuring (bounded by `maxPasses`) until that fastest-pair delta
+  *     drops under `deltaTargetPct`.
+  */
+object BenchRuns {
+  /** Percent gap between the two smallest positive totals; 0 when fewer
+    * than two positive observations exist (nothing to disagree).
+    */
+  def fastestPairDeltaPct(totals: Seq[Double]): Double = {
+    val ok = totals.filter(_ > 0).sorted
+    if (ok.size < 2) 0.0 else (ok(1) - ok(0)) / ok(0) * 100.0
+  }
+
+  /** Sum of the successful (non-negative) per-query times in one pass. */
+  def passTotal(pass: Map[String, Double]): Double =
+    pass.values.filter(_ >= 0.0).sum
+
+  /** Run `passes` recorded passes, then extend one at a time — never past
+    * `maxPasses` — while the two fastest pass totals disagree by more than
+    * `deltaTargetPct` percent.
+    */
+  def adaptivePasses(passes: Int, maxPasses: Int, deltaTargetPct: Double)(
+      runPass: () => Map[String, Double]): Vector[Map[String, Double]] = {
+    var acc = (1 to math.max(1, passes)).map(_ => runPass()).toVector
+    def totals = acc.map(passTotal)
+    while (acc.size < maxPasses && fastestPairDeltaPct(totals) > deltaTargetPct)
+      acc = acc :+ runPass()
+    acc
+  }
+
+  /** Per-query headline times plus health classification.
+    *
+    * @param minTimes  query -> min successful seconds, or -1.0 if the query
+    *                  failed every pass
+    * @param failed    queries with no successful pass
+    * @param flaky     queries that succeeded some passes but not all — they
+    *                  report a best time yet must not read as healthy
+    */
+  final case class Summary(
+      minTimes: Seq[(String, Double)],
+      failed: Seq[String],
+      flaky: Seq[String])
+
+  def summarize(names: Seq[String],
+                perPass: Seq[Map[String, Double]]): Summary = {
+    val successes: Map[String, Seq[Double]] =
+      names.map(n => n -> perPass.flatMap(_.get(n)).filter(_ >= 0.0)).toMap
+    val minTimes = names.map { n =>
+      n -> (if (successes(n).isEmpty) -1.0 else successes(n).min)
+    }
+    val failed = minTimes.collect { case (n, v) if v < 0 => n }
+    val flaky = names.filter(n =>
+      successes(n).nonEmpty && successes(n).size < perPass.size)
+    Summary(minTimes, failed, flaky)
+  }
+}

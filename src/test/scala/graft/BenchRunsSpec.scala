@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the bench measurement policy (no SparkSession needed):
+  * min-of-passes headline, fastest-pair noise figure, adaptive pass
+  * extension, and failed/flaky classification.
+  */
+class BenchRunsSpec extends AnyFunSuite with Matchers {
+  import BenchRuns._
+
+  test("fastestPairDeltaPct compares the two smallest positive totals") {
+    // 100 vs 102 -> 2%; the 150 spike does not contaminate the figure
+    fastestPairDeltaPct(Seq(150.0, 102.0, 100.0)) shouldBe 2.0 +- 1e-9
+  }
+
+  test("fastestPairDeltaPct ignores non-positive totals and degenerates to 0") {
+    fastestPairDeltaPct(Seq(100.0, -1.0, 0.0)) shouldBe 0.0
+    fastestPairDeltaPct(Seq.empty) shouldBe 0.0
+    fastestPairDeltaPct(Seq(100.0)) shouldBe 0.0
+  }
+
+  test("passTotal sums only successful (non-negative) query times") {
+    passTotal(Map("a" -> 1.5, "b" -> -1.0, "c" -> 2.5)) shouldBe 4.0
+  }
+
+  test("adaptivePasses stops at the configured count when converged") {
+    var calls = 0
+    val out = adaptivePasses(passes = 3, maxPasses = 6, deltaTargetPct = 3.0) {
+      () => calls += 1; Map("q" -> 10.0) // identical totals -> 0% delta
+    }
+    calls shouldBe 3
+    out should have size 3
+  }
+
+  test("adaptivePasses extends while the two fastest disagree, bounded by max") {
+    // Totals 30, 20, 10, 10: after 3 passes the fastest pair is (10, 20) ->
+    // 100% > target, so one more pass runs; then (10, 10) -> 0% and it stops
+    // before maxPasses.
+    val script = Iterator(30.0, 20.0, 10.0, 10.0, 999.0)
+    var calls = 0
+    val out = adaptivePasses(passes = 3, maxPasses = 6, deltaTargetPct = 3.0) {
+      () => calls += 1; Map("q" -> script.next())
+    }
+    calls shouldBe 4
+    BenchRuns.fastestPairDeltaPct(out.map(passTotal)) shouldBe 0.0
+  }
+
+  test("adaptivePasses never exceeds maxPasses even when never converging") {
+    val script = Iterator.from(1).map(_ * 100.0) // strictly growing: min pair fixed at (100, 200)
+    var calls = 0
+    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 3.0) {
+      () => calls += 1; Map("q" -> script.next())
+    }
+    calls shouldBe 5
+  }
+
+  test("summarize reports per-query minimum over successful passes") {
+    val s = summarize(Seq("a", "b"), Seq(
+      Map("a" -> 3.0, "b" -> 5.0),
+      Map("a" -> 2.0, "b" -> 6.0)))
+    s.minTimes.toMap shouldBe Map("a" -> 2.0, "b" -> 5.0)
+    s.failed shouldBe empty
+    s.flaky shouldBe empty
+  }
+
+  test("summarize classifies all-passes-failed as failed, some-failed as flaky") {
+    val s = summarize(Seq("dead", "flaky", "ok"), Seq(
+      Map("dead" -> -1.0, "flaky" -> -1.0, "ok" -> 1.0),
+      Map("dead" -> -1.0, "flaky" -> 4.0, "ok" -> 1.5)))
+    val best = s.minTimes.toMap
+    best("dead") shouldBe -1.0
+    best("flaky") shouldBe 4.0 // best successful time still reported
+    s.failed shouldBe Seq("dead")
+    s.flaky shouldBe Seq("flaky")
+  }
+}
