@@ -64,7 +64,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,packing_skew,image_dedup_scale,shared_spans_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -561,6 +561,54 @@ object ScaleProbe {
       s""""maintained":$skewMaintained},"sf":"$sfDir"}"""
     println(s"""{"probe":"ivf_maintain",${mEntry.tail}""")
     writeArtifact("ivf_maintain", mEntry)
+    }
+
+    if (probes("minhash_planted_scale")) {
+    // The redesigned minhash_pairs regime at SCALE×: threshold-1.0
+    // minHashLsh (8 bands × 8 rows) over a corpus with planted
+    // identical-text copies of a 10% md5 coin. Claims under test:
+    // planted recall stays exactly 1.0 (structural — an identical text
+    // has an identical shingle set, hence an identical signature, hence
+    // collides in every band — not statistical) and wall stays
+    // corpus-linear: candidates are the identical-set pairs plus the
+    // ~8·j⁸ random-collision floor, never the dense candidate set a
+    // low-threshold banding produces. Replicas carry a distinct leading
+    // tag token so cross-replica texts differ and natural identical-set
+    // pair volume grows scale-LINEARLY (within-replica only), matching
+    // how a real corpus grows.
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val docsR = (0 until scale).map { i =>
+      docs0.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        concat(lit(s"replica$i "), col("text")).as("text"))
+    }.reduce(_ union _)
+    val mhPath = java.nio.file.Files.createTempDirectory("graft_mhsc")
+      .resolve("documents.parquet").toString
+    docsR.repartition(cpus.toInt).write.mode("overwrite").parquet(mhPath)
+    val mhBase = spark.read.parquet(mhPath)
+    val nMhDocs = mhBase.count()
+    val mhPlanted = mhBase
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+        lit("19999999"))
+    val nMhPlanted = mhPlanted.count()
+    val mhCorpus = mhBase.unionByName(mhPlanted
+      .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
+    val mhTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val found = Dedup.minHashLsh(mhCorpus, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0)
+        .filter(col("id_b") - col("id_a") === 10000000000L).count()
+      ((System.nanoTime() - t0) / 1e9, found)
+    }
+    val mhEntry = s"""{"scale":$scale,"docs":$nMhDocs,""" +
+      s""""planted":$nMhPlanted,"passes":$passes,""" +
+      s""""sec":${mhTimes.map(_._1).min},""" +
+      s""""planted_found":${mhTimes.head._2},""" +
+      s""""planted_recall":${mhTimes.head._2.toDouble / nMhPlanted},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"minhash_planted_scale",${mhEntry.tail}""")
+    writeArtifact("minhash_planted_scale", mhEntry)
     }
 
     spark.stop()
