@@ -75,9 +75,15 @@ object Bench {
     // still reported so a spike stays visible.
     val deltaTarget = sys.env.get("SPARK_GRAFT_BENCH_DELTA_TARGET")
       .flatMap(_.trim.toDoubleOption).getOrElse(3.0)
+    // Ceiling 10: the box's noise is BURSTY (a full-suite run measured
+    // pass totals 58, 68, 76, 85, 77, 65 — individual spikes of +45%
+    // while the 5 heaviest queries alone sat stable within 2.3%), so
+    // converging the fastest PAIR under the target is a waiting game for
+    // two quiet passes; 6 recorded passes lose it on an unlucky day and
+    // extra passes are cheap relative to a polluted headline figure.
     val maxPasses = math.max(passes,
       sys.env.get("SPARK_GRAFT_BENCH_MAX_PASSES")
-        .flatMap(_.trim.toIntOption).getOrElse(6))
+        .flatMap(_.trim.toIntOption).getOrElse(10))
     val perPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget)(
       () => runPass())
     // A query that failed SOME passes still reports its best successful
