@@ -496,11 +496,16 @@ object Dedup {
     * testable: the legacy `hashedCandidates` boolean still forces the
     * hashed exact path (explicit caller opt-in wins); otherwise the
     * exploded shingle volume is ESTIMATED as docs × mean shingles/doc
-    * (the mean over a bounded prefix sample — one tiny job, no full
-    * shingling pass; the doc count prunes the shingle column entirely)
-    * and compared against the measured knee. The decision is logged with
-    * its inputs so a production run records WHY it took the path it
-    * took. */
+    * and compared against the measured knee. The mean is taken over a
+    * deterministic md5-coin sample of ~`sampleRows` ids — a corpus-wide
+    * spread, unlike a `limit` prefix, whose leading partition often
+    * shares a source/length profile (corpora arrive sorted) and would
+    * bias the estimate enough to flip the path; the coin filter
+    * references only `idCol`, so Catalyst pushes it below the shingle
+    * projection and shingles are computed ONLY for sampled rows — still
+    * no full shingling pass (the doc count prunes the shingle column
+    * entirely). The decision is logged with its inputs so a production
+    * run records WHY it took the path it took. */
   private[graft] def autoStrategy(shingled: DataFrame, idCol: String,
                                   hashedCandidates: Boolean,
                                   knee: Long = AutoEscalateShingleRows,
@@ -508,7 +513,11 @@ object Dedup {
     if (hashedCandidates) "hashed"
     else {
       val nDocs = shingled.count()
-      val meanShingles = shingled.limit(sampleRows)
+      if (nDocs == 0L) return "single"
+      val rate = math.min(1.0, sampleRows.toDouble / nDocs)
+      val meanShingles = shingled
+        .filter(substring(md5(col(idCol).cast("string")), 1, 8) <
+          lit(graft.functions.TextFunctions.coinThreshold(rate)))
         .agg(coalesce(avg(size(col("__shs"))), lit(0.0)))
         .head.getDouble(0)
       val estimate = (nDocs * meanShingles).toLong
