@@ -624,7 +624,14 @@ object Queries {
     * sorted-shingle-set fingerprint (the shingle CTE is the one
     * `ngram_pairs` already proves engine-identical), which also covers the
     * corpus's NATURAL identical-set pairs (8 at sf0.1): no corpus ceiling
-    * assumption anywhere. The banding (8 bands × 8 rows) is the selective
+    * assumption anywhere. To keep that unconditional, `maxBucket` is
+    * LIFTED here: the operator's default cap is a scale-path fan-out
+    * bound that silently DROPS every pair of a >cap identical-set group
+    * (mass-duplicated boilerplate), which would break the row-level
+    * contract on exactly the duplication-heavy corpora dedup targets —
+    * uncapped, an oversized group costs quadratic pairs in that group
+    * (slow-but-right), never silent divergence; the capped cost profile
+    * is the operator's scale story, exercised by the probes instead. The banding (8 bands × 8 rows) is the selective
     * high-threshold regime the operator scales in: a random pair collides
     * in ≥1 band with p ≈ 8·j⁸ — at j = 0.5 under 3% — so the verify join
     * stays candidate-sparse while planted recall is unaffected (identical
@@ -637,7 +644,8 @@ object Queries {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
     Dedup.minHashLsh(corpus, "text", "doc_id",
-      shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0)
+      shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0,
+      maxBucket = Int.MaxValue)
       .orderBy("id_a", "id_b")
   }
 
@@ -728,7 +736,11 @@ object Queries {
     * (DuckDB rebuilds the planted pairs and re-derives each cosine with
     * `list_cosine_similarity`), strictly stronger than the previous
     * bounded-assertion booleans — any over-emission (broken verify
-    * arithmetic) or missed pair (collapsed banding) is a row diff. */
+    * arithmetic) or missed pair (collapsed banding) is a row diff.
+    * `maxBucket` is lifted for the same reason as `minhash_pairs`: the
+    * default cap silently drops every pair of a >cap same-signature
+    * bucket, which would break the row-level contract — uncapped is
+    * slow-but-right on a pathological corpus, never silently wrong. */
   private def embcosPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = tab(s, dir, "embeddings")
     val planted = emb
@@ -739,7 +751,7 @@ object Queries {
     val corpus = emb.select(col("vec_id"), col("embedding"))
       .unionByName(planted)
     Dedup.embeddingCosine(corpus, "embedding", "vec_id",
-      threshold = 0.9, nPlanes = 12, tables = 4)
+      threshold = 0.9, nPlanes = 12, tables = 4, maxBucket = Int.MaxValue)
       .orderBy("id_a", "id_b")
   }
 
