@@ -299,6 +299,11 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     fs.delete(marker, false)
+    // a rebuild over an existing index replaces both halves' part files;
+    // same-session plans may hold cached file listings naming the deleted
+    // ones (the hazard ivfAppend/ivfMaintain already refresh against)
+    spark.catalog.refreshByPath(s"$path/data")
+    spark.catalog.refreshByPath(s"$path/centroids")
   }
 
   /** Incrementally extend an index persisted by [[ivfBuild]]: assign the
