@@ -54,10 +54,24 @@ object ScaleProbe {
       root.toPrettyString.getBytes("UTF-8"))
     ()
   }
+  /** Rotate a 64-wide array column left by `s`: replicas become distinct
+    * DIRECTIONS with the same norm/coordinate distribution (verbatim
+    * copies would co-locate every true neighbor with its query and
+    * degenerate recall to 1.0 at any probe budget). */
+  private def rotate64(c: org.apache.spark.sql.Column, s: Int) =
+    if (s == 0) c else concat(slice(c, s + 1, 64 - s), slice(c, 1, s))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.get("SPARK_GRAFT_SCALE")
       .flatMap(_.trim.toIntOption).getOrElse(10)
+    // Planted-copy id offset for the planted-pair probes, strictly above
+    // every replica id at ANY scale: replica i offsets ids by i*1e8
+    // (i < scale) and base ids sit far below 1e8, so scale*1e8 clears
+    // them all — a FIXED literal offset (1e9, 1e10 historically) collides
+    // with the replica band once scale crosses literal/1e8, duplicating
+    // vec_ids and silently corrupting planted_recall.
+    val plantOffset = scale.toLong * 100000000L
     val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES")
       .flatMap(_.trim.toIntOption).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -269,11 +283,9 @@ object ScaleProbe {
     // corpus for the same reason.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    def rotArr(c: org.apache.spark.sql.Column, s: Int) =
-      if (s == 0) c else concat(slice(c, s + 1, 64 - s), slice(c, 1, s))
     val embScaled = (0 until scale).map { i =>
       emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-        rotArr(col("embedding"), (i * 7) % 64).as("embedding"))
+        rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
     }.reduce(_ union _)
     val rcPath = java.nio.file.Files.createTempDirectory("graft_ivf_rc")
       .resolve("embeddings.parquet").toString
@@ -327,11 +339,9 @@ object ScaleProbe {
     // (distinct directions), as in ivf_recall_curve.
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    def rotA(c: org.apache.spark.sql.Column, s: Int) =
-      if (s == 0) c else concat(slice(c, s + 1, 64 - s), slice(c, 1, s))
     val embR = (0 until scale).map { i =>
       emb0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-        rotA(col("embedding"), (i * 7) % 64).as("embedding"))
+        rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
     }.reduce(_ union _)
     val ePath = java.nio.file.Files.createTempDirectory("graft_embsc")
       .resolve("embeddings.parquet").toString
@@ -340,17 +350,17 @@ object ScaleProbe {
     val nEVecs = eBase.count()
     val ePlanted = eBase
       .filter(substring(md5(col("vec_id").cast("string")), 1, 8) <
-        lit("19999999"))
+        lit(graft.functions.TextFunctions.coinThreshold(0.1)))
     val nPlanted = ePlanted.count()
     val eCorpus = eBase.unionByName(ePlanted
-      .select((col("vec_id") + 1000000000L).as("vec_id"),
+      .select((col("vec_id") + plantOffset).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
     val eTimes = (1 to passes).map { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val found = Dedup.embeddingCosine(eCorpus, "embedding", "vec_id",
           threshold = 0.9, nPlanes = 12, tables = 4)
-        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+        .filter(col("id_b") - col("id_a") === plantOffset).count()
       ((System.nanoTime() - t0) / 1e9, found)
     }
     val eEntry = s"""{"scale":$scale,"vectors":$nEVecs,""" +
@@ -479,12 +489,12 @@ object ScaleProbe {
       val orig = iBase.select(col("doc_id"),
           graft.functions.GrayPngExpr(payload, 64, 64, 8).as("png"))
         .persist()
-      val dup = orig.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+      val dup = orig.select((col("doc_id") + lit(plantOffset)).as("doc_id"),
         graft.functions.ImageResizeExpr(col("png"), 48, 48).as("png"))
       val pairs = Dedup.imageDHashPairs(orig.unionByName(dup), "png",
         "doc_id", chunks = 8, maxHamming = 6)
       val planted = pairs
-        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+        .filter(col("id_b") - col("id_a") === plantOffset).count()
       val secs = (System.nanoTime() - t0) / 1e9
       orig.unpersist()
       (secs, planted)
@@ -589,16 +599,16 @@ object ScaleProbe {
     val nMhDocs = mhBase.count()
     val mhPlanted = mhBase
       .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
-        lit("19999999"))
+        lit(graft.functions.TextFunctions.coinThreshold(0.1)))
     val nMhPlanted = mhPlanted.count()
     val mhCorpus = mhBase.unionByName(mhPlanted
-      .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
+      .select((col("doc_id") + plantOffset).as("doc_id"), col("text")))
     val mhTimes = (1 to passes).map { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val found = Dedup.minHashLsh(mhCorpus, "text", "doc_id",
           shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0)
-        .filter(col("id_b") - col("id_a") === 10000000000L).count()
+        .filter(col("id_b") - col("id_a") === plantOffset).count()
       ((System.nanoTime() - t0) / 1e9, found)
     }
     val mhEntry = s"""{"scale":$scale,"docs":$nMhDocs,""" +
