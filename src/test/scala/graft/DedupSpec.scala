@@ -82,6 +82,12 @@ class DedupSpec extends SparkSpec {
     Dedup.minHashLsh(boiler, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.0,
       maxBucket = 100).count() shouldBe 45 // C(10,2)
+    // Int.MaxValue lifts the cap entirely — the setting the planted-pair
+    // contract queries rely on for unconditional row-level recall (and a
+    // guard that the long-count comparison never overflows at the extreme)
+    Dedup.minHashLsh(boiler, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.0,
+      maxBucket = Int.MaxValue).count() shouldBe 45
   }
 
   test("hashedCandidates opt-in path returns pairs identical to the default " +
@@ -137,6 +143,22 @@ class DedupSpec extends SparkSpec {
       shingleSize = 3, threshold = 0.1, strategy = "single")
       .orderBy("id_a", "id_b").collect().toSeq
     auto shouldBe single
+  }
+
+  test("autoStrategy samples corpus-wide, not a partition prefix: a corpus " +
+    "whose leading rows are unrepresentatively small still escalates, and " +
+    "an empty corpus stays on the exact path") {
+    // first 1000 ids carry 1 shingle, last 1000 carry 100 — a prefix
+    // sample reads mean 1 (estimate 2000 < knee -> "single", the bug);
+    // the id-coin sample spreads over both halves (true mean 50.5,
+    // estimate ~101k > knee -> "minhash")
+    val biased = spark.range(0, 2000).select(col("id").as("doc_id"),
+      when(col("id") < 1000, array(lit("s")))
+        .otherwise(array((1 to 100).map(i => lit(s"s$i")): _*)).as("__shs"))
+    Dedup.autoStrategy(biased, "doc_id",
+      hashedCandidates = false, knee = 10000L) shouldBe "minhash"
+    Dedup.autoStrategy(biased.limit(0), "doc_id",
+      hashedCandidates = false) shouldBe "single"
   }
 
   test("autoBands picks the most selective banding that keeps >=95% recall " +
