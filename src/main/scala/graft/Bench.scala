@@ -107,6 +107,7 @@ object Bench {
       s""""warmup_passes":$warmupPasses,""" +
       s""""warmup_totals":${warmupTotals.mkString("[", ",", "]")},""" +
       s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
+      s""""pass_total_median":${BenchRuns.medianTotal(passTotals)},""" +
       s""""repeat_delta_pct":$repeatDeltaPct,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -26,6 +26,19 @@ object BenchRuns {
   def passTotal(pass: Map[String, Double]): Double =
     pass.values.filter(_ >= 0.0).sum
 
+  /** Median of the positive pass totals (mean of the middle two for an
+    * even count; 0 with no positive observations) — the burst-robust
+    * steady-state aggregate: the min-based headline answers "what does
+    * the code cost uncontended", this answers "what does a typical pass
+    * cost on this box", and a lone lucky-fast or spiked pass moves
+    * neither. */
+  def medianTotal(totals: Seq[Double]): Double = {
+    val ok = totals.filter(_ > 0).sorted
+    if (ok.isEmpty) 0.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
   /** Run `passes` recorded passes, then extend one at a time — never past
     * `maxPasses` — while the two fastest pass totals disagree by more than
     * `deltaTargetPct` percent.

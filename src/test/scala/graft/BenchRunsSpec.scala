@@ -25,6 +25,16 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     passTotal(Map("a" -> 1.5, "b" -> -1.0, "c" -> 2.5)) shouldBe 4.0
   }
 
+  test("medianTotal is burst-robust: odd/even counts, skips non-positive, " +
+    "and a lone outlier pass moves it less than the mean") {
+    medianTotal(Seq(3.0, 1.0, 2.0)) shouldBe 2.0
+    medianTotal(Seq(4.0, 1.0, 2.0, 3.0)) shouldBe 2.5
+    medianTotal(Seq(-1.0, 0.0, 5.0)) shouldBe 5.0
+    medianTotal(Nil) shouldBe 0.0
+    // five steady passes + one 2x spike: median stays on the cluster
+    medianTotal(Seq(60.0, 62.0, 61.0, 63.0, 62.0, 120.0)) shouldBe 62.0
+  }
+
   test("adaptivePasses stops at the configured count when converged") {
     var calls = 0
     val out = adaptivePasses(passes = 3, maxPasses = 6, deltaTargetPct = 3.0) {
