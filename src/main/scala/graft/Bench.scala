@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val runStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,7 +85,15 @@ object Bench {
     val maxPasses = math.max(passes,
       sys.env.get("SPARK_GRAFT_BENCH_MAX_PASSES")
         .flatMap(_.trim.toIntOption).getOrElse(10))
-    val perPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget)(
+    // Wall budget for the whole run (warm-up included), measured from JVM
+    // start: the adaptive chase stops extending once spent, so a bursty
+    // box degrades to fewer recorded passes instead of an unboundedly
+    // long bench — the min-of-passes headline and pass_total_median stay
+    // meaningful at any recorded count >= the configured minimum.
+    val maxSeconds = sys.env.get("SPARK_GRAFT_BENCH_MAX_SECONDS")
+      .flatMap(_.trim.toDoubleOption).getOrElse(600.0)
+    val perPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
+      outOfTime = () => (System.nanoTime() - runStart) / 1e9 > maxSeconds)(
       () => runPass())
     // A query that failed SOME passes still reports its best successful
     // time, but must not read as healthy — and its absence from the failed

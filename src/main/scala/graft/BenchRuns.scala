@@ -40,14 +40,20 @@ object BenchRuns {
   }
 
   /** Run `passes` recorded passes, then extend one at a time — never past
-    * `maxPasses` — while the two fastest pass totals disagree by more than
-    * `deltaTargetPct` percent.
+    * `maxPasses`, and never once `outOfTime()` reports the run's wall
+    * budget spent — while the two fastest pass totals disagree by more
+    * than `deltaTargetPct` percent. The configured minimum always runs:
+    * the budget bounds the CHASE for two quiet passes (unbounded, a
+    * bursty box turns convergence into a 15-minute wait the harness
+    * running this may not tolerate), not the baseline measurement.
     */
-  def adaptivePasses(passes: Int, maxPasses: Int, deltaTargetPct: Double)(
+  def adaptivePasses(passes: Int, maxPasses: Int, deltaTargetPct: Double,
+                     outOfTime: () => Boolean = () => false)(
       runPass: () => Map[String, Double]): Vector[Map[String, Double]] = {
     var acc = (1 to math.max(1, passes)).map(_ => runPass()).toVector
     def totals = acc.map(passTotal)
-    while (acc.size < maxPasses && fastestPairDeltaPct(totals) > deltaTargetPct)
+    while (acc.size < maxPasses && !outOfTime() &&
+        fastestPairDeltaPct(totals) > deltaTargetPct)
       acc = acc :+ runPass()
     acc
   }

@@ -57,6 +57,24 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     BenchRuns.fastestPairDeltaPct(out.map(passTotal)) shouldBe 0.0
   }
 
+  test("adaptivePasses honors the wall budget: a spent budget stops the " +
+    "unconverged chase but never the configured minimum") {
+    var calls = 0
+    adaptivePasses(passes = 3, maxPasses = 10, deltaTargetPct = 3.0,
+      outOfTime = () => true) {
+      () => calls += 1; Map("q" -> (calls * 100.0)) // never converges
+    }
+    calls shouldBe 3
+    // budget that expires after the fourth pass: one extension happens,
+    // further ones are cut off even though the deltas still disagree
+    var calls2 = 0
+    adaptivePasses(passes = 3, maxPasses = 10, deltaTargetPct = 3.0,
+      outOfTime = () => calls2 >= 4) {
+      () => calls2 += 1; Map("q" -> (calls2 * 100.0))
+    }
+    calls2 shouldBe 4
+  }
+
   test("adaptivePasses never exceeds maxPasses even when never converging") {
     val script = Iterator.from(1).map(_ * 100.0) // strictly growing: min pair fixed at (100, 200)
     var calls = 0
