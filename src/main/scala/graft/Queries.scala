@@ -891,6 +891,65 @@ object Queries {
       .orderBy("lang_id", "doc_id")
   }
 
+  /** The 100 TB top-fraction path under the bounded-assertion contract:
+    * [[Selection.topFractionApproxPerStratum]] keeps each stratum's rows
+    * at-or-above an approx-percentile threshold — no per-stratum sort, no
+    * single-task stratum, the shape that survives an unbounded stratum.
+    * The approx threshold VALUE is engine-specific, so the per-stratum
+    * claims are verified ENGINE-SIDE with exact arithmetic and DuckDB
+    * recomputes only the engine-independent `n_docs`:
+    * (a) `kept_dominates` — every kept row scores strictly above every
+    * dropped row (kept is exactly the upper set `q >= thr`, so
+    * `min(kept) >= thr > max(dropped)` holds for ANY threshold; a leaked
+    * or lost row flips it); (b) `kept_floor_ok` — at least
+    * `max(1, floor((f-0.02)·n) - 1)` rows kept (the threshold is a data
+    * value, so its own row always survives; rank error is ≤ n/accuracy =
+    * 1e-4·n, the 0.02 covers rank-definition slack at small strata);
+    * (c) `kept_ceil_ok` — kept rows BEYOND the threshold tie-group stay
+    * under `ceil((f+0.02)·n) + 1` (ties at the threshold are all kept by
+    * design, so the ceiling must discount them — an all-ties stratum
+    * legitimately keeps every row). Floors validated empirically at
+    * sf0.01 and sf0.1. */
+  private def topFractionApprox(s: SparkSession, dir: String): DataFrame = {
+    val f = 0.2
+    val scored = tab(s, dir, "documents").select(
+        col("doc_id"),
+        T.langId(col("text")).as("lang_id"),
+        T.qualityScore(col("text")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = Selection.topFractionApproxPerStratum(scored, "lang_id",
+        "quality", fraction = f, accuracy = 10000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptAgg = kept.groupBy("lang_id").agg(
+      count(lit(1)).as("__n_kept"), min(col("quality")).as("__min_kept"))
+    val dropAgg = scored.join(kept.select("lang_id", "doc_id"),
+        Seq("lang_id", "doc_id"), "left_anti")
+      .groupBy("lang_id").agg(max(col("quality")).as("__max_drop"))
+    val ties = scored
+      .join(keptAgg.select(col("lang_id"), col("__min_kept")), Seq("lang_id"))
+      .filter(col("quality") === col("__min_kept"))
+      .groupBy("lang_id").agg(count(lit(1)).as("__tie_at_min"))
+    val out = scored.groupBy("lang_id").agg(count(lit(1)).as("n_docs"))
+      .join(keptAgg, Seq("lang_id"), "left")
+      .join(dropAgg, Seq("lang_id"), "left")
+      .join(ties, Seq("lang_id"), "left")
+      .select(
+        col("lang_id"), col("n_docs"),
+        (coalesce(col("__n_kept"), lit(0L)) >= greatest(lit(1L),
+          floor(col("n_docs") * (f - 0.02)).cast("long") - lit(1L)))
+          .as("kept_floor_ok"),
+        ((coalesce(col("__n_kept"), lit(0L))
+            - coalesce(col("__tie_at_min"), lit(0L)))
+          <= ceil(col("n_docs") * (f + 0.02)).cast("long") + lit(1L))
+          .as("kept_ceil_ok"),
+        coalesce(col("__min_kept") > col("__max_drop"), lit(true))
+          .as("kept_dominates"))
+      .orderBy("lang_id")
+    graft.core.CacheAutoRelease.afterFirstUse(scored)
+    graft.core.CacheAutoRelease.afterFirstUse(kept)
+    out
+  }
+
   /** Within-document repetition stats (Gopher-style quality rules):
     * duplicate-token and duplicate-bigram fractions per document
     * ([[graft.functions.TextFunctions.tokenRepetition]] /
@@ -1163,6 +1222,7 @@ object Queries {
     "pii_scrub" -> piiScrub _,
     "url_stats" -> urlStats _,
     "top_fraction" -> topFraction _,
+    "top_fraction_approx" -> topFractionApprox _,
     "vocab_topk" -> vocabTopk _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
@@ -1910,6 +1970,35 @@ object Queries {
         |  FROM scored)
         |SELECT lang_id, doc_id, quality FROM ranked
         |WHERE pr <= 0.2 ORDER BY lang_id, doc_id""".stripMargin,
+    // bounded-assertion: DuckDB recomputes the per-language doc counts
+    // (same langId CTE as top_fraction) and expects the engine-verified
+    // approx-threshold booleans true
+    "top_fraction_approx" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id
+        |  FROM lang)
+        |SELECT lang_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS kept_floor_ok, TRUE AS kept_ceil_ok,
+        |  TRUE AS kept_dominates
+        |FROM lq GROUP BY lang_id ORDER BY lang_id""".stripMargin,
     // same 3-gram shingle construction as decontaminate's 5-gram CTE;
     // shingle sets are distinct per doc, so count(*) is document frequency
     "vocab_topk" ->
