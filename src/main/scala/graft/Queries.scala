@@ -1063,6 +1063,28 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  /** The JOIN form of mixture re-sampling ([[Selection.sampleStrataJoin]],
+    * the path for rate maps at DATA cardinality — per-domain, per-host —
+    * where a CASE chain of literals can't go) driven through the very
+    * oracle `mixture_sample` uses: the same rates as a (lang, rate)
+    * relation, same md5 coin, same default rate. The operator's documented
+    * survivor-for-survivor parity with the CASE-chain form becomes a
+    * hash-green contract, because DuckDB recomputes the CASE-chain
+    * survivors independently and the join form must land on exactly the
+    * same rows. The rates relation here is recipe-sized (the contract is
+    * parity, not cardinality) but flows through the full size-gated join
+    * and engine-side rate validation a data-derived map would. */
+  private def mixtureSampleJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 0.9), ("fr", 0.25), ("es", 1.0), ("zh", 0.0))
+      .toDF("lang", "rate")
+    Selection.sampleStrataJoin(tab(s, dir, "documents"), "lang", "doc_id",
+        rates, defaultRate = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** The batch-prep pipeline composed end to end as ONE oracle-checked
     * contract entry — what `corpus_dedup` is to the dedup family:
     * mixture-sample the corpus (same md5-coin recipe as
@@ -1227,6 +1249,7 @@ object Queries {
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
+    "mixture_sample_join" -> mixtureSampleJoin _,
     "chunk_docs" -> chunkDocs _,
     "source_overlap" -> sourceOverlap _,
     "decontaminate_bloom" -> decontaminateBloomQ _,
@@ -2092,6 +2115,17 @@ object Queries {
     // thresholds are f"%08x"((rate * 2^32).toLong) exactly as sampleStrata
     // computes them; rate 1.0 compares against 'g', above every hex digest
     "mixture_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN 'e6666666' WHEN 'fr' THEN '40000000'
+        |            WHEN 'zh' THEN '00000000' WHEN 'es' THEN 'g'
+        |            ELSE '80000000' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the join form must land on the SAME survivors as the CASE chain —
+    // identical oracle, recomputed independently by DuckDB
+    "mixture_sample_join" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
