@@ -174,13 +174,17 @@ object Selection {
     * same 1/2^32 threshold arithmetic, reproduced engine-side
     * ([[thresholdExpr]]) instead of as driver literals — so recipes can
     * migrate between the two forms as they grow without changing which
-    * documents survive. `ratesDf` is validated engine-side the same way
-    * the rates themselves are: a DUPLICATE stratum row raises (the inner
-    * join would otherwise fan each document out once per rate row — a
-    * sampler that silently duplicates its survivors), a NULL rate raises
-    * (it would otherwise null the coin comparison and silently drop the
-    * stratum, indistinguishable from rate 0), and rates outside [0, 1]
-    * fail at evaluation time via an engine-side check constraint. */
+    * documents survive. ONE pass over the corpus: a left-outer join
+    * against the validated rates relation, strata absent from `ratesDf`
+    * (join miss ⇒ NULL) coalescing to `defaultRate` — not an
+    * inner ∪ anti union, which scans the corpus twice for the same
+    * answer. `ratesDf` is validated engine-side the same way the rates
+    * themselves are: a DUPLICATE stratum row raises (the join would
+    * otherwise fan each document out once per rate row — a sampler that
+    * silently duplicates its survivors), a NULL rate raises (it would
+    * otherwise be indistinguishable from an unlisted stratum and
+    * silently take the default), and rates outside [0, 1] fail at
+    * evaluation time via an engine-side check constraint. */
   def sampleStrataJoin(df: DataFrame, strataCol: String, keyCol: String,
                        ratesDf: DataFrame, defaultRate: Double = 0.0,
                        maxBroadcastRows: Long = 1000000L): DataFrame = {
@@ -201,16 +205,10 @@ object Selection {
             lit("sampleStrataJoin: NULL rate for stratum "),
             col(strataCol).cast("string"))))
           .otherwise(col("__rate")).as("__rate"))
-    val joined = graft.operators.Dedup.sizeGatedFilterJoin(
-      df, rates, Seq(strataCol), "inner", maxBroadcastRows)
-    // anti join catches strata with no rate row; they take the default
-    val unlisted = graft.operators.Dedup.sizeGatedFilterJoin(
-        df, rates.select(strataCol), Seq(strataCol), "left_anti",
-        maxBroadcastRows)
-      .withColumn("__rate", lit(defaultRate))
-    joined.unionByName(unlisted)
+    graft.operators.Dedup.sizeGatedFilterJoin(
+        df, rates, Seq(strataCol), "left_outer", maxBroadcastRows)
       .filter(substring(md5(col(keyCol).cast("string")), 1, 8)
-        < thresholdExpr(col("__rate")))
+        < thresholdExpr(coalesce(col("__rate"), lit(defaultRate))))
       .drop("__rate")
   }
 
