@@ -16,6 +16,19 @@ import graft.sinks.{SnapshotStore, UpsertConfig}
   */
 object StreamOps {
 
+  /** Null-distinguishing, separator-proof composite group key for the
+    * TTL dedup variants: each key column encodes as `n` for NULL vs
+    * `v<base64(utf8)>` for a value — base64's alphabet excludes the `|`
+    * joiner, so neither a NULL in a different position ((null,"x") vs
+    * ("x",null)) nor a value containing the joiner ("a|b" vs "a","b")
+    * can collide. A bare `concat_ws` SKIPS nulls and admits both
+    * collisions — silent wrongful suppression of a distinct key. */
+  private def nullSafeKey(keyCols: Seq[String]) =
+    concat_ws("|", keyCols.map(c =>
+      coalesce(
+        concat(lit("v"), base64(encode(col(c).cast("string"), "UTF-8"))),
+        lit("n"))): _*)
+
   /** Streaming exact dedup: drop rows whose `keys` were already seen
     * within the watermark window, with state bounded by the watermark
     * (older keys are evicted — late duplicates beyond `delay` pass
@@ -90,8 +103,7 @@ object StreamOps {
     val rowEnc = Encoders.row(stream.schema)
     // tuple-encoder field resolution is by the _1/_2 names, so alias to them
     val keyed = stream.select(
-        concat_ws("\u0000", keyCols.map(c => col(c).cast("string")): _*)
-          .as("_1"),
+        nullSafeKey(keyCols).as("_1"),
         struct(stream.columns.map(col): _*).as("_2"))
       .as(Encoders.tuple(Encoders.STRING, rowEnc))
     keyed.groupByKey(_._1)
@@ -127,7 +139,10 @@ object StreamOps {
     * sees identical keep/suppress decisions regardless of trigger timing
     * — no explicit-trigger-interval caveat. Rows later than the watermark
     * are dropped by the engine before they reach the state function (the
-    * standard late-data policy; choose `delay` accordingly). Expiry
+    * standard late-data policy; choose `delay` accordingly). Rows whose
+    * `tsCol` is NULL or unparseable pass through UNSUPPRESSED and touch
+    * no state — they have no position on the event-time timeline (filter
+    * upstream to drop them instead). Expiry
     * timestamps are clamped above the current watermark — EventTimeTimeout
     * rejects timestamps at or behind it, and an on-time row whose short
     * TTL already ended relative to the watermark would otherwise register
@@ -146,11 +161,17 @@ object StreamOps {
     // watermark goes on the PROJECTED timestamp (_2): a cast after
     // withWatermark would strip the watermark metadata from the attribute
     // the state operator sees, failing the unsupported-operation check
-    val keyed = stream
+    // a row with no parseable event time has no position on the
+    // event-time timeline: it passes through unsuppressed and touches no
+    // state (the sketch paths' nothing-to-collide-on contract; filter
+    // upstream to drop instead) — left in the stateful branch it would
+    // NPE on ts.getTime and crash-loop the query from the checkpoint
+    val ts = col(tsCol).cast("timestamp")
+    val noTime = stream.filter(ts.isNull)
+    val keyed = stream.filter(ts.isNotNull)
       .select(
-        concat_ws("\u0000", keyCols.map(c => col(c).cast("string")): _*)
-          .as("_1"),
-        col(tsCol).cast("timestamp").as("_2"),
+        nullSafeKey(keyCols).as("_1"),
+        ts.as("_2"),
         struct(stream.columns.map(col): _*).as("_3"))
       .withWatermark("_2", delay)
       .as(Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, rowEnc))
@@ -194,6 +215,7 @@ object StreamOps {
           }
       }(Encoders.scalaLong, rowEnc)
       .toDF()
+      .unionByName(noTime)
   }
 
   /** Watermarked stream-stream interval join: match each left event to
@@ -234,15 +256,24 @@ object StreamOps {
     * against the store (bucket-incremental on write; a batch touches only
     * the buckets its new fingerprints hash into). The store also survives
     * query restarts — state durability is the store's crash-safety, not
-    * the checkpoint's. */
+    * the checkpoint's. Documents with a NULL `textCol` (null fingerprint)
+    * are always kept and never stored — nothing to collide on, the same
+    * contract the sketch paths document. */
   def dedupeExactAgainstStore(stream: DataFrame, textCol: String, idCol: String,
                               storeRoot: String)(
       emit: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val fp = batch.withColumn("__fp", T.fingerprint(col(textCol)))
+      // a NULL text has a NULL fingerprint: nothing to collide on, so it
+      // is always kept and never stored (the sketch paths' documented
+      // contract) — left in the dedup it would collapse ALL null-text
+      // docs into one window group and upsert a null discriminant the
+      // merge's equality join can never match again
+      val nullFp = fp.filter(col("__fp").isNull)
       // in-batch dedup: the batch-local half of the cross-batch contract
-      val unique = graft.operators.Dedup.exact(fp, Seq("__fp"), idCol)
+      val unique = graft.operators.Dedup.exact(
+        fp.filter(col("__fp").isNotNull), Seq("__fp"), idCol)
       val fresh = SnapshotStore.read(spark, storeRoot) match {
         case Some(seen) =>
           unique.join(seen.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
@@ -250,7 +281,7 @@ object StreamOps {
       }
       // consumed twice (emit + state update); compute the joins once
       val survivors = fresh.persist(StorageLevel.MEMORY_AND_DISK)
-      emit(survivors.drop("__fp"), epoch)
+      emit(survivors.drop("__fp").unionByName(nullFp.drop("__fp")), epoch)
       SnapshotStore.upsert(spark, storeRoot,
         survivors.select(col("__fp").as("fp"), col(idCol)),
         UpsertConfig(discriminant = Seq("fp")))
@@ -354,6 +385,12 @@ object StreamOps {
         .select(col(idCol).as("__bid"), col("__sk").as("__bsig"))
       val bKeyed = bk.select(col("__bid"),
         explode(bandsOf(col("__bsig"))).as("__band"))
+      // each verifiedSuppressed call's overfull set feeds TWO anti joins;
+      // persist it so the band-count aggregation — O(store bands) in the
+      // store pass — runs once per batch even when exchange reuse doesn't
+      // collapse the twin broadcasts (unpersisted after the batch)
+      val overfullCaches =
+        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def verifiedSuppressed(other: DataFrame, pairFilter: org.apache.spark.sql.Column,
                              selfJoin: Boolean) = {
         val oKeyed = other.select(col("__oid"),
@@ -374,6 +411,8 @@ object StreamOps {
           .groupBy("__band").agg(count(lit(1)).as("__n"))
           .filter(col("__n") > maxBucket)
           .select("__band")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        overfullCaches += overfull
         val bCapped = bKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
         val oCapped = oKeyed.join(broadcast(overfull), Seq("__band"), "left_anti")
         bCapped.join(oCapped.select("__oid", "__band"), Seq("__band"))
@@ -404,6 +443,7 @@ object StreamOps {
           .select(col(idCol), col("__sk").as(stateCol)),
         UpsertConfig(discriminant = Seq(idCol)))
       survivors.unpersist()
+      overfullCaches.foreach(_.unpersist())
       sketched.unpersist()
       ()
     }.start()

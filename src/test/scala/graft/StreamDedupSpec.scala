@@ -220,6 +220,98 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup null-text contract: null-fingerprint docs " +
+    "are ALL kept (never collapsed as mutual duplicates) and never stored") {
+    val root = tmpRoot("graft_sdnul")
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[String])]
+    val emitted = ArrayBuffer[Long]()
+    val q = StreamOps.dedupeExactAgainstStore(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", root) { (df, _) =>
+      emitted ++= df.select("doc_id").as[Long].collect()
+    }
+    try {
+      // three null-text docs share a null fingerprint: nothing to collide
+      // on, so every one survives alongside the real doc
+      mem.addData((1L, None), (2L, None), (3L, None), (4L, Some("real text")))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L, 3L, 4L)
+      // and the next batch's nulls are NOT suppressed by a stored null fp
+      mem.addData((5L, None))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    } finally q.stop()
+    // only the real doc's fingerprint is retained
+    val state = SnapshotStore.read(spark, root).get
+    state.count() shouldBe 1L
+    state.filter(state("fp").isNull).count() shouldBe 0L
+  }
+
+  test("TTL key dedup group keys distinguish NULL position and joiner " +
+    "characters: (null, x) and (x, null) are different keys, as are " +
+    "('a|b','c') and ('a','b|c')") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Option[String], Option[String], Long)]
+    val emitted = ArrayBuffer[Long]()
+    val deduped = StreamOps.dedupeKeysWithTTL(
+      mem.toDF.toDF("a", "b", "row_id"), Seq("a", "b"), ttlMs = 60000L)
+    // explicit trigger + POLL, not processAllAvailable: with a
+    // processing-time timeout registered every trigger is a cleanup
+    // batch, so the engine never reports "no new data" (same caveat as
+    // the TTL tests above)
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("row_id").as[Long].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    def got: Seq[Long] = emitted.synchronized { emitted.toSeq.sorted }
+    try {
+      mem.addData(
+        (None, Some("x"), 1L), (Some("x"), None, 2L),        // null position
+        (Some("a|b"), Some("c"), 3L), (Some("a"), Some("b|c"), 4L), // joiner
+        (None, Some("x"), 5L))                               // true duplicate
+      val deadline = System.nanoTime() + 30000000000L
+      while (got != Seq(1L, 2L, 3L, 4L) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      got shouldBe Seq(1L, 2L, 3L, 4L)
+    } finally q.stop()
+  }
+
+  test("EVENT-TIME TTL: rows with a NULL event time pass through " +
+    "unsuppressed instead of crashing the state function") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[java.sql.Timestamp], String)]
+    val emitted = ArrayBuffer[String]()
+    val deduped = StreamOps.dedupeKeysWithTTLEventTime(
+      mem.toDF.toDF("k", "ts", "tag"), Seq("k"), "ts",
+      delay = "1 second", ttlMs = 60000L)
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("tag").as[String].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    try {
+      mem.addData(
+        (1L, Some(t0), "keep"),
+        (1L, Some(new java.sql.Timestamp(t0.getTime + 10)), "dup-suppressed"),
+        (2L, None, "no-time-1"))
+      q.processAllAvailable()
+      emitted.synchronized { emitted.toSeq.sorted } shouldBe
+        Seq("keep", "no-time-1")
+      // a second null-ts sighting of the same key also passes: it has no
+      // position on the timeline and touches no state
+      mem.addData((2L, None, "no-time-2"))
+      q.processAllAvailable()
+      emitted.synchronized { emitted.toSeq.sorted } shouldBe
+        Seq("keep", "no-time-1", "no-time-2")
+    } finally q.stop()
+  }
+
   test("TTL key dedup payload is TYPED: binary columns round-trip " +
     "byte-exact through the state operator (no serialization format in " +
     "the middle)") {
