@@ -209,11 +209,18 @@ object SnapshotStore {
     val versions = names
       .collect { case n if n.startsWith("snapshot=") => n.stripPrefix("snapshot=").toLong }
       .sorted
-    // versions already vacuumed (manifest gone) are shells, not candidates
-    // for retention — without this, raising `keep` after a vacuum would try
-    // to read a deleted manifest
+    // a version is readable either through its manifest or — legacy
+    // pre-manifest format — through bare part files directly under its
+    // snapshot dir; BOTH count toward `keep` retention. Versions already
+    // vacuumed (manifest gone, no bare data) are shells, not candidates —
+    // without this, raising `keep` after a vacuum would try to read a
+    // deleted manifest
+    def hasLegacyData(v: Long): Boolean =
+      f.listStatus(new Path(root, s"snapshot=$v"))
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val readableOld = versions
-      .filter(v => v <= current && f.exists(manifestPath(root, v)))
+      .filter(v => v <= current &&
+        (f.exists(manifestPath(root, v)) || hasLegacyData(v)))
     val retained = (readableOld.takeRight(keep.max(1)) ++ currentOpt).distinct
     // every (version, bucket) still referenced by a retained manifest
     // (legacy pre-manifest current versions contribute nothing — their data
@@ -228,13 +235,22 @@ object SnapshotStore {
     orphans.foreach(v => f.delete(new Path(root, s"snapshot=$v"), true))
     // also sweep previously-vacuumed shells for buckets nothing points at
     (droppedOld ++ versions.filter(v =>
-        v <= current && !readableOld.contains(v))).foreach { v =>
+        v <= current && !readableOld.contains(v)))
+      .filterNot(retained.contains).foreach { v =>
       // drop readability (manifest) and any bucket data nothing points at
       f.delete(manifestPath(root, v), false)
       f.listStatus(new Path(root, s"snapshot=$v")).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(s"$bucketCol=") &&
-            !live((v, n.stripPrefix(s"$bucketCol=").toInt)))
+        if (n.startsWith(s"$bucketCol=")) {
+          if (!live((v, n.stripPrefix(s"$bucketCol=").toInt)))
+            f.delete(st.getPath, true)
+        } else
+          // a dropped LEGACY version's full-snapshot part files (and stray
+          // markers): bare files are never shared across versions — only
+          // manifests share buckets — so nothing can reference them once
+          // the version is dropped. Without this a migrated pre-manifest
+          // store leaks every old version's full-table data forever,
+          // still time-travel-readable despite being "vacuumed".
           f.delete(st.getPath, true)
       }
       if (f.listStatus(new Path(root, s"snapshot=$v")).isEmpty)
@@ -311,15 +327,21 @@ object SnapshotStore {
     if (frag.isEmpty) return 0
     val next = v + 1
     claim(f, root, next)
-    // one read per fragmented bucket, bucket id re-attached as a literal
-    // (the store does not record the discriminant, so the bucket id cannot
-    // be recomputed from the rows — it doesn't need to be: membership is
-    // already decided); repartition on the bucket column sends each bucket
-    // to exactly one task, so each rewritten directory holds ONE file
-    val union = frag.toSeq.sorted.map { b =>
-      spark.read.schema(m.schema).parquet(bucketPath(root, m.buckets(b), b))
-        .withColumn(bucketCol, lit(b))
-    }.reduce(_ unionByName _)
+    // one read per HOLDING VERSION — multi-path, basePath-anchored so the
+    // bucket partition column is recovered from the directory names —
+    // instead of one relation per fragmented bucket: a long-lived store
+    // compacts thousands of buckets at once, and a per-bucket relation
+    // chain is thousands of serial driver-side footer/listing reads plus
+    // a bucket-count-deep union plan, exactly when compaction is most
+    // needed; grouped, the plan is O(referenced versions) legs.
+    // repartition on the bucket column sends each bucket to exactly one
+    // task, so each rewritten directory holds ONE file
+    val union = frag.toSeq.groupBy(b => m.buckets(b)).toSeq.sortBy(_._1)
+      .map { case (ver, bs) =>
+        spark.read.schema(m.schema)
+          .option("basePath", s"$root/snapshot=$ver")
+          .parquet(bs.sorted.map(b => bucketPath(root, ver, b)): _*)
+      }.reduce(_ unionByName _)
     union.repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(s"$root/snapshot=$next")

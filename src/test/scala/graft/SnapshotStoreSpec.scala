@@ -50,6 +50,37 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.read(spark, root).get.count() shouldBe 2
   }
 
+  test("vacuum reclaims dropped LEGACY (pre-manifest) versions: bare " +
+    "full-snapshot data is deleted and reported, a retained legacy " +
+    "version survives untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapleg").toString
+    // hand-build a pre-manifest store: two full-snapshot versions (bare
+    // part files directly under snapshot=N, no manifest) + the pointer
+    Seq((1, "a")).toDF("id", "value")
+      .coalesce(1).write.parquet(s"$root/snapshot=0")
+    Seq((1, "a"), (2, "b")).toDF("id", "value")
+      .coalesce(1).write.parquet(s"$root/snapshot=1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_LATEST"),
+      "1".getBytes("UTF-8"))
+    SnapshotStore.read(spark, root).get.count() shouldBe 2
+    // keep=2 retains BOTH legacy versions: bare-data readability counts
+    // toward retention exactly like manifest readability
+    SnapshotStore.vacuum(spark, root, keep = 2) shouldBe Seq.empty
+    SnapshotStore.readVersion(spark, root, 0).count() shouldBe 1
+    // migrate: the next upsert commits a bucketed version 2
+    SnapshotStore.upsert(spark, root,
+      Seq((3, "c")).toDF("id", "value"), cfg)
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(2L)
+    // keep=1: both legacy versions are dropped — reported, their
+    // full-table data actually deleted, the store still reads
+    SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(0L, 1L)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    f.exists(new org.apache.hadoop.fs.Path(s"$root/snapshot=0")) shouldBe false
+    f.exists(new org.apache.hadoop.fs.Path(s"$root/snapshot=1")) shouldBe false
+    SnapshotStore.read(spark, root).get.count() shouldBe 3
+  }
+
   test("streaming foreachBatch upsert persists each epoch durably") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
