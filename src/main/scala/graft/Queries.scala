@@ -31,12 +31,14 @@ object Queries {
   private def tab(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** events.ts is parquet timestamp[ns]; Spark reads it as long nanos under
-    * this legacy flag (set lazily so any session can run events queries). */
+  /** events.ts varies by fixture vintage (timestamp[ns] read as long nanos
+    * under the legacy flag, or timestamp[us] read as TIMESTAMP_NTZ); the
+    * schema-adaptive decode in [[Tables.withEventTimestamp]] normalizes
+    * either to session-zone (UTC) TimestampType. The flag stays set so
+    * old-vintage nanos fixtures still load (harmless otherwise). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tab(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.withEventTimestamp(tab(s, dir, "events"))
   }
 
   // ---------------------------------------------------------------- core ops

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Helpers for the parquet fixture layout (`/root/repo/TESTDATA.md`):
   * one `<name>.parquet` per table under a scale-factor directory.
@@ -15,6 +17,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(path(dir, table))
+
+  /** Schema-adaptive event-time decode. The harness regenerates fixtures
+    * across parquet timestamp encodings: `timestamp[ns]` surfaces as
+    * LongType epoch-nanos under `spark.sql.legacy.parquet.nanosAsLong`;
+    * naive `timestamp[us]` surfaces as TIMESTAMP_NTZ; tz-adjusted as
+    * TIMESTAMP. All three are normalized to session-zone TimestampType
+    * (every graft session pins UTC), so windows, as-of joins and the
+    * DuckDB oracle's naive `CAST(ts AS TIMESTAMP)` see identical instants
+    * regardless of fixture vintage. Works on streaming DataFrames too —
+    * the branch is schema-only. */
+  def withEventTimestamp(df: DataFrame, column: String = "ts"): DataFrame =
+    df.schema(column).dataType match {
+      case LongType =>
+        df.withColumn(column, expr(s"timestamp_micros(`$column` div 1000)"))
+      case TimestampNTZType => df.withColumn(column, col(column).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"column `$column` has unsupported event-time type $other " +
+          "(expected LongType nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
 
   /** Format-generalized load: `<dir>/<table>.<format>` through any Spark
     * batch source (parquet, csv, json, orc, ...). Text formats carry no
@@ -40,8 +62,9 @@ object Tables {
     * local-only). */
   def registerViews(spark: SparkSession, dir: String,
                     tables: Seq[String] = all): Unit = {
-    // events.parquet carries timestamp[ns]; without this flag the schema
-    // read throws PARQUET_TYPE_ILLEGAL in sessions that didn't set it
+    // old-vintage events.parquet carries timestamp[ns]; without this flag
+    // the schema read throws PARQUET_TYPE_ILLEGAL in sessions that didn't
+    // set it (harmless when the fixture is already timestamp[us])
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>
       val p = new org.apache.hadoop.fs.Path(path(dir, t))

@@ -78,9 +78,9 @@ class EventWindowsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val path = dir.toString
-    val schema = spark.read.parquet(path).schema // ts is long (nanosAsLong)
+    val schema = spark.read.parquet(path).schema // ts: long nanos or timestamp[us]
     def prep(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.sources.Tables.withEventTimestamp(df)
     val batch = EventWindows.tumbling(prep(spark.read.parquet(path)), "ts", "1 hour")
       .select(col("window.start").as("w"), col("event_type"), col("n"), col("total_value"))
       .orderBy("w", "event_type").collect()

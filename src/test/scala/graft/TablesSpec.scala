@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Fixture-schema guard: converts the next silent testdata regeneration
+  * into a named failure here instead of opaque analysis errors across the
+  * contract queries (round-10 postmortem: `events.ts` flipped from parquet
+  * timestamp[ns] to timestamp[us] and six queries failed with
+  * DATATYPE_MISMATCH). Each table at sf0.001 must load, be non-empty, and
+  * land its key columns on the Spark types the query inventory assumes.
+  */
+class TablesSpec extends SparkSpec {
+
+  private def schemaOf(t: String) = Tables.load(spark, sf, t).schema
+
+  test("all fixture tables load and are non-empty at sf0.001") {
+    Tables.all.foreach { t =>
+      withClue(s"table $t: ") {
+        Tables.load(spark, sf, t).limit(1).count() shouldBe 1L
+      }
+    }
+  }
+
+  test("key-column types match what the query inventory assumes") {
+    val expect: Map[String, Map[String, DataType]] = Map(
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType),
+      "part" -> Map("p_partkey" -> LongType, "p_size" -> IntegerType,
+        "p_retailprice" -> DoubleType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      "events" -> Map("event_id" -> LongType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType,
+        "props" -> StringType))
+    expect.foreach { case (t, cols) =>
+      val s = schemaOf(t)
+      cols.foreach { case (c, dt) =>
+        withClue(s"$t.$c: ") { s(c).dataType shouldBe dt }
+      }
+    }
+  }
+
+  test("date-like columns are timestamp or date (both query-compatible)") {
+    Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate").foreach {
+      case (t, c) =>
+        withClue(s"$t.$c: ") {
+          schemaOf(t)(c).dataType should (
+            be(TimestampType) or be(TimestampNTZType) or be(DateType))
+        }
+    }
+  }
+
+  test("events.ts decodes uniformly to TimestampType from any vintage") {
+    // the live fixture, whatever encoding this regeneration used
+    val live = schemaOf("events")("ts").dataType
+    withClue(s"raw events.ts type $live: ") {
+      Set[DataType](LongType, TimestampNTZType, TimestampType) should
+        contain(live)
+    }
+    Tables.withEventTimestamp(Tables.load(spark, sf, "events"))
+      .schema("ts").dataType shouldBe TimestampType
+  }
+
+  test("withEventTimestamp: all three vintages yield the same instant") {
+    import spark.implicits._
+    val nanos = 1704067200123456000L // 2024-01-01T00:00:00.123456Z
+    val fromLong = Tables.withEventTimestamp(Seq(nanos).toDF("ts"))
+    val fromNtz = Tables.withEventTimestamp(
+      Seq(nanos / 1000).toDF("us")
+        .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    val fromTs = Tables.withEventTimestamp(
+      Seq(nanos / 1000).toDF("us").select(timestamp_micros(col("us")).as("ts")))
+    val got = Seq(fromLong, fromNtz, fromTs).map { df =>
+      df.schema("ts").dataType shouldBe TimestampType
+      df.select(unix_micros(col("ts"))).as[Long].head()
+    }
+    got shouldBe Seq.fill(3)(nanos / 1000)
+  }
+
+  test("withEventTimestamp rejects undecodable event-time types") {
+    import spark.implicits._
+    an[IllegalArgumentException] should be thrownBy
+      Tables.withEventTimestamp(Seq("oops").toDF("ts"))
+  }
+}
