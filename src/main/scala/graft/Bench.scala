@@ -109,7 +109,8 @@ object Bench {
     // two LEAST-CONTENDED (fastest) of them is the environment-noise
     // figure — a lone ambient spike shows in pass_totals, not here
     val repeatDeltaPct = BenchRuns.fastestPairDeltaPct(passTotals)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""flaky":${flaky.mkString("[", ",", "]")},""" +
       s""""passes":${perPass.size},""" +
@@ -118,7 +119,16 @@ object Bench {
       s""""pass_totals":${passTotals.mkString("[", ",", "]")},""" +
       s""""pass_total_median":${BenchRuns.medianTotal(passTotals)},""" +
       s""""repeat_delta_pct":$repeatDeltaPct,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // The stdout line can fall victim to log-tail truncation when the
+    // harness captures only the last N bytes of a long sbt log; persist the
+    // identical payload as a file artifact so per-query ratio audits always
+    // see the full map.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

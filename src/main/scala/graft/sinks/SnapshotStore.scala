@@ -209,6 +209,14 @@ object SnapshotStore {
     val versions = names
       .collect { case n if n.startsWith("snapshot=") => n.stripPrefix("snapshot=").toLong }
       .sorted
+    // one listing per snapshot dir per vacuum, shared by the legacy-data
+    // readability probe below and the sweep loop further down — a second
+    // listStatus per dir doubles driver round-trips on object stores, and
+    // previously-vacuumed shells would otherwise be re-listed on every
+    // vacuum forever
+    val dirEntries: Map[Long, Seq[org.apache.hadoop.fs.FileStatus]] =
+      versions.map(v =>
+        v -> f.listStatus(new Path(root, s"snapshot=$v")).toSeq).toMap
     // a version is readable either through its manifest or — legacy
     // pre-manifest format — through bare part files directly under its
     // snapshot dir; BOTH count toward `keep` retention. Versions already
@@ -216,7 +224,7 @@ object SnapshotStore {
     // without this, raising `keep` after a vacuum would try to read a
     // deleted manifest
     def hasLegacyData(v: Long): Boolean =
-      f.listStatus(new Path(root, s"snapshot=$v"))
+      dirEntries(v)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val readableOld = versions
       .filter(v => v <= current &&
@@ -239,11 +247,13 @@ object SnapshotStore {
       .filterNot(retained.contains).foreach { v =>
       // drop readability (manifest) and any bucket data nothing points at
       f.delete(manifestPath(root, v), false)
-      f.listStatus(new Path(root, s"snapshot=$v")).foreach { st =>
+      var remaining = 0
+      dirEntries(v).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith(s"$bucketCol=")) {
           if (!live((v, n.stripPrefix(s"$bucketCol=").toInt)))
             f.delete(st.getPath, true)
+          else remaining += 1
         } else
           // a dropped LEGACY version's full-snapshot part files (and stray
           // markers): bare files are never shared across versions — only
@@ -253,7 +263,9 @@ object SnapshotStore {
           // still time-travel-readable despite being "vacuumed".
           f.delete(st.getPath, true)
       }
-      if (f.listStatus(new Path(root, s"snapshot=$v")).isEmpty)
+      // `remaining` counts the still-live bucket dirs left behind, so the
+      // emptiness check needs no second listing
+      if (remaining == 0)
         f.delete(new Path(root, s"snapshot=$v"), true)
     }
     // crashed writers' claims above the committed version (claims <= current
@@ -342,6 +354,11 @@ object SnapshotStore {
           .option("basePath", s"$root/snapshot=$ver")
           .parquet(bs.sorted.map(b => bucketPath(root, ver, b)): _*)
       }.reduce(_ unionByName _)
+      // the recovered partition column's type follows
+      // spark.sql.sources.partitionColumnTypeInference (StringType when
+      // disabled); pin it so repartition/partitionBy always see the
+      // IntegerType the manifest records, independent of session config
+      .withColumn(bucketCol, col(bucketCol).cast("int"))
     union.repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(s"$root/snapshot=$next")

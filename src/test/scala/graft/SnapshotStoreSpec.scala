@@ -6,15 +6,36 @@ import org.apache.spark.sql.functions._
 
 import graft.sinks.{SnapshotStore, UpsertConfig}
 
-class SnapshotStoreSpec extends SparkSpec {
+class SnapshotStoreSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // every test's store root is registered here and reclaimed after the
+  // suite, so repeated runs don't accumulate tmp trees
+  private val tempRoots = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  private def tempRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.synchronized(tempRoots += p)
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    tempRoots.foreach { p =>
+      try
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      catch { case _: java.io.IOException => () }
+    }
+    super.afterAll()
+  }
 
   private val cfg = UpsertConfig(
     clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
 
   test("empty store -> first upsert creates snapshot 0; merges accumulate; " +
     "re-applying a batch converges (at-least-once contract)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val root = tempRoot("graft_snap")
     SnapshotStore.read(spark, root) shouldBe None
 
     val r0 = SnapshotStore.upsert(spark, root,
@@ -40,7 +61,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("time travel + vacuum: old versions readable until vacuumed, " +
     "committed version never removed") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap3").toString
+    val root = tempRoot("graft_snap3")
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
     SnapshotStore.upsert(spark, root, Seq((1, "a2")).toDF("id", "value"), cfg)
     SnapshotStore.upsert(spark, root, Seq((2, "b")).toDF("id", "value"), cfg)
@@ -53,7 +74,7 @@ class SnapshotStoreSpec extends SparkSpec {
   test("vacuum reclaims dropped LEGACY (pre-manifest) versions: bare " +
     "full-snapshot data is deleted and reported, a retained legacy " +
     "version survives untouched") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snapleg").toString
+    val root = tempRoot("graft_snapleg")
     // hand-build a pre-manifest store: two full-snapshot versions (bare
     // part files directly under snapshot=N, no manifest) + the pointer
     Seq((1, "a")).toDF("id", "value")
@@ -84,7 +105,7 @@ class SnapshotStoreSpec extends SparkSpec {
   test("streaming foreachBatch upsert persists each epoch durably") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft_snap4").toString
+    val root = tempRoot("graft_snap4")
     val mem = MemoryStream[(Int, String)]
     val q = graft.streaming.StreamOps.upsertSink(
       mem.toDF().toDF("id", "value")) { (batch, _) =>
@@ -102,7 +123,7 @@ class SnapshotStoreSpec extends SparkSpec {
   }
 
   test("reader never sees an uncommitted snapshot (orphan directories are inert)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap2").toString
+    val root = tempRoot("graft_snap2")
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
     // simulate a crashed writer: snapshot dir exists, pointer not moved
     Seq((99, "zz")).toDF("id", "value")
@@ -117,7 +138,7 @@ class SnapshotStoreSpec extends SparkSpec {
   test("incremental rewrite: an upsert touching one key rewrites only that " +
     "key's bucket; untouched buckets stay byte-identical and are shared " +
     "via the manifest") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap6").toString
+    val root = tempRoot("graft_snap6")
     SnapshotStore.upsert(spark, root,
       (1 to 200).map(i => (i, s"v$i")).toDF("id", "value"), cfg, nBuckets = 16)
 
@@ -156,7 +177,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("concurrent writer claim: the second writer targeting a version fails " +
     "instead of silently clobbering; vacuum reclaims a crashed claim") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap7").toString
+    val root = tempRoot("graft_snap7")
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
     // a competing (or crashed) writer already claimed version 1
     new java.io.File(root, "claim=1").createNewFile() shouldBe true
@@ -174,7 +195,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("crashed FIRST writer (claim exists, nothing committed): vacuum " +
     "reclaims the wedge and the store becomes usable") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap8").toString
+    val root = tempRoot("graft_snap8")
     // simulate: claim placed, data half-written, no pointer
     new java.io.File(root, "claim=0").createNewFile() shouldBe true
     Seq((1, "half")).toDF("id", "value").write.parquet(s"$root/snapshot=0")
@@ -189,7 +210,7 @@ class SnapshotStoreSpec extends SparkSpec {
   test("writer crash BETWEEN bucket writes and manifest commit: readers " +
     "stay on the old version, a racing writer fails on the claim, and " +
     "vacuum reclaims the orphan so the retry lands cleanly") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snapA").toString
+    val root = tempRoot("graft_snapA")
     SnapshotStore.upsert(spark, root,
       (1 to 100).map(i => (i, s"v$i")).toDF("id", "value"), cfg, nBuckets = 8)
 
@@ -234,7 +255,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("discriminant type drift: an INT-keyed batch still lands in the " +
     "BIGINT-keyed store's bucket (no duplicate keys)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap9").toString
+    val root = tempRoot("graft_snap9")
     SnapshotStore.upsert(spark, root,
       (1L to 50L).map(i => (i, s"v$i")).toDF("id", "value"), cfg)
     // same keys arrive typed INT: hash(5: INT) != hash(5L) — bucket
@@ -253,7 +274,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("discriminant type drift, widening direction: a BIGINT-keyed batch " +
     "into an INT-keyed store neither loses unread rows nor widens the schema") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap13").toString
+    val root = tempRoot("graft_snap13")
     SnapshotStore.upsert(spark, root,
       (1 to 50).map(i => (i, s"v$i")).toDF("id", "value"), cfg)
     // batch typed BIGINT: without conforming, the merge's CaseWhen widens
@@ -270,7 +291,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("vacuum after raising keep does not crash on previously-vacuumed " +
     "versions (manifest-less shells)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap10").toString
+    val root = tempRoot("graft_snap10")
     val ids = Seq(1, 2, 3, 4)
     ids.foreach(i => SnapshotStore.upsert(spark, root,
       Seq((i, s"v$i")).toDF("id", "value"), cfg))
@@ -282,7 +303,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("legacy full-snapshot store (pre-manifest layout) stays readable and " +
     "the next upsert migrates it to the bucketed layout") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap11").toString
+    val root = tempRoot("graft_snap11")
     // hand-build the old layout: plain parquet under snapshot=0 + pointer
     Seq((1, "a"), (2, "b")).toDF("id", "value")
       .write.parquet(s"$root/snapshot=0")
@@ -301,7 +322,7 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("composite discriminant: bucket routing and merge agree on " +
     "multi-column keys") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap12").toString
+    val root = tempRoot("graft_snap12")
     val c = cfg.copy(discriminant = Seq("region", "id"))
     SnapshotStore.upsert(spark, root,
       (1 to 40).map(i => (s"r${i % 3}", i, s"v$i"))
@@ -319,7 +340,7 @@ class SnapshotStoreSpec extends SparkSpec {
     "equals the in-memory fold of the same upserts") {
     val rnd = new scala.util.Random(42)
     (0 until 5).foreach { trial =>
-      val root = java.nio.file.Files.createTempDirectory(s"graft_prop$trial").toString
+      val root = tempRoot(s"graft_prop$trial")
       var model = Map.empty[Int, String]
       (0 until 3).foreach { b =>
         val batch = (0 until (1 + rnd.nextInt(12)))
@@ -338,7 +359,7 @@ class SnapshotStoreSpec extends SparkSpec {
   test("compact rewrites fragmented buckets to one file each behind the " +
     "claim protocol: identical reads before/during/after, untouched " +
     "buckets keep their old reference, crashed compactor is vacuumable") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap_cmp").toString
+    val root = tempRoot("graft_snap_cmp")
     // force multi-file bucket writes: without AQE's coalescing, the merge
     // output keeps its shuffle partitioning, so each bucket directory gets
     // one file per partition holding its rows
@@ -399,7 +420,7 @@ class SnapshotStoreSpec extends SparkSpec {
   }
 
   test("written/errors outputs survive vacuum (eagerly materialized)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap5").toString
+    val root = tempRoot("graft_snap5")
     SnapshotStore.upsert(spark, root, Seq((1, "a")).toDF("id", "value"), cfg)
     val r = SnapshotStore.upsert(spark, root,
       Seq((1, "a2")).toDF("id", "value"), cfg)
