@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Similarity}
+import graft.operators.{Dedup, Joins, Packing, Similarity}
 
 /** Scale probe for the exact pair-join variants (dev tool, not part of the
   * driver contract): measures, on a corpus N× the largest local fixture,
@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -507,6 +507,80 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"image_dedup_scale",${iEntry.tail}""")
     writeArtifact("image_dedup_scale", iEntry)
+    }
+
+    if (probes("events_scale")) {
+    // The two event-time join shapes at SCALE×: the union-and-carry as-of
+    // join (one key shuffle + one window pass, Joins.asOfJoin) and the
+    // banded interval join (plain equi-join on (user, time-bin), ≤3 bin
+    // probes per left row, Joins.bandedIntervalJoin). Replicas shift
+    // user_id into disjoint bands — per-user event counts and time
+    // density are unchanged, so match structure stays per-replica and the
+    // workload (shuffle rows, window length, bin fan-out) scales linearly
+    // the way a larger user population would. Claims under test: output
+    // rows are EXACTLY scale× the base (disjoint bands make this
+    // structural) and wall grows ~linearly — no per-key blowup hides in
+    // the window pass or the bin explode. Ingestion is fixture-vintage-
+    // proof via Tables.withEventTimestamp (round-11 regeneration
+    // postmortem).
+    val ev0 = graft.sources.Tables.withEventTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("event_id", "ts", "user_id", "event_type")
+    val evScaled = (0 until scale).map { i =>
+      ev0.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+        col("event_type"))
+    }.reduce(_ union _)
+    val evPath = java.nio.file.Files.createTempDirectory("graft_evsc")
+      .resolve("events.parquet").toString
+    evScaled.repartition(cpus.toInt).write.mode("overwrite").parquet(evPath)
+    val evBig = spark.read.parquet(evPath)
+    val nEv = evBig.count()
+    def asofRows(ev: org.apache.spark.sql.DataFrame): Long = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .count()
+    }
+    def intervalRows(ev: org.apache.spark.sql.DataFrame): Long = {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      Joins.bandedIntervalJoin(clicks, views, "user_id", "ts", "ts",
+        lowerSec = 0L, upperSec = 600L).count()
+    }
+    def timeIt(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val asofBase = (1 to passes).map(_ => timeIt(asofRows(ev0)))
+    val asofBig = (1 to passes).map(_ => timeIt(asofRows(evBig)))
+    val intBase = (1 to passes).map(_ => timeIt(intervalRows(ev0)))
+    val intBig = (1 to passes).map(_ => timeIt(intervalRows(evBig)))
+    val linear =
+      asofBig.head._2 == scale * asofBase.head._2 &&
+      intBig.head._2 == scale * intBase.head._2
+    val evEntry = s"""{"scale":$scale,"events":$nEv,"passes":$passes,""" +
+      s""""asof_base_sec":${asofBase.map(_._1).min},""" +
+      s""""asof_scaled_sec":${asofBig.map(_._1).min},""" +
+      s""""asof_rows_base":${asofBase.head._2},""" +
+      s""""asof_rows_scaled":${asofBig.head._2},""" +
+      s""""interval_base_sec":${intBase.map(_._1).min},""" +
+      s""""interval_scaled_sec":${intBig.map(_._1).min},""" +
+      s""""interval_rows_base":${intBase.head._2},""" +
+      s""""interval_rows_scaled":${intBig.head._2},""" +
+      s""""rows_exactly_linear":$linear,""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"events_scale",${evEntry.tail}""")
+    writeArtifact("events_scale", evEntry)
     }
 
     if (probes("ivf_maintain")) {
