@@ -798,6 +798,46 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Product-quantized ANN ([[Similarity.pqTopK]]) under the bounded-
+    * assertion contract (lsh_topk's template): the 4-bit-code ADC
+    * shortlist is engine-specific (k-means codebooks), but the exact
+    * re-rank makes every RETURNED cosine the true cosine — checkable
+    * in-engine against the exact all-pairs scores — and recall vs the
+    * exact top-10 has a measured floor (sf0.01 recalls 10,9,10,9,10 at
+    * m=16/ksub=16/shortlistFactor=8, deterministic; floor 6 leaves
+    * headroom for fixture regeneration). DuckDB recomputes the query-id
+    * set and expects the booleans true. */
+  private def pqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val approx = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+      "query_id", k = 10, m = 16, ksub = 16, shortlistFactor = 8)
+    val exactTop = Similarity.bruteForceTopK(corpus, queries, "embedding",
+        "vec_id", "query_id", k = 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("__in_exact"))
+    val qv = queries.select(col("query_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"), V.norm(col("embedding")).as("__qn"))
+    val allScores = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").as("__cv"),
+        V.norm(col("embedding")).as("__cn"))
+      .join(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosineGivenNorms(col("__cv"), col("__qv"), col("__cn"),
+          col("__qn")), 6).as("__ce"))
+    approx
+      .join(exactTop, Seq("query_id", "vec_id"), "left")
+      .join(allScores, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(
+        (count(lit(1)) === 10).as("returned_full_k"),
+        (count(col("__in_exact")) >= 6).as("recall_floor_ok"),
+        coalesce(bool_and(col("cosine") === col("__ce")), lit(false))
+          .as("cosines_exact"))
+      .orderBy("query_id")
+  }
+
   /** Per-language corpus sketch via the custom
     * [[graft.functions.SimHashAgg]] (TypedImperativeAggregate — 256-byte
     * vote buffers merge map-side; only buffers cross the exchange), under
@@ -1239,6 +1279,7 @@ object Queries {
     "embcos_pairs" -> embcosPairs _,
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
+    "pq_topk" -> pqTopKQ _,
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
     "budget_select" -> budgetSelect _,
@@ -2243,6 +2284,13 @@ object Queries {
     // the query ids are engine-independent; per-query probe-contract
     // booleans expected true
     "lsh_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  TRUE AS returned_full_k,
+        |  TRUE AS recall_floor_ok,
+        |  TRUE AS cosines_exact
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // PQ-ADC with exact re-rank: same bounded-assertion shape as lsh_topk
+    "pq_topk" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
         |  TRUE AS returned_full_k,
         |  TRUE AS recall_floor_ok,

@@ -570,4 +570,143 @@ object Similarity {
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
     rankTopK(scored, queryIdCol, idCol, k)
   }
+
+  // ------------------------------------------------------------------- PQ
+
+  /** Product-quantization model: `m` subspaces of `dsub` dims each, one
+    * `ksub`-entry codebook per subspace (`codebooks(j)(c)` is sub-centroid
+    * `c` of subspace `j`). Fit on a bounded driver-side sample like the
+    * IVF coarse quantizer; tiny (m·ksub·dsub doubles) and broadcast as
+    * literals into the encode/score expressions. */
+  final case class PqModel(m: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    def ksub: Int = codebooks(0).length
+    def dim: Int = m * dsub
+  }
+
+  /** Fit a PQ codebook set: one bounded sample collect (shared across all
+    * subspaces — constant driver work regardless of corpus size), then an
+    * independent in-memory k-means per subspace over the sample's
+    * subvectors. Deterministic for a fixed seed. `ksub` is capped by the
+    * sample size per the usual k-means constraint; 16 (4-bit codes) or
+    * 256 (8-bit codes) are the standard choices — at 100 TB the encoded
+    * corpus is m bytes + a norm per vector instead of dim floats, the
+    * compression that makes exhaustive ADC scans affordable. */
+  def fitPq(corpus: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+            seed: Long = 42L, fitSampleRows: Int = 4096): PqModel = {
+    val sample = fitSample(corpus, vecCol, targetRows =
+      math.max(fitSampleRows, 32 * ksub), seed)
+    val dim = sample(0).length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // subspace-distinct seed: identical per-subspace data (e.g. tiled
+      // vectors) must not yield identical codebooks by seeding accident
+      kmeansLocal(sub, ksub, seed + j)
+    }
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** Bounded fit sample shared by [[fitPq]] (and shaped like
+    * [[fitCentroids]]'s auto path): ~`targetRows` vectors collected once. */
+  private def fitSample(corpus: DataFrame, vecCol: String,
+                        targetRows: Int, seed: Long): Array[Array[Double]] = {
+    val vecs = corpus.select(V.toDouble(col(vecCol)).as("__v"))
+    val n = vecs.count()
+    val sampled =
+      if (n <= targetRows) vecs
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, targetRows.toDouble * 1.1 / n), seed).limit(targetRows)
+    val points = sampled.collect().map(_.getSeq[Double](0).toArray)
+    require(points.nonEmpty, "cannot fit a quantizer on an empty corpus")
+    points
+  }
+
+  /** Scan-side PQ encode: appends `codesCol` (array<int>, one nearest
+    * sub-centroid id per subspace) and `normCol` (exact vector norm, kept
+    * full-precision so re-ranked cosines stay exact). One generated
+    * projection of m·ksub dsub-dim distance computations per row — the
+    * same codegen shape as IVF cell assignment. The output minus the raw
+    * vector column IS the compressed corpus: persist it once and ADC
+    * scans never touch the original floats. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+               codesCol: String = "__codes",
+               normCol: String = "__cn"): DataFrame = {
+    val codes = array((0 until model.m).map { j =>
+      val sub = slice(col(vecCol), j * model.dsub + 1, model.dsub)
+      element_at(array_sort(array(model.codebooks(j).zipWithIndex.map {
+        case (c, i) =>
+          val cNorm2 = c.map(x => x * x).sum
+          struct((lit(cNorm2) - lit(2.0) * V.dot(sub, lit(c))).as("d"),
+            lit(i).as("code"))
+      }.toIndexedSeq: _*)), 1)("code")
+    }: _*)
+    df.withColumn(codesCol, codes)
+      .withColumn(normCol, V.norm(col(vecCol)))
+  }
+
+  /** PQ-ADC approximate top-k with exact re-ranking — the third ANN path
+    * (FAISS's `IndexPQ` regime re-expressed as two Spark scans):
+    *
+    *  1. ADC scan: queries (tiny, broadcast) carry one lookup table per
+    *     subspace — LUT(j)(c) = q_j · codebook(j)(c), built as literal-
+    *     array expressions. Each corpus row is scored as
+    *     Σ_j LUT(j)(code_j): m array lookups instead of a dim-wide dot
+    *     product, over codes that at scale live in a persisted encoded
+    *     corpus ([[pqEncode]]) m·log2(ksub) bits wide instead of dim
+    *     floats — the reason exhaustive scans stay affordable at 100 TB.
+    *     The bounded [[TopKAggregator]] keeps a `shortlistFactor`·k
+    *     shortlist per query (map-side partials; the exchange carries at
+    *     most shortlist·partitions candidates per query).
+    *  2. Exact re-rank: the shortlist (Q·shortlist ids, tiny) broadcast-
+    *     joins back into the corpus, exact cosine is computed for matched
+    *     rows only, and the final k are ranked on EXACT scores — returned
+    *     cosines are never approximate (the engine-wide contract); only
+    *     recall is, bounded by what the shortlist caught.
+    *
+    * Same output shape as [[bruteForceTopK]]; deterministic for a fixed
+    * seed. Recall rises with `shortlistFactor` (re-rank cost: the second
+    * scan's join fan-in) and with `ksub` (encode cost). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, queryIdCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
+             seed: Long = 42L, fitSampleRows: Int = 4096): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    // the ADC scan reads ONLY (id, codes, norm) — never the raw floats;
+    // with a persisted encoded corpus this is the m-bytes-per-vector scan
+    val encoded = pqEncode(corpus.select(col(idCol), col(vecCol)),
+      vecCol, model).drop(vecCol)
+    val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
+    // per-query LUTs: for subspace j an array over c of q_j · codebook(j)(c)
+    val withLuts = (0 until model.m).foldLeft(q) { (acc, j) =>
+      val qSub = slice(col("__qvec"), j * model.dsub + 1, model.dsub)
+      acc.withColumn(s"__lut$j", array(
+        model.codebooks(j).map(c => V.dot(qSub, lit(c))).toIndexedSeq: _*))
+    }
+    val adcDot = (0 until model.m).map(j =>
+      element_at(col(s"__lut$j"), element_at(col("__codes"), j + 1) + 1))
+      .reduce(_ + _)
+    // approximate cosine ranks the shortlist; zero-norm rows are excluded
+    // exactly as in the exact path (no defined similarity)
+    val shortlist = rankTopK(
+      encoded.join(broadcast(withLuts))
+        .withColumn("cosine",
+          when(col("__cn") > 0 && col("__qn") > 0,
+            adcDot / (col("__cn") * col("__qn")))),
+      queryIdCol, idCol, k * shortlistFactor)
+      .select(col(queryIdCol), col(idCol))
+    // exact re-rank: shortlist ids broadcast back into the corpus — one
+    // more corpus scan, fan-in bounded by Q·shortlist rows
+    val qExact = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
+    val rescored = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        V.norm(col(vecCol)).as("__cn"))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qExact), Seq(queryIdCol))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
+    rankTopK(rescored, queryIdCol, idCol, k)
+  }
 }
