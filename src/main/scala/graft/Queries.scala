@@ -1069,6 +1069,16 @@ object Queries {
     CorpusStats.vocabTopK(tab(s, dir, "documents"), "text", "doc_id",
       shingleSize = 3, k = 100)
 
+  /** Corpus-self-trained char-trigram LM quality scoring
+    * ([[CorpusStats.charLmScore]]): the top-5000 trigram frequency table
+    * is the "model" (ties cut by count desc, gram asc — deterministic in
+    * both engines), each doc scores its total/in-model/out-of-model gram
+    * occurrences. All-integer contract, hash-green. */
+  private def chargramLm(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.charLmScore(tab(s, dir, "documents"), "text", "doc_id",
+        n = 3, topV = 5000)
+      .orderBy("doc_id")
+
   /** Per-document keyword extraction: top-5 terms by tf-idf
     * ([[CorpusStats.tfidfTopK]]). tf/df are exact integers; tf·ln(N/df)
     * rounds to 6 before ranking with ties broken on the term string, so
@@ -1289,6 +1299,7 @@ object Queries {
     "top_fraction" -> topFraction _,
     "top_fraction_approx" -> topFractionApprox _,
     "vocab_topk" -> vocabTopk _,
+    "chargram_lm" -> chargramLm _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
@@ -2065,6 +2076,31 @@ object Queries {
         |  TRUE AS kept_floor_ok, TRUE AS kept_ceil_ok,
         |  TRUE AS kept_dominates
         |FROM lq GROUP BY lang_id ORDER BY lang_id""".stripMargin,
+    // char trigrams WITH multiplicity; model = top-5000 by (count desc,
+    // gram) — LIMIT under ORDER BY is deterministic in both engines
+    "chargram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(lower(text)) AS tx FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(tx) - 2, 0) + 1),
+        |      i -> substring(tx, CAST(i AS INT), 3))) AS gram
+        |  FROM t),
+        |model AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY gram
+        |  ORDER BY c DESC, gram LIMIT 5000),
+        |sc AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(coalesce(m.c, 0)) AS BIGINT) AS freq_sum,
+        |         CAST(sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS oov
+        |  FROM g LEFT JOIN model m USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id AS doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+        |       coalesce(sc.freq_sum, 0) AS freq_sum,
+        |       coalesce(sc.oov, 0) AS oov
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // same 3-gram shingle construction as decontaminate's 5-gram CTE;
     // shingle sets are distinct per doc, so count(*) is document frequency
     "vocab_topk" ->

@@ -243,13 +243,28 @@ object ScaleProbe {
     // agree by construction, and ivfBuild skips its own corpus count
     Similarity.ivfBuild(annCorpus, "embedding", ivfPath, nCells = cells)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
+    // PQ amortized regime, same accounting as IVF: fit + encode paid once
+    // (pq_encode_sec), the per-batch cost is the ADC scan over the
+    // persisted (id, codes, norm) parquet — 16 byte-codes per row instead
+    // of 64 floats — plus the exact re-rank of the bounded shortlist.
+    val tPq = System.nanoTime()
+    val pqModel = Similarity.fitPq(annCorpus, "embedding", m = 16, ksub = 16)
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_pq")
+      .resolve("encoded.parquet").toString
+    Similarity.pqEncode(annCorpus, "embedding", pqModel).drop("embedding")
+      .write.mode("overwrite").parquet(pqPath)
+    val pqEncodeSec = (System.nanoTime() - tPq) / 1e9
+    val pqEncoded = spark.read.parquet(pqPath)
     val annVariants: Seq[(String, () => Long)] = Seq(
       "brute_force" -> (() => Similarity.bruteForceTopK(
         annCorpus, annQueries, "embedding", "vec_id", "query_id",
         k = 10).count()),
       s"ivf_probe_nprobe${nProbe}_of$cells" -> (() => Similarity.ivfProbeTopK(
         spark, ivfPath, annQueries, "embedding", "vec_id", "query_id",
-        k = 10, nProbe = nProbe).count())
+        k = 10, nProbe = nProbe).count()),
+      "pq_adc_m16" -> (() => Similarity.pqTopKEncoded(
+        pqEncoded, annCorpus, pqModel, annQueries, "embedding", "vec_id",
+        "query_id", k = 10, shortlistFactor = 8).count())
     )
     val annResults = annVariants.map { case (name, run) =>
       val times = (1 to passes).map { _ =>
@@ -265,6 +280,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val aEntry = s"""{"scale":$scale,"vectors":$nVecs,"queries":20,""" +
       s""""passes":$passes,"ivf_build_sec":$buildSec,"cells":$cells,""" +
+      s""""pq_encode_sec":$pqEncodeSec,""" +
       s""""variants":$aq,"sf":"$sfDir"}"""
     println(s"""{"probe":"ann_scale",${aEntry.tail}""")
     writeArtifact("ann_scale", aEntry)

@@ -72,6 +72,61 @@ object CorpusStats {
         col("tfidf"), col("rank"))
   }
 
+  /** Corpus-self-trained character-n-gram LM quality scoring — the
+    * language-model quality filter of a training-data pipeline reduced to
+    * an exact-integer contract: the "model" is the corpus's `topV` most
+    * frequent character `n`-grams with their occurrence counts (ties cut
+    * deterministically by count desc, gram asc), and each document scores
+    *  - `n_grams`   — its total n-gram occurrences,
+    *  - `freq_sum`  — the sum of the model counts of its n-grams (0 for
+    *                  out-of-model grams): high = conventional text, low =
+    *                  gibberish/encoding noise relative to the corpus,
+    *  - `oov`       — how many of its n-gram occurrences fall outside the
+    *                  model (the rarity mass itself).
+    * A float perplexity would rank identically (it is a monotone transform
+    * of these counts under an additive-smoothed unigram-over-n-grams LM)
+    * but would be hash-fragile across engines; the integer triple is the
+    * engine-independent form, and callers derive e.g.
+    * `freq_sum / n_grams` as the quality signal. Documents shorter than
+    * `n` characters score (0, 0, 0).
+    *
+    * Scale shape: two corpus scans (model pass, score pass) — the
+    * exploded gram relation is n_chars rows per doc, too wide to be worth
+    * persisting at 100 TB, so it is re-derived rather than cached. The
+    * model aggregation is map-side combined on the gram key and cut to
+    * `topV` via TakeOrderedAndProject (O(topV) per task, no global sort);
+    * scoring is a broadcast hash join of the topV-row model into the
+    * exploded scan, re-aggregated per document (docs are not split across
+    * partitions, so partial aggregation collapses to ~one row per doc
+    * before the exchange). */
+  def charLmScore(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3, topV: Int = 5000): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    // sliding char grams WITH multiplicity (sequence(1,0) would descend,
+    // so short texts are guarded to an empty array explicitly)
+    def grams(c: Column): Column = {
+      val t = trim(lower(c))
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - lit(n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array())
+    }
+    val occ = df.select(col(idCol), explode(grams(col(textCol))).as("gram"))
+    val model = occ.groupBy("gram").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("gram"))
+      .limit(topV)
+    val scored = occ.join(broadcast(model), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__c"), lit(0L))).as("freq_sum"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("oov"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
+        coalesce(col("oov"), lit(0L)).as("oov"))
+  }
+
   /** Cross-group duplication matrix: for every pair of `groupCol` values
     * (sources, crawls, snapshots), the number of distinct word
     * `shingleSize`-grams they share — the curation report that says which

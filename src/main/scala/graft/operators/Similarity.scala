@@ -672,12 +672,25 @@ object Similarity {
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int, m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
              seed: Long = 42L, fitSampleRows: Int = 4096): DataFrame = {
-    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
     // the ADC scan reads ONLY (id, codes, norm) — never the raw floats;
     // with a persisted encoded corpus this is the m-bytes-per-vector scan
     val encoded = pqEncode(corpus.select(col(idCol), col(vecCol)),
       vecCol, model).drop(vecCol)
+    pqTopKEncoded(encoded, corpus, model, queries, vecCol, idCol,
+      queryIdCol, k, shortlistFactor)
+  }
+
+  /** [[pqTopK]]'s amortized form: score a PRE-ENCODED corpus (the
+    * [[pqEncode]] output minus the raw vector column, typically persisted
+    * once and scanned per query batch — fit + encode are paid once, like
+    * [[ivfBuild]]). `corpus` supplies the raw vectors for the exact
+    * re-rank scan only. */
+  def pqTopKEncoded(encoded: DataFrame, corpus: DataFrame, model: PqModel,
+                    queries: DataFrame, vecCol: String, idCol: String,
+                    queryIdCol: String, k: Int,
+                    shortlistFactor: Int = 4): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
     // per-query LUTs: for subspace j an array over c of q_j · codebook(j)(c)
     val withLuts = (0 until model.m).foldLeft(q) { (acc, j) =>

@@ -117,4 +117,52 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().sorted shouldBe
       Array(("g1", "g2", 1L))
   }
+
+  test("charLmScore: hand-checked gram accounting, topV cut sends rare " +
+    "grams to oov, short and empty docs score zero") {
+    val tiny = Seq(
+      (1L, "aaab"),  // grams: aaa, aab
+      (2L, "aaaa"),  // grams: aaa, aaa
+      (3L, "xyz"),   // grams: xyz
+      (4L, "ab"),    // < 3 chars -> no grams
+      (5L, "")
+    ).toDF("doc_id", "text")
+    // full model (topV ample): counts are aaa=3, aab=1, xyz=1
+    val full = CorpusStats.charLmScore(tiny, "text", "doc_id", n = 3,
+        topV = 100)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    full shouldBe Array(
+      (1L, 2L, 4L, 0L), // aaa(3) + aab(1)
+      (2L, 2L, 6L, 0L), // aaa(3) twice
+      (3L, 1L, 1L, 0L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L))
+    // topV=1 keeps only aaa (count desc, gram asc): aab/xyz become oov
+    val cut = CorpusStats.charLmScore(tiny, "text", "doc_id", n = 3,
+        topV = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    cut shouldBe Array(
+      (1L, 2L, 3L, 1L),
+      (2L, 2L, 6L, 0L),
+      (3L, 1L, 0L, 1L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L))
+  }
+
+  test("charLmScore scores the whole fixture corpus with consistent " +
+    "totals (freq_sum bounded by n_grams * max model count; oov + " +
+    "in-model occurrences = n_grams)") {
+    val docs01 = spark.read.parquet(s"$sf/documents.parquet")
+    val out = CorpusStats.charLmScore(docs01, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    out.length shouldBe docs01.count()
+    out.foreach { case (id, n, fs, oov) =>
+      withClue(s"doc $id: ") {
+        oov should be <= n
+        if (n == 0) fs shouldBe 0L
+        // every in-model gram contributes at least count 1
+        fs should be >= (n - oov)
+      }
+    }
+  }
 }
