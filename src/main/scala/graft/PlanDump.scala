@@ -27,7 +27,9 @@ object PlanDump {
       "events_interval" -> "banded range join: plain equi-join on (user, time-bin) + in-bin filter, no per-key cartesian",
       "chargram_pairs" -> "single-pass inverted-index self-join (default path); stop-shingle anti join broadcasts only under the measured size gate",
       "pack_sequences" -> "one shard exchange + partition-local sort + O(1)-state scan; no global sort, parallelism = shard count",
-      "decontaminate_bloom" -> "bloom might_contain prefilter runs scan-side inside the corpus's WholeStageCodegen; only survivors reach the membership join"
+      "decontaminate_bloom" -> "bloom might_contain prefilter runs scan-side inside the corpus's WholeStageCodegen; only survivors reach the membership join",
+      "pq_topk" -> "PQ-ADC: broadcast per-query LUTs score the (id, codes, norm) scan; bounded shortlist aggregation; exact re-rank joins the tiny shortlist back into one corpus scan",
+      "chargram_lm" -> "model pass map-side combined + TakeOrderedAndProject topV cut; scoring via broadcast model join into the exploded scan, per-doc re-agg partial-aggregated"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")
