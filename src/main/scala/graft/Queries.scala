@@ -838,6 +838,45 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** IVF-PQ composed ANN ([[Similarity.ivfPqTopK]]): coarse cells restrict
+    * the probe set, PQ-ADC byte codes score within probed cells, the
+    * shortlist re-ranks exact — the two approximations multiply their
+    * savings. Bounded-assertion contract like pq_topk: returned cosines
+    * are exact, and recall vs the exact top-10 floors at 6 — every query
+    * clears it at sf0.01 (deterministic: fixed seed,
+    * cells=16/probe=8/m=16/slf=8). */
+  private def ivfPqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val approx = Similarity.ivfPqTopK(corpus, queries, "embedding",
+      "vec_id", "query_id", k = 10, nCells = 16, nProbe = 8,
+      m = 16, ksub = 16, shortlistFactor = 8)
+    val exactTop = Similarity.bruteForceTopK(corpus, queries, "embedding",
+        "vec_id", "query_id", k = 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("__in_exact"))
+    val qv = queries.select(col("query_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"), V.norm(col("embedding")).as("__qn"))
+    val allScores = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").as("__cv"),
+        V.norm(col("embedding")).as("__cn"))
+      .join(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosineGivenNorms(col("__cv"), col("__qv"), col("__cn"),
+          col("__qn")), 6).as("__ce"))
+    approx
+      .join(exactTop, Seq("query_id", "vec_id"), "left")
+      .join(allScores, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(
+        (count(lit(1)) === 10).as("returned_full_k"),
+        (count(col("__in_exact")) >= 6).as("recall_floor_ok"),
+        coalesce(bool_and(col("cosine") === col("__ce")), lit(false))
+          .as("cosines_exact"))
+      .orderBy("query_id")
+  }
+
   /** Per-language corpus sketch via the custom
     * [[graft.functions.SimHashAgg]] (TypedImperativeAggregate — 256-byte
     * vote buffers merge map-side; only buffers cross the exchange), under
@@ -1290,6 +1329,7 @@ object Queries {
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
     "pq_topk" -> pqTopKQ _,
+    "ivfpq_topk" -> ivfPqTopKQ _,
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
     "budget_select" -> budgetSelect _,
@@ -2327,6 +2367,13 @@ object Queries {
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // PQ-ADC with exact re-rank: same bounded-assertion shape as lsh_topk
     "pq_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  TRUE AS returned_full_k,
+        |  TRUE AS recall_floor_ok,
+        |  TRUE AS cosines_exact
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // IVF-PQ composition: same bounded-assertion shape
+    "ivfpq_topk" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
         |  TRUE AS returned_full_k,
         |  TRUE AS recall_floor_ok,

@@ -692,22 +692,7 @@ object Similarity {
                     shortlistFactor: Int = 4): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
-    // per-query LUTs: for subspace j an array over c of q_j · codebook(j)(c)
-    val withLuts = (0 until model.m).foldLeft(q) { (acc, j) =>
-      val qSub = slice(col("__qvec"), j * model.dsub + 1, model.dsub)
-      acc.withColumn(s"__lut$j", array(
-        model.codebooks(j).map(c => V.dot(qSub, lit(c))).toIndexedSeq: _*))
-    }
-    val adcDot = (0 until model.m).map(j =>
-      element_at(col(s"__lut$j"), element_at(col("__codes"), j + 1) + 1))
-      .reduce(_ + _)
-    // approximate cosine ranks the shortlist; zero-norm rows are excluded
-    // exactly as in the exact path (no defined similarity)
-    val shortlist = rankTopK(
-      encoded.join(broadcast(withLuts))
-        .withColumn("cosine",
-          when(col("__cn") > 0 && col("__qn") > 0,
-            adcDot / (col("__cn") * col("__qn")))),
+    val shortlist = rankTopK(adcScored(encoded, q, model, Seq.empty),
       queryIdCol, idCol, k * shortlistFactor)
       .select(col(queryIdCol), col(idCol))
     // exact re-rank: shortlist ids broadcast back into the corpus — one
@@ -716,6 +701,166 @@ object Similarity {
     val rescored = corpus
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
         V.norm(col(vecCol)).as("__cn"))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qExact), Seq(queryIdCol))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
+    rankTopK(rescored, queryIdCol, idCol, k)
+  }
+
+  /** ADC scoring core shared by the PQ paths: broadcast the query batch
+    * with one lookup table per subspace (LUT(j)(c) = q_j · codebook(j)(c),
+    * literal arrays), join into the encoded relation (`joinCols` empty =
+    * every query scores every row; `Seq("__cell")` = cell-restricted for
+    * IVF-PQ), and emit approximate `cosine` = ADC-dot / (‖v‖·‖q‖).
+    * Zero-norm rows score null and are excluded downstream exactly as in
+    * the exact path. `q` must carry `__qvec`/`__qn` ([[withQueryNorm]]). */
+  private def adcScored(encoded: DataFrame, q: DataFrame, model: PqModel,
+                        joinCols: Seq[String]): DataFrame = {
+    val withLuts = (0 until model.m).foldLeft(q) { (acc, j) =>
+      val qSub = slice(col("__qvec"), j * model.dsub + 1, model.dsub)
+      acc.withColumn(s"__lut$j", array(
+        model.codebooks(j).map(c => V.dot(qSub, lit(c))).toIndexedSeq: _*))
+    }
+    val adcDot = (0 until model.m).map(j =>
+      element_at(col(s"__lut$j"), element_at(col("__codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val joined =
+      if (joinCols.isEmpty) encoded.join(broadcast(withLuts))
+      else encoded.join(broadcast(withLuts), joinCols)
+    joined.withColumn("cosine",
+      when(col("__cn") > 0 && col("__qn") > 0,
+        adcDot / (col("__cn") * col("__qn"))))
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ (inline form): the billion-scale composition — a coarse
+    * quantizer restricts each query to its `nProbe` nearest cells, PQ-ADC
+    * scores only those cells' rows via byte codes, and the bounded
+    * shortlist is re-ranked on exact cosines. The scored fraction is
+    * ~nProbe/nCells AND each scored row costs m table lookups instead of
+    * a dim-wide dot product — the two savings multiply. Returned scores
+    * are exact for whatever is retrieved (both approximations lose
+    * candidates, never mis-score them). Deterministic for a fixed seed.
+    * For the persisted form whose probes are partition-pruned reads of a
+    * compressed codes column, see [[ivfPqBuild]]/[[ivfPqProbeTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, queryIdCol: String,
+                k: Int, nCells: Int = 0, nProbe: Int = 0,
+                m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
+                seed: Long = 42L, fitSampleRows: Int = 4096): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val probes = if (nProbe > 0) nProbe else math.max(1, cells / 8)
+    val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
+      fitSampleRows)
+    val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    val encoded = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
+        model)
+      .withColumn("__cell", nearestCell(col(vecCol), centroids))
+      .drop(vecCol)
+    val q = withProbeCells(
+      withQueryNorm(queries, corpus.columns, queryIdCol, vecCol),
+      centroids, probes)
+    val shortlist = rankTopK(adcScored(encoded, q, model, Seq("__cell")),
+      queryIdCol, idCol, k * shortlistFactor)
+      .select(col(queryIdCol), col(idCol))
+    val qExact = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
+    val rescored = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        V.norm(col(vecCol)).as("__cn"))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qExact), Seq(queryIdCol))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
+    rankTopK(rescored, queryIdCol, idCol, k)
+  }
+
+  /** Persist an IVF-PQ index under `path`: the corpus cell-partitioned
+    * like [[ivfBuild]] (so probes are statically partition-pruned reads)
+    * with the PQ codes column alongside the raw vectors and norms —
+    * parquet's columnar layout means the ADC pass reads ONLY
+    * (id, codes, norm) from the probed cells' files (column pruning),
+    * and the exact re-rank reads the vector column for just the
+    * shortlist, from the same pruned directories. Codebooks persist next
+    * to the centroids as (subspace, code, centroid) rows. Shares
+    * [[ivfBuild]]'s `.rebuilding` fence discipline: both halves are
+    * rewritten under the fence, and a completed build self-heals a
+    * crashed predecessor. */
+  def ivfPqBuild(corpus: DataFrame, vecCol: String, path: String,
+                 nCells: Int = 0, m: Int = 8, ksub: Int = 16,
+                 seed: Long = 42L, fitSampleRows: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
+      fitSampleRows)
+    val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+    fs.create(marker, true).close()
+    pqEncode(corpus, vecCol, model)
+      .withColumn("__cell", nearestCell(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    model.codebooks.zipWithIndex
+      .flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+      }.toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    fs.delete(marker, false)
+    Seq("data", "centroids", "codebooks").foreach(d =>
+      spark.catalog.refreshByPath(s"$path/$d"))
+  }
+
+  /** Probe an [[ivfPqBuild]] index: the probed cell set becomes a literal
+    * partition filter (same static pruning as [[ivfProbeTopK]]); the ADC
+    * pass projects only (id, codes, norm) — parquet column pruning keeps
+    * the raw vectors unread — and the exact re-rank reads the vector
+    * column for the broadcast shortlist alone, from the same pruned
+    * directories. Same output shape as [[bruteForceTopK]]. */
+  def ivfPqProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
+                     vecCol: String, idCol: String, queryIdCol: String,
+                     k: Int, nProbe: Int = 0,
+                     shortlistFactor: Int = 4): DataFrame = {
+    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+    requireNotRebuilding(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    val codebooks = books.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+    val model = PqModel(codebooks.length, codebooks(0)(0).length, codebooks)
+    val probes = if (nProbe > 0) nProbe else math.max(1, centroids.length / 8)
+    val corpus = spark.read.parquet(s"$path/data")
+    val q = withProbeCells(
+      withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
+        allowed = Set("__cell", "__cn", "__codes")),
+      centroids, probes)
+      .localCheckpoint(true)
+    val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val pruned = corpus
+      .filter(col("__cell").isin(probedCells.toIndexedSeq: _*))
+    // ADC leg: explicit narrow projection — the scan reads no vectors
+    val shortlist = rankTopK(
+      adcScored(pruned.select(col(idCol), col("__cell"), col("__codes"),
+        col("__cn")), q, model, Seq("__cell")),
+      queryIdCol, idCol, k * shortlistFactor)
+      .select(col(queryIdCol), col(idCol))
+    val qExact = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
+      allowed = Set("__cell", "__cn", "__codes"))
+    val rescored = pruned
+      .select(col(idCol).cast("long").as(idCol), col(vecCol), col("__cn"))
       .join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(qExact), Seq(queryIdCol))
       .withColumn("cosine", V.cosineGivenNorms(

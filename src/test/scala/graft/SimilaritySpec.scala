@@ -326,6 +326,80 @@ class SimilaritySpec extends SparkSpec {
     again.sortBy(r => (r._1, r._4)) shouldBe pq.sortBy(r => (r._1, r._4))
   }
 
+  test("ivf-pq inline: ample shortlist + full probe equals brute force " +
+    "exactly; partial probe still returns exactly-scored cosines") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corp = emb.filter($"vec_id" >= 5)
+    val n = corp.count().toInt
+    // shortlistFactor sized so the shortlist covers the whole corpus:
+    // both approximations are then exhaustive and the result must EQUAL
+    // brute force row-for-row
+    val full = Similarity.ivfPqTopK(corp, qs, "embedding", "vec_id",
+        "query_id", k = 10, nCells = 8, nProbe = 8, m = 16, ksub = 16,
+        shortlistFactor = n / 10 + 1)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val brute = Similarity.bruteForceTopK(corp, qs, "embedding", "vec_id",
+        "query_id", k = 10)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    full shouldBe brute
+    // partial probe: whatever is retrieved is exactly scored
+    val bruteAll = Similarity.bruteForceTopK(corp, qs, "embedding",
+        "vec_id", "query_id", k = n)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, id, c) => (q, id) -> c }.toMap
+    Similarity.ivfPqTopK(corp, qs, "embedding", "vec_id", "query_id",
+        k = 10, nCells = 8, nProbe = 2, m = 16, ksub = 16,
+        shortlistFactor = 8)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, id, c) => c shouldBe bruteAll((q, id)) +- 1e-9 }
+  }
+
+  test("ivf-pq persisted index: probes partition-prune to the probed " +
+    "cells, the ADC scan reads no vectors (column pruning), results " +
+    "match the inline form, and the rebuild fence is honored") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.ivfPqBuild(corp, "embedding", path, nCells = 8, m = 16,
+      ksub = 16)
+    val qs = emb.filter($"vec_id" < 1)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val res = Similarity.ivfPqProbeTopK(spark, path, qs, "embedding",
+      "vec_id", "query_id", k = 5, nProbe = 2, shortlistFactor = 8)
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.contains("PartitionFilters") &&
+          f.metadata("PartitionFilters").contains("__cell") => f
+    }
+    scans should not be empty
+    // every data-scan leg prunes to the probed cells...
+    scans.foreach(_.selectedPartitions.partitionCount should be <= 2)
+    // ...and the ADC leg's scan reads codes+norm but NOT the vectors
+    exactly(1, scans.map(_.output.map(_.name).toSet)) should
+      (contain("__codes") and not contain "embedding")
+    // retrieved rows carry exact cosines and match the inline composition
+    // (same seed, same corpus -> same quantizer and codebooks)
+    val inline = Similarity.ivfPqTopK(corp, qs, "embedding", "vec_id",
+        "query_id", k = 5, nCells = 8, nProbe = 2, m = 16, ksub = 16,
+        shortlistFactor = 8)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    res.select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4) shouldBe inline
+    // fence: a .rebuilding marker refuses probes
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".rebuilding"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.ivfPqProbeTopK(spark, path, qs, "embedding", "vec_id",
+        "query_id", k = 5)
+  }
+
   test("pq top-k excludes zero vectors and fails fast on a non-divisible " +
     "subspace split") {
     val zc = corpus.unionByName(
