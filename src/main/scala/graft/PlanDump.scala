@@ -29,6 +29,7 @@ object PlanDump {
       "pack_sequences" -> "one shard exchange + partition-local sort + O(1)-state scan; no global sort, parallelism = shard count",
       "decontaminate_bloom" -> "bloom might_contain prefilter runs scan-side inside the corpus's WholeStageCodegen; only survivors reach the membership join",
       "pq_topk" -> "PQ-ADC: broadcast per-query LUTs score the (id, codes, norm) scan; bounded shortlist aggregation; exact re-rank joins the tiny shortlist back into one corpus scan",
+      "ivfpq_topk" -> "IVF-PQ composition: probe cells restrict the ADC join on (__cell); shortlist re-ranked exact — probe-fraction and per-row savings multiply",
       "chargram_lm" -> "model pass map-side combined + TakeOrderedAndProject topV cut; scoring via broadcast model join into the exploded scan, per-doc re-agg partial-aggregated"
     )
     picks.foreach { case (name, note) =>

@@ -100,31 +100,60 @@ object CorpusStats {
     * partitions, so partial aggregation collapses to ~one row per doc
     * before the exchange). */
   def charLmScore(df: DataFrame, textCol: String, idCol: String,
-                  n: Int = 3, topV: Int = 5000): DataFrame = {
+                  n: Int = 3, topV: Int = 5000): DataFrame =
+    charLmApply(charLmModel(df, textCol, n, topV), df, textCol, idCol, n)
+
+  /** The trained half of [[charLmScore]]: the corpus's `topV` most
+    * frequent character `n`-grams with occurrence counts (`gram`, `__c`),
+    * tie-cut deterministically by count desc then gram. Persist this once
+    * (it is topV rows — trivially small) and apply it to later batches or
+    * to a STREAM with [[charLmApply]]: the production regime is
+    * train-offline / score-on-ingest, not per-batch refitting. */
+  def charLmModel(df: DataFrame, textCol: String, n: Int = 3,
+                  topV: Int = 5000): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    // sliding char grams WITH multiplicity (sequence(1,0) would descend,
-    // so short texts are guarded to an empty array explicitly)
-    def grams(c: Column): Column = {
-      val t = trim(lower(c))
-      when(length(t) >= n,
-        transform(sequence(lit(1), length(t) - lit(n - 1)),
-          i => t.substr(i, lit(n))))
-        .otherwise(array())
-    }
-    val occ = df.select(col(idCol), explode(grams(col(textCol))).as("gram"))
-    val model = occ.groupBy("gram").agg(count(lit(1)).as("__c"))
+    df.select(explode(charGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("gram"))
       .limit(topV)
+  }
+
+  /** Score `df` against a FROZEN [[charLmModel]] — `df` may be a batch
+    * relation or a streaming one (the model join is a stream-static
+    * broadcast join; the per-doc aggregation is then a streaming agg the
+    * caller windows/outputs as usual). Zero-gram docs (shorter than `n`)
+    * score (0, 0, 0) via the left join back to the input ids — on a
+    * stream that join is stream-stream on the id and the caller usually
+    * skips it by scoring only docs with text, so the batch path does it
+    * here and the streaming path tolerates dropped empty docs. */
+  def charLmApply(model: DataFrame, df: DataFrame, textCol: String,
+                  idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val occ = df.select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
     val scored = occ.join(broadcast(model), Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__c"), lit(0L))).as("freq_sum"),
         sum(when(col("__c").isNull, 1L).otherwise(0L)).as("oov"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
-        coalesce(col("oov"), lit(0L)).as("oov"))
+    if (df.isStreaming) scored
+    else
+      df.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
+          coalesce(col("oov"), lit(0L)).as("oov"))
+  }
+
+  /** Sliding char `n`-grams WITH multiplicity (unlike the deduplicating
+    * shingle expressions); texts shorter than `n` are guarded to an empty
+    * array explicitly — `sequence(1, 0)` would DESCEND and fabricate
+    * grams. */
+  private def charGrams(c: Column, n: Int): Column = {
+    val t = trim(lower(c))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - lit(n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array())
   }
 
   /** Cross-group duplication matrix: for every pair of `groupCol` values

@@ -149,6 +149,34 @@ class CorpusStatsSpec extends SparkSpec {
       (5L, 0L, 0L, 0L))
   }
 
+  test("charLmApply scores a STREAM against a frozen model identically " +
+    "to the batch path (train-offline / score-on-ingest regime)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "aaab"), (2L, "aaaa"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val model = CorpusStats.charLmModel(train, "text", n = 3, topV = 100)
+      .localCheckpoint(true) // frozen: the stream joins a static relation
+    val incoming = Seq((10L, "aaab"), (11L, "xyzaaa"), (12L, "qqq"))
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStats.charLmApply(model,
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", n = 3)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("lm_stream")
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+      val want = CorpusStats.charLmApply(model,
+          incoming.toDF("doc_id", "text"), "text", "doc_id", n = 3)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+      got shouldBe want
+      // and the scores are the frozen model's view: aaa=3 from TRAINING
+      want.head shouldBe ((10L, 2L, 4L, 0L)) // aaa(3)+aab(1), as in training
+    } finally q.stop()
+  }
+
   test("charLmScore scores the whole fixture corpus with consistent " +
     "totals (freq_sum bounded by n_grams * max model count; oov + " +
     "in-model occurrences = n_grams)") {
