@@ -396,6 +396,10 @@ object Queries {
     clicks.join(matched, Seq("event_id"), "left")
       .select(col("event_id"),
         coalesce(col("n_views"), lit(0L)).as("n_views"))
+      // always-true value-reading guard: under a bare count() Catalyst
+      // would eliminate the unique-key left join and never run the banded
+      // interval join (the bench's default action). No semantic effect.
+      .filter(col("n_views") >= 0)
       .orderBy("event_id")
   }
 
@@ -1116,6 +1120,12 @@ object Queries {
   private def chargramLm(s: SparkSession, dir: String): DataFrame =
     CorpusStats.charLmScore(tab(s, dir, "documents"), "text", "doc_id",
         n = 3, topV = 5000)
+      // always-true value-reading guard: a bare count() of the final
+      // unique-key left join would let Catalyst eliminate the join and
+      // skip the whole model+score computation (the bench's default
+      // action); reading freq_sum forces every stage to execute. No
+      // semantic effect — the columns are coalesced non-null.
+      .filter(col("freq_sum") >= 0 && col("n_grams") >= 0)
       .orderBy("doc_id")
 
   /** Per-document keyword extraction: top-5 terms by tf-idf

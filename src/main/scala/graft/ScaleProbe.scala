@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -597,6 +597,62 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"events_scale",${evEntry.tail}""")
     writeArtifact("events_scale", evEntry)
+    }
+
+    if (probes("charlm_scale")) {
+    // Char-LM quality scoring at SCALE×: the model pass (explode →
+    // map-side-combined gram counts → TakeOrderedAndProject topV cut) and
+    // the scoring pass (broadcast model join into the exploded scan →
+    // per-doc re-agg) are both corpus-linear by construction; this
+    // measures it. Letter-rotated replicas keep per-replica gram
+    // distributions distinct (a verbatim copy would just multiply every
+    // count by SCALE and leave the model identical — too easy), the same
+    // trick as pair_join_scale.
+    val lmAlpha = "abcdefghijklmnopqrstuvwxyz"
+    def lmRot(i: Int) = lmAlpha.drop(i % 26) + lmAlpha.take(i % 26)
+    val lmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val lmScaled = (0 until scale).map { i =>
+      lmDocs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        translate(lower(col("text")), lmAlpha, lmRot(i)).as("text"))
+    }.reduce(_ union _)
+    val lmTmp = java.nio.file.Files.createTempDirectory("graft_lmsc")
+    val lmPath = lmTmp.resolve("docs.parquet").toString
+    lmScaled.repartition(cpus.toInt).write.mode("overwrite").parquet(lmPath)
+    val lmBase = spark.read.parquet(lmPath)
+    val nLmDocs = lmBase.count()
+    // stage the 1× corpus identically (same partition count, same source
+    // layout) — the raw fixture is a single file whose few splits would
+    // under-parallelize the base leg and fake a sublinear ratio
+    val lmBasePath = lmTmp.resolve("docs_base.parquet").toString
+    lmDocs.repartition(cpus.toInt).write.mode("overwrite").parquet(lmBasePath)
+    val lmSmallDf = spark.read.parquet(lmBasePath)
+    // the action must READ the score columns: a bare count() of the final
+    // unique-key left join lets Catalyst eliminate the join and prune the
+    // whole model+score computation away (measured: 10× the docs, same
+    // wall). Summing the outputs forces every stage to run.
+    def lmRun(docs: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val out = graft.operators.CorpusStats
+        .charLmScore(docs, "text", "doc_id", n = 3, topV = 5000)
+        .agg(count(lit(1)).as("rows"), sum("freq_sum"), sum("oov"))
+        .collect()(0)
+      ((System.nanoTime() - t0) / 1e9, out.getLong(0))
+    }
+    lmRun(lmSmallDf) // discarded: JIT/codegen warmup must not bill the 1× leg
+    val lmSmall = (1 to passes).map(_ => lmRun(lmSmallDf))
+    val lmBig = (1 to passes).map(_ => lmRun(lmBase))
+    val lmEntry = s"""{"scale":$scale,"docs":$nLmDocs,"passes":$passes,""" +
+      s""""base_sec":${lmSmall.map(_._1).min},""" +
+      s""""scaled_sec":${lmBig.map(_._1).min},""" +
+      s""""rows_base":${lmSmall.head._2},""" +
+      s""""rows_scaled":${lmBig.head._2},""" +
+      s""""rows_exactly_linear":${lmBig.head._2 == scale * lmSmall.head._2},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"charlm_scale",${lmEntry.tail}""")
+    writeArtifact("charlm_scale", lmEntry)
     }
 
     if (probes("ivf_maintain")) {

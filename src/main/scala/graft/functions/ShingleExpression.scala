@@ -113,3 +113,41 @@ object CharShingleExpr {
   def apply(text: Column, n: Int): Column =
     Bridge.column(CharShingleExpr(Bridge.expression(text), n))
 }
+
+/** Native sliding character n-grams WITH multiplicity — the counting
+  * sibling of [[CharShingleExpr]] (which dedups and folds short strings to
+  * themselves): every `n`-code-point window in order, duplicates kept,
+  * strings shorter than `n` yield an EMPTY array. This is the gram stream
+  * LM statistics are computed over ([[graft.operators.CorpusStats
+  * .charLmScore]]) — occurrence counts, not presence sets — and matches
+  * the `substring`-transform HOF spec exactly while replacing its
+  * O(chars) interpreted lambda evaluations with one compiled loop. */
+case class CharGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    if (len < n) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val m = len - n + 1
+      val arr = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) { arr(i) = s.substringSQL(i + 1, n); i += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramsExpr =
+    copy(child = newChild)
+}
+
+object CharGramsExpr {
+  def apply(text: Column, n: Int): Column =
+    Bridge.column(CharGramsExpr(Bridge.expression(text), n))
+}

@@ -145,16 +145,12 @@ object CorpusStats {
   }
 
   /** Sliding char `n`-grams WITH multiplicity (unlike the deduplicating
-    * shingle expressions); texts shorter than `n` are guarded to an empty
-    * array explicitly — `sequence(1, 0)` would DESCEND and fabricate
-    * grams. */
-  private def charGrams(c: Column, n: Int): Column = {
-    val t = trim(lower(c))
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - lit(n - 1)),
-        i => t.substr(i, lit(n))))
-      .otherwise(array())
-  }
+    * shingle expressions); texts shorter than `n` yield an empty array.
+    * Native [[graft.functions.CharGramsExpr]] — one compiled loop per
+    * document instead of an interpreted substring lambda per position
+    * (the HOF form measured ~2× slower on the chargram_lm bench). */
+  private def charGrams(c: Column, n: Int): Column =
+    graft.functions.CharGramsExpr(trim(lower(c)), n)
 
   /** Cross-group duplication matrix: for every pair of `groupCol` values
     * (sources, crawls, snapshots), the number of distinct word

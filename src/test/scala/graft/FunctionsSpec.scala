@@ -127,6 +127,25 @@ class FunctionsSpec extends SparkSpec {
     native.head.toSet shouldBe Set("abc", "bcd", "cde", "def")
   }
 
+  test("native CharGramsExpr matches the substring-transform HOF spec: " +
+    "multiplicity kept, order kept, short strings empty, multi-byte safe") {
+    val cases = Seq("abcdef", "ab", "", "ababab", "héllo wörld", "日本語のテキスト")
+    val native = cases.toDF("t")
+      .select(graft.functions.CharGramsExpr(col("t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    val strLen = org.apache.spark.sql.functions.length(col("t"))
+    val hof = cases.toDF("t")
+      .select(when(strLen >= 3,
+          transform(sequence(lit(1), strLen - 2),
+            i => col("t").substr(i, lit(3))))
+        .otherwise(array()).as("g"))
+      .as[Seq[String]].collect()
+    native shouldBe hof // exact sequence equality: order AND duplicates
+    native(0) shouldBe Seq("abc", "bcd", "cde", "def")
+    native(1) shouldBe Seq.empty // below n -> empty, NOT the whole string
+    native(3) shouldBe Seq("aba", "bab", "aba", "bab") // repeats kept
+  }
+
   test("null array elements: native sketches and HOF specs agree (both " +
     "skip, concat_ws-style)") {
     val toks = Seq((Seq("x", null, "y"), Seq("x", "y"))).toDF("withNull", "without")
