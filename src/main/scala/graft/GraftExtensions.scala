@@ -41,6 +41,12 @@ object GraftExtensions {
       { case Seq(tokens, n) => WordShingleExpr(tokens, intArg(n, "word_shingles"))
         case args => throw new IllegalArgumentException(
           s"word_shingles(tokens, n) expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("char_grams"),
+      new ExpressionInfo(classOf[graft.functions.CharGramsExpr].getName, "char_grams"),
+      { case Seq(text, n) =>
+          graft.functions.CharGramsExpr(text, intArg(n, "char_grams"))
+        case args => throw new IllegalArgumentException(
+          s"char_grams(text, n) expects 2 args, got ${args.size}") }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       { case Seq(tokens) => SimHashExpr(tokens)

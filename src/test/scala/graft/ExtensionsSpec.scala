@@ -16,6 +16,8 @@ class ExtensionsSpec extends SparkSpec {
       .head()
     r.getSeq[String](0).toSet shouldBe Set("a b c", "b c d")
     r.getDouble(2) shouldBe 11.0
+    spark.sql("SELECT char_grams('ababa', 3) AS g").head()
+      .getSeq[String](0) shouldBe Seq("aba", "bab", "aba")
     // SQL value == Column-API value
     val viaColumn = Seq(Seq("x", "y")).toDF("t")
       .select(functions.HashFunctions.simHash(col("t"))).as[Long].head()
@@ -82,8 +84,9 @@ class ExtensionsSpec extends SparkSpec {
     // constructible and expose the full registered-function set.
     new GraftExtensions()
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
-      Set("word_shingles", "simhash64", "minhash_sig", "vec_dot", "poly_hash",
-        "image_features", "image_dhash", "image_resize")
+      Set("word_shingles", "char_grams", "simhash64", "minhash_sig",
+        "vec_dot", "poly_hash", "image_features", "image_dhash",
+        "image_resize")
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {
