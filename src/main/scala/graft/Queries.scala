@@ -747,18 +747,90 @@ object Queries {
     * default cap silently drops every pair of a >cap same-signature
     * bucket, which would break the row-level contract — uncapped is
     * slow-but-right on a pathological corpus, never silently wrong. */
-  private def embcosPairs(s: SparkSession, dir: String): DataFrame = {
+  private def embcosPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(plantedEmbeddings(s, dir), "embedding", "vec_id",
+      threshold = 0.9, nPlanes = 12, tables = 4, maxBucket = Int.MaxValue)
+      .orderBy("id_a", "id_b")
+
+  /** The planted-duplicate embedding corpus shared by `embcos_pairs`,
+    * `semdedup_pairs`, `semdedup`, and `knn_join`: a ×2-scaled copy
+    * (exact in floating point — power-of-two scaling commutes with every
+    * rounding) of a deterministic md5-coin 10% of the vectors, ids offset
+    * by 1e6. A planted pair has cosine exactly 1 AND an identical
+    * L2-normalized direction array; the corpus's natural cosine ceiling
+    * (0.60 at sf0.1) sits far below every threshold used against it. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val emb = tab(s, dir, "embeddings")
     val planted = emb
       .filter(substring(md5(col("vec_id").cast("string")), 1, 8) <
         lit(T.coinThreshold(0.1)))
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-      .unionByName(planted)
-    Dedup.embeddingCosine(corpus, "embedding", "vec_id",
-      threshold = 0.9, nPlanes = 12, tables = 4, maxBucket = Int.MaxValue)
+    emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+  }
+
+  /** SemDeDup cluster-then-prune pairs as an EXACT row-level contract —
+    * the quantizer-cell analogue of `embcos_pairs`' sign-LSH contract,
+    * over the same planted corpus. A ×2-scaled copy normalizes to the
+    * IDENTICAL direction array, so copy and original assign to the SAME
+    * k-means cell no matter where the bounded-sample fit placed the
+    * centroids — within-cell pairing recalls every planted pair as a
+    * THEOREM — and the exact-cosine verify at threshold 0.9 (natural
+    * ceiling 0.60) emits nothing else: the result must equal the planted
+    * set pair for pair, cosine for cosine, which DuckDB rebuilds and
+    * re-derives. `maxCell` lifted as in `embcos_pairs`/`minhash_pairs`:
+    * the operator's fan-out cap silently drops every pair of a crowded
+    * cell, which would void the row-level contract — uncapped is
+    * slow-but-right, never silently wrong; the capped cost profile is the
+    * scale story, exercised by the probes instead. */
+  private def semdedupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupPairs(plantedEmbeddings(s, dir), "embedding",
+        "vec_id", threshold = 0.9, maxCell = Int.MaxValue)
       .orderBy("id_a", "id_b")
+
+  /** End-to-end SemDeDup survivors over the planted corpus: every
+    * semantic cluster is exactly {original, its ×2 copy} (the recall
+    * theorem above; nothing else clears 0.9), the lowest id survives, so
+    * the result must be EXACTLY the original vector ids — a missed pair
+    * leaves a +1e6 id alive, an over-merge kills an original id. Both
+    * failure modes are row diffs against an oracle DuckDB derives with a
+    * plain projection. */
+  private def semdedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(plantedEmbeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.9, maxCell = Int.MaxValue)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+
+  /** Approximate kNN-graph construction ([[Similarity.knnJoin]]: both
+    * sides shuffled on quantizer-cell keys, nProbe = 1 — the
+    * cluster-prune regime; never a broadcast of the corpus) under a
+    * contract that is exact where exactness is a theorem and bounded
+    * where it is not: (a) EXACT rows — every planted copy's rank-1
+    * neighbor must be its twin at cosine 1 (co-cell by the direction
+    * theorem; nothing else reaches cosine 1); (b) booleans forcing the
+    * FULL graph — total edge volume ≤ k per query, and every planted
+    * SOURCE's rank-1 neighbor is its copy (the symmetric theorem),
+    * aggregated over the whole graph so Catalyst cannot prune the
+    * non-planted queries' subgraph. */
+  private def knnJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnJoin(plantedEmbeddings(s, dir), "embedding",
+      "vec_id", k = 3, maxCell = Int.MaxValue)
+    val stats = g.agg(
+      count(lit(1)).as("__edges"),
+      countDistinct(col("query_id")).as("__nq"))
+    val srcTop = g.filter(col("rank") === 1 &&
+        col("query_id") < 1000000L &&
+        substring(md5(col("query_id").cast("string")), 1, 8) <
+          lit(T.coinThreshold(0.1)))
+      .agg(coalesce(bool_and(
+        col("vec_id") === col("query_id") + 1000000L &&
+          col("cosine") === 1.0), lit(false)).as("sources_top1_twin"))
+    g.filter(col("query_id") >= 1000000L && col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("nn_id"), col("cosine"))
+      .crossJoin(stats.select(
+        (col("__edges") <= lit(3L) * col("__nq")).as("edges_bounded")))
+      .crossJoin(srcTop)
+      .orderBy("query_id")
   }
 
   /** Multi-probe LSH top-k under the bounded-assertion contract, against
@@ -1336,6 +1408,9 @@ object Queries {
     "simhash_pairs" -> simhashPairs _,
     "embcos_exact" -> embcosExact _,
     "embcos_pairs" -> embcosPairs _,
+    "semdedup_pairs" -> semdedupPairs _,
+    "semdedup" -> semdedupQ _,
+    "knn_join" -> knnJoinQ _,
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
     "pq_topk" -> pqTopKQ _,
@@ -2367,6 +2442,36 @@ object Queries {
         |FROM embeddings
         |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '19999999'
         |ORDER BY id_a""".stripMargin,
+    // same planted-pair row-level oracle as embcos_pairs: the cluster-
+    // then-prune path must recall exactly the same set (co-cell is a
+    // theorem for identical directions, verify arithmetic is shared)
+    "semdedup_pairs" ->
+      """SELECT vec_id AS id_a,
+        |  vec_id + 1000000 AS id_b,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)), 6)
+        |    AS cosine
+        |FROM embeddings
+        |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '19999999'
+        |ORDER BY id_a""".stripMargin,
+    // survivors = exactly the original ids: every planted cluster is
+    // {v, v+1e6} and the minimum id wins; a missed pair would leave a
+    // +1e6 id alive, an over-merge would kill an original id
+    "semdedup" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""".stripMargin,
+    // exact rows for the planted copies' rank-1 neighbors (their twins,
+    // cosine re-derived); graph-sanity booleans expected true
+    "knn_join" ->
+      """SELECT vec_id + 1000000 AS query_id,
+        |  vec_id AS nn_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)), 6)
+        |    AS cosine,
+        |  TRUE AS edges_bounded,
+        |  TRUE AS sources_top1_twin
+        |FROM embeddings
+        |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '19999999'
+        |ORDER BY query_id""".stripMargin,
     // the query ids are engine-independent; per-query probe-contract
     // booleans expected true
     "lsh_topk" ->

@@ -1000,4 +1000,77 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic near-duplicate pairs — the cluster-then-prune
+    * recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): a
+    * k-means coarse quantizer, fit ONCE on a bounded driver-side sample
+    * ([[Similarity.fitCentroids]], the same FAISS-style machinery the IVF
+    * index uses), assigns every vector to its nearest cell in one
+    * scan-side pass; candidate pairs form ONLY within a cell; every
+    * candidate is verified with the EXACT cosine before it is emitted.
+    *
+    * Assignment runs over the vector's DIRECTION ([[Similarity.unitized]]):
+    * cosine is magnitude-blind, so the quantizer geometry must be too —
+    * and same-direction vectors then assign to the same cell regardless
+    * of length, the property the `semdedup*` contract queries turn into a
+    * planted-recall theorem. Zero vectors have no direction and never
+    * pair (they are still KEPT by [[semanticDedup]] — unmentioned ids
+    * survive).
+    *
+    * Scale shape vs the sign-LSH [[embeddingCosine]]: the shuffle carries
+    * (id, cell) keys once instead of one row per hash table, and the
+    * candidate volume is governed by data geometry (cluster occupancy,
+    * ~n²/nCells ≈ n·√n expected at the ~√n [[Similarity.autoCells]]
+    * default) rather than by the planes/tables recall trade — the regime
+    * the published algorithm chose for web-scale corpora. Within-cell
+    * candidates are quadratic IN THE CELL, bounded by `maxCell` (the same
+    * fan-out guard as every bucketed pair operator here; lift it when a
+    * row-level contract must be unconditional). Recall < 1 by
+    * construction — a true pair split across a cell boundary is never
+    * considered, the trade the paper accepts — while precision is exact. */
+  def semanticDedupPairs(df: DataFrame, vecCol: String, idCol: String,
+                         threshold: Double = 0.95, nCells: Int = 0,
+                         seed: Long = 42L, maxCell: Int = 2000): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val unit = Similarity.unitized(df, vecCol, idCol)
+    val cells =
+      if (nCells > 0) nCells else Similarity.autoCells(unit.count())
+    val centroids = Similarity.fitCentroids(
+      unit.select(col("__unit")), "__unit", cells, seed)
+    val keyed = unit.select(col(idCol),
+      Similarity.nearestCell(col("__unit"), centroids)
+        .cast("string").as("__key"))
+    val pairs = pairsFromBuckets(keyed, idCol, maxCell)
+    // norms once per row, not once per candidate pair; cosine on the
+    // ORIGINAL vectors — normalization only steered the bucketing
+    val vecs = df.select(col(idCol), col(vecCol),
+      V.norm(col(vecCol)).as("__nrm"))
+    pairs
+      .join(vecs.toDF("id_a", "__v_a", "__n_a"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "__v_b", "__n_b"), Seq("id_b"))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col("__v_a"), col("__v_b"), col("__n_a"), col("__n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** End-to-end SemDeDup: [[semanticDedupPairs]] → connected components →
+    * one survivor per semantic cluster. `keepBy` picks the survivor (its
+    * MINIMUM row wins — pass `negate(col("quality"))` to keep the best
+    * copy, the curation shape); `None` keeps the lowest id. Rows never
+    * mentioned in a pair — including zero vectors — survive untouched. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double = 0.95, nCells: Int = 0,
+                    seed: Long = 42L, maxCell: Int = 2000,
+                    keepBy: Option[Column] = None): DataFrame = {
+    val pairs = semanticDedupPairs(df, vecCol, idCol, threshold, nCells,
+      seed, maxCell)
+    keepBy match {
+      case Some(better) => dropNearDuplicatesBy(df, idCol, pairs, better)
+      case None => dropNearDuplicates(df, idCol, pairs)
+    }
+  }
 }

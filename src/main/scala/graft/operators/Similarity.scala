@@ -98,9 +98,28 @@ object Similarity {
     }.toIndexedSeq: _*)
 
   /** Nearest-centroid cell id for a corpus row (the quantizer assignment). */
-  private def nearestCell(vec: org.apache.spark.sql.Column,
-                          centroids: Array[Array[Double]]) =
+  private[graft] def nearestCell(vec: org.apache.spark.sql.Column,
+                                 centroids: Array[Array[Double]]) =
     element_at(array_sort(cellDistStructs(vec, centroids)), 1)("cell")
+
+  /** (idCol, vecCol, __nrm, __unit) with zero vectors EXCLUDED (they have
+    * no direction, hence no defined cosine). `__unit` is the L2-normalized
+    * DIRECTION — the cosine-compatible quantizer geometry: cosine is
+    * magnitude-blind, so clustering directions instead of raw vectors
+    * keeps the cell metric aligned with the similarity being searched.
+    * Same-direction vectors whose lengths differ by a power of two
+    * normalize to the IDENTICAL double array (2ᵏ-scaling commutes with
+    * every FP rounding step: products, sums, sqrt, and the final division
+    * all scale exactly), which is what makes planted ×2-copy recall a
+    * theorem in the `semdedup*`/`knn_join` contract queries. */
+  private[graft] def unitized(df: DataFrame, vecCol: String,
+                              idCol: String): DataFrame = {
+    val nrm = V.norm(V.toDouble(col(vecCol)))
+    df.select(col(idCol), col(vecCol), nrm.as("__nrm"))
+      .filter(col("__nrm") > 0.0)
+      .withColumn("__unit",
+        transform(V.toDouble(col(vecCol)), x => x / col("__nrm")))
+  }
 
   /** Attach one row per (query, probed cell): the `nProbe` nearest cells. */
   private def withProbeCells(q: DataFrame, centroids: Array[Array[Double]],
@@ -569,6 +588,82 @@ object Similarity {
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
     rankTopK(scored, queryIdCol, idCol, k)
+  }
+
+  // ------------------------------------------------------------ kNN graph
+
+  /** Approximate k-nearest-neighbor SELF-join: every corpus row gets its
+    * top-k most-cosine-similar OTHER rows — the kNN graph that
+    * cluster-prune dedup ([[graft.operators.Dedup.semanticDedup]]),
+    * diversity selection, and graph-based propagation consume.
+    *
+    * The shape is deliberately NOT `ivfTopK(corpus, queries = corpus)`:
+    * that broadcasts the query batch, which for a self-join means
+    * broadcasting the whole corpus. Here BOTH sides shuffle on a k-means
+    * cell key — the same bounded-sample quantizer as IVF
+    * ([[fitCentroids]]), fit over DIRECTIONS ([[unitized]], the
+    * cosine-compatible geometry) — and edges form within a cell only: the
+    * exchange carries (cell, id, vector) once per candidate row and
+    * `nProbe` times per query row, never a pairwise relation, and the
+    * per-query top-k is the bounded map-side [[TopKAggregator]]. Expected
+    * scored volume is ~nProbe · n²/nCells ≈ n·√n·nProbe at the ~√n
+    * [[autoCells]] default — the published cluster-prune cost model
+    * (SemDeDup, arXiv:2303.09540 §3), not the n² of a brute-force graph.
+    *
+    * Approximation: a true neighbor outside every probed cell of its
+    * query is missed — recall < 1 by construction; returned cosines are
+    * EXACT (same verify arithmetic as [[bruteForceTopK]]). `nProbe`
+    * (default 1, the cluster-prune regime) trades recall for scored
+    * volume. Cells larger than `maxCell` are dropped from the CANDIDATE
+    * side (the fan-out guard every bucketed pair operator here carries;
+    * their members still act as queries against other probed cells).
+    * Zero vectors have no direction and are excluded from both sides.
+    * Requires integral ids; returns (query_id, idCol, cosine, rank),
+    * ties by id ascending. */
+  def knnJoin(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+              nCells: Int = 0, nProbe: Int = 1, seed: Long = 42L,
+              maxCell: Int = 100000, fitSampleFraction: Double = 0.0,
+              fitSampleRows: Int = 4096): DataFrame = {
+    require(idCol != "query_id",
+      "idCol must not be named query_id — the self-join needs both roles")
+    val unit = unitized(corpus, vecCol, idCol)
+    val cells = if (nCells > 0) nCells else autoCells(unit.count())
+    val centroids = fitCentroids(unit.select(col("__unit")), "__unit", cells,
+      seed, fitSampleFraction, fitSampleRows)
+    // assignment is nCells generated dot products per row and feeds three
+    // consumers (size guard, candidate side, query side) — compute it once
+    val assigned = unit.withColumn("__cell",
+        nearestCell(col("__unit"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(assigned)
+    // candidate side: home cell only, oversized cells dropped (the cell
+    // ids are at most nCells rows — broadcast is trivially safe)
+    val bigCells = assigned.groupBy("__cell")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCell)
+      .select("__cell")
+    val cand = assigned
+      .join(broadcast(bigCells), Seq("__cell"), "left_anti")
+      .select(col("__cell"), col(idCol).as("__nid"),
+        col(vecCol).as("__nvec"), col("__nrm").as("__nn"))
+    // query side: the nProbe nearest cells, exploded to one row per probe
+    // (nProbe = 1 probes exactly the home cell — reuse the assignment
+    // instead of re-ranking all nCells distances per row)
+    val q =
+      if (nProbe <= 1)
+        assigned.select(col("__cell"), col(idCol).as("query_id"),
+          col(vecCol).as("__qvec"), col("__nrm").as("__qn"))
+      else assigned
+        .withColumn("__probe", slice(
+          array_sort(cellDistStructs(col("__unit"), centroids)), 1, nProbe))
+        .select(explode(col("__probe.cell")).as("__cell"),
+          col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+          col("__nrm").as("__qn"))
+    val scored = q.join(cand, Seq("__cell"))
+      .filter(col("query_id") =!= col("__nid"))
+      .withColumn("cosine", V.cosineGivenNorms(
+        col("__qvec"), col("__nvec"), col("__qn"), col("__nn")))
+      .withColumnRenamed("__nid", idCol)
+    rankTopK(scored, "query_id", idCol, k)
   }
 
   // ------------------------------------------------------------------- PQ

@@ -516,4 +516,56 @@ class DedupSpec extends SparkSpec {
     pairs.agg(min("cosine"), max("cosine"))
       .as[(Double, Double)].head() shouldBe ((1.0, 1.0))
   }
+
+  test("semantic dedup pairs: planted x2-scaled copies co-cell with their " +
+    "originals under ANY centroid placement (identical normalized " +
+    "direction) and verify at cosine exactly 1 — the semdedup_pairs " +
+    "contract at unit scale") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val nPlanted = planted.count()
+    val pairs = Dedup.semanticDedupPairs(emb.unionByName(planted),
+      "embedding", "vec_id", threshold = 0.9, maxCell = Int.MaxValue)
+    val twins = pairs.filter(col("id_b") - col("id_a") === 1000000L)
+    twins.count() shouldBe nPlanted
+    twins.agg(min("cosine"), max("cosine"))
+      .as[(Double, Double)].head() shouldBe ((1.0, 1.0))
+  }
+
+  test("semantic dedup pairs under ONE cell equal the exact all-pairs set " +
+    "(candidate generation never mis-scores; the only loss is cell " +
+    "separation)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+    val got = Dedup.semanticDedupPairs(emb, "embedding", "vec_id",
+        threshold = 0.4, nCells = 1, maxCell = Int.MaxValue)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.embeddingCosineExact(emb, "embedding", "vec_id",
+        threshold = 0.4)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe want
+    want should not be empty
+  }
+
+  test("semanticDedup keeps one representative per semantic cluster — the " +
+    "best row under keepBy — and rows never paired, including zero " +
+    "vectors, survive") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0.2),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f), 0.9), // same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0.5),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0.1)  // zero vector: no direction
+    ).toDF("vec_id", "embedding", "quality")
+    Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        threshold = 0.95, nCells = 1, maxCell = Int.MaxValue)
+      .select("vec_id").as[Long].collect().toSet shouldBe Set(0L, 2L, 3L)
+    Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        threshold = 0.95, nCells = 1, maxCell = Int.MaxValue,
+        keepBy = Some(negate(col("quality"))))
+      .select("vec_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L)
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, transform}
+
 import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpec {
@@ -411,5 +413,79 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.fitPq(corpus, "embedding", m = 3, ksub = 4)
     }
+  }
+
+  test("knnJoin with every cell probed equals brute-force top-k minus self") {
+    val got = Similarity.knnJoin(corpus, "embedding", "vec_id", k = 2,
+        nCells = 2, nProbe = 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // brute-force over corpus-as-queries; self is always rank 1 (cosine 1,
+    // unique in this corpus), so top-3 minus self re-ranked = top-2 others
+    val want = Similarity.bruteForceTopK(corpus,
+        corpus.select($"vec_id".as("query_id"), $"embedding"),
+        "embedding", "vec_id", "query_id", k = 3)
+      .filter($"query_id" =!= $"vec_id")
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case ((_, id, c), i) => (q, id, c, i + 1) }
+      }.toSet
+    got shouldBe want
+    want.size should be > 4
+  }
+
+  test("knnJoin: planted same-direction twins are each other's rank-1 " +
+    "neighbor at cosine exactly 1 under single-probe cluster-prune — the " +
+    "knn_join contract at unit scale") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").filter($"vec_id" < 300)
+    val planted = emb.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => x * lit(4.0f)).as("embedding"))
+    val nPlanted = planted.count()
+    val g = Similarity.knnJoin(emb.unionByName(planted), "embedding",
+      "vec_id", k = 2, maxCell = Int.MaxValue)
+    val copyTop = g.filter($"query_id" >= 1000L && $"rank" === 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    copyTop.length.toLong shouldBe nPlanted
+    copyTop.foreach { case (q, n, c) =>
+      n shouldBe q - 1000L
+      c shouldBe 1.0
+    }
+    val srcTop = g.filter($"query_id" < 1000L && $"query_id" % 7 === 0 &&
+        $"rank" === 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    srcTop.length.toLong shouldBe nPlanted
+    srcTop.foreach { case (q, n, c) =>
+      n shouldBe q + 1000L
+      c shouldBe 1.0
+    }
+  }
+
+  test("knnJoin: cosines exact, zero vectors excluded, self never an edge, " +
+    "and the maxCell guard drops candidate membership of oversized cells") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector: no direction
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.knnJoin(vecs, "embedding", "vec_id", k = 5,
+        nCells = 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    rows.map(_._1).toSet shouldBe Set(0L, 1L, 2L)
+    rows.map(_._2).toSet shouldBe Set(0L, 1L, 2L)
+    rows.foreach { case (q, n, _) => q should not be n }
+    val b = Array(0.9f, 0.1f, 0.0f, 0.0f).map(_.toDouble)
+    val exp = b(0) / math.sqrt(b.map(x => x * x).sum)
+    rows.find(r => r._1 == 0L && r._2 == 1L).get._3 shouldBe (exp +- 2e-6)
+    // a 3-member cell over maxCell = 2 contributes no candidates
+    Similarity.knnJoin(vecs, "embedding", "vec_id", k = 5, nCells = 1,
+      maxCell = 2).count() shouldBe 0L
   }
 }
