@@ -30,7 +30,9 @@ object PlanDump {
       "decontaminate_bloom" -> "bloom might_contain prefilter runs scan-side inside the corpus's WholeStageCodegen; only survivors reach the membership join",
       "pq_topk" -> "PQ-ADC: broadcast per-query LUTs score the (id, codes, norm) scan; bounded shortlist aggregation; exact re-rank joins the tiny shortlist back into one corpus scan",
       "ivfpq_topk" -> "IVF-PQ composition: probe cells restrict the ADC join on (__cell); shortlist re-ranked exact — probe-fraction and per-row savings multiply",
-      "chargram_lm" -> "model pass map-side combined + TakeOrderedAndProject topV cut; scoring via broadcast model join into the exploded scan, per-doc re-agg partial-aggregated"
+      "chargram_lm" -> "model pass map-side combined + TakeOrderedAndProject topV cut; scoring via broadcast model join into the exploded scan, per-doc re-agg partial-aggregated",
+      "semdedup_pairs" -> "cluster-then-prune: one cached cell-assignment pass; only (id, cell) keys shuffle into the pair join; per-candidate exact-cosine verify joins payloads by id",
+      "knn_join" -> "kNN self-join: both sides shuffle on the cached cell assignment (no corpus broadcast); per-query bounded top-k partial aggregation"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")

@@ -813,8 +813,12 @@ object Queries {
     * aggregated over the whole graph so Catalyst cannot prune the
     * non-planted queries' subgraph. */
   private def knnJoinQ(s: SparkSession, dir: String): DataFrame = {
+    // the graph feeds three consumers (stats, source-twin booleans, copy
+    // rows) and is tiny (≤ k edges per query) — compute it once
     val g = Similarity.knnJoin(plantedEmbeddings(s, dir), "embedding",
-      "vec_id", k = 3, maxCell = Int.MaxValue)
+        "vec_id", k = 3, maxCell = Int.MaxValue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(g)
     val stats = g.agg(
       count(lit(1)).as("__edges"),
       countDistinct(col("query_id")).as("__nq"))

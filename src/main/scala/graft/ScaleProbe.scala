@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -387,6 +387,62 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"embcos_scale",${eEntry.tail}""")
     writeArtifact("embcos_scale", eEntry)
+    }
+
+    if (probes("semdedup_scale")) {
+    // Cluster-then-prune (SemDeDup) + kNN graph at SCALE×, same planted
+    // corpus construction as embcos_scale. Claims under test: (a) planted
+    // recall under the OPERATOR DEFAULTS (maxCell cap live, auto cells)
+    // stays at 1.0 — rotated replicas spread directions, so cells stay
+    // near the n/nCells mean instead of collapsing onto a few directions
+    // and tripping the cap; (b) wall tracks the within-cell candidate
+    // volume ~n²/nCells, the published cluster-prune cost model; (c) the
+    // kNN-graph build (knnJoin, nProbe = 1) over the same corpus stays in
+    // the same wall band — it scores the same cells, bounded by the
+    // map-side top-k aggregate instead of a pair filter.
+    val sd0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val sdR = (0 until scale).map { i =>
+      sd0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
+    }.reduce(_ union _)
+    val sdPath = java.nio.file.Files.createTempDirectory("graft_sdsc")
+      .resolve("embeddings.parquet").toString
+    sdR.repartition(cpus.toInt).write.mode("overwrite").parquet(sdPath)
+    val sdBase = spark.read.parquet(sdPath)
+    val nSdVecs = sdBase.count()
+    val sdPlanted = sdBase
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 8) <
+        lit(graft.functions.TextFunctions.coinThreshold(0.1)))
+    val nSdPlanted = sdPlanted.count()
+    val sdCorpus = sdBase.unionByName(sdPlanted
+      .select((col("vec_id") + plantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val sdTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val found = Dedup.semanticDedupPairs(sdCorpus, "embedding", "vec_id",
+          threshold = 0.9)
+        .filter(col("id_b") - col("id_a") === plantOffset).count()
+      ((System.nanoTime() - t0) / 1e9, found)
+    }
+    val knnTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val edges = Similarity.knnJoin(sdCorpus, "embedding", "vec_id", k = 3)
+        .count()
+      ((System.nanoTime() - t0) / 1e9, edges)
+    }
+    val sdEntry = s"""{"scale":$scale,"vectors":$nSdVecs,""" +
+      s""""planted":$nSdPlanted,"passes":$passes,""" +
+      s""""sec_pairs":${sdTimes.map(_._1).min},""" +
+      s""""planted_found":${sdTimes.head._2},""" +
+      s""""planted_recall":${sdTimes.head._2.toDouble / nSdPlanted},""" +
+      s""""sec_knn":${knnTimes.map(_._1).min},""" +
+      s""""knn_edges":${knnTimes.head._2},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"semdedup_scale",${sdEntry.tail}""")
+    writeArtifact("semdedup_scale", sdEntry)
     }
 
     if (probes("packing_skew")) {

@@ -477,6 +477,48 @@ object StreamOps {
       stateCol = "dhash", maxBucket = maxBucket)(emit)
   }
 
+  /** Streaming EMBEDDING near-duplicate dedup with durable bounded state —
+    * the semantic companion to [[dedupeNearAgainstStore]] (text) and
+    * [[dedupeImagesAgainstStore]] (images), the on-ingest half of the
+    * batch SemDeDup path ([[graft.operators.Dedup.semanticDedup]]): per
+    * batch each row's vector gets sign-LSH bucket keys across `tables`
+    * independent hyperplane sets scan-side (the candidate generation of
+    * [[graft.operators.Dedup.embeddingCosine]], fixed seeds so keys are
+    * stable across restarts); candidates against (a) all previously
+    * retained vectors (read from the [[SnapshotStore]]) and (b)
+    * smaller-id batch rows verify on the EXACT cosine ≥ `threshold`.
+    *
+    * Like the image path — and unlike the MinHash text path — the stored
+    * vector IS the complete state, so verification is exact (nothing
+    * estimated) and a planes/tables config change cannot corrupt the
+    * store: band keys are re-derived from the full stored vector every
+    * batch under whatever config the query runs. State is the dim-float
+    * vector + id per retained row (256 bytes at dim 64 — half the 64-hash
+    * MinHash text state) and never the payload the vector embeds. Null
+    * and zero vectors have no direction: always kept, never stored. Same
+    * band cap and within-batch smaller-id suppression contract as
+    * [[dedupeNearAgainstStore]]. */
+  def dedupeEmbeddingsAgainstStore(stream: DataFrame, vecCol: String,
+                                   idCol: String, storeRoot: String,
+                                   threshold: Double = 0.95,
+                                   nPlanes: Int = 12, dim: Int = 64,
+                                   tables: Int = 4,
+                                   maxBucket: Int = 10000)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.{VectorFunctions => V}
+    val allPlanes = (0 until tables).map(t =>
+      V.hyperplanes(nPlanes, dim, seed = 42L + t))
+    dedupeSketchAgainstStore(stream, idCol, storeRoot,
+      // a zero vector's sketch is NULL: kept, never stored, never banded
+      sketch = when(V.norm(col(vecCol)) > 0.0, col(vecCol)),
+      // one compiled pass over all tables; table index prefixes the key so
+      // tables occupy disjoint band keyspaces
+      bandsOf = v => transform(V.signBuckets(v, allPlanes),
+        (b, t) => concat_ws(":", t, b)),
+      verify = (bv, ov) => V.cosine(bv, ov) >= threshold,
+      stateCol = "vec", maxBucket = maxBucket)(emit)
+  }
+
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
     * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
     * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.

@@ -488,4 +488,60 @@ class StreamDedupSpec extends SparkSpec {
     state.columns.sorted shouldBe Array("dhash", "img_id")
     state.select("img_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
+
+  test("streaming embedding dedup: a same-direction vector arriving in a " +
+    "LATER batch is suppressed against the stored vectors at exact " +
+    "cosine; zero vectors pass and are never stored; state holds one " +
+    "vector + id per retained row and survives a restart") {
+    val root = tmpRoot("graft_sde")
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val emitted = ArrayBuffer[Long]()
+    def run(m: MemoryStream[(Long, Array[Float])], sink: ArrayBuffer[Long]) =
+      StreamOps.dedupeEmbeddingsAgainstStore(
+        m.toDF.toDF("vec_id", "embedding"), "embedding", "vec_id", root,
+        threshold = 0.95, nPlanes = 12, dim = 4, tables = 4) { (df, _) =>
+        sink ++= df.select("vec_id").as[Long].collect()
+      }
+    val q = run(mem, emitted)
+    try {
+      mem.addData(
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L)
+      // 3 is a x2-scaled copy of stored 1 (cosine exactly 1, identical
+      // hyperplane signs — suppression is structural); 4 is orthogonal to
+      // everything retained; 5 is a zero vector (no direction: kept)
+      mem.addData(
+        (3L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+        (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+        (5L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L, 4L, 5L)
+      // in-batch same-direction pair: smaller id wins
+      mem.addData(
+        (6L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+        (7L, Array(0.0f, 0.0f, 0.0f, 4.0f)))
+      q.processAllAvailable()
+      emitted.sorted shouldBe Seq(1L, 2L, 4L, 5L, 6L)
+    } finally q.stop()
+    // bounded payload-free state: (vec_id, vec) per retained NONZERO row
+    val state = SnapshotStore.read(spark, root).get
+    state.columns.sorted shouldBe Array("vec", "vec_id")
+    state.select("vec_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 4L, 6L)
+    // restart durability: a fresh query against the same store still
+    // suppresses same-direction arrivals (x2^-1 scaling is exact too)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val emitted2 = ArrayBuffer[Long]()
+    val q2 = run(mem2, emitted2)
+    try {
+      mem2.addData(
+        (8L, Array(0.5f, 0.0f, 0.0f, 0.0f)),
+        (9L, Array(0.0f, 1.0f, 1.0f, 0.0f))) // cos 0.707 to 2 and 4: kept
+      q2.processAllAvailable()
+    } finally q2.stop()
+    emitted2.sorted shouldBe Seq(9L)
+  }
 }
