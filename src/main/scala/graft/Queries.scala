@@ -801,6 +801,56 @@ object Queries {
       .select(col("vec_id"))
       .orderBy("vec_id")
 
+  /** SemDeDup with a caller survivor policy through the oracle gate
+    * (`Dedup.dropNearDuplicatesBy` — previously spec-only): every row
+    * carries a deterministic md5-derived quality tag, the best tag per
+    * semantic cluster survives (ties to the lower id), and DuckDB
+    * re-derives the same md5 arithmetic to decide which side of each
+    * planted {v, v+1e6} cluster must win — so roughly half the survivors
+    * are planted copies, unlike `semdedup`'s all-originals answer: the
+    * policy path is what's under test, not reachability. */
+  private def semdedupBest(s: SparkSession, dir: String): DataFrame = {
+    val scored = plantedEmbeddings(s, dir).withColumn("__q",
+      substring(md5(concat(lit("q"), col("vec_id").cast("string"))), 1, 8))
+    Dedup.semanticDedup(scored, "embedding", "vec_id", threshold = 0.9,
+        maxCell = Int.MaxValue, keepBy = Some(col("__q")))
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Frequent tokens (heavy hitters) via a Misra-Gries candidate sketch +
+    * exact restricted recount — output exactly the tokens covering ≥ 0.2%
+    * of all token occurrences, with exact counts. The sketch pass is one
+    * scan reduced map-side to ≤k-entry buffers
+    * ([[graft.functions.MisraGriesAgg]]) — only buffers cross the
+    * exchange; the vocabulary NEVER shuffles. The MG guarantee (any item
+    * with true count > n/(k+1) survives; k = 2000 ≫ 1/0.002) makes the
+    * candidate set a PROVEN superset of the answer, so the exact recount —
+    * one more scan filtered by the ≤k broadcast candidates, grouped on ≤k
+    * keys — returns the exact frequent set deterministically even though
+    * the sketch's survivor set is merge-order-dependent (Spark task
+    * completion order varies run to run). DuckDB recomputes the frequent
+    * set exactly via the full vocabulary group-by the engine avoids;
+    * integer threshold arithmetic (cnt·1000 ≥ n·2) keeps both engines
+    * bit-identical. The contrast query is `vocab_topk`, which pays the
+    * full (gram → df) exchange for exact top-k by document frequency. */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = tab(s, dir, "documents")
+      .select(T.tokens(lower(col("text"))).as("__toks"))
+    val cands = toks
+      .agg(graft.functions.MisraGriesAgg(col("__toks"), 2000).as("__mg"))
+      .select(explode(col("__mg")).as("__c"))
+      .select(col("__c.item").as("tok"))
+    val flat = toks.select(explode(col("__toks")).as("tok"))
+    val total = flat.agg(count(lit(1)).as("__n"))
+    flat.join(broadcast(cands), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .filter(col("cnt") * 1000 >= col("__n") * 2 && col("tok") =!= "")
+      .select(col("tok"), col("cnt"))
+      .orderBy("tok")
+  }
+
   /** Approximate kNN-graph construction ([[Similarity.knnJoin]]: both
     * sides shuffled on quantizer-cell keys, nProbe = 1 — the
     * cluster-prune regime; never a broadcast of the corpus) under a
@@ -1414,7 +1464,9 @@ object Queries {
     "embcos_pairs" -> embcosPairs _,
     "semdedup_pairs" -> semdedupPairs _,
     "semdedup" -> semdedupQ _,
+    "semdedup_best" -> semdedupBest _,
     "knn_join" -> knnJoinQ _,
+    "heavy_hitters" -> heavyHitters _,
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
     "pq_topk" -> pqTopKQ _,
@@ -2463,6 +2515,32 @@ object Queries {
     // +1e6 id alive, an over-merge would kill an original id
     "semdedup" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""".stripMargin,
+    // keepBy survivor policy: per planted cluster the side with the
+    // smaller md5('q' || id) tag wins (ties to the lower id); DuckDB
+    // re-derives the tag comparison per cluster
+    "semdedup_best" ->
+      """SELECT CASE WHEN substring(md5('q' || CAST(vec_id AS VARCHAR)), 1, 8)
+        |         <= substring(md5('q' || CAST(vec_id + 1000000 AS VARCHAR)), 1, 8)
+        |       THEN vec_id ELSE vec_id + 1000000 END AS vec_id
+        |FROM embeddings
+        |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '19999999'
+        |UNION ALL
+        |SELECT vec_id FROM embeddings
+        |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) >= '19999999'
+        |ORDER BY vec_id""".stripMargin,
+    // exact frequent set: DuckDB pays the full vocabulary group-by the
+    // engine's sketch+recount avoids; same integer threshold arithmetic
+    "heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tk)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tk, n
+        |WHERE tok <> ''
+        |GROUP BY tok, n.n
+        |HAVING count(*) * 1000 >= n.n * 2
+        |ORDER BY tok""".stripMargin,
     // exact rows for the planted copies' rank-1 neighbors (their twins,
     // cosine re-derived); graph-sanity booleans expected true
     "knn_join" ->

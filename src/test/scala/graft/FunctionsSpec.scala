@@ -336,4 +336,55 @@ class FunctionsSpec extends SparkSpec {
     b1 shouldBe b2
     b1 should (be >= 0L and be < 16L)
   }
+
+  test("MisraGriesAgg guarantee holds across adversarial partitionings: " +
+    "every token with count > n/(k+1) survives the merged summary, " +
+    "counters never overcount, and undercount is bounded by n/(k+1)") {
+    val rnd = new scala.util.Random(7)
+    val heavy = Seq("h1" -> 400, "h2" -> 250, "h3" -> 120)
+    val tail = Seq.fill(3000)(s"t${rnd.nextInt(1500)}")
+    val stream = rnd.shuffle(
+      heavy.flatMap { case (t, c) => Seq.fill(c)(t) } ++ tail)
+    val n = stream.size
+    val k = 50
+    val floor = n.toDouble / (k + 1)
+    val exact = stream.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = stream.grouped(5).map(_.toArray).toSeq.toDF("toks")
+        .repartition(parts)
+      val summary = df
+        .agg(graft.functions.MisraGriesAgg(col("toks"), k).as("mg"))
+        .select(explode(col("mg")).as("c"))
+        .select(col("c.item"), col("c.count"))
+        .as[(String, Long)].collect().toMap
+      summary.size should be <= k
+      exact.foreach { case (t, c) =>
+        if (c > floor) withClue(s"parts=$parts heavy token $t ($c > $floor): ") {
+          summary.keySet should contain(t)
+        }
+      }
+      summary.foreach { case (t, est) =>
+        est should be <= exact(t)
+        est.toDouble should be >= (exact(t) - floor - 1e-9)
+      }
+    }
+  }
+
+  test("MisraGriesAgg skips null arrays and null elements, sorts output by " +
+    "(count desc, item), and rejects k < 1 at construction") {
+    val df = spark.range(1).select(
+        array(lit("b"), lit("a"), lit(null).cast("string"), lit("a")).as("toks"))
+      .unionByName(spark.range(1).select(
+        lit(null).cast("array<string>").as("toks")))
+    val out = df.agg(graft.functions.MisraGriesAgg(col("toks"), 10).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item"), col("c.count"))
+      .as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("a", 2L), ("b", 1L))
+    intercept[IllegalArgumentException] {
+      graft.functions.MisraGriesAgg(col("toks"), 0)
+    }
+  }
 }
