@@ -90,8 +90,11 @@ object Bench {
     // box degrades to fewer recorded passes instead of an unboundedly
     // long bench — the min-of-passes headline and pass_total_median stay
     // meaningful at any recorded count >= the configured minimum.
+    // 1200 fits the 83-query inventory: 2 warm-ups + the 3-pass minimum
+    // land near 600 alone, which left the until-two-agree chase no room
+    // (round-11 run: budget exhausted at 3 passes, repeat delta 8.9%).
     val maxSeconds = sys.env.get("SPARK_GRAFT_BENCH_MAX_SECONDS")
-      .flatMap(_.trim.toDoubleOption).getOrElse(600.0)
+      .flatMap(_.trim.toDoubleOption).getOrElse(1200.0)
     val perPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
       outOfTime = () => (System.nanoTime() - runStart) / 1e9 > maxSeconds)(
       () => runPass())

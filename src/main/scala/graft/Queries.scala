@@ -614,6 +614,64 @@ object Queries {
         (abs(col("__approx_part") - col("exact_part"))
           <= col("exact_part") * (3 * 0.05)).as("part_within_bounds"))
 
+  /** `approx_percentile` (mergeable rank sketch, bounded memory) under
+    * its documented rank contract — the scale companion the exact
+    * `percentiles` query's scaladoc points to: per group, the rank of
+    * the estimated median must sit within n/accuracy of n/2. The rank
+    * is recomputed ENGINE-SIDE as exact integer arithmetic (one more
+    * aggregation over the group), so the boolean is deterministic;
+    * DuckDB recomputes the group sizes and expects it true. */
+  private def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = tab(s, dir, "orders")
+    val acc = 1000
+    val est = o.groupBy("o_orderstatus")
+      .agg(expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("__med"))
+    o.join(broadcast(est), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= col("__med"), 1L).otherwise(0L))
+          .as("__rank"))
+      .select(col("o_orderstatus"), col("n"),
+        // +1 absorbs the <=-vs-< rank convention at the estimate itself
+        (abs(col("__rank") - col("n") / 2.0)
+          <= col("n") / acc.toDouble + 1.0).as("median_rank_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Mergeable-sketch cardinality rollup: one Apache DataSketches HLL
+    * sketch per group (`hll_sketch_agg`) merged once more
+    * (`hll_union_agg`) into a corpus-wide estimate — the 100 TB
+    * cardinality pattern: sketch each slice ONCE, merge anywhere;
+    * re-aggregation to any coarser grouping never re-scans the data,
+    * unlike `countDistinct`, which cannot roll up (distinct counts are
+    * not additive). Bounded-assertion contract like `approx_distinct`:
+    * the sketch VALUE is engine-specific but its CONTRACT is not — the
+    * per-group and MERGED estimates must sit within the 3·rse band of
+    * the exact counts (lgConfigK = 12 → rse ≈ 1.04/√4096 ≈ 1.63%),
+    * which DuckDB recomputes exactly. Deterministic: HLL updates are
+    * order- and duplication-insensitive. */
+  private def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = tab(s, dir, "lineitem")
+    val band = 3 * 0.0163
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("__sk"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val merged = perGroup.agg(
+      expr("hll_sketch_estimate(hll_union_agg(__sk, true))").as("__est_all"))
+    val overallExact = li.agg(countDistinct(col("l_partkey")).as("__exact_all"))
+    perGroup
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(expr("hll_sketch_estimate(__sk)") - col("exact_parts"))
+          <= col("exact_parts") * band).as("group_within_bounds"))
+      .crossJoin(merged).crossJoin(overallExact)
+      .select(col("l_returnflag"), col("exact_parts"),
+        col("group_within_bounds"),
+        col("__exact_all").as("exact_all"),
+        (abs(col("__est_all") - col("__exact_all"))
+          <= col("__exact_all") * band).as("merged_within_bounds"))
+      .orderBy("l_returnflag")
+  }
+
   /** MinHash-LSH pairs as an EXACT row-level contract with NO embedded
     * exact-pair branch (the `embcos_pairs` pattern; r9's bounded-assertion
     * form recomputed the full exact-Jaccard pair set via the inverted-index
@@ -833,7 +891,12 @@ object Queries {
     * set exactly via the full vocabulary group-by the engine avoids;
     * integer threshold arithmetic (cnt·1000 ≥ n·2) keeps both engines
     * bit-identical. The contrast query is `vocab_topk`, which pays the
-    * full (gram → df) exchange for exact top-k by document frequency. */
+    * full (gram → df) exchange for exact top-k by document frequency.
+    * Cost trade measured honestly in SCALEPROBE `heavy_hitters_scale`:
+    * identical outputs at 10×, with the sketch path slower on a single
+    * box (the vocabulary exchange is in-memory-cheap there) — its win is
+    * the O(k·partitions)-vs-O(vocabulary) exchange volume, which matters
+    * when the shuffle is network-bound across executors. */
   private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = tab(s, dir, "documents")
       .select(T.tokens(lower(col("text"))).as("__toks"))
@@ -1467,6 +1530,8 @@ object Queries {
     "semdedup_best" -> semdedupBest _,
     "knn_join" -> knnJoinQ _,
     "heavy_hitters" -> heavyHitters _,
+    "hll_rollup" -> hllRollup _,
+    "approx_percentiles" -> approxPercentiles _,
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
     "pq_topk" -> pqTopKQ _,
@@ -2528,6 +2593,27 @@ object Queries {
         |SELECT vec_id FROM embeddings
         |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) >= '19999999'
         |ORDER BY vec_id""".stripMargin,
+    // rank-sketch contract: group sizes recomputed exactly; the rank-band
+    // boolean expected true
+    "approx_percentiles" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS median_rank_ok
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // mergeable-sketch rollup: exact counts recomputed; per-group and
+    // merged 3-sigma sketch-contract booleans expected true
+    "hll_rollup" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY l_returnflag),
+        |a AS (SELECT count(DISTINCT l_partkey) AS exact_all FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(g.exact_parts AS BIGINT) AS exact_parts,
+        |  TRUE AS group_within_bounds,
+        |  CAST(a.exact_all AS BIGINT) AS exact_all,
+        |  TRUE AS merged_within_bounds
+        |FROM g, a
+        |ORDER BY l_returnflag""".stripMargin,
     // exact frequent set: DuckDB pays the full vocabulary group-by the
     // engine's sketch+recount avoids; same integer threshold arithmetic
     "heavy_hitters" ->
