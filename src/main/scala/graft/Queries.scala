@@ -914,6 +914,40 @@ object Queries {
       .orderBy("tok")
   }
 
+  /** End-to-end SEMANTIC curation — the embedding-space analogue of
+    * `corpus_dedup`'s text pipeline, composed as ONE hash-green contract:
+    * join each document to its embedding (the fixtures are 1:1 by id),
+    * score text quality once, keep quality ≥ 0.5, SemDeDup the survivors
+    * (cluster-then-prune over directions, best-quality representative,
+    * ties to the lower id), and account the surviving corpus per
+    * language. Planted copies carry IDENTICAL text (same quality — they
+    * pass the filter iff the original does, and tie the keepBy so the
+    * original wins) and a ×2-scaled embedding (same direction — co-cell
+    * recall is the usual theorem), so the surviving set is exactly the
+    * quality-passing originals: DuckDB replays quality, filter, and the
+    * per-language aggregates without needing the clustering at all. */
+  private def corpusSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val base = tab(s, dir, "documents")
+      .join(tab(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("embedding"))
+    val planted = base
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+        lit(T.coinThreshold(0.1)))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("text"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val scored = base.unionByName(planted)
+      .withColumn("__q", T.qualityScore(col("text")))
+      .filter(col("__q") >= 0.5)
+    Dedup.semanticDedup(scored, "embedding", "doc_id",
+        threshold = 0.9, maxCell = Int.MaxValue,
+        keepBy = Some(negate(col("__q"))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Approximate kNN-graph construction ([[Similarity.knnJoin]]: both
     * sides shuffled on quantizer-cell keys, nProbe = 1 — the
     * cluster-prune regime; never a broadcast of the corpus) under a
@@ -1528,6 +1562,7 @@ object Queries {
     "semdedup_pairs" -> semdedupPairs _,
     "semdedup" -> semdedupQ _,
     "semdedup_best" -> semdedupBest _,
+    "corpus_semdedup" -> corpusSemdedup _,
     "knn_join" -> knnJoinQ _,
     "heavy_hitters" -> heavyHitters _,
     "hll_rollup" -> hllRollup _,
@@ -2580,6 +2615,41 @@ object Queries {
     // +1e6 id alive, an over-merge would kill an original id
     "semdedup" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""".stripMargin,
+    // composed semantic curation: survivors = quality-passing originals
+    // (identical planted text ties the keepBy; the lower id — the
+    // original — wins), restricted to docs that HAVE an embedding (the
+    // join side; only 2000 of 5000 docs carry vectors at sf0.1). DuckDB
+    // replays quality + filter + join + per-language accounting; the
+    // clustering itself cancels out of the answer by construction.
+    "corpus_semdedup" ->
+      """WITH qq AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE CAST(length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(d.text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop,
+        |    length(d.text) AS nchar
+        |  FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id),
+        |r AS (
+        |  SELECT doc_id, lang, ntok, nchar, praw,
+        |    CASE WHEN ntok = 0 THEN 0.0
+        |         ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END AS sraw
+        |  FROM qq),
+        |scored AS (
+        |  SELECT doc_id, lang, ntok,
+        |    round(least(CAST(nchar AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least(sraw * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM r)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM scored WHERE quality >= 0.5
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // keepBy survivor policy: per planted cluster the side with the
     // smaller md5('q' || id) tag wins (ties to the lower id); DuckDB
     // re-derives the tag comparison per cluster

@@ -70,6 +70,41 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: tumbling agg under the RocksDB state store equals the " +
+    "default provider — the large-state path (state spills to local " +
+    "disk instead of living on the executor heap at 100 TB key " +
+    "cardinalities) is a config swap, not an operator change") {
+    // provider is a session conf read at query start: isolate it on a
+    // cloned session so the shared session's default provider is untouched
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventWindows.tumbling(
+      EventWindows.withLateDataBound(
+        mem.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes"),
+      "ts", "1 hour")
+    val q = agg.writeStream
+      .format("memory").queryName("ew_rocksdb").outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01 00:05:00"), "click", 1.0),
+        (ts("2024-01-01 00:15:00"), "click", 2.0))
+      q.processAllAvailable()
+      // cross-batch state update — the part the provider actually owns
+      mem.addData((ts("2024-01-01 00:25:00"), "click", 4.0),
+        (ts("2024-01-01 01:05:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = s2.table("ew_rocksdb")
+        .select("event_type", "n", "total_value")
+        .orderBy("event_type").collect()
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe
+        Array(("click", 3L, 7.0), ("view", 1L, 8.0))
+      // the provider actually engaged (not a silent fallback)
+      q.lastProgress.stateOperators should not be empty
+    } finally q.stop()
+  }
+
   test("streaming from parquet files equals the batch aggregate " +
     "(same operator, readStream source)") {
     // file source needs a directory; stage the fixture file into one
