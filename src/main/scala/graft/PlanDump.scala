@@ -32,7 +32,10 @@ object PlanDump {
       "ivfpq_topk" -> "IVF-PQ composition: probe cells restrict the ADC join on (__cell); shortlist re-ranked exact — probe-fraction and per-row savings multiply",
       "chargram_lm" -> "model pass map-side combined + TakeOrderedAndProject topV cut; scoring via broadcast model join into the exploded scan, per-doc re-agg partial-aggregated",
       "semdedup_pairs" -> "cluster-then-prune: one cached cell-assignment pass; only (id, cell) keys shuffle into the pair join; per-candidate exact-cosine verify joins payloads by id",
-      "knn_join" -> "kNN self-join: both sides shuffle on the cached cell assignment (no corpus broadcast); per-query bounded top-k partial aggregation"
+      "knn_join" -> "kNN self-join: both sides shuffle on the cached cell assignment (no corpus broadcast); per-query bounded top-k partial aggregation",
+      "heavy_hitters" -> "MG sketch pass reduces map-side to bounded buffers (ObjectHashAggregate over binary state); recount joins the broadcast <=k candidate set — the vocabulary never shuffles",
+      "hll_rollup" -> "per-group DataSketches HLL partial-aggregated map-side; union-merge re-aggregates sketches without re-scanning the fact table",
+      "corpus_semdedup" -> "composed semantic curation: quality scored once pre-filter; doc-embedding equi join; cell keys shuffle into the pair join; per-language re-agg partial-aggregated"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")

@@ -1036,10 +1036,11 @@ object Dedup {
                          seed: Long = 42L, maxCell: Int = 2000): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     val unit = Similarity.unitized(df, vecCol, idCol)
+    val known = unit.count()
     val cells =
-      if (nCells > 0) nCells else Similarity.autoCells(unit.count())
+      if (nCells > 0) nCells else Similarity.autoCells(known)
     val centroids = Similarity.fitCentroids(
-      unit.select(col("__unit")), "__unit", cells, seed)
+      unit.select(col("__unit")), "__unit", cells, seed, knownRows = known)
     val keyed = unit.select(col(idCol),
       Similarity.nearestCell(col("__unit"), centroids)
         .cast("string").as("__key"))

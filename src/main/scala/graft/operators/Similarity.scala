@@ -154,7 +154,8 @@ object Similarity {
   private[graft] def fitCentroids(corpus: DataFrame, vecCol: String,
                                   nCells: Int, seed: Long,
                                   fitSampleFraction: Double = 0.0,
-                                  fitSampleRows: Int = 4096): Array[Array[Double]] = {
+                                  fitSampleRows: Int = 4096,
+                                  knownRows: Long = -1L): Array[Array[Double]] = {
     val targetRows = math.max(fitSampleRows, 32 * nCells)
     val vecs = corpus.select(V.toDouble(col(vecCol)).as("__v"))
     // Only the AUTO path caps with limit(): its sample() was already sized
@@ -169,8 +170,10 @@ object Similarity {
       else if (fitSampleFraction >= 1.0) vecs
       else {
         // auto: parquet count is row-group-metadata cheap; oversample 10%
-        // then cap, so the collect stays bounded
-        val n = vecs.count()
+        // then cap, so the collect stays bounded. Callers that already
+        // counted for autoCells pass knownRows — one scan, not two (a
+        // union-with-transforms corpus makes the count a real pass).
+        val n = if (knownRows >= 0) knownRows else vecs.count()
         if (n <= targetRows) vecs
         else vecs.sample(withReplacement = false,
           math.min(1.0, targetRows.toDouble * 1.1 / n), seed)
@@ -259,10 +262,11 @@ object Similarity {
               k: Int, nCells: Int = 0, nProbe: Int = 0,
               seed: Long = 42L, fitSampleFraction: Double = 0.0,
               fitSampleRows: Int = 4096): DataFrame = {
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val known = if (nCells > 0) -1L else corpus.count()
+    val cells = if (nCells > 0) nCells else autoCells(known)
     val probes = if (nProbe > 0) nProbe else math.max(1, cells / 8)
     val centroids = fitCentroids(corpus, vecCol, cells, seed,
-      fitSampleFraction, fitSampleRows)
+      fitSampleFraction, fitSampleRows, knownRows = known)
     val assigned = corpus
       .select(col(idCol), col(vecCol),
         nearestCell(col(vecCol), centroids).as("__cell"),
@@ -301,9 +305,10 @@ object Similarity {
                fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val known = if (nCells > 0) -1L else corpus.count()
+    val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed,
-      fitSampleFraction, fitSampleRows)
+      fitSampleFraction, fitSampleRows, knownRows = known)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(root)
@@ -351,12 +356,27 @@ object Similarity {
     * probe ranks, so retrieved neighbors are still exactly scored; if
     * batch atomicity matters, schedule probes around appends
     * (SimilaritySpec pins the prefix-visibility contract). */
+  /** Standing coarse quantizer of a persisted index (tiny: nCells rows). */
+  private def loadCentroids(spark: SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Standing PQ codebooks of a persisted IVF-PQ index (m·ksub rows). */
+  private def loadPqModel(spark: SparkSession, path: String): PqModel = {
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    val codebooks = books.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+    PqModel(codebooks.length, codebooks(0)(0).length, codebooks)
+  }
+
   def ivfAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(spark, path)
     newRows
       .withColumn("__cn", V.norm(col(vecCol)))
       .withColumn("__cell", nearestCell(col(vecCol), centroids))
@@ -519,9 +539,7 @@ object Similarity {
                    vecCol: String, idCol: String, queryIdCol: String,
                    k: Int, nProbe: Int = 0): DataFrame = {
     requireNotRebuilding(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(spark, path)
     // nProbe <= 0: probe 1/8 of the index's cells — tied to the stored
     // cell count the same way ivfTopK's default is, so a √n-sized index
     // keeps its scored fraction instead of collapsing recall
@@ -627,9 +645,10 @@ object Similarity {
     require(idCol != "query_id",
       "idCol must not be named query_id — the self-join needs both roles")
     val unit = unitized(corpus, vecCol, idCol)
-    val cells = if (nCells > 0) nCells else autoCells(unit.count())
+    val known = unit.count()
+    val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(unit.select(col("__unit")), "__unit", cells,
-      seed, fitSampleFraction, fitSampleRows)
+      seed, fitSampleFraction, fitSampleRows, knownRows = known)
     // assignment is nCells generated dot products per row and feeds three
     // consumers (size guard, candidate side, query side) — compute it once
     val assigned = unit.withColumn("__cell",
@@ -846,10 +865,11 @@ object Similarity {
                 m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
                 seed: Long = 42L, fitSampleRows: Int = 4096): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val known = if (nCells > 0) -1L else corpus.count()
+    val cells = if (nCells > 0) nCells else autoCells(known)
     val probes = if (nProbe > 0) nProbe else math.max(1, cells / 8)
     val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
-      fitSampleRows)
+      fitSampleRows, knownRows = known)
     val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
     val encoded = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
         model)
@@ -888,9 +908,10 @@ object Similarity {
                  seed: Long = 42L, fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cells = if (nCells > 0) nCells else autoCells(corpus.count())
+    val known = if (nCells > 0) -1L else corpus.count()
+    val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
-      fitSampleRows)
+      fitSampleRows, knownRows = known)
     val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -915,6 +936,28 @@ object Similarity {
       spark.catalog.refreshByPath(s"$path/$d"))
   }
 
+  /** Extend a persisted IVF-PQ index in place: new rows are encoded with
+    * the STANDING codebooks and assigned with the STANDING centroids —
+    * quantizer, codebooks, and existing cells are untouched, so the
+    * append writes only new part files into the cell directories, with
+    * the same prefix-visibility contract as [[ivfAppend]] (a concurrent
+    * probe sees a consistent smaller index, never torn metadata).
+    * Refuses a fenced index. Codes stay exact FOR THE RETAINED model —
+    * what drifts under a shifted distribution is the fit quality of
+    * cells and codebooks, the [[ivfCellStats]]-triggered rebuild
+    * ([[ivfPqBuild]]) rationale, exactly as [[ivfMaintain]] argues for
+    * the plain IVF index. */
+  def ivfPqAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
+    val spark = newRows.sparkSession
+    requireNotRebuilding(spark, path)
+    val centroids = loadCentroids(spark, path)
+    val model = loadPqModel(spark, path)
+    pqEncode(newRows, vecCol, model)
+      .withColumn("__cell", nearestCell(col(vecCol), centroids))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
+    spark.catalog.refreshByPath(s"$path/data")
+  }
+
   /** Probe an [[ivfPqBuild]] index: the probed cell set becomes a literal
     * partition filter (same static pruning as [[ivfProbeTopK]]); the ADC
     * pass projects only (id, codes, norm) — parquet column pruning keeps
@@ -927,15 +970,8 @@ object Similarity {
                      shortlistFactor: Int = 4): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
     requireNotRebuilding(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val books = spark.read.parquet(s"$path/codebooks")
-      .orderBy("subspace", "code").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-    val codebooks = books.groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.map(_._2)).toArray
-    val model = PqModel(codebooks.length, codebooks(0)(0).length, codebooks)
+    val centroids = loadCentroids(spark, path)
+    val model = loadPqModel(spark, path)
     val probes = if (nProbe > 0) nProbe else math.max(1, centroids.length / 8)
     val corpus = spark.read.parquet(s"$path/data")
     val q = withProbeCells(

@@ -402,6 +402,47 @@ class SimilaritySpec extends SparkSpec {
         "query_id", k = 5)
   }
 
+  test("ivfPqAppend extends a persisted IVF-PQ index with the standing " +
+    "quantizer and codebooks: full-probe exhaustive-settings results on " +
+    "the union equal brute force, appended codes land in existing cells, " +
+    "and the fence refuses the append") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" >= 5 && $"vec_id" % 3 =!= 0)
+    val extra = emb.filter($"vec_id" >= 5 && $"vec_id" % 3 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpqa").toString
+    Similarity.ivfPqBuild(base, "embedding", path, nCells = 4, m = 16,
+      ksub = 16)
+    val cellsBefore = spark.read.parquet(s"$path/data")
+      .select("__cell").distinct().as[Int].collect().toSet
+    Similarity.ivfPqAppend(extra, "embedding", path)
+    // no new cells: the standing quantizer owns the cell space
+    spark.read.parquet(s"$path/data")
+      .select("__cell").distinct().as[Int].collect().toSet shouldBe cellsBefore
+    // every row accounted for, codes present on the appended rows
+    spark.read.parquet(s"$path/data").count() shouldBe
+      (base.count() + extra.count())
+    spark.read.parquet(s"$path/data")
+      .filter($"__codes".isNull).count() shouldBe 0L
+    // exhaustive settings (all cells probed, ample shortlist): the index
+    // over base ∪ extra must reproduce brute force exactly
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.ivfPqProbeTopK(spark, path, qs, "embedding",
+        "vec_id", "query_id", k = 5, nProbe = 4, shortlistFactor = 64)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(base.unionByName(extra), qs,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    got shouldBe want
+    // fence: a .rebuilding marker refuses the append
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".rebuilding"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.ivfPqAppend(extra, "embedding", path)
+  }
+
   test("pq top-k excludes zero vectors and fails fast on a non-divisible " +
     "subspace split") {
     val zc = corpus.unionByName(
