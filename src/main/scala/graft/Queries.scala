@@ -713,6 +713,76 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental-ingest MinHash dedup as an EXACT row-level contract —
+    * `minhash_pairs`' planted construction split across an old/new
+    * boundary. OLD corpus: the documents table. NEW batch: an
+    * identical-text copy (ids offset by 1e6) of a deterministic md5-coin
+    * 10%. Identical text ⇒ identical signature ⇒ collides in every band,
+    * and [[Dedup.minHashLshAgainst]] verifies with exact set Jaccard at
+    * threshold 1.0 — so the emitted set is exactly the
+    * identical-shingle-set pairs INVOLVING AT LEAST ONE NEW DOC: each
+    * planted copy pairs with its original plus the original's natural
+    * identical-set partners (old side, directional), and two planted
+    * copies pair iff their originals share a shingle set (new side,
+    * emitted once, id-ordered). The corpus's NATURAL old-old identical
+    * pairs — which `minhash_pairs` DOES emit on the same fixture — must
+    * NOT appear here: their absence is the incremental semantics under
+    * test (the already-deduplicated corpus is never re-paired against
+    * itself). `maxBucket` lifted for the same reason as `minhash_pairs`. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val newBatch = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+        lit(T.coinThreshold(0.1)))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val old = docs.select(col("doc_id"), col("text"))
+    Dedup.minHashLshAgainst(newBatch, old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0,
+      maxBucket = Int.MaxValue)
+      .orderBy("id_new", "id_other")
+  }
+
+  /** Asymmetric-containment pairs with planted near-subset "quotes": a
+    * 12-token prefix excerpt (ids offset by 2e6) of a deterministic
+    * md5-coin 10% of the documents. A prefix's word 3-grams are a SUBSET
+    * of its source's, so cont(quote→source) = 1.0 structurally — the
+    * one-sided shape symmetric Jaccard under-scores (a short quote inside
+    * a long page) — while the full emitted set, planted AND natural, is
+    * exact integer arithmetic over shingle sets that DuckDB re-derives
+    * completely (the shingle CTE `ngram_pairs` already proves
+    * engine-identical). threshold 0.9 keeps the emitted set
+    * subset-or-near-equal pairs only. */
+  private def containmentPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val quotes = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+        lit(T.coinThreshold(0.1)))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(T.tokens(lower(col("text"))), 1, 12)).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(quotes)
+    Dedup.containmentPairs(corpus, "text", "doc_id",
+      shingleSize = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Curriculum / data-mix planning table: per-language quality deciles
+    * via [[Selection.quantileBinsPerStratum]] — document and token mass
+    * per decile with exact score boundaries, the report read before
+    * choosing `budget_select` budgets or a curriculum schedule. ntile
+    * over the (quality desc, doc_id) total order is standard SQL (first
+    * n mod 10 bins take the extra row in both engines), so DuckDB
+    * recomputes the identical table. */
+  private def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.langId(col("text")).as("lang_id"),
+      T.qualityScore(col("text")).as("quality"),
+      T.tokenCount(col("text")).cast("long").as("ntok"))
+    Selection.quantileBinsPerStratum(scored, "lang_id", "quality", "ntok",
+      Seq(col("quality").desc, col("doc_id")), bins = 10)
+      .orderBy("lang_id", "bin")
+  }
+
   /** SimHash pairs under the bounded-assertion contract. The 64-bit sketch
     * is hash-family-specific, so the emitted pair set itself has no SQL
     * oracle; the checkable claims are: (a) emitted pairs are genuinely
@@ -1591,7 +1661,10 @@ object Queries {
     "stratified_sample" -> stratifiedSample _,
     "image_pairs" -> imagePairs _,
     "corpus_batch_prep" -> corpusBatchPrep _,
-    "shared_spans" -> sharedSpansQ _
+    "shared_spans" -> sharedSpansQ _,
+    "incremental_dedup" -> incrementalDedup _,
+    "containment_pairs" -> containmentPairsQ _,
+    "quality_deciles" -> qualityDeciles _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2586,6 +2659,114 @@ object Queries {
         |  TRUE AS sim_pairs_median_ok,
         |  TRUE AS n_sim_bounded
         |FROM nd, msp""".stripMargin,
+    // the identical-shingle-set pairs involving ≥1 planted new doc; the
+    // corpus's natural old-old identical pairs are deliberately ABSENT
+    "incremental_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM tk),
+        |fpo AS (SELECT doc_id, md5(array_to_string(list_sort(sh), chr(1))) AS f
+        |        FROM t),
+        |fpn AS (SELECT doc_id + 1000000 AS doc_id, f FROM fpo
+        |        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'),
+        |no_pairs AS (
+        |  SELECT n.doc_id AS id_new, o.doc_id AS id_other,
+        |         FALSE AS other_is_new
+        |  FROM fpn n JOIN fpo o ON n.f = o.f),
+        |nn_pairs AS (
+        |  SELECT a.doc_id AS id_new, b.doc_id AS id_other,
+        |         TRUE AS other_is_new
+        |  FROM fpn a JOIN fpn b ON a.f = b.f AND a.doc_id < b.doc_id)
+        |SELECT id_new, id_other, other_is_new, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM (SELECT * FROM no_pairs UNION ALL SELECT * FROM nn_pairs)
+        |ORDER BY id_new, id_other""".stripMargin,
+    // full exact oracle: every pair (planted quotes + natural) whose
+    // max-direction containment clears 0.9, integer arithmetic throughout
+    "containment_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tk
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, toks[1:12] AS toks FROM tk
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM corpus),
+        |s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         max(a.n) AS n_a, max(b.n) AS n_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST(inter AS DOUBLE) / n_a, 6) AS cont_a,
+        |  round(CAST(inter AS DOUBLE) / n_b, 6) AS cont_b
+        |FROM p
+        |WHERE greatest(round(CAST(inter AS DOUBLE) / n_a, 6),
+        |               round(CAST(inter AS DOUBLE) / n_b, 6)) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // per-language quality deciles: ntile over the same lang/quality
+    // arithmetic stratified_topk proves engine-identical
+    "quality_deciles" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM lang),
+        |scored AS (
+        |  SELECT doc_id, lang_id, ntok,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least((CASE WHEN ntok = 0 THEN 0.0
+        |                        ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+        |                  1.0) * 0.3, 6) AS quality
+        |  FROM lq),
+        |binned AS (
+        |  SELECT lang_id, ntok, quality,
+        |    ntile(10) OVER (PARTITION BY lang_id
+        |                    ORDER BY quality DESC, doc_id) AS bin
+        |  FROM scored)
+        |SELECT lang_id, CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens,
+        |  min(quality) AS min_score, max(quality) AS max_score
+        |FROM binned GROUP BY lang_id, bin
+        |ORDER BY lang_id, bin""".stripMargin,
     // full row-level oracle: the planted pairs (md5 coin '19999999' =
     // coinThreshold(0.1), ids offset by 1e6) with each cosine re-derived
     // against the x2-scaled copy — the emitted set must equal this exactly

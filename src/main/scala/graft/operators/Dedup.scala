@@ -185,6 +185,88 @@ object Dedup {
     result
   }
 
+  /** Incremental MinHash-LSH: near-duplicate pairs of an incoming batch
+    * against an existing corpus PLUS within the batch itself — never
+    * re-pairing the corpus against itself. This is the batch form of the
+    * 100 TB ingest loop (the streaming form with durable signature state
+    * is [[graft.streaming.StreamOps.dedupeNearAgainstStore]]): each
+    * ingested slice is checked against everything already retained, and
+    * the already-retained corpus — which has already been deduplicated —
+    * pays only its band-key scan, not the quadratic-ish candidate
+    * self-join it already paid once. Candidate generation is the same
+    * banded-signature exchange as [[minHashLsh]]; the bucket join is
+    * newKeys ⋈ (newKeys ∪ oldKeys) instead of a self-join, so candidate
+    * volume is |new|-proportional, and on a cluster the (id, bandKey)
+    * rows of the OLD side can come from a persisted signature table
+    * rather than re-tokenizing the corpus each batch.
+    *
+    * Returns (id_new, id_other, other_is_new, jaccard ≥ threshold):
+    * `id_new` is always from `newDf`; `other_is_new` says whether the
+    * duplicate is within-batch (then id_new < id_other, each batch pair
+    * emitted once) or against the old corpus (directional, new on the
+    * left). Ids SHOULD be globally unique across both sides; a new row
+    * re-using an old row's id is still matched and emitted (the re-ingest
+    * case), flagged by `other_is_new = false`. `maxBucket` caps band
+    * buckets by their COMBINED (old + new) size — the same mass-boilerplate
+    * fan-out bound as the self-join path. */
+  def minHashLshAgainst(newDf: DataFrame, oldDf: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.5,
+                        maxBucket: Int = 1000,
+                        maxBroadcastRows: Long = 1000000L): DataFrame = {
+    def shingle(d: DataFrame) = d.select(col(idCol),
+      H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
+    // both shingle relations feed a band-key branch and a verification
+    // branch; persist so tokenization runs once per side
+    val shNew = shingle(newDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val shOld = shingle(oldDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = math.max(1, numHashes / bands)
+    def keyed(rel: DataFrame) = rel
+      .select(col(idCol), H.minHash(col("__shingles"), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol),
+        explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
+      .select(col(idCol), col("__band").cast("string").as("__key"))
+    // the new side's keys are both a join input and part of the union —
+    // persist so the signature pass over the batch runs once
+    val kNew = keyed(shNew).persist(StorageLevel.MEMORY_AND_DISK)
+    val kAll = kNew.withColumn("__onew", lit(true))
+      .unionByName(keyed(shOld).withColumn("__onew", lit(false)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigKeys = kAll.groupBy("__key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("__key")
+    val candNew = sizeGatedFilterJoin(kNew, bigKeys, Seq("__key"), "left_anti",
+      maxBroadcastRows).select(col("__key"), col(idCol).as("id_new"))
+    val candAll = sizeGatedFilterJoin(kAll, bigKeys, Seq("__key"), "left_anti",
+      maxBroadcastRows)
+      .select(col("__key"), col(idCol).as("id_other"), col("__onew"))
+    val cands = candNew.join(candAll, Seq("__key"))
+      // within-batch pairs once each; old-side pairs keep every id match
+      // (same id = the re-ingest case)
+      .filter(!col("__onew") || col("id_new") < col("id_other"))
+      .select(col("id_new"), col("id_other"), col("__onew"))
+      .distinct()
+    // verification joins pick the side the candidate actually came from,
+    // so overlapping id spaces can never pair an id with the wrong text
+    def verify(c: DataFrame, otherSide: DataFrame) = c
+      .join(shNew.select(col(idCol).as("id_new"), col("__shingles").as("__sh_n")),
+        Seq("id_new"))
+      .join(otherSide.select(col(idCol).as("id_other"),
+        col("__shingles").as("__sh_o")), Seq("id_other"))
+    val verified = verify(cands.filter(col("__onew")), shNew)
+      .unionByName(verify(cands.filter(!col("__onew")), shOld))
+      .withColumn("jaccard", H.jaccard(col("__sh_n"), col("__sh_o")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_other"), col("__onew").as("other_is_new"),
+        round(col("jaccard"), 6).as("jaccard"))
+    Seq(shNew, shOld, kNew, kAll)
+      .foreach(graft.core.CacheAutoRelease.afterFirstUse)
+    verified
+  }
+
   /** Near-duplicate pairs from ANY 64-bit sketch column: chunk-LSH
     * candidates (the 64 bits split into `chunks` pieces; two sketches
     * within Hamming distance < chunks must agree on at least one whole
@@ -594,6 +676,62 @@ object Dedup {
         H.charShingles(trim(lower(col(textCol))), shingleSize).as("__shs")),
       idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy,
       minhashHashes, minhashBands, maxBucket)
+
+  /** Asymmetric shingle-CONTAINMENT pairs: for each document pair,
+    * C(A→B) = |A∩B| / |A| over distinct word `shingleSize`-grams — the
+    * near-SUBSET detector symmetric Jaccard under-scores. A 50-token
+    * quote wrapped in a 5000-token page has Jaccard ≈ 0.01 (invisible to
+    * [[ngramJaccardPairs]] at any useful threshold) but containment 1.0
+    * on the quote side; re-posts with added boilerplate, syndicated
+    * articles with navigation chrome, and quoted-reply chains all have
+    * this shape. Emitted when EITHER direction clears `threshold`; both
+    * directions' values are returned so the caller can tell subset
+    * (one-sided) from near-equality (both-sided, ≈ Jaccard).
+    *
+    * Same single-pass inverted-index join as the exact Jaccard path: one
+    * scan-side shingle pass, self-join on the shingle string (the two
+    * join inputs are identical subplans → the exchange is computed once
+    * and reused), one count per shared shingle per pair. Exact integer
+    * arithmetic — engine-independent and oracle-checkable. `maxDf` drops
+    * stop-shingles from the index while each document's DENOMINATOR still
+    * counts them (consistent with the Jaccard path), so containment on
+    * stop-heavy documents is an underestimate, never an overestimate.
+    * Scale: cost is Σ_shingle df² like every inverted-index pair join —
+    * `maxDf` is the knob that bounds it; for dense corpora route
+    * candidates through [[minHashLsh]] first and verify containment on
+    * the candidate pairs. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.8,
+                       maxDf: Long = 0L,
+                       maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val shingled = df.select(col(idCol),
+      H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs"))
+    val sh = shingled
+      .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
+        explode(col("__shs")).as("__sh"))
+    val base =
+      if (maxDf <= 0) sh
+      else {
+        val stop = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("__sh")
+        sizeGatedFilterJoin(sh, stop, Seq("__sh"), "left_anti", maxBroadcastRows)
+      }
+    val a = base.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
+    val b = base.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+    a.join(b, Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a",
+        round(col("inter").cast("double") / col("__na").cast("double"), 6))
+      .withColumn("cont_b",
+        round(col("inter").cast("double") / col("__nb").cast("double"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("cont_a"), col("cont_b"))
+  }
 
   /** N-gram Jaccard near-duplicate pairs with a cheap blocking key (the
     * minimum shingle hash — documents sharing their rarest-hashed shingle

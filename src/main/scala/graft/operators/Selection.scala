@@ -55,6 +55,38 @@ object Selection {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Per-stratum quantile-bin report: assign each row to one of `bins`
+    * equal-count bins under `rankBy` order (bin 1 = best) and aggregate
+    * per (stratum, bin) — the curriculum / data-mix planning table
+    * ("which quality decile holds how many documents and tokens per
+    * language", read before picking [[tokenBudgetPerStratum]] budgets or
+    * a curriculum schedule). `ntile` over a total order is exact and
+    * engine-independent: both Spark and standard SQL give the first
+    * `n mod bins` bins one extra row, so the report is oracle-checkable
+    * row for row. `rankBy` must totally order each stratum (tie-break on
+    * a unique id) or boundary rows land nondeterministically.
+    *
+    * The window sorts each whole stratum on one task — the same bound as
+    * [[topFractionPerStratum]]: fine to tens of millions of rows per
+    * stratum, not at an unbounded 100 TB stratum. At that scale derive
+    * approximate bin THRESHOLDS instead (`approx_percentile` of the rank
+    * score per stratum, broadcast, scan-side `CASE` assignment — the
+    * [[topFractionApproxPerStratum]] recipe generalized to `bins`
+    * boundaries); the report loses exact equal counts but needs no
+    * per-stratum sort. */
+  def quantileBinsPerStratum(df: DataFrame, strataCol: String,
+                             scoreCol: String, tokensCol: String,
+                             rankBy: Seq[Column], bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val order = Window.partitionBy(strataCol).orderBy(rankBy: _*)
+    df.withColumn("__bin", ntile(bins).over(order))
+      .groupBy(col(strataCol), col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("tokens"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+  }
+
   /** Top-fraction selection per stratum: keep each stratum's best
     * `fraction` of rows under `rankBy` order — "the top 20% quality per
     * language", the relative-threshold counterpart of the absolute top-k

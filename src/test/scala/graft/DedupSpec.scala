@@ -42,6 +42,85 @@ class DedupSpec extends SparkSpec {
     pairs.select("jaccard").as[Double].collect().foreach(_ should be >= 0.3)
   }
 
+  test("minHashLshAgainst pairs the new batch against the corpus and within " +
+    "itself, but NEVER re-pairs the old corpus against itself") {
+    val old = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // old-old dup: must NOT emit
+      (2L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of old 0 and 1
+      (11L, "entirely novel text with no duplicate partner anywhere at all"),
+      (12L, "entirely novel text with no duplicate partner anywhere at all") // new-new dup of 11
+    ).toDF("doc_id", "text")
+    val got = Dedup.minHashLshAgainst(fresh, old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 1.0)
+      .select("id_new", "id_other", "other_is_new")
+      .as[(Long, Long, Boolean)].collect().toSet
+    got shouldBe Set(
+      (10L, 0L, false), (10L, 1L, false), // new vs both old copies
+      (11L, 12L, true))                   // within-batch, emitted once, id-ordered
+  }
+
+  test("minHashLshAgainst matches a re-ingested row even under a colliding " +
+    "id, and verifies each side against its own text") {
+    val old = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (8L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    // id 7 re-ingested with identical text; id 8 re-uses an old id for
+    // DIFFERENT text (must not pair: verification reads each side's own doc)
+    val fresh = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (8L, "utterly unrelated words about container orchestration budgets")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minHashLshAgainst(fresh, old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_new", "id_other", "other_is_new")
+      .as[(Long, Long, Boolean)].collect().toSet
+    got shouldBe Set((7L, 7L, false))
+  }
+
+  test("containmentPairs scores a prefix quote 1.0 on the quote side while " +
+    "its Jaccard is far below threshold, and reports both directions") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta " +
+        (1 to 40).map(i => s"filler$i").mkString(" ")), // long page
+      (1L, "alpha beta gamma delta"),                   // its 4-token quote
+      (2L, "unrelated content entirely elsewhere")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(corpus, "text", "doc_id",
+      shingleSize = 3, threshold = 0.9).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) shouldBe (0L, 1L)
+    // quote side fully contained; page side far from it
+    r.getAs[Double]("cont_b") shouldBe 1.0
+    r.getAs[Double]("cont_a") should be < 0.1
+    // inter == the quote's whole shingle set
+    r.getAs[Long]("inter") shouldBe r.getAs[Long]("n_b")
+  }
+
+  test("containmentPairs maxDf drops stop-shingles from the index but keeps " +
+    "them in denominators (containment never overestimates)") {
+    val boiler = "common shared boilerplate header line"
+    val corpus = Seq(
+      (0L, s"$boiler unique body zero zero zero"),
+      (1L, s"$boiler unique body one one one"),
+      (2L, s"$boiler unique body two two two")
+    ).toDF("doc_id", "text")
+    val unguarded = Dedup.containmentPairs(corpus, "text", "doc_id",
+      shingleSize = 3, threshold = 0.0)
+    // every pair shares only the boilerplate shingles
+    unguarded.count() shouldBe 3
+    val guarded = Dedup.containmentPairs(corpus, "text", "doc_id",
+      shingleSize = 3, threshold = 0.0, maxDf = 2L)
+    // boilerplate grams hit df=3 > maxDf and leave the index; no shared
+    // shingles remain, so no pairs at all — and no pair ever gained score
+    guarded.count() shouldBe 0
+  }
+
   test("simhash: identical docs collide at hamming 0; near-dups within bound") {
     val pairs = Dedup.simHash(docs, "text", "doc_id", chunks = 4, maxHamming = 3)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -21,6 +21,36 @@ class SelectionSpec extends SparkSpec {
     Selection.tokenBudgetPerStratum(docs, "stratum", "n_tokens", budget,
       rankBy = Seq(col("score").desc, col("doc_id")), maxDocs = maxDocs)
 
+  test("quantileBinsPerStratum: equal-count bins under the rank order, first " +
+    "bins take the remainder, aggregates are exact per (stratum, bin)") {
+    // en has 4 docs over 3 bins -> bin 1 gets 2 rows (9,8), bins 2,3 one each;
+    // fr has 2 docs over 3 bins -> bins 1,2 get one row each, bin 3 empty
+    val out = Selection.quantileBinsPerStratum(docs, "stratum", "score",
+      "n_tokens", rankBy = Seq(col("score").desc, col("doc_id")), bins = 3)
+      .orderBy("stratum", "bin")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    out shouldBe Array(
+      ("en", 1L, 2L, 900L, 0.8, 0.9),
+      ("en", 2L, 1L, 200L, 0.7, 0.7),
+      ("en", 3L, 1L, 50L, 0.6, 0.6),
+      ("fr", 1L, 1L, 1000L, 0.9, 0.9),
+      ("fr", 2L, 1L, 1L, 0.8, 0.8))
+  }
+
+  test("quantileBinsPerStratum with bins = 1 degenerates to one whole-stratum " +
+    "row; nonpositive bins is rejected") {
+    val one = Selection.quantileBinsPerStratum(docs, "stratum", "score",
+      "n_tokens", rankBy = Seq(col("score").desc, col("doc_id")), bins = 1)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    one shouldBe Array(("en", 1L, 4L, 1150L), ("fr", 1L, 2L, 1001L))
+    an[IllegalArgumentException] should be thrownBy
+      Selection.quantileBinsPerStratum(docs, "stratum", "score", "n_tokens",
+        rankBy = Seq(col("score").desc), bins = 0)
+  }
+
   test("keeps best docs per stratum while the running token total fits; " +
     "the overflowing doc and everything ranked after it are cut") {
     val kept = select(1000L).select("doc_id", "cum_tokens")
