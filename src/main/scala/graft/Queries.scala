@@ -783,6 +783,35 @@ object Queries {
       .orderBy("lang_id", "bin")
   }
 
+  /** The no-sort scale path of `quality_deciles` under the
+    * bounded-assertion contract ([[Selection.quantileBinsApproxPerStratum]]
+    * — approx-percentile thresholds, scan-side assignment, no per-stratum
+    * sort). The sketch decides BOUNDARIES only, so the checkable claims
+    * are the sketch-error-independent invariants: per-language doc and
+    * token totals are preserved exactly (DuckDB recomputes both), bins
+    * stay within 1..10, and bin score ranges are strictly ordered (a
+    * better bin's min above every worse bin's max — verified engine-side
+    * over the ≤10-row per-language report). */
+  private def qualityDecilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val scored = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.langId(col("text")).as("lang_id"),
+      T.qualityScore(col("text")).as("quality"),
+      T.tokenCount(col("text")).cast("long").as("ntok"))
+    val bins = Selection.quantileBinsApproxPerStratum(scored, "lang_id",
+      "quality", "ntok", bins = 10)
+    val w = Window.partitionBy("lang_id").orderBy("bin")
+    bins.withColumn("__next_max", lead(col("max_score"), 1).over(w))
+      .withColumn("__ok",
+        col("__next_max").isNull || col("min_score") > col("__next_max"))
+      .groupBy("lang_id")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tokens")).as("tokens"),
+        (count(lit(1)) >= 1 && count(lit(1)) <= 10).as("bins_bounded"),
+        bool_and(col("__ok")).as("ordering_ok"))
+      .orderBy("lang_id")
+  }
+
   /** SimHash pairs under the bounded-assertion contract. The 64-bit sketch
     * is hash-family-specific, so the emitted pair set itself has no SQL
     * oracle; the checkable claims are: (a) emitted pairs are genuinely
@@ -1664,7 +1693,8 @@ object Queries {
     "shared_spans" -> sharedSpansQ _,
     "incremental_dedup" -> incrementalDedup _,
     "containment_pairs" -> containmentPairsQ _,
-    "quality_deciles" -> qualityDeciles _
+    "quality_deciles" -> qualityDeciles _,
+    "quality_deciles_approx" -> qualityDecilesApprox _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2767,6 +2797,36 @@ object Queries {
         |  min(quality) AS min_score, max(quality) AS max_score
         |FROM binned GROUP BY lang_id, bin
         |ORDER BY lang_id, bin""".stripMargin,
+    // sketch-error-independent claims only: exact per-language doc/token
+    // totals (recomputed here); the bin-structure booleans expected true
+    "quality_deciles_approx" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM lang)
+        |SELECT lang_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens,
+        |  TRUE AS bins_bounded, TRUE AS ordering_ok
+        |FROM lq GROUP BY lang_id ORDER BY lang_id""".stripMargin,
     // full row-level oracle: the planted pairs (md5 coin '19999999' =
     // coinThreshold(0.1), ids offset by 1e6) with each cosine re-derived
     // against the x2-scaled copy — the emitted set must equal this exactly

@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -887,6 +887,63 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"minhash_planted_scale",${mhEntry.tail}""")
     writeArtifact("minhash_planted_scale", mhEntry)
+    }
+
+    if (probes("incremental_dedup_scale")) {
+    // Incremental-ingest regime at SCALE×: the replica-tagged corpus (as
+    // minhash_planted_scale) is the already-deduplicated OLD side; the
+    // NEW batch is an identical-text copy of a 10% md5 coin. Claims under
+    // test: (a) planted recall stays exactly 1.0 — structural, an
+    // identical signature collides in every band; (b) minHashLshAgainst
+    // costs a small fraction of re-running the self-join minHashLsh over
+    // old ∪ new — the candidate volume an ingest loop pays per batch is
+    // |new|-proportional, not |corpus|-quadratic-ish.
+    val incDocs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val incDocsR = (0 until scale).map { i =>
+      incDocs0.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        concat(lit(s"replica$i "), col("text")).as("text"))
+    }.reduce(_ union _)
+    val incPath = java.nio.file.Files.createTempDirectory("graft_incsc")
+      .resolve("documents.parquet").toString
+    incDocsR.repartition(cpus.toInt).write.mode("overwrite").parquet(incPath)
+    val oldC = spark.read.parquet(incPath)
+    val nOld = oldC.count()
+    val newB = oldC
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+        lit(graft.functions.TextFunctions.coinThreshold(0.1)))
+      .select((col("doc_id") + plantOffset).as("doc_id"), col("text"))
+    val nNew = newB.count()
+    val incTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val found = Dedup.minHashLshAgainst(newB, oldC, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0)
+        .filter(!col("other_is_new") &&
+          col("id_new") - col("id_other") === plantOffset)
+        .count()
+      ((System.nanoTime() - t0) / 1e9, found)
+    }
+    // the non-incremental alternative the ingest loop would otherwise pay
+    val fullTimes = (1 to passes).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Dedup.minHashLsh(oldC.unionByName(newB), "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val incSec = incTimes.map(_._1).min
+    val fullSec = fullTimes.min
+    val incEntry = s"""{"scale":$scale,"old_docs":$nOld,"new_docs":$nNew,""" +
+      s""""passes":$passes,"incremental_sec":$incSec,""" +
+      s""""full_repair_sec":$fullSec,""" +
+      s""""ratio":${incSec / fullSec},""" +
+      s""""planted_found":${incTimes.head._2},""" +
+      s""""planted_recall":${incTimes.head._2.toDouble / nNew},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"incremental_dedup_scale",${incEntry.tail}""")
+    writeArtifact("incremental_dedup_scale", incEntry)
     }
 
     spark.stop()

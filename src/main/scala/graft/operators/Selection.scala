@@ -134,6 +134,45 @@ object Selection {
       .drop("__thr")
   }
 
+  /** Scale path for [[quantileBinsPerStratum]]: per-stratum bin THRESHOLDS
+    * from one `approx_percentile` aggregation pass (the interior
+    * `(1/bins … (bins−1)/bins)` quantiles of `scoreCol`, error bounded by
+    * `accuracy`), joined back under the measured broadcast gate and
+    * assigned scan-side — no per-stratum sort, no single-task stratum,
+    * the plan that survives an unbounded 100 TB stratum. Bin 1 is best
+    * (highest scores), mirroring the exact variant's rank order; a score
+    * EQUAL to a threshold lands in the worse adjacent bin, so bins
+    * never split ties (the counts-vs-tie-handling trade-off vs exact
+    * ntile, which splits ties to equalize counts). Two invariants hold
+    * REGARDLESS of sketch error: every input row lands in exactly one
+    * bin (totals are preserved), and bins' score ranges are strictly
+    * ordered — `min_score` of a better bin > `max_score` of any worse
+    * bin. Only the equal-count property is approximate. */
+  def quantileBinsApproxPerStratum(df: DataFrame, strataCol: String,
+                                   scoreCol: String, tokensCol: String,
+                                   bins: Int = 10, accuracy: Int = 10000,
+                                   maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val binned = if (bins == 1) df.withColumn("bin", lit(1L))
+    else {
+      val qs = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
+      val thresholds = df.groupBy(strataCol).agg(
+        percentile_approx(col(scoreCol), qs, lit(accuracy)).as("__thrs"))
+      Dedup.sizeGatedFilterJoin(df, thresholds, Seq(strataCol),
+          "inner", maxBroadcastRows)
+        // thresholds ascend; c = how many sit strictly below this score;
+        // bins − c maps the top segment to bin 1, the bottom to bin `bins`
+        .withColumn("bin",
+          (lit(bins) - size(filter(col("__thrs"),
+            t => t < col(scoreCol)))).cast("long"))
+    }
+    binned.groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("tokens"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+  }
+
   /** Exact-COUNT uniform sample per stratum: each stratum's first `n`
     * rows under `md5(key)` order — "exactly 100 docs per language",
     * uniform without replacement (the md5 order is independent of any

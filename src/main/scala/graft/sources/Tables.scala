@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Helpers for the parquet fixture layout (`/root/repo/TESTDATA.md`):
@@ -47,6 +47,44 @@ object Tables {
   def loadAs(spark: SparkSession, dir: String, table: String, format: String,
              options: Map[String, String] = Map.empty): DataFrame =
     spark.read.format(format).options(options).load(s"$dir/$table.$format")
+
+  /** PERMISSIVE text-format load with a quarantine channel: malformed
+    * JSON/CSV records land in the `errors` side (the raw record text +
+    * an error tag) instead of failing the scan or silently nulling every
+    * field — the SOURCE-side analogue of the sink's errors-as-data
+    * contract (reference `errors.py:6-11`, `writers.py:94-95`): one
+    * corrupt line in a 100 TB crawl costs one quarantined row, never the
+    * job. The caller supplies the EXPECTED `schema` (never inference —
+    * inference both costs an extra pass and would widen types to fit the
+    * corruption); the corrupt-record column is appended internally and
+    * does not leak into `ok`. Both outputs derive from one scan. The
+    * `errors` side carries (error tag, raw record text, the partially
+    * parsed columns) — the [[graft.core.ErrorChannel]] message+row
+    * convention, which also satisfies the engine's restriction that a
+    * raw-file query may not reference ONLY the internal corrupt-record
+    * column (the usual `.cache()` workaround would be a 100 TB landmine
+    * here). */
+  def loadWithErrors(spark: SparkSession, path: String, format: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     options: Map[String, String] = Map.empty): graft.core.ErrorChannel.Split = {
+    require(format == "json" || format == "csv",
+      s"corrupt-record quarantine applies to text formats (json, csv), got $format")
+    require(!schema.fieldNames.contains("__corrupt_record"),
+      "schema must not already contain __corrupt_record")
+    val full = schema.add("__corrupt_record", org.apache.spark.sql.types.StringType)
+    val df = spark.read.format(format)
+      .options(options)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__corrupt_record")
+      .schema(full)
+      .load(path)
+    graft.core.ErrorChannel.Split(
+      ok = df.filter(col("__corrupt_record").isNull).drop("__corrupt_record"),
+      errors = df.filter(col("__corrupt_record").isNotNull)
+        .select(lit(s"malformed $format record").as("error") +:
+          col("__corrupt_record").as("raw") +:
+          schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
 
   /** Typed load: the `Dataset[T]` face of a table for statically-typed
     * chains (SURVEY.md §1.3 — case classes where the chain is statically

@@ -51,6 +51,35 @@ class SelectionSpec extends SparkSpec {
         rankBy = Seq(col("score").desc), bins = 0)
   }
 
+  test("quantileBinsApproxPerStratum preserves totals, orders bin score " +
+    "ranges strictly, and tracks equal counts on distinct scores") {
+    val df = (1 to 30).map(i => (i.toLong, "en", i / 100.0, 10L))
+      .toDF("doc_id", "stratum", "score", "n_tokens")
+    val out = Selection.quantileBinsApproxPerStratum(df, "stratum", "score",
+      "n_tokens", bins = 3).orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    out.map(_._1) shouldBe Array(1L, 2L, 3L)
+    out.map(_._2).sum shouldBe 30L // every row lands in exactly one bin
+    // sketch-error-independent invariant: min of a better bin strictly
+    // above max of the adjacent worse bin
+    out.sliding(2).foreach { case Array(better, worse) =>
+      better._3 should be > worse._4
+    }
+    // near-equal counts on fully distinct scores
+    out.foreach(_._2.toDouble shouldBe 10.0 +- 2.0)
+  }
+
+  test("quantileBinsApproxPerStratum never splits ties: an all-equal " +
+    "stratum collapses into the single worst bin") {
+    val df = (1 to 12).map(i => (i.toLong, "en", 0.5, 1L))
+      .toDF("doc_id", "stratum", "score", "n_tokens")
+    val out = Selection.quantileBinsApproxPerStratum(df, "stratum", "score",
+      "n_tokens", bins = 4).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 4L // score == every threshold -> worst bin
+    out.head.getLong(2) shouldBe 12L
+  }
+
   test("keeps best docs per stratum while the running token total fits; " +
     "the overflowing doc and everything ranked after it are cut") {
     val kept = select(1000L).select("doc_id", "cum_tokens")

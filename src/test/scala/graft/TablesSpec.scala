@@ -94,4 +94,43 @@ class TablesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Tables.withEventTimestamp(Seq("oops").toDF("ts"))
   }
+
+  test("loadWithErrors quarantines malformed JSON lines as data and parses " +
+    "the rest; ok never carries the corrupt column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    val f = dir.resolve("rows.json")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "name": "alpha"}""",
+      """{"id": 2 "name": "missing-comma"}""", // malformed
+      """{"id": 3, "name": "gamma"}""",
+      """not json at all"""))
+    val split = Tables.loadWithErrors(spark, f.toString, "json",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    split.ok.columns.toSeq shouldBe Seq("id", "name")
+    split.ok.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "alpha"), (3L, "gamma"))
+    split.errors.columns.toSeq shouldBe Seq("error", "raw", "id", "name")
+    val errs = split.errors.collect()
+    errs.length shouldBe 2
+    errs.foreach(_.getString(0) shouldBe "malformed json record")
+    errs.map(_.getString(1)).toSet shouldBe Set(
+      """{"id": 2 "name": "missing-comma"}""", "not json at all")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("loadWithErrors quarantines CSV rows that fail the schema, keeps " +
+    "conforming rows, and rejects non-text formats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val f = dir.resolve("rows.csv")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "1,alpha", "oops,beta", "3,gamma"))
+    val split = Tables.loadWithErrors(spark, f.toString, "csv",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    split.ok.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "alpha"), (3L, "gamma"))
+    split.errors.collect().map(_.getString(1)) shouldBe Array("oops,beta")
+    an[IllegalArgumentException] should be thrownBy
+      Tables.loadWithErrors(spark, f.toString, "parquet", StructType(Nil))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
