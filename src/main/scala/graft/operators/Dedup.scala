@@ -185,6 +185,29 @@ object Dedup {
     result
   }
 
+  /** The persistable per-document LSH band keys of a corpus — the
+    * incremental-ingest STATE for [[minHashLshAgainst]]: one (idCol,
+    * band_key) row per document per band, from the same scan-side
+    * shingle → native-MinHash-signature → band pipeline [[minHashLsh]]
+    * uses. Write this once for the retained corpus, append each accepted
+    * batch's keys after ingest (the same standing-state discipline as
+    * `Similarity.ivfAppend`), and pass it as `oldKeys` — then a batch
+    * costs one scan of the BATCH plus a key join, never a re-tokenization
+    * of the corpus. All banding parameters must match between the stored
+    * keys and the queries that consume them. */
+  def minHashBandKeys(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    val rows = math.max(1, numHashes / bands)
+    df.select(col(idCol),
+      H.minHash(H.wordShingles(T.tokens(lower(col(textCol))), shingleSize),
+        numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol),
+        explode(H.lshBands(col("__sig"), bands, rows)).as("__band"))
+      .select(col(idCol), col("__band").cast("string").as("band_key"))
+  }
+
   /** Incremental MinHash-LSH: near-duplicate pairs of an incoming batch
     * against an existing corpus PLUS within the batch itself — never
     * re-pairing the corpus against itself. This is the batch form of the
@@ -192,13 +215,22 @@ object Dedup {
     * is [[graft.streaming.StreamOps.dedupeNearAgainstStore]]): each
     * ingested slice is checked against everything already retained, and
     * the already-retained corpus — which has already been deduplicated —
-    * pays only its band-key scan, not the quadratic-ish candidate
+    * pays only its band-key side, not the quadratic-ish candidate
     * self-join it already paid once. Candidate generation is the same
     * banded-signature exchange as [[minHashLsh]]; the bucket join is
     * newKeys ⋈ (newKeys ∪ oldKeys) instead of a self-join, so candidate
-    * volume is |new|-proportional, and on a cluster the (id, bandKey)
-    * rows of the OLD side can come from a persisted signature table
-    * rather than re-tokenizing the corpus each batch.
+    * volume is |new|-proportional.
+    *
+    * `oldKeys` (optional) is the amortized-state fast path: pass the
+    * persisted [[minHashBandKeys]] relation of the retained corpus
+    * (banding parameters must match) and the old side is never
+    * re-tokenized — `oldDf` is then touched ONLY to re-shingle the
+    * (rare) candidate documents for exact verification, behind a
+    * size-gated candidate-id semi-join that pushes the id filter into
+    * the old corpus scan. Without it, the old side pays one full
+    * shingle+signature scan per batch (correct, but the cost the stored
+    * keys exist to amortize; SCALEPROBE `incremental_dedup_scale`
+    * measures both regimes).
     *
     * Returns (id_new, id_other, other_is_new, jaccard ≥ threshold):
     * `id_new` is always from `newDf`; `other_is_new` says whether the
@@ -214,13 +246,13 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, threshold: Double = 0.5,
                         maxBucket: Int = 1000,
-                        maxBroadcastRows: Long = 1000000L): DataFrame = {
+                        maxBroadcastRows: Long = 1000000L,
+                        oldKeys: Option[DataFrame] = None): DataFrame = {
     def shingle(d: DataFrame) = d.select(col(idCol),
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
-    // both shingle relations feed a band-key branch and a verification
-    // branch; persist so tokenization runs once per side
+    // the batch's shingles feed the band-key branch and both verification
+    // branches; persist so batch tokenization runs once
     val shNew = shingle(newDf).persist(StorageLevel.MEMORY_AND_DISK)
-    val shOld = shingle(oldDf).persist(StorageLevel.MEMORY_AND_DISK)
     val rows = math.max(1, numHashes / bands)
     def keyed(rel: DataFrame) = rel
       .select(col(idCol), H.minHash(col("__shingles"), numHashes).as("__sig"))
@@ -231,8 +263,18 @@ object Dedup {
     // the new side's keys are both a join input and part of the union —
     // persist so the signature pass over the batch runs once
     val kNew = keyed(shNew).persist(StorageLevel.MEMORY_AND_DISK)
+    // old shingles are materialized only on the no-stored-keys path; with
+    // oldKeys the verification side re-shingles candidates alone
+    val shOldFull = oldKeys match {
+      case None => Some(shingle(oldDf).persist(StorageLevel.MEMORY_AND_DISK))
+      case Some(_) => None
+    }
+    val kOld = oldKeys match {
+      case Some(keys) => keys.select(col(idCol), col("band_key").as("__key"))
+      case None => keyed(shOldFull.get)
+    }
     val kAll = kNew.withColumn("__onew", lit(true))
-      .unionByName(keyed(shOld).withColumn("__onew", lit(false)))
+      .unionByName(kOld.withColumn("__onew", lit(false)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bigKeys = kAll.groupBy("__key")
       .agg(count(lit(1)).as("__bucket_n"))
@@ -249,6 +291,16 @@ object Dedup {
       .filter(!col("__onew") || col("id_new") < col("id_other"))
       .select(col("id_new"), col("id_other"), col("__onew"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // old-side verification shingles: the full cached relation when it
+    // exists anyway, else only the candidate documents — the id filter
+    // pushes into the old corpus scan behind the size gate
+    val shOldVerify = shOldFull.getOrElse {
+      val candOldIds = cands.filter(!col("__onew"))
+        .select(col("id_other").as(idCol)).distinct()
+      shingle(sizeGatedFilterJoin(oldDf, candOldIds, Seq(idCol), "left_semi",
+        maxBroadcastRows))
+    }
     // verification joins pick the side the candidate actually came from,
     // so overlapping id spaces can never pair an id with the wrong text
     def verify(c: DataFrame, otherSide: DataFrame) = c
@@ -257,12 +309,12 @@ object Dedup {
       .join(otherSide.select(col(idCol).as("id_other"),
         col("__shingles").as("__sh_o")), Seq("id_other"))
     val verified = verify(cands.filter(col("__onew")), shNew)
-      .unionByName(verify(cands.filter(!col("__onew")), shOld))
+      .unionByName(verify(cands.filter(!col("__onew")), shOldVerify))
       .withColumn("jaccard", H.jaccard(col("__sh_n"), col("__sh_o")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_other"), col("__onew").as("other_is_new"),
         round(col("jaccard"), 6).as("jaccard"))
-    Seq(shNew, shOld, kNew, kAll)
+    (Seq(shNew, kNew, kAll, cands) ++ shOldFull.toSeq)
       .foreach(graft.core.CacheAutoRelease.afterFirstUse)
     verified
   }

@@ -11,48 +11,71 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** As-of join: for every left row, attach the single right row with the
-    * greatest `rightTs` ≤ the left row's `leftTs`, matching on `keys`
-    * (backward as-of, the market-data/event-attribution semantic).
+    * greatest `rightTs` ≤ the left row's `leftTs` (`direction =
+    * "backward"`, the default — the market-data/event-attribution
+    * semantic) or the smallest `rightTs` ≥ `leftTs` (`direction =
+    * "forward"`, next-event attribution), matching on `keys`.
     *
     * Implementation is the scalable union-and-carry pattern, NOT a per-row
     * range probe: tag both inputs, union them, and run ONE window pass
-    * partitioned by key and ordered by (ts, side) where right rows sort
-    * before left rows at equal timestamps (so `ts_right == ts_left`
-    * matches). `last(_, ignoreNulls)` over an unbounded-preceding frame
-    * carries the latest right payload forward into each left row. Cost: a
+    * partitioned by key and ordered by (ts, side) — descending ts for the
+    * forward direction — where right rows sort before left rows at equal
+    * timestamps (so `ts_right == ts_left` matches inclusively either
+    * way). `last(_, ignoreNulls)` over an unbounded-preceding frame
+    * carries the nearest right payload into each left row. Cost: a
     * single shuffle+sort on the key — the same price as one sort-merge
     * join — with no range-explosion, no skew amplification beyond the key
     * distribution itself.
     *
+    * `tolerance` (optional) bounds the match distance: a carried match
+    * whose |leftTs − rightTs| exceeds it is nulled out (the row keeps
+    * left-outer semantics rather than disappearing). It is compared
+    * against the ts DIFFERENCE in the ts columns' own algebra — pass
+    * `expr("INTERVAL '300' SECOND")` for timestamp columns, a numeric
+    * literal for numeric ts columns. Evaluated post-window, so it costs
+    * one scan-side projection, never a second exchange.
+    *
     * Right columns (except keys/ts) are appended with `rightPrefix`; left
-    * rows with no prior right row get nulls (left-outer semantics).
+    * rows with no matching right row get nulls (left-outer semantics).
+    * Ties (several right rows at one ts) resolve to the greatest payload
+    * struct when the payload type is orderable, else arbitrarily.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightPrefix: String = ""): DataFrame = {
+               rightPrefix: String = "",
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val payloadCols =
       right.columns.filterNot(c => keys.contains(c)).toSeq
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(c => payloadCols.map(rightPrefix + _).contains(c)),
       "right payload columns collide with left columns; set rightPrefix")
 
-    // must be a NULL of struct type, not a struct of nulls — last(ignoreNulls)
-    // skips only genuinely-null payloads
-    val nullPayload = lit(null).cast(org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => org.apache.spark.sql.types.StructField(
-        c, right.schema(c).dataType))))
+    // the carried struct holds the matched ts (for the tolerance bound)
+    // alongside the payload; must be a NULL of struct type, not a struct
+    // of nulls — last(ignoreNulls) skips only genuinely-null payloads
+    val nullPayload = lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__mts", right.schema(rightTs).dataType),
+      org.apache.spark.sql.types.StructField(
+        "__p", org.apache.spark.sql.types.StructType(
+          payloadCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__payload", nullPayload)
     val r = right
-      // a null rightTs can never satisfy "greatest rightTs <= leftTs";
-      // unfiltered it would sort to the partition head (asc nulls-first)
-      // and its payload would be carried into early left rows
+      // a null rightTs can never satisfy the as-of predicate; unfiltered
+      // it would sort to the partition head (asc nulls-first) and its
+      // payload would be carried into early left rows
       .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__payload", struct(payloadCols.map(col): _*))
+      .withColumn("__payload", struct(
+        col(rightTs).as("__mts"), struct(payloadCols.map(col): _*).as("__p")))
       .select((keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
         leftCols.filterNot(c => keys.contains(c)).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -69,10 +92,10 @@ object Joins {
     val payloadOrderable = payloadCols.forall(c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
         right.schema(c).dataType))
+    val tsKey = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val sortKeys =
-      if (payloadOrderable)
-        Seq(col("__ts").asc, col("__side").asc, col("__payload").asc)
-      else Seq(col("__ts").asc, col("__side").asc)
+      if (payloadOrderable) Seq(tsKey, col("__side").asc, col("__payload").asc)
+      else Seq(tsKey, col("__side").asc)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -80,9 +103,19 @@ object Joins {
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
+    val limited = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        val dist = if (direction == "backward")
+          col("__ts") - col("__match.__mts")
+        else col("__match.__mts") - col("__ts")
+        carried.withColumn("__match",
+          when(col("__match").isNotNull && dist <= tol, col("__match")))
+    }
+
     val out = leftCols.map(col) ++ payloadCols.map(c =>
-      col(s"__match.`$c`").as(rightPrefix + c))
-    carried.select(out: _*)
+      col(s"__match.__p.`$c`").as(rightPrefix + c))
+    limited.select(out: _*)
   }
 
   /** Banded (binned) batch interval join: every (left, right) pair of the

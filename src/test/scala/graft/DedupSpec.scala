@@ -82,6 +82,34 @@ class DedupSpec extends SparkSpec {
     got shouldBe Set((7L, 7L, false))
   }
 
+  test("minHashLshAgainst with persisted band keys (the amortized-state " +
+    "regime) returns exactly the same pairs as the re-tokenizing path") {
+    val old = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "entirely novel text with no duplicate partner anywhere at all"),
+      (12L, "entirely novel text with no duplicate partner anywhere at all")
+    ).toDF("doc_id", "text")
+    val keys = Dedup.minHashBandKeys(old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16)
+    keys.columns.toSeq shouldBe Seq("doc_id", "band_key")
+    def run(ok: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minHashLshAgainst(fresh, old, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 1.0,
+        oldKeys = ok)
+        .select("id_new", "id_other", "other_is_new", "jaccard")
+        .as[(Long, Long, Boolean, Double)].collect().toSet
+    val direct = run(None)
+    val stored = run(Some(keys))
+    stored shouldBe direct
+    stored.map(p => (p._1, p._2, p._3)) shouldBe Set(
+      (10L, 0L, false), (10L, 1L, false), (11L, 12L, true))
+  }
+
   test("containmentPairs scores a prefix quote 1.0 on the quote side while " +
     "its Jaccard is far below threshold, and reports both directions") {
     val corpus = Seq(

@@ -49,6 +49,57 @@ class JoinsSpec extends SparkSpec {
       Seq("k", "lts", "lv", "rts", "rv")
   }
 
+  test("asOfJoin forward direction attaches the earliest right row " +
+    "at-or-after each left row") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "t1"),  // next quote is 10:00
+      (1L, ts("2024-01-01 10:00:00"), "t2"),  // equal ts matches inclusively
+      (1L, ts("2024-01-01 10:30:00"), "t3"),  // next quote is 11:00
+      (1L, ts("2024-01-01 11:30:00"), "t4")   // nothing after -> null
+    ).toDF("key", "tts", "trade_id")
+    val out = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+      direction = "forward").orderBy("trade_id").collect()
+    out.map(r => (r.getString(2), if (r.isNullAt(4)) null else r.getDouble(4))) shouldBe
+      Array(("t1", 100.0), ("t2", 100.0), ("t3", 110.0), ("t4", null))
+  }
+
+  test("asOfJoin tolerance nulls out matches beyond the bound, keeping " +
+    "left-outer semantics, in both directions") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:02:00"), "near"),   // 2 min after the quote
+      (1L, ts("2024-01-01 10:30:00"), "far")     // 30 min after
+    ).toDF("key", "tts", "trade_id")
+    val back = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+      tolerance = Some(expr("INTERVAL '300' SECOND")))
+      .orderBy("trade_id").collect()
+    back.map(r => (r.getString(2), r.isNullAt(4))) shouldBe
+      Array(("far", true), ("near", false))
+    // forward: quotes after the trade, same 5-minute bound
+    val fwdTrades = Seq(
+      (1L, ts("2024-01-01 09:58:00"), "near"),   // 2 min before the quote
+      (1L, ts("2024-01-01 09:00:00"), "far")     // 60 min before
+    ).toDF("key", "tts", "trade_id")
+    val fwd = Joins.asOfJoin(fwdTrades, quotes, Seq("key"), "tts", "qts",
+      direction = "forward", tolerance = Some(expr("INTERVAL '300' SECOND")))
+      .orderBy("trade_id").collect()
+    fwd.map(r => (r.getString(2), r.isNullAt(4))) shouldBe
+      Array(("far", true), ("near", false))
+  }
+
+  test("asOfJoin rejects an unknown direction") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "lts", "lv")
+    val r = Seq((1L, ts("2023-12-31 00:00:00"), 9)).toDF("k", "rts", "rv")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", direction = "nearest")
+  }
+
   test("saltedCountSum equals the plain group-by") {
     val li = sources.Tables.load(spark, sf, "lineitem")
     val salted = Joins.saltedCountSum(li, Seq("l_returnflag"), "l_quantity")
