@@ -36,7 +36,7 @@ object PlanDump {
       "heavy_hitters" -> "MG sketch pass reduces map-side to bounded buffers (ObjectHashAggregate over binary state); recount joins the broadcast <=k candidate set — the vocabulary never shuffles",
       "hll_rollup" -> "per-group DataSketches HLL partial-aggregated map-side; union-merge re-aggregates sketches without re-scanning the fact table",
       "corpus_semdedup" -> "composed semantic curation: quality scored once pre-filter; doc-embedding equi join; cell keys shuffle into the pair join; per-language re-agg partial-aggregated",
-      "incremental_dedup" -> "incremental ingest: new-batch band keys join the old+new key union — the old corpus pays one signature scan, never a self-join; verification joins each side's own cached shingles",
+      "incremental_dedup" -> "incremental ingest: new-batch band keys join the old+new key union -- the old corpus pays one signature scan, never a self-join; verification joins each side's own cached shingles",
       "containment_pairs" -> "single-pass inverted-index self-join reused for asymmetric containment; the two join inputs are identical subplans (ReusedExchange), set sizes ride the exploded rows"
     )
     picks.foreach { case (name, note) =>
