@@ -742,6 +742,44 @@ object Queries {
       .orderBy("id_new", "id_other")
   }
 
+  /** The COMPOSED ingest loop under the oracle gate: which batch documents
+    * actually enter the corpus. Batch = identical-text copies (the
+    * `incremental_dedup` plant, ids +1e6) PLUS novel tagged docs (ids
+    * +3e6, a 'novel ' token prefixed so their shingle sets differ from
+    * every untagged doc). A batch doc is dropped iff it near-dups the
+    * corpus (`other_is_new = false` pair) or a SMALLER-ID batch doc
+    * (first-occurrence-wins within the batch — at threshold 1.0 identical
+    * fingerprints collide directly, so no transitive closure is needed).
+    * The oracle replays the whole construction with fingerprint
+    * arithmetic: survivors = batch docs whose sorted-shingle-set
+    * fingerprint appears in no old doc and in no earlier batch doc —
+    * fully exact, no corpus assumptions (natural collisions, if any,
+    * replay identically on both sides). */
+  private def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val coin = substring(md5(col("doc_id").cast("string")), 1, 8) <
+      lit(T.coinThreshold(0.1))
+    val copies = docs.filter(coin)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val novel = docs.filter(coin)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("novel "), col("text")).as("text"))
+    val newBatch = copies.unionByName(novel)
+    val old = docs.select(col("doc_id"), col("text"))
+    val pairs = Dedup.minHashLshAgainst(newBatch, old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 8, threshold = 1.0,
+      maxBucket = Int.MaxValue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(pairs)
+    val doomed = pairs.filter(!col("other_is_new")).select(col("id_new").as("doc_id"))
+      .unionByName(pairs.filter(col("other_is_new"))
+        .select(col("id_other").as("doc_id")))
+      .distinct()
+    newBatch.join(doomed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Asymmetric-containment pairs with planted near-subset "quotes": a
     * 12-token prefix excerpt (ids offset by 2e6) of a deterministic
     * md5-coin 10% of the documents. A prefix's word 3-grams are a SUBSET
@@ -1692,6 +1730,7 @@ object Queries {
     "corpus_batch_prep" -> corpusBatchPrep _,
     "shared_spans" -> sharedSpansQ _,
     "incremental_dedup" -> incrementalDedup _,
+    "incremental_ingest" -> incrementalIngest _,
     "containment_pairs" -> containmentPairsQ _,
     "quality_deciles" -> qualityDeciles _,
     "quality_deciles_approx" -> qualityDecilesApprox _
@@ -2716,6 +2755,42 @@ object Queries {
         |SELECT id_new, id_other, other_is_new, CAST(1.0 AS DOUBLE) AS jaccard
         |FROM (SELECT * FROM no_pairs UNION ALL SELECT * FROM nn_pairs)
         |ORDER BY id_new, id_other""".stripMargin,
+    // composed ingest loop: survivors = batch docs whose fingerprint is in
+    // no old doc and no earlier batch doc — the construction replayed whole
+    "incremental_ingest" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |coin AS (
+        |  SELECT * FROM tk
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM coin
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, 'novel ' || text AS text FROM coin),
+        |btk AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM batch),
+        |fpo AS (
+        |  SELECT md5(array_to_string(list_sort(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END), chr(1))) AS f
+        |  FROM tk),
+        |fpn AS (
+        |  SELECT doc_id, text, md5(array_to_string(list_sort(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END), chr(1))) AS f
+        |  FROM btk)
+        |SELECT n.doc_id, md5(n.text) AS text_md5
+        |FROM fpn n
+        |WHERE NOT EXISTS (SELECT 1 FROM fpo o WHERE o.f = n.f)
+        |  AND NOT EXISTS (SELECT 1 FROM fpn e
+        |                  WHERE e.f = n.f AND e.doc_id < n.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // full exact oracle: every pair (planted quotes + natural) whose
     // max-direction containment clears 0.9, integer arithmetic throughout
     "containment_pairs" ->

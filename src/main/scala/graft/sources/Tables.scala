@@ -67,24 +67,53 @@ object Tables {
   def loadWithErrors(spark: SparkSession, path: String, format: String,
                      schema: org.apache.spark.sql.types.StructType,
                      options: Map[String, String] = Map.empty): graft.core.ErrorChannel.Split = {
+    quarantineChecks(format, schema)
+    quarantineSplit(
+      spark.read.format(format)
+        .options(options ++ quarantineOptions)
+        .schema(schema.add("__corrupt_record", org.apache.spark.sql.types.StringType))
+        .load(path),
+      format, schema)
+  }
+
+  /** [[loadWithErrors]] for Structured Streaming file sources: the same
+    * PERMISSIVE parse + quarantine split over `readStream` — a corrupt
+    * line in a streamed crawl becomes one quarantined row in the errors
+    * stream (route it to its own sink), never a dead query. Both returned
+    * streams derive from one source; each started sink runs its own
+    * file-source scan of new files, as with any multi-sink stream. */
+  def streamWithErrors(spark: SparkSession, path: String, format: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       options: Map[String, String] = Map.empty): graft.core.ErrorChannel.Split = {
+    quarantineChecks(format, schema)
+    quarantineSplit(
+      spark.readStream.format(format)
+        .options(options ++ quarantineOptions)
+        .schema(schema.add("__corrupt_record", org.apache.spark.sql.types.StringType))
+        .load(path),
+      format, schema)
+  }
+
+  private def quarantineChecks(format: String,
+                               schema: org.apache.spark.sql.types.StructType): Unit = {
     require(format == "json" || format == "csv",
       s"corrupt-record quarantine applies to text formats (json, csv), got $format")
     require(!schema.fieldNames.contains("__corrupt_record"),
       "schema must not already contain __corrupt_record")
-    val full = schema.add("__corrupt_record", org.apache.spark.sql.types.StringType)
-    val df = spark.read.format(format)
-      .options(options)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "__corrupt_record")
-      .schema(full)
-      .load(path)
+  }
+
+  private val quarantineOptions = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "__corrupt_record")
+
+  private def quarantineSplit(df: DataFrame, format: String,
+                              schema: org.apache.spark.sql.types.StructType): graft.core.ErrorChannel.Split =
     graft.core.ErrorChannel.Split(
       ok = df.filter(col("__corrupt_record").isNull).drop("__corrupt_record"),
       errors = df.filter(col("__corrupt_record").isNotNull)
         .select(lit(s"malformed $format record").as("error") +:
           col("__corrupt_record").as("raw") +:
           schema.fieldNames.toIndexedSeq.map(col): _*))
-  }
 
   /** Typed load: the `Dataset[T]` face of a table for statically-typed
     * chains (SURVEY.md §1.3 — case classes where the chain is statically

@@ -110,6 +110,29 @@ class DedupSpec extends SparkSpec {
       (10L, 0L, false), (10L, 1L, false), (11L, 12L, true))
   }
 
+  test("PROPERTY: minHashLshAgainst equals the full self-join restricted to " +
+    "pairs touching the batch — exactly, at a probabilistic threshold: both " +
+    "paths derive identical signatures, so bucket collisions coincide") {
+    val words = Vector("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    (0 until 5).foreach { it =>
+      val rnd = new scala.util.Random(42 + it)
+      def doc() = (0 until (3 + rnd.nextInt(6)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+      val old = (0L until 8L).map(i => (i, doc())).toDF("doc_id", "text")
+      val fresh = (100L until 105L).map(i => (i, doc())).toDF("doc_id", "text")
+      val inc = Dedup.minHashLshAgainst(fresh, old, "text", "doc_id",
+          shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        .select("id_new", "id_other").as[(Long, Long)].collect().toSet
+        .map((p: (Long, Long)) => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      val full = Dedup.minHashLsh(old.unionByName(fresh), "text", "doc_id",
+          shingleSize = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        .filter(p => p._1 >= 100L || p._2 >= 100L)
+      withClue(s"iteration $it: ") { inc shouldBe full }
+    }
+  }
+
   test("containmentPairs scores a prefix quote 1.0 on the quote side while " +
     "its Jaccard is far below threshold, and reports both directions") {
     val corpus = Seq(

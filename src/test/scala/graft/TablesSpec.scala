@@ -118,6 +118,35 @@ class TablesSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("streamWithErrors quarantines malformed streamed JSON lines while " +
+    "the ok stream keeps parsing newly arriving files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamq")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    java.nio.file.Files.write(dir.resolve("b1.json"), java.util.Arrays.asList(
+      """{"id": 1, "name": "alpha"}""", "garbage"))
+    val split = Tables.streamWithErrors(spark, dir.toString, "json", schema)
+    split.ok.isStreaming shouldBe true
+    val qOk = split.ok.writeStream.format("memory")
+      .queryName("sq_ok").outputMode("append").start()
+    val qErr = split.errors.writeStream.format("memory")
+      .queryName("sq_err").outputMode("append").start()
+    try {
+      qOk.processAllAvailable(); qErr.processAllAvailable()
+      spark.table("sq_ok").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "alpha"))
+      spark.table("sq_err").collect().map(_.getString(1)) shouldBe Array("garbage")
+      // a new file arrives: both branches pick it up on the next batch
+      java.nio.file.Files.write(dir.resolve("b2.json"), java.util.Arrays.asList(
+        """{"id": 2, "name": "beta"}""", """{"id": oops}"""))
+      qOk.processAllAvailable(); qErr.processAllAvailable()
+      spark.table("sq_ok").orderBy("id").collect()
+        .map(_.getLong(0)) shouldBe Array(1L, 2L)
+      spark.table("sq_err").count() shouldBe 2L
+    } finally { qOk.stop(); qErr.stop() }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("loadWithErrors quarantines CSV rows that fail the schema, keeps " +
     "conforming rows, and rejects non-text formats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
