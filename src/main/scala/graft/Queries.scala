@@ -317,6 +317,34 @@ object Queries {
         .select(col("s_name").as("name"), lit("supplier").as("kind")))
       .orderBy("name", "kind")
 
+  /** Wide→long melt via the native `unpivot` (the inverse of `pivot_agg`);
+    * the oracle re-derives the long form with a UNION ALL, so the check is
+    * engine-portable regardless of UNPIVOT syntax differences. */
+  private def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+
+  /** Map-typed scalar functions (the map leg of the scalar sweep): build a
+    * map scan-side, read it back via element_at / map_keys / size. The
+    * oracle recomputes the extracted VALUES directly — the check is that a
+    * map round-trip preserves entries, keys, and cardinality exactly. */
+  private def mapOps(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "part")
+      .select(col("p_partkey"),
+        map(lit("retail_cents"), round(col("p_retailprice") * 100).cast("long"),
+          lit("size"), col("p_size").cast("long")).as("__m"))
+      .select(col("p_partkey"),
+        element_at(col("__m"), "size").as("size_v"),
+        element_at(col("__m"), "retail_cents").as("retail_cents"),
+        size(col("__m")).cast("long").as("n_entries"),
+        concat_ws(",", array_sort(map_keys(col("__m")))).as("keys_sorted"))
+      .orderBy("p_partkey")
+
   private def distinctAgg(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "lineitem").agg(
       countDistinct(col("l_suppkey")).as("n_supp"),
@@ -1733,7 +1761,9 @@ object Queries {
     "incremental_ingest" -> incrementalIngest _,
     "containment_pairs" -> containmentPairsQ _,
     "quality_deciles" -> qualityDeciles _,
-    "quality_deciles_approx" -> qualityDecilesApprox _
+    "quality_deciles_approx" -> qualityDecilesApprox _,
+    "unpivot_long" -> unpivotLong _,
+    "map_ops" -> mapOps _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2872,6 +2902,23 @@ object Queries {
         |  min(quality) AS min_score, max(quality) AS max_score
         |FROM binned GROUP BY lang_id, bin
         |ORDER BY lang_id, bin""".stripMargin,
+    // the long form re-derived with UNION ALL (engine-portable UNPIVOT)
+    "unpivot_long" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+        |  FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    // map round-trip must preserve entries, keys, and cardinality: the
+    // oracle recomputes the extracted values directly
+    "map_ops" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS size_v,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents,
+        |  CAST(2 AS BIGINT) AS n_entries,
+        |  'retail_cents,size' AS keys_sorted
+        |FROM part ORDER BY p_partkey""".stripMargin,
     // sketch-error-independent claims only: exact per-language doc/token
     // totals (recomputed here); the bin-structure booleans expected true
     "quality_deciles_approx" ->
