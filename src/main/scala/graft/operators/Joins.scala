@@ -13,8 +13,10 @@ object Joins {
   /** As-of join: for every left row, attach the single right row with the
     * greatest `rightTs` ≤ the left row's `leftTs` (`direction =
     * "backward"`, the default — the market-data/event-attribution
-    * semantic) or the smallest `rightTs` ≥ `leftTs` (`direction =
-    * "forward"`, next-event attribution), matching on `keys`.
+    * semantic), the smallest `rightTs` ≥ `leftTs` (`direction =
+    * "forward"`, next-event attribution), or whichever of the two is
+    * closer in time (`direction = "nearest"`; equidistant ties take the
+    * backward match), matching on `keys`.
     *
     * Implementation is the scalable union-and-carry pattern, NOT a per-row
     * range probe: tag both inputs, union them, and run ONE window pass
@@ -25,7 +27,9 @@ object Joins {
     * carries the nearest right payload into each left row. Cost: a
     * single shuffle+sort on the key — the same price as one sort-merge
     * join — with no range-explosion, no skew amplification beyond the key
-    * distribution itself.
+    * distribution itself. `nearest` computes both carries over ONE
+    * exchange (two sorts of the same partitioning) and picks the closer
+    * match scan-side.
     *
     * `tolerance` (optional) bounds the match distance: a carried match
     * whose |leftTs − rightTs| exceeds it is nulled out (the row keeps
@@ -45,8 +49,8 @@ object Joins {
                rightPrefix: String = "",
                direction: String = "backward",
                tolerance: Option[Column] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     val payloadCols =
       right.columns.filterNot(c => keys.contains(c)).toSeq
     val leftCols = left.columns.toSeq
@@ -92,25 +96,47 @@ object Joins {
     val payloadOrderable = payloadCols.forall(c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
         right.schema(c).dataType))
-    val tsKey = if (direction == "backward") col("__ts").asc else col("__ts").desc
-    val sortKeys =
+    def sortKeys(desc: Boolean) = {
+      val tsKey = if (desc) col("__ts").desc else col("__ts").asc
       if (payloadOrderable) Seq(tsKey, col("__side").asc, col("__payload").asc)
       else Seq(tsKey, col("__side").asc)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(sortKeys: _*)
+    }
+    def carryWindow(desc: Boolean) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(sortKeys(desc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-
-    val limited = tolerance match {
-      case None => carried
-      case Some(tol) =>
-        val dist = if (direction == "backward")
-          col("__ts") - col("__match.__mts")
-        else col("__match.__mts") - col("__ts")
-        carried.withColumn("__match",
-          when(col("__match").isNotNull && dist <= tol, col("__match")))
+    def trim(m: Column, dist: Column): Column = tolerance match {
+      case None => m
+      case Some(tol) => when(m.isNotNull && dist <= tol, m)
+    }
+    val distB = (m: Column) => col("__ts") - m.getField("__mts")
+    val distF = (m: Column) => m.getField("__mts") - col("__ts")
+    val limited = direction match {
+      case "nearest" =>
+        // both carries over ONE exchange (same partitioning, two sorts);
+        // each side is tolerance-trimmed first, then the closer wins and
+        // equidistant ties take the backward match
+        unioned
+          .withColumn("__mb", last(col("__payload"), ignoreNulls = true)
+            .over(carryWindow(desc = false)))
+          .withColumn("__mf", last(col("__payload"), ignoreNulls = true)
+            .over(carryWindow(desc = true)))
+          .withColumn("__mb", trim(col("__mb"), distB(col("__mb"))))
+          .withColumn("__mf", trim(col("__mf"), distF(col("__mf"))))
+          .withColumn("__match",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(distB(col("__mb")) <= distF(col("__mf")), col("__mb"))
+              .otherwise(col("__mf")))
+          .filter(col("__side") === 1)
+      case d =>
+        val desc = d == "forward"
+        val carried = unioned
+          .withColumn("__match", last(col("__payload"), ignoreNulls = true)
+            .over(carryWindow(desc)))
+          .filter(col("__side") === 1)
+        val dist =
+          if (d == "backward") distB(col("__match")) else distF(col("__match"))
+        carried.withColumn("__match", trim(col("__match"), dist))
     }
 
     val out = leftCols.map(col) ++ payloadCols.map(c =>

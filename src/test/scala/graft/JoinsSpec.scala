@@ -93,11 +93,36 @@ class JoinsSpec extends SparkSpec {
       Array(("far", true), ("near", false))
   }
 
+  test("asOfJoin nearest direction picks the closer side, breaks " +
+    "equidistant ties backward, and respects tolerance per side") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:10:00"), "t1"),  // 10 min after 10:00, 50 before 11:00
+      (1L, ts("2024-01-01 10:50:00"), "t2"),  // 10 min before 11:00
+      (1L, ts("2024-01-01 10:30:00"), "t3"),  // equidistant -> backward 10:00
+      (1L, ts("2024-01-01 09:00:00"), "t4")   // only a forward match exists
+    ).toDF("key", "tts", "trade_id")
+    val out = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+      direction = "nearest").orderBy("trade_id").collect()
+    out.map(r => (r.getString(2), r.getDouble(4))) shouldBe
+      Array(("t1", 100.0), ("t2", 110.0), ("t3", 100.0), ("t4", 100.0))
+    // tolerance trims each side BEFORE choosing: at 15 min, t3 (30 min from
+    // both quotes) and t4 (60 min out) null while t1/t2 keep their match
+    val tol = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+      direction = "nearest", tolerance = Some(expr("INTERVAL '900' SECOND")))
+      .orderBy("trade_id").collect()
+    tol.map(r => (r.getString(2), if (r.isNullAt(4)) null else r.getDouble(4))) shouldBe
+      Array(("t1", 100.0), ("t2", 110.0), ("t3", null), ("t4", null))
+  }
+
   test("asOfJoin rejects an unknown direction") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "lts", "lv")
     val r = Seq((1L, ts("2023-12-31 00:00:00"), 9)).toDF("k", "rts", "rv")
     an[IllegalArgumentException] should be thrownBy
-      Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", direction = "nearest")
+      Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", direction = "sideways")
   }
 
   test("saltedCountSum equals the plain group-by") {
