@@ -1473,6 +1473,43 @@ object Queries {
     * per-domain quality priors and robots/blocklist joins; the group-by is
     * a short-key exchange over (domain), the same plan at any corpus
     * size. */
+  /** Domain-level quality priors — the C4/RefinedWeb-style curation step:
+    * per registrable URL domain, how many documents cite it and their mean
+    * quality, flagged against the corpus-wide mean (the keep/boost signal
+    * a crawl pipeline feeds back into sampling). Quality means accumulate
+    * through an exact DECIMAL sum (quality is round-6, so decimal(18,6)
+    * is loss-free; fp addition order would otherwise split the engines),
+    * divided and re-rounded identically on both sides. URLs are the
+    * deterministic `url_stats` injection (the corpus carries none); a
+    * document citing a domain twice credits it once. */
+  private def domainQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.qualityScore(col("text")).as("quality"),
+      concat(col("text"),
+        lit(" see https://cdn"), (col("doc_id") % 5).cast("string"),
+        lit(".example.org/d/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" and http://m"), (col("doc_id") % 3).cast("string"),
+            lit(".example.net/x"))).otherwise(lit(""))).as("text"))
+    val perDomain = docs
+      .select(col("doc_id"), col("quality"),
+        explode(T.extractUrls(col("text"))).as("url"))
+      .select(col("doc_id"), col("quality"), T.urlDomain(col("url")).as("domain"))
+      .distinct()
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_quality"))
+    val corpusMean = docs.agg(
+      round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("__corpus_mean"))
+    perDomain.crossJoin(corpusMean)
+      .select(col("domain"), col("n_docs"), col("mean_quality"),
+        (col("mean_quality") >= col("__corpus_mean")).as("above_corpus_mean"))
+      .orderBy("domain")
+  }
+
   private def urlStats(s: SparkSession, dir: String): DataFrame = {
     val withUrls = tab(s, dir, "documents").select(col("doc_id"), concat(
         col("text"),
@@ -1763,7 +1800,8 @@ object Queries {
     "quality_deciles" -> qualityDeciles _,
     "quality_deciles_approx" -> qualityDecilesApprox _,
     "unpivot_long" -> unpivotLong _,
-    "map_ops" -> mapOps _
+    "map_ops" -> mapOps _,
+    "domain_quality" -> domainQuality _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2902,6 +2940,45 @@ object Queries {
         |  min(quality) AS min_score, max(quality) AS max_score
         |FROM binned GROUP BY lang_id, bin
         |ORDER BY lang_id, bin""".stripMargin,
+    // quality arithmetic as in corpus_dedup; domain extraction as in
+    // url_stats; means through the exact decimal accumulation
+    "domain_quality" ->
+      """WITH qq AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least((CASE WHEN ntok = 0 THEN 0.0
+        |                        ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+        |                  1.0) * 0.3, 6) AS quality
+        |  FROM qq),
+        |u AS (
+        |  SELECT doc_id, text || ' see https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' and http://m' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/x' ELSE '' END AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://\S+')) AS url FROM u),
+        |d AS (SELECT DISTINCT doc_id,
+        |        regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS domain FROM x),
+        |pd AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    round(CAST(sum(CAST(s.quality AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*), 6) AS mean_quality
+        |  FROM d JOIN scored s USING (doc_id) GROUP BY domain),
+        |cm AS (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |              / count(*), 6) AS m FROM scored)
+        |SELECT domain, n_docs, mean_quality,
+        |  mean_quality >= cm.m AS above_corpus_mean
+        |FROM pd, cm ORDER BY domain""".stripMargin,
     // the long form re-derived with UNION ALL (engine-portable UNPIVOT)
     "unpivot_long" ->
       """SELECT p_partkey, metric, value FROM (
