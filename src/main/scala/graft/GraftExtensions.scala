@@ -83,7 +83,17 @@ object GraftExtensions {
       { case Seq(payload, w, h) => ImageResizeExpr(payload,
           intArg(w, "image_resize"), intArg(h, "image_resize"))
         case args => throw new IllegalArgumentException(
-          s"image_resize(payload, width, height) expects 3 args, got ${args.size}") })
+          s"image_resize(payload, width, height) expects 3 args, got ${args.size}") }),
+    (FunctionIdentifier("audio_features"),
+      new ExpressionInfo(classOf[graft.functions.AudioFeaturesExpr].getName, "audio_features"),
+      { case Seq(payload) => graft.functions.AudioFeaturesExpr(payload)
+        case args => throw new IllegalArgumentException(
+          s"audio_features(payload) expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("pcm_wav"),
+      new ExpressionInfo(classOf[graft.functions.PcmWavExpr].getName, "pcm_wav"),
+      { case Seq(period, amp, n) => graft.functions.PcmWavExpr(period, amp, n)
+        case args => throw new IllegalArgumentException(
+          s"pcm_wav(period, amp, n_samples) expects 3 args, got ${args.size}") })
   )
 
   /** Imperative registration for sessions created without the extensions

@@ -479,6 +479,33 @@ object Queries {
       T.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
       .orderBy("doc_id")
 
+  /** REAL audio decode under an exact oracle: per document, synthesize a
+    * deterministic 16-bit PCM WAV ([[graft.functions.PcmWavExpr]] — a
+    * square wave whose period/amplitude/length derive from doc_id), then
+    * decode it with the JDK's `javax.sound` reader
+    * ([[graft.functions.AudioFeaturesExpr]]) and emit exact integer
+    * features. Every feature is a closed-form function of doc_id —
+    * Σ|sample| = n·amp, zero crossings = ⌊(n−1)/period⌋ — so DuckDB,
+    * which cannot decode audio, verifies the decode by recomputing the
+    * formulas: the engine must parse the RIFF header and PCM frames
+    * correctly to reproduce them. */
+  private def audioFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{AudioFeaturesExpr, PcmWavExpr}
+    val wav = PcmWavExpr(
+      (lit(20) + col("doc_id") % 30).cast("int"),
+      (lit(1000) + col("doc_id") % 100).cast("int"),
+      (lit(800) + col("doc_id") % 200).cast("int"))
+    tab(s, dir, "documents")
+      .select(col("doc_id"), AudioFeaturesExpr(wav).as("f"))
+      .select(col("doc_id"),
+        col("f.sample_rate").cast("long").as("sample_rate"),
+        col("f.channels").cast("long").as("channels"),
+        col("f.n_samples").as("n_samples"),
+        col("f.sum_abs").as("sum_abs"),
+        col("f.zero_crossings").as("zero_crossings"))
+      .orderBy("doc_id")
+  }
+
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val payload = Multimodal.asBinaryPayload(tab(s, dir, "documents"),
       "text", "text/plain")
@@ -1801,7 +1828,8 @@ object Queries {
     "quality_deciles_approx" -> qualityDecilesApprox _,
     "unpivot_long" -> unpivotLong _,
     "map_ops" -> mapOps _,
-    "domain_quality" -> domainQuality _
+    "domain_quality" -> domainQuality _,
+    "audio_features" -> audioFeaturesQ _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2940,6 +2968,16 @@ object Queries {
         |  min(quality) AS min_score, max(quality) AS max_score
         |FROM binned GROUP BY lang_id, bin
         |ORDER BY lang_id, bin""".stripMargin,
+    // the decode contract in closed form: the engine must parse RIFF/PCM
+    // bytes to reproduce what the oracle computes arithmetically
+    "audio_features" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(800 + doc_id % 200 AS BIGINT) AS n_samples,
+        |  CAST((800 + doc_id % 200) * (1000 + doc_id % 100) AS BIGINT) AS sum_abs,
+        |  CAST((800 + doc_id % 200 - 1) // (20 + doc_id % 30) AS BIGINT) AS zero_crossings
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // quality arithmetic as in corpus_dedup; domain extraction as in
     // url_stats; means through the exact decimal accumulation
     "domain_quality" ->

@@ -86,7 +86,19 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
       Set("word_shingles", "char_grams", "simhash64", "minhash_sig",
         "vec_dot", "poly_hash", "image_features", "image_dhash",
-        "image_resize")
+        "image_resize", "audio_features", "pcm_wav")
+  }
+
+  test("audio SQL functions compose: pcm_wav synthesis decodes to the " +
+    "closed-form features; junk bytes NULL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT f.n_samples, f.sum_abs, f.zero_crossings,
+        |  audio_features(CAST('junk' AS BINARY)) AS junk
+        |FROM (SELECT audio_features(pcm_wav(6, 500, 100)) AS f)""".stripMargin)
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe (100L, 50000L, 16L)
+    r.isNullAt(3) shouldBe true
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {

@@ -155,6 +155,54 @@ class MultimodalSpec extends SparkSpec {
       Seq(4, 4, 5, 5, 6)
   }
 
+  test("audio: pcm_wav -> audio_features round-trips the closed-form " +
+    "features; corrupt and non-audio bytes yield NULL") {
+    import graft.functions.{AudioFeaturesExpr, PcmWavExpr}
+    val rows = Seq((5, 100, 23), (7, 3000, 800), (1, 1, 2))
+      .toDF("period", "amp", "n")
+    val out = rows.select(AudioFeaturesExpr(PcmWavExpr(
+        col("period"), col("amp"), col("n"))).as("f"))
+      .select("f.sample_rate", "f.channels", "f.n_samples", "f.sum_abs",
+        "f.zero_crossings")
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out shouldBe Array(
+      (8000, 1, 23L, 23L * 100, 22L / 5),
+      (8000, 1, 800L, 800L * 3000, 799L / 7),
+      (8000, 1, 2L, 2L, 1L)) // period 1: every adjacent pair flips sign
+    val junk = Seq(
+      Array[Byte](1, 2, 3),
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      Array.empty[Byte]).toDF("payload")
+    junk.select(AudioFeaturesExpr(col("payload")).as("f"))
+      .collect().foreach(_.isNullAt(0) shouldBe true)
+  }
+
+  test("audio: a WAV written by javax.sound itself (not our synthesizer) " +
+    "decodes to the same features — the reader handles real-world WAVs") {
+    import graft.functions.AudioFeaturesExpr
+    // 16-bit mono PCM square wave, period 4, amp 250, 40 samples, via the
+    // JDK's own WAV writer
+    val n = 40; val period = 4; val amp = 250
+    val pcm = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      pcm.putShort((if ((i / period) % 2 == 0) amp else -amp).toShort)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val row = Seq(Tuple1(out.toByteArray)).toDF("payload")
+      .select(AudioFeaturesExpr(col("payload")).as("f"))
+      .select("f.n_samples", "f.sum_abs", "f.zero_crossings")
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe
+      (40L, 40L * 250, 39L / 4)
+  }
+
   test("sampleFrames slices payload bytes into indexed frames") {
     val payload = Multimodal.asBinaryPayload(docs.filter(col("doc_id") === 1L),
       "text", "text/plain")
