@@ -153,6 +153,39 @@ class DedupSpec extends SparkSpec {
     r.getAs[Long]("inter") shouldBe r.getAs[Long]("n_b")
   }
 
+  test("PROPERTY: jaccard pairs are a subset of containment pairs at the " +
+    "same threshold, and shared (inter, n_a, n_b) values agree exactly — " +
+    "jaccard = inter/union <= inter/min(n_a, n_b) = max containment") {
+    val words = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(7 + it)
+      val corpus = (0L until 10L).map { i =>
+        (i, (0 until (3 + rnd.nextInt(5)))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val thr = 0.4
+      val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          shingleSize = 2, threshold = thr, strategy = "single")
+        .select("id_a", "id_b", "inter", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val cont = Dedup.containmentPairs(corpus, "text", "doc_id",
+          shingleSize = 2, threshold = thr)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          (r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+        .toMap
+      withClue(s"iteration $it: ") {
+        jac.keySet.subsetOf(cont.keySet) shouldBe true
+        jac.foreach { case (k, (inter, j)) =>
+          val (cInter, na, nb) = cont(k)
+          cInter shouldBe inter
+          // the jaccard value is re-derivable from containment's counts
+          j shouldBe (inter.toDouble / (na + nb - inter)) +- 1e-6
+        }
+      }
+    }
+  }
+
   test("containmentPairs maxDf drops stop-shingles from the index but keeps " +
     "them in denominators (containment never overestimates)") {
     val boiler = "common shared boilerplate header line"

@@ -28,6 +28,40 @@ class ExamplesSpec extends SparkSpec {
     SnapshotStore.currentVersion(spark, store) shouldBe Some(1L)
   }
 
+  test("incremental ingest example: three batches against standing band-key " +
+    "state — duplicates of anything retained never re-enter, the corpus " +
+    "and key table grow by exactly the survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_ing").toString
+    def ingest(rows: Seq[(Long, String)]) =
+      examples.IncrementalIngestExample.ingest(spark,
+        rows.toDF("doc_id", "text"), root, threshold = 1.0)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+    ingest(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta epsilon"))) shouldBe Seq(1L, 2L) // 3 dups 1 in-batch
+    ingest(Seq(
+      (10L, "alpha beta gamma delta epsilon"),  // dups retained 1
+      (11L, "fresh words never seen before here"))) shouldBe Seq(11L)
+    ingest(Seq(
+      (20L, "fresh words never seen before here"), // dups retained 11
+      (21L, "one two three four five six"),        // dups retained 2
+      (22L, "entirely new closing content"))) shouldBe Seq(22L)
+
+    val corpus = spark.read.parquet(s"$root/corpus")
+    corpus.select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 11L, 22L)
+    // key table carries exactly the retained docs' band keys (16 per doc)
+    val keys = spark.read.parquet(s"$root/band_keys")
+    keys.select("doc_id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 11L, 22L)
+    keys.groupBy("doc_id").count().select("count").as[Long]
+      .collect().foreach(_ shouldBe 16L)
+  }
+
   test("corpus curation with an eval set and a token budget: eval docs are " +
     "decontaminated away and each language stays within budget") {
     import org.apache.spark.sql.functions._
