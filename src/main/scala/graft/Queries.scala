@@ -479,6 +479,55 @@ object Queries {
       T.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
       .orderBy("doc_id")
 
+  /** Time-series gap-fill / resample: an hourly per-user grid spanning
+    * each cohort user's observed range, forward-filled with the latest
+    * event value at-or-before each slot — the composition of a
+    * scan-side `sequence` explode with [[Joins.asOfJoin]] (one key
+    * shuffle, no per-slot range probe). Slots before a user's first
+    * event stay null (left-outer as-of). Ties at one timestamp resolve
+    * to the greatest (ts, value) payload — the operator's documented
+    * deterministic tie — which the oracle reproduces with an explicit
+    * ORDER BY DESC row_number. */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val bounds = ev.filter(col("user_id") % 50 === 0)
+      .groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("slot"))
+    Joins.asOfJoin(grid, ev, Seq("user_id"), "slot", "ts")
+      .select(col("user_id"),
+        unix_timestamp(col("slot")).as("slot_s"),
+        unix_micros(col("ts")).as("src_ts_us"),
+        col("value"))
+      .orderBy("user_id", "slot_s")
+  }
+
+  /** Event funnel: view → click → purchase per user, each stage's
+    * timestamp the FIRST occurrence at-or-after the previous stage —
+    * three conditional min-aggregations chained by user_id equi-joins
+    * (every exchange on the same key), with exact epoch-micros
+    * conversion totals. The classic product-analytics shape over the
+    * events table. */
+  private def funnelQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"),
+        coalesce(sum(unix_micros(col("t_purchase")) - unix_micros(col("t_view"))),
+          lit(0L)).as("conv_micros"))
+  }
+
   /** REAL audio decode under an exact oracle: per document, synthesize a
     * deterministic 16-bit PCM WAV ([[graft.functions.PcmWavExpr]] — a
     * square wave whose period/amplitude/length derive from doc_id), then
@@ -1829,7 +1878,9 @@ object Queries {
     "unpivot_long" -> unpivotLong _,
     "map_ops" -> mapOps _,
     "domain_quality" -> domainQuality _,
-    "audio_features" -> audioFeaturesQ _
+    "audio_features" -> audioFeaturesQ _,
+    "gap_fill" -> gapFill _,
+    "funnel" -> funnelQ _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2968,6 +3019,47 @@ object Queries {
         |  min(quality) AS min_score, max(quality) AS max_score
         |FROM binned GROUP BY lang_id, bin
         |ORDER BY lang_id, bin""".stripMargin,
+    // hourly grid via generate_series; forward fill = last at-or-before
+    // event, ties to greatest (ts, value) as the operator documents
+    "gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |         date_trunc('hour', max(ts)) AS t1
+        |  FROM ev WHERE user_id % 50 = 0 GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+        |  FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.slot, e.ts, e.value,
+        |    row_number() OVER (PARTITION BY g.user_id, g.slot
+        |                       ORDER BY e.ts DESC, e.value DESC) AS rn
+        |  FROM g LEFT JOIN ev e
+        |    ON e.user_id = g.user_id AND e.ts <= g.slot)
+        |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
+        |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
+        |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin,
+    // three chained conditional-min stages; totals in exact epoch micros
+    "funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM ev e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM ev e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT CAST(count(v.t_view) AS BIGINT) AS n_view,
+        |  CAST(count(c.t_click) AS BIGINT) AS n_click,
+        |  CAST(count(p.t_purchase) AS BIGINT) AS n_purchase,
+        |  CAST(coalesce(sum(epoch_us(p.t_purchase) - epoch_us(v.t_view)), 0)
+        |    AS BIGINT) AS conv_micros
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     // the decode contract in closed form: the engine must parse RIFF/PCM
     // bytes to reproduce what the oracle computes arithmetically
     "audio_features" ->
