@@ -528,6 +528,32 @@ object Queries {
           lit(0L)).as("conv_micros"))
   }
 
+  /** Cohort retention: users grouped by signup week, counted as active in
+    * each later week they produced any event — the (cohort_week,
+    * week_offset) retention matrix. Weeks are Monday-truncated in both
+    * engines; offsets are exact integer divisions of epoch seconds (week
+    * boundaries are exact multiples in UTC, no DST drift). Both stages
+    * shuffle on user_id, then one aggregation on the (cohort, offset)
+    * pair. */
+  private def retentionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("active_w"))
+      .distinct()
+    cohort.join(active, Seq("user_id"))
+      .filter(col("active_w") >= col("cohort_w"))
+      .groupBy(col("cohort_w"),
+        ((unix_timestamp(col("active_w")) - unix_timestamp(col("cohort_w")))
+          / lit(604800)).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(unix_timestamp(col("cohort_w")).as("cohort_w_s"),
+        col("week_offset"), col("n_active"))
+      .orderBy("cohort_w_s", "week_offset")
+  }
+
   /** REAL audio decode under an exact oracle: per document, synthesize a
     * deterministic 16-bit PCM WAV ([[graft.functions.PcmWavExpr]] — a
     * square wave whose period/amplitude/length derive from doc_id), then
@@ -1880,7 +1906,8 @@ object Queries {
     "domain_quality" -> domainQuality _,
     "audio_features" -> audioFeaturesQ _,
     "gap_fill" -> gapFill _,
-    "funnel" -> funnelQ _
+    "funnel" -> funnelQ _,
+    "retention" -> retentionQ _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -3040,6 +3067,20 @@ object Queries {
         |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
         |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
         |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin,
+    // Monday-truncated weeks both engines; offsets = exact epoch division
+    "retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM ev
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM ev),
+        |j AS (
+        |  SELECT c.cw, CAST((epoch(a.aw) - epoch(c.cw)) / 604800 AS BIGINT) AS wo,
+        |         a.user_id
+        |  FROM c JOIN a USING (user_id) WHERE a.aw >= c.cw)
+        |SELECT CAST(epoch(cw) AS BIGINT) AS cohort_w_s, wo AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM j GROUP BY cw, wo ORDER BY cohort_w_s, week_offset""".stripMargin,
     // three chained conditional-min stages; totals in exact epoch micros
     "funnel" ->
       """WITH ev AS (
