@@ -528,6 +528,31 @@ object Queries {
           lit(0L)).as("conv_micros"))
   }
 
+  /** Batch sessionization via gaps-and-islands: a new session starts at
+    * each >30-minute silence, numbered by a running sum of boundary
+    * flags — the exactly-SQL-replayable companion of the
+    * `session_window` aggregation behind `events_sessions` (same
+    * semantics, windowed formulation, usable mid-pipeline where the
+    * session NUMBER must join back to rows). Session labels, counts and
+    * bounds depend only on timestamp gaps, so equal-timestamp tie order
+    * cannot change the result. One user_id exchange, two window passes
+    * over the same sort. */
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", (col("__prev").isNull ||
+        (unix_micros(col("ts")) - unix_micros(col("__prev"))) >
+          lit(1800L * 1000000L)).cast("long"))
+      .withColumn("session_no", sum(col("__new")).over(run))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** Cohort retention: users grouped by signup week, counted as active in
     * each later week they produced any event — the (cohort_week,
     * week_offset) retention matrix. Weeks are Monday-truncated in both
@@ -1907,7 +1932,8 @@ object Queries {
     "audio_features" -> audioFeaturesQ _,
     "gap_fill" -> gapFill _,
     "funnel" -> funnelQ _,
-    "retention" -> retentionQ _
+    "retention" -> retentionQ _,
+    "sessionize" -> sessionizeQ _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -3067,6 +3093,28 @@ object Queries {
         |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
         |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
         |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin,
+    // gaps-and-islands: boundary flags summed into session numbers; the
+    // result depends only on timestamp gaps, never tie order
+    "sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sn
+        |  FROM f)
+        |SELECT user_id, CAST(sn AS BIGINT) AS session_no,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+        |FROM sess GROUP BY user_id, sn
+        |ORDER BY user_id, session_no""".stripMargin,
     // Monday-truncated weeks both engines; offsets = exact epoch division
     "retention" ->
       """WITH ev AS (
