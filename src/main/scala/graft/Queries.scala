@@ -345,6 +345,20 @@ object Queries {
         concat_ws(",", array_sort(map_keys(col("__m")))).as("keys_sorted"))
       .orderBy("p_partkey")
 
+  /** Equal-width numeric histogram via `width_bucket` — the profiling
+    * aggregation behind data-distribution reports. Bounds chosen so the
+    * bucket width (110000/22 = 5000) is exact in floating point and the
+    * input is 2-dp money values: boundary assignment is then identical
+    * arithmetic in both engines, which the oracle re-derives with an
+    * explicit floor (DuckDB has no width_bucket). */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    tab(s, dir, "lineitem")
+      .select(width_bucket(col("l_extendedprice"),
+        lit(0.0), lit(110000.0), lit(22)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   private def distinctAgg(s: SparkSession, dir: String): DataFrame =
     tab(s, dir, "lineitem").agg(
       countDistinct(col("l_suppkey")).as("n_supp"),
@@ -1933,7 +1947,8 @@ object Queries {
     "gap_fill" -> gapFill _,
     "funnel" -> funnelQ _,
     "retention" -> retentionQ _,
-    "sessionize" -> sessionizeQ _
+    "sessionize" -> sessionizeQ _,
+    "histogram" -> histogramQ _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -3093,6 +3108,15 @@ object Queries {
         |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
         |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
         |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin,
+    // width_bucket re-derived with an explicit exact-width floor
+    "histogram" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN l_extendedprice < 0 THEN 0
+        |              WHEN l_extendedprice >= 110000 THEN 23
+        |              ELSE CAST(floor(l_extendedprice / 5000) AS BIGINT) + 1
+        |         END AS bucket
+        |  FROM lineitem)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // gaps-and-islands: boundary flags summed into session numbers; the
     // result depends only on timestamp gaps, never tie order
     "sessionize" ->
