@@ -38,7 +38,7 @@ case class AudioFeaturesExpr(child: Expression)
         val fmt = in.getFormat
         val frames = in.getFrameLength
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16 ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0 ||
           frames < 0 || frames > AudioFeaturesExpr.MaxFrames) null
         else {
           val channels = fmt.getChannels
@@ -64,9 +64,9 @@ case class AudioFeaturesExpr(child: Expression)
         }
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => null
-      case _: java.io.IOException => null
-      case _: ArrayIndexOutOfBoundsException => null
+      // any parse/read failure means "not decodable audio", never a dead
+      // task — the same blanket guard as ImageDecode.withGuardedReader
+      case _: Exception => null
     }
   }
 
