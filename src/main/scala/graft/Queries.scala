@@ -682,6 +682,47 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of with a match tolerance: each purchase attaches the
+    * NEXT click at-or-after it, but only within one hour — next-event
+    * attribution with a staleness bound. DuckDB replays it with a
+    * `>=`-direction ASOF join plus an interval guard. */
+  private def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        direction = "forward",
+        tolerance = Some(expr("INTERVAL '3600' SECOND")))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of: each purchase attaches whichever click is closest in
+    * time, either side, equidistant ties backward. DuckDB has no nearest
+    * ASOF, so the oracle ranks the full per-purchase candidate set by
+    * absolute distance with a backward-first tie-break. */
+  private def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
   private def saltedAgg(s: SparkSession, dir: String): DataFrame =
     Joins.saltedCountSum(tab(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_quantity", salts = 16)
@@ -1948,7 +1989,9 @@ object Queries {
     "funnel" -> funnelQ _,
     "retention" -> retentionQ _,
     "sessionize" -> sessionizeQ _,
-    "histogram" -> histogramQ _
+    "histogram" -> histogramQ _,
+    "asof_forward" -> asofForward _,
+    "asof_nearest" -> asofNearest _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -2484,6 +2527,39 @@ object Queries {
         |  c.click_id, CAST(epoch_us(c.ct) AS BIGINT) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t
         |ORDER BY event_id""".stripMargin,
+    // >=-direction ASOF plus the one-hour staleness guard applied to the
+    // matched row (the match survives; stale matches null out)
+    "asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(epoch_us(p.t) AS BIGINT) AS ts_us,
+        |  CASE WHEN c.ct <= p.t + INTERVAL 1 HOUR THEN c.click_id END AS click_id,
+        |  CASE WHEN c.ct <= p.t + INTERVAL 1 HOUR
+        |       THEN CAST(epoch_us(c.ct) AS BIGINT) END AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ct >= p.t
+        |ORDER BY event_id""".stripMargin,
+    // nearest has no native ASOF form: rank the full candidate set by
+    // absolute distance, backward-first on equidistant ties
+    "asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(c.ct) - epoch_us(p.t)),
+        |               CASE WHEN c.ct <= p.t THEN 0 ELSE 1 END) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
+        |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
+        |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_l_quantity
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
