@@ -73,7 +73,11 @@ object Selection {
     * score per stratum, broadcast, scan-side `CASE` assignment — the
     * [[topFractionApproxPerStratum]] recipe generalized to `bins`
     * boundaries); the report loses exact equal counts but needs no
-    * per-stratum sort. */
+    * per-stratum sort.
+    *
+    * Rows with a NULL score land wherever `rankBy`'s null ordering places
+    * them here, and in a NULL bin in the approx variant — filter them out
+    * first if they should not be binned at all. */
   def quantileBinsPerStratum(df: DataFrame, strataCol: String,
                              scoreCol: String, tokensCol: String,
                              rankBy: Seq[Column], bins: Int = 10): DataFrame = {
