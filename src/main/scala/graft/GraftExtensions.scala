@@ -93,7 +93,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.PcmWavExpr].getName, "pcm_wav"),
       { case Seq(period, amp, n) => graft.functions.PcmWavExpr(period, amp, n)
         case args => throw new IllegalArgumentException(
-          s"pcm_wav(period, amp, n_samples) expects 3 args, got ${args.size}") })
+          s"pcm_wav(period, amp, n_samples) expects 3 args, got ${args.size}") }),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantileExpr].getName, "kll_quantile"),
+      { case Seq(sk, q) => graft.functions.KllQuantileExpr(sk, q)
+        case args => throw new IllegalArgumentException(
+          s"kll_quantile(sketch, q) expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[graft.functions.KllRankExpr].getName, "kll_rank"),
+      { case Seq(sk, v) => graft.functions.KllRankExpr(sk, v)
+        case args => throw new IllegalArgumentException(
+          s"kll_rank(sketch, value) expects 2 args, got ${args.size}") })
   )
 
   /** Imperative registration for sessions created without the extensions

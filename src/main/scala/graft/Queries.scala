@@ -882,6 +882,54 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable PERCENTILE rollup — the quantile analogue of `hll_rollup`,
+    * via the custom KLL aggregates ([[graft.functions.KllSketchAgg]] /
+    * [[graft.functions.KllMergeAgg]]; Spark ships the mergeable pair for
+    * distinct counts but not for quantiles): sketch l_extendedprice once
+    * per return flag, then MERGE THE SKETCH BYTES to the all-flags level
+    * without rescanning lineitem. KLL compaction is randomized, so the
+    * checkable claims are rank BANDS: each estimate's EXACT rank
+    * (engine-side integer count against the real rows) must sit within
+    * ±0.05 of its target — ~3× the k=200 99%-confidence error, so the
+    * booleans are stable run to run. DuckDB recomputes the exact group
+    * and total counts and expects the booleans true. */
+  private def percentileRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KllMergeAgg, KllQuantileExpr, KllSketchAgg}
+    val li = tab(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val margin = 0.05
+    // consumed by the group-estimate branch and the merge branch
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(KllSketchAgg(col("l_extendedprice"), 200).as("__sk"),
+        count(lit(1)).as("n_group"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(perGroup)
+    val groupEst = perGroup.select(col("l_returnflag"), col("n_group"),
+      KllQuantileExpr(col("__sk"), lit(0.5)).as("__med"))
+    // exact rank of each group's estimated median, inside its group
+    val groupRank = li.join(broadcast(groupEst), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(first(col("n_group")).as("n_group"),
+        (sum(when(col("l_extendedprice") <= col("__med"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("__r"))
+      .select(col("l_returnflag"), col("n_group"),
+        (abs(col("__r") - 0.5) <= margin).as("group_median_ok"))
+    // the rollup: merge stored sketch bytes, never rescan the fact table
+    val merged = perGroup.agg(KllMergeAgg(col("__sk"), 200).as("__msk"))
+      .select(KllQuantileExpr(col("__msk"), lit(0.5)).as("__m50"),
+        KllQuantileExpr(col("__msk"), lit(0.9)).as("__m90"))
+    val allRank = li.crossJoin(broadcast(merged))
+      .agg(count(lit(1)).as("n_all"),
+        (sum(when(col("l_extendedprice") <= col("__m50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("__r50"),
+        (sum(when(col("l_extendedprice") <= col("__m90"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("__r90"))
+      .select(col("n_all"),
+        (abs(col("__r50") - 0.5) <= margin).as("merged_p50_ok"),
+        (abs(col("__r90") - 0.9) <= margin).as("merged_p90_ok"))
+    groupRank.crossJoin(allRank).orderBy("l_returnflag")
+  }
+
   /** MinHash-LSH pairs as an EXACT row-level contract with NO embedded
     * exact-pair branch (the `embcos_pairs` pattern; r9's bounded-assertion
     * form recomputed the full exact-Jaccard pair set via the inverted-index
@@ -1991,7 +2039,8 @@ object Queries {
     "sessionize" -> sessionizeQ _,
     "histogram" -> histogramQ _,
     "asof_forward" -> asofForward _,
-    "asof_nearest" -> asofNearest _
+    "asof_nearest" -> asofNearest _,
+    "percentile_rollup" -> percentileRollup _
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
@@ -3184,6 +3233,16 @@ object Queries {
         |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
         |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
         |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin,
+    // exact group/total counts recomputed; the sketch-dependent rank-band
+    // booleans expected true
+    "percentile_rollup" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_group,
+        |  TRUE AS group_median_ok, n.n_all,
+        |  TRUE AS merged_p50_ok, TRUE AS merged_p90_ok
+        |FROM lineitem, n
+        |GROUP BY l_returnflag, n.n_all
+        |ORDER BY l_returnflag""".stripMargin,
     // width_bucket re-derived with an explicit exact-width floor
     "histogram" ->
       """SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (

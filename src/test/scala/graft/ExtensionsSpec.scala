@@ -86,7 +86,8 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.functions.map(_._1.funcName).toSet shouldBe
       Set("word_shingles", "char_grams", "simhash64", "minhash_sig",
         "vec_dot", "poly_hash", "image_features", "image_dhash",
-        "image_resize", "audio_features", "pcm_wav")
+        "image_resize", "audio_features", "pcm_wav",
+        "kll_quantile", "kll_rank")
   }
 
   test("audio SQL functions compose: pcm_wav synthesis decodes to the " +

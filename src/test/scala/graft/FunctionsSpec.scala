@@ -337,6 +337,51 @@ class FunctionsSpec extends SparkSpec {
     b1 should (be >= 0L and be < 16L)
   }
 
+  test("KllSketchAgg: quantile and rank estimates sit inside the rank band " +
+    "on a known distribution, across partitionings") {
+    import graft.functions.{KllQuantileExpr, KllRankExpr, KllSketchAgg}
+    // 0..9999 uniformly; true median 4999.5, p90 8999. 5% rank margin is
+    // ~3x the k=200 99%-confidence error — comfortably non-flaky.
+    Seq(1, 7, 32).foreach { parts =>
+      val sk = spark.range(10000).repartition(parts)
+        .select(col("id").cast("double").as("v"))
+        .agg(KllSketchAgg(col("v"), 200).as("sk"))
+      val row = sk.select(
+        KllQuantileExpr(col("sk"), lit(0.5)).as("m"),
+        KllQuantileExpr(col("sk"), lit(0.9)).as("p90"),
+        KllRankExpr(col("sk"), lit(5000.0)).as("r")).head()
+      withClue(s"parts=$parts: ") {
+        row.getDouble(0) shouldBe 5000.0 +- 500.0
+        row.getDouble(1) shouldBe 9000.0 +- 500.0
+        row.getDouble(2) shouldBe 0.5 +- 0.05
+      }
+    }
+  }
+
+  test("KllMergeAgg of per-group sketches equals (within band) a sketch of " +
+    "the union; nulls and NaNs are skipped; empty input yields NULL " +
+    "quantiles") {
+    import graft.functions.{KllMergeAgg, KllQuantileExpr, KllSketchAgg}
+    // two disjoint halves sketched separately, merged without reseeing rows
+    val halves = spark.range(10000)
+      .select((col("id") % 2).as("g"), col("id").cast("double").as("v"))
+      .groupBy("g").agg(KllSketchAgg(col("v"), 200).as("sk"))
+    val merged = halves.agg(KllMergeAgg(col("sk"), 200).as("msk"))
+      .select(KllQuantileExpr(col("msk"), lit(0.5)).as("m")).head().getDouble(0)
+    merged shouldBe 5000.0 +- 500.0
+    // nulls + NaN skipped: only {1, 2} survive
+    val vals = Seq(Some(1.0), None, Some(Double.NaN), Some(2.0)).toDF("v")
+      .agg(KllSketchAgg(col("v"), 200).as("sk"))
+      .select(KllQuantileExpr(col("sk"), lit(0.0)).as("lo"),
+        KllQuantileExpr(col("sk"), lit(1.0)).as("hi")).head()
+    (vals.getDouble(0), vals.getDouble(1)) shouldBe (1.0, 2.0)
+    // empty sketch -> NULL quantile
+    val empty = spark.range(0).select(col("id").cast("double").as("v"))
+      .agg(KllSketchAgg(col("v"), 200).as("sk"))
+      .select(KllQuantileExpr(col("sk"), lit(0.5)).as("m")).head()
+    empty.isNullAt(0) shouldBe true
+  }
+
   test("MisraGriesAgg guarantee holds across adversarial partitionings: " +
     "every token with count > n/(k+1) survives the merged summary, " +
     "counters never overcount, and undercount is bounded by n/(k+1)") {
