@@ -39,7 +39,8 @@ object PlanDump {
       "incremental_dedup" -> "incremental ingest: new-batch band keys join the old+new key union -- the old corpus pays one signature scan, never a self-join; verification joins each side's own cached shingles",
       "containment_pairs" -> "single-pass inverted-index self-join reused for asymmetric containment; the two join inputs are identical subplans (ReusedExchange), set sizes ride the exploded rows",
       "gap_fill" -> "resample grid generated scan-side (sequence explode), forward-filled by the union+window as-of join -- one user_id exchange, no per-slot range probes",
-      "asof_nearest" -> "both as-of carries share ONE key exchange (two Window sorts of the same partitioning); the closer match picked scan-side"
+      "asof_nearest" -> "both as-of carries share ONE key exchange (two Window sorts of the same partitioning); the closer match picked scan-side",
+      "percentile_rollup" -> "KLL sketches partial-aggregated map-side (ObjectHashAggregate over binary state); the rollup merges stored sketch bytes -- the fact table is rescanned only by the exact-rank verification branches"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")
