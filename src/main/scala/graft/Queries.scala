@@ -2565,34 +2565,52 @@ object Queries {
         |FROM orders
         |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // Explicit row_number form instead of DuckDB's native ASOF so the tie
+    // among several clicks at ONE timestamp is pinned: the operator
+    // resolves ties to the greatest payload struct = greatest click_id
+    // (Joins.scala sortKeys), while ASOF's tie winner is unspecified. The
+    // fixture happens to lack per-user duplicate click timestamps today,
+    // but fixtures regenerate between rounds — an unpinned tie is a latent
+    // nondeterministic red.
     "asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
         |  WHERE event_type = 'purchase'),
         |c AS (
         |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
-        |  FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, CAST(epoch_us(p.t) AS BIGINT) AS ts_us,
-        |  c.click_id, CAST(epoch_us(c.ct) AS BIGINT) AS click_ts_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t
-        |ORDER BY event_id""".stripMargin,
-    // >=-direction ASOF plus the one-hour staleness guard applied to the
-    // matched row (the match survives; stale matches null out)
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ct DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t)
+        |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
+        |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // >=-direction with the one-hour staleness guard applied to the
+    // matched row (the match survives; stale matches null out); same
+    // row_number form + click_id DESC tie pin as asof_join
     "asof_forward" ->
       """WITH p AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
         |  WHERE event_type = 'purchase'),
         |c AS (
         |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
-        |  FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, CAST(epoch_us(p.t) AS BIGINT) AS ts_us,
-        |  CASE WHEN c.ct <= p.t + INTERVAL 1 HOUR THEN c.click_id END AS click_id,
-        |  CASE WHEN c.ct <= p.t + INTERVAL 1 HOUR
-        |       THEN CAST(epoch_us(c.ct) AS BIGINT) END AS click_ts_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ct >= p.t
-        |ORDER BY event_id""".stripMargin,
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ct ASC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct >= p.t)
+        |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
+        |  CASE WHEN ct <= t + INTERVAL 1 HOUR THEN click_id END AS click_id,
+        |  CASE WHEN ct <= t + INTERVAL 1 HOUR
+        |       THEN CAST(epoch_us(ct) AS BIGINT) END AS click_ts_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // nearest has no native ASOF form: rank the full candidate set by
-    // absolute distance, backward-first on equidistant ties
+    // absolute distance, backward-first on equidistant ties, then
+    // click_id DESC (the operator's greatest-payload tie) so two clicks
+    // at one distance resolve identically in both engines
     "asof_nearest" ->
       """WITH p AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
@@ -2604,7 +2622,8 @@ object Queries {
         |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
         |    row_number() OVER (PARTITION BY p.event_id
         |      ORDER BY abs(epoch_us(c.ct) - epoch_us(p.t)),
-        |               CASE WHEN c.ct <= p.t THEN 0 ELSE 1 END) AS rn
+        |               CASE WHEN c.ct <= p.t THEN 0 ELSE 1 END,
+        |               c.click_id DESC) AS rn
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
         |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
         |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us

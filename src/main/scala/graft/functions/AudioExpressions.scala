@@ -4,7 +4,7 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -102,8 +102,13 @@ object AudioFeaturesExpr {
   * recomputes the formulas, the engine must actually parse the bytes to
   * reproduce them. */
 case class PcmWavExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
+  // SQL integer literals arrive as whatever type the parser picked (BIGINT
+  // from expressions, DECIMAL from fractional forms); declaring IntegerType
+  // inputs makes the analyzer coerce them instead of nullSafeEval throwing.
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "pcm_wav"

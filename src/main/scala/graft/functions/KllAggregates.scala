@@ -6,7 +6,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.Bridge
@@ -135,10 +135,16 @@ object KllMergeAgg {
 
 /** Quantile query over a serialized KLL sketch: `kll_quantile(bytes, q)`
   * with q in [0, 1] (inclusive search criteria). NULL for a NULL or
-  * empty sketch. */
+  * empty sketch.
+  *
+  * [[ImplicitCastInputTypes]] so the SQL face accepts the canonical call
+  * shape: in Spark SQL a bare `0.5` parses as DECIMAL(1,1), which without
+  * declared input types reached `nullSafeEval` uncast and threw
+  * ClassCastException on the `asInstanceOf[Double]`. */
 case class KllQuantileExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "kll_quantile"
@@ -164,10 +170,13 @@ object KllQuantileExpr {
 
 /** Normalized-rank query over a serialized KLL sketch:
   * `kll_rank(bytes, value)` → the estimated fraction of items ≤ value.
-  * NULL for a NULL or empty sketch. */
+  * NULL for a NULL or empty sketch. Declares input types (see
+  * [[KllQuantileExpr]]) so SQL integer/decimal values coerce to Double
+  * instead of throwing in `nullSafeEval`. */
 case class KllRankExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "kll_rank"

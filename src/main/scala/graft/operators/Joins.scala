@@ -139,9 +139,16 @@ object Joins {
         carried.withColumn("__match", trim(col("__match"), dist))
     }
 
+    // A NULL left timestamp can never satisfy any as-of predicate, but the
+    // forward carry's descending sort places NULLs last, where last(_,
+    // ignoreNulls) would hand the row the earliest right payload (nearest
+    // inherits this through its forward leg). Null the match explicitly —
+    // one scan-side projection, uniform across directions.
+    val guarded = limited.withColumn("__match",
+      when(col("__ts").isNotNull, col("__match")))
     val out = leftCols.map(col) ++ payloadCols.map(c =>
       col(s"__match.__p.`$c`").as(rightPrefix + c))
-    limited.select(out: _*)
+    guarded.select(out: _*)
   }
 
   /** Banded (binned) batch interval join: every (left, right) pair of the

@@ -149,15 +149,23 @@ object Selection {
     * never split ties (the counts-vs-tie-handling trade-off vs exact
     * ntile, which splits ties to equalize counts). Two invariants hold
     * REGARDLESS of sketch error: every input row lands in exactly one
-    * bin (totals are preserved), and bins' score ranges are strictly
-    * ordered — `min_score` of a better bin > `max_score` of any worse
-    * bin. Only the equal-count property is approximate. */
+    * bin (totals are preserved — rows with a NULL score land in the NULL
+    * bin, matching `approx_percentile` ignoring them when the thresholds
+    * were computed), and bins' score ranges are strictly ordered —
+    * `min_score` of a better bin > `max_score` of any worse bin. Only
+    * the equal-count property is approximate. */
   def quantileBinsApproxPerStratum(df: DataFrame, strataCol: String,
                                    scoreCol: String, tokensCol: String,
                                    bins: Int = 10, accuracy: Int = 10000,
                                    maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val binned = if (bins == 1) df.withColumn("bin", lit(1L))
+    // NULL scores must land in a NULL bin, not silently in the worst one:
+    // `t < score` evaluates to NULL for a NULL score, the filter HOF drops
+    // every threshold, and `bins − 0` would quietly claim the row for bin
+    // `bins` even though percentile_approx ignored it for the thresholds.
+    val binOf = (binExpr: Column) =>
+      when(col(scoreCol).isNotNull, binExpr).cast("long")
+    val binned = if (bins == 1) df.withColumn("bin", binOf(lit(1L)))
     else {
       val qs = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
       val thresholds = df.groupBy(strataCol).agg(
@@ -167,8 +175,8 @@ object Selection {
         // thresholds ascend; c = how many sit strictly below this score;
         // bins − c maps the top segment to bin 1, the bottom to bin `bins`
         .withColumn("bin",
-          (lit(bins) - size(filter(col("__thrs"),
-            t => t < col(scoreCol)))).cast("long"))
+          binOf(lit(bins) - size(filter(col("__thrs"),
+            t => t < col(scoreCol)))))
     }
     binned.groupBy(col(strataCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"),

@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]`, but expressions mixing in
+    * `ImplicitCastInputTypes` must name it in their `inputTypes`
+    * signature; this public alias lets library expressions declare
+    * coercible input types (e.g. a SQL DECIMAL literal coercing to the
+    * DoubleType a sketch query expects). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Whether the session holds any cached (persisted) relations — lets
     * tests observe that operator-internal caches were released without
     * reaching into `private[sql]` state themselves. */

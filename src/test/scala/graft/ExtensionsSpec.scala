@@ -102,6 +102,24 @@ class ExtensionsSpec extends SparkSpec {
     r.isNullAt(3) shouldBe true
   }
 
+  test("kll_quantile / kll_rank SQL faces accept the canonical literal " +
+    "shapes: bare 0.5 (DECIMAL), integer values, BIGINT pcm_wav args") {
+    GraftExtensions.register(spark)
+    (1 to 100).map(_.toDouble).toDF("v")
+      .agg(functions.KllSketchAgg(col("v"), 200).as("sk"))
+      .createOrReplaceTempView("kll_sql_face")
+    // 0.5 parses as DECIMAL(1,1); 50 as INT — both must coerce, not throw
+    val r = spark.sql(
+      """SELECT kll_quantile(sk, 0.5) AS q, kll_rank(sk, 50) AS rk
+        |FROM kll_sql_face""".stripMargin).head()
+    r.getDouble(0) should (be >= 40.0 and be <= 60.0)
+    r.getDouble(1) should (be >= 0.4 and be <= 0.6)
+    // pcm_wav with BIGINT args (6L etc.) must coerce to INT
+    val wav = spark.sql(
+      "SELECT audio_features(pcm_wav(6L, 500L, 100L)) AS f").head().getStruct(0)
+    (wav.getLong(2), wav.getLong(3)) shouldBe (100L, 50000L)
+  }
+
   test("typed Dataset face of a table (Dataset[NationRow])") {
     val ds = sources.Tables.typed[NationRow](spark, sf, "nation")
     ds.filter(_.n_regionkey == 0).collect().foreach(_.n_regionkey shouldBe 0)

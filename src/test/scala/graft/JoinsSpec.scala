@@ -118,6 +118,27 @@ class JoinsSpec extends SparkSpec {
       Array(("t1", 100.0), ("t2", 110.0), ("t3", null), ("t4", null))
   }
 
+  test("asOfJoin: a null LEFT timestamp yields no match in every direction " +
+    "(forward's desc sort must not carry the earliest right payload into it)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, null.asInstanceOf[Timestamp], "null_ts"),
+      (1L, ts("2024-01-01 10:30:00"), "real")
+    ).toDF("key", "tts", "trade_id")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+        direction = dir).orderBy("trade_id").collect()
+      withClue(s"direction=$dir: ") {
+        assert(out(0).getString(2) == "null_ts" && out(0).isNullAt(4),
+          "null left ts must keep left-outer nulls")
+        assert(!out(1).isNullAt(4), "real left ts must still match")
+      }
+    }
+  }
+
   test("asOfJoin rejects an unknown direction") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "lts", "lv")
     val r = Seq((1L, ts("2023-12-31 00:00:00"), 9)).toDF("k", "rts", "rv")

@@ -80,6 +80,26 @@ class SelectionSpec extends SparkSpec {
     out.head.getLong(2) shouldBe 12L
   }
 
+  test("quantileBinsApproxPerStratum sends NULL-score rows to a NULL bin " +
+    "(not silently the worst bin), preserving totals; same in bins = 1") {
+    val df = ((1 to 9).map(i => (i.toLong, "en", Some(i / 10.0), 10L)) :+
+      (10L, "en", None: Option[Double], 7L))
+      .toDF("doc_id", "stratum", "score", "n_tokens")
+    val out = Selection.quantileBinsApproxPerStratum(df, "stratum", "score",
+      "n_tokens", bins = 3).collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nullBin = out.filter(_._1 == null)
+    nullBin.length shouldBe 1
+    nullBin.head._2 shouldBe 1L // the one NULL-score row, nowhere else
+    nullBin.head._3 shouldBe 7L
+    out.map(_._2).sum shouldBe 10L // totals still preserved
+    out.filter(_._1 != null).map(_._2).sum shouldBe 9L
+    val one = Selection.quantileBinsApproxPerStratum(df, "stratum", "score",
+      "n_tokens", bins = 1).collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2)))
+    one.toSet shouldBe Set((1L, 9L), (null, 1L))
+  }
+
   test("keeps best docs per stratum while the running token total fits; " +
     "the overflowing doc and everything ranked after it are cut") {
     val kept = select(1000L).select("doc_id", "cum_tokens")
