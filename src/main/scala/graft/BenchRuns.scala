@@ -83,4 +83,39 @@ object BenchRuns {
       successes(n).nonEmpty && successes(n).size < perPass.size)
     Summary(minTimes, failed, flaky)
   }
+
+  /** Extract the `"queries":{...}` per-query seconds map from a bench
+    * artifact JSON line (`bench_queries.json` / `BASELINE_BENCH.json`).
+    * Values are plain numbers and keys plain identifiers, so a targeted
+    * scan suffices — no JSON library in the unmanaged classpath. Returns
+    * empty on any shape surprise (missing file content, renamed key,
+    * truncation): a tripwire must degrade to silence, never fail the
+    * bench that feeds the round's artifact. */
+  def parseQueryTimes(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\"")
+    if (start < 0) return Map.empty
+    val open = json.indexOf('{', start)
+    val close = if (open < 0) -1 else json.indexOf('}', open)
+    if (close < 0) return Map.empty
+    val body = json.substring(open + 1, close)
+    val entry = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+    entry.findAllMatchIn(body).flatMap { m =>
+      m.group(2).toDoubleOption.map(m.group(1) -> _)
+    }.toMap
+  }
+
+  /** Cross-round regression tripwire: queries whose current headline time
+    * exceeds `factor` × the previous artifact's time, as name → ratio.
+    * Only queries measured successfully (> 0) in BOTH rounds can trip —
+    * new queries, removed queries, and failed measurements are not
+    * regressions. Sub-100ms pairs are ignored: at that magnitude the
+    * ratio measures scheduler jitter, not code. */
+  def regressions(prev: Map[String, Double], now: Seq[(String, Double)],
+                  factor: Double = 1.5,
+                  minSeconds: Double = 0.1): Seq[(String, Double)] =
+    now.collect {
+      case (n, t) if t > 0 && prev.get(n).exists(p =>
+          p > 0 && math.max(p, t) >= minSeconds && t > p * factor) =>
+        n -> t / prev(n)
+    }.sortBy(-_._2)
 }

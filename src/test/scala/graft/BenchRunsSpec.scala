@@ -103,4 +103,39 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     s.failed shouldBe Seq("dead")
     s.flaky shouldBe Seq("flaky")
   }
+
+  test("parseQueryTimes extracts the queries map from a bench artifact line") {
+    val json = """{"metric":"total","value":9.5,"unit":"sec",""" +
+      """"queries":{"q1_agg":1.25,"asof_join":0.303520402,"neg":-1.0,""" +
+      """"sci":1.2e-2},"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    parseQueryTimes(json) shouldBe Map(
+      "q1_agg" -> 1.25, "asof_join" -> 0.303520402,
+      "neg" -> -1.0, "sci" -> 0.012)
+  }
+
+  test("parseQueryTimes degrades to empty on missing/truncated/renamed " +
+    "shapes — a tripwire must never fail the bench feeding the artifact") {
+    parseQueryTimes("") shouldBe empty
+    parseQueryTimes("""{"metric":"total"}""") shouldBe empty
+    parseQueryTimes("""{"queries":{"q":1.0""") shouldBe empty // truncated
+    parseQueryTimes("not json at all") shouldBe empty
+  }
+
+  test("regressions names queries past the factor, ratio-sorted, and " +
+    "ignores new/removed/failed/sub-100ms pairs") {
+    val prev = Map("stable" -> 1.0, "slower" -> 1.0, "much_slower" -> 2.0,
+      "removed" -> 1.0, "was_failed" -> -1.0, "jitter" -> 0.02)
+    val now = Seq("stable" -> 1.2, "slower" -> 1.6, "much_slower" -> 5.0,
+      "brand_new" -> 9.0, "was_failed" -> 3.0, "now_failed" -> -1.0,
+      "jitter" -> 0.09)
+    val r = regressions(prev, now, factor = 1.5)
+    r.map(_._1) shouldBe Seq("much_slower", "slower") // ratio-descending
+    r.head._2 shouldBe 2.5 +- 1e-9
+    r(1)._2 shouldBe 1.6 +- 1e-9
+    // a sub-100ms pair is scheduler jitter, not a regression, even at 4.5x
+    r.map(_._1) should not contain "jitter"
+    // but a small-previous query that grew past 100ms DOES trip
+    regressions(Map("grew" -> 0.05), Seq("grew" -> 0.5))
+      .map(_._1) shouldBe Seq("grew")
+  }
 }
