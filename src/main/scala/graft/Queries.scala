@@ -1783,6 +1783,52 @@ object Queries {
       .filter(col("freq_sum") >= 0 && col("n_grams") >= 0)
       .orderBy("doc_id")
 
+  /** Planted-vocabulary BPE tokenization ([[graft.operators.Bpe.encode]]
+    * via the native scan-side [[graft.functions.BpeEncodeExpr]]): the five
+    * merge pairs have pairwise-DISJOINT character sets, each of two
+    * distinct characters, so greedy BPE has a CLOSED FORM an engine with
+    * no tokenizer can recompute — merges are independent and order-free,
+    * a pair's occurrences as a substring cannot overlap (left char ≠
+    * right char) or span whitespace (a whitespace char would intervene),
+    * and each application removes exactly one symbol, hence
+    * `n_tokens = n_chars − Σ_p occurrences(p)` with
+    * `occurrences(p) = (len(t) − len(replace(t, p, ''))) / 2`. Row-level
+    * exact oracle; the TRAINED path's corpus leg is oracle-checked by
+    * `bpe_first_merge` and its driver-side loop by `BpeSpec`'s
+    * hand-derived classic-corpus merges. */
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(trim(col("text")))
+    tab(s, dir, "documents").select(
+        col("doc_id"),
+        length(regexp_replace(t, "\\s", "")).cast("long").as("n_chars"),
+        operators.Bpe.tokenCount(t, BpePlantedMerges).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Disjoint-alphabet planted merge table for `bpe_tokens` (10 distinct
+    * characters across the 5 pairs — the property the closed-form oracle
+    * relies on). */
+  private val BpePlantedMerges =
+    Seq(("t", "h"), ("e", "r"), ("i", "n"), ("o", "u"), ("a", "l"))
+
+  /** The corpus-distributed leg of BPE TRAINING under an exact oracle:
+    * [[graft.operators.Bpe.train]]'s first merge is the most frequent
+    * adjacent character pair of the word-frequency dictionary (count
+    * desc, then (left, right) — fully ordered), which DuckDB re-derives
+    * by replaying the identical dictionary cut and pair count. Later
+    * ranks depend on iterative re-tokenization (driver-side over the
+    * bounded dictionary — spec'd in `BpeSpec` against hand-derived
+    * merges); the scan, the topWords cut and the weighted pair
+    * aggregation this query locks down are the parts that touch the
+    * corpus and therefore the parts that must scale. */
+  private def bpeFirstMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = operators.Bpe.train(tab(s, dir, "documents"),
+      lower(trim(col("text"))), numMerges = 1).head
+    Seq((m.left, m.right, m.count))
+      .toDF("left_sym", "right_sym", "pair_count")
+  }
+
   /** Per-document keyword extraction: top-5 terms by tf-idf
     * ([[CorpusStats.tfidfTopK]]). tf/df are exact integers; tf·ln(N/df)
     * rounds to 6 before ranking with ties broken on the term string, so
@@ -2013,6 +2059,8 @@ object Queries {
     "top_fraction_approx" -> topFractionApprox _,
     "vocab_topk" -> vocabTopk _,
     "chargram_lm" -> chargramLm _,
+    "bpe_tokens" -> bpeTokens _,
+    "bpe_first_merge" -> bpeFirstMerge _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
@@ -2883,6 +2931,39 @@ object Queries {
         |       coalesce(sc.oov, 0) AS oov
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // closed-form BPE under the disjoint planted vocabulary: each merge
+    // pair's substring occurrences are non-overlapping and independent,
+    // so the token count is chars minus total occurrences (see bpeTokens)
+    "bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(lower(text)) AS tx FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_replace(tx, '\s', '', 'g')) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(tx, '\s', '', 'g'))
+        |    - (length(tx) - length(replace(tx, 'th', ''))) / 2
+        |    - (length(tx) - length(replace(tx, 'er', ''))) / 2
+        |    - (length(tx) - length(replace(tx, 'in', ''))) / 2
+        |    - (length(tx) - length(replace(tx, 'ou', ''))) / 2
+        |    - (length(tx) - length(replace(tx, 'al', ''))) / 2
+        |    AS BIGINT) AS n_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // replay of BPE training's first merge: the same word-frequency
+    // dictionary cut (count desc, word asc, LIMIT topWords) and weighted
+    // adjacent-pair count, fully ordered tie-break
+    "bpe_first_merge" ->
+      """WITH w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 65536),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substring(w, CAST(i AS INT), 2))) AS p, c
+        |  FROM w)
+        |SELECT substring(p, 1, 1) AS left_sym, substring(p, 2, 1) AS right_sym,
+        |  CAST(SUM(c) AS BIGINT) AS pair_count
+        |FROM g GROUP BY 1, 2
+        |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1""".stripMargin,
     // same 3-gram shingle construction as decontaminate's 5-gram CTE;
     // shingle sets are distinct per doc, so count(*) is document frequency
     "vocab_topk" ->

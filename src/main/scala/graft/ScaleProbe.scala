@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -839,6 +839,84 @@ object ScaleProbe {
       s""""maintained":$skewMaintained},"sf":"$sfDir"}"""
     println(s"""{"probe":"ivf_maintain",${mEntry.tail}""")
     writeArtifact("ivf_maintain", mEntry)
+    }
+
+    if (probes("ivf_autotune")) {
+    // Recall-targeted probe-width calibration on DRIFTED data — the
+    // operational answer to ivf_maintain's finding that default-probe
+    // recall collapses (~0.47) once appended mass concentrates: instead
+    // of a scaladoc table and caller judgment, nProbeForRecall measures
+    // the index's own recall curve (one brute-force pass over a bounded
+    // self-sample) and persists the width that meets the target, which
+    // ivfProbeTopK's default then uses. Claims under test: (a) on the
+    // drifted, UN-rebuilt index the calibrated default restores
+    // recall ≥ target for corpus-distribution queries; (b) after
+    // ivfMaintain(recallTarget=…) rebuilds, the post-rebuild
+    // recalibration holds the target on the refit quantizer too.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val atPath = java.nio.file.Files.createTempDirectory("graft_ivf_at").toString
+    val baseQ = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus0 = emb.filter(col("vec_id") >= 20)
+    val target = 0.9
+    // recall of the DEFAULT-width probe (calibrated once nprobe.json
+    // exists) against brute force, for an arbitrary query set
+    def recallDefault(corpusNow: org.apache.spark.sql.DataFrame,
+                      qs: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(corpusNow, qs,
+        "embedding", "vec_id", "query_id", k = 10).select("query_id", "vec_id")
+      val probe = Similarity.ivfProbeTopK(spark, atPath, qs,
+        "embedding", "vec_id", "query_id", k = 10).select("query_id", "vec_id")
+      probe.join(brute, Seq("query_id", "vec_id"), "left_semi").count()
+        .toDouble / brute.count()
+    }
+    Similarity.ivfBuild(corpus0, "embedding", atPath)
+    // same drift recipe as ivf_maintain: +50% mass blended toward one
+    // hot direction
+    val hotVec = corpus0.orderBy("vec_id").limit(1)
+      .select(col("embedding").as("__hot"))
+    val appended = corpus0.sample(withReplacement = false, 0.5, 42)
+      .crossJoin(broadcast(hotVec))
+      .select((col("vec_id") + 900000000L).as("vec_id"),
+        transform(zip_with(col("embedding"), col("__hot"),
+          (a, b) => a * lit(0.3) + b * lit(0.7)),
+          x => x.cast("float")).as("embedding"))
+    Similarity.ivfAppend(appended, "embedding", atPath)
+    val grown = corpus0.unionByName(appended)
+    // corpus-distribution queries (20 members of the drifted corpus) —
+    // the population the self-sample calibration speaks for; baseQ is the
+    // out-of-distribution comparison set
+    val selfQ = grown.filter(col("vec_id") % 37 === 0).limit(20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val recallUncalSelf = recallDefault(grown, selfQ)
+    val recallUncalBase = recallDefault(grown, baseQ)
+    val tCal = System.nanoTime()
+    val chosen = Similarity.nProbeForRecall(spark, atPath, "embedding",
+      target = target, k = 10, sampleQueries = 64)
+    val calSec = (System.nanoTime() - tCal) / 1e9
+    val recallCalSelf = recallDefault(grown, selfQ)
+    val recallCalBase = recallDefault(grown, baseQ)
+    // maintain with a recall target: rebuild on the drifted distribution,
+    // then the post-rebuild recalibration must hold the target as well
+    val decision = Similarity.ivfMaintain(spark, atPath, "embedding",
+      maxSkew = 2.0, recallTarget = Some(target))
+    val chosenAfter = Similarity.calibratedNProbe(spark, atPath).getOrElse(-1)
+    val cellsAfter = spark.read.parquet(s"$atPath/centroids").count()
+    val recallMntSelf = recallDefault(grown, selfQ)
+    val recallMntBase = recallDefault(grown, baseQ)
+    val atEntry = s"""{"vectors":${grown.count()},"target":$target,""" +
+      s""""calibrate_sec":$calSec,""" +
+      s""""chosen_nprobe":$chosen,"decision":"$decision",""" +
+      s""""chosen_nprobe_after_rebuild":$chosenAfter,""" +
+      s""""cells_after_rebuild":$cellsAfter,""" +
+      s""""recall_self_queries":{"uncalibrated":$recallUncalSelf,""" +
+      s""""calibrated":$recallCalSelf,"maintained":$recallMntSelf},""" +
+      s""""recall_base_queries":{"uncalibrated":$recallUncalBase,""" +
+      s""""calibrated":$recallCalBase,"maintained":$recallMntBase},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"ivf_autotune",${atEntry.tail}""")
+    writeArtifact("ivf_autotune", atEntry)
     }
 
     if (probes("minhash_planted_scale")) {

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan-side byte-pair-encoding tokenizer (Sennrich, Haddow & Birch 2016 —
+  * the public BPE algorithm): whitespace pre-tokenization identical to
+  * [[TextFunctions.tokens]] (`split(trim(text), "\\s+")`), then each word
+  * is greedily merged under the FROZEN `merges` table — repeatedly find
+  * the adjacent symbol pair with the lowest merge rank and fuse every
+  * (left-to-right, non-overlapping) occurrence — until no listed pair
+  * remains. Output is the concatenated token sequence across words
+  * (`array<string>`); token COUNT is `size(...)` of it, the quantity a
+  * training-data pipeline budgets in ([[graft.operators.Selection
+  * .tokenBudgetPerStratum]], [[graft.operators.Packing.packSequences]])
+  * once whitespace counts stop being model-true.
+  *
+  * The merge table is a frozen MODEL carried in the expression (the
+  * [[graft.operators.Similarity]] centroid pattern, not a per-row column):
+  * train it once with [[graft.operators.Bpe.train]], embed, and the
+  * encode runs inside the scan projection — no UDF serialization, no
+  * shuffle, no driver round-trips; executors receive the table with the
+  * serialized plan and build the rank map once per task via the transient
+  * lazy field. Symbols are Java chars (UTF-16 units), matching the
+  * engine's `length`/`substring` arithmetic on the BMP text the fixtures
+  * contain. NULL text yields NULL; blank text yields an empty array. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val rankOf: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    text.trim.split("\\s+").foreach { w =>
+      if (w.nonEmpty)
+        encodeWord(w).foreach(t => out += UTF8String.fromString(t))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Greedy rank-priority merging of one word. Cost per word is
+    * O(len · applied merges) in the worst case — the same class as the
+    * reference BPE implementations — and words are short, so the scan
+    * stays row-local and bounded. */
+  private def encodeWord(w: String): Seq[String] = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var ci = 0
+    while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank pair currently present
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        // fuse every left-to-right occurrence of that pair in one pass
+        val (l, r) = merges(bestRank)
+        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            next += l + r
+            j += 2
+          } else {
+            next += syms(j)
+            j += 1
+          }
+        }
+        syms = next
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toSeq
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+object BpeEncodeExpr {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeExpr(Bridge.expression(text), merges))
+}

@@ -256,6 +256,90 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfCellStats(spark, path).count() should be > 0L
   }
 
+  test("nProbeForRecall: calibrates the probe width to a recall target on " +
+    "planted cones (target met exactly), persists it as ivfProbeTopK's " +
+    "default, and every quantizer refit invalidates or recalibrates it") {
+    // 4 orthogonal cones of 25 unit vectors each (distinct angles inside a
+    // cone, ~0 cosine across cones): every vector's true neighbors are its
+    // cone-mates, so once the quantizer recovers the cones, recall at ONE
+    // probed cell is a theorem, not a statistic
+    val cone = (0 until 100).map { i =>
+      val axis = i / 25
+      val jit = 0.02 * (i % 25)
+      val raw = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else 0.0) + (if (d == axis + 4) jit else 0.0))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cal").toString
+    Similarity.ivfBuild(cone, "embedding", path, nCells = 4)
+    // guard: the quantizer actually recovered the cones (each cone one cell)
+    val assign = spark.read.parquet(s"$path/data")
+      .select(($"vec_id" / 25).cast("int").as("cone"), $"__cell")
+      .distinct().collect()
+    assign.length shouldBe 4
+    assign.map(_.get(1)).distinct.length shouldBe 4
+    Similarity.calibratedNProbe(spark, path) shouldBe None
+
+    // full-recall calibration over the WHOLE corpus as its own sample:
+    // every true neighbor is co-cell, so one probed cell suffices
+    val chosen = Similarity.nProbeForRecall(spark, path, "embedding",
+      target = 1.0, k = 3, sampleQueries = 100)
+    chosen shouldBe 1
+    Similarity.calibratedNProbe(spark, path) shouldBe Some(1)
+    // and the calibrated default actually delivers the target: corpus
+    // members as queries, recall vs brute force is exactly 1.0
+    val qs = cone.select($"vec_id".as("query_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(cone, qs,
+        "embedding", "vec_id", "query_id", k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val probedDefault = Similarity.ivfProbeTopK(spark, path, qs,
+        "embedding", "vec_id", "query_id", k = 3) // nProbe unset -> calibrated
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    (probedDefault intersect brute).size.toDouble / brute.size shouldBe 1.0
+
+    // the default honors whatever width is persisted: force full probe via
+    // the file and the default equals brute force exactly (written through
+    // the Hadoop FS so the checksum sidecar stays consistent)
+    val calPath = new org.apache.hadoop.fs.Path(path, "nprobe.json")
+    val hfs = calPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = hfs.create(calPath, true)
+    try o.write("""{"nprobe":4}""".getBytes("UTF-8")) finally o.close()
+    Similarity.ivfProbeTopK(spark, path, qs,
+        "embedding", "vec_id", "query_id", k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .toSet shouldBe brute
+
+    // an overwrite build replaces the quantizer -> calibration invalidated
+    Similarity.ivfBuild(cone, "embedding", path, nCells = 4)
+    Similarity.calibratedNProbe(spark, path) shouldBe None
+
+    // maintain-with-target: a growth-triggered rebuild recalibrates against
+    // the NEW quantizer and the persisted measurement meets the target
+    Similarity.nProbeForRecall(spark, path, "embedding",
+      target = 1.0, k = 3, sampleQueries = 100)
+    Similarity.ivfMaintain(spark, path, "embedding",
+      maxSkew = 1e9, maxGrowth = 1.0, // autoCells(100)=16 > 4 cells -> rebuild
+      recallTarget = Some(0.9), recallK = 3) shouldBe "rebuilt"
+    val cal = Similarity.calibratedNProbe(spark, path)
+    cal should not be empty
+    val calJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "nprobe.json"))
+    val measured = """"measured_recall"\s*:\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(calJson).get.group(1).toDouble
+    measured should be >= 0.9
+
+    // maintain WITHOUT a target: the rebuild still drops the now-stale
+    // calibration instead of leaving wrong-generation metadata behind
+    val copies = (1 to 3).map(i => cone.select(
+      ($"vec_id" + i * 1000000L).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    Similarity.ivfAppend(copies, "embedding", path)
+    Similarity.ivfMaintain(spark, path, "embedding",
+      maxSkew = 1e9, maxGrowth = 1.0) shouldBe "rebuilt"
+    Similarity.calibratedNProbe(spark, path) shouldBe None
+  }
+
   test("lsh top-k returns exactly-scored cosines for whatever it retrieves " +
     "(approximation loses candidates, never mis-scores them)") {
     val brute = Similarity.bruteForceTopK(corpus, queries,
