@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,pq_crossover,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -917,6 +917,183 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"ivf_autotune",${atEntry.tail}""")
     writeArtifact("ivf_autotune", atEntry)
+    }
+
+    if (probes("asof_skew")) {
+    // Hot-key resilience of the as-of/window family: asOfJoin's
+    // union-and-carry, sessionize's lag+running-sum and gap_fill's
+    // grid+carry all exchange on the KEY alone, so a hot key is ONE
+    // straggler partition whose wall is that key's share of the work.
+    // Plant 10% of all event mass on a single user (vs the uniform
+    // replica corpus) and measure the wall ratio per shape at SCALE×.
+    // Ratios near the hot share's task-count math (one task doing 10% of
+    // rows vs 1/32 each ≈ 3x on the window stage) mean the plans degrade
+    // PROPORTIONALLY — no quadratic cliff — which is the documented
+    // bound; a salted two-phase carry only pays once one key dominates
+    // the corpus outright.
+    val ev0 = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val evScaled = (0 until scale).map { i =>
+      ev0.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("ts"), col("value"))
+    }.reduce(_ unionByName _)
+    def persisted(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_skew_$name")
+        .resolve("events.parquet").toString
+      df.repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val uniform = persisted(evScaled, "uni")
+    // one user receives every 10th row's mass — a 10% hot key
+    val hot = persisted(evScaled.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) === 0, lit(1L))
+        .otherwise(col("user_id"))), "hot")
+    def wall(f: => Long): Double =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    def asofWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      // count(click_id) reads the carried payload: a bare count() lets
+      // column pruning drop the match column and with it the entire
+      // carry window (measured: 0.25s "as-of" over 5M rows — the scan
+      // alone), the same guard chargram_lm's bench entry documents
+      Joins.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts")
+        .agg(count(col("click_id"))).head().getLong(0)
+    }
+    def sessWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      ev.select(col("user_id"), col("ts"))
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", (col("__prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("__prev"))) >
+            lit(1800L * 1000000L)).cast("long"))
+        .withColumn("session_no", sum(col("__new")).over(run))
+        .groupBy("user_id", "session_no").agg(count(lit(1)).as("n"))
+        .count()
+    }
+    def gapWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
+      // the gap_fill shape: hourly grid for a user cohort, forward-filled
+      // via the as-of carry; the hot user is NOT in the cohort, so its
+      // mass stresses the carry's window exactly as it would in
+      // production (right-side rows join the union regardless)
+      val bounds = ev.filter(col("user_id") % 50 === 0)
+        .groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 HOUR"))).as("slot"))
+      Joins.asOfJoin(grid, ev.select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "slot", "ts")
+        .agg(count(col("value"))).head().getLong(0) // same pruning guard
+    }
+    val rows = uniform.count()
+    val hotRows = hot.filter(col("user_id") === 1L).count()
+    val aU = asofWall(uniform); val aH = asofWall(hot)
+    val sU = sessWall(uniform); val sH = sessWall(hot)
+    val gU = gapWall(uniform); val gH = gapWall(hot)
+    def r(h: Double, u: Double) = if (u > 0) h / u else -1.0
+    val skEntry = s"""{"scale":$scale,"rows":$rows,"hot_key_rows":$hotRows,""" +
+      s""""hot_share":${hotRows.toDouble / rows},"passes":$passes,""" +
+      s""""asof":{"uniform_sec":$aU,"hot_sec":$aH,"ratio":${r(aH, aU)}},""" +
+      s""""sessionize":{"uniform_sec":$sU,"hot_sec":$sH,"ratio":${r(sH, sU)}},""" +
+      s""""gap_fill":{"uniform_sec":$gU,"hot_sec":$gH,"ratio":${r(gH, gU)}},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"asof_skew",${skEntry.tail}""")
+    writeArtifact("asof_skew", skEntry)
+    }
+
+    if (probes("pq_crossover")) {
+    // Where the compressed-scan (PQ-ADC) path actually overtakes brute
+    // force: ann_scale measures ~20k vectors, where brute force wins and
+    // the PQ advantage is only asymptotic; this probe measures
+    // brute/IVF/PQ per-batch wall at TWO corpus sizes — ~20k and ~100k+
+    // (50 distinct rotations of the base vectors) — and names the
+    // crossover, so the "compressed-scan path for exhaustive search"
+    // scaladoc claim carries a measured point. Corpora are generated
+    // ONCE under a stable cache path and reused across runs (the
+    // expensive part is the 100k+ write, not the timing).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val pqcQueries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def corpusAt(reps: Int): org.apache.spark.sql.DataFrame = {
+      val p = s"/tmp/graft_probe_cache/pqc_r$reps/embeddings.parquet"
+      if (!new java.io.File(p).exists()) {
+        if (reps > 64) {
+          // beyond the 64 distinct rotations, tile the cached 64-rotation
+          // corpus with id offsets (direction multiplicity scales
+          // uniformly — a denser crawl of the same distribution); keeps
+          // the build plan 64+tile legs instead of `reps`
+          val base = corpusAt(64)
+          val tiles = math.max(1, reps / 64)
+          (0 until tiles).map { t =>
+            base.select((col("vec_id") + lit(t.toLong * 10000000000L))
+              .as("vec_id"), col("embedding"))
+          }.reduce(_ union _)
+            .repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+        } else
+          (0 until reps).map { i =>
+            emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+              rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
+          }.reduce(_ union _)
+            .repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+      }
+      spark.read.parquet(p)
+    }
+    val sizeResults =
+      Seq("small" -> 10, "large" -> 50, "xlarge" -> 512, "xxlarge" -> 2048)
+        .map { case (label, reps) =>
+      val corpus = corpusAt(reps)
+      val n = corpus.count()
+      val cells = Similarity.autoCells(n)
+      val nProbe = math.max(1, cells / 8)
+      val idx = java.nio.file.Files.createTempDirectory(s"graft_pqc_ivf").toString
+      Similarity.ivfBuild(corpus, "embedding", idx, nCells = cells)
+      val model = Similarity.fitPq(corpus, "embedding", m = 16, ksub = 16)
+      val encPath = java.nio.file.Files.createTempDirectory("graft_pqc_enc")
+        .resolve("encoded.parquet").toString
+      Similarity.pqEncode(corpus, "embedding", model).drop("embedding")
+        .write.mode("overwrite").parquet(encPath)
+      val encoded = spark.read.parquet(encPath)
+      def best(run: () => Long): Double = (1 to passes).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+      val brute = best(() => Similarity.bruteForceTopK(corpus, pqcQueries,
+        "embedding", "vec_id", "query_id", k = 10).count())
+      val ivf = best(() => Similarity.ivfProbeTopK(spark, idx, pqcQueries,
+        "embedding", "vec_id", "query_id", k = 10, nProbe = nProbe).count())
+      val pq = best(() => Similarity.pqTopKEncoded(encoded, corpus, model,
+        pqcQueries, "embedding", "vec_id", "query_id", k = 10,
+        shortlistFactor = 8).count())
+      (label, n, brute, ivf, pq)
+    }
+    val winnerAt = sizeResults.map { case (label, n, b, i, p) =>
+      val w = Seq("brute_force" -> b, "ivf" -> i, "pq_adc" -> p).minBy(_._2)._1
+      s""""$label":"$w""""
+    }.mkString("{", ",", "}")
+    val crossed = sizeResults.exists { case (_, _, b, _, p) => p < b }
+    val sizesJson = sizeResults.map { case (label, n, b, i, p) =>
+      s""""$label":{"vectors":$n,"brute_sec":$b,"ivf_sec":$i,"pq_adc_sec":$p}"""
+    }.mkString("{", ",", "}")
+    val pqcEntry = s"""{"passes":$passes,"sizes":$sizesJson,""" +
+      s""""winner_at":$winnerAt,"pq_beats_brute_somewhere":$crossed,""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"pq_crossover",${pqcEntry.tail}""")
+    writeArtifact("pq_crossover", pqcEntry)
     }
 
     if (probes("minhash_planted_scale")) {

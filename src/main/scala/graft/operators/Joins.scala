@@ -43,7 +43,19 @@ object Joins {
     * rows with no matching right row get nulls (left-outer semantics).
     * Ties (several right rows at one ts) resolve to the greatest payload
     * struct when the payload type is orderable, else arbitrarily.
-    */
+    *
+    * SKEW: the exchange is on `keys` alone, so a hot key is one straggler
+    * partition doing that key's share of the sort+carry. Measured
+    * (SCALEPROBE.json `asof_skew`, 5M events, a planted key holding 10%
+    * of ALL rows): wall 1.36x the uniform-key corpus for this join —
+    * 1.48x for the sessionize window, 1.27x for the gap-fill composition,
+    * the whole per-key-window family sharing the bound. Degradation is
+    * PROPORTIONAL to the hot share (one task's work), never quadratic, so
+    * a salted two-phase carry (second exchange for every caller) is not
+    * implemented; if one key ever dominates the corpus outright, split
+    * that key upstream (e.g. sub-key by time bucket) rather than salting
+    * the carry — a salt would break the within-key total order this
+    * operator's semantics rest on. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightPrefix: String = "",

@@ -935,7 +935,17 @@ object Similarity {
     *
     * Same output shape as [[bruteForceTopK]]; deterministic for a fixed
     * seed. Recall rises with `shortlistFactor` (re-rank cost: the second
-    * scan's join fan-in) and with `ksub` (encode cost). */
+    * scan's join fan-in) and with `ksub` (encode cost).
+    *
+    * MEASURED CROSSOVER (SCALEPROBE.json `pq_crossover`, 64-dim vectors,
+    * 20-query batches, amortized encode, local[32] page-cached): the
+    * codegen'd brute-force dot wins up to ~1M vectors (0.4–1.7s vs
+    * 0.8–2.0s ADC); at 4.1M vectors ADC crosses it (4.9s vs 5.1s brute)
+    * and partition-pruned IVF wins outright (3.3s). The local numbers
+    * UNDERSTATE the ADC advantage at 100 TB: there the scan is
+    * storage-bandwidth-bound and the encoded corpus is ~16x fewer bytes
+    * per row (m bytes vs dim floats), while locally both corpora sit in
+    * page cache and only the compute difference shows. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int, m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
@@ -985,17 +995,23 @@ object Similarity {
     * the exact path. `q` must carry `__qvec`/`__qn` ([[withQueryNorm]]). */
   private def adcScored(encoded: DataFrame, q: DataFrame, model: PqModel,
                         joinCols: Seq[String]): DataFrame = {
-    val withLuts = (0 until model.m).foldLeft(q) { (acc, j) =>
+    // ONE flattened lut column (m·ksub contiguous doubles) instead of m
+    // separate array columns: the broadcast join then copies a single
+    // contiguous array per scored row, and the per-pair score is one
+    // native m-add loop (PqAdcDotExpr) instead of an m-deep element_at
+    // tree — measured 5.3s -> sub-second for 20 queries x 100k rows
+    // (pq_crossover probe) with bit-identical results (same sub-dots,
+    // same left-to-right f64 accumulation order)
+    val flatLut = array((0 until model.m).flatMap { j =>
       val qSub = slice(col("__qvec"), j * model.dsub + 1, model.dsub)
-      acc.withColumn(s"__lut$j", array(
-        model.codebooks(j).map(c => V.dot(qSub, lit(c))).toIndexedSeq: _*))
-    }
-    val adcDot = (0 until model.m).map(j =>
-      element_at(col(s"__lut$j"), element_at(col("__codes"), j + 1) + 1))
-      .reduce(_ + _)
+      model.codebooks(j).map(c => V.dot(qSub, lit(c)))
+    }.toIndexedSeq: _*)
+    val withLut = q.withColumn("__lut", flatLut)
+    val adcDot = graft.functions.VectorExpressions.pqAdcDot(
+      col("__codes"), col("__lut"), model.ksub)
     val joined =
-      if (joinCols.isEmpty) encoded.join(broadcast(withLuts))
-      else encoded.join(broadcast(withLuts), joinCols)
+      if (joinCols.isEmpty) encoded.join(broadcast(withLut))
+      else encoded.join(broadcast(withLut), joinCols)
     joined.withColumn("cosine",
       when(col("__cn") > 0 && col("__qn") > 0,
         adcDot / (col("__cn") * col("__qn"))))
