@@ -1811,6 +1811,27 @@ object Queries {
   private val BpePlantedMerges =
     Seq(("t", "h"), ("e", "r"), ("i", "n"), ("o", "u"), ("a", "l"))
 
+  /** Model-true token budgeting COMPOSED end-to-end: `budget_select`'s
+    * greedy per-language fill, but budgeting in BPE tokens
+    * ([[graft.operators.Bpe.tokenCount]] under the closed-form planted
+    * vocabulary) instead of whitespace tokens — the swap a real pipeline
+    * makes once budgets must match what the model actually consumes.
+    * Exact row-level oracle: DuckDB recomputes the BPE counts by the
+    * `bpe_tokens` closed form and replays the identical running-sum
+    * cut. */
+  private def bpeBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(trim(col("text")))
+    val scored = tab(s, dir, "documents").select(
+      col("doc_id"),
+      T.langId(col("text")).as("lang_id"),
+      T.qualityScore(col("text")).as("quality"),
+      operators.Bpe.tokenCount(t, BpePlantedMerges).as("n_tokens"))
+    Selection.tokenBudgetPerStratum(scored, "lang_id", "n_tokens",
+        budget = 5000L, rankBy = Seq(col("quality").desc, col("doc_id")))
+      .select("lang_id", "doc_id", "quality", "n_tokens", "cum_tokens")
+      .orderBy("lang_id", "doc_id")
+  }
+
   /** The corpus-distributed leg of BPE TRAINING under an exact oracle:
     * [[graft.operators.Bpe.train]]'s first merge is the most frequent
     * adjacent character pair of the word-frequency dictionary (count
@@ -2061,6 +2082,7 @@ object Queries {
     "chargram_lm" -> chargramLm _,
     "bpe_tokens" -> bpeTokens _,
     "bpe_first_merge" -> bpeFirstMerge _,
+    "bpe_budget_select" -> bpeBudgetSelect _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
@@ -2964,6 +2986,62 @@ object Queries {
         |  CAST(SUM(c) AS BIGINT) AS pair_count
         |FROM g GROUP BY 1, 2
         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1""".stripMargin,
+    // budget_select's lang/quality CTEs verbatim, but n_tokens is the
+    // closed-form planted-vocab BPE count (the bpe_tokens formula) and
+    // the running-sum cut replays against the 5000-token budget
+    "bpe_budget_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, trim(lower(text)) AS tx,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, text, tx,
+        |    len(list_filter(toks, t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS en,
+        |    len(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='es')) AS es,
+        |    len(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS fr,
+        |    len(list_filter(toks, t -> t='der' OR t='die' OR t='und' OR t='ist' OR t='das')) AS de,
+        |    len(list_filter(toks, t -> t='的' OR t='是' OR t='了' OR t='在' OR t='我')) AS zh
+        |  FROM tk),
+        |lq AS (
+        |  SELECT doc_id, text, tx,
+        |    CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |         WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |         WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |         WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |         WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |         ELSE 'zh' END AS lang_id,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS praw,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> t='the' OR t='and' OR t='of' OR t='to' OR t='is')) AS nstop
+        |  FROM lang),
+        |scored AS (
+        |  SELECT doc_id, lang_id,
+        |    CAST(length(regexp_replace(tx, '\s', '', 'g'))
+        |      - (length(tx) - length(replace(tx, 'th', ''))) / 2
+        |      - (length(tx) - length(replace(tx, 'er', ''))) / 2
+        |      - (length(tx) - length(replace(tx, 'in', ''))) / 2
+        |      - (length(tx) - length(replace(tx, 'ou', ''))) / 2
+        |      - (length(tx) - length(replace(tx, 'al', ''))) / 2
+        |      AS BIGINT) AS n_tokens,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |          + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+        |          + least((CASE WHEN ntok = 0 THEN 0.0
+        |                        ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+        |                  1.0) * 0.3, 6) AS quality
+        |  FROM lq),
+        |cum AS (
+        |  SELECT lang_id, doc_id, quality, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang_id
+        |                             ORDER BY quality DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored WHERE n_tokens > 0)
+        |SELECT lang_id, doc_id, quality, n_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 5000
+        |ORDER BY lang_id, doc_id""".stripMargin,
     // same 3-gram shingle construction as decontaminate's 5-gram CTE;
     // shingle sets are distinct per doc, so count(*) is document frequency
     "vocab_topk" ->
