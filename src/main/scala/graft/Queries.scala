@@ -1811,6 +1811,36 @@ object Queries {
   private val BpePlantedMerges =
     Seq(("t", "h"), ("e", "r"), ("i", "n"), ("o", "u"), ("a", "l"))
 
+  /** CCNet/RefinedWeb-style line-level boilerplate removal
+    * ([[Dedup.dropBoilerplateLines]]) under a fully exact oracle. The
+    * fixture's documents are single-line word soup, so line structure is
+    * synthesized DETERMINISTICALLY in-query (the `pii_scrub` injection
+    * precedent): each document becomes 8-token lines, every doc_id % 3
+    * gets a planted newsletter header and every doc_id % 4 a planted
+    * rights footer — cross-document boilerplate by construction (167 and
+    * 125 of 500 docs at sf0.01; a natural 1-token trailing line also
+    * crosses the doc-frequency threshold, which the oracle reproduces).
+    * Output is per-document exact: line counts and the md5 of the
+    * reassembled cleaned text. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val body = transform(
+      sequence(lit(0L), ((size(toks) - 1) / 8).cast("long")),
+      i => array_join(slice(toks, (i * 8 + 1).cast("int"), lit(8)), " "))
+    val header = when(pmod(col("doc_id"), lit(3)) === 0,
+      array(lit("subscribe to our newsletter today")))
+      .otherwise(array().cast("array<string>"))
+    val footer = when(pmod(col("doc_id"), lit(4)) === 0,
+      array(lit("all rights reserved worldwide")))
+      .otherwise(array().cast("array<string>"))
+    val synth = tab(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", concat(header, body, footer)).as("text"))
+    Dedup.dropBoilerplateLines(synth, "text", "doc_id", maxDocFreq = 5L)
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        md5(col("text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Model-true token budgeting COMPOSED end-to-end: `budget_select`'s
     * greedy per-language fill, but budgeting in BPE tokens
     * ([[graft.operators.Bpe.tokenCount]] under the closed-form planted
@@ -2083,6 +2113,7 @@ object Queries {
     "bpe_tokens" -> bpeTokens _,
     "bpe_first_merge" -> bpeFirstMerge _,
     "bpe_budget_select" -> bpeBudgetSelect _,
+    "line_dedup" -> lineDedup _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
@@ -2986,6 +3017,36 @@ object Queries {
         |  CAST(SUM(c) AS BIGINT) AS pair_count
         |FROM g GROUP BY 1, 2
         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1""".stripMargin,
+    // identical synthesized line construction (8-token lines + planted
+    // header/footer on the %3 / %4 coins), doc-frequency of TRIMMED lines
+    // over distinct (doc, line), boilerplate = df > 5, reassembly filter,
+    // md5 of the cleaned text
+    "line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |synth AS (SELECT doc_id,
+        |  array_to_string(
+        |    (CASE WHEN doc_id % 3 = 0 THEN ['subscribe to our newsletter today']
+        |          ELSE [] END)
+        |    || list_transform(range(0, CAST((len(toks)-1)/8 AS BIGINT) + 1),
+        |         i -> array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' '))
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ['all rights reserved worldwide']
+        |          ELSE [] END),
+        |    chr(10)) AS text FROM t),
+        |lf AS (SELECT DISTINCT doc_id, trim(ln) AS l FROM
+        |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM synth) u),
+        |bo AS (SELECT l FROM lf GROUP BY l HAVING count(*) > 5),
+        |bl AS (SELECT coalesce(list(l), []) AS bl FROM bo),
+        |clean AS (SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  list_filter(string_split(text, chr(10)),
+        |    l -> NOT list_contains(bl.bl, trim(l))) AS kept
+        |  FROM synth CROSS JOIN bl)
+        |SELECT doc_id, n_lines,
+        |  n_lines - CAST(len(kept) AS BIGINT) AS n_dropped,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
     // budget_select's lang/quality CTEs verbatim, but n_tokens is the
     // closed-form planted-vocab BPE count (the bpe_tokens formula) and
     // the running-sum cut replays against the 5000-token budget

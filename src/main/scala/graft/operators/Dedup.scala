@@ -796,6 +796,77 @@ object Dedup {
       numHashes = blockingHashes, bands = blockingHashes,
       threshold = threshold, maxBucket = maxBucket)
 
+  /** LINE-level boilerplate removal — the CCNet/RefinedWeb paragraph-hash
+    * step of web-corpus curation: split each document on newlines, count
+    * per TRIMMED line the number of distinct documents containing it, and
+    * delete every line present in more than `maxDocFreq` documents
+    * (navigation chrome, cookie banners, footers — text that repeats
+    * across a site carries no per-document signal and inflates n-gram
+    * stats), reassembling the survivors in original order. Returns
+    * (idCol, textCol cleaned, `n_lines`, `n_dropped`) with one row per
+    * input document — a fully-boilerplate document keeps its row with
+    * empty text, so the caller decides its fate.
+    *
+    * Scale shape: the line explode is scan-side; the document-frequency
+    * aggregation is map-side combined on the line key (distinct-per-doc
+    * first, so in-document repetition counts once); the boilerplate
+    * relation is by construction ≤ corpus-lines / maxDocFreq rows and
+    * joins back under the measured broadcast gate
+    * ([[sizeGatedFilterJoin]], anti-join — degrading to a shuffle on a
+    * template-heavy corpus rather than an unbounded driver broadcast);
+    * reassembly is one exchange on the document id with a per-document
+    * sort of that document's own lines. The exploded relation is derived
+    * twice (frequency pass, filter pass) rather than cached — at corpus
+    * scale re-splitting beats persisting a corpus-sized intermediate, the
+    * same call [[CorpusStats.charLmScore]] documents. Exact integer/string
+    * arithmetic — engine-independent and oracle-checkable (`line_dedup`). */
+  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                           maxDocFreq: Long,
+                           maxBroadcastRows: Long = 1000000L,
+                           model: Option[DataFrame] = None): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    def lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__l", trim(col("__line")))
+    val boiler = model
+      .map(_.select(col("line").as("__l")))
+      .getOrElse(boilerplateLines(df, textCol, idCol, maxDocFreq)
+        .select(col("line").as("__l")))
+    val kept = sizeGatedFilterJoin(lines, boiler, Seq("__l"), "left_anti",
+      maxBroadcastRows)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** The trained half of [[dropBoilerplateLines]]: the corpus's boilerplate
+    * line set (`line`, `df` — trimmed lines present in more than
+    * `maxDocFreq` distinct documents). Persist it once and pass it back as
+    * `model=` to clean LATER ingest batches against the frozen corpus
+    * boilerplate without re-counting — the train-offline / apply-on-ingest
+    * split of [[CorpusStats.charLmModel]]/`charLmApply`; re-train on the
+    * grown corpus at the caller's cadence. */
+  def boilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                       maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    df.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), trim(col("__line")).as("line"))
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+  }
+
   /** Decontamination: remove corpus documents sharing at least `minOverlap`
     * distinct word `shingleSize`-grams with ANY document of `evalSet` —
     * the benchmark-hygiene step of a training pipeline (eval data must not

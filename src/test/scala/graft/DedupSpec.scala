@@ -419,6 +419,51 @@ class DedupSpec extends SparkSpec {
     Bridge.hasCachedData(spark) shouldBe false
   }
 
+  test("dropBoilerplateLines removes cross-document boilerplate lines, " +
+    "keeps per-document lines in order, counts in-doc repeats once, and " +
+    "keeps a fully-boilerplate doc as an empty-text row") {
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"$boiler\nunique line one\nunique line two"),
+      (2L, s"alpha beta\n$boiler\ngamma delta"),
+      (3L, s"$boiler\n  $boiler  \nsolo content"), // repeats in-doc + padding
+      (4L, boiler),                                 // fully boilerplate
+      (5L, "entirely original document text")
+    ).toDF("doc_id", "text")
+    // boiler appears in 4 distinct docs (doc 3's two copies count ONCE,
+    // and the padded copy trims to the same line); threshold 3 drops it
+    val out = Dedup.dropBoilerplateLines(docs, "text", "doc_id",
+        maxDocFreq = 3L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (1L, "unique line one\nunique line two", 3L, 1L),
+      (2L, "alpha beta\ngamma delta", 3L, 1L),
+      (3L, "solo content", 3L, 2L),
+      (4L, "", 1L, 1L),
+      (5L, "entirely original document text", 1L, 0L))
+    // threshold 4: nothing crosses, every doc unchanged
+    val loose = Dedup.dropBoilerplateLines(docs, "text", "doc_id",
+        maxDocFreq = 4L)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    loose shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dropBoilerplateLines(docs, "text", "doc_id", maxDocFreq = 0L)
+
+    // frozen-model apply: a LATER ingest batch is cleaned against the
+    // trained corpus boilerplate even though within the batch the line is
+    // rare (df = 1 here — self-training would keep it)
+    val model = Dedup.boilerplateLines(docs, "text", "doc_id", maxDocFreq = 3L)
+    model.select("line").as[String].collect() shouldBe Array(boiler)
+    val batch = Seq((10L, s"fresh content\n$boiler")).toDF("doc_id", "text")
+    val applied = Dedup.dropBoilerplateLines(batch, "text", "doc_id",
+        maxDocFreq = 3L, model = Some(model))
+      .head()
+    applied.getString(1) shouldBe "fresh content"
+    applied.getLong(3) shouldBe 1L
+  }
+
   test("decontaminate removes eval docs and their near-copies, keeps " +
     "unrelated docs, and honors minOverlap") {
     val corpus = Seq(
