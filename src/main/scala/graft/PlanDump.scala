@@ -40,7 +40,10 @@ object PlanDump {
       "containment_pairs" -> "single-pass inverted-index self-join reused for asymmetric containment; the two join inputs are identical subplans (ReusedExchange), set sizes ride the exploded rows",
       "gap_fill" -> "resample grid generated scan-side (sequence explode), forward-filled by the union+window as-of join -- one user_id exchange, no per-slot range probes",
       "asof_nearest" -> "both as-of carries share ONE key exchange (two Window sorts of the same partitioning); the closer match picked scan-side",
-      "percentile_rollup" -> "KLL sketches partial-aggregated map-side (ObjectHashAggregate over binary state); the rollup merges stored sketch bytes -- the fact table is rescanned only by the exact-rank verification branches"
+      "percentile_rollup" -> "KLL sketches partial-aggregated map-side (ObjectHashAggregate over binary state); the rollup merges stored sketch bytes -- the fact table is rescanned only by the exact-rank verification branches",
+      "bpe_tokens" -> "BPE encode runs inside the scan projection (native BpeEncodeExpr, frozen merge table shipped in the plan) -- no model join, no shuffle before the final sort",
+      "bpe_budget_select" -> "tokenizer-true budgeting composes scan-side BPE counts with the per-language running-sum window -- one lang_id exchange, identical shape to budget_select",
+      "line_dedup" -> "line doc-frequency map-side combined on trimmed-line keys; boilerplate set anti-joined under the measured broadcast gate; reassembly is one doc-id exchange with per-doc sorted collect_list"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")
