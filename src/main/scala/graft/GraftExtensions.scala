@@ -34,6 +34,28 @@ object GraftExtensions {
       s"$fn expects a literal INT, got $other")
   }
 
+  /** A foldable `array(array(left, right), ...)` merge table for the BPE
+    * SQL face, evaluated at registration time (the merge table is a
+    * MODEL — a plan-time constant — exactly as the Scala API embeds it). */
+  private def mergesArg(e: Expression, fn: String): Seq[(String, String)] = {
+    if (!e.foldable || !e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      throw new IllegalArgumentException(
+        s"$fn expects a foldable array(array(left, right), ...) merge table, got $e")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val p = arr.getArray(i)
+      if (p == null || p.numElements() != 2)
+        throw new IllegalArgumentException(
+          s"$fn: merge entry $i must be a 2-element array(left, right)")
+      (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+    }
+  }
+
+  /** Optional literal-INT k with a default (the kll_* aggregate faces). */
+  private def optK(args: Seq[Expression], idx: Int, default: Int,
+                   fn: String): Int =
+    if (args.size > idx) intArg(args(idx), fn) else default
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("word_shingles"),
@@ -103,7 +125,33 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.KllRankExpr].getName, "kll_rank"),
       { case Seq(sk, v) => graft.functions.KllRankExpr(sk, v)
         case args => throw new IllegalArgumentException(
-          s"kll_rank(sketch, value) expects 2 args, got ${args.size}") })
+          s"kll_rank(sketch, value) expects 2 args, got ${args.size}") }),
+    // aggregate faces: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression, so the whole mergeable-percentile rollup
+    // (sketch fine -> merge coarse -> quantile query) is expressible in
+    // pure SQL; values coerce to DOUBLE like percentile_approx's input
+    (FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName, "kll_sketch"),
+      { case args @ (value +: _) if args.size <= 2 =>
+          graft.functions.KllSketchAgg(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              value, org.apache.spark.sql.types.DoubleType),
+            optK(args, 1, graft.functions.KllSketchAgg.DefaultK, "kll_sketch"))
+        case args => throw new IllegalArgumentException(
+          s"kll_sketch(value[, k]) expects 1-2 args, got ${args.size}") }),
+    (FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[graft.functions.KllMergeAgg].getName, "kll_merge"),
+      { case args @ (sketch +: _) if args.size <= 2 =>
+          graft.functions.KllMergeAgg(sketch,
+            optK(args, 1, graft.functions.KllSketchAgg.DefaultK, "kll_merge"))
+        case args => throw new IllegalArgumentException(
+          s"kll_merge(sketch[, k]) expects 1-2 args, got ${args.size}") }),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[graft.functions.BpeEncodeExpr].getName, "bpe_encode"),
+      { case Seq(text, merges) =>
+          graft.functions.BpeEncodeExpr(text, mergesArg(merges, "bpe_encode"))
+        case args => throw new IllegalArgumentException(
+          s"bpe_encode(text, array(array(l, r), ...)) expects 2 args, got ${args.size}") })
   )
 
   /** Imperative registration for sessions created without the extensions

@@ -87,7 +87,7 @@ class ExtensionsSpec extends SparkSpec {
       Set("word_shingles", "char_grams", "simhash64", "minhash_sig",
         "vec_dot", "poly_hash", "image_features", "image_dhash",
         "image_resize", "audio_features", "pcm_wav",
-        "kll_quantile", "kll_rank")
+        "kll_quantile", "kll_rank", "kll_sketch", "kll_merge", "bpe_encode")
   }
 
   test("audio SQL functions compose: pcm_wav synthesis decodes to the " +
@@ -118,6 +118,38 @@ class ExtensionsSpec extends SparkSpec {
     val wav = spark.sql(
       "SELECT audio_features(pcm_wav(6L, 500L, 100L)) AS f").head().getStruct(0)
     (wav.getLong(2), wav.getLong(3)) shouldBe (100L, 50000L)
+  }
+
+  test("the whole mergeable percentile rollup is expressible in pure SQL: " +
+    "kll_sketch fine -> kll_merge coarse -> kll_quantile query") {
+    GraftExtensions.register(spark)
+    (1 to 100).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_rollup_sql")
+    val r = spark.sql(
+      """SELECT kll_quantile(kll_merge(sk), 0.5) AS med FROM (
+        |  SELECT g, kll_sketch(v) AS sk FROM kll_rollup_sql GROUP BY g)""".stripMargin)
+      .head().getDouble(0)
+    r should (be >= 40.0 and be <= 60.0)
+    // integer values coerce like percentile_approx's input
+    spark.sql("SELECT kll_sketch(g, 128) FROM kll_rollup_sql").head()
+      .getAs[Array[Byte]](0).length should be > 0
+  }
+
+  test("bpe_encode SQL face == Scala API for a literal merge table, and " +
+    "rejects a non-foldable or malformed one") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT bpe_encode('lowest', array(array('e','s'), array('es','t'),
+        |  array('l','o'), array('lo','w'))) AS t""".stripMargin)
+      .head().getSeq[String](0)
+    viaSql shouldBe Seq("low", "est")
+    val viaApi = Seq("lowest").toDF("x")
+      .select(graft.operators.Bpe.encode(col("x"),
+        Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))))
+      .head().getSeq[String](0)
+    viaSql shouldBe viaApi
+    an[Exception] should be thrownBy spark.sql(
+      "SELECT bpe_encode('x', array(array('a'))) ").collect() // not 2-wide
   }
 
   test("typed Dataset face of a table (Dataset[NationRow])") {
