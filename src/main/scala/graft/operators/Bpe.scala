@@ -106,6 +106,23 @@ object Bpe {
     false
   }
 
+  /** Persist a trained merge table as a tiny (rank, left, right, count)
+    * parquet relation — the tokenizer artifact a pipeline trains once and
+    * every later job loads; numMerges rows, trivially small. */
+  def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+           path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table persisted by [[save]], rank-ordered — feed
+    * `.map(m => (m.left, m.right))` to [[encode]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
   /** BPE token sequence of `text` under a frozen merge table
     * (`array<string>`, words concatenated in order). */
   def encode(text: Column, merges: Seq[(String, String)]): Column =

@@ -85,6 +85,34 @@ class BpeSpec extends SparkSpec {
     checked.getBoolean(1) shouldBe true
   }
 
+  test("save/load round-trips the trained tokenizer artifact rank-ordered") {
+    val merges = Bpe.train(classicCorpus, col("text"), numMerges = 4)
+    val p = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/m"
+    Bpe.save(spark, merges, p)
+    Bpe.load(spark, p) shouldBe merges
+  }
+
+  test("the frozen merge table encodes a STREAM scan-side (no model join, " +
+    "no state) with batch-identical results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Bpe.train(classicCorpus, col("text"), numMerges = 4)
+      .map(m => (m.left, m.right))
+    val mem = MemoryStream[String]
+    val q = mem.toDF().select(col("value"),
+        Bpe.encode(col("value"), merges).as("toks"))
+      .writeStream.format("memory").queryName("bpe_stream").start()
+    try {
+      mem.addData("lowest", "newest widest")
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream")
+        .orderBy("value").as[(String, Seq[String])].collect()
+      got shouldBe Array(
+        ("lowest", Seq("low", "est")),
+        ("newest widest", Seq("n", "e", "w", "est", "w", "i", "d", "est")))
+    } finally q.stop()
+  }
+
   test("trained-tokenizer counts plug into the token-budget selector " +
     "(model-true budgets, same operator)") {
     val merges = Bpe.train(classicCorpus, col("text"), numMerges = 4)
