@@ -1811,6 +1811,40 @@ object Queries {
   private val BpePlantedMerges =
     Seq(("t", "h"), ("e", "r"), ("i", "n"), ("o", "u"), ("a", "l"))
 
+  /** Curriculum data mix COMPOSED end-to-end — the quality-curriculum
+    * recipe of a training pipeline as one oracle-gated contract:
+    * corpus-self-trained charLM quality ([[CorpusStats.charLmScore]] —
+    * `freq_sum / n_grams`, the exact-integer perplexity surrogate) →
+    * per-language exact deciles (ntile over a total order, decile 1 =
+    * most conventional text) → decile-banded md5-coin keep rates (all of
+    * deciles 1-3, half of 4-7, 10% of 8-10 — [[graft.functions
+    * .TextFunctions.coinThreshold]] arithmetic, the same deterministic
+    * coin as `mixture_sample`) → per-(language, decile) doc/token mix
+    * report. Every stage is individually oracle-proven elsewhere
+    * (`chargram_lm`, `quality_deciles`, `mixture_sample`); this contract
+    * proves the COMPOSITION row-exactly. Scale note: the per-language
+    * ntile sorts each language on one task — the `quality_deciles`
+    * bound; at an unbounded stratum swap in the approx-threshold binning
+    * ([[Selection.quantileBinsApproxPerStratum]]) and band on its bins. */
+  private def curriculumMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val scored = CorpusStats.charLmScore(docs, "text", "doc_id")
+    val q = docs.select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).cast("long").as("ntok"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("q", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(round(col("freq_sum").cast("double") / col("n_grams"), 6)))
+    val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+    val dec = q.withColumn("decile", ntile(10).over(w).cast("long"))
+    val thr = when(col("decile") <= 3, lit(T.coinThreshold(1.0)))
+      .when(col("decile") <= 7, lit(T.coinThreshold(0.5)))
+      .otherwise(lit(T.coinThreshold(0.1)))
+    dec.filter(substring(md5(col("doc_id").cast("string")), 1, 8) < thr)
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      .orderBy("lang", "decile")
+  }
+
   /** CCNet/RefinedWeb-style line-level boilerplate removal
     * ([[Dedup.dropBoilerplateLines]]) under a fully exact oracle. The
     * fixture's documents are single-line word soup, so line structure is
@@ -2114,6 +2148,7 @@ object Queries {
     "bpe_first_merge" -> bpeFirstMerge _,
     "bpe_budget_select" -> bpeBudgetSelect _,
     "line_dedup" -> lineDedup _,
+    "curriculum_mix" -> curriculumMix _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
@@ -3017,6 +3052,46 @@ object Queries {
         |  CAST(SUM(c) AS BIGINT) AS pair_count
         |FROM g GROUP BY 1, 2
         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1""".stripMargin,
+    // the chargram_lm model/score CTEs verbatim, then q = round-6 ratio,
+    // per-language ntile(10) over (q desc, doc_id), decile-banded md5
+    // coin (thresholds = coinThreshold(1.0/0.5/0.1)), mix aggregation
+    "curriculum_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(lower(text)) AS tx FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(tx) - 2, 0) + 1),
+        |      i -> substring(tx, CAST(i AS INT), 3))) AS gram
+        |  FROM t),
+        |model AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY gram
+        |  ORDER BY c DESC, gram LIMIT 5000),
+        |sc AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(coalesce(m.c, 0)) AS BIGINT) AS freq_sum
+        |  FROM g LEFT JOIN model m USING (gram) GROUP BY g.doc_id),
+        |q AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS ntok,
+        |    CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN 0.0
+        |         ELSE round(CAST(sc.freq_sum AS DOUBLE) / sc.n_grams, 6)
+        |         END AS q
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |dec AS (
+        |  SELECT doc_id, lang, ntok,
+        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+        |      AS BIGINT) AS decile
+        |  FROM q)
+        |SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens
+        |FROM dec
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN decile <= 3 THEN 'g'
+        |       WHEN decile <= 7 THEN '80000000'
+        |       ELSE '19999999' END
+        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
     // identical synthesized line construction (8-token lines + planted
     // header/footer on the %3 / %4 coins), doc-frequency of TRIMMED lines
     // over distinct (doc, line), boilerplate = df > 5, reassembly filter,

@@ -676,13 +676,14 @@ object Similarity {
     * Recall grows roughly linearly in the scanned fraction on this
     * uniform synthetic corpus — there is no free knee; real embedding
     * corpora cluster, which is what makes small probe budgets pay.
-    * Guidance: the `cells/8` default is a latency-biased floor for
-    * uniform-ish data (it is also what `ivf_maintain`'s 0.36–0.40
-    * drifted-recall numbers are measured at); recall-sensitive
-    * deployments should budget `cells/4` or size cells so the expected
-    * cluster fits one cell, and treat full-probe as the exactness
-    * baseline it is (equivalent to brute force over a pruned-nothing
-    * scan). */
+    * Guidance: don't read this table — CALIBRATE. [[nProbeForRecall]]
+    * measures the index's own recall curve and persists the width that
+    * meets a stated target, which then becomes this method's default
+    * (SCALEPROBE `ivf_autotune`: 0.36–0.48 at the uncalibrated cells/8
+    * floor → 0.92 calibrated at target 0.9 on drifted data). The
+    * `cells/8` fallback only applies to an uncalibrated index; full
+    * probe remains the exactness baseline (equivalent to brute force
+    * over a pruned-nothing scan). */
   def ivfProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                    vecCol: String, idCol: String, queryIdCol: String,
                    k: Int, nProbe: Int = 0): DataFrame = {
