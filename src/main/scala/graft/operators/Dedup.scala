@@ -849,6 +849,25 @@ object Dedup {
         (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** The ZERO-SHUFFLE apply path of [[dropBoilerplateLines]] for a frozen,
+    * driver-resident model (a curated or [[boilerplateLines]]-trained line
+    * list, typically thousands of lines): the whole clean is one native
+    * scan-side expression ([[graft.functions.BoilerplateFilterExpr]] —
+    * hash-set lookups in a single compiled pass per document), so the plan
+    * has no explode, no join, no reassembly exchange, and the SAME call
+    * works unchanged on a STREAMING DataFrame (stateless projection).
+    * Output shape matches [[dropBoilerplateLines]] exactly; `DedupSpec`
+    * pins row-for-row parity between the two paths. Prefer the join-based
+    * form when the boilerplate set is data-dependent per run or too large
+    * to embed in the plan. */
+  def dropBoilerplateLinesScan(df: DataFrame, textCol: String, idCol: String,
+                               model: Seq[String]): DataFrame = {
+    val out = graft.functions.BoilerplateFilterExpr(col(textCol), model)
+    df.select(col(idCol), out.as("__o"))
+      .select(col(idCol), col("__o.text").as(textCol),
+        col("__o.n_lines").as("n_lines"), col("__o.n_dropped").as("n_dropped"))
+  }
+
   /** The trained half of [[dropBoilerplateLines]]: the corpus's boilerplate
     * line set (`line`, `df` — trimmed lines present in more than
     * `maxDocFreq` distinct documents). Persist it once and pass it back as

@@ -462,6 +462,23 @@ class DedupSpec extends SparkSpec {
       .head()
     applied.getString(1) shouldBe "fresh content"
     applied.getLong(3) shouldBe 1L
+
+    // the zero-shuffle scan path is row-identical to the join path for
+    // the same frozen model — on the training corpus AND the new batch
+    val modelLines = model.select("line").as[String].collect().toSeq
+    for (input <- Seq(docs, batch)) {
+      val joinPath = Dedup.dropBoilerplateLines(input, "text", "doc_id",
+          maxDocFreq = 3L, model = Some(model))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val scanPath = Dedup.dropBoilerplateLinesScan(input, "text", "doc_id",
+          modelLines)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      scanPath shouldBe joinPath
+    }
+    // and the scan plan is genuinely exchange-free (stream-compatible)
+    val plan = Dedup.dropBoilerplateLinesScan(docs, "text", "doc_id",
+      modelLines).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
   }
 
   test("decontaminate removes eval docs and their near-copies, keeps " +
