@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,pq_crossover,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,pq_crossover,line_dedup_scale,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1094,6 +1094,67 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"pq_crossover",${pqcEntry.tail}""")
     writeArtifact("pq_crossover", pqcEntry)
+    }
+
+    if (probes("line_dedup_scale")) {
+    // Corpus-linearity of line-level boilerplate dedup at SCALE×: replicas
+    // are letter-rotated (natural 8-token lines stay per-replica), but the
+    // planted header line is the SAME string in every replica — site
+    // chrome spans the whole crawl, so its document frequency grows with
+    // the corpus and it stays boilerplate at any scale. Claims under
+    // test: per-document wall stays flat from 1× to SCALE× (the
+    // frequency aggregation and anti-join are corpus-linear; nothing
+    // quadratic hides in the reassembly), and the planted boilerplate is
+    // ALWAYS removed (zero cleaned documents still contain it).
+    val alphaLd = "abcdefghijklmnopqrstuvwxyz"
+    def rotatedLd(i: Int) = alphaLd.drop(i % 26) + alphaLd.take(i % 26)
+    val header = "subscribe to our newsletter today"
+    def synthLines(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(trim(col("text")), "\\s+")
+      val body = transform(
+        sequence(lit(0L), ((size(toks) - 1) / 8).cast("long")),
+        i => array_join(slice(toks, (i * 8 + 1).cast("int"), lit(8)), " "))
+      val hdr = when(pmod(col("doc_id"), lit(3)) === 0, array(lit(header)))
+        .otherwise(array().cast("array<string>"))
+      df.select(col("doc_id"), concat_ws("\n", concat(hdr, body)).as("text"))
+    }
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def corpusLd(reps: Int): org.apache.spark.sql.DataFrame = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_ld_$reps")
+        .resolve("docs.parquet").toString
+      synthLines((0 until reps).map { i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          translate(lower(col("text")), alphaLd, rotatedLd(i)).as("text"))
+      }.reduce(_ unionByName _))
+        .repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def runLd(c: org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val r = Dedup.dropBoilerplateLines(c, "text", "doc_id", maxDocFreq = 5)
+          .agg(count(lit(1)), sum(col("n_dropped")),
+            sum(col("text").contains(header).cast("long")))
+          .head()
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val best = times.minBy(_._1)
+      (best._1, best._2, best._3, best._4)
+    }
+    val small = corpusLd(1)
+    val big = corpusLd(scale)
+    val (s1, n1, d1, h1) = runLd(small)
+    val (sN, nN, dN, hN) = runLd(big)
+    val perDocRatio = (sN / nN) / (s1 / n1)
+    val ldEntry = s"""{"scale":$scale,"passes":$passes,""" +
+      s""""docs_1x":$n1,"sec_1x":$s1,"dropped_1x":$d1,""" +
+      s""""docs_big":$nN,"sec_big":$sN,"dropped_big":$dN,""" +
+      s""""per_doc_wall_ratio_big_over_1x":$perDocRatio,""" +
+      s""""header_survivors_1x":$h1,"header_survivors_big":$hN,""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"line_dedup_scale",${ldEntry.tail}""")
+    writeArtifact("line_dedup_scale", ldEntry)
     }
 
     if (probes("minhash_planted_scale")) {
