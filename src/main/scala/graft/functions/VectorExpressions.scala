@@ -28,10 +28,22 @@ private object VecRead {
     e.dataType.asInstanceOf[ArrayType].elementType
 }
 
-/** Left-to-right f64 dot product; null if either side is null. */
+/** Left-to-right f64 dot product; null if either side is null or the
+  * lengths mismatch. This is the engine's per-PAIR hot kernel (every
+  * brute-force / exact-re-rank / quantizer-fit scoring path evaluates it
+  * once per scored pair), so unlike the per-ROW sketch expressions it
+  * implements real `doGenCode`: the loop compiles INTO the enclosing
+  * whole-stage-codegen method instead of a per-pair interpreted `eval`
+  * call through the fallback shim. The generated arithmetic is the same
+  * left-to-right f64 accumulation over float-widened elements, so results
+  * stay bit-identical to the interpreted path and the HOF spec. */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // a length mismatch yields null even for non-null children, so this
+  // must be nullable regardless of child nullability (and codegen's
+  // isNull slot must be a real variable)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -49,6 +61,34 @@ case class DotProductExpr(left: Expression, right: Expression)
     var i = 0
     while (i < n) { acc += ga(i) * gb(i); i += 1 }
     acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    def getter(arr: String, idx: String, e: Expression): String =
+      VecRead.elemType(e) match {
+        case FloatType => s"(double) $arr.getFloat($idx)"
+        case _ => s"$arr.getDouble($idx)"
+      }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${getter(a, i, left)} * ${getter(b, i, right)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -938,15 +938,18 @@ object Similarity {
     * seed. Recall rises with `shortlistFactor` (re-rank cost: the second
     * scan's join fan-in) and with `ksub` (encode cost).
     *
-    * MEASURED CROSSOVER (SCALEPROBE.json `pq_crossover`, 64-dim vectors,
-    * 20-query batches, amortized encode, local[32] page-cached): the
-    * codegen'd brute-force dot wins up to ~1M vectors (0.4–1.7s vs
-    * 0.8–2.0s ADC); at 4.1M vectors ADC crosses it (4.9s vs 5.1s brute)
-    * and partition-pruned IVF wins outright (3.3s). The local numbers
-    * UNDERSTATE the ADC advantage at 100 TB: there the scan is
-    * storage-bandwidth-bound and the encoded corpus is ~16x fewer bytes
-    * per row (m bytes vs dim floats), while locally both corpora sit in
-    * page cache and only the compute difference shows. */
+    * MEASURED (SCALEPROBE.json `pq_crossover`, 64-dim vectors, 20-query
+    * batches, amortized encode, local[32] page-cached, at 20k / 100k /
+    * 1M / 4.1M vectors): brute force with the codegen'd dot wins every
+    * compute-bound size up to ~1M (0.4–1.2s); at 4.1M it and ADC sit
+    * within run-to-run noise of each other (4.6–6.0s across runs) while
+    * amortized partition-pruned IVF overtakes both outright (4.2s).
+    * Local page-cached numbers show only COMPUTE, where an m-add table
+    * loop and a 64-mult compiled dot are close; the ADC path's real
+    * advantage is bytes scanned — the encoded corpus is ~16x narrower
+    * per row (m bytes vs dim floats) — which pays exactly at the
+    * storage-bandwidth-bound 100 TB scales a local probe cannot
+    * reproduce. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int, m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
