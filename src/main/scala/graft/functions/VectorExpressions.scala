@@ -153,7 +153,7 @@ case class SignBucketsExpr(child: Expression,
   * not m·ksub) yield null rather than a scan-killing exception — the
   * [[AudioFeaturesExpr]] corrupt-input convention. */
 case class PqAdcDotExpr(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(ksub >= 1, "ksub must be >= 1")
 
   override def dataType: DataType = DoubleType
@@ -176,14 +176,113 @@ case class PqAdcDotExpr(left: Expression, right: Expression, ksub: Int)
     acc
   }
 
+  // the ADC scan's per-pair kernel, same doGenCode rationale as
+  // [[DotProductExpr]]: the m-add loop compiles into the enclosing
+  // whole-stage method; malformed inputs null out via the isNull slot
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $codes.numElements();
+         |if ($lut.numElements() != $m * $ksub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    int $c = $codes.getInt($j);
+         |    if ($c < 0 || $c >= $ksub) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $lut.getDouble($j * $ksub + $c);
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcDotExpr =
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmin for quantizer ASSIGNMENT — the corpus-side
+  * kernel of IVF build/append/maintain: one fused pass computing, per
+  * centroid, d = ||c||² − 2·v·c (the row-independent ||v||² term cannot
+  * change the order) and keeping the argmin, ties to the LOWEST cell id.
+  * Replaces the declarative `element_at(array_sort(array(<nCells>
+  * structs)), 1)` formulation, which allocated and sorted nCells structs
+  * PER ROW — at the 256-cell default that is 256 allocations + an
+  * O(c log c) sort per corpus row on every build/append/maintain pass;
+  * here it is a primitive loop with zero allocation. Arithmetic is
+  * bit-identical (same per-centroid expression order, same f64
+  * accumulation, same tie rule), so assignments — and therefore probe
+  * results and every IVF contract — are unchanged. NULL vector yields
+  * NULL; a dimension mismatch fails loudly (a silently-truncated
+  * assignment would collapse recall with healthy-looking output, the
+  * [[SignBucketsExpr]] convention). */
+case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cell"
+
+  @transient private lazy val cNorm2: Array[Double] =
+    centroids.map(_.map(x => x * x).sum)
+
+  // element-type dispatch hoisted out of the row loop: a per-row
+  // `VecRead.get` closure (one allocation per row + a megamorphic call
+  // per element × per centroid) measurably REGRESSED the build pass it
+  // was meant to speed up; a cached boolean branch keeps the inner loop
+  // monomorphic primitive reads
+  @transient private lazy val isFloat: Boolean =
+    VecRead.elemType(child) match {
+      case FloatType => true
+      case DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"vector ops need array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fl = isFloat
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var cIdx = 0
+    while (cIdx < centroids.length) {
+      val c = centroids(cIdx)
+      if (n != c.length) throw new IllegalArgumentException(
+        s"nearest_cell: vector dim $n != centroid dim ${c.length}")
+      var dot = 0.0
+      var i = 0
+      if (fl) while (i < n) { dot += v.getFloat(i) * c(i); i += 1 }
+      else while (i < n) { dot += v.getDouble(i) * c(i); i += 1 }
+      val d = cNorm2(cIdx) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = cIdx }
+      cIdx += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(NearestCellExpr(Bridge.expression(v), centroids))
 
   def pqAdcDot(codes: Column, flatLut: Column, ksub: Int): Column =
     Bridge.column(PqAdcDotExpr(Bridge.expression(codes),

@@ -97,10 +97,14 @@ object Similarity {
         lit(i).as("cell"))
     }.toIndexedSeq: _*)
 
-  /** Nearest-centroid cell id for a corpus row (the quantizer assignment). */
+  /** Nearest-centroid cell id for a corpus row (the quantizer assignment):
+    * the native fused argmin ([[graft.functions.NearestCellExpr]] — zero
+    * per-row allocation, bit-identical distances and tie rule to the
+    * [[cellDistStructs]] ranking the query side still uses, so corpus
+    * assignment and probe ranking stay mutually consistent). */
   private[graft] def nearestCell(vec: org.apache.spark.sql.Column,
                                  centroids: Array[Array[Double]]) =
-    element_at(array_sort(cellDistStructs(vec, centroids)), 1)("cell")
+    graft.functions.VectorExpressions.nearestCell(vec, centroids)
 
   /** (idCol, vecCol, __nrm, __unit) with zero vectors EXCLUDED (they have
     * no direction, hence no defined cosine). `__unit` is the L2-normalized

@@ -116,6 +116,45 @@ class FunctionsSpec extends SparkSpec {
     empty.length shouldBe 1
   }
 
+  test("native NearestCellExpr == the declarative sort formulation it " +
+    "replaced (distances, tie-to-lowest-cell, float widening), and a " +
+    "dimension mismatch fails loudly") {
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(0.5, 0.5, 0.0))
+    // includes an exact tie: (1,1,0)/sqrt2-ish points equidistant between
+    // cells 0 and 1 -> lowest cell id must win in both formulations
+    val vecs = Seq(
+      Array(0.9f, 0.1f, 0.0f), Array(0.1f, 0.9f, 0.05f),
+      Array(0.0f, 0.1f, 0.95f), Array(0.45f, 0.55f, 0.1f),
+      Array(1.0f, 1.0f, 0.0f), Array(-1.0f, -1.0f, -1.0f),
+      Array(0.0f, 0.0f, 0.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val native = df.select(col("id"),
+        graft.functions.VectorExpressions.nearestCell(col("v"), centroids)
+          .as("c"))
+      .orderBy("id").as[(Long, Int)].collect()
+    // the declarative formulation nearestCell used before the native
+    // argmin: per-centroid (||c||^2 - 2 v.c, cell) structs, sorted
+    val structs = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - lit(2.0) *
+        graft.functions.VectorFunctions.dot(col("v"), lit(c))).as("d"),
+        lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val declarative = df.select(col("id"),
+        element_at(array_sort(structs), 1)("cell").as("c"))
+      .orderBy("id").as[(Long, Int)].collect()
+    native shouldBe declarative
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+        .select(graft.functions.VectorExpressions.nearestCell(col("v"),
+          centroids)).collect()
+    }
+    ex.getMessage should include("dim")
+  }
+
   test("native CharShingleExpr matches the declarative HOF spec, including " +
     "short strings, multi-byte code points, and repeats") {
     val cases = Seq("abcdef", "ab", "", "ababab", "héllo wörld", "日本語のテキスト")
