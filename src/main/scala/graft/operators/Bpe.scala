@@ -8,8 +8,8 @@ import graft.functions.{BpeEncodeExpr, TextFunctions => T}
 /** Corpus-trained byte-pair encoding — model-true token counts for the
   * selection/packing operators that would otherwise budget in whitespace
   * tokens. Public algorithm (Sennrich, Haddow & Birch 2016): training
-  * greedily merges the most frequent adjacent symbol pair of a word
-  *-frequency dictionary; encoding replays the merge list by rank.
+  * greedily merges the most frequent adjacent symbol pair of a
+  * word-frequency dictionary; encoding replays the merge list by rank.
   *
   * Split of labor (the [[CorpusStats.charLmModel]]/`charLmApply`
   * train-offline / score-on-ingest pattern):
