@@ -218,4 +218,34 @@ class PropertySpec extends SparkSpec {
       got shouldBe model(rows)
     }
   }
+
+  test("property: BPE encoding is LOSSLESS under ARBITRARY merge tables " +
+    "(chained, overlapping, duplicate pairs — not just the disjoint " +
+    "closed-form regime), and never exceeds the character count") {
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 6)
+      words <- Gen.listOfN(n, Gen.listOfN(5, Gen.oneOf('a', 'b', 'c'))
+        .map(_.mkString))
+    } yield words.mkString(" ")
+    // pairs over a 3-letter alphabet plus CHAINED symbols (merged tokens
+    // as left sides) — the regime where greedy rank-priority order matters
+    val mergesGen: Gen[Seq[(String, String)]] = for {
+      m <- Gen.choose(0, 6)
+      ms <- Gen.listOfN(m, for {
+        l <- Gen.oneOf("a", "b", "c", "ab", "bc", "ca", "aa")
+        r <- Gen.oneOf("a", "b", "c")
+      } yield (l, r))
+    } yield ms
+    forAll(textGen, mergesGen) { (text, merges) =>
+      val out = Seq(text).toDF("t")
+        .select(operators.Bpe.encode(col("t"), merges).as("toks"))
+        .as[Seq[String]].head()
+      val chars = text.replaceAll("\\s+", "")
+      withClue(s"text='$text' merges=$merges: ") {
+        out.mkString("") shouldBe chars // lossless for ANY table
+        out.length should be <= chars.length
+        out.foreach(_ should not be empty)
+      }
+    }
+  }
 }
