@@ -228,7 +228,7 @@ case class PqAdcDotExpr(left: Expression, right: Expression, ksub: Int)
   * assignment would collapse recall with healthy-looking output, the
   * [[SignBucketsExpr]] convention). */
 case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
 
   override def dataType: DataType = IntegerType
@@ -271,6 +271,46 @@ case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]])
       cIdx += 1
     }
     best
+  }
+
+  // assignment runs once per corpus row on every build/append/maintain
+  // pass — worth compiling into the enclosing whole-stage method like the
+  // per-pair kernels; the centroid matrix and its norms ride along as
+  // referenced objects
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("cNorm2", cNorm2, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = $v.numElements();
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  double[] $cv = $cents[$c];
+         |  if ($n != $cv.length) throw new IllegalArgumentException(
+         |    "nearest_cell: vector dim " + $n + " != centroid dim " + $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $v.$get($i)) * $cv[$i];
+         |  }
+         |  double $d = $norms[$c] - 2.0 * $dot;
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
