@@ -46,6 +46,25 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  // vec_dot is SQL-registered, so arbitrary element types reach it at
+  // analysis time; reject anything but array<float|double> HERE, because
+  // the codegen getter's getDouble on e.g. an array<int> column would
+  // reinterpret raw bytes and return garbage rather than the interpreted
+  // path's loud IllegalArgumentException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
@@ -67,10 +86,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // explicit Float/Double dispatch mirroring VecRead.get — any other
+    // element type is unreachable post-checkInputDataTypes, but throw
+    // rather than default to getDouble so a future registration path that
+    // skips analysis can't silently reinterpret raw bytes
     def getter(arr: String, idx: String, e: Expression): String =
       VecRead.elemType(e) match {
         case FloatType => s"(double) $arr.getFloat($idx)"
-        case _ => s"$arr.getDouble($idx)"
+        case DoubleType => s"$arr.getDouble($idx)"
+        case other => throw new IllegalArgumentException(
+          s"vector ops need array<float|double>, got $other")
       }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")

@@ -840,11 +840,17 @@ object Dedup {
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line"))).as("__clean"),
         count(lit(1)).as("__kept"))
-    df.select(col(idCol),
+    // NULL text propagates as NULL in all three outputs (the SQL
+    // convention, and what the scan path's nullSafeEval does) — without
+    // the guard the coalesce would rewrite a NULL document to '', making
+    // the two paths diverge on exactly the rows where "no document" and
+    // "fully-boilerplate document" must stay distinguishable
+    df.select(col(idCol), col(textCol).isNull.as("__textnull"),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("__clean"), lit("")).as(textCol),
+        when(col("__textnull"), lit(null))
+          .otherwise(coalesce(col("__clean"), lit(""))).as(textCol),
         col("n_lines"),
         (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
   }

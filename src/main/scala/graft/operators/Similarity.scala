@@ -547,6 +547,11 @@ object Similarity {
     * (tiny) centroids and collected sample. Driver memory is bounded by
     * `sampleQueries · k` truth pairs + `sampleQueries` vectors.
     *
+    * Truth pairs EXCLUDE the query's own row (ranked top-(k+1), best
+    * dropped): self-sampled queries otherwise carry one guaranteed hit
+    * per query — up to 1/k of measured recall — that held-out queries
+    * never get.
+    *
     * The MEASURED curve is the sample's: recall on future query batches
     * matches it insofar as they resemble the corpus distribution (the
     * standard self-calibration assumption; out-of-distribution query
@@ -598,7 +603,17 @@ object Similarity {
       .join(broadcast(q))
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
-    val pairs = rankTopK(scored, "__sqid", "__cell", k)
+    // queries are sampled FROM the index, so each query's raw top-k
+    // contains the query row itself (cosine 1, cell rank 1) — a
+    // guaranteed hit that would inflate measured recall by up to 1/k
+    // (10% at k=10) relative to held-out queries. Rank k+1 candidates
+    // and drop the single best-ranked row per query: the self row always
+    // ranks first (cosine 1 is maximal; among exact duplicates all
+    // copies share the query's vector and hence its cell, so dropping
+    // any one copy removes the same cell), leaving k held-out-style
+    // truth pairs per query.
+    val pairs = rankTopK(scored, "__sqid", "__cell", k + 1)
+      .filter(col("rank") > 1)
       .select(col("__sqid"), col("__cell").cast("int"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1)))

@@ -63,6 +63,22 @@ class BpeSpec extends SparkSpec {
     merges.length shouldBe 32 // the fixture corpus never exhausts at 32
   }
 
+  test("incremental trainer is merge-for-merge identical to the naive " +
+    "recount reference, to exhaustion, on the classic and fixture corpora") {
+    // classic corpus, driven past exhaustion: every rank AND the early
+    // stop must match
+    val classicDict = Bpe.collectDict(classicCorpus, col("text"), 65536)
+    Bpe.trainOnDict(classicDict.map { case (s, c) => (s.clone(), c) }, 500) shouldBe
+      Bpe.trainReference(classicDict.map { case (s, c) => (s.clone(), c) }, 500)
+    // fixture corpus: real word-frequency distribution, deep enough that
+    // merged symbols recombine and counts collide (tie-break coverage)
+    val docs = sources.Tables.load(spark, sf, "documents")
+    val dict = Bpe.collectDict(docs, lower(trim(col("text"))), 65536)
+    val inc = Bpe.trainOnDict(dict.map { case (s, c) => (s.clone(), c) }, 300)
+    val ref = Bpe.trainReference(dict.map { case (s, c) => (s.clone(), c) }, 300)
+    inc shouldBe ref
+  }
+
   test("encoding is lossless and counts match the closed form for " +
     "disjoint single-char pairs: tokens concatenate back to the word " +
     "chars; count = chars - pair occurrences") {

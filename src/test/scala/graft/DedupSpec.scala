@@ -464,9 +464,19 @@ class DedupSpec extends SparkSpec {
     applied.getLong(3) shouldBe 1L
 
     // the zero-shuffle scan path is row-identical to the join path for
-    // the same frozen model — on the training corpus AND the new batch
+    // the same frozen model — on the training corpus, the new batch, AND
+    // a batch with a NULL-text row (both paths must propagate NULL in all
+    // three outputs; the join path once rewrote NULL text to '')
     val modelLines = model.select("line").as[String].collect().toSeq
-    for (input <- Seq(docs, batch)) {
+    val nullBatch = Seq((20L, null.asInstanceOf[String]),
+      (21L, s"kept line\n$boiler")).toDF("doc_id", "text")
+    val nullRow = Dedup.dropBoilerplateLines(nullBatch, "text", "doc_id",
+        maxDocFreq = 3L, model = Some(model))
+      .filter(col("doc_id") === 20L).head()
+    nullRow.isNullAt(1) shouldBe true
+    nullRow.isNullAt(2) shouldBe true
+    nullRow.isNullAt(3) shouldBe true
+    for (input <- Seq(docs, batch, nullBatch)) {
       val joinPath = Dedup.dropBoilerplateLines(input, "text", "doc_id",
           maxDocFreq = 3L, model = Some(model))
         .orderBy("doc_id").collect().map(_.toSeq)

@@ -24,6 +24,20 @@ class ExtensionsSpec extends SparkSpec {
     r.getLong(1) shouldBe viaColumn
   }
 
+  test("vec_dot rejects non-float/double element arrays at ANALYSIS time " +
+    "(codegen's getDouble on array<int> would reinterpret raw bytes)") {
+    GraftExtensions.register(spark)
+    // would previously reach codegen and return garbage under whole-stage
+    // codegen while the interpreted path threw — now both fail loudly
+    // before execution, and float arrays still work
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").head()
+    spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0) shouldBe 11.0
+  }
+
   test("simhash64 skips NULL tokens instead of NPEing (concat_ws-style), " +
     "so SQL callers can pass arrays with explicit NULLs") {
     GraftExtensions.register(spark)
