@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,pq_crossover,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -785,7 +785,12 @@ object ScaleProbe {
     // append, after it, and after ivfMaintain's automatic rebuild. The
     // claim under test: maintain notices the skew, refits the quantizer on
     // the drifted distribution, and recall/balance recover without manual
-    // intervention.
+    // intervention. Maintain runs WITH a recall target (the shipped
+    // operational mode since nProbeForRecall landed): the post-rebuild
+    // recalibration makes "maintained" recall reflect the calibrated
+    // default probe width — earlier entries measured the uncalibrated
+    // cells/8 floor (0.475) and read as a live defect after calibration
+    // became ivfProbeTopK's default.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val ivfMntPath = java.nio.file.Files.createTempDirectory("graft_ivf_mnt").toString
@@ -825,14 +830,17 @@ object ScaleProbe {
     val recallDrifted = recallNow(grown)
     val skewDrifted = skewNow()
     val tMnt = System.nanoTime()
+    val mntTarget = 0.9
     val decision = Similarity.ivfMaintain(spark, ivfMntPath, "embedding",
-      maxSkew = 2.0)
+      maxSkew = 2.0, recallTarget = Some(mntTarget))
     val maintainSec = (System.nanoTime() - tMnt) / 1e9
+    val mntNProbe = Similarity.calibratedNProbe(spark, ivfMntPath).getOrElse(-1)
     val recallMaintained = recallNow(grown)
     val skewMaintained = skewNow()
     val mEntry = s"""{"base_vectors":${corpus0.count()},""" +
       s""""appended":${appended.count()},"decision":"$decision",""" +
       s""""maintain_sec":$maintainSec,""" +
+      s""""recall_target":$mntTarget,"calibrated_nprobe":$mntNProbe,""" +
       s""""recall":{"base":$recallBase,"drifted":$recallDrifted,""" +
       s""""maintained":$recallMaintained},""" +
       s""""skew":{"base":$skewBase,"drifted":$skewDrifted,""" +
@@ -1015,21 +1023,15 @@ object ScaleProbe {
     writeArtifact("asof_skew", skEntry)
     }
 
-    if (probes("pq_crossover")) {
-    // Where the compressed-scan (PQ-ADC) path actually overtakes brute
-    // force: ann_scale measures ~20k vectors, where brute force wins and
-    // the PQ advantage is only asymptotic; this probe measures
-    // brute/IVF/PQ per-batch wall at TWO corpus sizes — ~20k and ~100k+
-    // (50 distinct rotations of the base vectors) — and names the
-    // crossover, so the "compressed-scan path for exhaustive search"
-    // scaladoc claim carries a measured point. Corpora are generated
-    // ONCE under a stable cache path and reused across runs (the
-    // expensive part is the 100k+ write, not the timing).
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // Shared by the PQ probes (pq_crossover, pq_bytes): rotated-replica
+    // embedding corpora generated ONCE under a stable cache path and
+    // reused across runs (the expensive part is the 100k+ write, not the
+    // timing); a 20-query batch from the base fixture.
+    lazy val pqcEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    val pqcQueries = emb.filter(col("vec_id") < 20)
+    lazy val pqcQueries = pqcEmb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    def corpusAt(reps: Int): org.apache.spark.sql.DataFrame = {
+    def pqcCorpusAt(reps: Int): org.apache.spark.sql.DataFrame = {
       val p = s"/tmp/graft_probe_cache/pqc_r$reps/embeddings.parquet"
       if (!new java.io.File(p).exists()) {
         if (reps > 64) {
@@ -1037,7 +1039,7 @@ object ScaleProbe {
           // corpus with id offsets (direction multiplicity scales
           // uniformly — a denser crawl of the same distribution); keeps
           // the build plan 64+tile legs instead of `reps`
-          val base = corpusAt(64)
+          val base = pqcCorpusAt(64)
           val tiles = math.max(1, reps / 64)
           (0 until tiles).map { t =>
             base.select((col("vec_id") + lit(t.toLong * 10000000000L))
@@ -1046,13 +1048,22 @@ object ScaleProbe {
             .repartition(cpus.toInt).write.mode("overwrite").parquet(p)
         } else
           (0 until reps).map { i =>
-            emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+            pqcEmb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
               rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
           }.reduce(_ union _)
             .repartition(cpus.toInt).write.mode("overwrite").parquet(p)
       }
       spark.read.parquet(p)
     }
+
+    if (probes("pq_crossover")) {
+    // Where the compressed-scan (PQ-ADC) path actually overtakes brute
+    // force: ann_scale measures ~20k vectors, where brute force wins and
+    // the PQ advantage is only asymptotic; this probe measures
+    // brute/IVF/PQ per-batch wall at corpus sizes from ~20k to ~4M and
+    // names the crossover, so the "compressed-scan path for exhaustive
+    // search" scaladoc claim carries a measured point.
+    def corpusAt(reps: Int) = pqcCorpusAt(reps)
     val sizeResults =
       Seq("small" -> 10, "large" -> 50, "xlarge" -> 512, "xxlarge" -> 2048)
         .map { case (label, reps) =>
@@ -1094,6 +1105,63 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"pq_crossover",${pqcEntry.tail}""")
     writeArtifact("pq_crossover", pqcEntry)
+    }
+
+    if (probes("pq_bytes")) {
+    // The surviving ADC claim is BYTES SCANNED, not local wall time
+    // (pq_crossover measured page-cached compute parity) — so measure
+    // the bytes each leg actually reads, at the ~1M point, as the
+    // MEASURED on-disk parquet footprint of the relation each leg scans
+    // end-to-end with no partition pruning: brute force reads the
+    // vector relation; the ADC shortlist leg reads only the persisted
+    // codes relation (verified: its plan touches no vector column — the
+    // codes parquet simply doesn't contain one); the exact re-rank leg
+    // re-reads the vector relation (a broadcast shortlist join prunes
+    // no row groups locally), so the full PQ path's local byte total is
+    // codes + vectors — the honest caveat; at 100 TB the re-rank is a
+    // point-lookup against an id-bucketed corpus, not a second full
+    // scan, and the ADC leg's narrowness is the dominant term.
+    // (Task-level inputMetrics.bytesRead was tried first and reports
+    // only ~0.2 MB per leg on local[n] — RawLocalFileSystem reads
+    // bypass the Hadoop statistics the metric is fed from — so file
+    // footprints are the trustworthy instrument here, exactly because
+    // each leg scans 100% of its relation.)
+    val corpusB = pqcCorpusAt(512)
+    val modelB = Similarity.fitPq(corpusB, "embedding", m = 16, ksub = 16)
+    val encPathB = "/tmp/graft_probe_cache/pqb_enc_512/encoded.parquet"
+    if (!new java.io.File(encPathB).exists())
+      Similarity.pqEncode(corpusB, "embedding", modelB).drop("embedding")
+        .write.mode("overwrite").parquet(encPathB)
+    val encodedB = spark.read.parquet(encPathB)
+    val nVec = corpusB.count()
+    // sanity: the shortlist leg's executed plan must scan ONLY the codes
+    // relation (any vector-column reference would mean the claim is
+    // measuring the wrong plan)
+    val shortlistPlan = Similarity.pqAdcShortlist(encodedB, corpusB.columns,
+      modelB, pqcQueries, "embedding", "vec_id", "query_id", shortlistK = 80)
+      .queryExecution.executedPlan.toString
+    val codesOnly = !shortlistPlan.contains("pqc_r512")
+    def dirBytes(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val vecDisk = dirBytes("/tmp/graft_probe_cache/pqc_r512/embeddings.parquet")
+    val codesDisk = dirBytes(encPathB)
+    val pqbEntry = s"""{"vectors":$nVec,""" +
+      s""""vectors_parquet_bytes":$vecDisk,""" +
+      s""""codes_parquet_bytes":$codesDisk,""" +
+      s""""brute_leg_bytes":$vecDisk,""" +
+      s""""adc_shortlist_leg_bytes":$codesDisk,""" +
+      s""""pq_rerank_leg_bytes":$vecDisk,""" +
+      s""""adc_scan_ratio_vectors_over_codes":${vecDisk.toDouble / codesDisk},""" +
+      s""""vectors_bytes_per_row":${vecDisk.toDouble / nVec},""" +
+      s""""codes_bytes_per_row":${codesDisk.toDouble / nVec},""" +
+      s""""shortlist_plan_reads_codes_only":$codesOnly,""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"pq_bytes",${pqbEntry.tail}""")
+    writeArtifact("pq_bytes", pqbEntry)
     }
 
     if (probes("line_dedup_scale")) {

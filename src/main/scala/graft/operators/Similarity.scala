@@ -965,10 +965,15 @@ object Similarity {
     * amortized partition-pruned IVF overtakes both outright (4.2s).
     * Local page-cached numbers show only COMPUTE, where an m-add table
     * loop and a 64-mult compiled dot are close; the ADC path's real
-    * advantage is bytes scanned — the encoded corpus is ~16x narrower
-    * per row (m bytes vs dim floats) — which pays exactly at the
-    * storage-bandwidth-bound 100 TB scales a local probe cannot
-    * reproduce. */
+    * advantage is bytes scanned, now MEASURED (SCALEPROBE.json
+    * `pq_bytes`, same 1M-vector corpus): the persisted codes relation
+    * is 15.6 bytes/row on disk vs the vector relation's 158.3 — a
+    * 10.2× narrower exhaustive scan (plan-verified to touch no vector
+    * column), which pays exactly at the storage-bandwidth-bound 100 TB
+    * scales a local page-cached probe cannot reproduce. The probe also
+    * records the caveat: the exact re-rank leg re-reads the vector
+    * relation locally, so the FULL path only wins where the re-rank is
+    * a point-lookup (id-bucketed corpus) rather than a second scan. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int, m: Int = 8, ksub: Int = 16, shortlistFactor: Int = 4,
@@ -992,10 +997,8 @@ object Similarity {
                     queryIdCol: String, k: Int,
                     shortlistFactor: Int = 4): DataFrame = {
     require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
-    val q = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
-    val shortlist = rankTopK(adcScored(encoded, q, model, Seq.empty),
-      queryIdCol, idCol, k * shortlistFactor)
-      .select(col(queryIdCol), col(idCol))
+    val shortlist = pqAdcShortlist(encoded, corpus.columns, model, queries,
+      vecCol, idCol, queryIdCol, k * shortlistFactor)
     // exact re-rank: shortlist ids broadcast back into the corpus — one
     // more corpus scan, fan-in bounded by Q·shortlist rows
     val qExact = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol)
@@ -1007,6 +1010,21 @@ object Similarity {
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
     rankTopK(rescored, queryIdCol, idCol, k)
+  }
+
+  /** The ADC shortlist leg of [[pqTopKEncoded]] alone — (queryId, id)
+    * candidates from the codes-only scan, before the exact re-rank.
+    * Factored out so the `pq_bytes` probe can meter the leg's scan input
+    * bytes separately from the re-rank's. */
+  private[graft] def pqAdcShortlist(encoded: DataFrame,
+                                    corpusCols: Seq[String], model: PqModel,
+                                    queries: DataFrame, vecCol: String,
+                                    idCol: String, queryIdCol: String,
+                                    shortlistK: Int): DataFrame = {
+    val q = withQueryNorm(queries, corpusCols, queryIdCol, vecCol)
+    rankTopK(adcScored(encoded, q, model, Seq.empty),
+      queryIdCol, idCol, shortlistK)
+      .select(col(queryIdCol), col(idCol))
   }
 
   /** ADC scoring core shared by the PQ paths: broadcast the query batch
