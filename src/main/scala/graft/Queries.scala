@@ -1856,7 +1856,10 @@ object Queries {
     * crosses the doc-frequency threshold, which the oracle reproduces).
     * Output is per-document exact: line counts and the md5 of the
     * reassembled cleaned text. */
-  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The synthesized line structure shared by the line-dedup contracts:
+    * 8-token lines, planted newsletter header on the %3 coin, planted
+    * rights footer on the %4 coin. */
+  private def lineSynth(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val body = transform(
       sequence(lit(0L), ((size(toks) - 1) / 8).cast("long")),
@@ -1867,13 +1870,35 @@ object Queries {
     val footer = when(pmod(col("doc_id"), lit(4)) === 0,
       array(lit("all rights reserved worldwide")))
       .otherwise(array().cast("array<string>"))
-    val synth = tab(s, dir, "documents").select(col("doc_id"),
+    tab(s, dir, "documents").select(col("doc_id"),
       concat_ws("\n", concat(header, body, footer)).as("text"))
-    Dedup.dropBoilerplateLines(synth, "text", "doc_id", maxDocFreq = 5L)
+  }
+
+  private def lineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropBoilerplateLines(lineSynth(s, dir), "text", "doc_id",
+        maxDocFreq = 5L)
       .select(col("doc_id"), col("n_lines"), col("n_dropped"),
         md5(col("text")).as("clean_md5"))
       .orderBy("doc_id")
-  }
+
+  /** The ZERO-SHUFFLE apply half of line-level boilerplate removal
+    * ([[Dedup.dropBoilerplateLinesScan]]) as its own contract: the same
+    * synthesized line structure as `line_dedup`, cleaned against a FROZEN
+    * planted model (the two planted chrome lines — the train-offline /
+    * apply-on-ingest split, model embedded in the plan) instead of the
+    * corpus-trained doc-frequency set. The whole clean is one native
+    * scan-side expression: the plan has no explode, no join and no
+    * exchange before the presentation sort (pinned in `DedupSpec`;
+    * PLANS.md carries the formatted plan). Oracle is fully closed-form:
+    * DuckDB rebuilds the synth text and filters the same two literal
+    * lines. */
+  private def lineDedupScan(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropBoilerplateLinesScan(lineSynth(s, dir), "text", "doc_id",
+        model = Seq("subscribe to our newsletter today",
+          "all rights reserved worldwide"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        md5(col("text")).as("clean_md5"))
+      .orderBy("doc_id")
 
   /** Model-true token budgeting COMPOSED end-to-end: `budget_select`'s
     * greedy per-language fill, but budgeting in BPE tokens
@@ -2148,6 +2173,7 @@ object Queries {
     "bpe_first_merge" -> bpeFirstMerge _,
     "bpe_budget_select" -> bpeBudgetSelect _,
     "line_dedup" -> lineDedup _,
+    "line_dedup_scan" -> lineDedupScan _,
     "curriculum_mix" -> curriculumMix _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
@@ -3118,6 +3144,32 @@ object Queries {
         |  list_filter(string_split(text, chr(10)),
         |    l -> NOT list_contains(bl.bl, trim(l))) AS kept
         |  FROM synth CROSS JOIN bl)
+        |SELECT doc_id, n_lines,
+        |  n_lines - CAST(len(kept) AS BIGINT) AS n_dropped,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
+    // line_dedup's synth CTE verbatim, but the boilerplate set is the
+    // FROZEN two-line planted model (no doc-frequency computation) —
+    // the closed form of the scan path's embedded hash set
+    "line_dedup_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |synth AS (SELECT doc_id,
+        |  array_to_string(
+        |    (CASE WHEN doc_id % 3 = 0 THEN ['subscribe to our newsletter today']
+        |          ELSE [] END)
+        |    || list_transform(range(0, CAST((len(toks)-1)/8 AS BIGINT) + 1),
+        |         i -> array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' '))
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ['all rights reserved worldwide']
+        |          ELSE [] END),
+        |    chr(10)) AS text FROM t),
+        |clean AS (SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  list_filter(string_split(text, chr(10)),
+        |    l -> trim(l) NOT IN ('subscribe to our newsletter today',
+        |                         'all rights reserved worldwide')) AS kept
+        |  FROM synth)
         |SELECT doc_id, n_lines,
         |  n_lines - CAST(len(kept) AS BIGINT) AS n_dropped,
         |  md5(array_to_string(kept, chr(10))) AS clean_md5
