@@ -45,7 +45,8 @@ object PlanDump {
       "bpe_budget_select" -> "tokenizer-true budgeting composes scan-side BPE counts with the per-language running-sum window -- one lang_id exchange, identical shape to budget_select",
       "line_dedup" -> "line doc-frequency map-side combined on trimmed-line keys; boilerplate set anti-joined under the measured broadcast gate; reassembly is one doc-id exchange with per-doc sorted collect_list",
       "line_dedup_scan" -> "frozen-model clean is ONE native scan-side projection (BoilerplateFilterExpr, model shipped in the plan): no explode, no join, no exchange before the presentation sort",
-      "curriculum_mix" -> "composed curriculum: charLM model broadcast into the scoring scan; per-language ntile window; md5-coin filter scan-side; final mix aggregation partial-aggregated"
+      "curriculum_mix" -> "composed curriculum: charLM model broadcast into the scoring scan; per-language ntile window; md5-coin filter scan-side; final mix aggregation partial-aggregated",
+      "curriculum_mix_approx" -> "scale-safe curriculum: decile thresholds from ONE approx_percentile aggregation broadcast back into the scan -- bins assigned scan-side, banded coin scan-side, no per-language sort of CORPUS rows anywhere (the ntile swap for unbounded strata; the only Window/Sort runs over the <=10-rows-per-language bin summary)"
     )
     picks.foreach { case (name, note) =>
       println(s"\n## $name -- $note\n")

@@ -1825,7 +1825,9 @@ object Queries {
     * proves the COMPOSITION row-exactly. Scale note: the per-language
     * ntile sorts each language on one task — the `quality_deciles`
     * bound; at an unbounded stratum swap in the approx-threshold binning
-    * ([[Selection.quantileBinsApproxPerStratum]]) and band on its bins. */
+    * ([[Selection.quantileBinsApproxPerStratum]]) and band on its bins —
+    * that swap is itself contract-proven in composition as
+    * `curriculum_mix_approx`. */
   private def curriculumMix(s: SparkSession, dir: String): DataFrame = {
     val docs = tab(s, dir, "documents")
     val scored = CorpusStats.charLmScore(docs, "text", "doc_id")
@@ -1856,6 +1858,64 @@ object Queries {
     * crosses the doc-frequency threshold, which the oracle reproduces).
     * Output is per-document exact: line counts and the md5 of the
     * reassembled cleaned text. */
+  /** The SCALE-SAFE curriculum composition: `curriculum_mix`'s pipeline
+    * with the one-task-per-language exact ntile swapped for
+    * [[Selection.assignQuantileBinsApproxPerStratum]] — per-language
+    * decile THRESHOLDS from one `approx_percentile` pass, joined back
+    * under the broadcast gate and assigned scan-side, so no stratum ever
+    * funnels through a single task (the documented unbounded-stratum
+    * swap, here contract-proven IN COMPOSITION). Because the bin
+    * boundaries come from an engine-specific sketch, the oracle is the
+    * bounded-assertion pattern (`minhash_pairs` precedent): per-language
+    * `n_docs`/`tokens` are exact (DuckDB recomputes them — also the
+    * completeness check: a row lost in the threshold join would show as
+    * a count mismatch), and the sketch-dependent structure is verified
+    * ENGINE-SIDE as booleans the oracle expects true — bins' score
+    * ranges strictly ordered, per-bin counts within 2× of the uniform
+    * share, the rate-1.0 band keeping everything, and the banded coin
+    * rates inside generous binomial bounds (band-2 ∈ [0.15, 0.85],
+    * band-3 ≤ 0.5 — ≥3.5σ at the smallest fixture language, n≈26 per
+    * band, so regenerated fixtures stay green). */
+  private def curriculumMixApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = tab(s, dir, "documents")
+    val scored = CorpusStats.charLmScore(docs, "text", "doc_id")
+    val q = docs.select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).cast("long").as("ntok"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("q", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(round(col("freq_sum").cast("double") / col("n_grams"), 6)))
+    val binned = Selection.assignQuantileBinsApproxPerStratum(
+      q, "lang", "q", bins = 10)
+    val thr = when(col("bin") <= 3, lit(T.coinThreshold(1.0)))
+      .when(col("bin") <= 7, lit(T.coinThreshold(0.5)))
+      .otherwise(lit(T.coinThreshold(0.1)))
+    val flagged = binned.withColumn("keep",
+      (substring(md5(col("doc_id").cast("string")), 1, 8) < thr).cast("long"))
+    val perBin = flagged.groupBy("lang", "bin").agg(
+      count(lit(1)).as("n"), sum(col("ntok")).as("tok"),
+      min("q").as("min_q"), max("q").as("max_q"),
+      sum(col("keep")).as("kept"))
+    val wb = Window.partitionBy("lang").orderBy("bin")
+    val chk = perBin.withColumn("ord_ok",
+      lag(col("min_q"), 1).over(wb).isNull ||
+        lag(col("min_q"), 1).over(wb) > col("max_q"))
+    def bandSum(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+      sum(when(col("bin").between(lo, hi), c).otherwise(lit(0L)))
+    chk.groupBy("lang").agg(
+        sum(col("n")).as("n_docs"),
+        sum(col("tok")).as("tokens"),
+        bool_and(col("ord_ok")).as("bins_ordered"),
+        (max(col("n")) * 5 <= sum(col("n"))).as("balance_2x"),
+        (bandSum(col("kept"), 1, 3) === bandSum(col("n"), 1, 3))
+          .as("keep_band1_all"),
+        (bandSum(col("kept"), 4, 7) * 100 >= bandSum(col("n"), 4, 7) * 15 &&
+          bandSum(col("kept"), 4, 7) * 100 <= bandSum(col("n"), 4, 7) * 85)
+          .as("keep_band2_mid"),
+        (bandSum(col("kept"), 8, 10) * 2 <= bandSum(col("n"), 8, 10))
+          .as("keep_band3_low"))
+      .orderBy("lang")
+  }
+
   /** The synthesized line structure shared by the line-dedup contracts:
     * 8-token lines, planted newsletter header on the %3 coin, planted
     * rights footer on the %4 coin. */
@@ -2175,6 +2235,7 @@ object Queries {
     "line_dedup" -> lineDedup _,
     "line_dedup_scan" -> lineDedupScan _,
     "curriculum_mix" -> curriculumMix _,
+    "curriculum_mix_approx" -> curriculumMixApprox _,
     "tfidf_topk" -> tfidfTopk _,
     "pack_sequences" -> packSequences _,
     "mixture_sample" -> mixtureSample _,
@@ -3118,6 +3179,19 @@ object Queries {
         |       WHEN decile <= 7 THEN '80000000'
         |       ELSE '19999999' END
         |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    // bounded-assertion oracle: per-language doc/token totals are exact
+    // (and double as the completeness check for the threshold join); the
+    // sketch-dependent bin structure and coin-rate bounds are verified
+    // engine-side and expected true
+    "curriculum_mix_approx" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |    AS BIGINT) AS tokens,
+        |  TRUE AS bins_ordered, TRUE AS balance_2x,
+        |  TRUE AS keep_band1_all, TRUE AS keep_band2_mid,
+        |  TRUE AS keep_band3_low
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // identical synthesized line construction (8-token lines + planted
     // header/footer on the %3 / %4 coins), doc-frequency of TRIMMED lines
     // over distinct (doc, line), boilerplate = df > 5, reassembly filter,

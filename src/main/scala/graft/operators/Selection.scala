@@ -157,7 +157,27 @@ object Selection {
   def quantileBinsApproxPerStratum(df: DataFrame, strataCol: String,
                                    scoreCol: String, tokensCol: String,
                                    bins: Int = 10, accuracy: Int = 10000,
-                                   maxBroadcastRows: Long = 1000000L): DataFrame = {
+                                   maxBroadcastRows: Long = 1000000L): DataFrame =
+    assignQuantileBinsApproxPerStratum(df, strataCol, scoreCol, bins,
+        accuracy, maxBroadcastRows)
+      .groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("tokens"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+
+  /** The ROW-level half of [[quantileBinsApproxPerStratum]]: every input
+    * row back with its `bin` (1 = best, NULL score → NULL bin), no
+    * aggregation — for pipelines that bin-band a downstream per-row
+    * decision (e.g. a curriculum keep-rate coin) rather than report bin
+    * totals. Same plan shape: one `approx_percentile` pass for the
+    * thresholds, size-gated join back, assignment scan-side — no
+    * per-stratum sort anywhere. */
+  def assignQuantileBinsApproxPerStratum(df: DataFrame, strataCol: String,
+                                         scoreCol: String, bins: Int = 10,
+                                         accuracy: Int = 10000,
+                                         maxBroadcastRows: Long = 1000000L)
+      : DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     // NULL scores must land in a NULL bin, not silently in the worst one:
     // `t < score` evaluates to NULL for a NULL score, the filter HOF drops
@@ -178,11 +198,7 @@ object Selection {
           binOf(lit(bins) - size(filter(col("__thrs"),
             t => t < col(scoreCol)))))
     }
-    binned.groupBy(col(strataCol), col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(tokensCol).cast("long")).as("tokens"),
-        min(col(scoreCol)).as("min_score"),
-        max(col(scoreCol)).as("max_score"))
+    binned.drop("__thrs")
   }
 
   /** Exact-COUNT uniform sample per stratum: each stratum's first `n`
