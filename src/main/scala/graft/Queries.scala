@@ -180,11 +180,31 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** REAL-codec multimodal decode (upgraded from the length-derived stub
+    * the early rounds shipped): a genuine 16×16 sRGB PNG is synthesized
+    * per document from 4 chained md5s of the text (64 block bytes, 2-px
+    * blocks — the `image_pairs` recipe, but sRGB so channel values
+    * round-trip the codec identically), then decoded scan-side by
+    * [[graft.functions.ImageFeaturesExpr]] through `javax.imageio` —
+    * width/height/mean measured from ACTUAL pixels. Fully exact oracle:
+    * DuckDB rebuilds the 64 md5 bytes by hex arithmetic; the mean of the
+    * decoded image is exactly their mean (uniform 4-px blocks, /64 is a
+    * power of two so the fp division is exact). The deterministic stub
+    * ([[Multimodal.fakeDecode]]/`decodeFeatures`) remains for non-image
+    * media and as the spec's cross-check helper. */
   private def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = tab(s, dir, "documents")
-    val payload = Multimodal.asBinaryPayload(docs, "text", "text/plain")
-    Multimodal.decodeFeatures(payload, "payload")
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+    val payload = concat(unhex(md5(col("text"))),
+      unhex(md5(concat(lit("a"), col("text")))),
+      unhex(md5(concat(lit("b"), col("text")))),
+      unhex(md5(concat(lit("c"), col("text")))))
+    val pngs = docs.select(col("doc_id"),
+      graft.functions.GrayPngExpr.srgb(payload, 16, 16, 2).as("payload"))
+    Multimodal.decodeImageFeatures(pngs, "payload")
+      .select(col("doc_id"),
+        col("img_features.width").as("width"),
+        col("img_features.height").as("height"),
+        round(col("img_features.mean_intensity"), 6).as("mean_intensity"))
       .orderBy("doc_id")
   }
 
@@ -2422,14 +2442,28 @@ object Queries {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exact oracle for the REAL codec: rebuild the 64 synthesized block
+    // bytes by hex arithmetic over the 4 chained md5s; the decoded sRGB
+    // image's mean is exactly their mean (uniform 4-px blocks; /64 and
+    // the engine's /256 are powers of two, so both fp divisions are
+    // exact); width/height are the synthesis constants
     "multimodal_decode" ->
-      """WITH b AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n
-        |  FROM documents)
-        |SELECT doc_id,
-        |  GREATEST(1, CAST(TRUNC(SQRT(CAST(n AS DOUBLE))) AS INTEGER)) AS width,
-        |  GREATEST(1, CAST(n // GREATEST(1, CAST(TRUNC(SQRT(CAST(n AS DOUBLE))) AS BIGINT)) AS INTEGER)) AS height,
-        |  CAST(n AS BIGINT) AS n_bytes
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(text) || md5('a' || text) || md5('b' || text)
+        |      || md5('c' || text) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      (strpos('0123456789abcdef',
+        |         substring(hx, CAST(i*2+1 AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef',
+        |         substring(hx, CAST(i*2+2 AS INT), 1)) - 1)) AS bytes
+        |  FROM h)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height,
+        |  round(CAST(list_sum(bytes) AS DOUBLE) / 64.0, 6) AS mean_intensity
         |FROM b ORDER BY doc_id""".stripMargin,
     "events_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_start,

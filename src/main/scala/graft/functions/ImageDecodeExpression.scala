@@ -174,9 +174,19 @@ object ImageDHashExpr {
   * pixel output is white noise, which no resampling-stable perceptual
   * hash can survive (measured: dHash hamming ~15/64 after a 2:1 resize of
   * noise vs ~1/64 of block texture). Gray PNG encoding is lossless, so
-  * the decoded pixels are exactly the painted intensities. */
+  * the decoded pixels are exactly the painted intensities.
+  *
+  * `srgb = true` paints the same intensities as r=g=b pixels of an sRGB
+  * (TYPE_INT_RGB) image instead of a gray-colorspace one. The gray
+  * variant is right for the perceptual-hash paths (dHash reads raster
+  * samples), but `getRGB` over decoded GRAY pixels passes through Java's
+  * linear-gray → sRGB conversion (measured: sample 10 reads back 56), so
+  * [[ImageFeaturesExpr]]'s mean_intensity over a gray synthesis is a
+  * gamma-bent mean no SQL oracle can replay; over an sRGB synthesis the
+  * channel values round-trip IDENTICALLY (PNG lossless, no colorspace
+  * conversion), making mean_intensity exactly the payload-byte mean. */
 case class GrayPngExpr(child: Expression, imgWidth: Int, imgHeight: Int,
-                       blockSize: Int = 1)
+                       blockSize: Int = 1, srgb: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(imgWidth > 0 && imgHeight > 0, "image dimensions must be positive")
   require(blockSize > 0, "blockSize must be positive")
@@ -192,7 +202,8 @@ case class GrayPngExpr(child: Expression, imgWidth: Int, imgHeight: Int,
     if (bytes.isEmpty) null
     else {
       val img = new java.awt.image.BufferedImage(imgWidth, imgHeight,
-        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        if (srgb) java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       // ceil division: a partial right-edge column is its own block — an
       // integer floor here would alias it onto the next block-row's first
@@ -203,7 +214,9 @@ case class GrayPngExpr(child: Expression, imgWidth: Int, imgHeight: Int,
         var x = 0
         while (x < imgWidth) {
           val block = (y / blockSize) * blocksPerRow + (x / blockSize)
-          raster.setSample(x, y, 0, bytes(block % bytes.length) & 0xff)
+          val v = bytes(block % bytes.length) & 0xff
+          if (srgb) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          else raster.setSample(x, y, 0, v)
           x += 1
         }
         y += 1
@@ -224,6 +237,9 @@ object GrayPngExpr {
   def apply(payload: Column, width: Int, height: Int, blockSize: Int): Column =
     Bridge.column(GrayPngExpr(Bridge.expression(payload), width, height,
       blockSize))
+  def srgb(payload: Column, width: Int, height: Int, blockSize: Int): Column =
+    Bridge.column(GrayPngExpr(Bridge.expression(payload), width, height,
+      blockSize, srgb = true))
 }
 
 /** Shared reader scaffolding of the image expressions. */

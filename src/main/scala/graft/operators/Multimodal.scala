@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * Spark-side mechanics — schema, partition-parallel batched decode,
   * feature extraction shape — are real and tested. Two codec paths exist:
   * [[decodeImageFeatures]] REALLY decodes PNG/JPEG/BMP/GIF through the
-  * JDK's `javax.imageio` (no external libraries needed); the
-  * clearly-marked DETERMINISTIC STUB (`fakeDecode`/[[decodeFeatures]])
-  * covers synthetic fixtures and non-image media, since no audio/video
-  * libraries exist in this container. Swapping in a richer decoder only
-  * replaces the codec expression; every plan around it is unchanged.
+  * JDK's `javax.imageio` (no external libraries needed) — it carries the
+  * `multimodal_decode` and `image_pairs` contracts; the clearly-marked
+  * DETERMINISTIC STUB (`fakeDecode`/[[decodeFeatures]]) remains only for
+  * non-image media (no audio/video libraries exist in this container)
+  * and as the spec's cross-check helper. Swapping in a richer decoder
+  * only replaces the codec expression; every plan around it is unchanged.
   */
 object Multimodal {
 

@@ -31,6 +31,22 @@ class MultimodalSpec extends SparkSpec {
     r.getLong(0) shouldBe 13L // 11 chars, 2 of them 2-byte
   }
 
+  test("sRGB synthesis round-trips intensities through the real codec " +
+    "exactly: ImageFeaturesExpr mean == payload byte mean (the gray " +
+    "variant gamma-bends it through the linear-gray -> sRGB conversion)") {
+    import graft.functions.{GrayPngExpr, ImageFeaturesExpr}
+    val payload = Array[Byte](10, 100, -128, -1) // 10, 100, 128, 255
+    val rawMean = Seq(10, 100, 128, 255).sum / 4.0
+    val means = Seq((1L, payload)).toDF("id", "p").select(
+        ImageFeaturesExpr(GrayPngExpr.srgb(col("p"), 4, 4, 2))
+          .getField("mean_intensity").as("srgb_mean"),
+        ImageFeaturesExpr(GrayPngExpr(col("p"), 4, 4, 2))
+          .getField("mean_intensity").as("gray_mean"))
+      .head()
+    means.getDouble(0) shouldBe rawMean // exact: fp sums /256 are exact
+    means.getDouble(1) should be > rawMean // gamma lifts midtones
+  }
+
   test("decodeImageFeatures REALLY decodes a PNG (javax.imageio) and NULLs " +
     "non-decodable payloads instead of failing the scan") {
     // build a genuine 2x2 PNG in memory: channel means are exactly computable
