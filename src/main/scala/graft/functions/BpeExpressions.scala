@@ -26,10 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * encode runs inside the scan projection — no UDF serialization, no
   * shuffle, no driver round-trips; executors receive the table with the
   * serialized plan and build the rank map once per task via the transient
-  * lazy field. Symbols are Java chars (UTF-16 units), matching the
-  * engine's `length`/`substring` arithmetic on the BMP text the fixtures
-  * contain. NULL text yields NULL; blank text yields an empty array. */
-case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+  * lazy field. NULL text yields NULL; blank text yields an empty array.
+  *
+  * TWO SYMBOL MODES, matching the two public tokenizer families:
+  *  - `byteLevel = false` (default): symbols are Java chars (UTF-16
+  *    units) — the original Sennrich-style character BPE, matching the
+  *    engine's `length`/`substring` arithmetic on BMP text. Non-BMP
+  *    input splits surrogate pairs into invalid INTERMEDIATE tokens
+  *    (still lossless on re-concat; the fixtures are BMP).
+  *  - `byteLevel = true`: symbols are the word's UTF-8 BYTES, each
+  *    carried as the Latin-1 char of its value — GPT-2-style byte-level
+  *    BPE (Radford et al. 2019), robust for ARBITRARY Unicode including
+  *    non-BMP: every token boundary is a byte boundary, and mapping
+  *    token chars back to bytes always reassembles the exact original
+  *    UTF-8 sequence (property-tested over surrogate-pair text in
+  *    `PropertySpec`). The identity byte→char mapping is functionally
+  *    GPT-2's `bytes_to_unicode` minus the cosmetic printable
+  *    remapping, which only matters for human-readable vocab dumps. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+                         byteLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -55,8 +70,16 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     * stays row-local and bounded. */
   private def encodeWord(w: String): Seq[String] = {
     var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
-    var ci = 0
-    while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
+    if (byteLevel) {
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var bi = 0
+      while (bi < bs.length) {
+        syms += String.valueOf((bs(bi) & 0xff).toChar); bi += 1
+      }
+    } else {
+      var ci = 0
+      while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
+    }
     var done = syms.length < 2
     while (!done) {
       // lowest-rank pair currently present
@@ -96,4 +119,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 object BpeEncodeExpr {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(text), merges))
+  def apply(text: Column, merges: Seq[(String, String)],
+            byteLevel: Boolean): Column =
+    Bridge.column(BpeEncodeExpr(Bridge.expression(text), merges, byteLevel))
 }

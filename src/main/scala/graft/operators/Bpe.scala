@@ -63,25 +63,34 @@ object Bpe {
     * `BpeSpec` pins equality against [[trainReference]] and the probe
     * `bpe_train` measures the speedup at 1k+ merges. */
   def train(df: DataFrame, text: Column, numMerges: Int,
-            topWords: Int = 65536): Seq[Merge] = {
+            topWords: Int = 65536, byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(topWords >= 1, "topWords must be >= 1")
-    trainOnDict(collectDict(df, text, topWords), numMerges)
+    trainOnDict(collectDict(df, text, topWords, byteLevel), numMerges)
   }
 
   /** The corpus leg shared by both trainer variants: one scan, map-side
     * combined word count, `TakeOrderedAndProject` head cut. Exposed
     * package-wide for the equality spec and the `bpe_train` probe, which
-    * exercise the merge loop apart from the scan. */
-  private[graft] def collectDict(df: DataFrame, text: Column,
-                                 topWords: Int): Array[(Array[String], Long)] = {
+    * exercise the merge loop apart from the scan. `byteLevel` seeds each
+    * word with its UTF-8 bytes as Latin-1 chars (the
+    * [[graft.functions.BpeEncodeExpr]] byte mode) instead of UTF-16
+    * units. */
+  private[graft] def collectDict(df: DataFrame, text: Column, topWords: Int,
+                                 byteLevel: Boolean = false)
+      : Array[(Array[String], Long)] = {
+    def syms(w: String): Array[String] =
+      if (byteLevel)
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => String.valueOf((b & 0xff).toChar))
+      else w.map(String.valueOf(_)).toArray
     df.select(explode(T.tokens(text)).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(topWords)
       .collect()
-      .map { r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)) }
+      .map { r => (syms(r.getString(0)), r.getLong(1)) }
   }
 
   /** Incremental merge loop over an in-hand dictionary (exposed for the
@@ -256,13 +265,19 @@ object Bpe {
       .toSeq
 
   /** BPE token sequence of `text` under a frozen merge table
-    * (`array<string>`, words concatenated in order). */
-  def encode(text: Column, merges: Seq[(String, String)]): Column =
-    BpeEncodeExpr(text, merges)
+    * (`array<string>`, words concatenated in order). `byteLevel` must
+    * match the table's training mode: a byte-trained table merges
+    * byte-valued symbols that char-mode symbolization never produces
+    * (and vice versa for non-ASCII), so a mode mismatch silently
+    * degrades to near-character tokenization. */
+  def encode(text: Column, merges: Seq[(String, String)],
+             byteLevel: Boolean = false): Column =
+    BpeEncodeExpr(text, merges, byteLevel)
 
   /** BPE token count — the model-true replacement for whitespace
     * [[graft.functions.TextFunctions.tokenCount]] in token budgets,
     * packing and decile reports. */
-  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
-    size(encode(text, merges)).cast("long")
+  def tokenCount(text: Column, merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): Column =
+    size(encode(text, merges, byteLevel)).cast("long")
 }

@@ -79,6 +79,40 @@ class BpeSpec extends SparkSpec {
     inc shouldBe ref
   }
 
+  test("byte-level mode: identical to char mode on pure-ASCII corpora " +
+    "(byte == UTF-16 unit there), and merges UTF-8 bytes across " +
+    "character boundaries on multi-byte text") {
+    // ASCII: same merges, same tokens — the modes only diverge beyond 0x7f
+    val charMerges = Bpe.train(classicCorpus, col("text"), numMerges = 4)
+    val byteMerges = Bpe.train(classicCorpus, col("text"), numMerges = 4,
+      byteLevel = true)
+    byteMerges shouldBe charMerges
+    Seq("lowest").toDF("text")
+      .select(Bpe.encode(col("text"), byteMerges.map(m => (m.left, m.right)),
+        byteLevel = true).as("t")).as[Seq[String]].head() shouldBe
+      Seq("low", "est")
+    // multi-byte: 'é' is 0xc3 0xa9; a corpus of repeated "éé" words must
+    // FIRST merge a byte pair interior to or across the character —
+    // symbols char mode never sees
+    val accented = Seq.fill(3)("éé").toDF("text")
+    val bm = Bpe.train(accented, col("text"), numMerges = 1, byteLevel = true)
+    bm.head.count shouldBe 6L // 3 words x (4 bytes -> adjacency count 2 for best? see below)
+    // byte sequence per word: c3 a9 c3 a9 -> pairs (c3,a9)x2, (a9,c3)x1;
+    // best = (c3,a9) with weighted count 3 words x 2 = 6
+    (bm.head.left.charAt(0).toInt, bm.head.right.charAt(0).toInt) shouldBe
+      ((0xc3, 0xa9))
+    // and the encode under that merge yields 2 tokens per word, each an
+    // 'é' byte pair that maps back to the original character
+    val toks = Seq("éé").toDF("text")
+      .select(Bpe.encode(col("text"), bm.map(m => (m.left, m.right)),
+        byteLevel = true).as("t")).as[Seq[String]].head()
+    toks.length shouldBe 2
+    toks.foreach { t =>
+      new String(t.toCharArray.map(_.toByte),
+        java.nio.charset.StandardCharsets.UTF_8) shouldBe "é"
+    }
+  }
+
   test("encoding is lossless and counts match the closed form for " +
     "disjoint single-char pairs: tokens concatenate back to the word " +
     "chars; count = chars - pair occurrences") {

@@ -248,4 +248,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: BYTE-LEVEL BPE is lossless over arbitrary Unicode — " +
+    "including non-BMP surrogate-pair text the char mode would split — " +
+    "for arbitrary merge tables over byte symbols") {
+    def bc(i: Int): String = String.valueOf(i.toChar) // byte-symbol literal
+    val wordGen: Gen[String] = Gen.listOfN(4, Gen.oneOf(
+      Gen.oneOf('a', 'é', '中', 'ß').map(_.toString),
+      Gen.oneOf("😀", "🤖", "𝔘"))) // non-BMP: emoji, math
+      .map(_.mkString)
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 4)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    // merges over the UTF-8 lead/continuation bytes those chars produce,
+    // plus chained two-byte symbols — crossing character boundaries on
+    // purpose (byte-level merges may and do)
+    val byteGen = Gen.oneOf(
+      Seq(0x61, 0x9f, 0xc3, 0xa9, 0xe4, 0xb8, 0xad, 0xf0, 0x98, 0x80)
+        .map(bc) ++ Seq(bc(0xf0) + bc(0x9f), bc(0xc3) + bc(0xa9)))
+    val mergesGen: Gen[Seq[(String, String)]] = for {
+      m <- Gen.choose(0, 6)
+      ms <- Gen.listOfN(m, Gen.zip(byteGen, byteGen))
+    } yield ms
+    forAll(textGen, mergesGen) { (text, merges) =>
+      val out = Seq(text).toDF("t")
+        .select(operators.Bpe.encode(col("t"), merges, byteLevel = true)
+          .as("toks"))
+        .as[Seq[String]].head()
+      // expected: each word's UTF-8 bytes as Latin-1 chars, concatenated
+      val expected = text.trim.split("\\s+").filter(_.nonEmpty).map { w =>
+        new String(w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => (b & 0xff).toChar))
+      }.mkString
+      withClue(s"text='$text' merges=$merges: ") {
+        out.mkString("") shouldBe expected
+        // and the byte→char mapping inverts to the ORIGINAL utf-8 text
+        new String(out.mkString("").toCharArray.map(_.toByte),
+          java.nio.charset.StandardCharsets.UTF_8) shouldBe
+          text.trim.split("\\s+").filter(_.nonEmpty).mkString
+      }
+    }
+  }
 }
