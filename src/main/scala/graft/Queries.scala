@@ -702,6 +702,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** `asof_join` through the hot-key escape hatch
+    * ([[Joins.asOfJoinBucketed]], hourly buckets): semantics are
+    * contract-identical to the plain carry — same oracle SQL verbatim —
+    * while the plan splits every key's carry across time buckets plus
+    * the bucket-index fix-up join (the measured answer to a
+    * dominant-share key, SCALEPROBE `asof_skew` 40pct). */
+  private def asofBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Joins.asOfJoinBucketed(purchases, clicks, Seq("user_id"), "ts",
+        "click_ts", Joins.timeBuckets(3600L))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
   /** Forward as-of with a match tolerance: each purchase attaches the
     * NEXT click at-or-after it, but only within one hour — next-event
     * attribution with a staleness bound. DuckDB replays it with a
@@ -2214,6 +2236,7 @@ object Queries {
     "upsert_insert_only" -> upsertInsertOnly _,
     "upsert_errors" -> upsertErrors _,
     "asof_join" -> asofJoin _,
+    "asof_bucketed" -> asofBucketed _,
     "salted_agg" -> saltedAgg _,
     "window_frames" -> windowFrames _,
     "grouping_sets" -> groupingSets _,
@@ -2285,6 +2308,26 @@ object Queries {
     "asof_nearest" -> asofNearest _,
     "percentile_rollup" -> percentileRollup _
   )
+
+  /** Shared by `asof_join` and `asof_bucketed` (the bucketed plan is
+    * semantics-identical): backward as-of replayed as a row_number-1 pick
+    * with the `click_id DESC` tie pin matching the carry's
+    * greatest-payload rule. */
+  private val asofJoinOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ct DESC, c.click_id DESC) AS rn
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t)
+      |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
+      |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   /** Shared by `decontaminate` and `decontaminate_bloom`: the Bloom path
     * is row-identical by construction (prefilter + exact verify). */
@@ -2829,21 +2872,10 @@ object Queries {
     // fixture happens to lack per-user duplicate click timestamps today,
     // but fixtures regenerate between rounds — an unpinned tie is a latent
     // nondeterministic red.
-    "asof_join" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
-        |  WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
-        |  FROM events WHERE event_type = 'click'),
-        |j AS (
-        |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
-        |    row_number() OVER (PARTITION BY p.event_id
-        |      ORDER BY c.ct DESC, c.click_id DESC) AS rn
-        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t)
-        |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
-        |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "asof_join" -> asofJoinOracle,
+    // the bucketed plan is contract-identical to the plain carry — the
+    // oracle is shared verbatim (JoinsSpec property-pins row equality)
+    "asof_bucketed" -> asofJoinOracle,
     // >=-direction with the one-hour staleness guard applied to the
     // matched row (the match survives; stale matches null out); same
     // row_number form + click_id DESC tie pin as asof_join

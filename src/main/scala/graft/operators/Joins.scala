@@ -46,16 +46,19 @@ object Joins {
     *
     * SKEW: the exchange is on `keys` alone, so a hot key is one straggler
     * partition doing that key's share of the sort+carry. Measured
-    * (SCALEPROBE.json `asof_skew`, 5M events, a planted key holding 10%
-    * of ALL rows): wall 1.36x the uniform-key corpus for this join —
-    * 1.48x for the sessionize window, 1.27x for the gap-fill composition,
-    * the whole per-key-window family sharing the bound. Degradation is
-    * PROPORTIONAL to the hot share (one task's work), never quadratic, so
-    * a salted two-phase carry (second exchange for every caller) is not
-    * implemented; if one key ever dominates the corpus outright, split
-    * that key upstream (e.g. sub-key by time bucket) rather than salting
-    * the carry — a salt would break the within-key total order this
-    * operator's semantics rest on. */
+    * (SCALEPROBE.json `asof_skew`, 5M events, planted keys holding 10%
+    * and 40% of ALL rows): at 10% wall is 1.1–1.6x the uniform corpus
+    * across this join / sessionize / gap-fill; at 40% it reaches 2.4x
+    * (join) to 4.8x (sessionize) even at local widths — and on a
+    * 1000-executor cluster a 40%-share key pins ~40% of the corpus on
+    * one task. Degradation is PROPORTIONAL to the hot share (one task's
+    * work), never quadratic. A salted carry is deliberately NOT offered —
+    * a salt breaks the within-key total order these semantics rest on;
+    * the order-preserving escape hatch is [[asOfJoinBucketed]], which
+    * splits the hot key's carry across TIME buckets (measured at the 40%
+    * key: 1.6x faster than this operator and skew-flat, at a ~1.7x
+    * overhead on uniform data — reach for it when one key dominates, not
+    * by default). */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightPrefix: String = "",
@@ -161,6 +164,146 @@ object Joins {
     val out = leftCols.map(col) ++ payloadCols.map(c =>
       col(s"__match.__p.`$c`").as(rightPrefix + c))
     guarded.select(out: _*)
+  }
+
+  /** [[asOfJoin]] with a HOT-KEY time-bucket split — the operator form of
+    * the scaladoc's "sub-key by time bucket" advice, for the regime where
+    * ONE key holds a dominant share of the corpus and the plain carry's
+    * single per-key task becomes the job's wall (measured:
+    * SCALEPROBE.json `asof_skew` at a 40% hot key). Semantics are
+    * IDENTICAL to [[asOfJoin]] (row-for-row, including tie and tolerance
+    * rules — property-pinned in `JoinsSpec`); only the plan changes:
+    *
+    *  1. Both sides get a bucket id (`floor(ts / bucketWidth)` via
+    *     [[timeBuckets]], or any caller-supplied MONOTONE bucketing), and
+    *     the carry runs per (key, bucket) — the hot key's sort+carry
+    *     splits across its buckets instead of one task.
+    *  2. Rows whose match lives in another bucket (no in-bucket
+    *     candidate; by monotonicity the in-bucket match is otherwise
+    *     always the global one) are resolved by a second as-of join ON
+    *     THE BUCKET INDEX against the per-(key, bucket) extreme payload —
+    *     a relation with one row per non-empty (key, bucket), thousands
+    *     of times smaller than the corpus, so its per-key window is
+    *     negligible even for the hot key.
+    *
+    * Costs over [[asOfJoin]]: a second (tiny) exchange for the fix-up and
+    * the bucket-aggregate pass — pay it when a key dominates, not by
+    * default. Requires orderable right payload columns (the bucket-level
+    * extreme must replay the tie rule) and a timestamp or numeric ts
+    * column. A salt can never replace this: only a TIME-ALIGNED split
+    * preserves the within-key order the carry's semantics rest on. */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       bucketOf: Column => Column,
+                       rightPrefix: String = "",
+                       direction: String = "backward",
+                       tolerance: Option[Column] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
+    val leftCols = left.columns.toSeq
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    require(payloadCols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType)),
+      "asOfJoinBucketed needs orderable right payload columns (the " +
+        "bucket-level extreme replays the carry's tie rule); use asOfJoin")
+    require(!(leftCols ++ right.columns).exists(_.startsWith("__g")),
+      "columns starting with __g collide with bucketing internals")
+    def trimmed(df: DataFrame, prefix: String, backward: Boolean)
+        : (Column, Column => Column) = {
+      val mts = col(prefix + rightTs)
+      val dist = if (backward) col(leftTs) - mts else mts - col(leftTs)
+      val valid = tolerance match {
+        case None => mts.isNotNull
+        case Some(tol) => mts.isNotNull && dist <= tol
+      }
+      (valid, (c: Column) => when(valid, c))
+    }
+    direction match {
+      case "backward" | "forward" =>
+        val fwd = direction == "forward"
+        val out = bucketedCarry(left, right, keys, leftTs, rightTs,
+          bucketOf, rightPrefix, fwd)
+        val (_, trim) = trimmed(out, rightPrefix, backward = !fwd)
+        out.select(leftCols.map(col) ++ payloadCols.map(c =>
+          trim(col(s"`$rightPrefix$c`")).as(rightPrefix + c)): _*)
+      case _ =>
+        // nearest: full backward pass, then a forward pass CHAINED on its
+        // output (the backward columns ride along as left columns), then
+        // the closer side wins scan-side — equidistant ties backward,
+        // exactly asOfJoin's rule
+        val b = bucketedCarry(left, right, keys, leftTs, rightTs,
+          bucketOf, "__gb_", forward = false)
+        val f = bucketedCarry(b, right, keys, leftTs, rightTs,
+          bucketOf, "__gf_", forward = true)
+        val (bOk, _) = trimmed(f, "__gb_", backward = true)
+        val (fOk, _) = trimmed(f, "__gf_", backward = false)
+        val distB = col(leftTs) - col("__gb_" + rightTs)
+        val distF = col("__gf_" + rightTs) - col(leftTs)
+        val takeB = bOk && (!fOk || distB <= distF)
+        f.select(leftCols.map(col) ++ payloadCols.map(c =>
+          when(takeB, col(s"`__gb_$c`"))
+            .when(fOk, col(s"`__gf_$c`")).as(rightPrefix + c)): _*)
+    }
+  }
+
+  /** Convenience monotone bucketing for [[asOfJoinBucketed]] over
+    * timestamp columns: `floor(unix_micros(ts) / width)`. */
+  def timeBuckets(widthSec: Long): Column => Column = {
+    require(widthSec > 0, "bucket width must be positive")
+    c => floor(unix_micros(c) / lit(widthSec * 1000000L))
+  }
+
+  /** One direction of the bucketed carry: per-(key, bucket) [[asOfJoin]]
+    * plus the cross-bucket fix-up. Output: left columns ++ prefixed
+    * payload columns, tolerance NOT yet applied. */
+  private def bucketedCarry(left: DataFrame, right: DataFrame,
+                            keys: Seq[String], leftTs: String,
+                            rightTs: String, bucketOf: Column => Column,
+                            prefix: String, forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val lb = left.withColumn("__gbkt", bucketOf(col(leftTs)))
+    val rb = right.withColumn("__gbkt", bucketOf(col(rightTs)))
+    val dir = if (forward) "forward" else "backward"
+    val inBucket = asOfJoin(lb, rb, keys :+ "__gbkt", leftTs, rightTs,
+      prefix, dir, None)
+    val matchTs = col(s"`$prefix$rightTs`")
+    val matched = inBucket.filter(matchTs.isNotNull)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"`$prefix$c`")): _*)
+    // per-(key, bucket) extreme payload under the carry's EXACT tie rule:
+    // backward takes the greatest (ts, payload); forward the smallest ts
+    // but the GREATEST payload at that ts (the window's payload-asc sort
+    // puts the greatest last in both directions), hence the negated-ts
+    // order proxy instead of a min()
+    val tsType = right.schema(rightTs).dataType
+    val tsOrd: Column = tsType match {
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(rightTs))
+      case _: org.apache.spark.sql.types.NumericType => col(rightTs)
+      case other => throw new IllegalArgumentException(
+        s"asOfJoinBucketed needs a timestamp or numeric ts column, got $other")
+    }
+    val ordProxy = if (forward) -tsOrd else tsOrd
+    val rAgg = rb.filter(col(rightTs).isNotNull)
+      .groupBy((keys :+ "__gbkt").map(col): _*)
+      .agg(max(struct(ordProxy.as("__go"), col(rightTs).as("__gmts"),
+        struct(payloadCols.map(col): _*).as("__gp"))).as("__gl"))
+      .withColumn("__gshift",
+        if (forward) col("__gbkt") - 1 else col("__gbkt") + 1)
+      .drop("__gbkt")
+    // fix-up: only the rows with no in-bucket candidate re-enter a
+    // per-key window, joined as-of ON THE BUCKET INDEX against the tiny
+    // bucket-extreme relation (shifted so "another bucket" is strict)
+    val unmatched = inBucket.filter(matchTs.isNull)
+      .select((leftCols :+ "__gbkt").map(col): _*)
+    val fixed = asOfJoin(unmatched, rAgg, keys, "__gbkt", "__gshift",
+      "__gx_", dir, None)
+    val fixedOut = fixed.select(leftCols.map(col) ++
+      payloadCols.map(c => col(s"`__gx___gl`.__gp.`$c`").as(prefix + c)): _*)
+    matched.unionByName(fixedOut)
   }
 
   /** Banded (binned) batch interval join: every (left, right) pair of the

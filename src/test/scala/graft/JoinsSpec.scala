@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, floor, lit}
 
 import graft.operators.Joins
 
@@ -198,6 +198,60 @@ class JoinsSpec extends SparkSpec {
       .select(col("lid"), col("r_rid")).collect()
       .map(row => (row.getLong(0), row.getLong(1))).toSet
     got shouldBe Set(1L -> 10L)
+  }
+
+  test("asOfJoinBucketed is row-identical to asOfJoin across directions, " +
+    "tolerances and bucket widths — including right-ts ties (the bucket " +
+    "extreme must replay the payload tie rule) and cross-bucket matches") {
+    val rnd = new scala.util.Random(4242L)
+    (0 until 4).foreach { _ =>
+      // small domains FORCE collisions: ts ties within keys (tie rule),
+      // sparse buckets (fix-up path), keys with no right rows (null path)
+      val l = (0 until 60).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, s"l$i")).toDF("k", "lts", "lv")
+      val r = (0 until 50).map(_ =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, rnd.nextInt(4))).toDF("k", "rts", "rv")
+      for (dir <- Seq("backward", "forward", "nearest");
+           width <- Seq(1L, 7L, 1000L);
+           tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(5L)))) {
+        val bucketOf = (c: org.apache.spark.sql.Column) =>
+          floor(c / lit(width.toDouble)).cast("long")
+        val base = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+        val buck = Joins.asOfJoinBucketed(l, r, Seq("k"), "lts", "rts",
+          bucketOf, "r_", dir, tol)
+        buck.columns.toSeq shouldBe base.columns.toSeq
+        val ord = base.columns.map(col).toIndexedSeq
+        withClue(s"dir=$dir width=$width tol=${tol.isDefined}: ") {
+          buck.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+            base.orderBy(ord: _*).collect().map(_.toSeq)
+        }
+      }
+    }
+    // timestamp algebra: hourly buckets + INTERVAL tolerance, all directions
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-03 09:00:00"), 200.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:10:00"), "t1"),
+      (1L, ts("2024-01-02 23:59:00"), "t2"), // match is days of buckets back
+      (2L, ts("2024-01-01 08:00:00"), "t3"),
+      (3L, ts("2024-01-01 12:00:00"), "t4")
+    ).toDF("key", "tts", "trade_id")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(Option.empty[org.apache.spark.sql.Column],
+           Some(expr("INTERVAL '3600' SECOND")))) {
+      val base = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+        "q_", dir, tol)
+      val buck = Joins.asOfJoinBucketed(trades, quotes, Seq("key"), "tts",
+        "qts", Joins.timeBuckets(3600L), "q_", dir, tol)
+      val ord = base.columns.map(col).toIndexedSeq
+      withClue(s"ts dir=$dir tol=${tol.isDefined}: ") {
+        buck.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+          base.orderBy(ord: _*).collect().map(_.toSeq)
+      }
+    }
   }
 
   test("saltedJoin equals the plain equi-join") {
