@@ -1309,10 +1309,19 @@ object ScaleProbe {
     val refSec = refRuns.map(_._1).min
     val incSec = incRuns.map(_._1).min
     val identical = refRuns.head._2 == incRuns.head._2
+    // the production point: a full 32k-merge vocab build, incremental
+    // only (the recount loop at this depth is the multi-minute driver
+    // ceiling the rewrite removed — extrapolable from ref_sec, not worth
+    // re-measuring every run)
+    val (deepSec, deepMerges) = {
+      val (t, ms) = timed(operators.Bpe.trainOnDict(cloneDict(), 32768))
+      (t, ms.length)
+    }
     val bpEntry = s"""{"scale":$scale,"passes":$passes,""" +
       s""""dict_words":${dictBp.length},"merges":$mergesBp,""" +
       s""""ref_sec":$refSec,"inc_sec":$incSec,""" +
       s""""speedup":${refSec / incSec},"identical":$identical,""" +
+      s""""inc_32k_sec":$deepSec,"inc_32k_merges":$deepMerges,""" +
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"bpe_train",${bpEntry.tail}""")
     writeArtifact("bpe_train", bpEntry)
