@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{ServiceRegistry, Graph => GGraph}
-import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Packing, Selection, Similarity}
+import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Packing, Selection, Sessions, Similarity}
 import graft.sinks.{InsertOrUpdate, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
@@ -571,21 +571,30 @@ object Queries {
     * bounds depend only on timestamp gaps, so equal-timestamp tie order
     * cannot change the result. One user_id exchange, two window passes
     * over the same sort. */
-  private def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(col("user_id"), col("ts"))
-    val w = Window.partitionBy("user_id").orderBy("ts")
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("__prev", lag(col("ts"), 1).over(w))
-      .withColumn("__new", (col("__prev").isNull ||
-        (unix_micros(col("ts")) - unix_micros(col("__prev"))) >
-          lit(1800L * 1000000L)).cast("long"))
-      .withColumn("session_no", sum(col("__new")).over(run))
+  private def sessionReport(sessioned: DataFrame): DataFrame =
+    sessioned
       .groupBy("user_id", "session_no")
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
       .orderBy("user_id", "session_no")
-  }
+
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    sessionReport(Sessions.sessionize(
+      events(s, dir).select(col("user_id"), col("ts")),
+      Seq("user_id"), "ts", gapSec = 1800L))
+
+  /** `sessionize` through the hot-key time-bucket split
+    * ([[Sessions.sessionizeBucketed]], hourly buckets): contract-identical
+    * output — shared oracle — while the per-key window runs per
+    * (key, bucket) with cross-bucket state carried through the tiny
+    * bucket relation (the `asof_bucketed` treatment for the running-sum
+    * shape; SCALEPROBE `asof_skew` 40pct measured the plain window at
+    * 4.8× uniform). */
+  private def sessionizeBucketedQ(s: SparkSession, dir: String): DataFrame =
+    sessionReport(Sessions.sessionizeBucketed(
+      events(s, dir).select(col("user_id"), col("ts")),
+      Seq("user_id"), "ts", gapSec = 1800L, Joins.timeBuckets(3600L)))
 
   /** Cohort retention: users grouped by signup week, counted as active in
     * each later week they produced any event — the (cohort_week,
@@ -2303,11 +2312,35 @@ object Queries {
     "funnel" -> funnelQ _,
     "retention" -> retentionQ _,
     "sessionize" -> sessionizeQ _,
+    "sessionize_bucketed" -> sessionizeBucketedQ _,
     "histogram" -> histogramQ _,
     "asof_forward" -> asofForward _,
     "asof_nearest" -> asofNearest _,
     "percentile_rollup" -> percentileRollup _
   )
+
+  /** Shared by `sessionize` and `sessionize_bucketed` (the bucketed plan
+    * is semantics-identical): gaps-and-islands replay. */
+  private val sessionizeOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |f AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |                  ROWS UNBOUNDED PRECEDING) AS sn
+      |  FROM f)
+      |SELECT user_id, CAST(sn AS BIGINT) AS session_no,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+      |FROM sess GROUP BY user_id, sn
+      |ORDER BY user_id, session_no""".stripMargin
 
   /** Shared by `asof_join` and `asof_bucketed` (the bucketed plan is
     * semantics-identical): backward as-of replayed as a row_number-1 pick
@@ -2489,7 +2522,9 @@ object Queries {
     // bytes by hex arithmetic over the 4 chained md5s; the decoded sRGB
     // image's mean is exactly their mean (uniform 4-px blocks; /64 and
     // the engine's /256 are powers of two, so both fp divisions are
-    // exact); width/height are the synthesis constants
+    // exact); width/height are the synthesis constants, NULLed when the
+    // text is NULL to match the engine's NULL-payload propagation (a
+    // regenerated fixture with NULL text must not flip the contract)
     "multimodal_decode" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -2497,15 +2532,16 @@ object Queries {
         |      || md5('c' || text) AS hx
         |  FROM documents),
         |b AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, hx,
         |    list_transform(range(0, 64), i ->
         |      (strpos('0123456789abcdef',
         |         substring(hx, CAST(i*2+1 AS INT), 1)) - 1) * 16
         |      + (strpos('0123456789abcdef',
         |         substring(hx, CAST(i*2+2 AS INT), 1)) - 1)) AS bytes
         |  FROM h)
-        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
-        |  CAST(16 AS INTEGER) AS height,
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hx IS NULL THEN NULL ELSE 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN hx IS NULL THEN NULL ELSE 16 END AS INTEGER) AS height,
         |  round(CAST(list_sum(bytes) AS DOUBLE) / 64.0, 6) AS mean_intensity
         |FROM b ORDER BY doc_id""".stripMargin,
     "events_tumbling" ->
@@ -3760,26 +3796,10 @@ object Queries {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // gaps-and-islands: boundary flags summed into session numbers; the
     // result depends only on timestamp gaps, never tie order
-    "sessionize" ->
-      """WITH ev AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |f AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS nw
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
-        |                  ROWS UNBOUNDED PRECEDING) AS sn
-        |  FROM f)
-        |SELECT user_id, CAST(sn AS BIGINT) AS session_no,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
-        |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
-        |FROM sess GROUP BY user_id, sn
-        |ORDER BY user_id, session_no""".stripMargin,
+    "sessionize" -> sessionizeOracle,
+    // the bucketed plan is contract-identical to the plain window — the
+    // oracle is shared verbatim (SessionsSpec property-pins row equality)
+    "sessionize_bucketed" -> sessionizeOracle,
     // Monday-truncated weeks both engines; offsets = exact epoch division
     "retention" ->
       """WITH ev AS (

@@ -964,48 +964,63 @@ object ScaleProbe {
       (1 to passes).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
-    def asofWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
+    // count(click_id) reads the carried payload: a bare count() lets
+    // column pruning drop the match column and with it the entire
+    // carry window (measured: 0.25s "as-of" over 5M rows — the scan
+    // alone), the same guard chargram_lm's bench entry documents. The
+    // matched count doubles as a per-corpus cross-check: the bucketed
+    // plan must reproduce the plain carry's matches exactly (require
+    // below), so a fix-up regression fails the probe loudly instead of
+    // shipping a timed-but-wrong artifact.
+    def asofMatches(ev: org.apache.spark.sql.DataFrame,
+                    bucketed: Boolean): Long = {
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
-      // count(click_id) reads the carried payload: a bare count() lets
-      // column pruning drop the match column and with it the entire
-      // carry window (measured: 0.25s "as-of" over 5M rows — the scan
-      // alone), the same guard chargram_lm's bench entry documents
-      Joins.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts")
-        .agg(count(col("click_id"))).head().getLong(0)
+      val joined =
+        if (bucketed)
+          // the hot-key escape hatch: hourly buckets (~720 over the
+          // fixture's 30-day span), so the hot key's carry splits
+          Joins.asOfJoinBucketed(p, c, Seq("user_id"), "ts", "click_ts",
+            Joins.timeBuckets(3600L))
+        else Joins.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts")
+      joined.agg(count(col("click_id"))).head().getLong(0)
     }
-    // the hot-key escape hatch: same join through asOfJoinBucketed with
-    // hourly buckets (~720 over the fixture's 30-day span, so the hot
-    // key's carry splits across ~720 tasks' worth of buckets); also
-    // row-count-checked against the plain result each run
-    def asofBucketedWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-      Joins.asOfJoinBucketed(p, c, Seq("user_id"), "ts", "click_ts",
-          Joins.timeBuckets(3600L))
-        .agg(count(col("click_id"))).head().getLong(0)
+    def asofWall(ev: org.apache.spark.sql.DataFrame): Double = {
+      val plain = asofMatches(ev, bucketed = false)
+      val buck = asofMatches(ev, bucketed = true)
+      require(plain == buck,
+        s"asOfJoinBucketed diverged from asOfJoin: $buck vs $plain matches")
+      wall(asofMatches(ev, bucketed = false))
     }
-    def sessWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts")
-      val run = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      ev.select(col("user_id"), col("ts"))
-        .withColumn("__prev", lag(col("ts"), 1).over(w))
-        .withColumn("__new", (col("__prev").isNull ||
-          (unix_micros(col("ts")) - unix_micros(col("__prev"))) >
-            lit(1800L * 1000000L)).cast("long"))
-        .withColumn("session_no", sum(col("__new")).over(run))
-        .groupBy("user_id", "session_no").agg(count(lit(1)).as("n"))
-        .count()
+    def asofBucketedWall(ev: org.apache.spark.sql.DataFrame): Double =
+      wall(asofMatches(ev, bucketed = true))
+    // same cross-check discipline as the as-of pair: session-count
+    // equality between the plain window and the bucketed two-phase
+    // prefix plan, required before the timings are trusted
+    def sessSessions(ev: org.apache.spark.sql.DataFrame,
+                     bucketed: Boolean): Long = {
+      val input = ev.select(col("user_id"), col("ts"))
+      val sessioned =
+        if (bucketed)
+          graft.operators.Sessions.sessionizeBucketed(input, Seq("user_id"),
+            "ts", 1800L, Joins.timeBuckets(3600L))
+        else graft.operators.Sessions.sessionize(input, Seq("user_id"),
+          "ts", 1800L)
+      sessioned.groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n")).count()
     }
+    def sessWall(ev: org.apache.spark.sql.DataFrame): Double = {
+      val plain = sessSessions(ev, bucketed = false)
+      val buck = sessSessions(ev, bucketed = true)
+      require(plain == buck,
+        s"sessionizeBucketed diverged from sessionize: $buck vs $plain")
+      wall(sessSessions(ev, bucketed = false))
+    }
+    def sessBucketedWall(ev: org.apache.spark.sql.DataFrame): Double =
+      wall(sessSessions(ev, bucketed = true))
     def gapWall(ev: org.apache.spark.sql.DataFrame): Double = wall {
       // the gap_fill shape: hourly grid for a user cohort, forward-filled
       // via the as-of carry; the hot user is NOT in the cohort, so its
@@ -1026,6 +1041,7 @@ object ScaleProbe {
     val aU = asofWall(uniform)
     val abU = asofBucketedWall(uniform)
     val sU = sessWall(uniform)
+    val sbU = sessBucketedWall(uniform)
     val gU = gapWall(uniform)
     def r(h: Double, u: Double) = if (u > 0) h / u else -1.0
     val shareEntries = Seq(1, 4).map { tenths =>
@@ -1034,6 +1050,7 @@ object ScaleProbe {
       val aH = asofWall(hot)
       val abH = asofBucketedWall(hot)
       val sH = sessWall(hot)
+      val sbH = sessBucketedWall(hot)
       val gH = gapWall(hot)
       s""""${tenths * 10}pct":{"hot_key_rows":$hotRows,""" +
         s""""hot_share":${hotRows.toDouble / rows},""" +
@@ -1041,11 +1058,14 @@ object ScaleProbe {
         s""""asof_bucketed":{"hot_sec":$abH,"ratio":${r(abH, aU)},""" +
         s""""speedup_vs_plain":${r(aH, abH)}},""" +
         s""""sessionize":{"hot_sec":$sH,"ratio":${r(sH, sU)}},""" +
+        s""""sessionize_bucketed":{"hot_sec":$sbH,"ratio":${r(sbH, sU)},""" +
+        s""""speedup_vs_plain":${r(sH, sbH)}},""" +
         s""""gap_fill":{"hot_sec":$gH,"ratio":${r(gH, gU)}}}"""
     }
     val skEntry = s"""{"scale":$scale,"rows":$rows,"passes":$passes,""" +
       s""""uniform":{"asof_sec":$aU,"asof_bucketed_sec":$abU,""" +
-      s""""sessionize_sec":$sU,"gap_fill_sec":$gU},""" +
+      s""""sessionize_sec":$sU,"sessionize_bucketed_sec":$sbU,""" +
+      s""""gap_fill_sec":$gU},""" +
       s""""shares":{${shareEntries.mkString(",")}},""" +
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"asof_skew",${skEntry.tail}""")
@@ -1060,8 +1080,10 @@ object ScaleProbe {
       .select("vec_id", "embedding")
     lazy val pqcQueries = pqcEmb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding"))
+    def pqcPathAt(reps: Int) =
+      s"/tmp/graft_probe_cache/pqc_r$reps/embeddings.parquet"
     def pqcCorpusAt(reps: Int): org.apache.spark.sql.DataFrame = {
-      val p = s"/tmp/graft_probe_cache/pqc_r$reps/embeddings.parquet"
+      val p = pqcPathAt(reps)
       if (!new java.io.File(p).exists()) {
         if (reps > 64) {
           // beyond the 64 distinct rotations, tile the cached 64-rotation
@@ -1176,7 +1198,7 @@ object ScaleProbe {
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally s.close()
     }
-    val vecDisk = dirBytes("/tmp/graft_probe_cache/pqc_r512/embeddings.parquet")
+    val vecDisk = dirBytes(pqcPathAt(512))
     val codesDisk = dirBytes(encPathB)
     val pqbEntry = s"""{"vectors":$nVec,""" +
       s""""vectors_parquet_bytes":$vecDisk,""" +
@@ -1273,6 +1295,11 @@ object ScaleProbe {
     val baseWords = operators.Bpe.collectDict(docsBp, col("text"), 100000)
       .map(_._1.mkString)
     val nBase = baseWords.length
+    // the digit expansion below divides by nBase and terminates only for
+    // a radix >= 2 — a degenerate regenerated fixture (empty corpus, or a
+    // single distinct token) must fail loudly, not hang or divide by zero
+    require(nBase >= 2,
+      s"bpe_train probe needs >= 2 distinct fixture words, got $nBase")
     val dictTarget = 65536
     val composed = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var ci = 0

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Joins, Sessions}
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize numbers gap-separated runs per key, 1-based; ties at " +
+    "one timestamp share a session; NULL ts rows get NULL session_no " +
+    "without perturbing real numbering") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),  // 10 min gap -> same session
+      (1L, ts("2024-01-01 11:30:00")),  // 80 min -> new session
+      (1L, ts("2024-01-01 11:30:00")),  // tie -> same session
+      (2L, ts("2024-01-01 09:00:00")),
+      (2L, null.asInstanceOf[Timestamp])
+    ).toDF("user_id", "t")
+    val out = Sessions.sessionize(ev, Seq("user_id"), "t", gapSec = 1800L)
+      .orderBy(col("user_id"), col("t"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    out shouldBe Array(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L),
+      (2L, -1L),  // null ts sorts first under asc-nulls-first
+      (2L, 1L))
+  }
+
+  test("sessionizeBucketed is row-identical to sessionize across bucket " +
+    "widths — including sessions spanning many buckets, empty buckets " +
+    "between events, multi-keys, ties and NULL ts") {
+    val rnd = new scala.util.Random(1337L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    (0 until 4).foreach { _ =>
+      // clustered timestamps: runs of close events separated by long
+      // gaps, so real sessions exist at every bucket width
+      val rows = (0 until 120).map { i =>
+        val key = rnd.nextInt(3).toLong
+        val cluster = rnd.nextInt(6)
+        val tsv =
+          if (rnd.nextInt(40) == 0) null
+          else new Timestamp(base + cluster * 7200000L +
+            rnd.nextInt(600) * 1000L)
+        (key, rnd.nextInt(2).toString, tsv, i.toLong)
+      }
+      val df = rows.toDF("user_id", "seg", "t", "row_id")
+      val plain = Sessions.sessionize(df, Seq("user_id", "seg"), "t", 900L)
+      for (widthSec <- Seq(60L, 1800L, 86400L)) {
+        val bucketed = Sessions.sessionizeBucketed(df, Seq("user_id", "seg"),
+          "t", 900L, Joins.timeBuckets(widthSec))
+        bucketed.columns.toSeq shouldBe plain.columns.toSeq
+        val ord = plain.columns.map(col).toIndexedSeq
+        withClue(s"width=$widthSec: ") {
+          bucketed.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+            plain.orderBy(ord: _*).collect().map(_.toSeq)
+        }
+      }
+    }
+  }
+
+  test("sessionizeBucketed: a session STRADDLING a bucket boundary keeps " +
+    "one number (the cross-bucket last-ts resolves the first-row flag), " +
+    "and the offset numbers later sessions correctly") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:59:00")),  // bucket 0 (hourly)
+      (1L, ts("2024-01-01 01:01:00")),  // bucket 1, 2 min gap -> SAME session
+      (1L, ts("2024-01-01 05:00:00")),  // far -> session 2
+      (1L, ts("2024-01-01 05:10:00"))   // same session 2
+    ).toDF("user_id", "t")
+    val out = Sessions.sessionizeBucketed(ev, Seq("user_id"), "t", 1800L,
+        Joins.timeBuckets(3600L))
+      .orderBy("t").select("session_no").as[Long].collect()
+    out shouldBe Array(1L, 1L, 2L, 2L)
+  }
+}
