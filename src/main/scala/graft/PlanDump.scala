@@ -21,6 +21,7 @@ object PlanDump {
       "similarity_topk" -> "query batch broadcast; corpus scored map-side; bounded top-k partial aggregation",
       "asof_join" -> "one key-shuffle + one window pass (no range probes)",
       "asof_bucketed" -> "hot-key escape hatch: the carry exchanges on (key, time-bucket) so one key's sort splits across buckets; unmatched rows resolve via a second as-of on the BUCKET INDEX against the one-row-per-(key,bucket) extreme relation",
+      "sessionize_bucketed" -> "two-phase prefix sessionization: per-(key,bucket) windows for the per-row work; cross-bucket state (prev bucket's last ts, cumulative session offsets) rides the tiny bucket relation's own window",
       "upsert_merge" -> "single full-outer discriminant join resolves insert-vs-update",
       "minhash_pairs" -> "signatures computed scan-side by MinHashSigExpr (no explode/regroup exchange); only band keys shuffle",
       "embcos_exact" -> "norms once per row; small side broadcast into the non-equi pair join; exact f64 scoring",

@@ -521,7 +521,11 @@ object Queries {
     * event stay null (left-outer as-of). Ties at one timestamp resolve
     * to the greatest (ts, value) payload — the operator's documented
     * deterministic tie — which the oracle reproduces with an explicit
-    * ORDER BY DESC row_number. */
+    * ORDER BY DESC row_number. Hot-key note: the carry is
+    * [[Joins.asOfJoin]], so a dominant-share key degrades as `asof_skew`
+    * measures (3.8× at a 40% key); swap in [[Joins.asOfJoinBucketed]]
+    * for the carry when that regime applies — same semantics by
+    * property. */
   private def gapFill(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
     val bounds = ev.filter(col("user_id") % 50 === 0)
