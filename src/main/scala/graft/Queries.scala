@@ -526,7 +526,9 @@ object Queries {
     * measures (3.8× at a 40% key); swap in [[Joins.asOfJoinBucketed]]
     * for the carry when that regime applies — same semantics by
     * property. */
-  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+  private def gapFillWith(s: SparkSession, dir: String,
+                          carry: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
     val bounds = ev.filter(col("user_id") % 50 === 0)
       .groupBy("user_id")
@@ -534,13 +536,28 @@ object Queries {
         date_trunc("hour", max(col("ts"))).as("t1"))
     val grid = bounds.select(col("user_id"),
       explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("slot"))
-    Joins.asOfJoin(grid, ev, Seq("user_id"), "slot", "ts")
+    carry(grid, ev)
       .select(col("user_id"),
         unix_timestamp(col("slot")).as("slot_s"),
         unix_micros(col("ts")).as("src_ts_us"),
         col("value"))
       .orderBy("user_id", "slot_s")
   }
+
+  private def gapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillWith(s, dir, (grid, ev) =>
+      Joins.asOfJoin(grid, ev, Seq("user_id"), "slot", "ts"))
+
+  /** `gap_fill` with the forward-fill carry through
+    * [[Joins.asOfJoinBucketed]] (6-hour buckets) — the third member of
+    * the per-key-window family through the hot-key escape hatch,
+    * contract-identical by the shared oracle. The grid side buckets on
+    * the SLOT timestamp, which asOfJoinBucketed's fix-up resolves across
+    * empty source buckets exactly like any left row. */
+  private def gapFillBucketed(s: SparkSession, dir: String): DataFrame =
+    gapFillWith(s, dir, (grid, ev) =>
+      Joins.asOfJoinBucketed(grid, ev, Seq("user_id"), "slot", "ts",
+        Joins.timeBuckets(6L * 3600L)))
 
   /** Event funnel: view → click → purchase per user, each stage's
     * timestamp the FIRST occurrence at-or-after the previous stage —
@@ -2313,6 +2330,7 @@ object Queries {
     "domain_quality" -> domainQuality _,
     "audio_features" -> audioFeaturesQ _,
     "gap_fill" -> gapFill _,
+    "gap_fill_bucketed" -> gapFillBucketed _,
     "funnel" -> funnelQ _,
     "retention" -> retentionQ _,
     "sessionize" -> sessionizeQ _,
@@ -2322,6 +2340,28 @@ object Queries {
     "asof_nearest" -> asofNearest _,
     "percentile_rollup" -> percentileRollup _
   )
+
+  /** Shared by `gap_fill` and `gap_fill_bucketed` (the bucketed
+    * carry is semantics-identical). */
+  private val gapFillOracle: String =
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |         date_trunc('hour', max(ts)) AS t1
+        |  FROM ev WHERE user_id % 50 = 0 GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+        |  FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.slot, e.ts, e.value,
+        |    row_number() OVER (PARTITION BY g.user_id, g.slot
+        |                       ORDER BY e.ts DESC, e.value DESC) AS rn
+        |  FROM g LEFT JOIN ev e
+        |    ON e.user_id = g.user_id AND e.ts <= g.slot)
+        |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
+        |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
+        |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin
 
   /** Shared by `sessionize` and `sessionize_bucketed` (the bucketed plan
     * is semantics-identical): gaps-and-islands replay. */
@@ -3760,25 +3800,9 @@ object Queries {
         |ORDER BY lang_id, bin""".stripMargin,
     // hourly grid via generate_series; forward fill = last at-or-before
     // event, ties to greatest (ts, value) as the operator documents
-    "gap_fill" ->
-      """WITH ev AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |b AS (
-        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
-        |         date_trunc('hour', max(ts)) AS t1
-        |  FROM ev WHERE user_id % 50 = 0 GROUP BY user_id),
-        |g AS (
-        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
-        |  FROM b),
-        |j AS (
-        |  SELECT g.user_id, g.slot, e.ts, e.value,
-        |    row_number() OVER (PARTITION BY g.user_id, g.slot
-        |                       ORDER BY e.ts DESC, e.value DESC) AS rn
-        |  FROM g LEFT JOIN ev e
-        |    ON e.user_id = g.user_id AND e.ts <= g.slot)
-        |SELECT user_id, CAST(epoch(slot) AS BIGINT) AS slot_s,
-        |  CAST(epoch_us(ts) AS BIGINT) AS src_ts_us, value
-        |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin,
+    "gap_fill" -> gapFillOracle,
+    // bucketed-carry plan, contract-identical (JoinsSpec property)
+    "gap_fill_bucketed" -> gapFillOracle,
     // exact group/total counts recomputed; the sketch-dependent rank-band
     // booleans expected true
     "percentile_rollup" ->
