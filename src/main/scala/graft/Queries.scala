@@ -523,7 +523,7 @@ object Queries {
     * deterministic tie — which the oracle reproduces with an explicit
     * ORDER BY DESC row_number. Hot-key note: the carry is
     * [[Joins.asOfJoin]], so a dominant-share key degrades as `asof_skew`
-    * measures (3.8× at a 40% key); swap in [[Joins.asOfJoinBucketed]]
+    * measures (~4× at a 40% key); swap in [[Joins.asOfJoinBucketed]]
     * for the carry when that regime applies — same semantics by
     * property. */
   private def gapFillWith(s: SparkSession, dir: String,
@@ -611,7 +611,7 @@ object Queries {
     * (key, bucket) with cross-bucket state carried through the tiny
     * bucket relation (the `asof_bucketed` treatment for the running-sum
     * shape; SCALEPROBE `asof_skew` 40pct measured the plain window at
-    * 4.8× uniform). */
+    * ~4× uniform). */
   private def sessionizeBucketedQ(s: SparkSession, dir: String): DataFrame =
     sessionReport(Sessions.sessionizeBucketed(
       events(s, dir).select(col("user_id"), col("ts")),
@@ -2364,7 +2364,13 @@ object Queries {
         |FROM j WHERE rn = 1 ORDER BY user_id, slot_s""".stripMargin
 
   /** Shared by `sessionize` and `sessionize_bucketed` (the bucketed plan
-    * is semantics-identical): gaps-and-islands replay. */
+    * is semantics-identical): gaps-and-islands replay. NULL-timestamp
+    * rows are excluded from the numbering and reported as a NULL-session
+    * group per user — the operator's documented dirty-data rule — so a
+    * regenerated fixture containing NULL ts cannot flip the contract
+    * (DuckDB's NULLS-LAST window order would otherwise fold them into
+    * the last real session); NULLS FIRST pins the presentation order to
+    * Spark's asc_nulls_first. */
   private val sessionizeOracle: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -2373,18 +2379,26 @@ object Queries {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS nw
-      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  FROM ev WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |sess AS (
       |  SELECT user_id, ts,
       |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
       |                  ROWS UNBOUNDED PRECEDING) AS sn
-      |  FROM f)
-      |SELECT user_id, CAST(sn AS BIGINT) AS session_no,
-      |  CAST(count(*) AS BIGINT) AS n_events,
-      |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
-      |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
-      |FROM sess GROUP BY user_id, sn
-      |ORDER BY user_id, session_no""".stripMargin
+      |  FROM f),
+      |agg AS (
+      |  SELECT user_id, CAST(sn AS BIGINT) AS session_no,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+      |    CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+      |  FROM sess GROUP BY user_id, sn
+      |  UNION ALL
+      |  SELECT user_id, CAST(NULL AS BIGINT) AS session_no,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(NULL AS BIGINT) AS start_us, CAST(NULL AS BIGINT) AS end_us
+      |  FROM ev WHERE ts IS NULL GROUP BY user_id)
+      |SELECT * FROM agg
+      |ORDER BY user_id, session_no NULLS FIRST""".stripMargin
 
   /** Shared by `asof_join` and `asof_bucketed` (the bucketed plan is
     * semantics-identical): backward as-of replayed as a row_number-1 pick

@@ -64,6 +64,44 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeBucketed: heavy timestamp ties (including at bucket " +
+    "heads) and keys that do NOT lead the schema — output column order " +
+    "and numbering must match the plain variant exactly") {
+    val rnd = new scala.util.Random(77L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // tiny ts domain on bucket-width multiples: most rows tie, and tie
+    // runs sit exactly at bucket boundaries — the regime where a
+    // row-order-dependent boundary flag would mis-number a tie sibling
+    val rows = (0 until 150).map { i =>
+      (new Timestamp(base + rnd.nextInt(8) * 3600000L), i.toLong,
+        rnd.nextInt(3).toLong)
+    }
+    val df = rows.toDF("t", "row_id", "user_id") // key trails the schema
+    val plain = Sessions.sessionize(df, Seq("user_id"), "t", 1800L)
+    for (widthSec <- Seq(3600L, 7200L)) {
+      val bucketed = Sessions.sessionizeBucketed(df, Seq("user_id"), "t",
+        1800L, Joins.timeBuckets(widthSec))
+      bucketed.columns.toSeq shouldBe plain.columns.toSeq
+      bucketed.columns.toSeq shouldBe Seq("t", "row_id", "user_id", "session_no")
+      val ord = plain.columns.map(col).toIndexedSeq
+      withClue(s"width=$widthSec: ") {
+        bucketed.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+          plain.orderBy(ord: _*).collect().map(_.toSeq)
+      }
+    }
+  }
+
+  test("sessionize and sessionizeBucketed reject inputs using the __s " +
+    "internal-column prefix instead of clobbering them") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), "x"))
+      .toDF("user_id", "t", "__sprev")
+    an[IllegalArgumentException] should be thrownBy
+      Sessions.sessionize(df, Seq("user_id"), "t", 60L)
+    an[IllegalArgumentException] should be thrownBy
+      Sessions.sessionizeBucketed(df, Seq("user_id"), "t", 60L,
+        Joins.timeBuckets(3600L))
+  }
+
   test("sessionizeBucketed: a session STRADDLING a bucket boundary keeps " +
     "one number (the cross-bucket last-ts resolves the first-row flag), " +
     "and the offset numbers later sessions correctly") {
