@@ -2398,7 +2398,7 @@ object Queries {
       |    CAST(NULL AS BIGINT) AS start_us, CAST(NULL AS BIGINT) AS end_us
       |  FROM ev WHERE ts IS NULL GROUP BY user_id)
       |SELECT * FROM agg
-      |ORDER BY user_id, session_no NULLS FIRST""".stripMargin
+      |ORDER BY user_id NULLS FIRST, session_no NULLS FIRST""".stripMargin
 
   /** Shared by `asof_join` and `asof_bucketed` (the bucketed plan is
     * semantics-identical): backward as-of replayed as a row_number-1 pick

@@ -47,16 +47,16 @@ object Joins {
     * SKEW: the exchange is on `keys` alone, so a hot key is one straggler
     * partition doing that key's share of the sort+carry. Measured
     * (SCALEPROBE.json `asof_skew`, 5M events, planted keys holding 10%
-    * and 40% of ALL rows): at 10% wall is 1.3–1.6x the uniform corpus
-    * across this join / sessionize / gap-fill; at 40% it reaches 3.1x
-    * (join) to 4.1x (sessionize) even at local widths — and on a
+    * and 40% of ALL rows): at 10% wall is 1.5–1.7x the uniform corpus
+    * across this join / sessionize / gap-fill; at 40% it reaches 3.2x
+    * (join) to 4.6x (gap-fill) even at local widths — and on a
     * 1000-executor cluster a 40%-share key pins ~40% of the corpus on
     * one task. Degradation is PROPORTIONAL to the hot share (one task's
     * work), never quadratic. A salted carry is deliberately NOT offered —
     * a salt breaks the within-key total order these semantics rest on;
     * the order-preserving escape hatch is [[asOfJoinBucketed]], which
     * splits the hot key's carry across TIME buckets (measured at the 40%
-    * key: 1.5x faster than this operator and skew-flat, at a ~2x
+    * key: ~1.4x faster than this operator and skew-flat, at a ~2x
     * overhead on uniform data — reach for it when one key dominates, not
     * by default). */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -112,30 +112,48 @@ object Sessions {
         col("__soff"): _*)
     // pass 2: resolve first flags, add the bucket offset to the
     // within-bucket running sum — still over distinct ts (unique within
-    // the partition, so the sort is total and the sum deterministic)
+    // the partition, so the sort is total and the sum deterministic).
+    // Joins on the key columns are NULL-SAFE (<=>): Window.partitionBy
+    // groups NULL keys like any other value, so the plain variant
+    // numbers them — a null-unsafe join here would silently DROP every
+    // NULL-key row instead.
+    def renamed(d: DataFrame, p: String): DataFrame =
+      d.select(d.columns.map(c => col(c).as(p + c)).toIndexedSeq: _*)
+    def nullSafeOn(p: String, cols: Seq[String]) =
+      cols.map(c => col(c) <=> col(p + c)).reduce(_ && _)
     val runb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val numbered = flags.join(stats, keys :+ "__sbk")
+    val st = renamed(stats, "__sj_")
+    val numbered = flags
+      .join(st, nullSafeOn("__sj_", keys) && col("__sbk") <=> col("__sj___sbk"))
       .withColumn("__sres", coalesce(col("__sflag"),
-        when(col("__splast").isNull, lit(1L))
+        when(col("__sj___splast").isNull, lit(1L))
           .otherwise(((unix_micros(col(tsCol)) -
-            unix_micros(col("__splast"))) > gapUs).cast("long"))))
+            unix_micros(col("__sj___splast"))) > gapUs).cast("long"))))
       .withColumn("session_no",
-        col("__soff") + sum(col("__sres")).over(runb))
+        col("__sj___soff") + sum(col("__sres")).over(runb))
       .select((keys :+ "__sbk").map(col) :+ col(tsCol) :+
         col("session_no"): _*)
     // rows fetch their timestamp's number; output keeps the INPUT column
     // order (a using-join would lead with the join keys)
-    val out = live.join(numbered, (keys :+ "__sbk") :+ tsCol)
-      .select(df.columns.map(col) :+ col("session_no"): _*)
+    val nb = renamed(numbered, "__sn_")
+    val out = live
+      .join(nb, nullSafeOn("__sn_", keys) &&
+        col("__sbk") <=> col("__sn___sbk") &&
+        col(tsCol) === col("__sn_" + tsCol))
+      .select(df.columns.map(col) :+ col("__sn_session_no").as("session_no"): _*)
     withNullTsRows(df, out, tsCol)
   }
 
-  /** Both variants stage internals in `__s`-prefixed columns; an input
-    * already using that prefix would be silently clobbered (and the
-    * NULL-ts union leg would then fail on mismatched columns). */
-  private def requireNoInternalCollisions(df: DataFrame): Unit =
+  /** Both variants stage internals in `__s`-prefixed columns and emit
+    * `session_no`; an input already using either would be silently
+    * clobbered (plain) or fail on an ambiguous reference (bucketed), so
+    * both are rejected up front. */
+  private def requireNoInternalCollisions(df: DataFrame): Unit = {
     require(!df.columns.exists(_.startsWith("__s")),
       "columns starting with __s collide with sessionization internals")
+    require(!df.columns.contains("session_no"),
+      "input already has a session_no column; rename it first")
+  }
 
   /** NULL-timestamp rows re-enter with a NULL `session_no` — excluded
     * from the numbering entirely, so dirty rows cannot shift real

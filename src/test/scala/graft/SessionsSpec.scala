@@ -92,7 +92,8 @@ class SessionsSpec extends SparkSpec {
   }
 
   test("sessionize and sessionizeBucketed reject inputs using the __s " +
-    "internal-column prefix instead of clobbering them") {
+    "internal-column prefix or an existing session_no instead of " +
+    "clobbering them") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), "x"))
       .toDF("user_id", "t", "__sprev")
     an[IllegalArgumentException] should be thrownBy
@@ -100,6 +101,34 @@ class SessionsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sessions.sessionizeBucketed(df, Seq("user_id"), "t", 60L,
         Joins.timeBuckets(3600L))
+    val resess = Seq((1L, ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "t", "session_no")
+    an[IllegalArgumentException] should be thrownBy
+      Sessions.sessionize(resess, Seq("user_id"), "t", 60L)
+    an[IllegalArgumentException] should be thrownBy
+      Sessions.sessionizeBucketed(resess, Seq("user_id"), "t", 60L,
+        Joins.timeBuckets(3600L))
+  }
+
+  test("NULL-key rows are sessionized as their own group by BOTH variants " +
+    "(Window.partitionBy groups NULLs; a null-unsafe join would silently " +
+    "drop them from the bucketed path)") {
+    val ev = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00")),
+      (Option.empty[Long], ts("2024-01-01 10:05:00")),
+      (Option.empty[Long], ts("2024-01-01 10:10:00")),
+      (Option.empty[Long], ts("2024-01-01 15:00:00"))  // far -> session 2
+    ).toDF("user_id", "t")
+    val plain = Sessions.sessionize(ev, Seq("user_id"), "t", 1800L)
+    val bucketed = Sessions.sessionizeBucketed(ev, Seq("user_id"), "t",
+      1800L, Joins.timeBuckets(3600L))
+    bucketed.count() shouldBe 4  // nothing dropped
+    val ord = plain.columns.map(col).toIndexedSeq
+    bucketed.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+      plain.orderBy(ord: _*).collect().map(_.toSeq)
+    val nullSessions = plain.filter(col("user_id").isNull)
+      .orderBy("t").select("session_no").as[Long].collect()
+    nullSessions shouldBe Array(1L, 1L, 2L)
   }
 
   test("sessionizeBucketed: a session STRADDLING a bucket boundary keeps " +
