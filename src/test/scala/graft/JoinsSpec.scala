@@ -206,11 +206,16 @@ class JoinsSpec extends SparkSpec {
     val rnd = new scala.util.Random(4242L)
     (0 until 4).foreach { _ =>
       // small domains FORCE collisions: ts ties within keys (tie rule),
-      // sparse buckets (fix-up path), keys with no right rows (null path)
+      // sparse buckets (fix-up path), keys with no right rows (null
+      // path), and occasional NULL keys (both plans must group them —
+      // the carry is windows and group-bys throughout, never an
+      // equi-join that would drop NULL keys)
+      def key(n: Int): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(n).toLong)
       val l = (0 until 60).map(i =>
-        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, s"l$i")).toDF("k", "lts", "lv")
+        (key(4), rnd.nextInt(40).toLong, s"l$i")).toDF("k", "lts", "lv")
       val r = (0 until 50).map(_ =>
-        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, rnd.nextInt(4))).toDF("k", "rts", "rv")
+        (key(5), rnd.nextInt(40).toLong, rnd.nextInt(4))).toDF("k", "rts", "rv")
       for (dir <- Seq("backward", "forward", "nearest");
            width <- Seq(1L, 7L, 1000L);
            tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(5L)))) {
