@@ -20,10 +20,15 @@ import graft.functions.{ImageDHashExpr, ImageFeaturesExpr, ImageResizeExpr, MinH
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // whole-operator extension: the as-of merge join's planner strategy
+    // and its pushdown/pruning optimizer rule (graft.plans.*)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinOptimizations)
+  }
 }
 
 object GraftExtensions {

@@ -795,6 +795,35 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** `asof_join` / `asof_nearest` re-planned through the WHOLE-OPERATOR
+    * physical node ([[graft.plans.AsofJoinExec]], injected via the
+    * planner-strategy extension point): same rows, same oracle —
+    * different plan. One exchange per side in its own schema plus a
+    * streaming merge, instead of the union-and-carry's padded-width
+    * exchange + window sort (for `nearest`: two sorts). */
+  private def asofMergeVia(s: SparkSession, dir: String,
+                           direction: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Joins.asOfJoinMerge(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        direction = direction)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  private def asofMerge(s: SparkSession, dir: String): DataFrame =
+    asofMergeVia(s, dir, "backward")
+
+  private def asofMergeNearest(s: SparkSession, dir: String): DataFrame =
+    asofMergeVia(s, dir, "nearest")
+
   private def saltedAgg(s: SparkSession, dir: String): DataFrame =
     Joins.saltedCountSum(tab(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_quantity", salts = 16)
@@ -2338,6 +2367,8 @@ object Queries {
     "histogram" -> histogramQ _,
     "asof_forward" -> asofForward _,
     "asof_nearest" -> asofNearest _,
+    "asof_merge" -> asofMerge _,
+    "asof_merge_nearest" -> asofMergeNearest _,
     "percentile_rollup" -> percentileRollup _
   )
 
@@ -2416,6 +2447,29 @@ object Queries {
       |    row_number() OVER (PARTITION BY p.event_id
       |      ORDER BY c.ct DESC, c.click_id DESC) AS rn
       |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct <= p.t)
+      |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
+      |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Shared by `asof_nearest` and `asof_merge_nearest` (the merge plan is
+    * semantics-identical). Nearest has no native ASOF form: rank the full
+    * candidate set by absolute distance, backward-first on equidistant
+    * ties, then `click_id DESC` (the operator's greatest-payload tie) so
+    * two clicks at one distance resolve identically in both engines. */
+  private val asofNearestOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY abs(epoch_us(c.ct) - epoch_us(p.t)),
+      |               CASE WHEN c.ct <= p.t THEN 0 ELSE 1 END,
+      |               c.click_id DESC) AS rn
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
       |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
       |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
@@ -2990,27 +3044,9 @@ object Queries {
         |  CASE WHEN ct <= t + INTERVAL 1 HOUR
         |       THEN CAST(epoch_us(ct) AS BIGINT) END AS click_ts_us
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    // nearest has no native ASOF form: rank the full candidate set by
-    // absolute distance, backward-first on equidistant ties, then
-    // click_id DESC (the operator's greatest-payload tie) so two clicks
-    // at one distance resolve identically in both engines
-    "asof_nearest" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
-        |  WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ct
-        |  FROM events WHERE event_type = 'click'),
-        |j AS (
-        |  SELECT p.event_id, p.user_id, p.t, c.click_id, c.ct,
-        |    row_number() OVER (PARTITION BY p.event_id
-        |      ORDER BY abs(epoch_us(c.ct) - epoch_us(p.t)),
-        |               CASE WHEN c.ct <= p.t THEN 0 ELSE 1 END,
-        |               c.click_id DESC) AS rn
-        |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
-        |SELECT event_id, user_id, CAST(epoch_us(t) AS BIGINT) AS ts_us,
-        |  click_id, CAST(epoch_us(ct) AS BIGINT) AS click_ts_us
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "asof_nearest" -> asofNearestOracle,
+    "asof_merge" -> asofJoinOracle,
+    "asof_merge_nearest" -> asofNearestOracle,
     "salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_l_quantity
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

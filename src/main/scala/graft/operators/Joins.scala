@@ -247,6 +247,134 @@ object Joins {
     }
   }
 
+  /** [[asOfJoin]] planned as a WHOLE-OPERATOR physical node instead of a
+    * DataFrame composition: a custom logical plan ([[graft.plans.AsofJoin]])
+    * planned by an injected strategy into a co-partitioned streaming
+    * merge ([[graft.plans.AsofJoinExec]]) — the `SparkSessionExtensions`
+    * rung of the extension ladder, for the semantics the built-in
+    * operators can't express as ONE operator. Semantics are row-identical
+    * to [[asOfJoin]] (directions, tie rule, tolerance, NULL handling —
+    * property-pinned in `AsofMergeSpec`); the differences are the plan:
+    *
+    *  - each side shuffles ONCE on the keys in its own schema (the
+    *    union-and-carry pays one exchange of the union at the PADDED
+    *    width: every right row carries null-cast copies of the left
+    *    columns and vice versa);
+    *  - `nearest` runs in the same single pass (the window form sorts
+    *    the union twice);
+    *  - left-side filters and unused left columns migrate below the
+    *    join via [[graft.plans.AsofJoinOptimizations]], reaching
+    *    `PushedFilters`/`ReadSchema` in the scan.
+    *
+    * `tolerance` must be a FOLDABLE expression here (a literal interval
+    * for timestamp/date ts columns, a numeric literal for numeric ts) —
+    * it is evaluated at plan time into the merge's arithmetic. Skew
+    * behavior equals [[asOfJoin]] (a hot key is one partition's merge);
+    * [[asOfJoinBucketed]] stays the hot-key escape hatch. */
+  def asOfJoinMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String,
+                    rightPrefix: String = "",
+                    direction: String = "backward",
+                    tolerance: Option[Column] = None): DataFrame = {
+    import graft.plans.{AsofJoin, AsofJoinExec, AsofPlanner}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => payloadCols.map(rightPrefix + _).contains(c)),
+      "right payload columns collide with left columns; set rightPrefix")
+    require(!right.columns.exists(_.startsWith("__rk_")),
+      "right columns starting with __rk_ collide with merge-join internals")
+    val lTsType = left.schema(leftTs).dataType
+    val rTsType = right.schema(rightTs).dataType
+    require(AsofJoinExec.supportsTsType(lTsType) &&
+        AsofJoinExec.supportsTsType(rTsType),
+      s"asOfJoinMerge needs timestamp/date/numeric ts columns, got " +
+        s"$lTsType / $rTsType (use asOfJoin for other orderable types)")
+
+    val tol: Option[Double] = tolerance.map { c =>
+      // resolve the Column through a one-row projection: Spark 4's
+      // Column->Expression conversion can hand back an unresolved tree
+      // (e.g. a parsed INTERVAL literal), and foldability is only
+      // meaningful post-analysis
+      val e: org.apache.spark.sql.catalyst.expressions.Expression =
+        try {
+          left.sparkSession.range(1).select(c.as("__tol"))
+            .queryExecution.analyzed match {
+            case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+              p.projectList.head match {
+                case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+                case o => o
+              }
+            case _ => Bridge.expression(c)
+          }
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              "asOfJoinMerge tolerance must be a standalone foldable " +
+                "expression (it is evaluated at plan time); use asOfJoin " +
+                "for a column-dependent tolerance")
+        }
+      require(e.foldable,
+        "asOfJoinMerge tolerance must be a foldable expression (it is " +
+          "evaluated at plan time); use asOfJoin for a computed tolerance")
+      val micros: Option[Double] = (e.eval(), e.dataType) match {
+        case (null, _) => throw new IllegalArgumentException(
+          "asOfJoinMerge tolerance evaluated to NULL")
+        case (us: java.lang.Long, _: DayTimeIntervalType) => Some(us.toDouble)
+        case (ci: org.apache.spark.unsafe.types.CalendarInterval,
+              CalendarIntervalType) =>
+          require(ci.months == 0,
+            "tolerance interval must not contain months (not a fixed duration)")
+          Some(ci.days * 86400000000L.toDouble + ci.microseconds.toDouble)
+        case _ => None
+      }
+      (micros, lTsType) match {
+        case (Some(us), TimestampType | TimestampNTZType) => us
+        case (Some(us), DateType) => us / 86400000000L.toDouble // days
+        case (Some(_), other) => throw new IllegalArgumentException(
+          s"interval tolerance needs a timestamp/date ts column, got $other")
+        case (None, _) => (e.eval(), e.dataType) match {
+          case (n: Number, _: NumericType) =>
+            require(lTsType.isInstanceOf[NumericType],
+              s"numeric tolerance needs a numeric ts column, got $lTsType")
+            n.doubleValue()
+          case (d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case (v, t) => throw new IllegalArgumentException(
+            s"unsupported tolerance $v of type $t (interval or numeric)")
+        }
+      }
+    }
+
+    val spark = left.sparkSession
+    AsofPlanner.ensure(spark)
+    // fresh aliases on the right side: disjoint expr-ids from the left
+    // even for self-joins, and the payload already carries its final
+    // (prefixed) output names
+    val r2 = right.select(
+      keys.map(k => col(k).as(s"__rk_$k")) ++
+        payloadCols.map(c => col(c).as(rightPrefix + c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attrOf(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+               name: String) = {
+      val hits = out.filter(_.name == name)
+      require(hits.size == 1,
+        s"column '$name' must resolve to exactly one attribute, found ${hits.size}")
+      hits.head
+    }
+    val node = AsofJoin(lPlan, rPlan,
+      keys.map(attrOf(lPlan.output, _)),
+      keys.map(k => attrOf(rPlan.output, s"__rk_$k")),
+      attrOf(lPlan.output, leftTs),
+      attrOf(rPlan.output, rightPrefix + rightTs),
+      payloadCols.map(c => attrOf(rPlan.output, rightPrefix + c)),
+      direction, tol)
+    Bridge.ofRows(spark, node)
+  }
+
   /** Convenience monotone bucketing for [[asOfJoinBucketed]] over
     * timestamp columns: `floor(unix_micros(ts) / width)`. */
   def timeBuckets(widthSec: Long): Column => Column = {

@@ -51,6 +51,38 @@ object Bridge {
       cds.queryExecution.logical)
   }
 
+  /** Wrap a (resolved) logical plan as a DataFrame on `spark` — the hook a
+    * library needs to hand a CUSTOM LogicalPlan node to the session's
+    * analyzer/optimizer/planner pipeline. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's `ExperimentalMethods` (extraStrategies /
+    * extraOptimizations) — the imperative registration point for planner
+    * strategies and optimizer rules on sessions that were built without
+    * `spark.sql.extensions` (the `SparkSessionExtensions` path only sees
+    * sessions created AFTER the conf is set). */
+  def experimental(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+
+  /** Test-only visibility into a `SparkSessionExtensions` instance: the
+    * strategies / optimizer rules a builder function injected (the build*
+    * methods are `private[sql]`). */
+  def builtStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+                      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+                          spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Install a function builder into an existing session's registry (the
     * per-creation `SparkSessionExtensions` path can't reach sessions that
     * already exist). */

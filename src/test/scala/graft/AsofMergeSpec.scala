@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+import graft.operators.Joins
+
+/** The physical as-of join ([[graft.plans.AsofJoinExec]]): row-identical
+  * semantics to the window-form [[Joins.asOfJoin]], plus the plan
+  * properties that are the POINT of the custom node — one exchange per
+  * side placed by EnsureRequirements, filter pushdown and column pruning
+  * through the custom logical node reaching the parquet scan. */
+class AsofMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoinMerge is row-identical to asOfJoin across directions and " +
+    "tolerances — including NULL keys (grouped), NULL left/right ts, and " +
+    "right-ts ties (greatest-payload rule)") {
+    val rnd = new scala.util.Random(97531L)
+    (0 until 4).foreach { _ =>
+      // small domains force ties, NULL keys, matchless keys; NULL ts on
+      // both sides exercises the inert-dirty-data paths
+      def key(n: Int): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(n).toLong)
+      def maybeTs(range: Int): Option[Long] =
+        if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(range).toLong)
+      val l = (0 until 60).map(i =>
+        (key(4), maybeTs(40), s"l$i")).toDF("k", "lts", "lv")
+      val r = (0 until 50).map(_ =>
+        (key(5), maybeTs(40), rnd.nextInt(4))).toDF("k", "rts", "rv")
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(5L)))) {
+        val base = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+        val merge = Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_",
+          dir, tol)
+        merge.columns.toSeq shouldBe base.columns.toSeq
+        val ord = base.columns.map(col).toIndexedSeq
+        withClue(s"dir=$dir tol=${tol.isDefined}: ") {
+          merge.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+            base.orderBy(ord: _*).collect().map(_.toSeq)
+        }
+      }
+    }
+  }
+
+  test("asOfJoinMerge timestamp algebra with INTERVAL tolerance matches " +
+    "asOfJoin, all directions") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-03 09:00:00"), 200.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:10:00"), "t1"),
+      (1L, ts("2024-01-02 23:59:00"), "t2"),
+      (2L, ts("2024-01-01 08:00:00"), "t3"),
+      (3L, ts("2024-01-01 12:00:00"), "t4")
+    ).toDF("key", "tts", "trade_id")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(Option.empty[org.apache.spark.sql.Column],
+           Some(expr("INTERVAL '3600' SECOND")))) {
+      val base = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+        "q_", dir, tol)
+      val merge = Joins.asOfJoinMerge(trades, quotes, Seq("key"), "tts",
+        "qts", "q_", dir, tol)
+      val ord = base.columns.map(col).toIndexedSeq
+      withClue(s"ts dir=$dir tol=${tol.isDefined}: ") {
+        merge.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+          base.orderBy(ord: _*).collect().map(_.toSeq)
+      }
+    }
+  }
+
+  test("asOfJoinMerge multi-key join and self-join (fresh right-side " +
+    "expr-ids keep a same-source join analyzable)") {
+    val ev = Seq(
+      (1L, "a", 10L, "click"),
+      (1L, "a", 20L, "purchase"),
+      (1L, "b", 15L, "click"),
+      (1L, "b", 30L, "purchase")
+    ).toDF("uid", "dev", "t", "kind")
+    val purchases = ev.filter(col("kind") === "purchase").drop("kind")
+    val clicks = ev.filter(col("kind") === "click").drop("kind")
+    val out = Joins.asOfJoinMerge(purchases, clicks, Seq("uid", "dev"),
+      "t", "t", rightPrefix = "c_")
+      .orderBy("dev").collect()
+    out.map(r => (r.getString(1), r.getLong(3))) shouldBe
+      Array(("a", 10L), ("b", 15L))
+  }
+
+  test("asOfJoinMerge plans ONE exchange per side and a streaming merge " +
+    "(the AsofJoinExec node), with sorts placed by EnsureRequirements") {
+    val ev = sources.Tables.load(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val joined = Joins.asOfJoinMerge(purchases, clicks, Seq("user_id"),
+      "ts", "click_ts")
+    joined.collect().length should be > 0
+    // under AQE the string carries Final + Initial sections; assert on
+    // the final one only
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    plan should include ("AsofJoin")
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    // the union-and-carry plan would show a Union + Window; the merge
+    // form must show neither
+    plan should not include "Union"
+    plan should not include "Window"
+  }
+
+  test("left-side filters push through the custom node into the parquet " +
+    "scan (PushedFilters), and unused left columns are pruned (ReadSchema)") {
+    val ev = sources.Tables.load(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val joined = Joins.asOfJoinMerge(purchases, clicks, Seq("user_id"),
+      "ts", "click_ts")
+      .filter(col("event_id") > 500L) // left-only predicate, added ABOVE
+      .select("event_id", "user_id", "click_id") // prunes left payload cols
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the predicate reached a scan's pushed-filter list (the rendered
+    // list is truncated, so match the filter's head)
+    plan should include ("GreaterThan(event_id,5")
+    // pruning: no scan in the plan still reads the wide 'props' column
+    // events carries — the rule narrowed the left child, and the right
+    // side was pre-projected by the wrapper
+    plan should not include "props"
+  }
+
+  test("asOfJoinMerge rejects computed tolerances and non-mergeable ts " +
+    "types loudly") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "lts", "lv")
+    val r = Seq((1L, 5L, 9)).toDF("k", "rts", "rv")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts",
+        tolerance = Some(col("lts")))
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts",
+        tolerance = Some(expr("INTERVAL '1' SECOND"))) // interval vs numeric ts
+    val ls = Seq(("a", "2024-01-01", "x")).toDF("k", "lts", "lv")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoinMerge(ls, r, Seq("k"), "lts", "rts") // string ts column
+  }
+}

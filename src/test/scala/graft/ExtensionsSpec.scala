@@ -24,6 +24,16 @@ class ExtensionsSpec extends SparkSpec {
     r.getLong(1) shouldBe viaColumn
   }
 
+  test("the extensions class injects the as-of planner strategy and " +
+    "optimizer rule (the spark.sql.extensions path for new sessions)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.builtStrategies(ext, spark) should contain (plans.AsofJoinStrategy)
+    Bridge.builtOptimizerRules(ext, spark) should contain (
+      plans.AsofJoinOptimizations)
+  }
+
   test("vec_dot rejects non-float/double element arrays at ANALYSIS time " +
     "(codegen's getDouble on array<int> would reinterpret raw bytes)") {
     GraftExtensions.register(spark)
