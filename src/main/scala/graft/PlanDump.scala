@@ -42,6 +42,8 @@ object PlanDump {
       "containment_pairs" -> "single-pass inverted-index self-join reused for asymmetric containment; the two join inputs are identical subplans (ReusedExchange), set sizes ride the exploded rows",
       "gap_fill" -> "resample grid generated scan-side (sequence explode), forward-filled by the union+window as-of join -- one user_id exchange, no per-slot range probes",
       "asof_nearest" -> "both as-of carries share ONE key exchange (two Window sorts of the same partitioning); the closer match picked scan-side",
+      "asof_merge" -> "WHOLE-OPERATOR physical node (AsofJoinExec via the injected planner strategy): one exchange per side in its own schema + EnsureRequirements-placed sorts + a streaming per-partition merge — no Union, no Window; left filters/pruning reach the scan through the custom-node optimizer rule",
+      "asof_merge_nearest" -> "nearest in the SAME single merge pass (the union-and-carry plan needs two window sorts); backward candidate + unconsumed head give both directions O(1)-state",
       "percentile_rollup" -> "KLL sketches partial-aggregated map-side (ObjectHashAggregate over binary state); the rollup merges stored sketch bytes -- the fact table is rescanned only by the exact-rank verification branches",
       "bpe_tokens" -> "BPE encode runs inside the scan projection (native BpeEncodeExpr, frozen merge table shipped in the plan) -- no model join, no shuffle before the final sort",
       "bpe_budget_select" -> "tokenizer-true budgeting composes scan-side BPE counts with the per-language running-sum window -- one lang_id exchange, identical shape to budget_select",

@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1070,6 +1070,87 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"asof_skew",${skEntry.tail}""")
     writeArtifact("asof_skew", skEntry)
+    }
+
+    if (probes("asof_merge_scale")) {
+    // The physical merge join (AsofJoinExec) vs the union-and-carry
+    // composition, same corpus recipe as asof_skew: uniform replica
+    // corpus plus 10%/40% single-key hot variants at SCALE×. The merge
+    // plan's claim is structural — each side exchanges ONCE in its own
+    // schema where the union pays one padded-width exchange (every row
+    // carries null-cast columns of the other side) plus a window sort;
+    // for `nearest`, one merge pass vs two sorts. Match-count equality
+    // between the two plans gates every timing (a fast-but-wrong merge
+    // fails loudly). Skew is expected to degrade BOTH plans alike (one
+    // key = one partition's merge either way) — the probe records the
+    // hot ratios to show the merge introduces no new cliff.
+    val ev0 = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val evScaled = (0 until scale).map { i =>
+      ev0.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("ts"), col("value"))
+    }.reduce(_ unionByName _)
+    def persisted(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_amerge_$name")
+        .resolve("events.parquet").toString
+      df.repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val uniform = persisted(evScaled, "uni")
+    def hotAt(tenths: Int) = persisted(evScaled.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) < tenths, lit(1L))
+        .otherwise(col("user_id"))), s"hot$tenths")
+    def wall(f: => Long): Double =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    // count(click_id) reads the matched payload (the pruning guard the
+    // other as-of probes document: a bare count() would let Catalyst
+    // drop the join work entirely)
+    def matches(ev: org.apache.spark.sql.DataFrame, merge: Boolean,
+                dir: String): Long = {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val joined =
+        if (merge) Joins.asOfJoinMerge(p, c, Seq("user_id"), "ts",
+          "click_ts", direction = dir)
+        else Joins.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts",
+          direction = dir)
+      joined.agg(count(col("click_id"))).head().getLong(0)
+    }
+    def pair(ev: org.apache.spark.sql.DataFrame, dir: String)
+        : (Double, Double) = {
+      val win = matches(ev, merge = false, dir)
+      val mrg = matches(ev, merge = true, dir)
+      require(win == mrg,
+        s"asOfJoinMerge($dir) diverged from asOfJoin: $mrg vs $win matches")
+      (wall(matches(ev, merge = false, dir)),
+        wall(matches(ev, merge = true, dir)))
+    }
+    val rows = uniform.count()
+    val dirEntries = Seq("backward", "nearest").map { d =>
+      val (w, m) = pair(uniform, d)
+      s""""$d":{"window_sec":$w,"merge_sec":$m,""" +
+        s""""merge_speedup":${if (m > 0) w / m else -1.0}}"""
+    }
+    val hotEntries = Seq(1, 4).map { tenths =>
+      val hot = hotAt(tenths)
+      val (w, m) = pair(hot, "backward")
+      s""""${tenths * 10}pct":{"window_hot_sec":$w,"merge_hot_sec":$m,""" +
+        s""""merge_speedup":${if (m > 0) w / m else -1.0}}"""
+    }
+    val amEntry = s"""{"scale":$scale,"rows":$rows,"passes":$passes,""" +
+      s""""uniform":{${dirEntries.mkString(",")}},""" +
+      s""""hot":{${hotEntries.mkString(",")}},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"asof_merge_scale",${amEntry.tail}""")
+    writeArtifact("asof_merge_scale", amEntry)
     }
 
     // Shared by the PQ probes (pq_crossover, pq_bytes): rotated-replica

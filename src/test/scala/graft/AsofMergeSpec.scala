@@ -136,6 +136,24 @@ class AsofMergeSpec extends SparkSpec {
     plan should not include "props"
   }
 
+  test("asOfJoinMerge stays correct when an input arrives pre-partitioned " +
+    "on a key subset (EnsureRequirements must re-align, not trust it)") {
+    val rnd = new scala.util.Random(1357L)
+    val l = (0 until 80).map(i => (rnd.nextInt(3).toLong,
+      rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, s"l$i"))
+      .toDF("k1", "k2", "lts", "lv")
+      .repartition(3, col("k1")) // subset of the join keys
+    val r = (0 until 60).map(_ => (rnd.nextInt(3).toLong,
+      rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, rnd.nextInt(5)))
+      .toDF("k1", "k2", "rts", "rv")
+      .repartition(5, col("k2"), col("k1")) // reordered keys, other count
+    val base = Joins.asOfJoin(l, r, Seq("k1", "k2"), "lts", "rts", "r_")
+    val merge = Joins.asOfJoinMerge(l, r, Seq("k1", "k2"), "lts", "rts", "r_")
+    val ord = base.columns.map(col).toIndexedSeq
+    merge.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+      base.orderBy(ord: _*).collect().map(_.toSeq)
+  }
+
   test("asOfJoinMerge rejects computed tolerances and non-mergeable ts " +
     "types loudly") {
     val l = Seq((1L, 10L, "x")).toDF("k", "lts", "lv")
