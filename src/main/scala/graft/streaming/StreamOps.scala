@@ -519,6 +519,223 @@ object StreamOps {
       stateCol = "vec", maxBucket = maxBucket)(emit)
   }
 
+  /** State for [[asofEnrich]]: per-key buffers of (eventTimeMicros, row).
+    * `lefts` holds events still awaiting their watermark flush; `rights`
+    * holds enrichment rows not yet collapsible to the standing value.
+    * Java-serialized state (rows are plain `Serializable` externals) —
+    * volume is bounded by the watermark horizon, so the encoder is not
+    * the scaling term; a columnar state encoder is the swap if it ever
+    * shows up in a profile. Public only because the serialization
+    * encoder requires it — not API. */
+  case class AsofEnrichState(
+      lefts: List[(Long, org.apache.spark.sql.Row)],
+      rights: List[(Long, org.apache.spark.sql.Row)]) extends Serializable
+
+  /** Total order mirroring Spark's ascending struct ordering (nulls
+    * FIRST, fields in declaration order) over EXTERNAL row values — the
+    * tie rule [[asofEnrich]] shares with `Joins.asOfJoin`: among right
+    * rows at one timestamp the greatest payload struct wins. Unorderable
+    * values (maps…) compare equal, matching the batch operator's
+    * documented arbitrary fallback. */
+  private def compareExternal(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) =>
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = compareExternal(x.get(i), y.get(i))
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    case (x: Array[Byte], y: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(x, y)
+    case (x: Comparable[_], y) if x.getClass == y.getClass =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => 0
+  }
+
+  /** Event time as epoch micros — full timestamp precision (getTime alone
+    * truncates to millis and would diverge from the batch join on
+    * sub-milli data). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** STREAMING as-of enrichment — the backward [[graft.operators.Joins
+    * .asOfJoin]] contract between TWO UNBOUNDED STREAMS: every left event
+    * is enriched with the right row holding the greatest `rightTs` ≤ its
+    * `leftTs` on the same `keyCols` (market-data/current-dimension
+    * semantics). Spark's built-in stream-stream joins are equi/interval
+    * joins and its stream-static join sees only the latest static
+    * snapshot, so this is the `flatMapGroupsWithState` escape hatch the
+    * extension ladder reserves for whole-operator streaming semantics.
+    *
+    * CORRECTNESS MODEL (watermark-driven, deterministic): a left event is
+    * held in state until the watermark passes its timestamp — at that
+    * point every right row that could precede it has either arrived or is
+    * late beyond `delay` (the standard watermark contract; choose `delay`
+    * accordingly), so the match is FINAL. Arrival order within the
+    * horizon is immaterial: an out-of-order right row arriving after the
+    * left event it should enrich still wins, exactly as in the batch
+    * join. Emitted rows match `Joins.asOfJoin` row-for-row (same tie rule
+    * — greatest payload struct at equal `rightTs`; same inclusive
+    * tolerance; same left-outer NULLs; same NULL-key matching via the
+    * null-safe group key; NULL `leftTs` rows pass through unenriched —
+    * no position on the timeline; NULL `rightTs` rows are dropped) —
+    * property-pinned in `StreamAsofSpec` against the batch operator.
+    *
+    * STATE IS BOUNDED: per key, the left buffer holds only events inside
+    * the watermark horizon, and right rows older than the watermark
+    * collapse to ONE standing row — the current value future events will
+    * match (with a `toleranceMs`, even that row is dropped once it can no
+    * longer satisfy the bound, so idle keys fully evict; without one, a
+    * key retains its single standing row, which IS the semantics of
+    * "current dimension value"). At 100 TB widths the plan is one
+    * key-hash exchange into the state operator — no sort, no rescan; a
+    * hot key costs that key's horizon, same proportionality as the batch
+    * carry, and the RocksDB state-store provider is the spill path
+    * (exercised in the spec).
+    *
+    * Flushes ride EVENT TIME: pending events re-arm an event-time timeout
+    * at their earliest timestamp, so emission needs no per-key new data —
+    * only watermark advance. `direction` is backward only: forward
+    * ("next event") over two unbounded streams would hold every left row
+    * until its successor arrives (unbounded wait without a tolerance);
+    * compose [[intervalJoin]] + a batch fix-up for that shape.
+    *
+    * Right columns except `keyCols` are appended with `rightPrefix`;
+    * `toleranceMs` bounds |leftTs − rightTs| inclusively, NULLing the
+    * enrichment (never the row). Both inputs must be streaming and share
+    * the engine's watermark on their own ts columns (applied HERE — pass
+    * raw streams). */
+  def asofEnrich(leftStream: DataFrame, rightStream: DataFrame,
+                 keyCols: Seq[String], leftTs: String, rightTs: String,
+                 delay: String, rightPrefix: String = "",
+                 toleranceMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keyCols.nonEmpty, "at least one key column")
+    require(toleranceMs.forall(_ >= 0L), "toleranceMs must be non-negative")
+    val leftCols = leftStream.columns.toSeq
+    val payloadCols = rightStream.columns.filterNot(keyCols.contains).toSeq
+    require(payloadCols.nonEmpty, "right side has no payload columns")
+    require(!leftCols.exists(c => payloadCols.map(rightPrefix + _).contains(c)),
+      "right payload columns collide with left columns; set rightPrefix")
+    val leftSchema = leftStream.schema
+    val payloadSchema = StructType(payloadCols.map(c =>
+      rightStream.schema(c).copy(name = c)))
+    val outSchema = StructType(leftSchema.fields ++ payloadCols.map { c =>
+      val f = rightStream.schema(c)
+      StructField(rightPrefix + c, f.dataType, nullable = true)
+    })
+    val lts = col(leftTs).cast("timestamp")
+    val rts = col(rightTs).cast("timestamp")
+    // a left row with no parseable event time has no position on the
+    // timeline: it passes through unenriched and touches no state (the
+    // batch join's NULL-ts guard, left-outer shape preserved)
+    val noTime = leftStream.filter(lts.isNull).select(
+      leftCols.map(col) ++ payloadCols.map(c =>
+        lit(null).cast(rightStream.schema(c).dataType).as(rightPrefix + c)): _*)
+    val lTagged = leftStream.filter(lts.isNotNull).select(
+      nullSafeKey(keyCols).as("_1"), lts.as("_2"), lit(true).as("_3"),
+      struct(leftCols.map(col): _*).as("_4"),
+      lit(null).cast(payloadSchema).as("_5"))
+    // a NULL rightTs can never satisfy the as-of predicate (batch parity)
+    val rTagged = rightStream.filter(rts.isNotNull).select(
+      nullSafeKey(keyCols).as("_1"), rts.as("_2"), lit(false).as("_3"),
+      lit(null).cast(leftSchema).as("_4"),
+      struct(payloadCols.map(col): _*).as("_5"))
+    val tagged = lTagged.unionByName(rTagged)
+      .withWatermark("_2", delay)
+      .as(Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaBoolean, Encoders.row(leftSchema),
+        Encoders.row(payloadSchema)))
+    val tolMicros = toleranceMs.map(_ * 1000L)
+    tagged.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[AsofEnrichState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String,
+         rows: Iterator[(String, java.sql.Timestamp, Boolean, Row, Row)],
+         state: GroupState[AsofEnrichState]) =>
+          val prior =
+            if (state.exists) state.get else AsofEnrichState(Nil, Nil)
+          var lefts = prior.lefts
+          var rights = prior.rights
+          rows.foreach { case (_, ts, isLeft, l, r) =>
+            val m = tsMicros(ts)
+            if (isLeft) lefts ::= ((m, l)) else rights ::= ((m, r))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
+          // ascending (ts, payload): the last element ≤ leftTs is the tie
+          // winner — the greatest payload struct among equal timestamps
+          val rSorted = rights.sortWith { (a, b) =>
+            if (a._1 != b._1) a._1 < b._1
+            else compareExternal(a._2, b._2) < 0
+          }.toIndexedSeq
+          // STRICT < wm on both flush and collapse: if the engine admits
+          // a boundary row at ts == wm, its matching left rows are still
+          // pending and every boundary right is still individually held
+          val (ready, pending) = lefts.partition(_._1 < wmMicros)
+          val out = ready.sortBy(_._1).map { case (lm, lrow) =>
+            var lo = 0
+            var hi = rSorted.length - 1
+            var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (rSorted(mid)._1 <= lm) { best = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            val matched =
+              if (best < 0) null
+              else if (tolMicros.forall(t => lm - rSorted(best)._1 <= t))
+                rSorted(best)._2
+              else null
+            Row.fromSeq(lrow.toSeq ++ (
+              if (matched == null) payloadCols.map(_ => null)
+              else matched.toSeq))
+          }
+          // rights below the watermark collapse to the single standing
+          // row (greatest (ts, payload)) every future left would match;
+          // a tolerance retires even that once it can no longer bind
+          var lastBelow = -1
+          var lo = 0
+          var hi = rSorted.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (rSorted(mid)._1 < wmMicros) { lastBelow = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          val standing =
+            if (lastBelow < 0) Nil
+            else if (tolMicros.exists(t => wmMicros - rSorted(lastBelow)._1 > t)) Nil
+            else List(rSorted(lastBelow))
+          val keptRights = standing ++ rSorted.drop(lastBelow + 1).toList
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofEnrichState(pending, keptRights))
+            // re-arm: wake when the watermark passes the earliest pending
+            // event (flush) or the standing row's tolerance bound (evict)
+            val target: Option[Long] =
+              if (pending.nonEmpty)
+                Some(pending.iterator.map(_._1).min / 1000L + 1L)
+              else tolMicros.collect {
+                case t if standing.nonEmpty && standing.head._1 < wmMicros =>
+                  (standing.head._1 + t) / 1000L + 1L
+              }
+            target.foreach(ms =>
+              state.setTimeoutTimestamp(math.max(wmMs + 1L, ms)))
+          }
+          out.iterator
+      }(Encoders.javaSerialization(classOf[AsofEnrichState]),
+        Encoders.row(outSchema))
+      .toDF()
+      .unionByName(noTime)
+  }
+
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
     * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
     * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.

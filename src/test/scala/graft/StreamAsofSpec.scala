@@ -1,0 +1,183 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.streaming.StreamOps
+
+/** Streaming as-of enrichment ([[StreamOps.asofEnrich]]): parity with the
+  * batch `Joins.asOfJoin` contract, out-of-order buffering across
+  * micro-batches, standing-row retention, tolerance, NULL key/ts edges,
+  * and the RocksDB state-store provider. */
+class StreamAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+  private def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000L)
+
+  /** Drive a left/right pair of streams through asofEnrich into a memory
+    * sink; feed() adds batches; two trailing sentinel batches (far-future
+    * lefts on key 999 tagged "sentinel") push the watermark past every
+    * real event AND trigger the event-time-timeout flush batch, so every
+    * non-sentinel left is emitted deterministically. */
+  private def run(name: String, toleranceMs: Option[Long] = None,
+                  session: org.apache.spark.sql.SparkSession = spark)(
+      feed: (MemoryStream[(Long, Timestamp, String)],
+             MemoryStream[(Long, Timestamp, Double)],
+             org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = session.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    val enriched = StreamOps.asofEnrich(
+      lMem.toDF.toDF("user", "ts", "tag"), rMem.toDF.toDF("user", "ts", "price"),
+      Seq("user"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_",
+      toleranceMs = toleranceMs)
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      feed(lMem, rMem, q)
+      lMem.addData((999L, ts(100000L), "sentinel")); q.processAllAvailable()
+      lMem.addData((999L, ts(200000L), "sentinel")); q.processAllAvailable()
+    } finally q.stop()
+    session.table(name).filter(col("tag") =!= "sentinel")
+  }
+
+  test("parity: emitted rows equal the batch asOfJoin row-for-row on a " +
+    "randomized corpus with planted right-ts ties and inclusive-boundary " +
+    "matches, with and without a tolerance") {
+    val rnd = new scala.util.Random(20260814L)
+    val lefts = (0 until 120).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000).toLong), s"t$i"))
+    val rightsBase = (0 until 70).map(_ =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000).toLong),
+        (rnd.nextInt(900) + 100).toDouble))
+    // ties: same (key, ts), different payload — greatest price must win;
+    // inclusive boundary: rights AT a left ts (lefts pick ts from the same
+    // 1000-second grid, so collisions exist at this density)
+    val rights = rightsBase ++ rightsBase.take(10).map {
+      case (u, t, p) => (u, t, p + 1000.0)
+    }
+    for (tol <- Seq(None, Some(120000L))) {
+      val got = run(s"asof_parity_${tol.isDefined}", tol) { (lm, rm, q) =>
+        lm.addData(lefts); rm.addData(rights); q.processAllAvailable()
+      }
+      val expect = Joins.asOfJoin(
+        lefts.toDF("user", "ts", "tag"), rights.toDF("user", "ts", "price"),
+        Seq("user"), "ts", "ts", rightPrefix = "r_",
+        tolerance = tol.map(ms => expr(s"INTERVAL '${ms / 1000}' SECOND")))
+      val ord = Seq(col("user"), col("ts"), col("tag"))
+      got.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+        expect.orderBy(ord: _*).collect().map(_.toSeq)
+      // sanity: the corpus exercised real matches AND left-outer misses
+      got.filter(col("r_price").isNotNull).count() should be > 0L
+      got.filter(col("r_price").isNull).count() should be > 0L
+    }
+  }
+
+  test("out-of-order: a right row arriving a BATCH LATER (inside the " +
+    "watermark horizon) still enriches the earlier-buffered left event") {
+    val got = run("asof_ooo") { (lm, rm, q) =>
+      rm.addData((1L, ts(0L), 1.0))
+      lm.addData((1L, ts(300L), "a"))
+      q.processAllAvailable()
+      // newer right BELOW the buffered left's ts, inside the 10 s
+      // watermark horizon (wm is at 290 s here) — must win the match
+      rm.addData((1L, ts(295L), 2.0))
+      lm.addData((2L, ts(2000L), "w1"))
+      q.processAllAvailable()
+    }
+    val rows = got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    rows("a") shouldBe Some(2.0)
+    rows("w1") shouldBe None // no right for key 2: left-outer nulls
+  }
+
+  test("standing right row is retained across many watermark advances " +
+    "(the 'current dimension value'), and a newer right replaces it") {
+    val got = run("asof_standing") { (lm, rm, q) =>
+      rm.addData((1L, ts(0L), 5.0)); q.processAllAvailable()
+      lm.addData((1L, ts(7200L), "x1")); q.processAllAvailable()
+      lm.addData((1L, ts(10800L), "x2")); q.processAllAvailable()
+      rm.addData((1L, ts(12600L), 6.0)); q.processAllAvailable()
+      lm.addData((1L, ts(14400L), "x3")); q.processAllAvailable()
+    }
+    got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Map("x1" -> 5.0, "x2" -> 5.0, "x3" -> 6.0)
+  }
+
+  test("tolerance bounds the match inclusively and NULLs only the " +
+    "enrichment, keeping the row") {
+    val got = run("asof_tol", toleranceMs = Some(60000L)) { (lm, rm, q) =>
+      rm.addData((1L, ts(0L), 5.0))
+      lm.addData((1L, ts(30L), "near"), // 30 s ≤ 1 min: enriched
+        (1L, ts(60L), "edge"),          // exactly 1 min: inclusive
+        (1L, ts(600L), "far"))          // 10 min: enrichment nulled
+      q.processAllAvailable()
+    }
+    got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap shouldBe
+      Map("near" -> Some(5.0), "edge" -> Some(5.0), "far" -> None)
+  }
+
+  test("NULL edges match the batch operator: NULL keys join each other, " +
+    "a NULL left ts passes through unenriched, a NULL right ts never " +
+    "matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Option[Long], Option[Timestamp], String)]
+    val rMem = MemoryStream[(Option[Long], Option[Timestamp], Double)]
+    val lefts = Seq(
+      (None: Option[Long], Some(ts(100L)), "nullkey"),
+      (Some(1L), None: Option[Timestamp], "nots"),
+      (Some(1L), Some(ts(100L)), "normal"))
+    val rights = Seq(
+      (None: Option[Long], Some(ts(50L)), 7.0),
+      (Some(1L), None: Option[Timestamp], 666.0), // NULL ts: never a match
+      (Some(1L), Some(ts(40L)), 8.0))
+    val enriched = StreamOps.asofEnrich(
+      lMem.toDF.toDF("user", "ts", "tag"), rMem.toDF.toDF("user", "ts", "price"),
+      Seq("user"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_")
+    val q = enriched.writeStream.format("memory").queryName("asof_nulls")
+      .outputMode("append").start()
+    try {
+      lMem.addData(lefts); rMem.addData(rights); q.processAllAvailable()
+      lMem.addData((Some(999L), Some(ts(100000L)), "sentinel"))
+      q.processAllAvailable()
+      lMem.addData((Some(999L), Some(ts(200000L)), "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_nulls").filter(col("tag") =!= "sentinel")
+    val expect = Joins.asOfJoin(
+      lefts.toDF("user", "ts", "tag"), rights.toDF("user", "ts", "price"),
+      Seq("user"), "ts", "ts", rightPrefix = "r_")
+    val ord = Seq(col("tag"))
+    got.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+      expect.orderBy(ord: _*).collect().map(_.toSeq)
+    // and the semantics are the intended ones, not just mutually wrong
+    got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap shouldBe
+      Map("nullkey" -> Some(7.0), "nots" -> None, "normal" -> Some(8.0))
+  }
+
+  test("RocksDB state-store provider: the spill-to-disk path is a config " +
+    "swap — same results as the default provider") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got = run("asof_rocks", session = s2) { (lm, rm, q) =>
+      rm.addData((1L, ts(0L), 1.0))
+      lm.addData((1L, ts(300L), "a"))
+      q.processAllAvailable()
+      rm.addData((1L, ts(295L), 2.0))
+      lm.addData((2L, ts(2000L), "w1"))
+      q.processAllAvailable()
+    }
+    got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap shouldBe
+      Map("a" -> Some(2.0), "w1" -> None)
+  }
+}
