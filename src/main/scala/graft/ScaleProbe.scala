@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,snapshot_cluster,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1070,6 +1070,114 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"asof_skew",${skEntry.tail}""")
     writeArtifact("asof_skew", skEntry)
+    }
+
+    if (probes("snapshot_cluster")) {
+    // The clusterBy data-layout claim: a store whose files are sorted by a
+    // column turns a pushed range predicate on it into parquet row-group/
+    // page skipping — the scan decodes the slice, not the bucket. The
+    // cluster column must be UNCORRELATED with ingest order to need help:
+    // this probe first clustered on event time and measured NO win,
+    // because time-correlated ingest leaves every row group spanning ~5%
+    // of the ts domain anyway (checked in the footers) — event tables
+    // prune on arrival-time for free, which is worth knowing and is why
+    // the probe clusters on `value` (the "range filter on a non-time
+    // column" regime clusterBy exists for). Same rows, two stores; the
+    // probe records the write-side cost (the local sort), the selective-
+    // slice scan walls at 1% and 10% selectivity, and the full-scan walls
+    // (which must be ~equal — layout must not tax full reads). Local page
+    // cache hides raw IO, so the measured win is decode-skip only; on an
+    // object store the skipped bytes are also unfetched.
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    val ev = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("ts"), col("value"))
+    val evScaled = (0 until scale).map { i =>
+      ev.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        // spread replicas over disjoint time ranges so the ts domain grows
+        // with the corpus the way a longer-lived table's would
+        (unix_micros(col("ts")) + lit(i.toLong * 4000000000000L)).as("ts_us"),
+        col("value"),
+        // a wide high-entropy payload (~256 B/row): real tables carry wide
+        // rows, and the decode of THESE bytes is what row-group skipping
+        // saves — with only 8-byte key columns the scan is task-overhead-
+        // bound and no layout can show up (measured: 0.86–1.03x)
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"r$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    val snapCfg = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    // Row-group pruning is the mechanism under test, and it needs row-group
+    // MULTIPLICITY: at production sizing a bucket file holds many 128 MB
+    // row groups, but this probe's whole bucket fits in ONE — which makes
+    // min-max skipping structurally impossible regardless of layout (the
+    // first run of this probe measured exactly that: 0.83–0.95x, no win).
+    // Shrink the block size so each file holds tens of row groups, the
+    // multiplicity a 100 TB table's files actually have; both stores get
+    // the same setting, and it is restored after the builds.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 1 << 20)
+    def build(clusterBy: Seq[String]): (String, Double) = {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_snapclus${clusterBy.size}").resolve("store").toString
+      val t0 = System.nanoTime()
+      SnapshotStore.upsert(spark, root, evScaled, snapCfg, nBuckets = 8,
+        clusterBy = clusterBy)
+      (root, (System.nanoTime() - t0) / 1e9)
+    }
+    val (rootC, writeC) = build(Seq("value"))
+    val (rootU, writeU) = build(Nil)
+    // compact both stores to the maintained layout (one file per bucket;
+    // for the clustered store that also merges the overlapping sorted
+    // runs a multi-task upsert leaves into one fully-sorted file — the
+    // repair compact's clusterBy doc promises)
+    SnapshotStore.compact(spark, rootC, maxFilesPerBucket = 1)
+    SnapshotStore.compact(spark, rootU, maxFilesPerBucket = 1)
+    if (prevBlock == null) hc.unset("parquet.block.size")
+    else hc.set("parquet.block.size", prevBlock)
+    // slice by QUANTILE, not by range fraction: the fixture's value column
+    // is heavily skewed (the bottom 10% of the RANGE holds ~67% of rows —
+    // the first probe cut by range and measured a 67%-selectivity scan
+    // while calling it 10%)
+    val vLo = evScaled.agg(min(col("value"))).head().getDouble(0)
+    val qs = SnapshotStore.read(spark, rootU).get
+      .stat.approxQuantile("value", Array(0.01, 0.10), 0.0005)
+    val cut = Map(0.01 -> qs(0), 0.10 -> qs(1))
+    def scan(root: String, frac: Double): Double = {
+      val store = SnapshotStore.read(spark, root).get
+      val filtered =
+        if (frac >= 1.0) store
+        else store.filter(col("value") >= vLo && col("value") < cut(frac))
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        // the agg must READ the wide column — a count alone would let
+        // column pruning drop the very bytes skipping is supposed to save
+        filtered.agg(count(col("event_id")), sum(col("value")),
+          sum(length(col("payload")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // equality gate: the layouts must agree on the slice before timing
+    def sliceCount(root: String): Long =
+      SnapshotStore.read(spark, root).get
+        .filter(col("value") >= vLo && col("value") < cut(0.01))
+        .count()
+    require(sliceCount(rootC) == sliceCount(rootU),
+      "clustered and unclustered stores disagree on the probe slice")
+    val entries = Seq(0.01, 0.10, 1.0).map { frac =>
+      val cl = scan(rootC, frac)
+      val un = scan(rootU, frac)
+      s""""${(frac * 100).toInt}pct":{"clustered_sec":$cl,""" +
+        s""""unclustered_sec":$un,""" +
+        s""""cluster_speedup":${if (cl > 0) un / cl else -1.0}}"""
+    }
+    val rows = evScaled.count()
+    val scEntry = s"""{"scale":$scale,"rows":$rows,"passes":$passes,""" +
+      s""""write_clustered_sec":$writeC,"write_unclustered_sec":$writeU,""" +
+      s""""scans":{${entries.mkString(",")}},"sf":"$sfDir"}"""
+    println(s"""{"probe":"snapshot_cluster",${scEntry.tail}""")
+    writeArtifact("snapshot_cluster", scEntry)
     }
 
     if (probes("asof_merge_scale")) {

@@ -120,6 +120,15 @@ object SnapshotStore {
   def numBuckets(spark: SparkSession, root: String): Option[Int] =
     getProperty(spark, root, "nBuckets").map(_.toInt)
 
+  /** Cluster columns fixed at store creation (empty when the store is
+    * unclustered). Every rewrite path ([[upsert]], [[compact]]) keeps each
+    * written file sorted by these columns — see the `clusterBy` doc on
+    * [[upsert]]. */
+  def clusterColumns(spark: SparkSession, root: String): Seq[String] =
+    getProperty(spark, root, "clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   private def bucketExpr(disc: Seq[Column], nBuckets: Int): Column =
     pmod(hash(disc: _*), lit(nBuckets))
 
@@ -359,7 +368,16 @@ object SnapshotStore {
       // disabled); pin it so repartition/partitionBy always see the
       // IntegerType the manifest records, independent of session config
       .withColumn(bucketCol, col(bucketCol).cast("int"))
-    union.repartition(col(bucketCol))
+    // a clustered store's compaction re-sorts each bucket (one bucket per
+    // task, so the single rewritten file is FULLY sorted — compaction
+    // also repairs the overlapping per-file ranges multi-task upserts
+    // leave behind)
+    val cluster = clusterColumns(spark, root)
+    val arranged =
+      if (cluster.isEmpty) union.repartition(col(bucketCol))
+      else union.repartition(col(bucketCol))
+        .sortWithinPartitions((bucketCol +: cluster).map(col): _*)
+    arranged
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(s"$root/snapshot=$next")
     writeManifest(f, root, next,
@@ -385,11 +403,27 @@ object SnapshotStore {
     * existing store keeps its recorded bucket count. The touched-bucket set
     * is collected to the driver, but it is bounded by `nBuckets`, not by
     * the data.
+    *
+    * `clusterBy` (creation-time, persisted like `nBuckets`) declares a
+    * DATA-LAYOUT clustering: every file any rewrite path writes is sorted
+    * by these columns, so parquet's row-group/page min-max statistics
+    * turn a pushed range predicate into file skipping instead of a full
+    * bucket scan — at 100 TB widths the difference between reading one
+    * row group and reading the table (the public `OPTIMIZE ... ZORDER` /
+    * `SORTED BY` layout lever, in its single-dimension form). Cost is one
+    * LOCAL sort per written partition (no extra exchange — measured in
+    * SCALEPROBE `snapshot_cluster`); reads are unchanged and results are
+    * row-identical (clustering is physical layout only). A multi-task
+    * upsert leaves overlapping ranges across a bucket's files;
+    * [[compact]] re-sorts each bucket into one fully-sorted file.
     */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              cfg: UpsertConfig = UpsertConfig(),
-             nBuckets: Int = DefaultBuckets): MergeResult = {
+             nBuckets: Int = DefaultBuckets,
+             clusterBy: Seq[String] = Nil): MergeResult = {
     require(nBuckets > 0, "nBuckets must be positive")
+    require(clusterBy.forall(c => c.nonEmpty && !c.contains(",")),
+      "clusterBy column names must be non-empty and comma-free")
     val f = fs(spark, root)
     val currentOpt = currentVersion(spark, root)
     val buckets = numBuckets(spark, root).getOrElse(nBuckets)
@@ -438,11 +472,25 @@ object SnapshotStore {
     }
 
     val result = InsertOrUpdate.merge(target, u, cfg)
+    // an existing store's recorded clustering wins (creation-time, like
+    // nBuckets); validate BEFORE claiming the version so a typo fails
+    // without leaving a stale claim behind
+    val cluster: Seq[String] =
+      if (currentOpt.isDefined) clusterColumns(spark, root) else clusterBy
+    cluster.foreach(c => require(result.target.columns.contains(c),
+      s"clusterBy column '$c' is not a stored column"))
     val next = currentOpt.getOrElse(-1L) + 1L
     claim(f, root, next)
 
-    result.target
+    val withBucket = result.target
       .withColumn(bucketCol, bucketExpr(cfg.discriminant.map(col), buckets))
+    val arranged =
+      if (cluster.isEmpty) withBucket
+      // local sort only — partitionBy splits each task's (bucket, ...)-
+      // sorted stream into per-bucket files that stay sorted by the
+      // cluster columns; no extra exchange
+      else withBucket.sortWithinPartitions((bucketCol +: cluster).map(col): _*)
+    arranged
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(s"$root/snapshot=$next")
     // manifest: untouched buckets keep their old location; touched buckets
@@ -462,7 +510,9 @@ object SnapshotStore {
     // absent for new stores AND legacy stores being migrated; merged so
     // application properties set before the first commit survive
     if (numBuckets(spark, root).isEmpty)
-      writeProps(f, root, readProps(f, root) + ("nBuckets" -> buckets.toString))
+      writeProps(f, root, readProps(f, root) + ("nBuckets" -> buckets.toString) ++
+        (if (cluster.nonEmpty) Map("clusterBy" -> cluster.mkString(","))
+         else Map.empty))
     commitPointer(spark, f, root, next)
     MergeResult(
       target = readVersion(spark, root, next),

@@ -461,4 +461,86 @@ class SnapshotStoreSpec extends SparkSpec
     r.written.count() shouldBe 1
     r.errors.count() shouldBe 0
   }
+
+  /** All parquet data files under every snapshot dir of `root`. */
+  private def dataFiles(root: String): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.toList
+    finally s.close()
+  }
+
+  private def assertFileSorted(p: java.nio.file.Path, colName: String): Unit = {
+    val vals = spark.read.parquet(p.toString).select(colName)
+      .collect().map(_.getDouble(0)).toSeq
+    withClue(s"file $p not sorted by $colName: ") {
+      vals shouldBe vals.sorted
+    }
+  }
+
+  test("clusterBy: recorded at creation, EVERY written file is sorted by " +
+    "the cluster column across later upserts (which need not repeat it), " +
+    "and the store stays row-identical to an unclustered twin") {
+    val rnd = new scala.util.Random(42)
+    def batch(ids: Range) =
+      ids.map(i => (i, rnd.nextDouble() * 1000, s"v$i"))
+        .toDF("id", "score", "value")
+    val rootC = tempRoot("graft_clus")
+    val rootU = tempRoot("graft_unclus")
+    val b1 = batch(0 until 400)
+    val b2 = batch(200 until 600)
+    SnapshotStore.upsert(spark, rootC, b1, cfg, nBuckets = 4,
+      clusterBy = Seq("score"))
+    SnapshotStore.upsert(spark, rootC, b2, cfg) // no clusterBy: prop wins
+    SnapshotStore.getProperty(spark, rootC, "clusterBy") shouldBe Some("score")
+    SnapshotStore.clusterColumns(spark, rootC) shouldBe Seq("score")
+    dataFiles(rootC) should not be empty
+    dataFiles(rootC).foreach(assertFileSorted(_, "score"))
+    // physical layout only: rows identical to the unclustered twin
+    SnapshotStore.upsert(spark, rootU, b1, cfg, nBuckets = 4)
+    SnapshotStore.upsert(spark, rootU, b2, cfg)
+    val proj = Seq("id", "score", "value").map(col)
+    SnapshotStore.read(spark, rootC).get.select(proj: _*).orderBy("id")
+      .collect().map(_.toSeq) shouldBe
+      SnapshotStore.read(spark, rootU).get.select(proj: _*).orderBy("id")
+        .collect().map(_.toSeq)
+  }
+
+  test("clusterBy: compact re-sorts each fragmented bucket into one fully " +
+    "sorted file (repairing the overlapping ranges multi-task upserts " +
+    "leave)") {
+    val rnd = new scala.util.Random(7)
+    val root = tempRoot("graft_clusc")
+    // many input partitions → several files per bucket, each sorted but
+    // with overlapping ranges
+    val b = (0 until 600).map(i => (i, rnd.nextDouble() * 1000))
+      .toDF("id", "score").repartition(6)
+    SnapshotStore.upsert(spark, root, b, cfg, nBuckets = 2,
+      clusterBy = Seq("score"))
+    SnapshotStore.compact(spark, root, maxFilesPerBucket = 1) should be > 0
+    val files = dataFiles(root)
+    files.foreach(assertFileSorted(_, "score"))
+    // current version: one file per bucket, each globally sorted
+    val v = SnapshotStore.currentVersion(spark, root).get
+    val cur = files.filter(_.toString.contains(s"snapshot=$v"))
+    cur should have size 2
+    // and the compacted content is intact
+    SnapshotStore.read(spark, root).get.count() shouldBe 600L
+  }
+
+  test("clusterBy: a typo column fails the creating upsert loudly; a " +
+    "different clusterBy on an EXISTING store is ignored (recorded wins)") {
+    val root = tempRoot("graft_clusv")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.upsert(spark, root,
+        Seq((1, 2.0)).toDF("id", "score"), cfg, clusterBy = Seq("nope"))
+    SnapshotStore.upsert(spark, root,
+      Seq((1, 2.0)).toDF("id", "score"), cfg, clusterBy = Seq("score"))
+    SnapshotStore.upsert(spark, root,
+      Seq((2, 1.0)).toDF("id", "score"), cfg, clusterBy = Seq("id"))
+    SnapshotStore.clusterColumns(spark, root) shouldBe Seq("score")
+  }
 }
