@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,snapshot_cluster,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1178,6 +1178,87 @@ object ScaleProbe {
       s""""scans":{${entries.mkString(",")}},"sf":"$sfDir"}"""
     println(s"""{"probe":"snapshot_cluster",${scEntry.tail}""")
     writeArtifact("snapshot_cluster", scEntry)
+    }
+
+    if (probes("zorder_cluster")) {
+    // The multi-dimension layout claim: a single-column clusterBy serves
+    // ONLY its own column — a range predicate on any other column sees
+    // full-range row groups. Z-ordering (Layout.zOrderUpsert: equi-depth
+    // bucket ranks morton-interleaved into one stored sort key) gives
+    // every clustered dimension range-locality. Three stores, same rows:
+    // unclustered / clusterBy(value) / z-order(value, user_id); probes a
+    // 1%-quantile slice per dimension and a 10%x10% 2-D box, counts gated
+    // equal across stores before timing. Expected shape: the single-col
+    // store wins hardest on value and does NOTHING on user_id; z-order
+    // wins on BOTH (less deep per-dimension — the classic trade).
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    import graft.operators.Layout
+    val ev = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("value"))
+    val corpus = (0 until scale).map { i =>
+      ev.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("user_id").cast("double").as("user_id"),
+        col("value"),
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"z$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    val zCfg = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 1 << 20)
+    def mkRoot(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_zc_$tag").resolve("store").toString
+    val (rootU, rootC, rootZ) = (mkRoot("u"), mkRoot("c"), mkRoot("z"))
+    SnapshotStore.upsert(spark, rootU, corpus, zCfg, nBuckets = 8)
+    SnapshotStore.upsert(spark, rootC, corpus, zCfg, nBuckets = 8,
+      clusterBy = Seq("value"))
+    val tZ0 = System.nanoTime()
+    Layout.zOrderUpsert(spark, rootZ, corpus, Seq("value", "user_id"), zCfg,
+      nBuckets = 8, buckets = 256)
+    val zWriteSec = (System.nanoTime() - tZ0) / 1e9
+    Seq(rootU, rootC, rootZ).foreach(r =>
+      SnapshotStore.compact(spark, r, maxFilesPerBucket = 1))
+    if (prevBlock == null) hc.unset("parquet.block.size")
+    else hc.set("parquet.block.size", prevBlock)
+    // quantile cut points shared by all stores
+    val qv = corpus.stat.approxQuantile("value",
+      Array(0.01, 0.45, 0.55), 0.0005)
+    val qu = corpus.stat.approxQuantile("user_id",
+      Array(0.01, 0.45, 0.55), 0.0005)
+    val vLo = corpus.agg(min(col("value"))).head().getDouble(0)
+    val uLo = corpus.agg(min(col("user_id"))).head().getDouble(0)
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "value_1pct" -> (col("value") >= vLo && col("value") < qv(0)),
+      "user_1pct" -> (col("user_id") >= uLo && col("user_id") < qu(0)),
+      "box_10x10" -> (col("value") >= qv(1) && col("value") < qv(2) &&
+        col("user_id") >= qu(1) && col("user_id") < qu(2)))
+    def scanZ(root: String, pred: org.apache.spark.sql.Column): Double = {
+      val store = SnapshotStore.read(spark, root).get.filter(pred)
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        store.agg(count(col("event_id")), sum(length(col("payload")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val predEntries = preds.map { case (name, pred) =>
+      val counts = Seq(rootU, rootC, rootZ).map(r =>
+        SnapshotStore.read(spark, r).get.filter(pred).count())
+      require(counts.distinct.size == 1,
+        s"stores disagree on $name: $counts")
+      val (u, c, z) =
+        (scanZ(rootU, pred), scanZ(rootC, pred), scanZ(rootZ, pred))
+      s""""$name":{"rows":${counts.head},"unclustered_sec":$u,""" +
+        s""""value_clustered_sec":$c,"zorder_sec":$z,""" +
+        s""""value_clustered_speedup":${if (c > 0) u / c else -1.0},""" +
+        s""""zorder_speedup":${if (z > 0) u / z else -1.0}}"""
+    }
+    val zEntry = s"""{"scale":$scale,"rows":${corpus.count()},""" +
+      s""""passes":$passes,"zorder_write_sec":$zWriteSec,""" +
+      s""""scans":{${predEntries.mkString(",")}},"sf":"$sfDir"}"""
+    println(s"""{"probe":"zorder_cluster",${zEntry.tail}""")
+    writeArtifact("zorder_cluster", zEntry)
     }
 
     if (probes("asof_merge_scale")) {

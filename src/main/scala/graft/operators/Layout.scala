@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZValueExpr
+import graft.sinks.{MergeResult, SnapshotStore, UpsertConfig}
+
+/** Multi-dimension data layout: Z-ORDER clustering for
+  * [[graft.sinks.SnapshotStore]] (the public `OPTIMIZE ... ZORDER`
+  * pattern). A single-column `clusterBy` sorts files by ONE column —
+  * range predicates on any other column see full-range row groups and
+  * prune nothing. Z-ordering sorts by the bit-interleave of EQUI-DEPTH
+  * bucket ranks ([[graft.functions.ZValueExpr]]), so every clustered
+  * dimension gets range-locality: a 1%-selectivity predicate on either
+  * column of a 2-D z-order skips most row groups (measured in
+  * SCALEPROBE `zorder_cluster`, vs the single-column layout which only
+  * serves its own column).
+  *
+  * The model is the per-dimension cut-point arrays, fitted ONCE from
+  * `approxQuantile` (bounded driver state: `buckets-1` doubles per
+  * dimension) and FROZEN: later batches must rank against the same cuts
+  * or bucket ids drift between files, so [[zOrderUpsert]] persists the
+  * fitted model as a store property at creation and every later upsert
+  * loads it from the store — same discipline as `nBuckets`/`clusterBy`.
+  * Equi-depth ranks make skewed columns spread over the full bucket
+  * range (an equi-WIDTH grid would put 67% of the fixture's `value`
+  * column in the first bucket — measured while building the
+  * single-column probe). Distribution drift degrades pruning gradually
+  * (new data concentrating in few buckets), never correctness; refit =
+  * rewrite, as in every public z-order implementation. */
+object Layout {
+
+  /** Frozen equi-depth z-order model. `cuts(d)` are the sorted interior
+    * cut points of dimension `d`; bucket = #cuts ≤ value. */
+  final case class ZOrderModel(cols: Seq[String], cuts: Seq[Array[Double]]) {
+    require(cols.nonEmpty && cols.size == cuts.size, "one cut array per col")
+
+    /** The z-value column for this model (inputs cast to double — fit and
+      * apply must agree on the cast, and they do by construction). */
+    def zColumn: Column =
+      ZValueExpr(cols.map(c => col(c).cast("double")), cuts)
+
+    /** Stable text form for store properties: `col:c1;c2|col2:c1;c2`.
+      * Doubles round-trip through `java.lang.Double.toString/parseDouble`
+      * exactly. Column names must not contain `|`, `:` or `;`. */
+    def serialized: String = {
+      cols.foreach(c => require(!c.exists("|:;".contains(_)),
+        s"z-order column name '$c' contains a reserved character"))
+      cols.zip(cuts).map { case (c, a) =>
+        s"$c:${a.mkString(";")}"
+      }.mkString("|")
+    }
+  }
+
+  object ZOrderModel {
+    def parse(s: String): ZOrderModel = {
+      val parts = s.split("\\|").toSeq.map { p =>
+        val Array(c, cs) = p.split(":", 2)
+        c -> cs.split(";").filter(_.nonEmpty).map(_.toDouble)
+      }
+      ZOrderModel(parts.map(_._1), parts.map(_._2))
+    }
+  }
+
+  /** Fit equi-depth cut points for `cols` (numeric or castable to
+    * double). `buckets` per dimension; duplicates collapse on heavy
+    * point masses (fewer effective buckets there — correct, just
+    * coarser). Driver state: `(buckets-1) * cols.size` doubles. */
+  def fitZOrder(df: DataFrame, cols: Seq[String],
+                buckets: Int = 256): ZOrderModel = {
+    require(cols.nonEmpty, "at least one z-order column")
+    require(buckets >= 2 && buckets <= 65536, "buckets in [2, 65536]")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val cuts = cols.map { c =>
+      val q = casted.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
+      q.distinct.sorted
+    }
+    ZOrderModel(cols, cuts)
+  }
+
+  private val ModelProp = "zorderModel"
+
+  /** Stored z-order model of a store, if any. */
+  def zOrderModel(spark: SparkSession, root: String): Option[ZOrderModel] =
+    SnapshotStore.getProperty(spark, root, ModelProp).map(ZOrderModel.parse)
+
+  /** [[SnapshotStore.upsert]] with Z-ORDER layout on `cols`: at store
+    * creation fits the model from the first batch, persists it, and
+    * creates the store with `clusterBy = Seq("__zorder")`; later calls
+    * load the frozen model and rank against it (pass the same `cols` —
+    * mismatches fail loudly). The z column is STORED (8 bytes/row) —
+    * that is what lets `clusterBy`'s sort, `compact`'s repair and any
+    * external reader share the layout without re-deriving it. Reads are
+    * unchanged; `SnapshotStore.read(...).drop("__zorder")` if the
+    * column bothers a consumer. */
+  def zOrderUpsert(spark: SparkSession, root: String, updates: DataFrame,
+                   cols: Seq[String], cfg: UpsertConfig = UpsertConfig(),
+                   nBuckets: Int = SnapshotStore.DefaultBuckets,
+                   buckets: Int = 256): MergeResult = {
+    require(!updates.columns.contains("__zorder"),
+      "updates already carry a __zorder column")
+    val stored = zOrderModel(spark, root)
+    stored.foreach(m => require(m.cols == cols,
+      s"store is z-ordered on ${m.cols.mkString(",")}, not " +
+        s"${cols.mkString(",")}"))
+    val model = stored.getOrElse(fitZOrder(updates, cols, buckets))
+    val withZ = updates.withColumn("__zorder", model.zColumn)
+    val res = SnapshotStore.upsert(spark, root, withZ, cfg, nBuckets,
+      clusterBy = Seq("__zorder"))
+    if (stored.isEmpty)
+      SnapshotStore.setProperty(spark, root, ModelProp, model.serialized)
+    res
+  }
+}

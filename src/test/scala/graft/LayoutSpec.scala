@@ -1,0 +1,155 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZValueExpr
+import graft.operators.Layout
+import graft.sinks.{SnapshotStore, UpsertConfig}
+
+/** Z-order layout: the ZValueExpr kernel against an independent reference
+  * implementation, equi-depth fitting, and the frozen-model store
+  * integration. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tempRoots = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tempRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.synchronized(tempRoots += p)
+    p.resolve("store").toString
+  }
+
+  // independent reference: bucket = #cuts <= v (NULL/NaN -> 0), LSB-first
+  // interleave across dims
+  private def refBucket(cuts: Array[Double], v: java.lang.Double): Int =
+    if (v == null || v.isNaN) 0 else cuts.count(_ <= v)
+  private def refZ(cutss: Seq[Array[Double]],
+                   vs: Seq[java.lang.Double], bits: Int): Long = {
+    val d = cutss.size
+    var z = 0L
+    for (dim <- 0 until d; bit <- 0 until bits) {
+      val b = refBucket(cutss(dim), vs(dim)).toLong
+      z |= ((b >> bit) & 1L) << (bit * d + dim)
+    }
+    z
+  }
+
+  test("ZValueExpr (codegen path) equals the reference morton interleave " +
+    "on random data including NULLs, NaN and exact cut-point values") {
+    val cuts1 = Array(10.0, 20.0, 30.0, 40.0)   // 5 buckets -> 3 bits
+    val cuts2 = Array(-5.0, 0.0, 5.0, 100.0)
+    val rnd = new scala.util.Random(99)
+    val vals: Seq[(java.lang.Double, java.lang.Double)] =
+      Seq[(java.lang.Double, java.lang.Double)](
+        (null, 15.0), (25.0, null), (null, null),
+        (Double.NaN, 50.0), (10.0, 0.0), (40.0, 100.0)) ++
+        (0 until 200).map(_ => (
+          java.lang.Double.valueOf(rnd.nextDouble() * 60 - 5),
+          java.lang.Double.valueOf(rnd.nextDouble() * 120 - 10)))
+    val df = vals.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+      ZValueExpr(Seq(col("a"), col("b")), Seq(cuts1, cuts2)).as("z"))
+      .collect()
+    got.foreach { r =>
+      val a = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val b = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      r.getLong(2) shouldBe refZ(Seq(cuts1, cuts2), Seq(a, b), bits = 3)
+    }
+  }
+
+  test("z is monotone in each dimension's bucket when the other is fixed " +
+    "(the property that gives every dimension range-locality)") {
+    val cuts = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    def z(a: Double, b: Double): Long =
+      refZ(Seq(cuts, cuts), Seq(a, b), bits = 3)
+    for (fixed <- 0 to 7) {
+      val fv = fixed + 0.5
+      val zs = (0 to 7).map(i => z(i + 0.5, fv))
+      zs shouldBe zs.sorted
+      val zs2 = (0 to 7).map(i => z(fv, i + 0.5))
+      zs2 shouldBe zs2.sorted
+    }
+    // and the DataFrame kernel agrees with the reference here too
+    val pairs = for (i <- 0 to 7; j <- 0 to 7) yield (i + 0.5, j + 0.5)
+    val got = pairs.toDF("a", "b").select(
+      ZValueExpr(Seq(col("a"), col("b")), Seq(cuts, cuts)).as("z"))
+      .collect().map(_.getLong(0))
+    got.toSeq shouldBe pairs.map(p => z(p._1, p._2))
+  }
+
+  test("fitZOrder is equi-depth: buckets of a heavily skewed column hold " +
+    "roughly equal row counts (an equi-width grid would pile most rows " +
+    "into the first buckets)") {
+    val rnd = new scala.util.Random(7)
+    // exponential-ish skew, like the fixture's value column
+    val df = (0 until 20000).map(_ => -math.log(rnd.nextDouble()) * 50.0)
+      .toDF("v")
+    val m = Layout.fitZOrder(df, Seq("v"), buckets = 16)
+    val counts = df.select(ZValueExpr(Seq(col("v").cast("double")),
+        m.cuts).as("z"))
+      .groupBy("z").count().collect().map(_.getLong(1))
+    counts.length should be >= 14 // near-full bucket usage despite skew
+    val expected = 20000.0 / counts.length
+    all(counts.map(_.toDouble / expected)) should (be >= 0.5 and be <= 2.0)
+  }
+
+  test("model serialization round-trips exactly (doubles included)") {
+    val m = Layout.ZOrderModel(Seq("a", "b"),
+      Seq(Array(1.5, 2.25, math.Pi), Array(-0.1, 1e300)))
+    // array fields make case-class equality reference-based; compare
+    // structurally
+    val p = Layout.ZOrderModel.parse(m.serialized)
+    p.cols shouldBe m.cols
+    p.cuts.map(_.toSeq) shouldBe m.cuts.map(_.toSeq)
+  }
+
+  test("zOrderUpsert: fits + persists the model at creation, later " +
+    "upserts rank against the FROZEN model even when their distribution " +
+    "differs, files stay sorted by __zorder, and rows match a plain store") {
+    val rnd = new scala.util.Random(21)
+    def batch(ids: Range, scale: Double) =
+      ids.map(i => (i, rnd.nextDouble() * scale, rnd.nextDouble() * 100))
+        .toDF("id", "x", "y")
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val rootZ = tempRoot("graft_zord")
+    val rootP = tempRoot("graft_zplain")
+    val b1 = batch(0 until 500, 100.0)
+    val b2 = batch(300 until 800, 10000.0) // drifted distribution
+    Layout.zOrderUpsert(spark, rootZ, b1, Seq("x", "y"), cfg, nBuckets = 4)
+    val frozen = SnapshotStore.getProperty(spark, rootZ, "zorderModel").get
+    Layout.zOrderUpsert(spark, rootZ, b2, Seq("x", "y"), cfg)
+    SnapshotStore.getProperty(spark, rootZ, "zorderModel").get shouldBe frozen
+    // col mismatch fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderUpsert(spark, rootZ, b1, Seq("y", "x"), cfg)
+    // every written file is sorted by the stored z column
+    val files = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(rootZ).getParent)
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.toList
+      finally s.close()
+    }
+    files should not be empty
+    files.foreach { f =>
+      val zs = spark.read.parquet(f.toString).select("__zorder")
+        .collect().map(_.getLong(0)).toSeq
+      withClue(s"file $f: ") { zs shouldBe zs.sorted }
+    }
+    // physical layout only: same rows as a plain store
+    SnapshotStore.upsert(spark, rootP, b1, cfg, nBuckets = 4)
+    SnapshotStore.upsert(spark, rootP, b2, cfg)
+    val proj = Seq("id", "x", "y").map(col)
+    SnapshotStore.read(spark, rootZ).get.select(proj: _*).orderBy("id")
+      .collect().map(_.toSeq) shouldBe
+      SnapshotStore.read(spark, rootP).get.select(proj: _*).orderBy("id")
+        .collect().map(_.toSeq)
+  }
+}
