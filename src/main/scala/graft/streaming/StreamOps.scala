@@ -600,10 +600,20 @@ object StreamOps {
     *
     * Flushes ride EVENT TIME: pending events re-arm an event-time timeout
     * at their earliest timestamp, so emission needs no per-key new data —
-    * only watermark advance. `direction` is backward only: forward
-    * ("next event") over two unbounded streams would hold every left row
-    * until its successor arrives (unbounded wait without a tolerance);
-    * compose [[intervalJoin]] + a batch fix-up for that shape.
+    * only watermark advance.
+    *
+    * DIRECTIONS: `backward` (default) is tolerance-optional. `forward`
+    * ("next event at-or-after") and `nearest` REQUIRE `toleranceMs` —
+    * over two unbounded streams the next right row may never come, so
+    * only a staleness bound makes a left row's outcome decidable: it is
+    * held until the watermark passes `leftTs + tolerance`, at which
+    * point every in-bound candidate has arrived or is late. The left
+    * buffer's horizon grows by the tolerance, and rights are retained
+    * individually down to the earliest pending left (forward candidates
+    * below the watermark can still be matched by lefts still waiting);
+    * both remain watermark-bounded. Tie and equidistant rules replay the
+    * batch operator's exactly (greatest payload at equal `rightTs`;
+    * equidistant `nearest` takes backward).
     *
     * Right columns except `keyCols` are appended with `rightPrefix`;
     * `toleranceMs` bounds |leftTs − rightTs| inclusively, NULLing the
@@ -613,12 +623,18 @@ object StreamOps {
   def asofEnrich(leftStream: DataFrame, rightStream: DataFrame,
                  keyCols: Seq[String], leftTs: String, rightTs: String,
                  delay: String, rightPrefix: String = "",
-                 toleranceMs: Option[Long] = None): DataFrame = {
+                 toleranceMs: Option[Long] = None,
+                 direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types.{StructField, StructType}
     import org.apache.spark.sql.{Encoders, Row}
     require(keyCols.nonEmpty, "at least one key column")
     require(toleranceMs.forall(_ >= 0L), "toleranceMs must be non-negative")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
+    require(direction == "backward" || toleranceMs.isDefined,
+      s"direction '$direction' over unbounded streams requires toleranceMs " +
+        "(the staleness bound that makes a row's outcome decidable)")
     val leftCols = leftStream.columns.toSeq
     val payloadCols = rightStream.columns.filterNot(keyCols.contains).toSeq
     require(payloadCols.nonEmpty, "right side has no payload columns")
@@ -654,6 +670,7 @@ object StreamOps {
         Encoders.scalaBoolean, Encoders.row(leftSchema),
         Encoders.row(payloadSchema)))
     val tolMicros = toleranceMs.map(_ * 1000L)
+    val dir = direction
     tagged.groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[AsofEnrichState, Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -676,11 +693,18 @@ object StreamOps {
             if (a._1 != b._1) a._1 < b._1
             else compareExternal(a._2, b._2) < 0
           }.toIndexedSeq
-          // STRICT < wm on both flush and collapse: if the engine admits
-          // a boundary row at ts == wm, its matching left rows are still
-          // pending and every boundary right is still individually held
-          val (ready, pending) = lefts.partition(_._1 < wmMicros)
-          val out = ready.sortBy(_._1).map { case (lm, lrow) =>
+          // a left row is FINAL when the watermark passes its last
+          // possible candidate: its own ts (backward) or ts + tolerance
+          // (forward/nearest — the staleness bound that makes the wait
+          // finite). STRICT < on every boundary: if the engine admits a
+          // row at ts == wm, everything that could interact with it is
+          // still held
+          val holdMicros = if (dir == "backward") 0L else tolMicros.get
+          val (ready, pending) =
+            lefts.partition(l => l._1 + holdMicros < wmMicros)
+          // greatest right ≤ lm: last of its equal-ts run is already the
+          // tie winner (ascending payload order within a run)
+          def backwardIdx(lm: Long): Int = {
             var lo = 0
             var hi = rSorted.length - 1
             var best = -1
@@ -689,39 +713,91 @@ object StreamOps {
               if (rSorted(mid)._1 <= lm) { best = mid; lo = mid + 1 }
               else hi = mid - 1
             }
-            val matched =
-              if (best < 0) null
-              else if (tolMicros.forall(t => lm - rSorted(best)._1 <= t))
-                rSorted(best)._2
+            best
+          }
+          // smallest right ≥ lm, advanced to the END of its equal-ts run
+          // (batch forward tie rule: greatest payload at the matched ts)
+          def forwardIdx(lm: Long): Int = {
+            var lo = 0
+            var hi = rSorted.length - 1
+            var first = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (rSorted(mid)._1 >= lm) { first = mid; hi = mid - 1 }
+              else lo = mid + 1
+            }
+            if (first < 0) -1
+            else {
+              var j = first
+              while (j + 1 < rSorted.length &&
+                rSorted(j + 1)._1 == rSorted(first)._1) j += 1
+              j
+            }
+          }
+          val out = ready.sortBy(_._1).map { case (lm, lrow) =>
+            val bIdx = backwardIdx(lm)
+            val b =
+              if (bIdx < 0) null
+              else if (tolMicros.forall(t => lm - rSorted(bIdx)._1 <= t))
+                rSorted(bIdx)
               else null
+            lazy val fIdx = forwardIdx(lm)
+            lazy val f =
+              if (fIdx < 0) null
+              else if (tolMicros.forall(t => rSorted(fIdx)._1 - lm <= t))
+                rSorted(fIdx)
+              else null
+            val matched = dir match {
+              case "backward" => if (b == null) null else b._2
+              case "forward" => if (f == null) null else f._2
+              case _ => // nearest: closer wins, equidistant ties backward
+                if (b == null && f == null) null
+                else if (f == null) b._2
+                else if (b == null) f._2
+                else if (lm - b._1 <= f._1 - lm) b._2
+                else f._2
+            }
             Row.fromSeq(lrow.toSeq ++ (
               if (matched == null) payloadCols.map(_ => null)
               else matched.toSeq))
           }
-          // rights below the watermark collapse to the single standing
-          // row (greatest (ts, payload)) every future left would match;
-          // a tolerance retires even that once it can no longer bind
+          // retention threshold: rights at-or-above it are held
+          // individually. Backward pending lefts all sit above the
+          // watermark, so the threshold is the watermark; forward/nearest
+          // pending lefts can sit BELOW it (waiting out their tolerance),
+          // and their candidates — both directions — reach down to the
+          // earliest pending left's ts
+          val minPending =
+            if (pending.isEmpty) Long.MaxValue
+            else pending.iterator.map(_._1).min
+          val threshold = math.min(wmMicros, minPending)
           var lastBelow = -1
           var lo = 0
           var hi = rSorted.length - 1
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (rSorted(mid)._1 < wmMicros) { lastBelow = mid; lo = mid + 1 }
+            if (rSorted(mid)._1 < threshold) { lastBelow = mid; lo = mid + 1 }
             else hi = mid - 1
           }
+          // below the threshold only the single standing row (greatest
+          // (ts, payload)) can still match — as the backward candidate of
+          // some later left; pure-forward needs nothing below threshold,
+          // and a tolerance retires the standing row once no future left
+          // (all ≥ threshold) can reach it
           val standing =
-            if (lastBelow < 0) Nil
-            else if (tolMicros.exists(t => wmMicros - rSorted(lastBelow)._1 > t)) Nil
+            if (lastBelow < 0 || dir == "forward") Nil
+            else if (tolMicros.exists(t =>
+              threshold - rSorted(lastBelow)._1 > t)) Nil
             else List(rSorted(lastBelow))
           val keptRights = standing ++ rSorted.drop(lastBelow + 1).toList
           if (pending.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsofEnrichState(pending, keptRights))
             // re-arm: wake when the watermark passes the earliest pending
-            // event (flush) or the standing row's tolerance bound (evict)
+            // left's finalize point, or the standing row's tolerance bound
             val target: Option[Long] =
               if (pending.nonEmpty)
-                Some(pending.iterator.map(_._1).min / 1000L + 1L)
+                Some((minPending + holdMicros) / 1000L + 1L)
               else tolMicros.collect {
                 case t if standing.nonEmpty && standing.head._1 < wmMicros =>
                   (standing.head._1 + t) / 1000L + 1L

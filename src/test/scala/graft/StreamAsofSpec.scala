@@ -24,7 +24,8 @@ class StreamAsofSpec extends SparkSpec {
     * real event AND trigger the event-time-timeout flush batch, so every
     * non-sentinel left is emitted deterministically. */
   private def run(name: String, toleranceMs: Option[Long] = None,
-                  session: org.apache.spark.sql.SparkSession = spark)(
+                  session: org.apache.spark.sql.SparkSession = spark,
+                  direction: String = "backward")(
       feed: (MemoryStream[(Long, Timestamp, String)],
              MemoryStream[(Long, Timestamp, Double)],
              org.apache.spark.sql.streaming.StreamingQuery) => Unit)
@@ -35,7 +36,7 @@ class StreamAsofSpec extends SparkSpec {
     val enriched = StreamOps.asofEnrich(
       lMem.toDF.toDF("user", "ts", "tag"), rMem.toDF.toDF("user", "ts", "price"),
       Seq("user"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_",
-      toleranceMs = toleranceMs)
+      toleranceMs = toleranceMs, direction = direction)
     val q = enriched.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -61,21 +62,63 @@ class StreamAsofSpec extends SparkSpec {
     val rights = rightsBase ++ rightsBase.take(10).map {
       case (u, t, p) => (u, t, p + 1000.0)
     }
-    for (tol <- Seq(None, Some(120000L))) {
-      val got = run(s"asof_parity_${tol.isDefined}", tol) { (lm, rm, q) =>
+    // every direction against the batch operator; forward/nearest need
+    // the tolerance that makes their streaming wait finite
+    val combos: Seq[(String, Option[Long])] = Seq(
+      ("backward", None), ("backward", Some(120000L)),
+      ("forward", Some(120000L)), ("nearest", Some(120000L)))
+    for ((d, tol) <- combos) {
+      val got = run(s"asof_parity_${d}_${tol.isDefined}", tol,
+        direction = d) { (lm, rm, q) =>
         lm.addData(lefts); rm.addData(rights); q.processAllAvailable()
       }
       val expect = Joins.asOfJoin(
         lefts.toDF("user", "ts", "tag"), rights.toDF("user", "ts", "price"),
-        Seq("user"), "ts", "ts", rightPrefix = "r_",
+        Seq("user"), "ts", "ts", rightPrefix = "r_", direction = d,
         tolerance = tol.map(ms => expr(s"INTERVAL '${ms / 1000}' SECOND")))
       val ord = Seq(col("user"), col("ts"), col("tag"))
-      got.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
-        expect.orderBy(ord: _*).collect().map(_.toSeq)
-      // sanity: the corpus exercised real matches AND left-outer misses
-      got.filter(col("r_price").isNotNull).count() should be > 0L
-      got.filter(col("r_price").isNull).count() should be > 0L
+      withClue(s"direction=$d tol=$tol: ") {
+        got.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+          expect.orderBy(ord: _*).collect().map(_.toSeq)
+        // sanity: the corpus exercised real matches AND left-outer misses
+        got.filter(col("r_price").isNotNull).count() should be > 0L
+        got.filter(col("r_price").isNull).count() should be > 0L
+      }
     }
+  }
+
+  test("forward/nearest without a tolerance are rejected loudly (the " +
+    "unbounded-wait shapes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    for (d <- Seq("forward", "nearest"))
+      an[IllegalArgumentException] should be thrownBy
+        StreamOps.asofEnrich(
+          lMem.toDF.toDF("user", "ts", "tag"),
+          rMem.toDF.toDF("user", "ts", "price"),
+          Seq("user"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_",
+          direction = d)
+  }
+
+  test("forward: a left event waits out its tolerance and attaches the " +
+    "NEXT right row even when that row arrives batches later") {
+    val got = run("asof_fwd", toleranceMs = Some(600000L),
+      direction = "forward") { (lm, rm, q) =>
+      lm.addData((1L, ts(100L), "a"))
+      q.processAllAvailable()
+      // the forward candidate arrives a batch later, 5 min after the left
+      rm.addData((1L, ts(400L), 9.0))
+      q.processAllAvailable()
+      // beyond-tolerance left (timely — above the current watermark of
+      // ~390 s): its next right is >13 min after it, outside the bound
+      lm.addData((2L, ts(395L), "far"))
+      rm.addData((2L, ts(1200L), 1.0))
+      q.processAllAvailable()
+    }
+    got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap shouldBe
+      Map("a" -> Some(9.0), "far" -> None)
   }
 
   test("out-of-order: a right row arriving a BATCH LATER (inside the " +
