@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,asof_enrich_stream,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1178,6 +1178,98 @@ object ScaleProbe {
       s""""scans":{${entries.mkString(",")}},"sf":"$sfDir"}"""
     println(s"""{"probe":"snapshot_cluster",${scEntry.tail}""")
     writeArtifact("snapshot_cluster", scEntry)
+    }
+
+    if (probes("asof_enrich_stream")) {
+    // The streaming as-of enrichment under a realistic replay: the scaled
+    // event corpus split into purchases (lefts) and clicks (rights),
+    // written as TIME-ORDERED file slices and streamed through
+    // StreamOps.asofEnrich with maxFilesPerTrigger forcing many
+    // micro-batches — so state actually churns across batches (buffered
+    // lefts flush as the watermark advances; standing rights carry
+    // forward) instead of one bulk pass. Match-count parity with the
+    // batch Joins.asOfJoin on the same corpus gates the wall. The
+    // recorded streaming wall INCLUDES micro-batch scheduling overhead —
+    // that is the honest cost of the continuous form; the batch wall is
+    // the one-shot lower bound.
+    import graft.streaming.StreamOps
+    val ev0 = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val evS = (0 until scale).map { i =>
+      ev0.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("ts"))
+    }.reduce(_ unionByName _)
+    val pAll = evS.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val cAll = evS.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val base = java.nio.file.Files.createTempDirectory("graft_aes")
+    val (lDir, rDir) = (s"$base/l", s"$base/r")
+    // time-ordered slices, written sequentially so file mtimes follow
+    // event time and cross-batch disorder stays inside the delay
+    val slices = 24
+    def writeSlices(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+      val sliced = df.withColumn("__s",
+        ntile(slices).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts")))).persist()
+      try (1 to slices).foreach { s =>
+        sliced.filter(col("__s") === s).drop("__s")
+          .coalesce(1).write.mode("append").parquet(path)
+      } finally sliced.unpersist()
+    }
+    writeSlices(pAll, lDir)
+    writeSlices(cAll, rDir)
+    val lSchema = spark.read.parquet(lDir).schema
+    val rSchema = spark.read.parquet(rDir).schema
+    val matched = new java.util.concurrent.atomic.AtomicLong(0L)
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tS0 = System.nanoTime()
+    val q = StreamOps.asofEnrich(
+        spark.readStream.schema(lSchema)
+          .option("maxFilesPerTrigger", "2").parquet(lDir),
+        spark.readStream.schema(rSchema)
+          .option("maxFilesPerTrigger", "2").parquet(rDir),
+        Seq("user_id"), "ts", "ts", delay = "1 hour", rightPrefix = "r_")
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val row = df.filter(col("event_id") < lit(900000000000L))
+            .agg(count(lit(1)), count(col("r_click_id"))).head()
+          emitted.addAndGet(row.getLong(0))
+          matched.addAndGet(row.getLong(1))
+          ()
+      }.start()
+    val nLefts = pAll.count()
+    try {
+      q.processAllAvailable()
+      // far-future sentinel flushes every pending left
+      pAll.limit(1).select(lit(900000000001L).as("event_id"),
+          lit(1L).as("user_id"),
+          (col("ts") + expr("INTERVAL '400' DAY")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(lDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamWall = (System.nanoTime() - tS0) / 1e9
+    val batchWall = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      Joins.asOfJoin(pAll, cAll, Seq("user_id"), "ts", "ts", "r_")
+        .agg(count(col("r_click_id"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val batchMatches = Joins.asOfJoin(pAll, cAll, Seq("user_id"), "ts", "ts",
+      "r_").agg(count(col("r_click_id"))).head().getLong(0)
+    require(emitted.get() == nLefts,
+      s"streaming emitted ${emitted.get()} of $nLefts lefts")
+    require(matched.get() == batchMatches,
+      s"streaming matched ${matched.get()}, batch $batchMatches")
+    val aesEntry = s"""{"scale":$scale,"lefts":$nLefts,""" +
+      s""""matches":$batchMatches,"slices":$slices,""" +
+      s""""stream_wall_sec":$streamWall,""" +
+      s""""stream_rows_per_sec":${(nLefts / streamWall).toLong},""" +
+      s""""batch_wall_sec":$batchWall,"sf":"$sfDir"}"""
+    println(s"""{"probe":"asof_enrich_stream",${aesEntry.tail}""")
+    writeArtifact("asof_enrich_stream", aesEntry)
     }
 
     if (probes("zorder_cluster")) {

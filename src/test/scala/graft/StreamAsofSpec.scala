@@ -206,6 +206,56 @@ class StreamAsofSpec extends SparkSpec {
       Map("nullkey" -> Some(7.0), "nots" -> None, "normal" -> Some(8.0))
   }
 
+  test("checkpoint restart: buffered lefts and the standing right survive " +
+    "a query stop/start through the state store (file source + " +
+    "foreachBatch, exactly-once by batch id)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_ckpt")
+    val (lDir, rDir, ckpt) = (s"$dir/left", s"$dir/right", s"$dir/ckpt")
+    def writeBatch(path: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(path)
+    // seed schemas BEFORE the first readStream so inference sees them
+    writeBatch(lDir, Seq((1L, ts(300L), "a")).toDF("user", "ts", "tag"))
+    writeBatch(rDir, Seq((1L, ts(0L), 1.0)).toDF("user", "ts", "price"))
+    val lSchema = spark.read.parquet(lDir).schema
+    val rSchema = spark.read.parquet(rDir).schema
+    val emitted = scala.collection.mutable.Map.empty[Long, Seq[(String, Option[Double])]]
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val l = spark.readStream.schema(lSchema).parquet(lDir)
+      val r = spark.readStream.schema(rSchema).parquet(rDir)
+      StreamOps.asofEnrich(l, r, Seq("user"), "ts", "ts",
+          delay = "10 seconds", rightPrefix = "r_")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = df.collect().map(row => (row.getString(2),
+            if (row.isNullAt(4)) None else Some(row.getDouble(4)))).toSeq
+          // a restart may replay the last unacknowledged batch: keyed by
+          // batch id, so the replay overwrites instead of double-counting
+          emitted.synchronized { emitted(id) = rows }
+          ()
+        }.start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // "a" is still buffered in state (wm at 290 s); restart must recover
+    // it AND the standing right, then see the out-of-order 295 s right
+    writeBatch(rDir, Seq((1L, ts(295L), 2.0)).toDF("user", "ts", "price"))
+    writeBatch(lDir, Seq((2L, ts(2000L), "w1")).toDF("user", "ts", "tag"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      writeBatch(lDir,
+        Seq((999L, ts(100000L), "sentinel")).toDF("user", "ts", "tag"))
+      q2.processAllAvailable()
+      writeBatch(lDir,
+        Seq((999L, ts(200000L), "sentinel")).toDF("user", "ts", "tag"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = emitted.synchronized {
+      emitted.values.flatten.filterNot(_._1 == "sentinel").toMap
+    }
+    all shouldBe Map("a" -> Some(2.0), "w1" -> None)
+  }
+
   test("RocksDB state-store provider: the spill-to-disk path is a config " +
     "swap — same results as the default provider") {
     val s2 = spark.newSession()
