@@ -87,6 +87,91 @@ class StreamAsofSpec extends SparkSpec {
     }
   }
 
+  test("property: MULTI-BATCH feeds with bounded disorder equal the batch " +
+    "join in every direction — events sorted by ts + jitter(±50s) and " +
+    "split into 5 micro-batches; jitter < delay(100s) guarantees nothing " +
+    "is dropped late, so parity must be exact") {
+    val rnd = new scala.util.Random(77L)
+    val lefts = (0 until 150).map(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(1000).toLong), s"t$i"))
+    val rights = (0 until 100).map(_ =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(1000).toLong),
+        (rnd.nextInt(900) + 100).toDouble))
+    // one arrival stream: each event keyed by ts + bounded jitter, split
+    // into chunks — within a chunk order is arbitrary, across chunks
+    // disorder is bounded by the jitter, which stays under the watermark
+    // delay (10s run-delay + the jitter bound < 100s would break; this
+    // test overrides delay via its own query)
+    implicit val sqlCtx = spark.sqlContext
+    val tagged: Seq[(Long, Either[(Long, Timestamp, String), (Long, Timestamp, Double)])] =
+      lefts.map(l => (l._2.getTime + rnd.nextInt(100001) - 50000L,
+        Left(l): Either[(Long, Timestamp, String), (Long, Timestamp, Double)])) ++
+        rights.map(r => (r._2.getTime + rnd.nextInt(100001) - 50000L,
+          Right(r): Either[(Long, Timestamp, String), (Long, Timestamp, Double)]))
+    val chunks = tagged.sortBy(_._1).map(_._2).grouped(
+      (tagged.size + 4) / 5).toSeq
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val tol = if (d == "backward") None else Some(120000L)
+      val lMem = MemoryStream[(Long, Timestamp, String)]
+      val rMem = MemoryStream[(Long, Timestamp, Double)]
+      val enriched = StreamOps.asofEnrich(
+        lMem.toDF.toDF("user", "ts", "tag"),
+        rMem.toDF.toDF("user", "ts", "price"),
+        Seq("user"), "ts", "ts", delay = "100 seconds", rightPrefix = "r_",
+        toleranceMs = tol, direction = d)
+      val q = enriched.writeStream.format("memory")
+        .queryName(s"asof_mb_$d").outputMode("append").start()
+      try {
+        chunks.foreach { chunk =>
+          val ls = chunk.collect { case Left(l) => l }
+          val rs = chunk.collect { case Right(r) => r }
+          if (ls.nonEmpty) lMem.addData(ls)
+          if (rs.nonEmpty) rMem.addData(rs)
+          q.processAllAvailable()
+        }
+        lMem.addData((999L, ts(100000L), "sentinel")); q.processAllAvailable()
+        lMem.addData((999L, ts(300000L), "sentinel")); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"asof_mb_$d").filter(col("tag") =!= "sentinel")
+      val expect = Joins.asOfJoin(
+        lefts.toDF("user", "ts", "tag"), rights.toDF("user", "ts", "price"),
+        Seq("user"), "ts", "ts", rightPrefix = "r_", direction = d,
+        tolerance = tol.map(ms => expr(s"INTERVAL '${ms / 1000}' SECOND")))
+      val ord = Seq(col("user"), col("ts"), col("tag"))
+      withClue(s"direction=$d: ") {
+        got.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+          expect.orderBy(ord: _*).collect().map(_.toSeq)
+      }
+    }
+  }
+
+  test("multi-key: composite keys match only when every key column " +
+    "matches, parity with the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val lefts = Seq((1L, 10L, ts(100L), "both"), (1L, 11L, ts(100L), "k2off"),
+      (2L, 10L, ts(100L), "k1off"))
+    val rights = Seq((1L, 10L, ts(50L), 5.0))
+    val enriched = StreamOps.asofEnrich(
+      lMem.toDF.toDF("k1", "k2", "ts", "tag"),
+      rMem.toDF.toDF("k1", "k2", "ts", "price"),
+      Seq("k1", "k2"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_")
+    val q = enriched.writeStream.format("memory").queryName("asof_mk")
+      .outputMode("append").start()
+    try {
+      lMem.addData(lefts); rMem.addData(rights); q.processAllAvailable()
+      lMem.addData((999L, 999L, ts(100000L), "sentinel"))
+      q.processAllAvailable()
+      lMem.addData((999L, 999L, ts(200000L), "sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_mk").filter(col("tag") =!= "sentinel")
+    got.select("tag", "r_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap shouldBe
+      Map("both" -> Some(5.0), "k2off" -> None, "k1off" -> None)
+  }
+
   test("forward/nearest without a tolerance are rejected loudly (the " +
     "unbounded-wait shapes)") {
     implicit val sqlCtx = spark.sqlContext
