@@ -1126,16 +1126,22 @@ object ScaleProbe {
         clusterBy = clusterBy)
       (root, (System.nanoTime() - t0) / 1e9)
     }
-    val (rootC, writeC) = build(Seq("value"))
-    val (rootU, writeU) = build(Nil)
-    // compact both stores to the maintained layout (one file per bucket;
-    // for the clustered store that also merges the overlapping sorted
-    // runs a multi-task upsert leaves into one fully-sorted file — the
-    // repair compact's clusterBy doc promises)
-    SnapshotStore.compact(spark, rootC, maxFilesPerBucket = 1)
-    SnapshotStore.compact(spark, rootU, maxFilesPerBucket = 1)
-    if (prevBlock == null) hc.unset("parquet.block.size")
-    else hc.set("parquet.block.size", prevBlock)
+    // restore in finally: a failure mid-build must not leak the shrunken
+    // row-group size into every later probe in this JVM
+    val (rootC, writeC, rootU, writeU) = try {
+      val c = build(Seq("value"))
+      val u = build(Nil)
+      // compact both stores to the maintained layout (one file per
+      // bucket; for the clustered store that also merges the overlapping
+      // sorted runs a multi-task upsert leaves into one fully-sorted
+      // file — the repair compact's clusterBy doc promises)
+      SnapshotStore.compact(spark, c._1, maxFilesPerBucket = 1)
+      SnapshotStore.compact(spark, u._1, maxFilesPerBucket = 1)
+      (c._1, c._2, u._1, u._2)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
     // slice by QUANTILE, not by range fraction: the fixture's value column
     // is heavily skewed (the bottom 10% of the RANGE holds ~67% of rows —
     // the first probe cut by range and measured a 67%-selectivity scan
@@ -1225,6 +1231,23 @@ object ScaleProbe {
     val rSchema = spark.read.parquet(rDir).schema
     val matched = new java.util.concurrent.atomic.AtomicLong(0L)
     val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+    // peak state rows across the replay: the boundedness claim made
+    // measurable — state must track keys-inside-the-horizon, not corpus
+    val maxStateRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val rows = e.progress.stateOperators.headOption
+          .map(_.numRowsTotal).getOrElse(0L)
+        maxStateRows.getAndUpdate(m => math.max(m, rows))
+        ()
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val tS0 = System.nanoTime()
     val q = StreamOps.asofEnrich(
         spark.readStream.schema(lSchema)
@@ -1249,7 +1272,10 @@ object ScaleProbe {
           (col("ts") + expr("INTERVAL '400' DAY")).as("ts"))
         .coalesce(1).write.mode("append").parquet(lDir)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
     val streamWall = (System.nanoTime() - tS0) / 1e9
     val batchWall = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
@@ -1267,6 +1293,7 @@ object ScaleProbe {
       s""""matches":$batchMatches,"slices":$slices,""" +
       s""""stream_wall_sec":$streamWall,""" +
       s""""stream_rows_per_sec":${(nLefts / streamWall).toLong},""" +
+      s""""max_state_rows":${maxStateRows.get()},""" +
       s""""batch_wall_sec":$batchWall,"sf":"$sfDir"}"""
     println(s"""{"probe":"asof_enrich_stream",${aesEntry.tail}""")
     writeArtifact("asof_enrich_stream", aesEntry)
@@ -1303,17 +1330,23 @@ object ScaleProbe {
     def mkRoot(tag: String) = java.nio.file.Files
       .createTempDirectory(s"graft_zc_$tag").resolve("store").toString
     val (rootU, rootC, rootZ) = (mkRoot("u"), mkRoot("c"), mkRoot("z"))
-    SnapshotStore.upsert(spark, rootU, corpus, zCfg, nBuckets = 8)
-    SnapshotStore.upsert(spark, rootC, corpus, zCfg, nBuckets = 8,
-      clusterBy = Seq("value"))
-    val tZ0 = System.nanoTime()
-    Layout.zOrderUpsert(spark, rootZ, corpus, Seq("value", "user_id"), zCfg,
-      nBuckets = 8, buckets = 256)
-    val zWriteSec = (System.nanoTime() - tZ0) / 1e9
-    Seq(rootU, rootC, rootZ).foreach(r =>
-      SnapshotStore.compact(spark, r, maxFilesPerBucket = 1))
-    if (prevBlock == null) hc.unset("parquet.block.size")
-    else hc.set("parquet.block.size", prevBlock)
+    // restore in finally: a failure mid-build must not leak the shrunken
+    // row-group size into every later probe in this JVM
+    val zWriteSec = try {
+      SnapshotStore.upsert(spark, rootU, corpus, zCfg, nBuckets = 8)
+      SnapshotStore.upsert(spark, rootC, corpus, zCfg, nBuckets = 8,
+        clusterBy = Seq("value"))
+      val tZ0 = System.nanoTime()
+      Layout.zOrderUpsert(spark, rootZ, corpus, Seq("value", "user_id"),
+        zCfg, nBuckets = 8, buckets = 256)
+      val w = (System.nanoTime() - tZ0) / 1e9
+      Seq(rootU, rootC, rootZ).foreach(r =>
+        SnapshotStore.compact(spark, r, maxFilesPerBucket = 1))
+      w
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
     // quantile cut points shared by all stores
     val qv = corpus.stat.approxQuantile("value",
       Array(0.01, 0.45, 0.55), 0.0005)

@@ -105,12 +105,27 @@ object Layout {
     stored.foreach(m => require(m.cols == cols,
       s"store is z-ordered on ${m.cols.mkString(",")}, not " +
         s"${cols.mkString(",")}"))
+    // an EXISTING store without a model cannot be z-ordered in place: the
+    // recorded (empty) clusterBy would win and the merge would silently
+    // drop the __zorder column — the data would commit unclustered while
+    // this call records a model claiming otherwise. Converting a store is
+    // a rewrite, not an upsert.
+    require(stored.isDefined ||
+      SnapshotStore.currentVersion(spark, root).isEmpty,
+      s"store at $root exists but is not z-ordered; converting an " +
+        "existing store requires a rewrite (read + zOrderUpsert into a " +
+        "fresh root)")
     val model = stored.getOrElse(fitZOrder(updates, cols, buckets))
-    val withZ = updates.withColumn("__zorder", model.zColumn)
-    val res = SnapshotStore.upsert(spark, root, withZ, cfg, nBuckets,
-      clusterBy = Seq("__zorder"))
+    // persist BEFORE the data commit: serialization validates the column
+    // names (reserved characters) while nothing has committed yet, and a
+    // crash between the two writes then leaves a model with no data —
+    // the next call loads it and proceeds consistently — rather than
+    // committed z-ranked data with no model, which a later call would
+    // silently re-rank against freshly fitted, different cuts
     if (stored.isEmpty)
       SnapshotStore.setProperty(spark, root, ModelProp, model.serialized)
-    res
+    val withZ = updates.withColumn("__zorder", model.zColumn)
+    SnapshotStore.upsert(spark, root, withZ, cfg, nBuckets,
+      clusterBy = Seq("__zorder"))
   }
 }

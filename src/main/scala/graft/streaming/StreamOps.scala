@@ -538,9 +538,17 @@ object StreamOps {
   /** Total order mirroring Spark's ascending struct ordering (nulls
     * FIRST, fields in declaration order) over EXTERNAL row values — the
     * tie rule [[asofEnrich]] shares with `Joins.asOfJoin`: among right
-    * rows at one timestamp the greatest payload struct wins. Unorderable
-    * values (maps…) compare equal, matching the batch operator's
-    * documented arbitrary fallback. */
+    * rows at one timestamp the greatest payload struct wins. Strings
+    * compare as UTF-8 BYTES (`UTF8String` order, what the batch window's
+    * sort uses) — `String.compareTo`'s UTF-16 units disagree on
+    * supplementary characters. Seqs (external ArrayType values) compare
+    * element-wise then by length, Spark's array ordering. Genuinely
+    * unorderable values (maps…) compare equal, matching the batch
+    * operator's documented arbitrary fallback — visible for tests as
+    * `orderExternal`. */
+  private[graft] def orderExternal(a: Any, b: Any): Int =
+    compareExternal(a, b)
+
   private def compareExternal(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _)    => -1
@@ -565,6 +573,16 @@ object StreamOps {
         i += 1
       }
       x.length - y.length
+    case (x: Seq[_], y: Seq[_]) => // external ArrayType values
+      val (ix, iy) = (x.iterator, y.iterator)
+      while (ix.hasNext && iy.hasNext) {
+        val c = compareExternal(ix.next(), iy.next())
+        if (c != 0) return c
+      }
+      x.length - y.length
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case (x: Comparable[_], y) if x.getClass == y.getClass =>
       x.asInstanceOf[Comparable[Any]].compareTo(y)
     case _ => 0
@@ -648,6 +666,18 @@ object StreamOps {
     require(direction == "backward" || toleranceMs.isDefined,
       s"direction '$direction' over unbounded streams requires toleranceMs " +
         "(the staleness bound that makes a row's outcome decidable)")
+    // keys are matched through a per-side STRING encoding, so a type
+    // mismatch (long vs double user_id) would silently never match —
+    // where the batch join's union widens types. Reject it loudly; cast
+    // one side upstream instead.
+    keyCols.foreach { k =>
+      val (lt, rt) = (leftStream.schema(k).dataType, rightStream.schema(k).dataType)
+      require(lt == rt,
+        s"key column '$k' has type ${lt.simpleString} on the left but " +
+          s"${rt.simpleString} on the right — cast one side upstream " +
+          "(the batch join widens via union; the streaming key encoding " +
+          "cannot)")
+    }
     val leftCols = leftStream.columns.toSeq
     val payloadCols = rightStream.columns.filterNot(keyCols.contains).toSeq
     require(payloadCols.nonEmpty, "right side has no payload columns")
@@ -807,11 +837,17 @@ object StreamOps {
           if (pending.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsofEnrichState(pending, keptRights))
-            // re-arm: wake when the watermark passes the earliest pending
-            // left's finalize point, or the standing row's tolerance bound
+            // re-arm: wake when the watermark passes (a) the earliest
+            // pending left's finalize point, (b) the newest uncollapsed
+            // right — a key that saw ONLY rights would otherwise never be
+            // invoked again and its whole buffer would sit in the state
+            // store forever instead of collapsing to the standing row —
+            // or (c) the standing row's tolerance retirement
             val target: Option[Long] =
               if (pending.nonEmpty)
                 Some((minPending + holdMicros) / 1000L + 1L)
+              else if (keptRights.exists(_._1 >= wmMicros))
+                Some(keptRights.iterator.map(_._1).max / 1000L + 2L)
               else tolMicros.collect {
                 case t if standing.nonEmpty && standing.head._1 < wmMicros =>
                   (standing.head._1 + t) / 1000L + 1L

@@ -105,6 +105,32 @@ class LayoutSpec extends SparkSpec {
     p.cuts.map(_.toSeq) shouldBe m.cuts.map(_.toSeq)
   }
 
+  test("zOrderUpsert refuses an EXISTING store that is not z-ordered — " +
+    "the recorded empty clusterBy would silently drop __zorder and " +
+    "commit unclustered data under a model claiming otherwise") {
+    val root = tempRoot("graft_zguard")
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    SnapshotStore.upsert(spark, root,
+      Seq((1, 2.0, 3.0)).toDF("id", "x", "y"), cfg)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderUpsert(spark, root,
+        Seq((2, 4.0, 5.0)).toDF("id", "x", "y"), Seq("x", "y"), cfg)
+    // nothing was recorded by the refused call
+    SnapshotStore.getProperty(spark, root, "zorderModel") shouldBe None
+  }
+
+  test("a reserved-character z-order column name fails BEFORE anything " +
+    "commits (model validation precedes the data write)") {
+    val root = tempRoot("graft_zres")
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderUpsert(spark, root,
+        Seq((1, 2.0)).toDF("id", "x:y"), Seq("x:y"), cfg)
+    SnapshotStore.currentVersion(spark, root) shouldBe None
+  }
+
   test("zOrderUpsert: fits + persists the model at creation, later " +
     "upserts rank against the FROZEN model even when their distribution " +
     "differs, files stay sorted by __zorder, and rows match a plain store") {

@@ -341,6 +341,67 @@ class StreamAsofSpec extends SparkSpec {
     all shouldBe Map("a" -> Some(2.0), "w1" -> None)
   }
 
+  test("idle-key state is bounded: a key that saw ONLY rights collapses " +
+    "to its single standing row via the self-armed timeout (no new data " +
+    "for the key), and a tolerance retires even that") {
+    // numRowsTotal counts one state row per KEY, and the newest advancing
+    // key is always itself still pending (+1). The tolerance leg is the
+    // leak regression: without the rights-only timeout the idle key's
+    // state would never be visited again, let alone removed (old code: 2)
+    for ((tol, wantRows) <- Seq((None, 2L), (Some(60000L), 1L))) {
+      implicit val sqlCtx = spark.sqlContext
+      val lMem = MemoryStream[(Long, Timestamp, String)]
+      val rMem = MemoryStream[(Long, Timestamp, Double)]
+      val enriched = StreamOps.asofEnrich(
+        lMem.toDF.toDF("user", "ts", "tag"),
+        rMem.toDF.toDF("user", "ts", "price"),
+        Seq("user"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_",
+        toleranceMs = tol)
+      val q = enriched.writeStream.format("memory")
+        .queryName(s"asof_idle_${tol.isDefined}")
+        .outputMode("append").start()
+      try {
+        // key 1 receives ONLY rights, then never appears again
+        rMem.addData((1L, ts(0L), 1.0), (1L, ts(10L), 2.0),
+          (1L, ts(20L), 3.0))
+        q.processAllAvailable()
+        // unrelated keys advance the watermark far past key 1's rights
+        // (and, with a tolerance, past the standing row's retirement)
+        lMem.addData((2L, ts(100000L), "adv1")); q.processAllAvailable()
+        lMem.addData((3L, ts(200000L), "adv2")); q.processAllAvailable()
+        lMem.addData((4L, ts(300000L), "adv3")); q.processAllAvailable()
+        val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+        withClue(s"tol=$tol: ") { stateRows shouldBe wantRows }
+      } finally q.stop()
+    }
+  }
+
+  test("tie-order parity building blocks: strings order as UTF-8 bytes " +
+    "(not UTF-16 units) and Seqs order element-wise then by length, " +
+    "matching the batch window sort") {
+    // supplementary character: UTF-16 puts the surrogate pair below
+    // ￿, UTF-8 bytes put it above — the batch sort uses bytes
+    StreamOps.orderExternal("😀", "￿") should be > 0
+    "😀".compareTo("￿") should be < 0 // the trap avoided
+    StreamOps.orderExternal(Seq(1L, 2L), Seq(1L, 3L)) should be < 0
+    StreamOps.orderExternal(Seq(1L, 2L), Seq(1L, 2L, 0L)) should be < 0
+    StreamOps.orderExternal(Seq(1L, 2L), Seq(1L, 2L)) shouldBe 0
+    StreamOps.orderExternal(null, Seq(1L)) should be < 0
+  }
+
+  test("mismatched key types across the two streams are rejected loudly " +
+    "(the per-side string key encoding cannot widen like the batch " +
+    "union does)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Double, Timestamp, String)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.asofEnrich(
+        lMem.toDF.toDF("user", "ts", "tag"),
+        rMem.toDF.toDF("user", "ts", "price"),
+        Seq("user"), "ts", "ts", delay = "10 seconds", rightPrefix = "r_")
+  }
+
   test("RocksDB state-store provider: the spill-to-disk path is a config " +
     "swap — same results as the default provider") {
     val s2 = spark.newSession()
