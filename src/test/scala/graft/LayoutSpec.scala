@@ -105,6 +105,53 @@ class LayoutSpec extends SparkSpec {
     p.cuts.map(_.toSeq) shouldBe m.cuts.map(_.toSeq)
   }
 
+  test("streaming ingest composes with the z-ordered store: each " +
+    "foreachBatch epoch upserts through the frozen model, so a " +
+    "continuously-ingested store keeps its layout (model fitted once, " +
+    "every epoch's files sorted, rows exact)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val root = tempRoot("graft_zstream")
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val mem = MemoryStream[(Int, Double, Double)]
+    val q = StreamOps.upsertSink(mem.toDF.toDF("id", "x", "y")) {
+      (batch, _) =>
+        Layout.zOrderUpsert(spark, root, batch, Seq("x", "y"), cfg,
+          nBuckets = 2)
+        ()
+    }
+    val rnd = new scala.util.Random(5)
+    try {
+      mem.addData((0 until 200).map(i =>
+        (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)))
+      q.processAllAvailable()
+      val frozen = SnapshotStore.getProperty(spark, root, "zorderModel").get
+      mem.addData((150 until 350).map(i =>
+        (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)))
+      q.processAllAvailable()
+      // model fitted once (first epoch), reused by the second
+      SnapshotStore.getProperty(spark, root, "zorderModel").get shouldBe frozen
+    } finally q.stop()
+    SnapshotStore.read(spark, root).get.count() shouldBe 350L
+    // every epoch's files carry the layout
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+    val files =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.toList
+      finally s.close()
+    files should not be empty
+    files.foreach { f =>
+      val zs = spark.read.parquet(f.toString).select("__zorder")
+        .collect().map(_.getLong(0)).toSeq
+      withClue(s"file $f: ") { zs shouldBe zs.sorted }
+    }
+  }
+
   test("zOrderUpsert refuses an EXISTING store that is not z-ordered — " +
     "the recorded empty clusterBy would silently drop __zorder and " +
     "commit unclustered data under a model claiming otherwise") {
