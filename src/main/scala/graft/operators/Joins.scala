@@ -91,10 +91,11 @@ object Joins {
       .withColumn("__side", lit(1))
       .withColumn("__payload", nullPayload)
     val r = right
-      // a null rightTs can never satisfy the as-of predicate; unfiltered
-      // it would sort to the partition head (asc nulls-first) and its
-      // payload would be carried into early left rows
-      .filter(col(rightTs).isNotNull)
+      // a null (or NaN — float/double ts) rightTs can never satisfy the
+      // as-of predicate; unfiltered it would sort to the partition head
+      // (asc nulls-first) / tail (NaN greatest) and its payload would be
+      // carried into left rows
+      .filter(tsUsable(col(rightTs), right.schema(rightTs).dataType))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__payload", struct(
@@ -158,13 +159,15 @@ object Joins {
         carried.withColumn("__match", trim(col("__match"), dist))
     }
 
-    // A NULL left timestamp can never satisfy any as-of predicate, but the
-    // forward carry's descending sort places NULLs last, where last(_,
-    // ignoreNulls) would hand the row the earliest right payload (nearest
-    // inherits this through its forward leg). Null the match explicitly —
-    // one scan-side projection, uniform across directions.
+    // A NULL (or NaN) left timestamp can never satisfy any as-of
+    // predicate, but the forward carry's descending sort places NULLs
+    // last (and NaN sorts greatest), where last(_, ignoreNulls) would
+    // hand the row a wrong right payload (nearest inherits this through
+    // its forward leg). Null the match explicitly — one scan-side
+    // projection, uniform across directions.
     val guarded = limited.withColumn("__match",
-      when(col("__ts").isNotNull, col("__match")))
+      when(tsUsable(col("__ts"), left.schema(leftTs).dataType),
+        col("__match")))
     val out = leftCols.map(col) ++ payloadCols.map(c =>
       col(s"__match.__p.`$c`").as(rightPrefix + c))
     guarded.select(out: _*)
@@ -425,7 +428,7 @@ object Joins {
         s"asOfJoinBucketed needs a timestamp or numeric ts column, got $other")
     }
     val ordProxy = if (forward) -tsOrd else tsOrd
-    val rAgg = rb.filter(col(rightTs).isNotNull)
+    val rAgg = rb.filter(tsUsable(col(rightTs), right.schema(rightTs).dataType))
       .groupBy((keys :+ "__gbkt").map(col): _*)
       .agg(max(struct(ordProxy.as("__go"), col(rightTs).as("__gmts"),
         struct(payloadCols.map(col): _*).as("__gp"))).as("__gl"))
@@ -511,6 +514,18 @@ object Joins {
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** A ts value that can participate in an as-of predicate: non-NULL,
+    * and non-NaN when the column is float/double (NaN compares greatest
+    * in Spark's ordering, which would corrupt the carry — both as-of
+    * implementations treat it exactly like NULL). */
+  private def tsUsable(c: Column,
+                       dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => c.isNotNull && !isnan(c)
+      case _ => c.isNotNull
+    }
 
   /** Every column prefixed, in ONE projection (chained renames would stack
     * N Project nodes). Shared by the batch and streaming interval joins. */

@@ -75,6 +75,14 @@ object Layout {
     val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
     val cuts = cols.map { c =>
       val q = casted.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
+      // an all-NULL (or empty) fitting batch yields an empty quantile
+      // array; persisting that model would poison the store — every later
+      // zOrderUpsert loads it and fails at ZValueExpr's non-empty-cuts
+      // require. Fail HERE, before anything is persisted.
+      require(q.nonEmpty,
+        s"z-order column '$c' has no non-null values in the fitting " +
+          "batch; fit the model from a batch that populates every " +
+          "z-order dimension")
       q.distinct.sorted
     }
     ZOrderModel(cols, cuts)

@@ -43,7 +43,9 @@ import org.apache.spark.sql.types._
   * join each other (the natural-ascending ordering used for the merge
   * groups NULLs, as `Window.partitionBy` does); a NULL right timestamp
   * can never match (skipped at the head buffer); a NULL left timestamp
-  * yields a null match.
+  * yields a null match. A NaN timestamp (float/double ts columns) is
+  * treated exactly like NULL on both sides — both implementations
+  * enforce this, keeping the property-pinned parity on NaN data.
   *
   * Timestamps are merged in DOUBLE arithmetic over their internal
   * ordinal (micros for timestamp types, days for dates, the raw value
@@ -140,8 +142,14 @@ case class AsofJoinExec(
           while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
             if (!r.isNullAt(rTsOrd)) {
-              rHead = r.copy()
-              rHeadTs = rTsGet(rHead, rTsOrd)
+              val ts = rTsGet(r, rTsOrd)
+              // a NaN ts (float/double ts columns) can never satisfy an
+              // as-of predicate — treated exactly like NULL, matching the
+              // window form's explicit NaN filter
+              if (!java.lang.Double.isNaN(ts)) {
+                rHead = r.copy()
+                rHeadTs = ts
+              }
             }
           }
         }
@@ -151,7 +159,9 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           var matched: InternalRow = null
-          if (!lRow.isNullAt(lTsOrd)) {
+          // NaN left ts = NULL left ts: no as-of predicate can hold
+          if (!lRow.isNullAt(lTsOrd) &&
+              !java.lang.Double.isNaN(lTsGet(lRow, lTsOrd))) {
             val lTs = lTsGet(lRow, lTsOrd)
             val lKey = lKeyProj(lRow)
             var cmp =

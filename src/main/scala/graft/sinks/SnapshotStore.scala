@@ -477,6 +477,17 @@ object SnapshotStore {
     // without leaving a stale claim behind
     val cluster: Seq[String] =
       if (currentOpt.isDefined) clusterColumns(spark, root) else clusterBy
+    // a conflicting layout request on an existing store fails LOUDLY —
+    // silently dropping it would hand the caller unclustered (or
+    // differently-clustered) files while they believe clusterBy held
+    // (same discipline as Layout.zOrderUpsert's model-mismatch check)
+    if (currentOpt.isDefined)
+      require(clusterBy.isEmpty || clusterBy == cluster,
+        s"store at $root records clusterBy=" +
+          s"${if (cluster.isEmpty) "(none)" else cluster.mkString(",")} " +
+          s"but this upsert requested ${clusterBy.mkString(",")}; the " +
+          "recorded creation-time layout wins — re-create the store to " +
+          "change it")
     cluster.foreach(c => require(result.target.columns.contains(c),
       s"clusterBy column '$c' is not a stored column"))
     val next = currentOpt.getOrElse(-1L) + 1L

@@ -18,16 +18,34 @@ object StreamOps {
 
   /** Null-distinguishing, separator-proof composite group key for the
     * TTL dedup variants: each key column encodes as `n` for NULL vs
-    * `v<base64(utf8)>` for a value — base64's alphabet excludes the `|`
+    * `v<base64(bytes)>` for a value — base64's alphabet excludes the `|`
     * joiner, so neither a NULL in a different position ((null,"x") vs
     * ("x",null)) nor a value containing the joiner ("a|b" vs "a","b")
     * can collide. A bare `concat_ws` SKIPS nulls and admits both
-    * collisions — silent wrongful suppression of a distinct key. */
-  private def nullSafeKey(keyCols: Seq[String]) =
-    concat_ws("|", keyCols.map(c =>
-      coalesce(
-        concat(lit("v"), base64(encode(col(c).cast("string"), "UTF-8"))),
-        lit("n"))): _*)
+    * collisions — silent wrongful suppression of a distinct key.
+    *
+    * BINARY key columns are base64'd directly: routing them through a
+    * string cast would collapse invalid-UTF-8 byte sequences to
+    * replacement characters, letting distinct binary keys collide (the
+    * batch operators group such keys byte-exactly). STRUCT/MAP/ARRAY key
+    * columns are rejected — their string casts are display forms, not
+    * injective encodings — encode upstream (`to_json`, a hash) instead. */
+  private def nullSafeKey(df: DataFrame, keyCols: Seq[String]) =
+    concat_ws("|", keyCols.map { c =>
+      val enc = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.BinaryType => base64(col(c))
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType =>
+          throw new IllegalArgumentException(
+            s"key column '$c' has a nested type " +
+              s"(${df.schema(c).dataType.simpleString}) whose string form " +
+              "is not an injective encoding; encode it upstream " +
+              "(to_json, xxhash64) and key on that")
+        case _ => base64(encode(col(c).cast("string"), "UTF-8"))
+      }
+      coalesce(concat(lit("v"), enc), lit("n"))
+    }: _*)
 
   /** Streaming exact dedup: drop rows whose `keys` were already seen
     * within the watermark window, with state bounded by the watermark
@@ -103,7 +121,7 @@ object StreamOps {
     val rowEnc = Encoders.row(stream.schema)
     // tuple-encoder field resolution is by the _1/_2 names, so alias to them
     val keyed = stream.select(
-        nullSafeKey(keyCols).as("_1"),
+        nullSafeKey(stream, keyCols).as("_1"),
         struct(stream.columns.map(col): _*).as("_2"))
       .as(Encoders.tuple(Encoders.STRING, rowEnc))
     keyed.groupByKey(_._1)
@@ -170,7 +188,7 @@ object StreamOps {
     val noTime = stream.filter(ts.isNull)
     val keyed = stream.filter(ts.isNotNull)
       .select(
-        nullSafeKey(keyCols).as("_1"),
+        nullSafeKey(stream, keyCols).as("_1"),
         ts.as("_2"),
         struct(stream.columns.map(col): _*).as("_3"))
       .withWatermark("_2", delay)
@@ -699,12 +717,12 @@ object StreamOps {
       leftCols.map(col) ++ payloadCols.map(c =>
         lit(null).cast(rightStream.schema(c).dataType).as(rightPrefix + c)): _*)
     val lTagged = leftStream.filter(lts.isNotNull).select(
-      nullSafeKey(keyCols).as("_1"), lts.as("_2"), lit(true).as("_3"),
+      nullSafeKey(leftStream, keyCols).as("_1"), lts.as("_2"), lit(true).as("_3"),
       struct(leftCols.map(col): _*).as("_4"),
       lit(null).cast(payloadSchema).as("_5"))
     // a NULL rightTs can never satisfy the as-of predicate (batch parity)
     val rTagged = rightStream.filter(rts.isNotNull).select(
-      nullSafeKey(keyCols).as("_1"), rts.as("_2"), lit(false).as("_3"),
+      nullSafeKey(rightStream, keyCols).as("_1"), rts.as("_2"), lit(false).as("_3"),
       lit(null).cast(leftSchema).as("_4"),
       struct(payloadCols.map(col): _*).as("_5"))
     val tagged = lTagged.unionByName(rTagged)

@@ -168,4 +168,38 @@ class AsofMergeSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Joins.asOfJoinMerge(ls, r, Seq("k"), "lts", "rts") // string ts column
   }
+
+  test("NaN double timestamps behave exactly like NULL in BOTH " +
+    "implementations: a NaN left ts yields a null match, a NaN right ts " +
+    "is never a candidate — and the two plans stay row-identical") {
+    val nan = Double.NaN
+    val l = Seq(
+      (1L, 10.0, "a"), (1L, nan, "b"), (1L, 30.0, "c"),
+      (2L, nan, "d"), (3L, 5.0, "e")
+    ).toDF("k", "lts", "lv")
+    val r = Seq(
+      (1L, 8.0, "r1"), (1L, nan, "rN"), (1L, 25.0, "r2"),
+      (2L, 1.0, "r3"), (3L, nan, "r4")
+    ).toDF("k", "rts", "rv")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(100.0)))) {
+      val base = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+      val merge = Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_",
+        dir, tol)
+      val ord = base.columns.map(col).toIndexedSeq
+      withClue(s"dir=$dir tol=${tol.isDefined}: ") {
+        val rows = base.orderBy(ord: _*).collect()
+        // compare rendered rows: NaN != NaN under Seq equality, but the
+        // parity claim includes the NaN rows
+        merge.orderBy(ord: _*).collect().map(_.toString).toSeq shouldBe
+          rows.map(_.toString).toSeq
+        // NaN left rows carry a null match; key-3 rows never match the
+        // NaN-only right side
+        rows.filter(x => java.lang.Double.isNaN(x.getDouble(1)))
+          .foreach(x => withClue(s"row $x: ") { x.isNullAt(3) shouldBe true })
+        rows.filter(_.getLong(0) == 3L)
+          .foreach(x => withClue(s"row $x: ") { x.isNullAt(3) shouldBe true })
+      }
+    }
+  }
 }

@@ -178,6 +178,26 @@ class LayoutSpec extends SparkSpec {
     SnapshotStore.currentVersion(spark, root) shouldBe None
   }
 
+  test("an all-NULL z-order dimension in the fitting batch fails BEFORE " +
+    "the model is persisted — an empty cut array would poison the root " +
+    "for every later zOrderUpsert — and the root stays usable") {
+    val root = tempRoot("graft_znull")
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val bad = Seq((1, 2.0), (2, 3.0)).toDF("id", "x")
+      .withColumn("y", lit(null).cast("double"))
+    val ex = the[IllegalArgumentException] thrownBy
+      Layout.zOrderUpsert(spark, root, bad, Seq("x", "y"), cfg)
+    ex.getMessage should include("'y' has no non-null values")
+    // nothing persisted, nothing committed: the root is NOT poisoned
+    SnapshotStore.getProperty(spark, root, "zorderModel") shouldBe None
+    SnapshotStore.currentVersion(spark, root) shouldBe None
+    // a later call with a populated batch succeeds on the same root
+    val good = Seq((1, 2.0, 5.0), (2, 3.0, 7.0)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, good, Seq("x", "y"), cfg)
+    SnapshotStore.read(spark, root).get.count() shouldBe 2L
+  }
+
   test("zOrderUpsert: fits + persists the model at creation, later " +
     "upserts rank against the FROZEN model even when their distribution " +
     "differs, files stay sorted by __zorder, and rows match a plain store") {

@@ -532,15 +532,26 @@ class SnapshotStoreSpec extends SparkSpec
   }
 
   test("clusterBy: a typo column fails the creating upsert loudly; a " +
-    "different clusterBy on an EXISTING store is ignored (recorded wins)") {
+    "CONFLICTING clusterBy on an EXISTING store fails loudly (recorded " +
+    "wins — it is never silently dropped); repeating or omitting the " +
+    "recorded layout is fine") {
     val root = tempRoot("graft_clusv")
     an[IllegalArgumentException] should be thrownBy
       SnapshotStore.upsert(spark, root,
         Seq((1, 2.0)).toDF("id", "score"), cfg, clusterBy = Seq("nope"))
     SnapshotStore.upsert(spark, root,
       Seq((1, 2.0)).toDF("id", "score"), cfg, clusterBy = Seq("score"))
+    // a conflicting layout request must not be silently ignored: the
+    // caller would believe their clustering held while the files carry
+    // the recorded one
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.upsert(spark, root,
+        Seq((2, 1.0)).toDF("id", "score"), cfg, clusterBy = Seq("id"))
+    // repeating the recorded layout and omitting it are both legal
     SnapshotStore.upsert(spark, root,
-      Seq((2, 1.0)).toDF("id", "score"), cfg, clusterBy = Seq("id"))
+      Seq((2, 1.0)).toDF("id", "score"), cfg, clusterBy = Seq("score"))
+    SnapshotStore.upsert(spark, root, Seq((3, 0.5)).toDF("id", "score"), cfg)
     SnapshotStore.clusterColumns(spark, root) shouldBe Seq("score")
+    SnapshotStore.read(spark, root).get.count() shouldBe 3L
   }
 }

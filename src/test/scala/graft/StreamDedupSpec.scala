@@ -280,6 +280,43 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL key dedup BINARY keys are compared byte-exactly: distinct " +
+    "invalid-UTF-8 byte sequences (which a string cast collapses to the " +
+    "same replacement character) stay distinct keys; nested key types " +
+    "are rejected loudly") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Array[Byte], Long)]
+    val emitted = ArrayBuffer[Long]()
+    val deduped = StreamOps.dedupeKeysWithTTL(
+      mem.toDF.toDF("k", "row_id"), Seq("k"), ttlMs = 60000L)
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("row_id").as[Long].collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    def got: Seq[Long] = emitted.synchronized { emitted.toSeq.sorted }
+    try {
+      // 0xC3 and 0xC2 are each an incomplete UTF-8 sequence: CAST to
+      // string both become U+FFFD and would wrongly collide
+      mem.addData(
+        (Array(0xC3.toByte), 1L), (Array(0xC2.toByte), 2L),
+        (Array(0xC3.toByte), 3L)) // true byte-exact duplicate of row 1
+      val deadline = System.nanoTime() + 30000000000L
+      while (got != Seq(1L, 2L) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      got shouldBe Seq(1L, 2L)
+    } finally q.stop()
+    // nested key types have no injective string form — loud rejection
+    val nested = mem.toDF.toDF("k", "row_id")
+      .withColumn("arr", org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("row_id")))
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.dedupeKeysWithTTL(nested, Seq("arr"), ttlMs = 1000L)
+  }
+
   test("EVENT-TIME TTL: rows with a NULL event time pass through " +
     "unsuppressed instead of crashing the state function") {
     implicit val sql = spark.sqlContext
