@@ -1561,6 +1561,70 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Persisted flat-PQ index ([[Similarity.pqBuild]] +
+    * [[Similarity.pqProbeTopK]]): the layout that closes PQ's
+    * bytes-scanned loop — narrow codes relation for the exhaustive ADC
+    * scan, id-bucketed vectors relation so the exact re-rank is a
+    * statically partition-pruned point lookup of the shortlist's buckets
+    * instead of a second full scan (end-to-end bytes 0.24× of the brute
+    * leg at 1M vectors, SCALEPROBE `pq_bytes_end_to_end`). Contract:
+    * pq_topk's bounded assertions PLUS row-parity with the inline
+    * [[Similarity.pqTopK]] plan (same seed → same model, so results must
+    * be identical) and a plan assertion that the re-rank touched fewer
+    * buckets than the index holds — all engine-verified booleans DuckDB
+    * expects true. */
+  private def pqIndexTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q_pqidx").toString
+    Similarity.pqBuild(corpus.select("vec_id", "embedding"), "embedding",
+      "vec_id", path, m = 16, ksub = 16, idBuckets = 512)
+    val approx = Similarity.pqProbeTopK(s, path, queries, "embedding",
+      "vec_id", "query_id", k = 10, shortlistFactor = 8)
+    // plan assertion: the re-rank scan partition-pruned to fewer buckets
+    // than the vectors relation holds (5 queries × 80 shortlist ids can
+    // touch at most 400 of the 512)
+    val vecScans = approx.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("PartitionFilters").exists(_.contains("__vb")) =>
+        f.selectedPartitions.partitionCount
+    }
+    val total = s.read.parquet(s"$path/vectors")
+      .select("__vb").distinct().count()
+    val pruned = vecScans.size == 1 && vecScans.head < total
+    val inline = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+      "query_id", k = 10, m = 16, ksub = 16, shortlistFactor = 8)
+    val exactTop = Similarity.bruteForceTopK(corpus, queries, "embedding",
+        "vec_id", "query_id", k = 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("__in_exact"))
+    val qv = queries.select(col("query_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"), V.norm(col("embedding")).as("__qn"))
+    val allScores = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").as("__cv"),
+        V.norm(col("embedding")).as("__cn"))
+      .join(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosineGivenNorms(col("__cv"), col("__qv"), col("__cn"),
+          col("__qn")), 6).as("__ce"))
+    approx
+      .join(exactTop, Seq("query_id", "vec_id"), "left")
+      .join(allScores, Seq("query_id", "vec_id"), "left")
+      .join(inline.select(col("query_id"), col("vec_id"), col("rank"),
+        lit(true).as("__in_inline")), Seq("query_id", "vec_id", "rank"), "left")
+      .groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(
+        (count(lit(1)) === 10).as("returned_full_k"),
+        (count(col("__in_exact")) >= 6).as("recall_floor_ok"),
+        coalesce(bool_and(col("cosine") === col("__ce")), lit(false))
+          .as("cosines_exact"),
+        (count(col("__in_inline")) === 10).as("matches_inline"),
+        lit(pruned).as("rerank_pruned"))
+      .orderBy("query_id")
+  }
+
   /** IVF-PQ composed ANN ([[Similarity.ivfPqTopK]]): coarse cells restrict
     * the probe set, PQ-ADC byte codes score within probed cells, the
     * shortlist re-ranks exact — the two approximations multiply their
@@ -2320,6 +2384,7 @@ object Queries {
     "lsh_topk" -> lshTopK _,
     "ivf_topk" -> ivfTopK _,
     "pq_topk" -> pqTopKQ _,
+    "pq_index_topk" -> pqIndexTopKQ _,
     "ivfpq_topk" -> ivfPqTopKQ _,
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
@@ -4146,6 +4211,17 @@ object Queries {
         |  TRUE AS returned_full_k,
         |  TRUE AS recall_floor_ok,
         |  TRUE AS cosines_exact
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // Persisted flat-PQ index (bucket-pruned re-rank): same
+    // bounded-assertion shape plus row-parity with the inline PQ plan
+    // and a pruned-re-rank plan assertion, all engine-verified booleans
+    "pq_index_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  TRUE AS returned_full_k,
+        |  TRUE AS recall_floor_ok,
+        |  TRUE AS cosines_exact,
+        |  TRUE AS matches_inline,
+        |  TRUE AS rerank_pruned
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // IVF-PQ composition: same bounded-assertion shape
     "ivfpq_topk" ->

@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,asof_enrich_stream,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,asof_enrich_stream,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1608,6 +1608,71 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"pq_bytes",${pqbEntry.tail}""")
     writeArtifact("pq_bytes", pqbEntry)
+    }
+
+    if (probes("pq_bytes_end_to_end")) {
+    // Closes pq_bytes' honest caveat: with the persisted pqBuild layout
+    // (id-bucketed vectors, narrow codes relation) the exact re-rank is a
+    // statically partition-pruned read of the shortlist ids' buckets, so
+    // the FULL path's bytes are codes + touched buckets — measured here
+    // against the brute leg (the full vectors relation) at the same ~1M
+    // point, with result parity against the inline pqTopKEncoded plan
+    // (same seed -> same model) asserted on the side. Bytes are file
+    // footprints as in pq_bytes (task-level bytesRead is blind to
+    // RawLocalFileSystem); partition pruning makes the touched-bucket
+    // footprint exact — unselected directories are never opened.
+    val corpusE = pqcCorpusAt(512)
+    val nVecE = corpusE.count()
+    val idxPath = "/tmp/graft_probe_cache/pqb_idx_512"
+    if (!new java.io.File(s"$idxPath/meta").exists())
+      Similarity.pqBuild(corpusE, "embedding", "vec_id", idxPath,
+        m = 16, ksub = 16)
+    def dirBytesE(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val (shortlistE, touchedE) = Similarity.pqShortlistAndBuckets(
+      spark, idxPath, pqcQueries, "embedding", "vec_id", "query_id",
+      shortlistK = 80)
+    val shortIds = shortlistE.select("vec_id").distinct().count()
+    val bucketsE = spark.read.parquet(s"$idxPath/meta")
+      .collect()(0).getInt(0)
+    val vecTotal = dirBytesE(s"$idxPath/vectors")
+    val codesTotal = dirBytesE(s"$idxPath/codes")
+    val touchedBytes = touchedE.map(b =>
+      dirBytesE(s"$idxPath/vectors/__vb=$b")).sum
+    val endToEnd = codesTotal + touchedBytes
+    // result parity vs the inline plan (same corpus + seed -> identical
+    // model, shortlist, and exact re-rank scores)
+    val resE = Similarity.pqProbeTopK(spark, idxPath, pqcQueries,
+        "embedding", "vec_id", "query_id", k = 10, shortlistFactor = 8)
+      .collect().map(_.toString).toSet
+    val modelE = Similarity.fitPq(corpusE, "embedding", m = 16, ksub = 16)
+    val encPathE = "/tmp/graft_probe_cache/pqb_enc_512/encoded.parquet"
+    if (!new java.io.File(encPathE).exists())
+      Similarity.pqEncode(corpusE, "embedding", modelE).drop("embedding")
+        .write.mode("overwrite").parquet(encPathE)
+    val inlineE = Similarity.pqTopKEncoded(spark.read.parquet(encPathE),
+        corpusE, modelE, pqcQueries, "embedding", "vec_id", "query_id",
+        k = 10, shortlistFactor = 8)
+      .collect().map(_.toString).toSet
+    val pqeEntry = s"""{"vectors":$nVecE,"id_buckets":$bucketsE,""" +
+      s""""shortlist_distinct_ids":$shortIds,""" +
+      s""""touched_buckets":${touchedE.length},""" +
+      s""""touched_fraction":${touchedE.length.toDouble / bucketsE},""" +
+      s""""brute_leg_bytes":$vecTotal,""" +
+      s""""codes_leg_bytes":$codesTotal,""" +
+      s""""rerank_pruned_bytes":$touchedBytes,""" +
+      s""""end_to_end_bytes":$endToEnd,""" +
+      s""""end_to_end_over_brute":${endToEnd.toDouble / vecTotal},""" +
+      s""""end_to_end_under_brute":${endToEnd < vecTotal},""" +
+      s""""matches_inline_pq":${resE == inlineE},""" +
+      s""""result_rows":${resE.size},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"pq_bytes_end_to_end",${pqeEntry.tail}""")
+    writeArtifact("pq_bytes_end_to_end", pqeEntry)
     }
 
     if (probes("line_dedup_scale")) {

@@ -527,6 +527,75 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqAppend(extra, "embedding", path)
   }
 
+  test("flat-PQ persisted index: the exact re-rank is a statically " +
+    "partition-pruned read of the shortlist ids' buckets (never a second " +
+    "full vector scan), the ADC leg scans only the codes relation, " +
+    "results match the inline pqTopK, int ids hash like long ids, and " +
+    "the fence refuses probes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", path, m = 16,
+      ksub = 16, idBuckets = 256)
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val res = Similarity.pqProbeTopK(spark, path, qs, "embedding",
+      "vec_id", "query_id", k = 5, shortlistFactor = 2)
+    // the re-rank's vectors scan carries a __vb partition filter and
+    // selects at most shortlist-many buckets — the full-rescan caveat
+    // the persisted layout exists to remove
+    val scans = res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.contains("PartitionFilters") &&
+          f.metadata("PartitionFilters").contains("__vb") => f
+    }
+    scans should have size 1
+    val present = spark.read.parquet(s"$path/vectors")
+      .select("__vb").distinct().count().toInt
+    val touched = scans.head.selectedPartitions.partitionCount
+    touched should be <= 20 // 2 queries x k=5 x factor=2 distinct ids
+    touched should be < present
+    // the ADC leg scans the codes relation, which simply CONTAINS no
+    // vector column (pqBuild drops it before writing) — the leg is
+    // materialized by the shortlist checkpoint, so the structural check
+    // is on the relation itself; the re-rank's pruned vectors scan is
+    // then the ONLY file scan left in the result plan
+    spark.read.parquet(s"$path/codes").columns should
+      contain theSameElementsAs Seq("vec_id", "__codes", "__cn")
+    // ...and the pruned scan is the ONLY index-owned scan in the result
+    // plan (the other file scan is the query batch's own fixture read)
+    res.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
+    } should have size 1
+    // results equal the inline composition (same seed -> same model; the
+    // pruned buckets are a superset of the shortlist ids by construction)
+    val inline = Similarity.pqTopK(corp, qs, "embedding", "vec_id",
+        "query_id", k = 5, m = 16, ksub = 16, shortlistFactor = 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    res.select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4)) shouldBe inline
+    // INT-typed ids canonicalize to the same buckets as long ids: a
+    // width-dependent hash would send the re-rank to empty buckets and
+    // silently drop results
+    val pathI = java.nio.file.Files.createTempDirectory("graft_pqidxi").toString
+    Similarity.pqBuild(corp.withColumn("vec_id", $"vec_id".cast("int")),
+      "embedding", "vec_id", pathI, m = 16, ksub = 16, idBuckets = 256)
+    Similarity.pqProbeTopK(spark, pathI, qs, "embedding", "vec_id",
+        "query_id", k = 5, shortlistFactor = 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(r => (r._1, r._4)) shouldBe inline
+    // fence: a .rebuilding marker refuses probes
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".rebuilding"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.pqProbeTopK(spark, path, qs, "embedding", "vec_id",
+        "query_id", k = 5)
+  }
+
   test("pq top-k excludes zero vectors and fails fast on a non-divisible " +
     "subspace split") {
     val zc = corpus.unionByName(
