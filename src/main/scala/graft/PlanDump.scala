@@ -19,7 +19,7 @@ object PlanDump {
       "q3_top10" -> "selective dims broadcast into the fact scan; one agg shuffle",
       "q1_agg" -> "partial/final hash aggregation (map-side combine)",
       "similarity_topk" -> "query batch broadcast; corpus scored map-side; bounded top-k partial aggregation",
-      "asof_join" -> "one key-shuffle + one window pass (no range probes)",
+      "asof_join" -> "DEFAULT as-of plan is now the custom merge node (front-door dispatch): AsofJoinExec with one exchange per side in its own schema, EnsureRequirements-placed sorts, streaming per-partition merge — no Union, no Window",
       "asof_bucketed" -> "hot-key escape hatch: the carry exchanges on (key, time-bucket) so one key's sort splits across buckets; unmatched rows resolve via a second as-of on the BUCKET INDEX against the one-row-per-(key,bucket) extreme relation",
       "sessionize_bucketed" -> "two-phase prefix sessionization: per-(key,bucket) windows for the per-row work; cross-bucket state (prev bucket's last ts, cumulative session offsets) rides the tiny bucket relation's own window",
       "upsert_merge" -> "single full-outer discriminant join resolves insert-vs-update",
@@ -31,6 +31,7 @@ object PlanDump {
       "pack_sequences" -> "one shard exchange + partition-local sort + O(1)-state scan; no global sort, parallelism = shard count",
       "decontaminate_bloom" -> "bloom might_contain prefilter runs scan-side inside the corpus's WholeStageCodegen; only survivors reach the membership join",
       "pq_topk" -> "PQ-ADC: broadcast per-query LUTs score the (id, codes, norm) scan; bounded shortlist aggregation; exact re-rank joins the tiny shortlist back into one corpus scan",
+      "pq_index_topk" -> "persisted flat-PQ index: ADC over the narrow codes relation; the exact re-rank is a STATICALLY PARTITION-PRUNED read of the shortlist ids' buckets (PartitionFilters on __vb) -- never a second full vector scan",
       "ivfpq_topk" -> "IVF-PQ composition: probe cells restrict the ADC join on (__cell); shortlist re-ranked exact — probe-fraction and per-row savings multiply",
       "chargram_lm" -> "model pass map-side combined + TakeOrderedAndProject topV cut; scoring via broadcast model join into the exploded scan, per-doc re-agg partial-aggregated",
       "semdedup_pairs" -> "cluster-then-prune: one cached cell-assignment pass; only (id, cell) keys shuffle into the pair join; per-candidate exact-cosine verify joins payloads by id",
@@ -40,8 +41,8 @@ object PlanDump {
       "corpus_semdedup" -> "composed semantic curation: quality scored once pre-filter; doc-embedding equi join; cell keys shuffle into the pair join; per-language re-agg partial-aggregated",
       "incremental_dedup" -> "incremental ingest: new-batch band keys join the old+new key union -- the old corpus pays one signature scan, never a self-join; verification joins each side's own cached shingles",
       "containment_pairs" -> "single-pass inverted-index self-join reused for asymmetric containment; the two join inputs are identical subplans (ReusedExchange), set sizes ride the exploded rows",
-      "gap_fill" -> "resample grid generated scan-side (sequence explode), forward-filled by the union+window as-of join -- one user_id exchange, no per-slot range probes",
-      "asof_nearest" -> "both as-of carries share ONE key exchange (two Window sorts of the same partitioning); the closer match picked scan-side",
+      "gap_fill" -> "resample grid generated scan-side (sequence explode), forward-filled by the DISPATCHED merge as-of join -- one exchange per side, no per-slot range probes",
+      "asof_nearest" -> "nearest through the dispatched merge node: backward candidate + unconsumed head give both directions in ONE pass (the window fallback would need two sorts)",
       "asof_merge" -> "WHOLE-OPERATOR physical node (AsofJoinExec via the injected planner strategy): one exchange per side in its own schema + EnsureRequirements-placed sorts + a streaming per-partition merge — no Union, no Window; left filters/pruning reach the scan through the custom-node optimizer rule",
       "asof_merge_nearest" -> "nearest in the SAME single merge pass (the union-and-carry plan needs two window sorts); backward candidate + unconsumed head give both directions O(1)-state",
       "percentile_rollup" -> "KLL sketches partial-aggregated map-side (ObjectHashAggregate over binary state); the rollup merges stored sketch bytes -- the fact table is rescanned only by the exact-rank verification branches",

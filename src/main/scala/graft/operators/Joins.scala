@@ -22,6 +22,40 @@ object Joins {
     * closer in time (`direction = "nearest"`; equidistant ties take the
     * backward match), matching on `keys`.
     *
+    * PLAN DISPATCH: this is a front door over two row-identical
+    * implementations (property-pinned in `AsofMergeSpec`). When the ts
+    * columns are timestamp/date/numeric and the tolerance (if any) is a
+    * foldable literal, the join plans as the custom co-partitioned
+    * streaming merge ([[asOfJoinMerge]] → `graft.plans.AsofJoinExec`) —
+    * one exchange per side in its own schema, measured 1.16–1.26× over
+    * the window plan at every probed key distribution (SCALEPROBE
+    * `asof_merge_scale`). Everything else (other orderable ts types,
+    * computed tolerances, `__rk_`-prefixed right columns) falls back to
+    * the union-and-carry window plan ([[asOfJoinWindow]]). Semantics,
+    * output columns, NULL/NaN and tie rules are identical either way. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPrefix: String = "",
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    import graft.plans.AsofJoinExec
+    val mergeable =
+      AsofJoinExec.supportsTsType(left.schema(leftTs).dataType) &&
+        AsofJoinExec.supportsTsType(right.schema(rightTs).dataType) &&
+        !right.columns.exists(_.startsWith("__rk_")) &&
+        resolveMergeTolerance(left, leftTs, tolerance).isRight
+    if (mergeable)
+      asOfJoinMerge(left, right, keys, leftTs, rightTs, rightPrefix,
+        direction, tolerance)
+    else
+      asOfJoinWindow(left, right, keys, leftTs, rightTs, rightPrefix,
+        direction, tolerance)
+  }
+
+  /** The union-and-carry as-of plan — [[asOfJoin]]'s fallback for ts
+    * types and tolerances the merge node can't take, and the
+    * independent implementation the merge is property-pinned against.
+    *
     * Implementation is the scalable union-and-carry pattern, NOT a per-row
     * range probe: tag both inputs, union them, and run ONE window pass
     * partitioned by key and ordered by (ts, side) — descending ts for the
@@ -63,11 +97,11 @@ object Joins {
     * key: ~1.4x faster than this operator and skew-flat, at a ~2x
     * overhead on uniform data — reach for it when one key dominates, not
     * by default). */
-  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String,
-               rightPrefix: String = "",
-               direction: String = "backward",
-               tolerance: Option[Column] = None): DataFrame = {
+  def asOfJoinWindow(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     rightPrefix: String = "",
+                     direction: String = "backward",
+                     tolerance: Option[Column] = None): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     val payloadCols =
@@ -307,59 +341,11 @@ object Joins {
       s"asOfJoinMerge needs timestamp/date/numeric ts columns, got " +
         s"$lTsType / $rTsType (use asOfJoin for other orderable types)")
 
-    val tol: Option[Double] = tolerance.map { c =>
-      // resolve the Column through a one-row projection: Spark 4's
-      // Column->Expression conversion can hand back an unresolved tree
-      // (e.g. a parsed INTERVAL literal), and foldability is only
-      // meaningful post-analysis
-      val e: org.apache.spark.sql.catalyst.expressions.Expression =
-        try {
-          left.sparkSession.range(1).select(c.as("__tol"))
-            .queryExecution.analyzed match {
-            case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-              p.projectList.head match {
-                case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
-                case o => o
-              }
-            case _ => Bridge.expression(c)
-          }
-        } catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalArgumentException(
-              "asOfJoinMerge tolerance must be a standalone foldable " +
-                "expression (it is evaluated at plan time); use asOfJoin " +
-                "for a column-dependent tolerance")
-        }
-      require(e.foldable,
-        "asOfJoinMerge tolerance must be a foldable expression (it is " +
-          "evaluated at plan time); use asOfJoin for a computed tolerance")
-      val micros: Option[Double] = (e.eval(), e.dataType) match {
-        case (null, _) => throw new IllegalArgumentException(
-          "asOfJoinMerge tolerance evaluated to NULL")
-        case (us: java.lang.Long, _: DayTimeIntervalType) => Some(us.toDouble)
-        case (ci: org.apache.spark.unsafe.types.CalendarInterval,
-              CalendarIntervalType) =>
-          require(ci.months == 0,
-            "tolerance interval must not contain months (not a fixed duration)")
-          Some(ci.days * 86400000000L.toDouble + ci.microseconds.toDouble)
-        case _ => None
+    val tol: Option[Double] =
+      resolveMergeTolerance(left, leftTs, tolerance) match {
+        case Right(t) => t
+        case Left(reason) => throw new IllegalArgumentException(reason)
       }
-      (micros, lTsType) match {
-        case (Some(us), TimestampType | TimestampNTZType) => us
-        case (Some(us), DateType) => us / 86400000000L.toDouble // days
-        case (Some(_), other) => throw new IllegalArgumentException(
-          s"interval tolerance needs a timestamp/date ts column, got $other")
-        case (None, _) => (e.eval(), e.dataType) match {
-          case (n: Number, _: NumericType) =>
-            require(lTsType.isInstanceOf[NumericType],
-              s"numeric tolerance needs a numeric ts column, got $lTsType")
-            n.doubleValue()
-          case (d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
-          case (v, t) => throw new IllegalArgumentException(
-            s"unsupported tolerance $v of type $t (interval or numeric)")
-        }
-      }
-    }
 
     val spark = left.sparkSession
     AsofPlanner.ensure(spark)
@@ -513,6 +499,91 @@ object Joins {
     val r = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Resolve an as-of tolerance Column into the merge plan's double ts
+    * algebra (MICROSECONDS for timestamp ts columns, days for dates, the
+    * column's own units for numerics). `Right(t)` = usable by the merge;
+    * `Left(reason)` = not plan-time-evaluable for it (computed
+    * expression, NULL, months interval, interval/numeric-ts mismatch) —
+    * the [[asOfJoin]] dispatcher then falls back to the window plan,
+    * while [[asOfJoinMerge]] fails loudly with the reason. */
+  private def resolveMergeTolerance(left: DataFrame, leftTs: String,
+      tolerance: Option[Column]): Either[String, Option[Double]] = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    val lTsType = left.schema(leftTs).dataType
+    tolerance match {
+      case None => Right(None)
+      case Some(c) =>
+        // resolve the Column through a one-row projection: Spark 4's
+        // Column->Expression conversion can hand back an unresolved tree
+        // (e.g. a parsed INTERVAL literal), and foldability is only
+        // meaningful post-analysis
+        val resolved: Either[String,
+            org.apache.spark.sql.catalyst.expressions.Expression] =
+          try {
+            left.sparkSession.range(1).select(c.as("__tol"))
+              .queryExecution.analyzed match {
+              case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+                Right(p.projectList.head match {
+                  case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                    a.child
+                  case o => o
+                })
+              case _ => Right(Bridge.expression(c))
+            }
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              Left("merge-plan tolerance must be a standalone foldable " +
+                "expression (it is evaluated at plan time); use " +
+                "asOfJoinWindow for a column-dependent tolerance")
+          }
+        resolved.flatMap { e =>
+          if (!e.foldable)
+            Left("merge-plan tolerance must be a foldable expression (it " +
+              "is evaluated at plan time); use asOfJoinWindow for a " +
+              "computed tolerance")
+          else {
+            val micros: Either[String, Option[Double]] =
+              (e.eval(), e.dataType) match {
+                case (null, _) => Left("tolerance evaluated to NULL")
+                case (us: java.lang.Long, _: DayTimeIntervalType) =>
+                  Right(Some(us.toDouble))
+                case (ci: org.apache.spark.unsafe.types.CalendarInterval,
+                      CalendarIntervalType) =>
+                  if (ci.months != 0)
+                    Left("tolerance interval must not contain months " +
+                      "(not a fixed duration)")
+                  else Right(Some(ci.days * 86400000000L.toDouble +
+                    ci.microseconds.toDouble))
+                case _ => Right(None)
+              }
+            micros.flatMap { m =>
+              (m, lTsType) match {
+                case (Some(us), TimestampType | TimestampNTZType) =>
+                  Right(Some(us))
+                case (Some(us), DateType) =>
+                  Right(Some(us / 86400000000L.toDouble)) // days
+                case (Some(_), other) => Left(
+                  s"interval tolerance needs a timestamp/date ts column, " +
+                    s"got $other")
+                case (None, _) => (e.eval(), e.dataType) match {
+                  case (n: Number, _: NumericType) =>
+                    if (lTsType.isInstanceOf[NumericType])
+                      Right(Some(n.doubleValue()))
+                    else Left(s"numeric tolerance needs a numeric ts " +
+                      s"column, got $lTsType")
+                  case (d: org.apache.spark.sql.types.Decimal, _) =>
+                    Right(Some(d.toDouble))
+                  case (v, t) => Left(
+                    s"unsupported tolerance $v of type $t (interval or numeric)")
+                }
+              }
+            }
+          }
+        }
+    }
   }
 
   /** A ts value that can participate in an as-of predicate: non-NULL,

@@ -33,7 +33,7 @@ class AsofMergeSpec extends SparkSpec {
         (key(5), maybeTs(40), rnd.nextInt(4))).toDF("k", "rts", "rv")
       for (dir <- Seq("backward", "forward", "nearest");
            tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(5L)))) {
-        val base = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+        val base = Joins.asOfJoinWindow(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
         val merge = Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_",
           dir, tol)
         merge.columns.toSeq shouldBe base.columns.toSeq
@@ -62,7 +62,7 @@ class AsofMergeSpec extends SparkSpec {
     for (dir <- Seq("backward", "forward", "nearest");
          tol <- Seq(Option.empty[org.apache.spark.sql.Column],
            Some(expr("INTERVAL '3600' SECOND")))) {
-      val base = Joins.asOfJoin(trades, quotes, Seq("key"), "tts", "qts",
+      val base = Joins.asOfJoinWindow(trades, quotes, Seq("key"), "tts", "qts",
         "q_", dir, tol)
       val merge = Joins.asOfJoinMerge(trades, quotes, Seq("key"), "tts",
         "qts", "q_", dir, tol)
@@ -147,7 +147,7 @@ class AsofMergeSpec extends SparkSpec {
       rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, rnd.nextInt(5)))
       .toDF("k1", "k2", "rts", "rv")
       .repartition(5, col("k2"), col("k1")) // reordered keys, other count
-    val base = Joins.asOfJoin(l, r, Seq("k1", "k2"), "lts", "rts", "r_")
+    val base = Joins.asOfJoinWindow(l, r, Seq("k1", "k2"), "lts", "rts", "r_")
     val merge = Joins.asOfJoinMerge(l, r, Seq("k1", "k2"), "lts", "rts", "r_")
     val ord = base.columns.map(col).toIndexedSeq
     merge.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
@@ -169,6 +169,36 @@ class AsofMergeSpec extends SparkSpec {
       Joins.asOfJoinMerge(ls, r, Seq("k"), "lts", "rts") // string ts column
   }
 
+  test("asOfJoin front door DISPATCHES to the merge plan when the ts " +
+    "types qualify, and falls back to the window plan for string ts " +
+    "columns and computed tolerances — never an error") {
+    val l = Seq((1L, 10L, "x"), (1L, 30L, "y")).toDF("k", "lts", "lv")
+    val r = Seq((1L, 5L, 9), (1L, 25L, 7)).toDF("k", "rts", "rv")
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // numeric ts, literal tolerance: the custom merge node
+    val merged = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_",
+      tolerance = Some(lit(100L)))
+    finalPlan(merged) should include ("AsofJoin")
+    // string ts: orderable but not mergeable — window fallback
+    val ls = Seq((1L, "2024-01-02", "x")).toDF("k", "lts", "lv")
+    val rs = Seq((1L, "2024-01-01", 9)).toDF("k", "rts", "rv")
+    val viaString = Joins.asOfJoin(ls, rs, Seq("k"), "lts", "rts", "r_")
+    val sPlan = finalPlan(viaString)
+    sPlan should not include "AsofJoin"
+    sPlan should include ("Window")
+    viaString.collect().map(r => (r.getLong(0), r.getInt(4))) shouldBe
+      Array((1L, 9))
+    // computed (column-dependent) tolerance: window fallback, and the
+    // per-row bound is honored
+    val computed = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_",
+      tolerance = Some(col("lts")))
+    finalPlan(computed) should not include "AsofJoin"
+    computed.collect().length shouldBe 2
+  }
+
   test("NaN double timestamps behave exactly like NULL in BOTH " +
     "implementations: a NaN left ts yields a null match, a NaN right ts " +
     "is never a candidate — and the two plans stay row-identical") {
@@ -183,7 +213,7 @@ class AsofMergeSpec extends SparkSpec {
     ).toDF("k", "rts", "rv")
     for (dir <- Seq("backward", "forward", "nearest");
          tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(100.0)))) {
-      val base = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+      val base = Joins.asOfJoinWindow(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
       val merge = Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_",
         dir, tol)
       val ord = base.columns.map(col).toIndexedSeq
