@@ -617,6 +617,18 @@ object Queries {
       events(s, dir).select(col("user_id"), col("ts")),
       Seq("user_id"), "ts", gapSec = 1800L, Joins.timeBuckets(3600L)))
 
+  /** `sessionize` through the STATS-GATED auto dispatcher
+    * ([[graft.operators.Skew.sessionizeAuto]]): one Misra-Gries pass
+    * estimates the dominant key's share and picks plain-vs-bucketed at
+    * the measured asof_skew crossover (plain at <=10% share, bucketed at
+    * 40% -- SCALEPROBE `skew_autostrategy` records chosen == best at
+    * every probe point, decision cost included). Contract-identical
+    * output -- shared oracle; the gate is purely a plan choice. */
+  private def sessionizeAutoQ(s: SparkSession, dir: String): DataFrame =
+    sessionReport(graft.operators.Skew.sessionizeAuto(
+      events(s, dir).select(col("user_id"), col("ts")),
+      Seq("user_id"), "ts", gapSec = 1800L, Joins.timeBuckets(3600L)))
+
   /** Cohort retention: users grouped by signup week, counted as active in
     * each later week they produced any event — the (cohort_week,
     * week_offset) retention matrix. Weeks are Monday-truncated in both
@@ -2429,6 +2441,7 @@ object Queries {
     "retention" -> retentionQ _,
     "sessionize" -> sessionizeQ _,
     "sessionize_bucketed" -> sessionizeBucketedQ _,
+    "sessionize_auto" -> sessionizeAutoQ _,
     "histogram" -> histogramQ _,
     "asof_forward" -> asofForward _,
     "asof_nearest" -> asofNearest _,
@@ -3943,6 +3956,7 @@ object Queries {
     // the bucketed plan is contract-identical to the plain window — the
     // oracle is shared verbatim (SessionsSpec property-pins row equality)
     "sessionize_bucketed" -> sessionizeOracle,
+    "sessionize_auto" -> sessionizeOracle,
     // Monday-truncated weeks both engines; offsets = exact epoch division
     "retention" ->
       """WITH ev AS (

@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,asof_merge_scale,asof_enrich_stream,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1072,6 +1072,68 @@ object ScaleProbe {
     writeArtifact("asof_skew", skEntry)
     }
 
+    if (probes("skew_autostrategy")) {
+    // The stats-gated plain-vs-bucketed dispatch (Skew.pickWindowStrategy)
+    // at the asof_skew probe points: the sampled dominant-key share must
+    // pick the MEASURED-best plan at every distribution, and the sample
+    // pass must cost a vanishing fraction of the window it gates. Walls
+    // are re-measured live (sessionize, the family's purest shape) so
+    // "best" is this run's ground truth, not a stale artifact's.
+    val ev0a = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val evScaledA = (0 until scale).map { i =>
+      ev0a.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"), col("ts"))
+    }.reduce(_ unionByName _)
+    def persistedA(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_skas_$name")
+        .resolve("events.parquet").toString
+      df.repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def wallA(f: => Long): Double =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    val rowsA = evScaledA.count()
+    val pointEntries = Seq(0, 1, 4).map { tenths =>
+      val ev = persistedA(
+        if (tenths == 0) evScaledA
+        else evScaledA.withColumn("user_id",
+          when(pmod(col("event_id"), lit(10)) < tenths, lit(1L))
+            .otherwise(col("user_id"))), s"t$tenths")
+      val input = ev.select(col("user_id"), col("ts"))
+      val t0 = System.nanoTime()
+      val share = graft.operators.Skew.dominantKeyShare(input, Seq("user_id"))
+      val decisionSec = (System.nanoTime() - t0) / 1e9
+      val chosen = if (share >= graft.operators.Skew.HotKeyShareThreshold)
+        "bucketed" else "plain"
+      def sessions(bucketed: Boolean): Long = {
+        val out =
+          if (bucketed) graft.operators.Sessions.sessionizeBucketed(input,
+            Seq("user_id"), "ts", 1800L, Joins.timeBuckets(3600L))
+          else graft.operators.Sessions.sessionize(input, Seq("user_id"),
+            "ts", 1800L)
+        out.groupBy("user_id", "session_no").agg(count(lit(1))).count()
+      }
+      val plainSec = wallA(sessions(bucketed = false))
+      val buckSec = wallA(sessions(bucketed = true))
+      val best = if (buckSec < plainSec) "bucketed" else "plain"
+      s""""${tenths * 10}pct":{"sampled_share":$share,""" +
+        s""""decision_sec":$decisionSec,"chosen":"$chosen",""" +
+        s""""plain_sec":$plainSec,"bucketed_sec":$buckSec,""" +
+        s""""best":"$best","chosen_eq_best":${chosen == best},""" +
+        s""""decision_cost_vs_gated_window":${decisionSec / plainSec}}"""
+    }
+    val skaEntry = s"""{"scale":$scale,"rows":$rowsA,"passes":$passes,""" +
+      s""""threshold":${graft.operators.Skew.HotKeyShareThreshold},""" +
+      s""""points":{${pointEntries.mkString(",")}},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"skew_autostrategy",${skaEntry.tail}""")
+    writeArtifact("skew_autostrategy", skaEntry)
+    }
+
     if (probes("snapshot_cluster")) {
     // The clusterBy data-layout claim: a store whose files are sorted by a
     // column turns a pushed range predicate on it into parquet row-group/
@@ -1297,6 +1359,112 @@ object ScaleProbe {
       s""""batch_wall_sec":$batchWall,"sf":"$sfDir"}"""
     println(s"""{"probe":"asof_enrich_stream",${aesEntry.tail}""")
     writeArtifact("asof_enrich_stream", aesEntry)
+    }
+
+    if (probes("sessionize_stream")) {
+    // Streaming gap-sessionization under the asof_enrich_stream replay
+    // harness: the scaled event corpus as time-ordered file slices,
+    // many micro-batches (state churns: pending rows flush as the
+    // watermark advances, cursors persist), numbering parity with the
+    // batch Sessions.sessionize required before the wall is trusted —
+    // checked as (row count, Σ session_no, Σ session_no², Σ
+    // user·session_no), which pins the per-row numbers without
+    // collecting the corpus. max_state_rows makes the boundedness claim
+    // measurable: cursors are one tiny row per SEEN key plus the
+    // pending horizon, never the corpus.
+    import graft.streaming.StreamOps
+    val ev0ss = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val evSS = (0 until scale).map { i =>
+      ev0ss.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"), col("ts"))
+    }.reduce(_ unionByName _)
+    val baseSS = java.nio.file.Files.createTempDirectory("graft_sss")
+    val dirSS = s"$baseSS/ev"
+    val slicesSS = 24
+    val slicedSS = evSS.withColumn("__s",
+      ntile(slicesSS).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts")))).persist()
+    try (1 to slicesSS).foreach { s =>
+      slicedSS.filter(col("__s") === s).drop("__s")
+        .coalesce(1).write.mode("append").parquet(dirSS)
+    } finally slicedSS.unpersist()
+    val ssSchema = spark.read.parquet(dirSS).schema
+    val nEv = evSS.count()
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      (0L, 0L, 0L, 0L))
+    val maxStateSS = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listenerSS = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val rows = e.progress.stateOperators.headOption
+          .map(_.numRowsTotal).getOrElse(0L)
+        maxStateSS.getAndUpdate(m => math.max(m, rows))
+        ()
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listenerSS)
+    val tSS0 = System.nanoTime()
+    val qSS = StreamOps.sessionizeStream(
+        spark.readStream.schema(ssSchema)
+          .option("maxFilesPerTrigger", "2").parquet(dirSS),
+        Seq("user_id"), "ts", gapSec = 1800L, delay = "1 hour")
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = df.filter(col("event_id") < lit(900000000000L))
+            .agg(count(lit(1)), sum(col("session_no")),
+              sum(col("session_no") * col("session_no")),
+              sum(col("user_id") * col("session_no"))).head()
+          def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+          acc.getAndUpdate { case (a, b, c, d) =>
+            (a + g(0), b + g(1), c + g(2), d + g(3)) }
+          ()
+      }.start()
+    try {
+      qSS.processAllAvailable()
+      // far-future sentinel flushes every pending row, twice so the
+      // timeout batch runs after the watermark moves
+      (1 to 2).foreach { k =>
+        evSS.limit(1).select(lit(900000000000L + k).as("event_id"),
+            lit(999L).as("user_id"),
+            (col("ts") + expr(s"INTERVAL '${399 + k}' DAY")).as("ts"))
+          .coalesce(1).write.mode("append").parquet(dirSS)
+        qSS.processAllAvailable()
+      }
+    } finally {
+      qSS.stop()
+      spark.streams.removeListener(listenerSS)
+    }
+    val streamWallSS = (System.nanoTime() - tSS0) / 1e9
+    val batchWallSS = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      graft.operators.Sessions.sessionize(evSS, Seq("user_id"), "ts", 1800L)
+        .agg(count(lit(1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val bAgg = graft.operators.Sessions.sessionize(evSS, Seq("user_id"),
+        "ts", 1800L)
+      .agg(count(lit(1)), sum(col("session_no")),
+        sum(col("session_no") * col("session_no")),
+        sum(col("user_id") * col("session_no"))).head()
+    val want = (bAgg.getLong(0), bAgg.getLong(1), bAgg.getLong(2),
+      bAgg.getLong(3))
+    require(acc.get() == want,
+      s"streaming sessionization diverged from batch: ${acc.get()} vs $want")
+    val sssEntry = s"""{"scale":$scale,"rows":$nEv,""" +
+      s""""slices":$slicesSS,"stream_wall_sec":$streamWallSS,""" +
+      s""""stream_rows_per_sec":${(nEv / streamWallSS).toLong},""" +
+      s""""max_state_rows":${maxStateSS.get()},""" +
+      s""""batch_wall_sec":$batchWallSS,""" +
+      s""""parity":"count+sum+sumsq+keyweighted all equal",""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"sessionize_stream",${sssEntry.tail}""")
+    writeArtifact("sessionize_stream", sssEntry)
     }
 
     if (probes("zorder_cluster")) {

@@ -54,6 +54,8 @@ object api {
   val Dedup = operators.Dedup
   val Similarity = operators.Similarity
   val Joins = operators.Joins
+  val Sessions = operators.Sessions
+  val Skew = operators.Skew
   val Multimodal = operators.Multimodal
   val Selection = operators.Selection
   val CorpusStats = operators.CorpusStats

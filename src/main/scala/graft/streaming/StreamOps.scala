@@ -880,6 +880,116 @@ object StreamOps {
       .unionByName(noTime)
   }
 
+  /** State for [[sessionizeStream]]: the numbering cursor (last finalized
+    * distinct event-time, last session ordinal) plus the watermark-bounded
+    * buffer of rows not yet finalizable. Values as bare external arrays
+    * (the [[AsofEnrichState]] rationale). Public only for the
+    * serialization encoder — not API. */
+  case class SessionizeStreamState(
+      lastTs: Long, lastNo: Long,
+      pending: List[(Long, Array[Any])]) extends Serializable
+
+  /** STREAMING gap-sessionization — [[graft.operators.Sessions.sessionize]]
+    * between micro-batches: append `session_no` (1-based per key; a new
+    * session starts at the key's first event and at every event whose gap
+    * from the previous DISTINCT timestamp exceeds `gapSec`), with rows
+    * finalizable only once the watermark passes their timestamp — an
+    * event's number depends on every earlier event of its key, so a row
+    * at `ts` is held until `watermark > ts`, at which point anything that
+    * could precede it has arrived or is late. Emitted rows match the
+    * batch operator row-for-row across any batch split and within-horizon
+    * disorder (property-pinned in `StreamSessionSpec`); ties at one
+    * timestamp share a session; NULL-ts rows pass through with a NULL
+    * `session_no` and touch no state (both batch rules).
+    *
+    * STATE per key: two longs (the numbering cursor) plus the pending
+    * rows inside the watermark horizon — the same bound as every
+    * stateful operator here. The CURSOR must outlive the horizon (the
+    * next session's ordinal is a function of all history), so idle keys
+    * keep their two longs; `idleTtlMs > 0` bounds that too by evicting
+    * keys idle past the TTL (event-time, measured against the
+    * watermark) — a key returning AFTER eviction restarts at session 1,
+    * the documented trade for hard-bounded state over unbounded key
+    * churn (the [[dedupeKeysWithTTLEventTime]] re-admission shape). Late
+    * rows beyond `delay` are dropped by the engine (standard policy).
+    * The watermark is applied HERE; pass the raw stream. */
+  def sessionizeStream(stream: DataFrame, keyCols: Seq[String],
+                       tsCol: String, gapSec: Long, delay: String,
+                       idleTtlMs: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keyCols.nonEmpty, "at least one key column")
+    require(gapSec >= 0, s"gapSec must be >= 0, got $gapSec")
+    require(idleTtlMs >= 0, "idleTtlMs must be non-negative (0 = keep cursors)")
+    val inSchema = stream.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("session_no", LongType, nullable = true))
+    val ts = col(tsCol).cast("timestamp")
+    val inCols = stream.columns.toSeq
+    // no parseable event time = no position on the timeline: NULL
+    // session_no, no state (batch parity)
+    val noTime = stream.filter(ts.isNull)
+      .select(inCols.map(col) :+ lit(null).cast("long").as("session_no"): _*)
+    val tagged = stream.filter(ts.isNotNull)
+      .select(nullSafeKey(stream, keyCols).as("_1"), ts.as("_2"),
+        struct(inCols.map(col): _*).as("_3"))
+      .withWatermark("_2", delay)
+      .as(Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.row(inSchema)))
+    val gapUs = gapSec * 1000000L
+    val ttlUs = idleTtlMs * 1000L
+    tagged.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[SessionizeStreamState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String,
+         rows: Iterator[(String, java.sql.Timestamp, Row)],
+         state: GroupState[SessionizeStreamState]) =>
+          val prior = if (state.exists) state.get
+            else SessionizeStreamState(Long.MinValue, 0L, Nil)
+          var pending = prior.pending
+          rows.foreach { case (_, t, r) =>
+            pending ::= ((tsMicros(t), r.toSeq.toArray))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
+          // STRICT <: a row admitted at ts == wm could still gain
+          // same-or-earlier-ts company (the asofEnrich boundary rule)
+          val (ready, held) = pending.partition(_._1 < wmMicros)
+          var lastTs = prior.lastTs
+          var lastNo = prior.lastNo
+          // the FIRST row of an equal-ts run decides (gap from the
+          // previous distinct ts); followers share its number because
+          // their gap from the updated cursor is 0 <= gapUs — ties share
+          // a session, the batch rule
+          val out = ready.sortBy(_._1).map { case (m, values) =>
+            if (lastTs == Long.MinValue || m - lastTs > gapUs) lastNo += 1
+            if (m != lastTs) lastTs = m
+            Row.fromSeq(values.toSeq :+ lastNo)
+          }
+          val idleExpired = ttlUs > 0L && held.isEmpty &&
+            lastTs != Long.MinValue && wmMicros - lastTs > ttlUs
+          if (idleExpired) state.remove()
+          else {
+            state.update(SessionizeStreamState(lastTs, lastNo, held))
+            // wake when the earliest held row becomes finalizable, else
+            // (cursor-only state) at the idle-TTL eviction point
+            val target: Option[Long] =
+              if (held.nonEmpty)
+                Some(held.iterator.map(_._1).min / 1000L + 1L)
+              else if (ttlUs > 0L && lastTs != Long.MinValue)
+                Some((lastTs + ttlUs) / 1000L + 1L)
+              else None
+            target.foreach(ms =>
+              state.setTimeoutTimestamp(math.max(wmMs + 1L, ms)))
+          }
+          out.iterator
+      }(Encoders.javaSerialization(classOf[SessionizeStreamState]),
+        Encoders.row(outSchema))
+      .toDF()
+      .unionByName(noTime)
+  }
+
   /** Micro-batch upsert sink: apply each epoch as a merge into a snapshot
     * maintained by `applyBatch` — the reference's buffer-flush-per-epoch
     * contract (`writers.py:70-72,88-95`) expressed as `foreachBatch`.
