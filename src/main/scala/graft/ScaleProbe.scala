@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1552,6 +1552,103 @@ object ScaleProbe {
       s""""scans":{${predEntries.mkString(",")}},"sf":"$sfDir"}"""
     println(s"""{"probe":"zorder_cluster",${zEntry.tail}""")
     writeArtifact("zorder_cluster", zEntry)
+    }
+
+    if (probes("zorder_drift")) {
+    // The frozen-model drift story made measurable: a z-ordered store
+    // whose later appends DRIFT out of the fitted range loses pruning on
+    // the drifted dimension (all new rows rank into the top bucket, so
+    // the interleave degenerates to the other dimensions' ordering
+    // within the new mass), while a REFIT store (fresh fit on the full
+    // data) keeps it. The probe builds frozen / refit / unclustered
+    // stores over identical rows, scans a 1% slice INSIDE the drifted
+    // mass (where decay bites) and a 1% slice on the undrifted
+    // dimension (which the frozen store must still serve), and records
+    // Layout.zOrderDriftStats' balance signal next to the measured
+    // walls — the refit threshold becomes a read-off: the dimension
+    // whose balance exploded is the one whose slices stopped pruning.
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    import graft.operators.Layout
+    val evD = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("value"))
+    val corpusA = (0 until scale).map { i =>
+      evD.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("user_id").cast("double").as("user_id"),
+        col("value"),
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"d$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    // drifted twin: same user distribution, values shifted far beyond
+    // the fitted range (a regime change, the refit rationale)
+    val driftOff = 1.0e6
+    val corpusB = corpusA.select(
+      (col("event_id") + lit(scale.toLong * 100000000L)).as("event_id"),
+      col("user_id"), (col("value") + lit(driftOff)).as("value"),
+      col("payload"))
+    val dCfg = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val hcD = spark.sparkContext.hadoopConfiguration
+    val prevBlockD = hcD.get("parquet.block.size")
+    hcD.setInt("parquet.block.size", 1 << 20)
+    def mkRootD(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_zd_$tag").resolve("store").toString
+    val (rootF, rootR, rootUD) = (mkRootD("f"), mkRootD("r"), mkRootD("u"))
+    try {
+      Layout.zOrderUpsert(spark, rootF, corpusA, Seq("value", "user_id"),
+        dCfg, nBuckets = 8, buckets = 256)
+      Layout.zOrderUpsert(spark, rootF, corpusB, Seq("value", "user_id"),
+        dCfg) // frozen model ranks the drifted batch
+      Layout.zOrderUpsert(spark, rootR, corpusA.unionByName(corpusB),
+        Seq("value", "user_id"), dCfg, nBuckets = 8, buckets = 256)
+      SnapshotStore.upsert(spark, rootUD, corpusA.unionByName(corpusB),
+        dCfg, nBuckets = 8)
+      Seq(rootF, rootR, rootUD).foreach(r =>
+        SnapshotStore.compact(spark, r, maxFilesPerBucket = 1))
+    } finally {
+      if (prevBlockD == null) hcD.unset("parquet.block.size")
+      else hcD.set("parquet.block.size", prevBlockD)
+    }
+    val qvB = corpusB.stat.approxQuantile("value", Array(0.01), 0.0005)
+    val vBLo = corpusB.agg(min(col("value"))).head().getDouble(0)
+    val quD = corpusA.stat.approxQuantile("user_id", Array(0.01), 0.0005)
+    val uDLo = corpusA.agg(min(col("user_id"))).head().getDouble(0)
+    val predsD: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "drifted_value_1pct" -> (col("value") >= vBLo && col("value") < qvB(0)),
+      "user_1pct" -> (col("user_id") >= uDLo && col("user_id") < quD(0)))
+    def scanD(root: String, pred: org.apache.spark.sql.Column): Double = {
+      val store = SnapshotStore.read(spark, root).get.filter(pred)
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        store.agg(count(col("event_id")), sum(length(col("payload")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val scanEntriesD = predsD.map { case (name, pred) =>
+      val counts = Seq(rootF, rootR, rootUD).map(r =>
+        SnapshotStore.read(spark, r).get.filter(pred).count())
+      require(counts.distinct.size == 1, s"stores disagree on $name: $counts")
+      val (f, r2, u) =
+        (scanD(rootF, pred), scanD(rootR, pred), scanD(rootUD, pred))
+      s""""$name":{"rows":${counts.head},"frozen_sec":$f,""" +
+        s""""refit_sec":$r2,"unclustered_sec":$u,""" +
+        s""""frozen_speedup_vs_unclustered":${if (f > 0) u / f else -1.0},""" +
+        s""""refit_speedup_vs_frozen":${if (r2 > 0) f / r2 else -1.0}}"""
+    }
+    def balances(root: String): Map[String, Double] =
+      Layout.zOrderDriftStats(spark, root).collect()
+        .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val bF = balances(rootF)
+    val bR = balances(rootR)
+    val zdEntry = s"""{"scale":$scale,""" +
+      s""""rows":${corpusA.count() * 2},"passes":$passes,""" +
+      s""""frozen_balance":{"value":${bF("value")},"user_id":${bF("user_id")}},""" +
+      s""""refit_balance":{"value":${bR("value")},"user_id":${bR("user_id")}},""" +
+      s""""scans":{${scanEntriesD.mkString(",")}},""" +
+      s""""signal_flags_drift":${bF("value") > 4.0 && bR("value") < 4.0},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"zorder_drift",${zdEntry.tail}""")
+    writeArtifact("zorder_drift", zdEntry)
     }
 
     if (probes("asof_merge_scale")) {

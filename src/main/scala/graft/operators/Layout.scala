@@ -94,6 +94,55 @@ object Layout {
   def zOrderModel(spark: SparkSession, root: String): Option[ZOrderModel] =
     SnapshotStore.getProperty(spark, root, ModelProp).map(ZOrderModel.parse)
 
+  /** Occupancy-skew report for a z-ordered store's FROZEN model — the
+    * drift instrument the frozen-cuts design calls for. One scan of the
+    * store ranks every row against the persisted cut points per
+    * dimension (single-dimension [[ZValueExpr]] = the bucket rank
+    * itself) and reports, per dimension:
+    *
+    *  - `buckets` (the model's potential bucket count = cuts+1),
+    *    `occupied` (ranks actually holding rows), `rows`;
+    *  - `max_share` — the hottest rank's row fraction;
+    *  - `balance` = max_share × buckets: ≈1 means the equi-depth fit
+    *    still spreads the dimension (each rank ~its fair share, the
+    *    state a fresh fit starts in); growing balance means new data is
+    *    concentrating into few ranks, the interleave is losing
+    *    resolution on that dimension, and range pruning decays toward a
+    *    layout sorted only by the OTHER dimensions.
+    *
+    * REFIT RULE (measured, SCALEPROBE `zorder_drift`): drift degrades
+    * pruning GRADUALLY, never correctness — schedule a refit-rewrite
+    * (read + [[zOrderUpsert]] into a fresh root) when a dimension's
+    * `balance` has grown to several times its post-fit value; the probe
+    * records the balance signal alongside the measured scan decay so
+    * the threshold is a read-off, not a guess. Cost: one column-pruned
+    * scan + a bounded aggregation (≤ buckets rows per dimension). */
+  def zOrderDriftStats(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val model = zOrderModel(spark, root).getOrElse(throw
+      new IllegalArgumentException(s"store at $root has no z-order model"))
+    val df = SnapshotStore.read(spark, root).getOrElse(throw
+      new IllegalArgumentException(s"store at $root has no committed data"))
+    val dims = model.cols.indices.map { i =>
+      struct(lit(model.cols(i)).as("zcol"),
+        ZValueExpr(Seq(col(model.cols(i)).cast("double")),
+          Seq(model.cuts(i))).as("bucket"))
+    }
+    val sizes = model.cols.zip(model.cuts).map { case (c, cuts) =>
+      (c, cuts.length + 1)
+    }.toDF("zcol", "buckets")
+    df.select(explode(array(dims: _*)).as("d"))
+      .select(col("d.zcol").as("zcol"), col("d.bucket").as("bucket"))
+      .groupBy("zcol", "bucket").agg(count(lit(1)).as("__n"))
+      .groupBy("zcol").agg(count(lit(1)).as("occupied"),
+        sum(col("__n")).as("rows"),
+        (max(col("__n")) / sum(col("__n"))).as("max_share"))
+      .join(broadcast(sizes), Seq("zcol"))
+      .select(col("zcol"), col("buckets"), col("occupied"), col("rows"),
+        col("max_share"), (col("max_share") * col("buckets")).as("balance"))
+      .orderBy("zcol")
+  }
+
   /** [[SnapshotStore.upsert]] with Z-ORDER layout on `cols`: at store
     * creation fits the model from the first batch, persists it, and
     * creates the store with `clusterBy = Seq("__zorder")`; later calls

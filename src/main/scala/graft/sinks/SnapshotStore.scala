@@ -416,6 +416,17 @@ object SnapshotStore {
     * row-identical (clustering is physical layout only). A multi-task
     * upsert leaves overlapping ranges across a bucket's files;
     * [[compact]] re-sorts each bucket into one fully-sorted file.
+    *
+    * BREAK-EVEN (measured, SCALEPROBE `snapshot_cluster`, 5M rows,
+    * local[32]): the clustered write costs ~1.6× the unclustered one,
+    * and scans pay off only when predicates are SELECTIVE on the
+    * cluster column — ~1.6× faster at 1% selectivity, parity at 10%
+    * and at full scans. Cluster a store its consumers will slice
+    * narrowly and repeatedly; do NOT cluster one that is scanned wide —
+    * you pay the write premium on every upsert and win nothing back.
+    * (Local page-cached numbers understate the 1%-slice win at
+    * storage-bandwidth-bound scale, but the shape — narrow slices pay,
+    * wide scans don't — is the decision rule.)
     */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
              cfg: UpsertConfig = UpsertConfig(),

@@ -178,6 +178,38 @@ class LayoutSpec extends SparkSpec {
     SnapshotStore.currentVersion(spark, root) shouldBe None
   }
 
+  test("zOrderDriftStats: a fresh fit reports near-uniform occupancy " +
+    "(balance ~1); a drifted append concentrates ranks and the balance " +
+    "signal grows — the refit-rewrite trigger") {
+    val rnd = new scala.util.Random(31)
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val root = tempRoot("graft_zdrift")
+    val b1 = (0 until 4000).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b1, Seq("x", "y"), cfg, buckets = 64)
+    val before = Layout.zOrderDriftStats(spark, root)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    before.keySet shouldBe Set("x", "y")
+    // equi-depth fit on its own data: every rank holds ~its fair share
+    before.values.foreach(_ should be < 2.5)
+    // drifted append: x values far beyond the fitted range all land in
+    // the TOP rank — the dimension loses interleave resolution
+    val b2 = (4000 until 12000).map(i =>
+      (i, 1e6 + rnd.nextDouble(), rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b2, Seq("x", "y"), cfg)
+    val after = Layout.zOrderDriftStats(spark, root)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    // x is now dominated by one rank (2/3 of rows in bucket 63):
+    // balance -> ~0.67 * 64; y stayed in-distribution
+    after("x") should be > 10.0
+    after("x") should be > before("x") * 4
+    after("y") should be < 2.5
+    // a store without a model fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrderDriftStats(spark, tempRoot("graft_zdnone"))
+  }
+
   test("an all-NULL z-order dimension in the fitting batch fails BEFORE " +
     "the model is persisted — an empty cut array would poison the root " +
     "for every later zOrderUpsert — and the root stays usable") {
