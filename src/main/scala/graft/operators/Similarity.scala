@@ -1089,6 +1089,35 @@ object Similarity {
       spark.catalog.refreshByPath(s"$path/$d"))
   }
 
+  /** Extend a persisted flat-PQ index in place: new rows are encoded
+    * with the STANDING codebooks and their vectors land in their
+    * id-buckets under the PERSISTED bucket count — append-only part
+    * files into both relations, with [[ivfPqAppend]]'s
+    * prefix-visibility contract (a concurrent probe sees a consistent
+    * smaller index, never torn metadata). Refuses a fenced index. What
+    * drifts under a shifted distribution is codebook FIT quality (ADC
+    * shortlist error, hence recall), never the exact re-rank's scores —
+    * rebuild ([[pqBuild]]) when recall calibration says so, the IVF
+    * family's maintenance rationale. */
+  def pqAppend(newRows: DataFrame, vecCol: String, idCol: String,
+               path: String): Unit = {
+    val spark = newRows.sparkSession
+    requireNotRebuilding(spark, path)
+    val model = loadPqModel(spark, path)
+    val buckets = spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
+    pqEncode(newRows.select(col(idCol), col(vecCol)), vecCol, model)
+      .drop(vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+    newRows.select(col(idCol), col(vecCol))
+      .withColumn("__vb", pmod(xxhash64(col(idCol).cast("long")),
+        lit(buckets.toLong)).cast("int"))
+      .repartition(col("__vb"))
+      .sortWithinPartitions(col("__vb"), col(idCol))
+      .write.mode("append").partitionBy("__vb").parquet(s"$path/vectors")
+    Seq("codes", "vectors").foreach(d =>
+      spark.catalog.refreshByPath(s"$path/$d"))
+  }
+
   /** Shortlist + touched-bucket set for a [[pqBuild]] index: the ADC
     * codes-only scan ranks a `shortlistK` shortlist per query, and the
     * shortlist ids hash (with the PERSISTED bucket count) to the vector

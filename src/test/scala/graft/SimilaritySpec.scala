@@ -596,6 +596,44 @@ class SimilaritySpec extends SparkSpec {
         "query_id", k = 5)
   }
 
+  test("pqAppend extends a persisted flat-PQ index with the standing " +
+    "codebooks and bucket count: exhaustive-shortlist results on the " +
+    "union equal brute force, appended vectors land in the standing " +
+    "bucket space, and the fence refuses the append") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" >= 5 && $"vec_id" % 3 =!= 0)
+      .select("vec_id", "embedding")
+    val extra = emb.filter($"vec_id" >= 5 && $"vec_id" % 3 === 0)
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pqapp").toString
+    Similarity.pqBuild(base, "embedding", "vec_id", path, m = 16,
+      ksub = 16, idBuckets = 64)
+    Similarity.pqAppend(extra, "embedding", "vec_id", path)
+    // every row accounted for in both relations; buckets stay in range
+    spark.read.parquet(s"$path/codes").count() shouldBe
+      (base.count() + extra.count())
+    val vb = spark.read.parquet(s"$path/vectors")
+    vb.count() shouldBe (base.count() + extra.count())
+    vb.agg(org.apache.spark.sql.functions.max("__vb")).head.getInt(0) should be < 64
+    // exhaustive shortlist: the index over base ∪ extra reproduces brute
+    // force exactly (the shortlist covers everything, re-rank is exact)
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.pqProbeTopK(spark, path, qs, "embedding",
+        "vec_id", "query_id", k = 5, shortlistFactor = 128)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(base.unionByName(extra), qs,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    got shouldBe want
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".rebuilding"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.pqAppend(extra, "embedding", "vec_id", path)
+  }
+
   test("pq top-k excludes zero vectors and fails fast on a non-divisible " +
     "subspace split") {
     val zc = corpus.unionByName(
