@@ -1699,7 +1699,10 @@ object ScaleProbe {
       val joined =
         if (merge) Joins.asOfJoinMerge(p, c, Seq("user_id"), "ts",
           "click_ts", direction = dir)
-        else Joins.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts",
+        // the WINDOW form explicitly: the default dispatcher now routes
+        // mergeable shapes to the merge node, so `asOfJoin` here would
+        // time merge-vs-merge
+        else Joins.asOfJoinWindow(p, c, Seq("user_id"), "ts", "click_ts",
           direction = dir)
       joined.agg(count(col("click_id"))).head().getLong(0)
     }
@@ -1718,6 +1721,16 @@ object ScaleProbe {
       s""""$d":{"window_sec":$w,"merge_sec":$m,""" +
         s""""merge_speedup":${if (m > 0) w / m else -1.0}}"""
     }
+    // fixture-scale point (the bench corpus itself, no replication):
+    // evidence that the default-dispatch decision needs no small-size
+    // gate — the merge wins here too once the payload is actually read
+    val fixtureEntry = {
+      val ev = graft.sources.Tables.withEventTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      val (w, m) = pair(ev, "backward")
+      s""""fixture":{"rows":${ev.count()},"window_sec":$w,"merge_sec":$m,""" +
+        s""""merge_speedup":${if (m > 0) w / m else -1.0}}"""
+    }
     val hotEntries = Seq(1, 4).map { tenths =>
       val hot = hotAt(tenths)
       val (w, m) = pair(hot, "backward")
@@ -1727,6 +1740,7 @@ object ScaleProbe {
     val amEntry = s"""{"scale":$scale,"rows":$rows,"passes":$passes,""" +
       s""""uniform":{${dirEntries.mkString(",")}},""" +
       s""""hot":{${hotEntries.mkString(",")}},""" +
+      s"""$fixtureEntry,""" +
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"asof_merge_scale",${amEntry.tail}""")
     writeArtifact("asof_merge_scale", amEntry)

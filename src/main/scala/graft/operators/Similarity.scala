@@ -1056,8 +1056,10 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(idBuckets >= 0, "idBuckets must be non-negative (0 = auto)")
-    val n = corpus.count()
-    val buckets = if (idBuckets > 0) idBuckets else autoIdBuckets(n)
+    // the corpus count exists only to size auto-buckets — an explicit
+    // idBuckets must not pay a full corpus scan for it
+    val buckets =
+      if (idBuckets > 0) idBuckets else autoIdBuckets(corpus.count())
     val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
