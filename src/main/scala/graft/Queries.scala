@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{ServiceRegistry, Graph => GGraph}
 import graft.operators.{CorpusStats, Dedup, Joins, Multimodal, Packing, Selection, Sessions, Similarity}
-import graft.sinks.{InsertOrUpdate, UpsertConfig}
+import graft.sinks.{InsertOrUpdate, SnapshotStore, UpsertConfig}
 import graft.sources.{ParquetCatalog, Select, Tables}
 import graft.streaming.EventWindows
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
@@ -74,6 +74,30 @@ object Queries {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
         unix_timestamp(col("created_at")).as("created_at_s"),
         unix_timestamp(col("updated_at")).as("updated_at_s"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Change-data feed between two committed [[SnapshotStore]] versions:
+    * the same deterministic upsert fixture as `upsert_merge`, committed as
+    * two snapshots (v0 = the target rows, v1 = the update batch merged
+    * in), then `SnapshotStore.changes(0, 1)` — the NET row diff, read
+    * bucket-pruned from the manifest diff, classified insert/update per
+    * discriminant key. The oracle rebuilds the expected feed from the
+    * `orders` fixture directly: every even orderkey is in the update
+    * batch; those absent from the v0 target (`%3 == 0`) classify insert,
+    * the rest update; post-image values come from the batch. Rows the
+    * bucket rewrite carried along unchanged (odd keys sharing a rewritten
+    * bucket) must NOT appear — that the feed is exactly the even keys IS
+    * the assertion that carried-along rows diff out. */
+  private def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    val (target, updates, cfg) = upsertParts(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q_cdf").toString
+    SnapshotStore.upsert(s, root, target, cfg)  // snapshot=0
+    SnapshotStore.upsert(s, root, updates, cfg) // snapshot=1
+    SnapshotStore.changes(s, root, 0L, 1L)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("_change_type").as("change_type"))
       .orderBy("o_orderkey")
   }
 
@@ -2375,6 +2399,7 @@ object Queries {
     "multimodal_frames" -> multimodalFrames _,
     "upsert_insert_only" -> upsertInsertOnly _,
     "upsert_errors" -> upsertErrors _,
+    "snapshot_changes" -> snapshotChanges _,
     "asof_join" -> asofJoin _,
     "asof_bucketed" -> asofBucketed _,
     "salted_agg" -> saltedAgg _,
@@ -3095,6 +3120,19 @@ object Queries {
         |  o_orderkey
         |FROM orders
         |WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // Change-data feed v0 -> v1: the update batch is exactly the even
+    // orderkeys; keys absent from the v0 target (%3 == 0) classify
+    // insert, present ones update; post-image values come from the
+    // batch. The feed containing EXACTLY these rows is also the
+    // carried-along assertion: odd keys sharing a rewritten bucket must
+    // diff out.
+    "snapshot_changes" ->
+      """SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+        |  'U' AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'insert' ELSE 'update' END
+        |    AS change_type
+        |FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
     // Explicit row_number form instead of DuckDB's native ASOF so the tie
     // among several clicks at ONE timestamp is pinned: the operator

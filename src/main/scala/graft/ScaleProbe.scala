@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -2221,6 +2221,100 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"incremental_dedup_scale",${incEntry.tail}""")
     writeArtifact("incremental_dedup_scale", incEntry)
+    }
+
+    if (probes("cdf_scale")) {
+    // The change-data-feed claim: SnapshotStore.changes reads bytes
+    // proportional to the CHURNED buckets (manifest diff), not the table.
+    // Two regimes, both recorded honestly:
+    //  - small batch (fewer update keys than buckets): the feed prunes to
+    //    the touched buckets' files at both versions, so bytes and wall
+    //    collapse vs a naive full pre-vs-post diff;
+    //  - saturating batch (keys spread across every bucket): hash
+    //    bucketing has no locality to exploit, every bucket moved, and
+    //    the feed legitimately degrades to the naive cost — the honest
+    //    ceiling of bucket-granular pruning (at production bucket counts,
+    //    thousands, saturation needs a proportionally larger batch).
+    // Bytes are measured from the plans' own inputFiles (the pruned file
+    // lists), wall from the classified-diff count.
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    val evC = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("value"))
+    val dataC = (0 until scale).map { i =>
+      evC.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("value"),
+        // wide payload: the bytes bucket pruning saves must exist
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"c$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    val cdfCfg = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val cdfBuckets = 64
+    def fileBytes(paths: Array[String]): Long = paths.map { p =>
+      val fp = new org.apache.hadoop.fs.Path(p)
+      fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(fp).getLen
+    }.sum
+    def naiveDiff(root: String, from: Long, to: Long)
+        : org.apache.spark.sql.DataFrame = {
+      val pre = SnapshotStore.readVersion(spark, root, from)
+      val post = SnapshotStore.readVersion(spark, root, to)
+      val cols = post.columns.toSeq
+      val preS = pre.select(col("event_id"),
+        struct(cols.map(col): _*).as("__pre"))
+      val postS = post.select(col("event_id"),
+        struct(cols.map(col): _*).as("__post"))
+      preS.join(postS, Seq("event_id"), "full_outer")
+        .filter(col("__pre").isNull || col("__post").isNull ||
+          !(col("__pre") <=> col("__post")))
+    }
+    def regime(name: String, updates: org.apache.spark.sql.DataFrame)
+        : String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_cdf_$name").resolve("store").toString
+      SnapshotStore.upsert(spark, root, dataC, cdfCfg, nBuckets = cdfBuckets)
+      SnapshotStore.upsert(spark, root, updates, cdfCfg)
+      val changed = SnapshotStore.changedBuckets(spark, root, 0L, 1L)
+      val feedDf = SnapshotStore.changes(spark, root, 0L, 1L)
+      val feedBytes = fileBytes(feedDf.inputFiles)
+      val naiveDf = naiveDiff(root, 0L, 1L)
+      val naiveBytes = fileBytes(naiveDf.inputFiles)
+      val nUpdates = updates.count()
+      val feedSec = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val n = SnapshotStore.changes(spark, root, 0L, 1L).count()
+        require(n == nUpdates, s"feed rows $n != update keys $nUpdates")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val naiveSec = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val n = naiveDiff(root, 0L, 1L).count()
+        require(n == nUpdates, s"naive rows $n != update keys $nUpdates")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      s""""$name":{"update_keys":$nUpdates,""" +
+        s""""changed_buckets":${changed.size},"buckets":$cdfBuckets,""" +
+        s""""feed_sec":$feedSec,"naive_sec":$naiveSec,""" +
+        s""""speedup":${if (feedSec > 0) naiveSec / feedSec else -1.0},""" +
+        s""""feed_bytes":$feedBytes,"naive_bytes":$naiveBytes,""" +
+        s""""bytes_fraction":${feedBytes.toDouble / naiveBytes}}"""
+    }
+    // small: 8 fixed keys -> at most 8/64 buckets move
+    val smallUpd = dataC.filter(col("event_id") % lit(12500) === 3)
+      .limit(8).select(col("event_id"), (col("value") + 1.0).as("value"),
+        col("payload"))
+    // saturating: every ~20th key -> every bucket moves
+    val wideUpd = dataC.filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), (col("value") + 1.0).as("value"),
+        col("payload"))
+    val rowsC = dataC.count()
+    val cdfEntry = s"""{"scale":$scale,"rows":$rowsC,"passes":$passes,""" +
+      s"""${regime("small_batch", smallUpd)},""" +
+      s"""${regime("saturating_batch", wideUpd)},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"cdf_scale",${cdfEntry.tail}""")
+    writeArtifact("cdf_scale", cdfEntry)
     }
 
     spark.stop()

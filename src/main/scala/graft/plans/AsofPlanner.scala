@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -23,6 +23,18 @@ object AsofJoinStrategy extends SparkStrategy {
 
 /** Optimizer support Catalyst can't provide for a node it doesn't know:
   *
+  *  - JOIN ELIMINATION: when the consumer above the join references NONE
+  *    of the carried payload columns, the join is dead weight — an as-of
+  *    join emits exactly one output row per left row with the left
+  *    columns unchanged (left-outer carry), so `Project`/`Aggregate`
+  *    parents that only read left columns see an identical input from
+  *    the bare left child. The whole right side (its scan, both
+  *    exchanges, the merge) disappears from the plan. This is the
+  *    custom-node analog of Catalyst's own unreferenced-outer-join
+  *    elimination (`RemoveNoopOperators`/`ColumnPruning` family), which
+  *    cannot fire on a node it doesn't know; at warehouse scale it is
+  *    the difference between a metadata-only count and a full join for
+  *    the star-schema queries BI layers generate.
   *  - FILTER PUSHDOWN: deterministic conjuncts over left-side columns
   *    move below the join into the left child. Sound because the as-of
   *    join emits exactly one row per left row and a left row's match
@@ -35,11 +47,11 @@ object AsofJoinStrategy extends SparkStrategy {
   *    the join's own keys and ts). The node's output is derived from
   *    `left.output`, so the narrowed child narrows the join itself.
   *
-  * Both rewrites land Filter/Project chains directly over the left
-  * child; `PhysicalOperation` collapses them into the scan at planning
-  * time, so pushed predicates reach `PushedFilters` and pruned columns
-  * shrink `ReadSchema` exactly as they do for built-in operators
-  * (plan-asserted in `AsofMergeSpec`). */
+  * The pushdown/pruning rewrites land Filter/Project chains directly
+  * over the left child; `PhysicalOperation` collapses them into the scan
+  * at planning time, so pushed predicates reach `PushedFilters` and
+  * pruned columns shrink `ReadSchema` exactly as they do for built-in
+  * operators (plan-asserted in `AsofMergeSpec`, as is elimination). */
 object AsofJoinOptimizations extends Rule[LogicalPlan] {
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -47,7 +59,20 @@ object AsofJoinOptimizations extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** True when `consumerRefs` can be served by the join's left child
+    * alone: no payload column is referenced. (Payload attrs are exactly
+    * the join's non-left output; left attrs keep their expr-ids through
+    * the join, so subset-of-left-output is the precise test.) */
+  private def payloadUnused(aj: AsofJoin, consumerRefs: AttributeSet): Boolean =
+    consumerRefs.subsetOf(aj.left.outputSet)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // elimination first: a Project/Aggregate that reads no payload makes
+    // the narrowing rewrites below moot
+    case p @ Project(_, aj: AsofJoin) if payloadUnused(aj, p.references) =>
+      p.withNewChildren(Seq(aj.left))
+    case a @ Aggregate(_, _, aj: AsofJoin, _) if payloadUnused(aj, a.references) =>
+      a.withNewChildren(Seq(aj.left))
     case f @ Filter(cond, aj: AsofJoin) =>
       val (push, keep) = conjuncts(cond).partition(p =>
         p.deterministic && p.references.subsetOf(aj.left.outputSet))

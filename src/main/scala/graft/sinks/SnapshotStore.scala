@@ -129,6 +129,20 @@ object SnapshotStore {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Discriminant (merge-key) columns recorded at store creation. Bucket
+    * assignment hashes these columns, so they are a PHYSICAL-LAYOUT
+    * property exactly like `nBuckets`: an upsert with a different
+    * discriminant would probe the wrong buckets and silently duplicate
+    * keys across buckets (the stored row lives in hash(keyA)'s bucket,
+    * the update lands in hash(keyB)'s). [[upsert]] therefore validates
+    * its config against this recording and fails loudly on a mismatch.
+    * Empty only for stores created before the property existed; the next
+    * upsert records it. */
+  def discriminantColumns(spark: SparkSession, root: String): Seq[String] =
+    getProperty(spark, root, "discriminant")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   private def bucketExpr(disc: Seq[Column], nBuckets: Int): Column =
     pmod(hash(disc: _*), lit(nBuckets))
 
@@ -193,6 +207,99 @@ object SnapshotStore {
       readBuckets(spark, root, readManifest(spark, root, version), None)
     else
       spark.read.parquet(s"$root/snapshot=$version") // legacy full snapshot
+  }
+
+  // ----------------------------------------------------------- change feed
+
+  /** Manifest for `version` if it is still retained, with a vacuum-aware
+    * error when it is not (change-feed reads need BOTH endpoint manifests;
+    * `vacuum(keep=N)` bounds how far back a consumer may lag). */
+  private def retainedManifest(spark: SparkSession, root: String,
+                               version: Long): Manifest = {
+    val f = fs(spark, root)
+    require(f.exists(manifestPath(root, version)),
+      s"snapshot=$version of $root has no retained manifest — either the " +
+        "version never committed, vacuum() reclaimed it (raise `keep` to " +
+        "cover the slowest change-feed consumer's lag), or it predates the " +
+        "bucketed-manifest format")
+    readManifest(spark, root, version)
+  }
+
+  /** Bucket-granular change feed: the buckets whose data location moved
+    * between two committed versions, straight from the manifest diff — a
+    * driver-side metadata read, no data scan. This is the coarse feed an
+    * incremental downstream job keys its recomputation on (re-derive only
+    * partitions fed by these buckets). Includes buckets [[compact]]
+    * rewrote without changing content (their location moved; the
+    * row-level [[changes]] diff of such a bucket is empty). */
+  def changedBuckets(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long): Set[Int] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val mFrom = retainedManifest(spark, root, fromVersion)
+    val mTo = retainedManifest(spark, root, toVersion)
+    mTo.buckets.collect {
+      case (b, v) if !mFrom.buckets.get(b).contains(v) => b
+    }.toSet
+  }
+
+  /** Row-level change-data feed between two committed versions: the NET
+    * difference of the stored state, classified per discriminant key as
+    * `insert` (key absent at `fromVersion`), `update` (present at both
+    * with any column differing — post-image values), or `delete` (absent
+    * at `toVersion`; unreachable through [[upsert]], which never removes
+    * rows, but classified so the feed stays total if a removal path is
+    * ever added). Output schema: the store's columns plus a
+    * `_change_type` string.
+    *
+    * Scale shape — this is the point of the operator: the manifest diff
+    * names exactly the buckets that were rewritten in the interval, and
+    * BOTH sides of the diff read only those buckets
+    * ([[readBuckets]] with the changed set), so bytes scanned are
+    * proportional to the churned fraction of the store, not its size —
+    * a 0.1%-churn day on a 100 TB store diffs ~2 × 100 GB, where a naive
+    * `post.except(pre)` reads 200 TB. The single exchange is the key join
+    * over the changed buckets' rows. Unchanged rows carried along by a
+    * bucket rewrite (an upsert rewrites whole buckets) join equal and are
+    * dropped, so feed SIZE is the true row churn even though feed BYTES
+    * are bucket-granular.
+    *
+    * NET semantics across multi-version windows: a row updated and then
+    * reverted within (from, to] compares equal and is absent from the
+    * feed; intermediate states are not reconstructed (the store keeps
+    * state snapshots, not a commit log). Consumers needing per-commit
+    * granularity walk (v, v+1) pairs, bounded by vacuum retention. */
+  def changes(spark: SparkSession, root: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    val spark0 = spark
+    val keys = discriminantColumns(spark, root)
+    require(keys.nonEmpty,
+      s"store at $root has no recorded discriminant (created before the " +
+        "property existed) — run one upsert to backfill it, then diff")
+    val mFrom = retainedManifest(spark, root, fromVersion)
+    val mTo = retainedManifest(spark, root, toVersion)
+    require(mFrom.schema == mTo.schema,
+      s"schema changed between snapshot=$fromVersion and snapshot=$toVersion")
+    val changed = changedBuckets(spark, root, fromVersion, toVersion)
+    val pre = readBuckets(spark0, root, mFrom, Some(changed))
+    val post = readBuckets(spark0, root, mTo, Some(changed))
+    val dataCols = mTo.schema.fieldNames.toSeq
+    val preS = pre.select(
+      keys.map(col) :+ struct(dataCols.map(col): _*).as("__pre"): _*)
+    val postS = post.select(
+      keys.map(col) :+ struct(dataCols.map(col): _*).as("__post"): _*)
+    // keys are unique per committed snapshot (the upsert merge's contract),
+    // so the full-outer key join is 1:1; <=> compares the full row structs
+    // null-safely, classifying carried-along unchanged rows out of the feed
+    val picked = coalesce(col("__post"), col("__pre"))
+    preS.join(postS, keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("__pre").isNull, lit("insert"))
+          .when(col("__post").isNull, lit("delete"))
+          .when(!(col("__pre") <=> col("__post")), lit("update")))
+      .filter(col("_change_type").isNotNull)
+      .select(dataCols.map(c => picked.getField(c).as(c)) :+
+        col("_change_type"): _*)
   }
 
   // ---------------------------------------------------------------- vacuum
@@ -435,6 +542,9 @@ object SnapshotStore {
     require(nBuckets > 0, "nBuckets must be positive")
     require(clusterBy.forall(c => c.nonEmpty && !c.contains(",")),
       "clusterBy column names must be non-empty and comma-free")
+    require(cfg.discriminant.nonEmpty &&
+      cfg.discriminant.forall(c => c.nonEmpty && !c.contains(",")),
+      "discriminant column names must be non-empty and comma-free")
     val f = fs(spark, root)
     val currentOpt = currentVersion(spark, root)
     val buckets = numBuckets(spark, root).getOrElse(nBuckets)
@@ -501,6 +611,19 @@ object SnapshotStore {
           "change it")
     cluster.foreach(c => require(result.target.columns.contains(c),
       s"clusterBy column '$c' is not a stored column"))
+    // the discriminant is layout-load-bearing (bucket assignment hashes
+    // it): an upsert with a different key set would probe the wrong
+    // buckets and silently duplicate keys across buckets, so a mismatch
+    // against the recorded creation-time discriminant fails loudly BEFORE
+    // claiming (stores created before the property record it on their
+    // next upsert instead)
+    val recordedDisc = discriminantColumns(spark, root)
+    if (currentOpt.isDefined && recordedDisc.nonEmpty)
+      require(cfg.discriminant == recordedDisc,
+        s"store at $root records discriminant=${recordedDisc.mkString(",")} " +
+          s"but this upsert used ${cfg.discriminant.mkString(",")}; the " +
+          "recorded creation-time merge key wins — re-create the store to " +
+          "change it")
     val next = currentOpt.getOrElse(-1L) + 1L
     claim(f, root, next)
 
@@ -530,9 +653,16 @@ object SnapshotStore {
       Manifest(result.target.schema, newBuckets))
 
     // absent for new stores AND legacy stores being migrated; merged so
-    // application properties set before the first commit survive
-    if (numBuckets(spark, root).isEmpty)
-      writeProps(f, root, readProps(f, root) + ("nBuckets" -> buckets.toString) ++
+    // application properties set before the first commit survive. The
+    // discriminant backfill also upgrades pre-property stores on their
+    // next upsert (their recorded nBuckets is preserved — `buckets`
+    // already resolved to it above).
+    val existingProps = readProps(f, root)
+    if (numBuckets(spark, root).isEmpty ||
+        existingProps.get("discriminant").forall(_.trim.isEmpty))
+      writeProps(f, root, existingProps +
+        ("nBuckets" -> buckets.toString) +
+        ("discriminant" -> cfg.discriminant.mkString(",")) ++
         (if (cluster.nonEmpty) Map("clusterBy" -> cluster.mkString(","))
          else Map.empty))
     commitPointer(spark, f, root, next)

@@ -136,6 +136,40 @@ class AsofMergeSpec extends SparkSpec {
     plan should not include "props"
   }
 
+  test("join elimination: a consumer that references no payload column " +
+    "drops the join entirely (count() and left-only projections plan as " +
+    "the bare left side); referencing payload keeps the join") {
+    val ev = sources.Tables.load(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val joined = Joins.asOfJoinMerge(purchases, clicks, Seq("user_id"),
+      "ts", "click_ts")
+
+    // count(): one output row per left row, so the optimized plan must
+    // not contain the join (nor the right side's scan) at all
+    val counted = joined.groupBy().count()
+    val countPlan = counted.queryExecution.optimizedPlan.toString
+    countPlan should not include "AsofJoin"
+    counted.head().getLong(0) shouldBe purchases.count()
+
+    // left-only projection: same elimination, values identical to the
+    // bare left side
+    val leftOnly = joined.select("event_id", "user_id")
+    leftOnly.queryExecution.optimizedPlan.toString should not include "AsofJoin"
+    leftOnly.collect().sortBy(_.getLong(0)) shouldBe
+      purchases.select("event_id", "user_id").collect().sortBy(_.getLong(0))
+
+    // payload referenced -> join survives (elimination must not overfire)
+    val withPayload = joined.select("event_id", "click_id")
+    withPayload.queryExecution.optimizedPlan.toString should include ("AsofJoin")
+    val agg = joined.groupBy().agg(
+      org.apache.spark.sql.functions.count(col("click_id")))
+    agg.queryExecution.optimizedPlan.toString should include ("AsofJoin")
+  }
+
   test("asOfJoinMerge stays correct when an input arrives pre-partitioned " +
     "on a key subset (EnsureRequirements must re-align, not trust it)") {
     val rnd = new scala.util.Random(1357L)

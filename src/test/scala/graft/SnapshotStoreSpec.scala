@@ -356,6 +356,109 @@ class SnapshotStoreSpec extends SparkSpec
     }
   }
 
+  test("change feed property: changes(i, j) equals the classified diff of " +
+    "in-memory folds for EVERY retained version pair; carried-along " +
+    "unchanged rows diff out; compact moves buckets but adds no row changes") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val root = tempRoot(s"graft_cdf$trial")
+      // states(v + 1) = table content at snapshot v (states(0) = empty)
+      var states = Vector(Map.empty[Int, String])
+      (0 until 4).foreach { b =>
+        val batch = (0 until (1 + rnd.nextInt(10)))
+          .map(_ => rnd.nextInt(16) -> s"t${trial}b${b}v${rnd.nextInt(1000)}")
+          .groupBy(_._1).map(_._2.head).toSeq
+        states = states :+ (states.last ++ batch.toMap)
+        SnapshotStore.upsert(spark, root, batch.toDF("id", "value"), cfg,
+          nBuckets = 4)
+      }
+      def expectedDiff(from: Long, to: Long): Set[(Int, String, String)] = {
+        val (pre, post) = (states(from.toInt + 1), states(to.toInt + 1))
+        post.collect {
+          case (k, v) if !pre.contains(k) => (k, v, "insert")
+          case (k, v) if pre(k) != v => (k, v, "update")
+        }.toSet
+      }
+      for (i <- 0L until 4L; j <- i until 4L) {
+        val got = SnapshotStore.changes(spark, root, i, j)
+          .select("id", "value", "_change_type")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        got.length shouldBe got.toSet.size // keys unique in the feed
+        got.toSet shouldBe expectedDiff(i, j)
+      }
+      // compact relocates fragmented buckets: the bucket-level feed sees
+      // the move, the row-level feed must be empty (content unchanged)
+      val before = SnapshotStore.currentVersion(spark, root).get
+      if (SnapshotStore.compact(spark, root) > 0) {
+        val after = SnapshotStore.currentVersion(spark, root).get
+        SnapshotStore.changedBuckets(spark, root, before, after) should not be empty
+        SnapshotStore.changes(spark, root, before, after).count() shouldBe 0L
+      }
+    }
+  }
+
+  test("changedBuckets is the manifest diff: a one-key upsert reports " +
+    "exactly that key's bucket, metadata-only") {
+    val root = tempRoot("graft_cdf_buckets")
+    val base = (0 until 64).map(i => i -> s"v$i")
+    SnapshotStore.upsert(spark, root, base.toDF("id", "value"), cfg,
+      nBuckets = 8)
+    SnapshotStore.upsert(spark, root,
+      Seq(7 -> "v7b").toDF("id", "value"), cfg)
+    val changed = SnapshotStore.changedBuckets(spark, root, 0L, 1L)
+    changed.size shouldBe 1
+    // identity (v, v) is always empty at both granularities
+    SnapshotStore.changedBuckets(spark, root, 1L, 1L) shouldBe Set.empty
+    SnapshotStore.changes(spark, root, 1L, 1L).count() shouldBe 0L
+    // the row feed over that bucket is exactly the updated key
+    val feed = SnapshotStore.changes(spark, root, 0L, 1L)
+      .select("id", "value", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    feed shouldBe Array((7, "v7b", "update"))
+  }
+
+  test("change feed failure modes are loud: vacuumed from-version, " +
+    "missing discriminant recording, and a mismatched upsert discriminant") {
+    val root = tempRoot("graft_cdf_err")
+    (0 until 4).foreach { b =>
+      SnapshotStore.upsert(spark, root,
+        Seq(b -> s"v$b").toDF("id", "value"), cfg, nBuckets = 4)
+    }
+    SnapshotStore.vacuum(spark, root, keep = 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.changes(spark, root, 0L, 3L)
+    }
+    e.getMessage should include ("vacuum")
+    // retained pair still fine after the vacuum
+    SnapshotStore.changes(spark, root, 2L, 3L).count() shouldBe 1L
+
+    // discriminant is recorded at creation and a conflicting upsert fails
+    SnapshotStore.discriminantColumns(spark, root) shouldBe Seq("id")
+    val mismatch = intercept[IllegalArgumentException] {
+      SnapshotStore.upsert(spark, root,
+        Seq(("a", 1)).toDF("value", "id"),
+        cfg.copy(discriminant = Seq("value")))
+    }
+    mismatch.getMessage should include ("discriminant")
+  }
+
+  test("legacy store without a recorded discriminant: changes refuses " +
+    "with guidance, and an empty recording reads as none") {
+    val root = tempRoot("graft_cdf_legacy")
+    SnapshotStore.upsert(spark, root,
+      Seq(1 -> "a").toDF("id", "value"), cfg, nBuckets = 4)
+    SnapshotStore.upsert(spark, root,
+      Seq(2 -> "b").toDF("id", "value"), cfg)
+    SnapshotStore.discriminantColumns(spark, root) shouldBe Seq("id")
+    // simulate a pre-property store by blanking the recording
+    SnapshotStore.setProperty(spark, root, "discriminant", "")
+    SnapshotStore.discriminantColumns(spark, root) shouldBe Nil
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.changes(spark, root, 0L, 1L)
+    }
+    e.getMessage should include ("discriminant")
+  }
+
   test("compact rewrites fragmented buckets to one file each behind the " +
     "claim protocol: identical reads before/during/after, untouched " +
     "buckets keep their old reference, crashed compactor is vacuumable") {
