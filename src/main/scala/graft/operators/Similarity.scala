@@ -1107,15 +1107,21 @@ object Similarity {
     requireNotRebuilding(spark, path)
     val model = loadPqModel(spark, path)
     val buckets = spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
-    pqEncode(newRows.select(col(idCol), col(vecCol)), vecCol, model)
-      .drop(vecCol)
-      .write.mode("append").parquet(s"$path/codes")
+    // vectors FIRST, codes second: the ADC shortlist scans codes/, the
+    // re-rank joins vectors/ — a probe racing this append must never
+    // shortlist an id whose vector is not yet readable (the inner re-rank
+    // join would silently drop it, displacing true top-k candidates).
+    // Vectors without codes are invisible to the ADC scan, so this order
+    // gives the true consistent-prefix the contract promises.
     newRows.select(col(idCol), col(vecCol))
       .withColumn("__vb", pmod(xxhash64(col(idCol).cast("long")),
         lit(buckets.toLong)).cast("int"))
       .repartition(col("__vb"))
       .sortWithinPartitions(col("__vb"), col(idCol))
       .write.mode("append").partitionBy("__vb").parquet(s"$path/vectors")
+    pqEncode(newRows.select(col(idCol), col(vecCol)), vecCol, model)
+      .drop(vecCol)
+      .write.mode("append").parquet(s"$path/codes")
     Seq("codes", "vectors").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
   }

@@ -238,10 +238,19 @@ object SnapshotStore {
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val mFrom = retainedManifest(spark, root, fromVersion)
     val mTo = retainedManifest(spark, root, toVersion)
-    mTo.buckets.collect {
-      case (b, v) if !mFrom.buckets.get(b).contains(v) => b
-    }.toSet
+    diffBucketIds(mFrom.buckets, mTo.buckets)
   }
+
+  /** Manifest-diff kernel for [[changedBuckets]]: the UNION of both
+    * manifests' bucket ids, filtered to those whose data location
+    * differs — so a bucket present at `from` but absent at `to`
+    * (whole-bucket removal; no current write path produces one, but
+    * [[changes]] promises the feed stays total if one is ever added)
+    * reports as changed and its rows classify `delete`, instead of
+    * silently vanishing from a to-side-only iteration. */
+  private[graft] def diffBucketIds(from: Map[Int, Long],
+                                   to: Map[Int, Long]): Set[Int] =
+    (from.keySet ++ to.keySet).filter(b => from.get(b) != to.get(b))
 
   /** Row-level change-data feed between two committed versions: the NET
     * difference of the stored state, classified per discriminant key as

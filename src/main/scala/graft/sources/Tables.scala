@@ -26,8 +26,14 @@ object Tables {
     * GET per table per query), yet the fixture tables are immutable for
     * the life of a session. The cache holds the ANALYZED DataFrame per
     * (session, dir, table) — logical-plan reuse only, no data is pinned
-    * (nothing is `.cache()`d) — and is weakly keyed by the session so a
-    * stopped session's entries are GC-collectible.
+    * (nothing is `.cache()`d). The map is weakly keyed by the session and
+    * its values are held through SoftReferences: a Dataset strongly
+    * references its SparkSession, so strongly-held values would pin the
+    * weak key forever (the entry could never be collected and a stopped
+    * session would leak its analyzed plans); softly held, the GC clears
+    * entries under memory pressure, unpinning the key, and a cleared
+    * entry simply reloads on next access — standard memory-sensitive
+    * cache behavior.
     *
     * Use for read-only reference/fixture tables. For a path whose
     * contents change mid-session, use [[load]] — a cached relation
@@ -38,13 +44,23 @@ object Tables {
     val perSession = relationCache.synchronized {
       var m = relationCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+          java.lang.ref.SoftReference[DataFrame]]()
         relationCache.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent((dir, table),
-      _ => load(spark, dir, table))
+    val key = (dir, table)
+    val ref = perSession.get(key)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      // racing loaders may both build the relation; benign — identical
+      // analyzed plans, last writer wins the cache slot
+      val df = load(spark, dir, table)
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Drop [[loadCached]] entries for a session (all of them) — pair with
@@ -54,7 +70,8 @@ object Tables {
 
   private val relationCache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.lang.ref.SoftReference[DataFrame]]]()
 
   /** Schema-adaptive event-time decode. The harness regenerates fixtures
     * across parquet timestamp encodings: `timestamp[ns]` surfaces as

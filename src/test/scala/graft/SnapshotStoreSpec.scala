@@ -417,6 +417,19 @@ class SnapshotStoreSpec extends SparkSpec
     feed shouldBe Array((7, "v7b", "update"))
   }
 
+  test("diffBucketIds diffs the UNION of manifests: additions, moves AND " +
+    "whole-bucket removals all classify as changed") {
+    // no public write path removes a bucket today, but changes() promises
+    // the feed stays total if one is ever added — the kernel must already
+    // see a from-side-only bucket (a to-only iteration silently would not)
+    val from = Map(0 -> 0L, 1 -> 0L, 2 -> 1L)
+    val to = Map(0 -> 0L, 2 -> 2L, 3 -> 2L)
+    SnapshotStore.diffBucketIds(from, to) shouldBe Set(1, 2, 3)
+    SnapshotStore.diffBucketIds(from, from) shouldBe Set.empty
+    SnapshotStore.diffBucketIds(Map.empty, to) shouldBe to.keySet
+    SnapshotStore.diffBucketIds(from, Map.empty) shouldBe from.keySet
+  }
+
   test("change feed failure modes are loud: vacuumed from-version, " +
     "missing discriminant recording, and a mismatched upsert discriminant") {
     val root = tempRoot("graft_cdf_err")
