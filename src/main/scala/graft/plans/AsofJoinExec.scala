@@ -47,11 +47,15 @@ import org.apache.spark.sql.types._
   * treated exactly like NULL on both sides — both implementations
   * enforce this, keeping the property-pinned parity on NaN data.
   *
-  * Timestamps are merged in DOUBLE arithmetic over their internal
-  * ordinal (micros for timestamp types, days for dates, the raw value
-  * for numerics) — exact below 2^53 (micros reach that in year ~2255);
-  * a LONG ts column whose magnitudes exceed 2^53 would lose tolerance /
-  * nearest-distance precision, documented rather than silently wrong.
+  * Timestamp arithmetic is type-split ([[AsofJoinExec.algebraFor]]):
+  * when BOTH ts columns are integral (timestamp/date/long/int/short/
+  * byte) the merge compares and subtracts in exact LONG arithmetic over
+  * the internal ordinal (micros for timestamps, days for dates, the raw
+  * value for integrals) — bit-exact at any magnitude, matching the
+  * window plan's native column arithmetic (property-pinned above 2^53
+  * in `AsofMergeSpec`). Float/double ts columns (or a mixed
+  * integral/floating pair) use double arithmetic — their values ARE
+  * doubles, so that is the exact representation there.
   */
 case class AsofJoinExec(
     left: SparkPlan,
@@ -106,15 +110,17 @@ case class AsofJoinExec(
     val lTsType = leftTs.dataType
     val rTsType = rightTs.dataType
     val dir = direction
-    val tol = tolerance
+    val alg = AsofJoinExec.algebraFor(lTsType, rTsType, tolerance)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val rKeyProjHead = UnsafeProjection.create(rKeyExprs, rightOut)
       val rKeyProjCand = UnsafeProjection.create(rKeyExprs, rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val lTsGet = AsofJoinExec.tsReader(lTsType)
-      val rTsGet = AsofJoinExec.tsReader(rTsType)
+      val lTsGet = alg.reader(lTsType)
+      val rTsGet = alg.reader(rTsType)
+      val lUsable = alg.usable(lTsType)
+      val rUsable = alg.usable(rTsType)
       // bind payload references against NULLABLE right attributes: the
       // unmatched side substitutes an all-null row, and a non-nullable
       // input attr would bind to a null-check-free getter that reads
@@ -127,29 +133,28 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         // the first not-yet-consumed right row (a stable copy), or null
         // once the right side is exhausted; rows with NULL ts are dropped
-        // here — they can never satisfy an as-of predicate
+        // here — they can never satisfy an as-of predicate. Ts values are
+        // the algebra's ENCODED Long ordinal (raw longs for integral
+        // types, double bits for floating ones).
         private var rHead: InternalRow = _
-        private var rHeadTs: Double = 0.0
+        private var rHeadTs: Long = 0L
         // last right row with ts <= the current left ts (ownership moves
         // from rHead, so no extra copy); validity is re-checked against
         // the current left key at emit time
         private var backCand: InternalRow = _
-        private var backCandTs: Double = 0.0
+        private var backCandTs: Long = 0L
         advanceRight()
 
         private def advanceRight(): Unit = {
           rHead = null
           while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
-            if (!r.isNullAt(rTsOrd)) {
-              val ts = rTsGet(r, rTsOrd)
-              // a NaN ts (float/double ts columns) can never satisfy an
-              // as-of predicate — treated exactly like NULL, matching the
-              // window form's explicit NaN filter
-              if (!java.lang.Double.isNaN(ts)) {
-                rHead = r.copy()
-                rHeadTs = ts
-              }
+            // a NULL or NaN ts (float/double ts columns) can never
+            // satisfy an as-of predicate — dropped here, matching the
+            // window form's explicit filter
+            if (!r.isNullAt(rTsOrd) && rUsable(r, rTsOrd)) {
+              rHead = r.copy()
+              rHeadTs = rTsGet(r, rTsOrd)
             }
           }
         }
@@ -160,8 +165,7 @@ case class AsofJoinExec(
           val lRow = lIter.next()
           var matched: InternalRow = null
           // NaN left ts = NULL left ts: no as-of predicate can hold
-          if (!lRow.isNullAt(lTsOrd) &&
-              !java.lang.Double.isNaN(lTsGet(lRow, lTsOrd))) {
+          if (!lRow.isNullAt(lTsOrd) && lUsable(lRow, lTsOrd)) {
             val lTs = lTsGet(lRow, lTsOrd)
             val lKey = lKeyProj(lRow)
             var cmp =
@@ -176,8 +180,8 @@ case class AsofJoinExec(
             // consume this key's rows with ts <= lTs; the FIRST row of a
             // ts tie group sticks (right ordering makes it the greatest
             // payload), later equal-ts rows don't displace it
-            while (rHead != null && cmp == 0 && rHeadTs <= lTs) {
-              val keep = backCand != null && backCandTs == rHeadTs &&
+            while (rHead != null && cmp == 0 && alg.lte(rHeadTs, lTs)) {
+              val keep = backCand != null && alg.eqv(backCandTs, rHeadTs) &&
                 keyOrd.compare(rKeyProjCand(backCand), lKey) == 0
               if (!keep) { backCand = rHead; backCandTs = rHeadTs }
               advanceRight()
@@ -190,20 +194,20 @@ case class AsofJoinExec(
             // (rows at ts == lTs satisfy BOTH directions and were already
             // consumed), else the un-consumed head of this key
             val fwdRow =
-              if (backOk && backCandTs == lTs) backCand
+              if (backOk && alg.eqv(backCandTs, lTs)) backCand
               else if (rHead != null && cmp == 0) rHead
               else null
             val fwdTs = if (fwdRow eq backCand) backCandTs else rHeadTs
-            def inTol(dist: Double): Boolean = tol.forall(dist <= _)
             matched = dir match {
               case "backward" =>
-                if (backOk && inTol(lTs - backCandTs)) backCand else null
+                if (backOk && alg.within(lTs, backCandTs)) backCand else null
               case "forward" =>
-                if (fwdRow != null && inTol(fwdTs - lTs)) fwdRow else null
+                if (fwdRow != null && alg.within(fwdTs, lTs)) fwdRow else null
               case _ => // nearest: closer wins, equidistant ties backward
-                val bOk = backOk && inTol(lTs - backCandTs)
-                val fOk = fwdRow != null && inTol(fwdTs - lTs)
-                if (bOk && (!fOk || lTs - backCandTs <= fwdTs - lTs)) backCand
+                val bOk = backOk && alg.within(lTs, backCandTs)
+                val fOk = fwdRow != null && alg.within(fwdTs, lTs)
+                if (bOk && (!fOk || alg.closerOrTied(lTs, backCandTs, fwdTs, lTs)))
+                  backCand
                 else if (fOk) fwdRow
                 else null
             }
@@ -231,10 +235,77 @@ object AsofJoinExec {
     case _ => false
   }
 
-  /** Reader from a row ordinal to the merge's uniform double ordinal
-    * (internal micros for timestamps, days for dates, raw numerics). */
-  private[plans] def tsReader(dt: DataType): (InternalRow, Int) => Double =
-    dt match {
+  private def isIntegralTs(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Primitive ts algebra for the merge. Values are read into an ENCODED
+    * Long ordinal so the iterator's candidate state is a primitive var
+    * on both paths: raw internal longs for integral ts types (exact at
+    * any magnitude), `doubleToLongBits` for float/double ts columns
+    * (decoded at every comparison — the double IS the exact value
+    * there). Two implementations only, so every call site stays
+    * bimorphic for the JIT. */
+  private[plans] sealed abstract class TsAlgebra extends Serializable {
+    def reader(dt: DataType): (InternalRow, Int) => Long
+    /** False when the value can never satisfy an as-of predicate (NaN on
+      * float/double columns — NULLs are checked separately). */
+    def usable(dt: DataType): (InternalRow, Int) => Boolean
+    def lte(a: Long, b: Long): Boolean
+    def eqv(a: Long, b: Long): Boolean
+    /** (hi - lo) <= tolerance; true when no tolerance. Needs lte(lo, hi). */
+    def within(hi: Long, lo: Long): Boolean
+    /** (bHi - bLo) <= (fHi - fLo): nearest's backward-wins-ties rule. */
+    def closerOrTied(bHi: Long, bLo: Long, fHi: Long, fLo: Long): Boolean
+  }
+
+  /** Exact long path when BOTH ts columns are integral; double path
+    * (the pre-existing arithmetic) when either side is float/double. */
+  private[plans] def algebraFor(lt: DataType, rt: DataType,
+                                tol: Option[Double]): TsAlgebra =
+    if (isIntegralTs(lt) && isIntegralTs(rt)) new LongTsAlgebra(tol)
+    else new DoubleTsAlgebra(tol)
+
+  private def badTsType(other: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"as-of merge join needs a timestamp, date or numeric ts column, got $other")
+
+  private[plans] final class LongTsAlgebra(tol: Option[Double])
+      extends TsAlgebra {
+    // dist <= tol with integral dist ⇔ dist <= floor(tol): exact for
+    // every tolerance the resolver emits (whole micros / fractional days
+    // floor to the same admissible integral distances)
+    private val hasTol = tol.isDefined
+    private val tolL: Long = tol.fold(0L)(t =>
+      if (t >= Long.MaxValue.toDouble) Long.MaxValue
+      else math.floor(t).toLong)
+    def reader(dt: DataType): (InternalRow, Int) => Long = dt match {
+      case TimestampType | TimestampNTZType | LongType => (r, i) => r.getLong(i)
+      case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+      case ShortType => (r, i) => r.getShort(i).toLong
+      case ByteType => (r, i) => r.getByte(i).toLong
+      case other => badTsType(other)
+    }
+    def usable(dt: DataType): (InternalRow, Int) => Boolean = (_, _) => true
+    def lte(a: Long, b: Long): Boolean = a <= b
+    def eqv(a: Long, b: Long): Boolean = a == b
+    // hi >= lo by contract, so a wrapped (sign-flipped) difference means
+    // the true distance exceeds Long range — saturate, never wrap
+    private def dist(hi: Long, lo: Long): Long = {
+      val d = hi - lo
+      if (((hi ^ lo) & (hi ^ d)) < 0) Long.MaxValue else d
+    }
+    def within(hi: Long, lo: Long): Boolean =
+      !hasTol || dist(hi, lo) <= tolL
+    def closerOrTied(bHi: Long, bLo: Long, fHi: Long, fLo: Long): Boolean =
+      dist(bHi, bLo) <= dist(fHi, fLo)
+  }
+
+  private[plans] final class DoubleTsAlgebra(tol: Option[Double])
+      extends TsAlgebra {
+    private def get(dt: DataType): (InternalRow, Int) => Double = dt match {
       case TimestampType | TimestampNTZType => (r, i) => r.getLong(i).toDouble
       case LongType => (r, i) => r.getLong(i).toDouble
       case IntegerType => (r, i) => r.getInt(i).toDouble
@@ -243,7 +314,22 @@ object AsofJoinExec {
       case ByteType => (r, i) => r.getByte(i).toDouble
       case DoubleType => (r, i) => r.getDouble(i)
       case FloatType => (r, i) => r.getFloat(i).toDouble
-      case other => throw new IllegalArgumentException(
-        s"as-of merge join needs a timestamp, date or numeric ts column, got $other")
+      case other => badTsType(other)
     }
+    def reader(dt: DataType): (InternalRow, Int) => Long = {
+      val g = get(dt)
+      (r, i) => java.lang.Double.doubleToLongBits(g(r, i))
+    }
+    def usable(dt: DataType): (InternalRow, Int) => Boolean = dt match {
+      case DoubleType => (r, i) => !java.lang.Double.isNaN(r.getDouble(i))
+      case FloatType => (r, i) => !java.lang.Float.isNaN(r.getFloat(i))
+      case _ => (_, _) => true
+    }
+    private def d(bits: Long): Double = java.lang.Double.longBitsToDouble(bits)
+    def lte(a: Long, b: Long): Boolean = d(a) <= d(b)
+    def eqv(a: Long, b: Long): Boolean = d(a) == d(b)
+    def within(hi: Long, lo: Long): Boolean = tol.forall(d(hi) - d(lo) <= _)
+    def closerOrTied(bHi: Long, bLo: Long, fHi: Long, fLo: Long): Boolean =
+      d(bHi) - d(bLo) <= d(fHi) - d(fLo)
+  }
 }

@@ -74,6 +74,37 @@ class AsofMergeSpec extends SparkSpec {
     }
   }
 
+  test("BIGINT ts above 2^53 merges exactly: row-identical to the window " +
+    "plan where double arithmetic would collapse adjacent timestamps") {
+    // ULP at 2^55 is 4: ts values 2^55+k for k in [0,16) collapse to the
+    // same double in groups of 4, so the old double-ordinal merge would
+    // see rts <= lts where the exact comparison says rts > lts (and
+    // nearest distances would tie spuriously). The window plan computes
+    // in native long column arithmetic — the merge must agree bit-exactly.
+    val rnd = new scala.util.Random(86420L)
+    val base = 1L << 55
+    (0 until 3).foreach { _ =>
+      def key(n: Int): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(n).toLong)
+      def hugeTs(): Option[Long] =
+        if (rnd.nextInt(12) == 0) None else Some(base + rnd.nextInt(16))
+      val l = (0 until 50).map(i => (key(4), hugeTs(), s"l$i")).toDF("k", "lts", "lv")
+      val r = (0 until 40).map(_ => (key(4), hugeTs(), rnd.nextInt(4))).toDF("k", "rts", "rv")
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(Option.empty[org.apache.spark.sql.Column], Some(lit(3L)))) {
+        val base0 = Joins.asOfJoinWindow(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+        val merge = Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_", dir, tol)
+        val ord = base0.columns.map(col).toIndexedSeq
+        withClue(s"huge-ts dir=$dir tol=${tol.isDefined}: ") {
+          merge.orderBy(ord: _*).collect().map(_.toSeq) shouldBe
+            base0.orderBy(ord: _*).collect().map(_.toSeq)
+        }
+      }
+    }
+    // the collapse is REAL at this magnitude: distinct longs, equal doubles
+    (base + 1).toDouble shouldBe base.toDouble
+  }
+
   test("asOfJoinMerge multi-key join and self-join (fresh right-side " +
     "expr-ids keep a same-source join analyzable)") {
     val ev = Seq(
