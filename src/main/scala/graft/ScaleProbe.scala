@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,zorder_maintain,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1649,6 +1649,103 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"zorder_drift",${zdEntry.tail}""")
     writeArtifact("zorder_drift", zdEntry)
+    }
+
+    if (probes("zorder_maintain")) {
+    // zorder_drift showed the OPEN loop: a drifted dimension's balance
+    // explodes and its slices decay toward (even below) unclustered,
+    // while a hand-refit recovers the speedup. This probe closes it:
+    // Layout.zOrderMaintain reads the same balance signal, DECIDES, and
+    // rewrites in place — the drifted-mass 1% slice is measured before
+    // and after the automatic refit, with an unclustered twin as the
+    // reference line, and the maintain wall (fit + full rewrite) is
+    // recorded as the cost of the recovery.
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    import graft.operators.Layout
+    val evM = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("value"))
+    val corpusMA = (0 until scale).map { i =>
+      evM.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("user_id").cast("double").as("user_id"),
+        col("value"),
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"m$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    val corpusMB = corpusMA.select(
+      (col("event_id") + lit(scale.toLong * 100000000L)).as("event_id"),
+      col("user_id"), (col("value") + lit(1.0e6)).as("value"),
+      col("payload"))
+    val mCfg = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val hcM = spark.sparkContext.hadoopConfiguration
+    val prevBlockM = hcM.get("parquet.block.size")
+    // small row groups, as in zorder_drift: pruning granularity at probe
+    // sizes must resemble the real-row-group-count regime
+    hcM.setInt("parquet.block.size", 1 << 20)
+    val rootM = java.nio.file.Files
+      .createTempDirectory("graft_zm_m").resolve("store").toString
+    val rootMU = java.nio.file.Files
+      .createTempDirectory("graft_zm_u").resolve("store").toString
+    try {
+      Layout.zOrderUpsert(spark, rootM, corpusMA, Seq("value", "user_id"),
+        mCfg, nBuckets = 8, buckets = 256)
+      Layout.zOrderUpsert(spark, rootM, corpusMB, Seq("value", "user_id"),
+        mCfg) // frozen model ranks the drifted batch
+      SnapshotStore.upsert(spark, rootMU, corpusMA.unionByName(corpusMB),
+        mCfg, nBuckets = 8)
+      Seq(rootM, rootMU).foreach(r =>
+        SnapshotStore.compact(spark, r, maxFilesPerBucket = 1))
+      val qvM = corpusMB.stat.approxQuantile("value", Array(0.01), 0.0005)
+      val vMLo = corpusMB.agg(min(col("value"))).head().getDouble(0)
+      val predM = col("value") >= vMLo && col("value") < qvM(0)
+      def scanM(root: String): Double = {
+        val store = SnapshotStore.read(spark, root).get.filter(predM)
+        (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          store.agg(count(col("event_id")), sum(length(col("payload")))).head()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      def balM(): Map[String, Double] =
+        Layout.zOrderDriftStats(spark, rootM).collect()
+          .map(r => r.getString(0) -> r.getDouble(5)).toMap
+      val rowsPre = SnapshotStore.read(spark, rootM).get.filter(predM).count()
+      val rowsU = SnapshotStore.read(spark, rootMU).get.filter(predM).count()
+      require(rowsPre == rowsU,
+        s"stores disagree on the drifted slice: $rowsPre vs $rowsU")
+      val balPre = balM()
+      val preSec = scanM(rootM)
+      val uSec = scanM(rootMU)
+      val t0m = System.nanoTime()
+      val decision1 = Layout.zOrderMaintain(spark, rootM, buckets = 256)
+      val maintSec = (System.nanoTime() - t0m) / 1e9
+      val decision2 = Layout.zOrderMaintain(spark, rootM, buckets = 256)
+      val balPost = balM()
+      val postSec = scanM(rootM)
+      val rowsPost = SnapshotStore.read(spark, rootM).get.filter(predM).count()
+      require(rowsPost == rowsPre,
+        s"refit changed the slice row count: $rowsPost vs $rowsPre")
+      val zmEntry = s"""{"scale":$scale,""" +
+        s""""rows":${corpusMA.count() * 2},"passes":$passes,""" +
+        s""""slice_rows":$rowsPre,""" +
+        s""""decision_drifted":"$decision1","decision_after":"$decision2",""" +
+        s""""maintain_sec":$maintSec,""" +
+        s""""balance_pre":{"value":${balPre("value")},"user_id":${balPre("user_id")}},""" +
+        s""""balance_post":{"value":${balPost("value")},"user_id":${balPost("user_id")}},""" +
+        s""""drifted_slice":{"pre_sec":$preSec,"post_sec":$postSec,""" +
+        s""""unclustered_sec":$uSec,""" +
+        s""""recovered_speedup":${if (postSec > 0) preSec / postSec else -1.0},""" +
+        s""""post_speedup_vs_unclustered":${if (postSec > 0) uSec / postSec else -1.0}},""" +
+        s""""signal":${decision1 == "refit" && decision2 == "ok" &&
+          balPre("value") > 4.0 && balPost("value") < 4.0},""" +
+        s""""sf":"$sfDir"}"""
+      println(s"""{"probe":"zorder_maintain",${zmEntry.tail}""")
+      writeArtifact("zorder_maintain", zmEntry)
+    } finally {
+      if (prevBlockM == null) hcM.unset("parquet.block.size")
+      else hcM.set("parquet.block.size", prevBlockM)
+    }
     }
 
     if (probes("asof_merge_scale")) {

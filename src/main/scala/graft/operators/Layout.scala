@@ -143,6 +143,59 @@ object Layout {
       .orderBy("zcol")
   }
 
+  /** Drift-triggered automatic refit for a z-ordered store — the
+    * trigger/rebuild automation [[zOrderDriftStats]]'s REFIT RULE calls
+    * for, mirroring `Similarity.ivfMaintain`'s shape (bounded health
+    * read → threshold → in-place rebuild → returns the decision).
+    *
+    * Reads the drift report (one column-pruned scan, ≤ buckets rows per
+    * dimension) and, when any dimension's `balance` exceeds
+    * `maxBalance`, refits the equi-depth cuts on the CURRENT data and
+    * rewrites the store in place ([[SnapshotStore.rewrite]]): every
+    * bucket's rows re-rank against the fresh cuts and land fully sorted
+    * by the new `__zorder` — restoring the range-pruning the drifted
+    * model lost (SCALEPROBE `zorder_drift`: a drifted dimension decays
+    * to ~0.8× of unclustered; a refit recovers ~2.4×). Returns
+    * `"refit"` or `"ok"` so callers can log/alert on the decision.
+    *
+    * `maxBalance` is in post-fit units: a fresh equi-depth fit starts at
+    * balance ≈ 1 (each rank holds ~its fair share), so the default 4.0
+    * means "the hottest rank holds 4× its fair share" — the same
+    * several-times-post-fit threshold `ivfMaintain.maxSkew` uses.
+    *
+    * Crash ordering: the model property is replaced AFTER the rewrite
+    * commits. A crash between the two leaves committed data ranked
+    * against the NEW cuts while the property still names the old —
+    * correctness is untouched (the stored `__zorder` column is what
+    * reads and sorts use; nothing re-derives ranks), drift stats rank
+    * raw columns against the OLD cuts and still report the drift, so
+    * the next maintain call re-triggers and the refit self-heals.
+    * Single-writer, like every store maintenance path.
+    *
+    * The rewrite surfaces in the row-level change feed as updates
+    * (`__zorder` is a stored column and its values changed) — consumers
+    * diffing across a refit should expect a full-churn feed, exactly as
+    * they would across any layout-changing rewrite. */
+  def zOrderMaintain(spark: SparkSession, root: String,
+                     maxBalance: Double = 4.0,
+                     buckets: Int = 256): String = {
+    require(maxBalance > 1.0, "maxBalance must exceed 1 (1 = freshly fit)")
+    val model = zOrderModel(spark, root).getOrElse(throw
+      new IllegalArgumentException(s"store at $root has no z-order model"))
+    val worst = zOrderDriftStats(spark, root)
+      .agg(max(col("balance"))).collect()(0).getDouble(0)
+    if (worst <= maxBalance) "ok"
+    else {
+      val data = SnapshotStore.read(spark, root).getOrElse(throw
+        new IllegalArgumentException(s"store at $root has no committed data"))
+      val fresh = fitZOrder(data.drop("__zorder"), model.cols, buckets)
+      SnapshotStore.rewrite(spark, root,
+        df => df.withColumn("__zorder", fresh.zColumn))
+      SnapshotStore.setProperty(spark, root, ModelProp, fresh.serialized)
+      "refit"
+    }
+  }
+
   /** [[SnapshotStore.upsert]] with Z-ORDER layout on `cols`: at store
     * creation fits the model from the first batch, persists it, and
     * creates the store with `clusterBy = Seq("__zorder")`; later calls

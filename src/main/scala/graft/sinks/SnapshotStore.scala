@@ -502,6 +502,68 @@ object SnapshotStore {
     frag.size
   }
 
+  /** Full-store rewrite commit: read every bucket of the current version,
+    * apply `transform`, and commit the result as a new version in which
+    * every bucket is rewritten — [[compact]]'s machinery with a row
+    * transform, for maintenance that must change STORED column values
+    * (e.g. re-ranking a persisted layout column against a refitted model,
+    * [[graft.operators.Layout.zOrderMaintain]]). Versioned like any
+    * commit: old versions stay readable, [[vacuum]] applies.
+    *
+    * Contract on `transform`: schema-preserving (same columns, same
+    * types — checked) and bucket-preserving (it must not change
+    * discriminant column values — bucket membership is their hash; not
+    * checkable without a second shuffle, so it is a stated requirement).
+    * The `__bucket` partition column rides through the transform; leave
+    * it untouched. Rows whose transformed values differ WILL appear as
+    * updates in the row-level [[changes]] feed across the rewrite — a
+    * stored column changed, so that is the truthful feed.
+    *
+    * Cost: one full read + one full clustered write (the point of a
+    * maintenance rewrite); one exchange on the bucket column so each
+    * bucket lands fully sorted in one file, like [[compact]]. */
+  def rewrite(spark: SparkSession, root: String,
+              transform: DataFrame => DataFrame): Long = {
+    val f = fs(spark, root)
+    val v = currentVersion(spark, root).getOrElse(throw
+      new IllegalArgumentException(s"store at $root has no committed version"))
+    require(f.exists(manifestPath(root, v)),
+      s"store at $root predates the bucketed-manifest format; run one " +
+        "upsert to migrate it, then rewrite")
+    val m = readManifest(spark, root, v)
+    val union = m.buckets.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (ver, bs) =>
+        spark.read.schema(m.schema)
+          .option("basePath", s"$root/snapshot=$ver")
+          .parquet(bs.map(_._1).sorted.map(b => bucketPath(root, ver, b)): _*)
+      }.reduce(_ unionByName _)
+      .withColumn(bucketCol, col(bucketCol).cast("int"))
+    val transformed = transform(union)
+    require(transformed.columns.sorted.toSeq == union.columns.sorted.toSeq,
+      "rewrite transform must preserve the store's columns (got " +
+        s"${transformed.columns.mkString(",")}, expected " +
+        s"${union.columns.mkString(",")})")
+    m.schema.fields.foreach { fld =>
+      require(transformed.schema(fld.name).dataType == fld.dataType,
+        s"rewrite transform changed the type of '${fld.name}' " +
+          s"(${transformed.schema(fld.name).dataType} != ${fld.dataType})")
+    }
+    val next = v + 1
+    claim(f, root, next)
+    val cluster = clusterColumns(spark, root)
+    val arranged =
+      if (cluster.isEmpty) transformed.repartition(col(bucketCol))
+      else transformed.repartition(col(bucketCol))
+        .sortWithinPartitions((bucketCol +: cluster).map(col): _*)
+    arranged
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(s"$root/snapshot=$next")
+    writeManifest(f, root, next,
+      Manifest(m.schema, m.buckets.map { case (b, _) => b -> next }))
+    commitPointer(spark, f, root, next)
+    next
+  }
+
   // ---------------------------------------------------------------- upsert
 
   /** Merge `updates` into the store and commit a new snapshot, rewriting

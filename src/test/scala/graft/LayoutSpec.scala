@@ -210,6 +210,52 @@ class LayoutSpec extends SparkSpec {
       Layout.zOrderDriftStats(spark, tempRoot("graft_zdnone"))
   }
 
+  test("zOrderMaintain: below threshold reports 'ok' and commits nothing; " +
+    "past it the store refits in place — fresh model persisted, balance " +
+    "restored on every dimension, content identical minus the re-ranked " +
+    "layout column, and a second call is a no-op") {
+    val rnd = new scala.util.Random(47)
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val root = tempRoot("graft_zmaint")
+    val b1 = (0 until 4000).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b1, Seq("x", "y"), cfg, buckets = 64)
+    // a freshly-fit store is healthy: no rewrite, no new version
+    val v0 = SnapshotStore.currentVersion(spark, root).get
+    Layout.zOrderMaintain(spark, root, buckets = 64) shouldBe "ok"
+    SnapshotStore.currentVersion(spark, root).get shouldBe v0
+    val modelBefore = SnapshotStore.getProperty(spark, root, "zorderModel").get
+    // drifted append: far-out-of-range x concentrates in the top rank
+    val b2 = (4000 until 12000).map(i =>
+      (i, 1e6 + rnd.nextDouble(), rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b2, Seq("x", "y"), cfg)
+    val v1 = SnapshotStore.currentVersion(spark, root).get
+    def content() = SnapshotStore.read(spark, root).get
+      .select("id", "x", "y").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    val contentBefore = content()
+    Layout.zOrderMaintain(spark, root, buckets = 64) shouldBe "refit"
+    // exactly one rewrite commit; the model property was replaced AFTER it
+    SnapshotStore.currentVersion(spark, root).get shouldBe v1 + 1
+    val modelAfter = SnapshotStore.getProperty(spark, root, "zorderModel").get
+    modelAfter should not be modelBefore
+    // the refitted cuts restore post-fit balance on BOTH dimensions
+    val after = Layout.zOrderDriftStats(spark, root)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    after.values.foreach(_ should be < 2.5)
+    // rows are untouched — only the stored layout column re-ranked, and
+    // it re-ranked against the FRESH model exactly
+    content() shouldBe contentBefore
+    val freshModel = Layout.ZOrderModel.parse(modelAfter)
+    SnapshotStore.read(spark, root).get
+      .filter(col("__zorder") =!= freshModel.zColumn)
+      .count() shouldBe 0L
+    // healthy again: the next maintain is a metadata-read no-op
+    Layout.zOrderMaintain(spark, root, buckets = 64) shouldBe "ok"
+    SnapshotStore.currentVersion(spark, root).get shouldBe v1 + 1
+  }
+
   test("an all-NULL z-order dimension in the fitting batch fails BEFORE " +
     "the model is persisted — an empty cut array would poison the root " +
     "for every later zOrderUpsert — and the root stays usable") {

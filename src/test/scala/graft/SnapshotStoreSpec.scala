@@ -417,6 +417,37 @@ class SnapshotStoreSpec extends SparkSpec
     feed shouldBe Array((7, "v7b", "update"))
   }
 
+  test("rewrite commits a full-store transform as one new version and " +
+    "refuses schema-changing transforms") {
+    val root = tempRoot("graft_rewrite")
+    val base = (0 until 64).map(i => i -> s"v$i")
+    SnapshotStore.upsert(spark, root, base.toDF("id", "value"), cfg,
+      nBuckets = 8)
+    SnapshotStore.upsert(spark, root,
+      Seq(7 -> "v7b").toDF("id", "value"), cfg) // two holding versions
+    val v = SnapshotStore.currentVersion(spark, root).get
+    SnapshotStore.rewrite(spark, root,
+      df => df.withColumn("value", upper(col("value")))) shouldBe v + 1
+    val got = SnapshotStore.read(spark, root).get
+      .select("id", "value").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    got(7) shouldBe "V7B"
+    got.size shouldBe 64
+    got.values.foreach(s => s shouldBe s.toUpperCase)
+    // every bucket now lives at the rewrite version (the manifest diff
+    // reports all of them changed)
+    SnapshotStore.changedBuckets(spark, root, v, v + 1).size shouldBe 8
+    // a column-dropping or type-changing transform fails loudly, and
+    // nothing commits (claims above the pointer are crashed-writer
+    // leftovers vacuum reclaims; the pointer must not move)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.rewrite(spark, root, _.drop("value"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.rewrite(spark, root,
+        df => df.withColumn("value", lit(1)))
+    SnapshotStore.currentVersion(spark, root).get shouldBe v + 1
+  }
+
   test("diffBucketIds diffs the UNION of manifests: additions, moves AND " +
     "whole-bucket removals all classify as changed") {
     // no public write path removes a bucket today, but changes() promises
