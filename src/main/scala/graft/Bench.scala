@@ -75,12 +75,13 @@ object Bench {
     // the per-query map, is excluded from the totals, and is listed in
     // "failed".
     def runPassOn(qs: Iterable[(String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)]): Map[String, Double] =
+        org.apache.spark.sql.DataFrame)],
+        useNoop: Boolean = noop): Map[String, Double] =
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try {
             val df = fn(spark, sfDir)
-            if (noop) df.write.format("noop").mode("overwrite").save()
+            if (useNoop) df.write.format("noop").mode("overwrite").save()
             else df.count()
             true
           }
@@ -126,6 +127,21 @@ object Bench {
     val coreSummary = BenchRuns.summarize(coreQ.keys.toSeq, corePerPass)
     val extSummary = BenchRuns.summarize(extQ.keys.toSeq, extPerPass)
     val minTimes = coreSummary.minTimes ++ extSummary.minTimes
+    // HONESTY PASS: the default count() action lets Catalyst prune
+    // computed columns a count never reads (the events_interval hazard —
+    // an expensive expression feeding no aggregate/filter/sort would
+    // bench as free). One noop-writer pass over the whole suite fully
+    // materializes every row; per-query noop times land in the artifact
+    // so a count-vs-noop gap names exactly the queries whose count-mode
+    // number understates the work. Skipped when the recorded passes are
+    // already noop-mode.
+    val noopPasses = math.max(0, sys.env.get("SPARK_GRAFT_BENCH_NOOP_PASSES")
+      .flatMap(_.trim.toIntOption).getOrElse(if (noop) 0 else 1))
+    val noopPerPass = (1 to noopPasses)
+      // the honesty pass respects the run's wall budget like the chase
+      .filter(_ => (System.nanoTime() - runStart) / 1e9 < maxSeconds)
+      .map(_ => runPassOn(selected, useNoop = true)).toVector
+    val noopSummary = BenchRuns.summarize(selected.keys.toSeq, noopPerPass)
     val qs = minTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = (coreSummary.failed ++ extSummary.failed).map("\"" + _ + "\"")
@@ -136,27 +152,53 @@ object Bench {
     // recorded passes are post-warmup steady state; the delta between the
     // two LEAST-CONTENDED (fastest) core totals is the environment-noise
     // figure the ratio audit cares about — a lone ambient spike shows in
-    // the raw totals, not here
+    // the raw totals, not here. The ext tier gets its own gauge.
     val repeatDeltaPct = BenchRuns.fastestPairDeltaPct(corePassTotals)
+    val extRepeatDeltaPct = BenchRuns.fastestPairDeltaPct(extPassTotals)
+    // NOISE FENCE: r14's artifact recorded ext numbers ~2x reality while
+    // its own gauges screamed contamination (repeat_delta_pct 26.5%,
+    // warmup passes 3-8x normal) — and nothing failed loudly, so the bad
+    // numbers read as a regression until hand-adjudicated. When either
+    // tier's fastest-pair delta exceeds the threshold, the artifact
+    // carries noise_flagged=true: its numbers must not become a
+    // cross-round comparison base, stated BY the artifact itself.
+    val noiseFlagPct = sys.env.get("SPARK_GRAFT_BENCH_NOISE_FLAG")
+      .flatMap(_.trim.toDoubleOption).getOrElse(8.0)
+    val noiseFlagged =
+      repeatDeltaPct > noiseFlagPct || extRepeatDeltaPct > noiseFlagPct
+    if (noiseFlagged)
+      System.err.println(f"[bench] NOISE-FLAGGED artifact: core delta " +
+        f"$repeatDeltaPct%.1f%%, ext delta $extRepeatDeltaPct%.1f%% " +
+        f"(threshold $noiseFlagPct%.1f%%) — not a regression baseline")
     // Cross-round tripwire: diff this run's headline times against the
     // artifact the PREVIOUS round left at the output path, before
     // overwriting it. Named >1.5x regressions land in the JSON (the audit
-    // the judge previously did by hand). Scope: CORE tier only — core
-    // queries get the adaptive min-of-many chase in every round, so their
-    // estimates are comparable across artifacts; the extended tier's
-    // fixed-2-pass minimums are noisy enough (and were measured under the
-    // full adaptive schedule in pre-tiering artifacts) that a heavy query
-    // could trip a spurious >1.5x flag on scheduling variance alone.
+    // the judge previously did by hand). Scope: ALL tiers — r14 proved
+    // the core-only scope lets 70/118 queries regress (or a contaminated
+    // artifact sail through) unnoticed. The ext tier's fixed-2-pass
+    // minimums are noisier than the core chase's, so spurious flags are
+    // fenced structurally instead of by exclusion: a noise-flagged
+    // PREVIOUS artifact is not used as a base (its numbers are known-bad),
+    // a noise-flagged CURRENT run reports its regressions as suspect via
+    // the flag, and sub-second pairs are held to a higher bar (ratio
+    // jitter on short queries is scheduling, not code).
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
     val regressFactor = sys.env.get("SPARK_GRAFT_BENCH_REGRESS")
       .flatMap(_.trim.toDoubleOption).getOrElse(1.5)
-    val prevTimes =
+    val prevJson =
       if (java.nio.file.Files.isReadable(outPath))
-        BenchRuns.parseQueryTimes(java.nio.file.Files.readString(outPath))
-      else Map.empty[String, Double]
+        java.nio.file.Files.readString(outPath)
+      else ""
+    val prevTimes =
+      if (BenchRuns.parseNoiseFlag(prevJson)) Map.empty[String, Double]
+      else BenchRuns.parseQueryTimes(prevJson)
     val coreMinTimes = minTimes.filter { case (n, _) => coreQ.contains(n) }
-    val regressed = BenchRuns.regressions(prevTimes, coreMinTimes, regressFactor)
+    val extMinTimes = minTimes.filter { case (n, _) => extQ.contains(n) }
+    val regressed = (BenchRuns.regressions(prevTimes, coreMinTimes,
+        regressFactor) ++
+      BenchRuns.regressions(prevTimes, extMinTimes, regressFactor,
+        minSeconds = 0.5)).sortBy(-_._2)
     regressed.foreach { case (n, r) =>
       System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx vs previous round")
     }
@@ -176,8 +218,17 @@ object Bench {
       s""""ext_pass_totals":${extPassTotals.mkString("[", ",", "]")},""" +
       s""""pass_total_median":${BenchRuns.medianTotal(corePassTotals)},""" +
       s""""repeat_delta_pct":$repeatDeltaPct,""" +
+      s""""ext_repeat_delta_pct":$extRepeatDeltaPct,""" +
+      s""""noise_flag_pct":$noiseFlagPct,""" +
+      s""""noise_flagged":$noiseFlagged,""" +
+      s""""noop_passes":$noopPasses,""" +
+      s""""noop_pass_totals":${noopPerPass.map(BenchRuns.passTotal)
+        .mkString("[", ",", "]")},""" +
+      s""""noop_queries":${noopSummary.minTimes
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")},""" +
       s""""regression_factor":$regressFactor,""" +
-      s""""regression_scope":"core",""" +
+      s""""regression_scope":"all",""" +
       s""""regressions":$regJson,""" +
       s""""sf":"$sfDir"}"""
     println(json)

@@ -104,6 +104,13 @@ object BenchRuns {
     }.toMap
   }
 
+  /** True when a bench artifact carries `"noise_flagged":true` — its
+    * numbers were measured under contamination (by its own fastest-pair
+    * gauges) and must not serve as a cross-round comparison base.
+    * Artifacts predating the flag (no key) read as not flagged. */
+  def parseNoiseFlag(json: String): Boolean =
+    """"noise_flagged"\s*:\s*true""".r.findFirstIn(json).isDefined
+
   /** Cross-round regression tripwire: queries whose current headline time
     * exceeds `factor` × the previous artifact's time, as name → ratio.
     * Only queries measured successfully (> 0) in BOTH rounds can trip —

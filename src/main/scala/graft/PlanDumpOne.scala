@@ -12,10 +12,16 @@ object PlanDumpOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_COUNT=1 dumps the plan the bench's default count()
+    // action actually executes — the honesty-audit view: Catalyst prunes
+    // computed columns a count never reads, so an operator can vanish
+    // from this plan while being the whole point of the query.
+    val asCount = sys.env.get("SPARK_GRAFT_PLAN_COUNT").contains("1")
     args.foreach { name =>
       println(s"##PLAN $name")
-      println(Queries.queries(name)(spark, "/root/testdata/sf0.01")
-        .queryExecution.explainString(
+      val df = Queries.queries(name)(spark, "/root/testdata/sf0.01")
+      val shown = if (asCount) df.groupBy().count() else df
+      println(shown.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

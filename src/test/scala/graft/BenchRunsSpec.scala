@@ -121,6 +121,15 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     parseQueryTimes("not json at all") shouldBe empty
   }
 
+  test("parseNoiseFlag reads the artifact's own contamination verdict; " +
+    "pre-flag artifacts and junk read as not flagged") {
+    parseNoiseFlag("""{"queries":{},"noise_flagged":true,"sf":"x"}""") shouldBe true
+    parseNoiseFlag("""{"queries":{},"noise_flagged": true}""") shouldBe true
+    parseNoiseFlag("""{"queries":{},"noise_flagged":false}""") shouldBe false
+    parseNoiseFlag("""{"queries":{"q":1.0}}""") shouldBe false // pre-flag artifact
+    parseNoiseFlag("") shouldBe false
+  }
+
   test("regressions names queries past the factor, ratio-sorted, and " +
     "ignores new/removed/failed/sub-100ms pairs") {
     val prev = Map("stable" -> 1.0, "slower" -> 1.0, "much_slower" -> 2.0,
