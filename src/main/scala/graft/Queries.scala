@@ -140,6 +140,34 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Key-granular [[SnapshotStore.delete]] + its change feed — the
+    * opt-out / right-to-be-forgotten primitive: the snapshot_changes
+    * fixture store (v0 target, v1 merged updates) takes a delete of
+    * every orderkey divisible by 5 (v2), and the query reads
+    * `changes(1, 2)` — exactly the deleted keys, classified `delete`,
+    * carrying their PRE-image values (there is no post-image). The
+    * oracle rebuilds the expected feed from `orders` directly: keys
+    * %5==0 that were present at v1 (`%3!=0 OR %2==0`), with the v1
+    * values (update batch won on even keys). That the feed is exactly
+    * these rows asserts both the delete's precision (nothing else
+    * vanished — carried-along rows diff out) and the feed's totality
+    * over whole-bucket removals. */
+  private def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = fixtureRoot("del", dir) { r =>
+      val (target, updates, cfg) = upsertParts(s, dir)
+      SnapshotStore.upsert(s, r, target, cfg)  // snapshot=0
+      SnapshotStore.upsert(s, r, updates, cfg) // snapshot=1
+      val n = SnapshotStore.delete(s, r,       // snapshot=2
+        tab(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey")))
+      require(n > 0, "delete fixture removed no rows")
+    }
+    SnapshotStore.changes(s, root, 1L, 2L)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("_change_type").as("change_type"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------ relational breadth
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
@@ -2456,6 +2484,7 @@ object Queries {
     "upsert_insert_only" -> upsertInsertOnly _,
     "upsert_errors" -> upsertErrors _,
     "snapshot_changes" -> snapshotChanges _,
+    "snapshot_delete" -> snapshotDelete _,
     "asof_join" -> asofJoin _,
     "asof_bucketed" -> asofBucketed _,
     "salted_agg" -> saltedAgg _,
@@ -3189,6 +3218,20 @@ object Queries {
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'insert' ELSE 'update' END
         |    AS change_type
         |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // deletes carry PRE-image values: v1 state = update-batch values on
+    // even keys, original target values otherwise; present at v1 iff
+    // %3!=0 (target) or %2==0 (merged update)
+    "snapshot_delete" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  'delete' AS change_type
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0
+        |  AND (o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     // Explicit row_number form instead of DuckDB's native ASOF so the tie
     // among several clicks at ONE timestamp is pinned: the operator

@@ -244,8 +244,7 @@ object SnapshotStore {
   /** Manifest-diff kernel for [[changedBuckets]]: the UNION of both
     * manifests' bucket ids, filtered to those whose data location
     * differs — so a bucket present at `from` but absent at `to`
-    * (whole-bucket removal; no current write path produces one, but
-    * [[changes]] promises the feed stays total if one is ever added)
+    * (whole-bucket removal, produced when [[delete]] empties a bucket)
     * reports as changed and its rows classify `delete`, instead of
     * silently vanishing from a to-side-only iteration. */
   private[graft] def diffBucketIds(from: Map[Int, Long],
@@ -256,10 +255,9 @@ object SnapshotStore {
     * difference of the stored state, classified per discriminant key as
     * `insert` (key absent at `fromVersion`), `update` (present at both
     * with any column differing — post-image values), or `delete` (absent
-    * at `toVersion`; unreachable through [[upsert]], which never removes
-    * rows, but classified so the feed stays total if a removal path is
-    * ever added). Output schema: the store's columns plus a
-    * `_change_type` string.
+    * at `toVersion` — produced by [[delete]]; delete rows carry their
+    * PRE-image values, there being no post-image). Output schema: the
+    * store's columns plus a `_change_type` string.
     *
     * Scale shape — this is the point of the operator: the manifest diff
     * names exactly the buckets that were rewritten in the interval, and
@@ -562,6 +560,88 @@ object SnapshotStore {
       Manifest(m.schema, m.buckets.map { case (b, _) => b -> next }))
     commitPointer(spark, f, root, next)
     next
+  }
+
+  /** Key-granular removal: commit a new version with every row whose
+    * discriminant key appears in `keys` deleted — the right-to-be-
+    * forgotten / opt-out primitive a training-data store needs, and the
+    * write path that makes the change feed's `delete` classification
+    * reachable (until now [[changes]] documented it as "if a removal
+    * path is ever added"; this is that path, and whole-bucket removals
+    * exercise [[diffBucketIds]]' union diff).
+    *
+    * Scale shape, mirroring [[upsert]]: the keys hash to their buckets
+    * (the same conform-to-stored-types discipline — Murmur3 of an INT is
+    * not Murmur3 of a BIGINT), ONLY those buckets are read, anti-joined,
+    * and rewritten; untouched buckets keep their manifest location. A
+    * 1k-key opt-out against a 100 TB store costs O(touched buckets), not
+    * O(table). A bucket whose rows are ALL deleted drops out of the
+    * manifest entirely. Deleting keys that match nothing commits
+    * nothing and returns 0 (no claim, no version burn).
+    *
+    * `keys` must carry the recorded discriminant columns; extra columns
+    * are ignored. Returns the number of rows removed. Versioned like any
+    * commit: time-travel still reads the pre-delete versions until
+    * [[vacuum]] reclaims them — an opt-out pipeline that must FORGET the
+    * bytes follows the delete with `vacuum(keep = 1)`. */
+  def delete(spark: SparkSession, root: String, keys: DataFrame): Long = {
+    val f = fs(spark, root)
+    val v = currentVersion(spark, root).getOrElse(throw
+      new IllegalArgumentException(s"store at $root has no committed version"))
+    require(f.exists(manifestPath(root, v)),
+      s"store at $root predates the bucketed-manifest format; run one " +
+        "upsert to migrate it, then delete")
+    val disc = discriminantColumns(spark, root)
+    require(disc.nonEmpty,
+      s"store at $root has no recorded discriminant (created before the " +
+        "property existed) — run one upsert to backfill it, then delete")
+    disc.foreach(c => require(keys.columns.contains(c),
+      s"keys must carry discriminant column '$c'"))
+    val m = readManifest(spark, root, v)
+    val buckets = numBuckets(spark, root).getOrElse(DefaultBuckets)
+    // conform key types to STORED types before hashing or joining:
+    // bucket assignment hashes the stored type, and an unconformed key
+    // would probe the wrong bucket and silently delete nothing
+    val k = disc.foldLeft(keys.select(disc.map(col): _*).distinct()) {
+      (d, c) =>
+        val stored = m.schema.fields.find(_.name == c).getOrElse(throw
+          new IllegalArgumentException(
+            s"discriminant '$c' is not a stored column")).dataType
+        if (d.schema(c).dataType != stored) d.withColumn(c, col(c).cast(stored))
+        else d
+    }
+    val touched = k
+      .select(bucketExpr(disc.map(col), buckets).as(bucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+      .intersect(m.buckets.keySet)
+    if (touched.isEmpty) return 0L
+    val target = readBuckets(spark, root, m, Some(touched))
+    val nDel = target.join(k, disc, "left_semi").count()
+    if (nDel == 0L) return 0L
+    val next = v + 1
+    claim(f, root, next)
+    val remaining = target.join(k, disc, "left_anti")
+      .withColumn(bucketCol, bucketExpr(disc.map(col), buckets))
+    val cluster = clusterColumns(spark, root)
+    val arranged =
+      if (cluster.isEmpty) remaining
+      else remaining.sortWithinPartitions((bucketCol +: cluster).map(col): _*)
+    arranged
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(s"$root/snapshot=$next")
+    val writtenBuckets = f.listStatus(new Path(root, s"snapshot=$next")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$bucketCol=") =>
+        n.stripPrefix(s"$bucketCol=").toInt }
+      .toSet
+    // touched buckets that produced no surviving rows are NOT re-added:
+    // the manifest forgets them (whole-bucket removal)
+    writeManifest(f, root, next,
+      Manifest(m.schema,
+        m.buckets.view.filterKeys(!touched(_)).toMap ++
+          writtenBuckets.map(_ -> next)))
+    commitPointer(spark, f, root, next)
+    nDel
   }
 
   // ---------------------------------------------------------------- upsert

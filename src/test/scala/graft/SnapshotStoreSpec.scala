@@ -417,6 +417,65 @@ class SnapshotStoreSpec extends SparkSpec
     feed shouldBe Array((7, "v7b", "update"))
   }
 
+  test("delete removes exactly the keyed rows bucket-pruned: untouched " +
+    "buckets keep their manifest location, an emptied bucket drops out of " +
+    "the manifest, the change feed classifies deletes with pre-image " +
+    "values, and no-match deletes commit nothing") {
+    val root = tempRoot("graft_delete")
+    val base = (0 until 64).map(i => i -> s"v$i")
+    SnapshotStore.upsert(spark, root, base.toDF("id", "value"), cfg,
+      nBuckets = 8)
+    // victims: three scattered keys, plus (separately below) one whole
+    // bucket's population
+    val nDel = SnapshotStore.delete(spark, root,
+      Seq(3, 17, 42).toDF("id"))
+    nDel shouldBe 3L
+    val v1 = SnapshotStore.currentVersion(spark, root).get
+    val got = SnapshotStore.read(spark, root).get
+      .select("id", "value").collect().map(r => r.getInt(0)).toSet
+    got shouldBe (0 until 64).toSet -- Set(3, 17, 42)
+    // only the victims' buckets moved
+    val changed = SnapshotStore.changedBuckets(spark, root, 0L, v1)
+    changed.size should be <= 3
+    // the feed: exactly the victims, change_type=delete, pre-image values
+    val feed = SnapshotStore.changes(spark, root, 0L, v1)
+      .select("id", "value", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    feed shouldBe Set((3, "v3", "delete"), (17, "v17", "delete"),
+      (42, "v42", "delete"))
+    // deleting keys that match nothing (or nothing at all) is a no-op:
+    // same version, no claim burned
+    SnapshotStore.delete(spark, root, Seq(3, 999).toDF("id")) shouldBe 0L
+    SnapshotStore.currentVersion(spark, root).get shouldBe v1
+    // key TYPE conformance: the store's id is INT; LONG-typed keys must
+    // hash to the same buckets and still delete
+    SnapshotStore.delete(spark, root, Seq(17L, 44L).toDF("id")) shouldBe 1L
+    SnapshotStore.read(spark, root).get.count() shouldBe 60L
+    // whole-bucket removal: delete every surviving member of bucket 0's
+    // population — the manifest must forget the bucket, and the feed
+    // still reports each row as a delete (the union-diff path)
+    val v2 = SnapshotStore.currentVersion(spark, root).get
+    val bucketOf = SnapshotStore.read(spark, root).get
+      .select(col("id"),
+        pmod(hash(col("id")), lit(8)).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val b0 = bucketOf.collect { case (id, b) if b == 0 => id }.toSeq
+    b0 should not be empty
+    SnapshotStore.delete(spark, root,
+      b0.toDF("id")) shouldBe b0.size.toLong
+    val v3 = SnapshotStore.currentVersion(spark, root).get
+    SnapshotStore.changedBuckets(spark, root, v2, v3) should contain(0)
+    val delFeed = SnapshotStore.changes(spark, root, v2, v3)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    delFeed shouldBe b0.map(id => (id, "delete")).toSet
+    // a later upsert on the shrunken store still works and can repopulate
+    SnapshotStore.upsert(spark, root,
+      Seq(3 -> "v3b").toDF("id", "value"), cfg)
+    SnapshotStore.read(spark, root).get
+      .filter(col("id") === 3).count() shouldBe 1L
+  }
+
   test("rewrite commits a full-store transform as one new version and " +
     "refuses schema-changing transforms") {
     val root = tempRoot("graft_rewrite")
@@ -450,8 +509,7 @@ class SnapshotStoreSpec extends SparkSpec
 
   test("diffBucketIds diffs the UNION of manifests: additions, moves AND " +
     "whole-bucket removals all classify as changed") {
-    // no public write path removes a bucket today, but changes() promises
-    // the feed stays total if one is ever added — the kernel must already
+    // delete() empties buckets out of the manifest, so the kernel must
     // see a from-side-only bucket (a to-only iteration silently would not)
     val from = Map(0 -> 0L, 1 -> 0L, 2 -> 1L)
     val to = Map(0 -> 0L, 2 -> 2L, 3 -> 2L)
