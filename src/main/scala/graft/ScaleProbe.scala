@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,zorder_maintain,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,delete_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,zorder_maintain,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -2412,6 +2412,78 @@ object ScaleProbe {
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"cdf_scale",${cdfEntry.tail}""")
     writeArtifact("cdf_scale", cdfEntry)
+    }
+
+    if (probes("delete_scale")) {
+    // SnapshotStore.delete's claim: a small opt-out batch against a big
+    // store costs O(touched buckets) — the victim keys hash to their
+    // buckets, only those are read + anti-joined + rewritten. The naive
+    // alternative (what a store without key bucketing must do) is a
+    // full-table anti-join rewrite, measured here as SnapshotStore.rewrite
+    // with the same anti-join on an identical twin store. Bytes are the
+    // on-disk sizes of the touched bucket directories vs the whole store
+    // (the read sets of the two legs); the feed-totality check pins that
+    // the pruned path still reports every removed row as a delete.
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    val evDel = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("value"))
+    val dataD = (0 until scale).map { i =>
+      evDel.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("value"),
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"x$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    val cfgD = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val bucketsD = 256
+    def mkStoreD(tag: String): String = {
+      val r = java.nio.file.Files
+        .createTempDirectory(s"graft_del_$tag").resolve("store").toString
+      SnapshotStore.upsert(spark, r, dataD, cfgD, nBuckets = bucketsD)
+      r
+    }
+    val (rootP, rootN) = (mkStoreD("p"), mkStoreD("n"))
+    val rowsD = dataD.count()
+    val victims = dataD.filter(col("event_id") % lit(12500) === 3)
+      .limit(8).select("event_id").localCheckpoint(true)
+    val nVictims = victims.count()
+    def dirBytes(p: String): Long = {
+      val fp = new org.apache.hadoop.fs.Path(p)
+      val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(fp)) 0L
+      else fs.getContentSummary(fp).getLength
+    }
+    val storeBytes = dirBytes(s"$rootP/snapshot=0")
+    val t0p = System.nanoTime()
+    val nDel = SnapshotStore.delete(spark, rootP, victims)
+    val prunedSec = (System.nanoTime() - t0p) / 1e9
+    require(nDel == nVictims, s"pruned delete removed $nDel of $nVictims")
+    val changedD = SnapshotStore.changedBuckets(spark, rootP, 0L, 1L)
+    val touchedBytes = changedD.toSeq.map(b =>
+      dirBytes(s"$rootP/snapshot=0/__bucket=$b")).sum
+    val feedD = SnapshotStore.changes(spark, rootP, 0L, 1L)
+    val feedRows = feedD.collect()
+    val feedTotal = feedRows.length == nDel.toInt &&
+      feedRows.forall(_.getAs[String]("_change_type") == "delete")
+    val t0n = System.nanoTime()
+    SnapshotStore.rewrite(spark, rootN,
+      df => df.join(broadcast(victims), Seq("event_id"), "left_anti"))
+    val naiveSec = (System.nanoTime() - t0n) / 1e9
+    val nRemainN = SnapshotStore.read(spark, rootN).get.count()
+    require(nRemainN == rowsD - nDel,
+      s"naive leg kept $nRemainN, expected ${rowsD - nDel}")
+    val delEntry = s"""{"scale":$scale,"rows":$rowsD,""" +
+      s""""buckets":$bucketsD,"victims":$nVictims,"deleted":$nDel,""" +
+      s""""changed_buckets":${changedD.size},""" +
+      s""""pruned_sec":$prunedSec,"naive_rewrite_sec":$naiveSec,""" +
+      s""""speedup":${if (prunedSec > 0) naiveSec / prunedSec else -1.0},""" +
+      s""""touched_bytes":$touchedBytes,"store_bytes":$storeBytes,""" +
+      s""""bytes_fraction":${touchedBytes.toDouble / math.max(1L, storeBytes)},""" +
+      s""""feed_total":$feedTotal,""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"delete_scale",${delEntry.tail}""")
+    writeArtifact("delete_scale", delEntry)
     }
 
     spark.stop()
