@@ -91,19 +91,10 @@ object Bench {
         spark.catalog.clearCache() // release operator-persisted relations
         name -> (if (ok) secs else -1.0)
       }.toMap
-    // warm-ups cover the WHOLE suite: the extended tier's codegen/JIT
-    // needs warming exactly like the core's
-    val warmupTotals = (1 to warmupPasses).map { _ =>
-      BenchRuns.passTotal(runPassOn(selected))
-    }
-    // extended tier first (fixed passes), then the core chase — so the
-    // wall budget, measured from JVM start, throttles only the chase
-    val extPerPass = (1 to (if (extQ.isEmpty) 0 else extPasses))
-      .map(_ => runPassOn(extQ)).toVector
     // The box is noisy in BURSTS (one pass can catch an ambient spike and
     // read 50% high), so after the configured passes, keep measuring —
     // bounded by SPARK_GRAFT_BENCH_MAX_PASSES — until the two fastest
-    // recorded core totals agree within SPARK_GRAFT_BENCH_DELTA_TARGET
+    // recorded totals agree within SPARK_GRAFT_BENCH_DELTA_TARGET
     // percent. The agreement pair is the steady-state estimate, matching
     // the per-query min-of-passes philosophy; every raw pass total is
     // still reported so a spike stays visible.
@@ -113,20 +104,18 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_MAX_PASSES")
         .flatMap(_.trim.toIntOption).getOrElse(10))
     // Wall budget for the whole run (warm-up included), measured from JVM
-    // start: the adaptive chase stops extending once spent, so a bursty
+    // start: the adaptive chases stop extending once spent, so a bursty
     // box degrades to fewer recorded passes instead of an unboundedly
     // long bench.
     val maxSeconds = sys.env.get("SPARK_GRAFT_BENCH_MAX_SECONDS")
       .flatMap(_.trim.toDoubleOption).getOrElse(1200.0)
-    val corePerPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
-      outOfTime = () => (System.nanoTime() - runStart) / 1e9 > maxSeconds)(
-      () => runPassOn(coreQ))
-    // A query that failed SOME passes still reports its best successful
-    // time, but must not read as healthy — flag it. Summaries are
-    // per-tier (a tier's queries appear only in its own passes) and merge.
-    val coreSummary = BenchRuns.summarize(coreQ.keys.toSeq, corePerPass)
-    val extSummary = BenchRuns.summarize(extQ.keys.toSeq, extPerPass)
-    val minTimes = coreSummary.minTimes ++ extSummary.minTimes
+    def outOfTime(): Boolean =
+      (System.nanoTime() - runStart) / 1e9 > maxSeconds
+    // warm-ups cover the WHOLE suite: the extended tier's codegen/JIT
+    // needs warming exactly like the core's
+    val warmupTotals = (1 to warmupPasses).map { _ =>
+      BenchRuns.passTotal(runPassOn(selected))
+    }
     // HONESTY PASS: the default count() action lets Catalyst prune
     // computed columns a count never reads (the events_interval hazard —
     // an expensive expression feeding no aggregate/filter/sort would
@@ -134,14 +123,40 @@ object Bench {
     // materializes every row; per-query noop times land in the artifact
     // so a count-vs-noop gap names exactly the queries whose count-mode
     // number understates the work. Skipped when the recorded passes are
-    // already noop-mode.
+    // already noop-mode. Placed BEFORE the recorded passes: it doubles
+    // as a third full-materialization warm-up (the r15 quiet run showed
+    // the heavy ext queries still improving on their third execution —
+    // 149 s → 109 s — which read as 37% "noise" when it was late JIT).
     val noopPasses = math.max(0, sys.env.get("SPARK_GRAFT_BENCH_NOOP_PASSES")
       .flatMap(_.trim.toIntOption).getOrElse(if (noop) 0 else 1))
     val noopPerPass = (1 to noopPasses)
-      // the honesty pass respects the run's wall budget like the chase
-      .filter(_ => (System.nanoTime() - runStart) / 1e9 < maxSeconds)
+      // the honesty pass respects the run's wall budget like the chases
+      .filter(_ => !outOfTime())
       .map(_ => runPassOn(selected, useNoop = true)).toVector
     val noopSummary = BenchRuns.summarize(selected.keys.toSeq, noopPerPass)
+    // extended tier next, then the core chase. The ext tier gets the
+    // SAME until-two-agree adaptive schedule as the core, just with a
+    // looser target and a tighter cap (each ext pass is ~5x a core pass,
+    // so the chase extends only when the configured passes genuinely
+    // disagree — exactly the case where a fixed-2 schedule would have
+    // recorded an untrustworthy minimum).
+    val extDeltaTarget = sys.env.get("SPARK_GRAFT_BENCH_EXT_DELTA_TARGET")
+      .flatMap(_.trim.toDoubleOption).getOrElse(8.0)
+    val extMaxPasses = math.max(extPasses,
+      sys.env.get("SPARK_GRAFT_BENCH_EXT_MAX_PASSES")
+        .flatMap(_.trim.toIntOption).getOrElse(4))
+    val extPerPass =
+      if (extQ.isEmpty) Vector.empty[Map[String, Double]]
+      else BenchRuns.adaptivePasses(extPasses, extMaxPasses, extDeltaTarget,
+        outOfTime = () => outOfTime())(() => runPassOn(extQ))
+    val corePerPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
+      outOfTime = () => outOfTime())(() => runPassOn(coreQ))
+    // A query that failed SOME passes still reports its best successful
+    // time, but must not read as healthy — flag it. Summaries are
+    // per-tier (a tier's queries appear only in its own passes) and merge.
+    val coreSummary = BenchRuns.summarize(coreQ.keys.toSeq, corePerPass)
+    val extSummary = BenchRuns.summarize(extQ.keys.toSeq, extPerPass)
+    val minTimes = coreSummary.minTimes ++ extSummary.minTimes
     val qs = minTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = (coreSummary.failed ++ extSummary.failed).map("\"" + _ + "\"")
