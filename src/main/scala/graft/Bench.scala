@@ -129,11 +129,18 @@ object Bench {
     // 149 s → 109 s — which read as 37% "noise" when it was late JIT).
     val noopPasses = math.max(0, sys.env.get("SPARK_GRAFT_BENCH_NOOP_PASSES")
       .flatMap(_.trim.toIntOption).getOrElse(if (noop) 0 else 1))
-    val noopPerPass = (1 to noopPasses)
-      // the honesty pass respects the run's wall budget like the chases
-      .filter(_ => !outOfTime())
+    // the honesty passes respect the run's wall budget like the chases —
+    // rechecked BEFORE EACH pass (a strict filter would gate all passes
+    // on the budget at one instant, then run them all regardless)
+    val noopPerPass = (1 to noopPasses).iterator
+      .takeWhile(_ => !outOfTime())
       .map(_ => runPassOn(selected, useNoop = true)).toVector
-    val noopSummary = BenchRuns.summarize(selected.keys.toSeq, noopPerPass)
+    // summarize over EXECUTED passes only: with zero executed (noop-mode
+    // run, or budget spent) the artifact must report an empty map, not
+    // 119 spurious -1.0 "failures"
+    val noopSummary =
+      if (noopPerPass.isEmpty) BenchRuns.Summary(Nil, Nil, Nil)
+      else BenchRuns.summarize(selected.keys.toSeq, noopPerPass)
     // extended tier next, then the core chase. The ext tier gets the
     // SAME until-two-agree adaptive schedule as the core, just with a
     // looser target and a tighter cap (each ext pass is ~5x a core pass,
@@ -236,7 +243,7 @@ object Bench {
       s""""ext_repeat_delta_pct":$extRepeatDeltaPct,""" +
       s""""noise_flag_pct":$noiseFlagPct,""" +
       s""""noise_flagged":$noiseFlagged,""" +
-      s""""noop_passes":$noopPasses,""" +
+      s""""noop_passes":${noopPerPass.size},""" +
       s""""noop_pass_totals":${noopPerPass.map(BenchRuns.passTotal)
         .mkString("[", ",", "]")},""" +
       s""""noop_queries":${noopSummary.minTimes

@@ -49,15 +49,22 @@ object Queries {
     * `createTempDirectory` form leaked one directory per bench pass. */
   private val fixtureRoots =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // every created dir, including those whose build FAILED — a throwing
+  // build must not leak its half-written tree past JVM exit
+  private val fixtureDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val fixtureCleanup: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      fixtureRoots.values.forEach { root =>
+      fixtureDirs.forEach { root =>
         val p = java.nio.file.Paths.get(root)
         if (java.nio.file.Files.exists(p)) {
-          val it = java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator()
-          while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+          val stream = java.nio.file.Files.walk(p)
+          try {
+            val it = stream
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator()
+            while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+          } finally stream.close()
         }
       }
     }))
@@ -67,6 +74,7 @@ object Queries {
     fixtureRoots.computeIfAbsent((kind, dir), { _ =>
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_q_$kind").toString
+      fixtureDirs.add(root) // registered BEFORE the build can throw
       build(root)
       root
     })

@@ -545,18 +545,29 @@ object Joins {
               "is evaluated at plan time); use asOfJoinWindow for a " +
               "computed tolerance")
           else {
+            // the merge node carries its tolerance as a Double; an
+            // integral tolerance above 2^53 does not round-trip that
+            // representation exactly, so the merge could admit/reject a
+            // pair the window plan's native long arithmetic decides the
+            // other way — route such tolerances to the window plan
+            // (Left), never silently round them
+            def exactTol(l: Long): Either[String, Option[Double]] =
+              if (math.abs(l) <= (1L << 53)) Right(Some(l.toDouble))
+              else Left("tolerance magnitude exceeds 2^53 and cannot be " +
+                "represented exactly in the merge plan's double " +
+                "tolerance; use asOfJoinWindow (native long arithmetic) " +
+                "for tolerances this large")
             val micros: Either[String, Option[Double]] =
               (e.eval(), e.dataType) match {
                 case (null, _) => Left("tolerance evaluated to NULL")
                 case (us: java.lang.Long, _: DayTimeIntervalType) =>
-                  Right(Some(us.toDouble))
+                  exactTol(us)
                 case (ci: org.apache.spark.unsafe.types.CalendarInterval,
                       CalendarIntervalType) =>
                   if (ci.months != 0)
                     Left("tolerance interval must not contain months " +
                       "(not a fixed duration)")
-                  else Right(Some(ci.days * 86400000000L.toDouble +
-                    ci.microseconds.toDouble))
+                  else exactTol(ci.days * 86400000000L + ci.microseconds)
                 case _ => Right(None)
               }
             micros.flatMap { m =>
@@ -570,12 +581,26 @@ object Joins {
                     s"got $other")
                 case (None, _) => (e.eval(), e.dataType) match {
                   case (n: Number, _: NumericType) =>
-                    if (lTsType.isInstanceOf[NumericType])
-                      Right(Some(n.doubleValue()))
-                    else Left(s"numeric tolerance needs a numeric ts " +
-                      s"column, got $lTsType")
+                    if (!lTsType.isInstanceOf[NumericType])
+                      Left(s"numeric tolerance needs a numeric ts " +
+                        s"column, got $lTsType")
+                    else n match {
+                      // integral tolerances get the same 2^53 exactness
+                      // fence as intervals; float/double tolerances ARE
+                      // doubles (exact by definition)
+                      case l: java.lang.Long => exactTol(l.longValue())
+                      case i: java.lang.Integer => exactTol(i.longValue())
+                      case s: java.lang.Short => exactTol(s.longValue())
+                      case b: java.lang.Byte => exactTol(b.longValue())
+                      case _ => Right(Some(n.doubleValue()))
+                    }
                   case (d: org.apache.spark.sql.types.Decimal, _) =>
-                    Right(Some(d.toDouble))
+                    // a decimal that does not round-trip the double is
+                    // routed to the window plan, like oversize integrals
+                    if (BigDecimal(d.toDouble).compare(d.toBigDecimal) == 0)
+                      Right(Some(d.toDouble))
+                    else Left("decimal tolerance is not exactly " +
+                      "representable as a double; use asOfJoinWindow")
                   case (v, t) => Left(
                     s"unsupported tolerance $v of type $t (interval or numeric)")
                 }

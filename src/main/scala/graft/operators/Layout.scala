@@ -89,6 +89,7 @@ object Layout {
   }
 
   private val ModelProp = "zorderModel"
+  private val BucketsProp = "zorderBuckets"
 
   /** Stored z-order model of a store, if any. */
   def zOrderModel(spark: SparkSession, root: String): Option[ZOrderModel] =
@@ -178,17 +179,30 @@ object Layout {
     * they would across any layout-changing rewrite. */
   def zOrderMaintain(spark: SparkSession, root: String,
                      maxBalance: Double = 4.0,
-                     buckets: Int = 256): String = {
+                     buckets: Int = 0): String = {
     require(maxBalance > 1.0, "maxBalance must exceed 1 (1 = freshly fit)")
     val model = zOrderModel(spark, root).getOrElse(throw
       new IllegalArgumentException(s"store at $root has no z-order model"))
-    val worst = zOrderDriftStats(spark, root)
-      .agg(max(col("balance"))).collect()(0).getDouble(0)
-    if (worst <= maxBalance) "ok"
+    // the refit resolution is the RECORDED creation-time granularity
+    // (persisted by zOrderUpsert like nBuckets/clusterBy); an explicit
+    // buckets argument must agree — a silent 64→256 refit would change
+    // the balance gauge's units and the layout's pruning granularity.
+    // Stores created before the property default to 256 (the historical
+    // zOrderUpsert default) unless the caller states otherwise.
+    val recorded = SnapshotStore.getProperty(spark, root, BucketsProp)
+      .flatMap(_.toIntOption)
+    recorded.foreach(r => require(buckets == 0 || buckets == r,
+      s"store at $root records zorderBuckets=$r but this call requested " +
+        s"$buckets; the recorded creation-time granularity wins"))
+    val effBuckets = recorded.getOrElse(if (buckets > 0) buckets else 256)
+    val worstRow = zOrderDriftStats(spark, root)
+      .agg(max(col("balance"))).collect()(0)
+    // a store delete() emptied out has zero rows → no drift to act on
+    if (worstRow.isNullAt(0) || worstRow.getDouble(0) <= maxBalance) "ok"
     else {
       val data = SnapshotStore.read(spark, root).getOrElse(throw
         new IllegalArgumentException(s"store at $root has no committed data"))
-      val fresh = fitZOrder(data.drop("__zorder"), model.cols, buckets)
+      val fresh = fitZOrder(data.drop("__zorder"), model.cols, effBuckets)
       SnapshotStore.rewrite(spark, root,
         df => df.withColumn("__zorder", fresh.zColumn))
       SnapshotStore.setProperty(spark, root, ModelProp, fresh.serialized)
@@ -232,8 +246,14 @@ object Layout {
     // the next call loads it and proceeds consistently — rather than
     // committed z-ranked data with no model, which a later call would
     // silently re-rank against freshly fitted, different cuts
-    if (stored.isEmpty)
+    if (stored.isEmpty) {
       SnapshotStore.setProperty(spark, root, ModelProp, model.serialized)
+      // the rank granularity is creation-time layout state like
+      // nBuckets/clusterBy: a later refit must re-fit at the SAME
+      // resolution or balance gauges change units and pruning
+      // granularity silently diverges from the design
+      SnapshotStore.setProperty(spark, root, BucketsProp, buckets.toString)
+    }
     val withZ = updates.withColumn("__zorder", model.zColumn)
     SnapshotStore.upsert(spark, root, withZ, cfg, nBuckets,
       clusterBy = Seq("__zorder"))

@@ -513,9 +513,13 @@ object SnapshotStore {
     * discriminant column values — bucket membership is their hash; not
     * checkable without a second shuffle, so it is a stated requirement).
     * The `__bucket` partition column rides through the transform; leave
-    * it untouched. Rows whose transformed values differ WILL appear as
-    * updates in the row-level [[changes]] feed across the rewrite — a
-    * stored column changed, so that is the truthful feed.
+    * it untouched. Row-DROPPING transforms are legal (delete-shaped
+    * maintenance): the committed manifest records only the bucket
+    * directories the write actually produced, so an emptied bucket
+    * drops out rather than leaving a dangling path. Rows whose
+    * transformed values differ WILL appear as updates in the row-level
+    * [[changes]] feed across the rewrite — a stored column changed, so
+    * that is the truthful feed.
     *
     * Cost: one full read + one full clustered write (the point of a
     * maintenance rewrite); one exchange on the bucket column so each
@@ -529,6 +533,9 @@ object SnapshotStore {
       s"store at $root predates the bucketed-manifest format; run one " +
         "upsert to migrate it, then rewrite")
     val m = readManifest(spark, root, v)
+    // an emptied-out store (delete() can remove every bucket) has nothing
+    // to transform: no-op, no version burn
+    if (m.buckets.isEmpty) return v
     val union = m.buckets.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (ver, bs) =>
         spark.read.schema(m.schema)
@@ -556,8 +563,17 @@ object SnapshotStore {
     arranged
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(s"$root/snapshot=$next")
+    // manifest from the directories the write ACTUALLY produced — a
+    // row-dropping transform (legal: delete-shaped maintenance) can empty
+    // a bucket, and a manifest entry pointing at an unwritten directory
+    // would make every later read of the store throw on a missing path
+    val writtenBuckets = f.listStatus(new Path(root, s"snapshot=$next")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$bucketCol=") =>
+        n.stripPrefix(s"$bucketCol=").toInt }
+      .toSet
     writeManifest(f, root, next,
-      Manifest(m.schema, m.buckets.map { case (b, _) => b -> next }))
+      Manifest(m.schema, writtenBuckets.map(_ -> next).toMap))
     commitPointer(spark, f, root, next)
     next
   }
@@ -601,7 +617,13 @@ object SnapshotStore {
     val buckets = numBuckets(spark, root).getOrElse(DefaultBuckets)
     // conform key types to STORED types before hashing or joining:
     // bucket assignment hashes the stored type, and an unconformed key
-    // would probe the wrong bucket and silently delete nothing
+    // would probe the wrong bucket and silently delete nothing.
+    // Materialized ONCE (eager localCheckpoint — bounded: an opt-out
+    // batch is small by design): the key set feeds three separate jobs
+    // (touched-bucket collect, semi count, anti rewrite), and a
+    // nondeterministic input (limit/sample) re-evaluated per job would
+    // desynchronize them — victims outside the first evaluation's
+    // touched set would silently survive while nDel counted them.
     val k = disc.foldLeft(keys.select(disc.map(col): _*).distinct()) {
       (d, c) =>
         val stored = m.schema.fields.find(_.name == c).getOrElse(throw
@@ -609,7 +631,7 @@ object SnapshotStore {
             s"discriminant '$c' is not a stored column")).dataType
         if (d.schema(c).dataType != stored) d.withColumn(c, col(c).cast(stored))
         else d
-    }
+    }.localCheckpoint(true)
     val touched = k
       .select(bucketExpr(disc.map(col), buckets).as(bucketCol))
       .distinct().collect().map(_.getInt(0)).toSet

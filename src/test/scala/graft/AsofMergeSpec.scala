@@ -105,6 +105,28 @@ class AsofMergeSpec extends SparkSpec {
     (base + 1).toDouble shouldBe base.toDouble
   }
 
+  test("an integral tolerance above 2^53 is fenced: the merge plan refuses " +
+    "it loudly and the front door routes to the window plan's exact " +
+    "arithmetic instead of silently rounding") {
+    val l = Seq((1L, (1L << 55) + 4L, "l0")).toDF("k", "lts", "lv")
+    val r = Seq((1L, 1L << 55, 7)).toDF("k", "rts", "rv")
+    val hugeTol = lit((1L << 60) - 1) // doubleValue rounds this to 2^60
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_", "backward",
+        Some(hugeTol))
+    }
+    e.getMessage should include("2^53")
+    // the dispatcher degrades to the window plan (exact long compare)
+    // rather than failing or rounding
+    val out = Joins.asOfJoin(l, r, Seq("k"), "lts", "rts", "r_", "backward",
+      Some(hugeTol))
+    out.collect().map(_.getAs[Any]("r_rv")) shouldBe Array(7)
+    // within-2^53 integral tolerances still take the merge plan
+    val okTol = lit((1L << 53) - 1)
+    Joins.asOfJoinMerge(l, r, Seq("k"), "lts", "rts", "r_", "backward",
+      Some(okTol)).collect().map(_.getAs[Any]("r_rv")) shouldBe Array(7)
+  }
+
   test("asOfJoinMerge multi-key join and self-join (fresh right-side " +
     "expr-ids keep a same-source join analyzable)") {
     val ev = Seq(

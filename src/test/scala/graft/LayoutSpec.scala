@@ -254,6 +254,16 @@ class LayoutSpec extends SparkSpec {
     // healthy again: the next maintain is a metadata-read no-op
     Layout.zOrderMaintain(spark, root, buckets = 64) shouldBe "ok"
     SnapshotStore.currentVersion(spark, root).get shouldBe v1 + 1
+    // the rank granularity is creation-time state, persisted like
+    // nBuckets: a maintain requesting a DIFFERENT resolution fails
+    // loudly (a silent 64->256 refit would change the balance gauge's
+    // units), while the default call reads the recorded value
+    SnapshotStore.getProperty(spark, root, "zorderBuckets") shouldBe Some("64")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zOrderMaintain(spark, root, buckets = 256)
+    }
+    e.getMessage should include("zorderBuckets=64")
+    Layout.zOrderMaintain(spark, root) shouldBe "ok"
   }
 
   test("an all-NULL z-order dimension in the fitting batch fails BEFORE " +

@@ -505,6 +505,26 @@ class SnapshotStoreSpec extends SparkSpec
       SnapshotStore.rewrite(spark, root,
         df => df.withColumn("value", lit(1)))
     SnapshotStore.currentVersion(spark, root).get shouldBe v + 1
+    // a ROW-DROPPING transform that empties buckets must not brick the
+    // store: the manifest records only directories the write produced,
+    // so the emptied buckets drop out and every later read still works
+    SnapshotStore.rewrite(spark, root,
+      df => df.filter(col("id") < 8)) shouldBe v + 2
+    SnapshotStore.read(spark, root).get.count() shouldBe 8L
+    SnapshotStore.changes(spark, root, v + 1, v + 2)
+      .filter(col("_change_type") === "delete").count() shouldBe 56L
+    // emptying the store entirely is survivable too: reads see zero
+    // rows, and a rewrite of the empty store is a version-preserving
+    // no-op instead of an empty.reduce crash
+    SnapshotStore.rewrite(spark, root, df => df.filter(lit(false)))
+    SnapshotStore.read(spark, root).get.count() shouldBe 0L
+    val vEmpty = SnapshotStore.currentVersion(spark, root).get
+    SnapshotStore.rewrite(spark, root, df => df) shouldBe vEmpty
+    // and delete on the empty store is a no-op as well
+    SnapshotStore.delete(spark, root, Seq(1).toDF("id")) shouldBe 0L
+    // the store remains writable: an upsert repopulates
+    SnapshotStore.upsert(spark, root, Seq(5 -> "back").toDF("id", "value"), cfg)
+    SnapshotStore.read(spark, root).get.count() shouldBe 1L
   }
 
   test("diffBucketIds diffs the UNION of manifests: additions, moves AND " +
