@@ -476,6 +476,40 @@ class SnapshotStoreSpec extends SparkSpec
       .filter(col("id") === 3).count() shouldBe 1L
   }
 
+  test("streaming opt-out: a key stream applied per epoch through " +
+    "StreamOps.upsertSink + delete shrinks the store, the feed reports " +
+    "deletes, and a REPLAYED epoch converges (at-least-once safety: " +
+    "deleting already-absent keys commits nothing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = tempRoot("graft_stream_del")
+    SnapshotStore.upsert(spark, root,
+      (0 until 32).map(i => i -> s"v$i").toDF("id", "value"), cfg,
+      nBuckets = 8)
+    val mem = MemoryStream[Int]
+    val q = graft.streaming.StreamOps.upsertSink(mem.toDF().toDF("id")) {
+      (batch, _) => SnapshotStore.delete(spark, root, batch); ()
+    }
+    try {
+      mem.addData(3, 7)
+      q.processAllAvailable()
+      SnapshotStore.read(spark, root).get.count() shouldBe 30L
+      val v1 = SnapshotStore.currentVersion(spark, root).get
+      mem.addData(7, 11) // 7 replays (already gone), 11 is new
+      q.processAllAvailable()
+      SnapshotStore.read(spark, root).get.count() shouldBe 29L
+      val feed = SnapshotStore.changes(spark, root, 0L,
+        SnapshotStore.currentVersion(spark, root).get)
+        .select("id", "_change_type").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      feed shouldBe Set((3, "delete"), (7, "delete"), (11, "delete"))
+      // epoch replay (foreachBatch may re-deliver on recovery): all keys
+      // already absent -> no commit, no version burn — convergence
+      SnapshotStore.delete(spark, root, Seq(3, 7, 11).toDF("id")) shouldBe 0L
+      SnapshotStore.currentVersion(spark, root).get shouldBe v1 + 1
+    } finally q.stop()
+  }
+
   test("rewrite commits a full-store transform as one new version and " +
     "refuses schema-changing transforms") {
     val root = tempRoot("graft_rewrite")
