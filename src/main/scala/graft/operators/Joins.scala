@@ -375,10 +375,17 @@ object Joins {
   }
 
   /** Convenience monotone bucketing for [[asOfJoinBucketed]] over
-    * timestamp columns: `floor(unix_micros(ts) / width)`. */
+    * timestamp columns: floor(unix_micros(ts) / width) computed in pure
+    * LONG arithmetic via the [[binIdExpr]] identity — a double-based
+    * `floor(us / w)` silently mis-bins once |micros| exceeds 2^53,
+    * exactly the corrupt far-range timestamps dirty data contains. */
   def timeBuckets(widthSec: Long): Column => Column = {
     require(widthSec > 0, "bucket width must be positive")
-    c => floor(unix_micros(c) / lit(widthSec * 1000000L))
+    c => {
+      val us = unix_micros(c)
+      val w = lit(widthSec * 1000000L)
+      call_function("div", us - pmod(us, w), w)
+    }
   }
 
   /** One direction of the bucketed carry: per-(key, bucket) [[asOfJoin]]

@@ -210,6 +210,44 @@ object Layout {
     }
   }
 
+  /** What [[storeMaintain]] did, per step. `compacted` = fragmented
+    * buckets rewritten; `layout` = "refit" / "ok" / "n/a" (no z-order
+    * model); `vacuumed` = versions whose readability was reclaimed. */
+  final case class MaintainReport(compacted: Int, layout: String,
+                                  vacuumed: Seq[Long])
+
+  /** One-call store housekeeping — the nightly-cron composite over the
+    * three maintenance operators, each gated by its own measured
+    * trigger, in dependency order:
+    *
+    *  1. [[SnapshotStore.compact]] — rewrites buckets fragmented past
+    *     `maxFilesPerBucket` (no-op otherwise);
+    *  2. [[zOrderMaintain]] — for z-ordered stores, refits + rewrites in
+    *     place when any dimension's drift balance exceeds `maxBalance`
+    *     (skipped entirely when the store has no z-order model: plain
+    *     and single-column-clustered stores report layout = "n/a").
+    *     Runs AFTER compact so a refit-triggering store doesn't pay a
+    *     compaction it is about to supersede — but compact-first keeps
+    *     the common no-refit night cheap;
+    *  3. [[SnapshotStore.vacuum]] — reclaims versions beyond `keep`,
+    *     LAST, so the versions steps 1-2 just obsoleted fall out of
+    *     retention on the same call instead of the next one.
+    *
+    * Single-writer like every maintenance path. Returns what happened,
+    * so schedulers can log/alert on decisions, not silence. */
+  def storeMaintain(spark: SparkSession, root: String,
+                    maxFilesPerBucket: Int = 1,
+                    maxBalance: Double = 4.0,
+                    keep: Int = 2): MaintainReport = {
+    val compacted = SnapshotStore.compact(spark, root, maxFilesPerBucket)
+    val layout =
+      if (zOrderModel(spark, root).isDefined)
+        zOrderMaintain(spark, root, maxBalance)
+      else "n/a"
+    val vacuumed = SnapshotStore.vacuum(spark, root, keep)
+    MaintainReport(compacted, layout, vacuumed)
+  }
+
   /** [[SnapshotStore.upsert]] with Z-ORDER layout on `cols`: at store
     * creation fits the model from the first batch, persists it, and
     * creates the store with `clusterBy = Seq("__zorder")`; later calls

@@ -266,6 +266,39 @@ class LayoutSpec extends SparkSpec {
     Layout.zOrderMaintain(spark, root) shouldBe "ok"
   }
 
+  test("storeMaintain composes compact + drift refit + vacuum in one " +
+    "call with a decisions report; a healthy store's night is all-quiet") {
+    val rnd = new scala.util.Random(53)
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val root = tempRoot("graft_smaint")
+    // fit on in-range data, then a drifted append (triggers refit) that
+    // also fragments buckets (two upserts -> multiple files per bucket)
+    val b1 = (0 until 3000).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b1, Seq("x", "y"), cfg, buckets = 64)
+    val b2 = (3000 until 9000).map(i =>
+      (i, 1e6 + rnd.nextDouble(), rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b2, Seq("x", "y"), cfg)
+    val before = SnapshotStore.read(spark, root).get
+      .select("id").collect().map(_.getInt(0)).toSet
+    val report = Layout.storeMaintain(spark, root, keep = 1)
+    report.layout shouldBe "refit"
+    report.vacuumed should not be empty // the pre-refit versions rotate out
+    // rows untouched by a whole night of maintenance
+    SnapshotStore.read(spark, root).get
+      .select("id").collect().map(_.getInt(0)).toSet shouldBe before
+    // second night: nothing to do — and vacuum keeps the committed version
+    val quiet = Layout.storeMaintain(spark, root, keep = 1)
+    quiet shouldBe Layout.MaintainReport(0, "ok", Nil)
+    // a store without a z-order model reports layout n/a, not an error
+    val plain = tempRoot("graft_smaint_plain")
+    SnapshotStore.upsert(spark, plain,
+      Seq(1 -> "a").toDF("id", "value"),
+      UpsertConfig(clock = Some(to_timestamp(lit("2026-01-01 00:00:00")))))
+    Layout.storeMaintain(spark, plain).layout shouldBe "n/a"
+  }
+
   test("an all-NULL z-order dimension in the fitting batch fails BEFORE " +
     "the model is persisted — an empty cut array would poison the root " +
     "for every later zOrderUpsert — and the root stays usable") {
