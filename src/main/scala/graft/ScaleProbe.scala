@@ -78,7 +78,7 @@ object ScaleProbe {
     // Probe selection (comma list): re-run one probe and merge its entry
     // into SCALEPROBE.json without paying for the others.
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,delete_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,zorder_maintain,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
+        "pair_join_scale,clusters_chain,ann_scale,ivf_recall_curve,ivf_maintain,ivf_autotune,asof_skew,skew_autostrategy,asof_merge_scale,cdf_scale,delete_scale,asof_enrich_stream,sessionize_stream,snapshot_cluster,zorder_cluster,zorder_drift,zorder_maintain,zorder_gauge,pq_crossover,pq_bytes,pq_bytes_end_to_end,line_dedup_scale,bpe_train,embcos_scale,semdedup_scale,minhash_planted_scale,packing_skew,image_dedup_scale,shared_spans_scale,events_scale,charlm_scale,heavy_hitters_scale,incremental_dedup_scale")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1748,6 +1748,76 @@ object ScaleProbe {
     }
     }
 
+    if (probes("zorder_gauge")) {
+    // storeMaintain's nightly drift check must not cost a full-store scan
+    // when the answer is "ok" — the common night. zOrderDriftStats'
+    // bucket-SAMPLED form reads a deterministic subset of the store's
+    // hash buckets (membership = hash(discriminant), independent of the
+    // z columns, so the subset is an unbiased row sample and balance — a
+    // ratio — survives sampling). This probe measures the sampled
+    // gauge's COST vs the full scan and its FIDELITY: same
+    // worst-dimension balance signal and same threshold decision, on a
+    // healthy store and again after a drifted append.
+    import graft.sinks.{SnapshotStore, UpsertConfig}
+    import graft.operators.Layout
+    val evG = graft.sources.Tables.withEventTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("value"))
+    val corpusGA = (0 until scale).map { i =>
+      evG.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("user_id").cast("double").as("user_id"),
+        col("value"),
+        repeat(md5(concat(col("event_id").cast("string"), lit(s"g$i"))), 8)
+          .as("payload"))
+    }.reduce(_ unionByName _)
+    val corpusGB = corpusGA.select(
+      (col("event_id") + lit(scale.toLong * 100000000L)).as("event_id"),
+      col("user_id"), (col("value") + lit(1.0e6)).as("value"),
+      col("payload"))
+    val gCfg = UpsertConfig(discriminant = Seq("event_id"),
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val storeBucketsG = 256
+    val sampleG = 16
+    val rootG = java.nio.file.Files
+      .createTempDirectory("graft_zg").resolve("store").toString
+    Layout.zOrderUpsert(spark, rootG, corpusGA, Seq("value", "user_id"),
+      gCfg, nBuckets = storeBucketsG, buckets = 256)
+    // min-of-passes like every timing probe; worst balance from the same
+    // aggregation the maintain trigger reads
+    def gaugeG(sample: Int): (Double, Double) =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val w = Layout.zOrderDriftStats(spark, rootG, sample)
+          .agg(max(col("balance"))).head().getDouble(0)
+        ((System.nanoTime() - t0) / 1e9, w)
+      }.minBy(_._1)
+    val (okFullSec, okFullBal) = gaugeG(0)
+    val (okSampSec, okSampBal) = gaugeG(sampleG)
+    Layout.zOrderUpsert(spark, rootG, corpusGB, Seq("value", "user_id"),
+      gCfg) // frozen model ranks the drifted batch
+    val (drFullSec, drFullBal) = gaugeG(0)
+    val (drSampSec, drSampBal) = gaugeG(sampleG)
+    // the decisions the maintain trigger would take (maxBalance = 4.0,
+    // confirmBand = 0.25): agreement on BOTH nights is the fidelity claim
+    val okAgree = okFullBal <= 4.0 && okSampBal <= 4.0 * 0.75
+    val drAgree = drFullBal > 4.0 && drSampBal > 4.0 * 1.25
+    val gEntry = s"""{"scale":$scale,"rows":${corpusGA.count() * 2},""" +
+      s""""passes":$passes,""" +
+      s""""store_buckets":$storeBucketsG,"sample_buckets":$sampleG,""" +
+      s""""sampled_fraction":${sampleG.toDouble / storeBucketsG},""" +
+      s""""ok_night":{"full_sec":$okFullSec,"sampled_sec":$okSampSec,""" +
+      s""""gauge_speedup":${if (okSampSec > 0) okFullSec / okSampSec else -1.0},""" +
+      s""""full_balance":$okFullBal,"sampled_balance":$okSampBal},""" +
+      s""""drift_night":{"full_sec":$drFullSec,"sampled_sec":$drSampSec,""" +
+      s""""gauge_speedup":${if (drSampSec > 0) drFullSec / drSampSec else -1.0},""" +
+      s""""full_balance":$drFullBal,"sampled_balance":$drSampBal},""" +
+      s""""decision_agreement":${okAgree && drAgree},""" +
+      s""""signal":${okAgree && drAgree},""" +
+      s""""sf":"$sfDir"}"""
+    println(s"""{"probe":"zorder_gauge",${gEntry.tail}""")
+    writeArtifact("zorder_gauge", gEntry)
+    }
+
     if (probes("asof_merge_scale")) {
     // The physical merge join (AsofJoinExec) vs the union-and-carry
     // composition, same corpus recipe as asof_skew: uniform replica
@@ -2448,6 +2518,14 @@ object ScaleProbe {
     val victims = dataD.filter(col("event_id") % lit(12500) === 3)
       .limit(8).select("event_id").localCheckpoint(true)
     val nVictims = victims.count()
+    // an empty victim set would make delete() a committing no-op (version 1
+    // never exists) and the changedBuckets(0,1) read below would die on a
+    // missing-manifest error; fail HERE with the real cause — the %12500
+    // filter found nothing at this scale factor — instead (the
+    // nDel==nVictims require passes vacuously at 0==0)
+    require(nVictims > 0,
+      s"delete_scale probe selected no victim keys at scale=$scale " +
+        s"($sfDir): raise the scale or loosen the victim filter")
     def dirBytes(p: String): Long = {
       val fp = new org.apache.hadoop.fs.Path(p)
       val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)

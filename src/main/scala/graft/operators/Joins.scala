@@ -574,7 +574,25 @@ object Joins {
                   if (ci.months != 0)
                     Left("tolerance interval must not contain months " +
                       "(not a fixed duration)")
-                  else exactTol(ci.days * 86400000000L + ci.microseconds)
+                  else {
+                    // exact long arithmetic: a plain `days*86400000000L +
+                    // micros` can WRAP for extreme day counts (>~1.07e8
+                    // days) and a wrapped value landing inside ±2^53 would
+                    // pass exactTol as a silently wrong tolerance — map the
+                    // overflow to the same window-plan routing oversized
+                    // exact values already take
+                    val totalUs: Either[String, Long] =
+                      try Right(Math.addExact(
+                        Math.multiplyExact(ci.days.toLong, 86400000000L),
+                        ci.microseconds))
+                      catch {
+                        case _: ArithmeticException =>
+                          Left("tolerance interval overflows long " +
+                            "microseconds; use asOfJoinWindow (native " +
+                            "long arithmetic) for tolerances this large")
+                      }
+                    totalUs.flatMap(exactTol)
+                  }
                 case _ => Right(None)
               }
             micros.flatMap { m =>

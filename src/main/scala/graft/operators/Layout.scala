@@ -117,13 +117,30 @@ object Layout {
     * `balance` has grown to several times its post-fit value; the probe
     * records the balance signal alongside the measured scan decay so
     * the threshold is a read-off, not a guess. Cost: one column-pruned
-    * scan + a bounded aggregation (≤ buckets rows per dimension). */
-  def zOrderDriftStats(spark: SparkSession, root: String): DataFrame = {
+    * scan + a bounded aggregation (≤ buckets rows per dimension).
+    *
+    * SAMPLED GAUGE (`sampleBuckets` > 0): rank only a deterministic
+    * subset of the store's hash buckets instead of the full store. Store
+    * bucket membership is `hash(discriminant)` — independent of the
+    * z-order columns' values — so the subset is an unbiased row sample,
+    * and `balance`/`max_share` are RATIOS that survive sampling (the
+    * estimate's cost is `sampleBuckets/nBuckets` of the full scan; its
+    * fidelity is measured in SCALEPROBE `zorder_gauge`). `occupied` and
+    * `rows` describe the SAMPLE, not the store, under sampling. A store
+    * with ≤ `sampleBuckets` manifest buckets (or a legacy pre-manifest
+    * store) reads in full — sampling never costs a second pass. */
+  def zOrderDriftStats(spark: SparkSession, root: String,
+                       sampleBuckets: Int = 0): DataFrame = {
     import spark.implicits._
     val model = zOrderModel(spark, root).getOrElse(throw
       new IllegalArgumentException(s"store at $root has no z-order model"))
-    val df = SnapshotStore.read(spark, root).getOrElse(throw
-      new IllegalArgumentException(s"store at $root has no committed data"))
+    val ids = SnapshotStore.manifestBucketIds(spark, root)
+    val df =
+      if (sampleBuckets > 0 && ids.size > sampleBuckets)
+        SnapshotStore.readBucketSubset(spark, root,
+          sampleBucketIds(ids, sampleBuckets))
+      else SnapshotStore.read(spark, root).getOrElse(throw
+        new IllegalArgumentException(s"store at $root has no committed data"))
     val dims = model.cols.indices.map { i =>
       struct(lit(model.cols(i)).as("zcol"),
         ZValueExpr(Seq(col(model.cols(i)).cast("double")),
@@ -143,6 +160,15 @@ object Layout {
         col("max_share"), (col("max_share") * col("buckets")).as("balance"))
       .orderBy("zcol")
   }
+
+  /** Deterministic bucket subset for the sampled gauge: the `n` ids
+    * ranking first by `byteswap32(id)` (ties by id) — stable across calls
+    * and JVMs, spread over the id range rather than always ids 0..n-1, so
+    * repeated nightly gauges read the SAME buckets (page-cache friendly,
+    * comparable across nights). */
+  private[graft] def sampleBucketIds(ids: Set[Int], n: Int): Set[Int] =
+    ids.toSeq.sortBy(b => (scala.util.hashing.byteswap32(b), b))
+      .take(n).toSet
 
   /** Drift-triggered automatic refit for a z-ordered store — the
     * trigger/rebuild automation [[zOrderDriftStats]]'s REFIT RULE calls
@@ -176,11 +202,26 @@ object Layout {
     * The rewrite surfaces in the row-level change feed as updates
     * (`__zorder` is a stored column and its values changed) — consumers
     * diffing across a refit should expect a full-churn feed, exactly as
-    * they would across any layout-changing rewrite. */
+    * they would across any layout-changing rewrite.
+    *
+    * SAMPLED TRIGGER (`sampleBuckets` > 0, the [[storeMaintain]]
+    * default): the drift gauge first runs over a deterministic bucket
+    * subset ([[zOrderDriftStats]]'s sampled form — the nightly health
+    * check must not cost a full store scan when the answer is "ok", the
+    * common night). The sampled estimate DECIDES outright when it is
+    * clear of the threshold by `confirmBand` on either side; inside the
+    * ambiguity band the FULL gauge re-reads and decides — sampling can
+    * therefore change WHEN the refit fires only within the band (a
+    * borderline night resolves exactly), never flip a clear decision.
+    * `sampleBuckets = 0` is the original always-full gauge. */
   def zOrderMaintain(spark: SparkSession, root: String,
                      maxBalance: Double = 4.0,
-                     buckets: Int = 0): String = {
+                     buckets: Int = 0,
+                     sampleBuckets: Int = 0,
+                     confirmBand: Double = 0.25): String = {
     require(maxBalance > 1.0, "maxBalance must exceed 1 (1 = freshly fit)")
+    require(confirmBand >= 0.0 && confirmBand < 1.0,
+      "confirmBand must be in [0, 1)")
     val model = zOrderModel(spark, root).getOrElse(throw
       new IllegalArgumentException(s"store at $root has no z-order model"))
     // the refit resolution is the RECORDED creation-time granularity
@@ -195,10 +236,32 @@ object Layout {
       s"store at $root records zorderBuckets=$r but this call requested " +
         s"$buckets; the recorded creation-time granularity wins"))
     val effBuckets = recorded.getOrElse(if (buckets > 0) buckets else 256)
-    val worstRow = zOrderDriftStats(spark, root)
-      .agg(max(col("balance"))).collect()(0)
-    // a store delete() emptied out has zero rows → no drift to act on
-    if (worstRow.isNullAt(0) || worstRow.getDouble(0) <= maxBalance) "ok"
+    // worst-dimension balance at a given gauge resolution; None = store
+    // empty (a store delete() emptied out has zero rows → no drift to act
+    // on)
+    def worst(sample: Int): Option[Double] = {
+      val r = zOrderDriftStats(spark, root, sample)
+        .agg(max(col("balance"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // a store whose manifest has <= sampleBuckets buckets reads in full
+    // either way — treat the gauge as full so a borderline value is never
+    // "confirmed" by re-reading the identical data
+    val effSample =
+      if (sampleBuckets > 0 &&
+          SnapshotStore.manifestBucketIds(spark, root).size > sampleBuckets)
+        sampleBuckets
+      else 0
+    val drifted: Boolean = worst(effSample) match {
+      case None => false
+      case Some(w) if effSample == 0 => w > maxBalance
+      case Some(w) if w <= maxBalance * (1.0 - confirmBand) => false
+      case Some(w) if w > maxBalance * (1.0 + confirmBand) => true
+      // ambiguous: the full gauge decides (pays the scan only on
+      // borderline nights)
+      case _ => worst(0).exists(_ > maxBalance)
+    }
+    if (!drifted) "ok"
     else {
       val data = SnapshotStore.read(spark, root).getOrElse(throw
         new IllegalArgumentException(s"store at $root has no committed data"))
@@ -220,15 +283,22 @@ object Layout {
     * three maintenance operators, each gated by its own measured
     * trigger, in dependency order:
     *
-    *  1. [[SnapshotStore.compact]] — rewrites buckets fragmented past
-    *     `maxFilesPerBucket` (no-op otherwise);
-    *  2. [[zOrderMaintain]] — for z-ordered stores, refits + rewrites in
-    *     place when any dimension's drift balance exceeds `maxBalance`
-    *     (skipped entirely when the store has no z-order model: plain
-    *     and single-column-clustered stores report layout = "n/a").
-    *     Runs AFTER compact so a refit-triggering store doesn't pay a
-    *     compaction it is about to supersede — but compact-first keeps
-    *     the common no-refit night cheap;
+    *  1. [[zOrderMaintain]] FIRST — for z-ordered stores, refits +
+    *     rewrites in place when any dimension's drift balance exceeds
+    *     `maxBalance` (skipped entirely when the store has no z-order
+    *     model: plain and single-column-clustered stores report
+    *     layout = "n/a"). The trigger reads the BUCKET-SAMPLED gauge
+    *     (`sampleBuckets` of the store's hash buckets — the common "ok"
+    *     night costs ~sampleBuckets/nBuckets of a full scan, measured in
+    *     SCALEPROBE `zorder_gauge`), escalating to the full gauge only
+    *     inside the ambiguity band;
+    *  2. [[SnapshotStore.compact]] — rewrites buckets fragmented past
+    *     `maxFilesPerBucket` (no-op otherwise). SKIPPED on a refit
+    *     night: the refit rewrite just re-sorted EVERY bucket into one
+    *     file each, so there is nothing left to compact and a
+    *     compact-first ordering would have paid a full-store rewrite
+    *     only to supersede it — drift-check-first is what makes the
+    *     skip safe;
     *  3. [[SnapshotStore.vacuum]] — reclaims versions beyond `keep`,
     *     LAST, so the versions steps 1-2 just obsoleted fall out of
     *     retention on the same call instead of the next one.
@@ -238,12 +308,16 @@ object Layout {
   def storeMaintain(spark: SparkSession, root: String,
                     maxFilesPerBucket: Int = 1,
                     maxBalance: Double = 4.0,
-                    keep: Int = 2): MaintainReport = {
-    val compacted = SnapshotStore.compact(spark, root, maxFilesPerBucket)
+                    keep: Int = 2,
+                    sampleBuckets: Int = 64): MaintainReport = {
     val layout =
       if (zOrderModel(spark, root).isDefined)
-        zOrderMaintain(spark, root, maxBalance)
+        zOrderMaintain(spark, root, maxBalance,
+          sampleBuckets = sampleBuckets)
       else "n/a"
+    val compacted =
+      if (layout == "refit") 0
+      else SnapshotStore.compact(spark, root, maxFilesPerBucket)
     val vacuumed = SnapshotStore.vacuum(spark, root, keep)
     MaintainReport(compacted, layout, vacuumed)
   }
@@ -284,14 +358,18 @@ object Layout {
     // the next call loads it and proceeds consistently — rather than
     // committed z-ranked data with no model, which a later call would
     // silently re-rank against freshly fitted, different cuts
-    if (stored.isEmpty) {
-      SnapshotStore.setProperty(spark, root, ModelProp, model.serialized)
-      // the rank granularity is creation-time layout state like
-      // nBuckets/clusterBy: a later refit must re-fit at the SAME
-      // resolution or balance gauges change units and pruning
-      // granularity silently diverges from the design
-      SnapshotStore.setProperty(spark, root, BucketsProp, buckets.toString)
-    }
+    // ONE property write for both keys: the rank granularity is
+    // creation-time layout state like nBuckets/clusterBy (a later refit
+    // must re-fit at the SAME resolution or balance gauges change units
+    // and pruning granularity silently diverges from the design), and two
+    // separate writes would open a crash window leaving a model WITHOUT
+    // its recorded granularity — a later zOrderMaintain would silently
+    // default to 256, exactly the units drift the recorded-buckets
+    // require() exists to prevent
+    if (stored.isEmpty)
+      SnapshotStore.setProperties(spark, root, Map(
+        ModelProp -> model.serialized,
+        BucketsProp -> buckets.toString))
     val withZ = updates.withColumn("__zorder", model.zColumn)
     SnapshotStore.upsert(spark, root, withZ, cfg, nBuckets,
       clusterBy = Seq("__zorder"))

@@ -35,11 +35,14 @@ object Multimodal {
         lit(mime).as("mime"),
         octet_length(encode(col(srcCol), "UTF-8")).cast("long").as("n_bytes")))
 
-  /** DETERMINISTIC STUB decoder: stands in for a real image decode
-    * (`???` in spirit). Derives fake width/height from the byte length and a
-    * fake mean intensity from the byte sum — fully deterministic so tests
-    * and oracles are stable. A real implementation would decode `bytes` with
-    * an imaging library inside the same per-partition loop. */
+  /** DETERMINISTIC STUB decoder — a TEST FIXTURE SHAPE, not the
+    * production path: the real decoder is [[decodeImageFeatures]] (native
+    * [[graft.functions.ImageFeaturesExpr]], a true `javax.imageio` PNG/
+    * JPEG/BMP/GIF decode with decode-bomb guards) — reach for that in any
+    * pipeline. This stub derives fake width/height from the byte length
+    * and a fake mean intensity from the byte sum — fully deterministic so
+    * tests and oracles covering the PLUMBING (schema, partitioning, batch
+    * shape) stay stable on non-image payloads. */
   def fakeDecode(bytes: Array[Byte]): Row = {
     val n = bytes.length.toLong
     val width = math.max(1, math.sqrt(n.toDouble).toInt)

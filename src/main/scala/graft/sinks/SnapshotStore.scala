@@ -111,9 +111,18 @@ object SnapshotStore {
     * all other meta lines. A read-merge-write of a small file — callers
     * serialize writers the same way they do for `upsert`. */
   def setProperty(spark: SparkSession, root: String, key: String,
-                  value: String): Unit = {
+                  value: String): Unit =
+    setProperties(spark, root, Map(key -> value))
+
+  /** Set several properties in ONE meta-file write. Properties that must
+    * stay mutually consistent (e.g. a z-order model and its bucket
+    * granularity) go through this, not per-key [[setProperty]] calls: the
+    * single small-file write means a crash leaves either all of them or
+    * none, never a torn subset. */
+  def setProperties(spark: SparkSession, root: String,
+                    props: Map[String, String]): Unit = {
     val f = fs(spark, root)
-    writeProps(f, root, readProps(f, root) + (key -> value))
+    writeProps(f, root, readProps(f, root) ++ props)
   }
 
   /** Bucket count fixed at store creation (None until the first commit). */
@@ -207,6 +216,35 @@ object SnapshotStore {
       readBuckets(spark, root, readManifest(spark, root, version), None)
     else
       spark.read.parquet(s"$root/snapshot=$version") // legacy full snapshot
+  }
+
+  /** Bucket ids the committed manifest references — empty when the store
+    * has no committed version or predates the bucketed-manifest format.
+    * A driver-side metadata read (one small file), no data scan. */
+  def manifestBucketIds(spark: SparkSession, root: String): Set[Int] =
+    currentVersion(spark, root) match {
+      case Some(v) if fs(spark, root).exists(manifestPath(root, v)) =>
+        readManifest(spark, root, v).buckets.keySet
+      case _ => Set.empty
+    }
+
+  /** Pruned read of ONLY the given buckets of the committed version — the
+    * primitive behind bucket-SAMPLED health gauges
+    * ([[graft.operators.Layout.zOrderDriftStats]]): bucket membership is
+    * `hash(discriminant)`, independent of every other column, so a
+    * deterministic bucket subset is an unbiased row sample and a
+    * ratio-shaped statistic computed over it (occupancy skew, null rates)
+    * estimates the full-store value at `|buckets|/nBuckets` of the scan
+    * cost. Ids absent from the manifest are ignored (a bucket can be
+    * empty). */
+  def readBucketSubset(spark: SparkSession, root: String,
+                       buckets: Set[Int]): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(throw
+      new IllegalArgumentException(s"store at $root has no committed version"))
+    require(fs(spark, root).exists(manifestPath(root, v)),
+      s"store at $root predates the bucketed-manifest format; run one " +
+        "upsert to migrate it, then read bucket subsets")
+    readBuckets(spark, root, readManifest(spark, root, v), Some(buckets))
   }
 
   // ----------------------------------------------------------- change feed

@@ -299,6 +299,107 @@ class LayoutSpec extends SparkSpec {
     Layout.storeMaintain(spark, plain).layout shouldBe "n/a"
   }
 
+  test("bucket-sampled drift gauge: a deterministic bucket subset tracks " +
+    "the full gauge's balance ratios on fresh AND drifted stores, and the " +
+    "sampled maintain trigger makes the same refit call at a fraction of " +
+    "the read") {
+    val rnd = new scala.util.Random(61)
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val root = tempRoot("graft_zsample")
+    // 64 store buckets so a 16-bucket sample is a REAL 1/4 subset
+    val b1 = (0 until 6000).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b1, Seq("x", "y"), cfg,
+      nBuckets = 64, buckets = 64)
+    def gauge(sample: Int): Map[String, Double] =
+      Layout.zOrderDriftStats(spark, root, sample)
+        .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    // the sample reads fewer rows than the store holds (it IS a subset)
+    val sampledRows = Layout.zOrderDriftStats(spark, root, 16)
+      .agg(max(col("rows"))).collect()(0).getLong(0)
+    sampledRows should be < 6000L
+    sampledRows should be > 500L // ~1/4 of the store, not a sliver
+    val fullFresh = gauge(0)
+    val sampFresh = gauge(16)
+    // ratio statistics survive sampling: same order of magnitude, both
+    // reading "healthy" (a fresh equi-depth fit sits near balance 1)
+    Seq("x", "y").foreach { c =>
+      sampFresh(c) should be < 3.0
+      fullFresh(c) should be < 2.5
+    }
+    // sampled trigger: healthy store -> "ok", no version burn, and the
+    // clear-margin decision never needed the full scan
+    val v0 = SnapshotStore.currentVersion(spark, root).get
+    Layout.zOrderMaintain(spark, root, buckets = 64,
+      sampleBuckets = 16) shouldBe "ok"
+    SnapshotStore.currentVersion(spark, root).get shouldBe v0
+    // drifted append: far-out-of-range x concentrates in the top rank
+    val b2 = (6000 until 18000).map(i =>
+      (i, 1e6 + rnd.nextDouble(), rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, root, b2, Seq("x", "y"), cfg)
+    val fullDrift = gauge(0)
+    val sampDrift = gauge(16)
+    // both gauges see the same drifted dimension, loudly
+    sampDrift("x") should be > 10.0
+    fullDrift("x") should be > 10.0
+    sampDrift("y") should be < 3.0
+    // sampled trigger fires the refit exactly like the full one would
+    val v1 = SnapshotStore.currentVersion(spark, root).get
+    Layout.zOrderMaintain(spark, root, buckets = 64,
+      sampleBuckets = 16) shouldBe "refit"
+    SnapshotStore.currentVersion(spark, root).get shouldBe v1 + 1
+    gauge(16).values.foreach(_ should be < 3.0)
+    // determinism: the subset is a pure function of the id set
+    val ids = SnapshotStore.manifestBucketIds(spark, root)
+    Layout.sampleBucketIds(ids, 16) shouldBe Layout.sampleBucketIds(ids, 16)
+    Layout.sampleBucketIds(ids, 16).size shouldBe 16
+    Layout.sampleBucketIds(ids, 16).subsetOf(ids) shouldBe true
+  }
+
+  test("storeMaintain checks drift FIRST: a refit night skips the " +
+    "compaction the rewrite would supersede (and leaves nothing to " +
+    "compact); an undrifted fragmented store still compacts") {
+    val rnd = new scala.util.Random(67)
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    // refit night: two upserts fragment buckets AND drift the x dimension
+    val rootR = tempRoot("graft_smaint_refit")
+    val b1 = (0 until 3000).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, rootR, b1, Seq("x", "y"), cfg, buckets = 64)
+    val b2 = (3000 until 9000).map(i =>
+      (i, 1e6 + rnd.nextDouble(), rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    Layout.zOrderUpsert(spark, rootR, b2, Seq("x", "y"), cfg)
+    val report = Layout.storeMaintain(spark, rootR)
+    report.layout shouldBe "refit"
+    report.compacted shouldBe 0 // never paid — the rewrite superseded it
+    // and the refit rewrite really did leave every bucket in one file:
+    // a compact after the fact finds nothing fragmented
+    SnapshotStore.compact(spark, rootR) shouldBe 0
+    // ok night: fragmented but in-distribution — compact still runs.
+    // AQE's partition coalescing would write one file per bucket on this
+    // tiny fixture; disable it so the merge output keeps its shuffle
+    // partitioning and buckets genuinely fragment
+    val rootC = tempRoot("graft_smaint_compactok")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val c1 = (0 until 3000).map(i =>
+        (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+        .toDF("id", "x", "y").repartition(4)
+      Layout.zOrderUpsert(spark, rootC, c1, Seq("x", "y"), cfg,
+        nBuckets = 3, buckets = 64)
+      val c2 = (3000 until 6000).map(i =>
+        (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+        .toDF("id", "x", "y").repartition(4)
+      Layout.zOrderUpsert(spark, rootC, c2, Seq("x", "y"), cfg)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val quiet = Layout.storeMaintain(spark, rootC)
+    quiet.layout shouldBe "ok"
+    quiet.compacted should be > 0
+  }
+
   test("an all-NULL z-order dimension in the fitting batch fails BEFORE " +
     "the model is persisted — an empty cut array would poison the root " +
     "for every later zOrderUpsert — and the root stays usable") {
