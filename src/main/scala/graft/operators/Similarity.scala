@@ -452,54 +452,73 @@ object Similarity {
     val wantCells = autoCells(total)
     if (skew <= maxSkew && wantCells <= nCellsStored * maxGrowth) "ok"
     else {
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(conf)
-      val staging = new org.apache.hadoop.fs.Path(root, ".staging")
-      fs.delete(staging, true) // a crashed previous rebuild's write half
       // original columns only: assignment/norm are recomputed by the build
       val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
-      ivfBuild(data, vecCol, staging.toString, nCells = wantCells,
-        seed = seed, fitSampleRows = fitSampleRows)
-      val old = new org.apache.hadoop.fs.Path(root, ".old")
-      fs.delete(old, true)
-      fs.mkdirs(old)
-      def renameOrDie(from: org.apache.hadoop.fs.Path,
-                      to: org.apache.hadoop.fs.Path): Unit =
-        if (!fs.rename(from, to)) throw new IllegalStateException(
-          s"ivfMaintain: rename $from -> $to failed mid-swap; the index at " +
-            s"$path is fenced by its .rebuilding marker — restore the " +
-            "halves from .old/.staging (or rebuild from source) before " +
-            "removing the marker")
-      def swap(name: String): Unit = {
-        renameOrDie(new org.apache.hadoop.fs.Path(root, name),
-          new org.apache.hadoop.fs.Path(old, name))
-        renameOrDie(new org.apache.hadoop.fs.Path(staging, name),
-          new org.apache.hadoop.fs.Path(root, name))
+      stagedRebuild(spark, path, Seq("data", "centroids")) { staging =>
+        ivfBuild(data, vecCol, staging, nCells = wantCells,
+          seed = seed, fitSampleRows = fitSampleRows)
       }
-      // fence: readers refuse a marked index, so a crash between the data
-      // and centroids swaps fails loudly instead of probing new cells with
-      // old centroids (silent recall collapse)
-      fs.create(new org.apache.hadoop.fs.Path(root, RebuildMarker), true).close()
-      swap("data")
-      swap("centroids")
-      fs.delete(new org.apache.hadoop.fs.Path(root, RebuildMarker), false)
-      fs.delete(old, true)
-      fs.delete(staging, true)
-      // the session may hold cached file listings for the replaced
-      // directories (FileStatusCache); drop them so same-session reads see
-      // the rebuilt files instead of failing on vanished part files
-      spark.catalog.refreshByPath(s"$path/data")
-      spark.catalog.refreshByPath(s"$path/centroids")
       // a calibration tuned against the REPLACED quantizer is stale; drop
       // it, and when the caller states a recall target, re-check the probe
       // width against the rebuilt index immediately (the post-rebuild
       // re-check nProbeForRecall's contract promises)
-      fs.delete(new org.apache.hadoop.fs.Path(root, NProbeFile), false)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
       recallTarget.foreach(t =>
         nProbeForRecall(spark, path, vecCol, t, k = recallK, seed = seed))
       "rebuilt"
     }
+  }
+
+  /** Staged in-place rebuild shared by every index-maintenance path
+    * ([[ivfMaintain]], [[pqMaintain]], [[ivfPqMaintain]]): run `build`
+    * against `<path>/.staging`, then swap the named halves into place.
+    * The swap is rename-based and brief but NOT atomic: the torn window
+    * (some halves new, some old — which would silently corrupt results,
+    * e.g. probing new cells with old centroids) is fenced by the
+    * `.rebuilding` marker written before the first rename and removed
+    * after the last — readers and appenders refuse a marked index, every
+    * rename result is checked, and a crashed swap is recovered by
+    * restoring the halves from `.old`/`.staging` (both live next to the
+    * marker) rather than by trusting whatever mix the crash left. A crash
+    * BEFORE the first rename leaves only `.staging` to delete; the live
+    * index is touched only after the staging build completed.
+    * Single-writer, like every maintenance path. */
+  private def stagedRebuild(spark: SparkSession, path: String,
+                            halves: Seq[String])(
+      build: String => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(root, ".staging")
+    fs.delete(staging, true) // a crashed previous rebuild's write half
+    build(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(root, ".old")
+    fs.delete(old, true)
+    fs.mkdirs(old)
+    def renameOrDie(from: org.apache.hadoop.fs.Path,
+                    to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to)) throw new IllegalStateException(
+        s"index rebuild: rename $from -> $to failed mid-swap; the index " +
+          s"at $path is fenced by its .rebuilding marker — restore the " +
+          "halves from .old/.staging (or rebuild from source) before " +
+          "removing the marker")
+    def swap(name: String): Unit = {
+      renameOrDie(new org.apache.hadoop.fs.Path(root, name),
+        new org.apache.hadoop.fs.Path(old, name))
+      renameOrDie(new org.apache.hadoop.fs.Path(staging, name),
+        new org.apache.hadoop.fs.Path(root, name))
+    }
+    fs.create(new org.apache.hadoop.fs.Path(root, RebuildMarker), true).close()
+    halves.foreach(swap)
+    fs.delete(new org.apache.hadoop.fs.Path(root, RebuildMarker), false)
+    fs.delete(old, true)
+    fs.delete(staging, true)
+    // the session may hold cached file listings for the replaced
+    // directories (FileStatusCache); drop them so same-session reads see
+    // the rebuilt files instead of failing on vanished part files
+    halves.foreach(d => spark.catalog.refreshByPath(s"$path/$d"))
   }
 
   /** Fence file a mid-swap [[ivfMaintain]] (or mid-overwrite [[ivfBuild]])
@@ -881,7 +900,15 @@ object Similarity {
     * corpus is m bytes + a norm per vector instead of dim floats, the
     * compression that makes exhaustive ADC scans affordable. */
   def fitPq(corpus: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
-            seed: Long = 42L, fitSampleRows: Int = 4096): PqModel = {
+            seed: Long = 42L, fitSampleRows: Int = 4096): PqModel =
+    fitPqWithSample(corpus, vecCol, m, ksub, seed, fitSampleRows)._1
+
+  /** [[fitPq]] plus the fit sample it trained on — the builds use the
+    * sample once more to record the BUILD-TIME mean quantization error
+    * (the codebook-drift gauge's baseline) without a second collect. */
+  private def fitPqWithSample(corpus: DataFrame, vecCol: String, m: Int,
+                              ksub: Int, seed: Long, fitSampleRows: Int)
+      : (PqModel, Array[Array[Double]]) = {
     val sample = fitSample(corpus, vecCol, targetRows =
       math.max(fitSampleRows, 32 * ksub), seed)
     val dim = sample(0).length
@@ -893,7 +920,43 @@ object Similarity {
       // vectors) must not yield identical codebooks by seeding accident
       kmeansLocal(sub, ksub, seed + j)
     }
-    PqModel(m, dsub, codebooks)
+    (PqModel(m, dsub, codebooks), sample)
+  }
+
+  /** Mean PQ quantization error of `points` under `model`: the mean over
+    * rows of Σ_j min_c ‖sub_j − codebook_j(c)‖² — exactly the quantity
+    * [[pqEncode]] minimizes per subspace, so it measures how well the
+    * FROZEN codebooks still fit a distribution. Driver-side over a
+    * bounded sample (|points|·m·ksub·dsub flops — trivial at the 4096-row
+    * gauge sizes). */
+  private[graft] def meanQuantizationError(points: Array[Array[Double]],
+                                           model: PqModel): Double = {
+    require(points.nonEmpty, "cannot gauge an empty sample")
+    var total = 0.0
+    points.foreach { v =>
+      require(v.length == model.dim,
+        s"vector dim ${v.length} != model dim ${model.dim}")
+      var j = 0
+      while (j < model.m) {
+        val off = j * model.dsub
+        var best = Double.MaxValue
+        val book = model.codebooks(j)
+        var c = 0
+        while (c < book.length) {
+          val cb = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < model.dsub) {
+            val t = v(off + i) - cb(i); d += t * t; i += 1
+          }
+          if (d < best) best = d
+          c += 1
+        }
+        total += best
+        j += 1
+      }
+    }
+    total / points.length
   }
 
   /** Bounded fit sample shared by [[fitPq]] (and shaped like
@@ -1060,7 +1123,14 @@ object Similarity {
     // idBuckets must not pay a full corpus scan for it
     val buckets =
       if (idBuckets > 0) idBuckets else autoIdBuckets(corpus.count())
-    val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    val (model, fitPoints) =
+      fitPqWithSample(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    // build-time baseline for the codebook-drift gauge (pqDriftStats):
+    // the mean quantization error of the fit sample under the codebooks
+    // just fitted to it. Measured on the TRAINING sample, so it carries
+    // k-means' small in-sample optimism — an undrifted gauge reads
+    // slightly above 1.0, which maxDrift thresholds >= 1.5 clear safely.
+    val fitMqe = meanQuantizationError(fitPoints, model)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(root)
@@ -1084,7 +1154,7 @@ object Similarity {
       }.toSeq
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq(buckets).toDF("id_buckets")
+    Seq((buckets, fitMqe)).toDF("id_buckets", "fit_mqe")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     fs.delete(marker, false)
     Seq("codes", "vectors", "codebooks", "meta").foreach(d =>
@@ -1099,7 +1169,8 @@ object Similarity {
     * smaller index, never torn metadata). Refuses a fenced index. What
     * drifts under a shifted distribution is codebook FIT quality (ADC
     * shortlist error, hence recall), never the exact re-rank's scores —
-    * rebuild ([[pqBuild]]) when recall calibration says so, the IVF
+    * [[pqDriftStats]] gauges it against the build-time baseline and
+    * [[pqMaintain]] rebuilds automatically past a threshold, the IVF
     * family's maintenance rationale. */
   def pqAppend(newRows: DataFrame, vecCol: String, idCol: String,
                path: String): Unit = {
@@ -1124,6 +1195,96 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
     Seq("codes", "vectors").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
+  }
+
+  /** Codebook-drift report for a persisted PQ-coded index: `fitMqe` is
+    * the build-time mean quantization error (recorded by the build from
+    * its own fit sample), `currentMqe` the same statistic over a fresh
+    * bounded sample of the corpus AS STORED TODAY under the FROZEN
+    * codebooks. `ratio` ≈ 1 right after a build; appended mass from a
+    * shifted distribution quantizes worse, the ratio grows, and with it
+    * the ADC shortlist's score error — hence recall — degrades, SILENTLY
+    * (the exact re-rank keeps returned scores exact, so nothing else
+    * fails loudly). The maintain paths rebuild past a ratio threshold. */
+  final case class PqDriftStats(fitMqe: Double, currentMqe: Double) {
+    def ratio: Double =
+      if (fitMqe > 0) currentMqe / fitMqe
+      else if (currentMqe == 0) 1.0
+      else Double.PositiveInfinity
+  }
+
+  /** Build-time MQE baseline from an index's `meta/` relation; loud on
+    * indexes built before the gauge existed. */
+  private def readFitMqe(spark: SparkSession, path: String,
+                         rebuildHint: String): Double = {
+    val p = new org.apache.hadoop.fs.Path(path, "meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"index at $path predates the codebook-drift gauge (no meta/ " +
+        s"relation); rebuild with $rebuildHint to record the baseline")
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("fit_mqe"),
+      s"index at $path predates the codebook-drift gauge (no fit_mqe " +
+        s"baseline in meta/); rebuild with $rebuildHint to record one")
+    meta.select(col("fit_mqe")).collect()(0).getDouble(0)
+  }
+
+  private def pqDriftFrom(spark: SparkSession, path: String,
+                          vectorsRel: String, vecCol: String,
+                          rebuildHint: String, seed: Long,
+                          sampleRows: Int): PqDriftStats = {
+    requireNotRebuilding(spark, path)
+    val model = loadPqModel(spark, path)
+    val fit = readFitMqe(spark, path, rebuildHint)
+    val sample = fitSample(spark.read.parquet(s"$path/$vectorsRel"),
+      vecCol, sampleRows, seed)
+    PqDriftStats(fit, meanQuantizationError(sample, model))
+  }
+
+  /** Codebook-drift gauge for a [[pqBuild]] flat-PQ index — one bounded
+    * sample read of the vectors relation plus driver-side arithmetic,
+    * never a full scan; see [[PqDriftStats]]. */
+  def pqDriftStats(spark: SparkSession, path: String, vecCol: String,
+                   seed: Long = 42L,
+                   sampleRows: Int = 4096): PqDriftStats =
+    pqDriftFrom(spark, path, "vectors", vecCol, "pqBuild", seed, sampleRows)
+
+  /** Codebook-drift automation for a [[pqBuild]] flat-PQ index — the
+    * missing leg of the maintenance doctrine ([[ivfMaintain]] watches
+    * cell skew/growth, `Layout.zOrderMaintain` watches rank balance;
+    * until this, [[pqAppend]] could encode a drifting distribution
+    * against frozen codebooks forever with no gauge or trigger). Reads
+    * [[pqDriftStats]] (bounded sample, no full scan) and, when
+    * `currentMqe` exceeds `maxDrift` × the build-time baseline, rebuilds
+    * the whole index from its own stored vectors under the
+    * [[ivfMaintain]]-style staged swap + `.rebuilding` fence: fresh
+    * codebooks fitted on the CURRENT distribution, every row re-encoded,
+    * id-bucket count re-derived for the grown corpus, and a fresh
+    * baseline recorded — so the next gauge reads ≈ 1 again. Returns
+    * `"ok"` or `"rebuilt"` for schedulers to log/alert on.
+    *
+    * `maxDrift` is in baseline units: 2.0 means "typical row quantizes
+    * 2× worse than at build time". The baseline carries k-means'
+    * in-sample optimism (see [[pqBuild]]), so thresholds below ~1.5
+    * would fire on healthy indexes. */
+  def pqMaintain(spark: SparkSession, path: String, vecCol: String,
+                 idCol: String, maxDrift: Double = 2.0, seed: Long = 42L,
+                 fitSampleRows: Int = 4096): String = {
+    require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
+    val drift = pqDriftStats(spark, path, vecCol, seed, fitSampleRows)
+    if (drift.ratio <= maxDrift) "ok"
+    else {
+      val model = loadPqModel(spark, path)
+      // original columns only; bucket count re-derived (idBuckets = 0)
+      // because the corpus has grown since the recorded one was sized
+      val data = spark.read.parquet(s"$path/vectors").drop("__vb")
+      stagedRebuild(spark, path,
+        Seq("codes", "vectors", "codebooks", "meta")) { staging =>
+        pqBuild(data, vecCol, idCol, staging, m = model.m,
+          ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
+      }
+      "rebuilt"
+    }
   }
 
   /** Shortlist + touched-bucket set for a [[pqBuild]] index: the ADC
@@ -1296,7 +1457,11 @@ object Similarity {
     val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
       fitSampleRows, knownRows = known)
-    val model = fitPq(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    val (model, fitPoints) =
+      fitPqWithSample(corpus, vecCol, m, ksub, seed, fitSampleRows)
+    // build-time codebook-fit baseline for ivfPqDriftStats — see
+    // pqBuild's fit_mqe note (training-sample optimism applies alike)
+    val fitMqe = meanQuantizationError(fitPoints, model)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(root)
@@ -1315,8 +1480,10 @@ object Similarity {
       }.toSeq
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq(fitMqe).toDF("fit_mqe")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     fs.delete(marker, false)
-    Seq("data", "centroids", "codebooks").foreach(d =>
+    Seq("data", "centroids", "codebooks", "meta").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
   }
 
@@ -1328,8 +1495,9 @@ object Similarity {
     * probe sees a consistent smaller index, never torn metadata).
     * Refuses a fenced index. Codes stay exact FOR THE RETAINED model —
     * what drifts under a shifted distribution is the fit quality of
-    * cells and codebooks, the [[ivfCellStats]]-triggered rebuild
-    * ([[ivfPqBuild]]) rationale, exactly as [[ivfMaintain]] argues for
+    * cells and codebooks: watch [[ivfCellStats]] for cell skew and
+    * [[ivfPqDriftStats]] for codebook fit, or run [[ivfPqMaintain]] to
+    * gauge + rebuild automatically, exactly as [[ivfMaintain]] does for
     * the plain IVF index. */
   def ivfPqAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
@@ -1340,6 +1508,47 @@ object Similarity {
       .withColumn("__cell", nearestCell(col(vecCol), centroids))
       .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
     spark.catalog.refreshByPath(s"$path/data")
+  }
+
+  /** Codebook-drift gauge for an [[ivfPqBuild]] index — one bounded
+    * sample read of the data relation's vector column plus driver-side
+    * arithmetic, never a full scan; see [[PqDriftStats]]. */
+  def ivfPqDriftStats(spark: SparkSession, path: String, vecCol: String,
+                      seed: Long = 42L,
+                      sampleRows: Int = 4096): PqDriftStats =
+    pqDriftFrom(spark, path, "data", vecCol, "ivfPqBuild", seed, sampleRows)
+
+  /** Codebook-drift automation for an [[ivfPqBuild]] index — closes the
+    * maintenance-doctrine hole [[ivfPqAppend]] documents: appended mass
+    * from a shifted distribution quantizes ever worse against the frozen
+    * codebooks, degrading ADC shortlist quality (hence recall) gradually
+    * and silently. Reads [[ivfPqDriftStats]] (bounded sample) and past
+    * `maxDrift` × the build-time baseline rebuilds the index from its own
+    * stored rows under the staged swap + `.rebuilding` fence: coarse
+    * quantizer AND codebooks refit on the current distribution, cell
+    * count re-derived for the grown corpus (`autoCells`), every row
+    * re-assigned + re-encoded, fresh baseline recorded. The rebuild also
+    * cures any cell skew the drift caused ([[ivfMaintain]]'s concern),
+    * since the quantizer refits too. Returns `"ok"` or `"rebuilt"`;
+    * `maxDrift` semantics as in [[pqMaintain]]. */
+  def ivfPqMaintain(spark: SparkSession, path: String, vecCol: String,
+                    maxDrift: Double = 2.0, seed: Long = 42L,
+                    fitSampleRows: Int = 4096): String = {
+    require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
+    val drift = ivfPqDriftStats(spark, path, vecCol, seed, fitSampleRows)
+    if (drift.ratio <= maxDrift) "ok"
+    else {
+      val model = loadPqModel(spark, path)
+      // original columns only: cell/norm/codes are recomputed by the build
+      val data = spark.read.parquet(s"$path/data")
+        .drop("__cell", "__cn", "__codes")
+      stagedRebuild(spark, path,
+        Seq("data", "centroids", "codebooks", "meta")) { staging =>
+        ivfPqBuild(data, vecCol, staging, nCells = 0, m = model.m,
+          ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
+      }
+      "rebuilt"
+    }
   }
 
   /** Probe an [[ivfPqBuild]] index: the probed cell set becomes a literal

@@ -720,4 +720,121 @@ class SimilaritySpec extends SparkSpec {
     Similarity.knnJoin(vecs, "embedding", "vec_id", k = 5, nCells = 1,
       maxCell = 2).count() shouldBe 0L
   }
+
+  /** The corpus with every component offset — a shifted distribution the
+    * frozen codebooks quantize badly (each subvector lands far from every
+    * fitted sub-centroid), ids displaced past the originals. */
+  private def shiftedCopy(df: org.apache.spark.sql.DataFrame,
+                          offset: Double): org.apache.spark.sql.DataFrame = {
+    val elem = df.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    df.select(($"vec_id" + lit(1000000L)).as("vec_id"),
+      transform($"embedding", x => (x + lit(offset)).cast(elem))
+        .as("embedding"))
+  }
+
+  test("pqMaintain: the codebook-drift gauge reads ~1 on a fresh index, " +
+    "explodes after a shifted-distribution append, and the automatic " +
+    "rebuild refits + re-encodes everything under the fence, restores " +
+    "the gauge, records a fresh baseline, and keeps probes exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_pqdrift").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", path, m = 16,
+      ksub = 16, idBuckets = 64)
+    val fresh = Similarity.pqDriftStats(spark, path, "embedding")
+    fresh.fitMqe should be > 0.0
+    // undrifted: current sample quantizes about as well as the fit sample
+    // (k-means' in-sample optimism keeps this slightly above 1)
+    fresh.ratio should be < 1.5
+    Similarity.pqMaintain(spark, path, "embedding", "vec_id") shouldBe "ok"
+    // shifted append: the standing codebooks fit this mass badly
+    Similarity.pqAppend(shiftedCopy(corp, 8.0), "embedding", "vec_id", path)
+    val drifted = Similarity.pqDriftStats(spark, path, "embedding")
+    drifted.fitMqe shouldBe fresh.fitMqe // baseline untouched by appends
+    drifted.ratio should be > 2.0
+    // automatic rebuild under the staged swap; no debris left behind
+    Similarity.pqMaintain(spark, path, "embedding", "vec_id") shouldBe "rebuilt"
+    new java.io.File(path, ".staging").exists() shouldBe false
+    new java.io.File(path, ".old").exists() shouldBe false
+    new java.io.File(path, ".rebuilding").exists() shouldBe false
+    // gauge restored, fresh baseline recorded, every row survived
+    val after = Similarity.pqDriftStats(spark, path, "embedding")
+    after.ratio should be < 1.5
+    after.fitMqe should not be fresh.fitMqe
+    spark.read.parquet(s"$path/vectors").count() shouldBe corp.count() * 2
+    // probes still exact: exhaustive settings reproduce brute force over
+    // the union (the rebuild re-encoded the ORIGINAL vectors losslessly)
+    val union = corp.unionByName(shiftedCopy(corp, 8.0))
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.pqProbeTopK(spark, path, qs, "embedding",
+        "vec_id", "query_id", k = 5, shortlistFactor = 64)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(union, qs, "embedding", "vec_id",
+        "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    got shouldBe want
+    // healthy again: the next maintain is a bounded-sample no-op
+    Similarity.pqMaintain(spark, path, "embedding", "vec_id") shouldBe "ok"
+    // pre-gauge indexes (no meta baseline) fail LOUDLY, naming the cure
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_pqlegacy").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", legacy, m = 16,
+      ksub = 16, idBuckets = 64)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(legacy, "meta"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqDriftStats(spark, legacy, "embedding")
+    }
+    ex.getMessage should include("predates the codebook-drift gauge")
+  }
+
+  test("ivfPqMaintain: codebook drift on a persisted IVF-PQ index " +
+    "triggers a full refit (quantizer + codebooks + cell count) under " +
+    "the fence; the gauge recovers and exhaustive probes stay exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpqdrift").toString
+    Similarity.ivfPqBuild(corp, "embedding", path, nCells = 4, m = 16,
+      ksub = 16)
+    val fresh = Similarity.ivfPqDriftStats(spark, path, "embedding")
+    fresh.ratio should be < 1.5
+    Similarity.ivfPqMaintain(spark, path, "embedding") shouldBe "ok"
+    Similarity.ivfPqAppend(shiftedCopy(corp, 8.0), "embedding", path)
+    Similarity.ivfPqDriftStats(spark, path, "embedding").ratio should be > 2.0
+    Similarity.ivfPqMaintain(spark, path, "embedding") shouldBe "rebuilt"
+    new java.io.File(path, ".staging").exists() shouldBe false
+    new java.io.File(path, ".old").exists() shouldBe false
+    new java.io.File(path, ".rebuilding").exists() shouldBe false
+    val after = Similarity.ivfPqDriftStats(spark, path, "embedding")
+    after.ratio should be < 1.5
+    spark.read.parquet(s"$path/data").count() shouldBe corp.count() * 2
+    // the refit owns the cell space again: no null codes, no torn halves
+    spark.read.parquet(s"$path/data")
+      .filter($"__codes".isNull).count() shouldBe 0L
+    val union = corp.unionByName(shiftedCopy(corp, 8.0))
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val nCellsNow = spark.read.parquet(s"$path/centroids").count().toInt
+    val got = Similarity.ivfPqProbeTopK(spark, path, qs, "embedding",
+        "vec_id", "query_id", k = 5, nProbe = nCellsNow,
+        shortlistFactor = 64)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(union, qs, "embedding", "vec_id",
+        "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    got shouldBe want
+    Similarity.ivfPqMaintain(spark, path, "embedding") shouldBe "ok"
+    // a fenced index refuses the gauge like every other reader
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".rebuilding"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.ivfPqDriftStats(spark, path, "embedding")
+  }
 }
