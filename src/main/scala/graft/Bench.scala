@@ -146,12 +146,18 @@ object Bench {
     // looser target and a tighter cap (each ext pass is ~5x a core pass,
     // so the chase extends only when the configured passes genuinely
     // disagree — exactly the case where a fixed-2 schedule would have
-    // recorded an untrustworthy minimum).
+    // recorded an untrustworthy minimum). The chase target must sit
+    // comfortably UNDER the 8% noise fence: r15's target EQUALLED the
+    // fence, so a run could stop at two passes agreeing at 7.3% — 0.7pt
+    // from self-invalidating as the next round's tripwire base. At 4%
+    // the chase keeps measuring until the pair is well clear of the
+    // fence (or the pass cap / wall budget stops it, in which case the
+    // fence still flags honestly).
     val extDeltaTarget = sys.env.get("SPARK_GRAFT_BENCH_EXT_DELTA_TARGET")
-      .flatMap(_.trim.toDoubleOption).getOrElse(8.0)
+      .flatMap(_.trim.toDoubleOption).getOrElse(4.0)
     val extMaxPasses = math.max(extPasses,
       sys.env.get("SPARK_GRAFT_BENCH_EXT_MAX_PASSES")
-        .flatMap(_.trim.toIntOption).getOrElse(4))
+        .flatMap(_.trim.toIntOption).getOrElse(5))
     val extPerPass =
       if (extQ.isEmpty) Vector.empty[Map[String, Double]]
       else BenchRuns.adaptivePasses(extPasses, extMaxPasses, extDeltaTarget,

@@ -1,0 +1,98 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.sinks.{SnapshotStore, UpsertConfig}
+
+/** The end-to-end data-governance pipeline (right-to-be-forgotten /
+  * opt-out) over a [[graft.sinks.SnapshotStore]] — the composition the
+  * individual primitives exist for, the governance analogue of
+  * [[IncrementalIngestExample]]'s ingest loop:
+  *
+  *  1. **Delete**: [[SnapshotStore.delete]] removes every row whose key
+  *     appears in the opt-out batch — O(touched buckets), not O(table)
+  *     (SCALEPROBE `delete_scale`: an 8-key opt-out reads ~3% of store
+  *     bytes); a bucket emptied out drops from the manifest entirely.
+  *  2. **Audit**: the row-level change feed between the pre- and
+  *     post-delete versions classifies exactly the removed rows as
+  *     `delete` with their PRE-image values — written to an audit table,
+  *     the compliance artifact recording what was removed and at which
+  *     version. The audit MUST land before step 3: the feed needs both
+  *     endpoint manifests, and step 3 reclaims the older one.
+  *  3. **Forget the bytes**: `vacuum(keep = 1)` ends time-travel to the
+  *     pre-delete versions NOW — an opt-out that leaves the rows
+  *     readable at version v−1 has not forgotten anything.
+  *  4. **Maintain**: [[Layout.storeMaintain]] — the nightly composite
+  *     (bucket-sampled drift gauge, compact-if-fragmented, vacuum) —
+  *     keeps the store healthy after the churn.
+  *
+  * Batch keys can equally arrive from a stream: run this per epoch from
+  * `StreamOps.upsertSink`'s foreachBatch — replayed epochs converge
+  * because deleting absent keys commits nothing (the at-least-once
+  * contract, pinned in `StreamDedupSpec`). */
+object OptOutExample {
+
+  /** What one opt-out batch did, for the pipeline's own logging: keys
+    * requested vs rows actually deleted (absent keys are legal), audit
+    * rows written, versions whose bytes were forgotten, and the
+    * maintenance decisions. */
+  final case class OptOutReport(requested: Long, deleted: Long,
+                                auditRows: Long, forgotten: Seq[Long],
+                                maintain: Layout.MaintainReport)
+
+  /** Process one opt-out batch against the store at `root`, appending the
+    * removed rows' pre-images to the audit table at `auditPath`. */
+  def optOut(spark: SparkSession, root: String, keys: DataFrame,
+             auditPath: String): OptOutReport = {
+    val vBefore = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed store at $root"))
+    val requested = keys.distinct().count()
+    val deleted = SnapshotStore.delete(spark, root, keys)
+    val auditRows =
+      if (deleted == 0L) 0L // no-match batch: no version burned, no feed
+      else {
+        val vAfter = SnapshotStore.currentVersion(spark, root).get
+        SnapshotStore.changes(spark, root, vBefore, vAfter)
+          .filter(col("_change_type") === "delete")
+          .withColumn("_opted_out_at_version", lit(vAfter))
+          .write.mode("append").parquet(auditPath)
+        // count from the WRITTEN table: the feed plan reads the pre-delete
+        // manifest, which the vacuum below reclaims — a lazy count after
+        // it would fail (and re-running the feed is wasted work anyway)
+        spark.read.parquet(auditPath)
+          .filter(col("_opted_out_at_version") === vAfter).count()
+      }
+    val forgotten = SnapshotStore.vacuum(spark, root, keep = 1)
+    val maintain = Layout.storeMaintain(spark, root, keep = 1)
+    OptOutReport(requested, deleted, auditRows, forgotten, maintain)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_optout").resolve("store").toString
+    val auditPath = java.nio.file.Files
+      .createTempDirectory("graft_optout_audit").resolve("audit").toString
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text").as("value"))
+    SnapshotStore.upsert(spark, root, docs, cfg, nBuckets = 16)
+    // a user opt-out batch: every row of theirs must go, and be auditable
+    val optedOut = docs.filter(col("id") % 97 === 3).select("id")
+    val report = optOut(spark, root, optedOut, auditPath)
+    println(s"OPTOUT requested=${report.requested} " +
+      s"deleted=${report.deleted} audit_rows=${report.auditRows} " +
+      s"forgotten=${report.forgotten.mkString(",")} " +
+      s"maintain=${report.maintain} root=$root audit=$auditPath")
+    spark.stop()
+  }
+}

@@ -397,7 +397,15 @@ object SnapshotStore {
     val live: Set[(Long, Int)] = retained
       .filter(v => f.exists(manifestPath(root, v)))
       .flatMap { v =>
-        readManifest(spark, root, v).buckets.map { case (b, ver) => (ver, b) }
+        // .toSeq FIRST: mapping the Map[bucket -> version] directly
+        // through a pair-swapping function rebuilds a MAP keyed by
+        // version, silently collapsing every bucket that shares a holding
+        // version to ONE surviving entry — vacuum then deleted LIVE
+        // bucket directories (caught by ExamplesSpec's opt-out pipeline:
+        // a store whose manifest pointed seven buckets at version 0 kept
+        // one of them)
+        readManifest(spark, root, v).buckets.toSeq
+          .map { case (b, ver) => (ver, b) }
       }.toSet
     val orphans = versions.filter(_ > current)
     val droppedOld = readableOld.filterNot(retained.contains)
@@ -884,32 +892,69 @@ object SnapshotStore {
   }
 
   /** Create-exclusive claim on `version`: exactly one writer can ever hold
-    * it, so concurrent writers serialize instead of overwriting each other. */
+    * it, so concurrent writers serialize instead of overwriting each other.
+    *
+    * The primitive must be ATOMIC create-if-absent. HDFS's `create(p,
+    * overwrite = false)` is; Hadoop's LocalFileSystem merely EMULATES it
+    * with a non-atomic exists-then-create, so two same-box writers racing
+    * the claim could BOTH pass the check, both "win", and silently
+    * double-commit one version (caught by the racing-write-pairs spec).
+    * For `file:` filesystems the claim therefore goes through POSIX
+    * `O_CREAT|O_EXCL` (NIO `Files.createFile`), the real primitive. */
   private def claim(f: FileSystem, root: String, version: Long): Unit = {
     val p = new Path(root, s"claim=$version")
+    def lost(): Nothing = throw new ConcurrentWriteException(
+      s"another writer already claimed snapshot $version of $root " +
+        s"(claim file $p exists); re-read and retry. If this is a crashed " +
+        "writer's leftover above the committed version, vacuum() reclaims it.")
     try {
-      val out = f.create(p, false)
-      out.close()
+      if (f.getScheme == "file") {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        // a first-ever claim can precede the store directory itself
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+      } else {
+        val out = f.create(p, false)
+        out.close()
+      }
     } catch {
-      case e: java.io.IOException if f.exists(p) =>
-        throw new ConcurrentWriteException(
-          s"another writer already claimed snapshot $version of $root " +
-            s"(claim file $p exists); re-read and retry. If this is a crashed " +
-            "writer's leftover above the committed version, vacuum() reclaims it.")
+      case _: java.nio.file.FileAlreadyExistsException => lost()
+      case _: java.io.IOException if f.exists(p) => lost()
     }
   }
 
   private def commitPointer(spark: SparkSession, f: FileSystem, root: String,
                             version: Long): Unit = {
-    val tmp = new Path(root, s"$pointerName.tmp")
-    writeSmallFile(f, tmp, version.toString, overwrite = true)
     val target = new Path(root, pointerName)
-    // single atomic rename-with-overwrite (FileContext supports OVERWRITE;
-    // FileSystem.rename does not) — a delete-then-rename would open a
-    // window where the store reads as empty
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (f.getScheme == "file") {
+      // Hadoop's local filesystems cannot give this commit its atomic
+      // swap: FileContext over LocalFs (a ChecksumFs) implements the
+      // OVERWRITE rename as delete-then-rename and moves the `.crc`
+      // sidecar in a SECOND rename — racing readers transiently see no
+      // pointer at all, or a new pointer still guarded by the previous
+      // version's checksum (both observed as reader failures in the
+      // racing-writers spec). POSIX rename via NIO IS atomic; the tmp is
+      // written via NIO too so no crc sidecar exists to go stale, and
+      // sidecars left by the previous implementation are removed so old
+      // stores stop checksum-verifying a file that now bypasses it.
+      val dir = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      val tmp = dir.resolve(s"$pointerName.tmp")
+      java.nio.file.Files.write(tmp, version.toString.getBytes("UTF-8"))
+      Seq(s".$pointerName.crc", s".$pointerName.tmp.crc").foreach(c =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(c)))
+      java.nio.file.Files.move(tmp, dir.resolve(pointerName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // single atomic rename-with-overwrite (FileContext supports
+      // OVERWRITE; FileSystem.rename does not) — a delete-then-rename
+      // would open a window where the store reads as empty
+      val tmp = new Path(root, s"$pointerName.tmp")
+      writeSmallFile(f, tmp, version.toString, overwrite = true)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 }

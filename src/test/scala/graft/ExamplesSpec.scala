@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.sinks.{SnapshotStore, UpsertConfig}
 
 /** The shipped example programs' logic, driven as specs (the mains
@@ -98,5 +100,66 @@ class ExamplesSpec extends SparkSpec {
     packed.groupBy("shard", "seq")
       .agg(sum("n_tokens").as("fill")).collect()
       .foreach(_.getAs[Long]("fill") should be <= 64L)
+  }
+
+  test("opt-out pipeline example: delete removes exactly the requested " +
+    "keys, the change feed audits their pre-images, vacuum FORGETS the " +
+    "bytes (no victim row survives anywhere on disk, the pre-delete " +
+    "version's feed is gone), maintenance runs, and a replayed batch " +
+    "converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_optout_spec").resolve("store").toString
+    val auditPath = java.nio.file.Files
+      .createTempDirectory("graft_optout_spec_a").resolve("audit").toString
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val rows = (1 to 40).map(i => (i, s"doc-$i"))
+    SnapshotStore.upsert(spark, root, rows.toDF("id", "value"), cfg,
+      nBuckets = 8)
+    val victims = Seq(3, 7, 11)
+    val report = examples.OptOutExample.optOut(spark, root,
+      victims.toDF("id"), auditPath)
+    report.requested shouldBe 3L
+    report.deleted shouldBe 3L
+    report.auditRows shouldBe 3L
+    report.maintain.layout shouldBe "n/a" // plain store, no z-order model
+    // the live store lost exactly the victims
+    val live = SnapshotStore.read(spark, root).get
+    live.count() shouldBe 37L
+    live.filter(col("id").isin(victims: _*)).count() shouldBe 0L
+    // the audit table holds the victims' PRE-images, classified delete
+    val audit = spark.read.parquet(auditPath).collect()
+    audit.map(_.getAs[Int]("id")).sorted shouldBe victims.toArray
+    audit.foreach { r =>
+      r.getAs[String]("_change_type") shouldBe "delete"
+      r.getAs[String]("value") shouldBe s"doc-${r.getAs[Int]("id")}"
+    }
+    // byte-forgetting: NO file under the store still holds a victim row
+    // (time-travel readability is gone AND the data is physically gone)
+    val parquetFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.toString).toList
+      finally s.close()
+    }
+    parquetFiles.nonEmpty shouldBe true
+    spark.read.parquet(parquetFiles: _*)
+      .filter(col("id").isin(victims: _*)).count() shouldBe 0L
+    // the pre-delete feed window is out of retention — loudly
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.changes(spark, root, 0L, 1L)
+    // replayed opt-out batch (at-least-once delivery): deleting absent
+    // keys commits nothing, audits nothing, content unchanged
+    val replay = examples.OptOutExample.optOut(spark, root,
+      victims.toDF("id"), auditPath)
+    replay.deleted shouldBe 0L
+    replay.auditRows shouldBe 0L
+    SnapshotStore.read(spark, root).get.count() shouldBe 37L
+    spark.read.parquet(auditPath).count() shouldBe 3L
   }
 }

@@ -813,4 +813,136 @@ class SnapshotStoreSpec extends SparkSpec
     SnapshotStore.clusterColumns(spark, root) shouldBe Seq("score")
     SnapshotStore.read(spark, root).get.count() shouldBe 3L
   }
+
+  test("vacuum keeps EVERY live bucket sharing a holding version: after " +
+    "a one-bucket delete + vacuum(keep=1), all untouched sibling buckets " +
+    "of the dropped version survive and the store reads whole " +
+    "(regression: the live set was built by mapping the bucket->version " +
+    "Map through a key-colliding swap, collapsing to one survivor per " +
+    "version — vacuum deleted live data)") {
+    val root = tempRoot("graft_vac_live")
+    SnapshotStore.upsert(spark, root,
+      (1 to 40).map(i => (i, s"doc-$i")).toDF("id", "value"), cfg,
+      nBuckets = 8)
+    val victims = Seq(3, 7, 11)
+    SnapshotStore.delete(spark, root, victims.toDF("id")) shouldBe 3L
+    // the delete touched few buckets; every untouched one still points at
+    // version 0 in the live manifest
+    val changed = SnapshotStore.changedBuckets(spark, root, 0L, 1L)
+    changed.size should be < 8
+    SnapshotStore.vacuum(spark, root, keep = 1) shouldBe Seq(0L)
+    // the dropped version's UNTOUCHED bucket directories all survive —
+    // they are the live version's data
+    val s0dirs = new java.io.File(root, "snapshot=0").listFiles()
+      .map(_.getName).filter(_.startsWith("__bucket=")).toSet
+    s0dirs shouldBe (0 until 8).toSet.diff(changed)
+      .map(b => s"__bucket=$b")
+    // and the store reads whole: exactly the non-victims
+    val got = SnapshotStore.read(spark, root).get
+      .select("id").collect().map(_.getInt(0)).toSet
+    got shouldBe (1 to 40).toSet.diff(victims.toSet)
+  }
+
+  test("delete and rewrite honor the claim protocol like upsert: a " +
+    "pre-claimed version makes both fail loudly with the store readable " +
+    "and unchanged, and vacuuming the stale claim unblocks them") {
+    val root = tempRoot("graft_race0")
+    SnapshotStore.upsert(spark, root,
+      (1 to 50).map(i => (i, s"v$i")).toDF("id", "value"), cfg, nBuckets = 8)
+    // a competing (or crashed) writer already holds claim=1
+    new java.io.File(root, "claim=1").createNewFile() shouldBe true
+    intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.delete(spark, root, Seq(1, 2).toDF("id"))
+    }
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
+    SnapshotStore.read(spark, root).get.count() shouldBe 50L
+    intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.rewrite(spark, root,
+        df => df.withColumn("value", upper(col("value"))))
+    }
+    SnapshotStore.currentVersion(spark, root) shouldBe Some(0L)
+    SnapshotStore.read(spark, root).get.count() shouldBe 50L
+    // reclaim the stale claim; both paths then proceed normally
+    SnapshotStore.vacuum(spark, root, keep = 1)
+    SnapshotStore.delete(spark, root, Seq(1, 2).toDF("id")) shouldBe 2L
+    SnapshotStore.rewrite(spark, root,
+      df => df.withColumn("value", upper(col("value"))))
+    SnapshotStore.read(spark, root).get.count() shouldBe 48L
+  }
+
+  test("racing write pairs (delete vs upsert, rewrite vs upsert, delete " +
+    "vs rewrite) can never BOTH commit the same version: the " +
+    "create-exclusive claim serializes them — the loser fails loudly " +
+    "with ConcurrentWriteException (or lands serially on the next " +
+    "version), and concurrent readers only ever see committed states") {
+    import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+    def runPair(tag: String, opA: String => Unit, opB: String => Unit,
+                finalCount: (Boolean, Boolean) => Long,
+                legal: Set[Long]): Unit = withClue(s"pair $tag: ") {
+      val root = tempRoot(s"graft_race_$tag")
+      SnapshotStore.upsert(spark, root,
+        (1 to 60).map(i => (i, s"v$i")).toDF("id", "value"), cfg,
+        nBuckets = 8)
+      val start = new CountDownLatch(1)
+      @volatile var okA = false
+      @volatile var okB = false
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      def writer(op: String => Unit, mark: () => Unit) = new Thread(() => {
+        start.await()
+        try { op(root); mark() }
+        catch { case e: Throwable => errs.add(e) }
+      })
+      val ta = writer(opA, () => okA = true)
+      val tb = writer(opB, () => okB = true)
+      // a reader hammering the store THROUGH the race: every read must
+      // resolve to some committed state (one of the four reachable
+      // contents), never an error or a torn count
+      val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val readerErrs = new ConcurrentLinkedQueue[Throwable]()
+      val tr = new Thread(() => {
+        start.await()
+        while (!readerStop.get()) {
+          try {
+            val c = SnapshotStore.read(spark, root).get.count()
+            if (!legal(c))
+              readerErrs.add(new AssertionError(s"reader saw count $c"))
+          } catch { case e: Throwable => readerErrs.add(e) }
+        }
+      })
+      ta.start(); tb.start(); tr.start()
+      start.countDown()
+      ta.join(120000); tb.join(120000)
+      readerStop.set(true); tr.join(120000)
+      readerErrs.toArray.toSeq shouldBe empty
+      // every loser failed LOUDLY with the concurrency exception — a
+      // silent success-shaped loss is exactly what this test forbids
+      errs.toArray.foreach(e =>
+        e shouldBe a[SnapshotStore.ConcurrentWriteException])
+      val successes = Seq(okA, okB).count(identity)
+      successes should be >= 1
+      successes + errs.size shouldBe 2
+      // one committed version per success, starting from v0 = 0: two
+      // writers can NEVER share one (the claim is create-exclusive)
+      SnapshotStore.currentVersion(spark, root).get shouldBe successes.toLong
+      SnapshotStore.read(spark, root).get.count() shouldBe finalCount(okA, okB)
+    }
+    val newRows = (101 to 110).map(i => (i, s"n$i")).toDF("id", "value")
+    runPair("del_up",
+      r => { SnapshotStore.delete(spark, r, (1 to 5).toDF("id")); () },
+      r => { SnapshotStore.upsert(spark, r, newRows, cfg); () },
+      (a, b) => 60L - (if (a) 5L else 0L) + (if (b) 10L else 0L),
+      legal = Set(60L, 55L, 70L, 65L))
+    runPair("rw_up",
+      r => SnapshotStore.rewrite(spark, r,
+        df => df.withColumn("value", upper(col("value")))),
+      r => { SnapshotStore.upsert(spark, r, newRows, cfg); () },
+      (_, b) => 60L + (if (b) 10L else 0L),
+      legal = Set(60L, 70L))
+    runPair("del_rw",
+      r => { SnapshotStore.delete(spark, r, (1 to 5).toDF("id")); () },
+      r => SnapshotStore.rewrite(spark, r,
+        df => df.withColumn("value", upper(col("value")))),
+      (a, _) => 60L - (if (a) 5L else 0L),
+      legal = Set(60L, 55L))
+  }
 }
