@@ -1731,7 +1731,8 @@ object Queries {
         if f.metadata.get("PartitionFilters").exists(_.contains("__vb")) =>
         f.selectedPartitions.partitionCount
     }
-    val total = s.read.parquet(s"$path/meta").collect()(0).getInt(0)
+    val total = s.read.parquet(s"$path/meta")
+      .select("id_buckets").collect()(0).getInt(0)
     val pruned = vecScans.size == 1 && vecScans.head < total
     val exactTop = Similarity.bruteForceTopK(corpus, queries, "embedding",
         "vec_id", "query_id", k = 10)

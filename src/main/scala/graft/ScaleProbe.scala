@@ -2196,7 +2196,7 @@ object ScaleProbe {
       shortlistK = 80)
     val shortIds = shortlistE.select("vec_id").distinct().count()
     val bucketsE = spark.read.parquet(s"$idxPath/meta")
-      .collect()(0).getInt(0)
+      .select("id_buckets").collect()(0).getInt(0)
     val vecTotal = dirBytesE(s"$idxPath/vectors")
     val codesTotal = dirBytesE(s"$idxPath/codes")
     val touchedBytes = touchedE.map(b =>

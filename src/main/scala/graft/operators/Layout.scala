@@ -170,6 +170,28 @@ object Layout {
     ids.toSeq.sortBy(b => (scala.util.hashing.byteswap32(b), b))
       .take(n).toSet
 
+  /** The sampled-trigger decision kernel, factored pure so the escalation
+    * contract is spec-testable without fixtures: `sampled` is the cheap
+    * gauge's worst balance (None = empty store), `full` the full gauge,
+    * FORCED ONLY when the sampled value is inside the ambiguity band
+    * `maxBalance · (1 ± confirmBand)` — a clear-margin sampled reading
+    * decides outright, so sampling can shift WHEN the refit fires only
+    * within the band, never flip a clear decision. `sampledIsFull` short-
+    * circuits the band when the "sample" already read the whole store. */
+  private[graft] def driftDecision(sampled: Option[Double],
+                                   full: => Option[Double],
+                                   maxBalance: Double, confirmBand: Double,
+                                   sampledIsFull: Boolean): Boolean =
+    sampled match {
+      case None => false
+      case Some(w) if sampledIsFull => w > maxBalance
+      case Some(w) if w <= maxBalance * (1.0 - confirmBand) => false
+      case Some(w) if w > maxBalance * (1.0 + confirmBand) => true
+      // ambiguous: the full gauge decides (pays the scan only on
+      // borderline nights)
+      case _ => full.exists(_ > maxBalance)
+    }
+
   /** Drift-triggered automatic refit for a z-ordered store — the
     * trigger/rebuild automation [[zOrderDriftStats]]'s REFIT RULE calls
     * for, mirroring `Similarity.ivfMaintain`'s shape (bounded health
@@ -252,15 +274,8 @@ object Layout {
           SnapshotStore.manifestBucketIds(spark, root).size > sampleBuckets)
         sampleBuckets
       else 0
-    val drifted: Boolean = worst(effSample) match {
-      case None => false
-      case Some(w) if effSample == 0 => w > maxBalance
-      case Some(w) if w <= maxBalance * (1.0 - confirmBand) => false
-      case Some(w) if w > maxBalance * (1.0 + confirmBand) => true
-      // ambiguous: the full gauge decides (pays the scan only on
-      // borderline nights)
-      case _ => worst(0).exists(_ > maxBalance)
-    }
+    val drifted = driftDecision(worst(effSample), worst(0), maxBalance,
+      confirmBand, sampledIsFull = effSample == 0)
     if (!drifted) "ok"
     else {
       val data = SnapshotStore.read(spark, root).getOrElse(throw

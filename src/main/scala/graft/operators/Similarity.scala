@@ -1177,7 +1177,8 @@ object Similarity {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
     val model = loadPqModel(spark, path)
-    val buckets = spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
+    val buckets = spark.read.parquet(s"$path/meta")
+      .select("id_buckets").collect()(0).getInt(0)
     // vectors FIRST, codes second: the ADC shortlist scans codes/, the
     // re-rank joins vectors/ — a probe racing this append must never
     // shortlist an id whose vector is not yet readable (the inner re-rank
@@ -1302,7 +1303,7 @@ object Similarity {
       shortlistK: Int): (DataFrame, Array[Int]) = {
     val model = loadPqModel(spark, path)
     val buckets = spark.read.parquet(s"$path/meta")
-      .collect()(0).getInt(0)
+      .select("id_buckets").collect()(0).getInt(0)
     val codes = spark.read.parquet(s"$path/codes")
     val shortlist = rankTopK(
       adcScored(codes, withQueryNorm(queries, Seq(idCol), queryIdCol,

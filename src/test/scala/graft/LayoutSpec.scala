@@ -357,6 +357,43 @@ class LayoutSpec extends SparkSpec {
     Layout.sampleBucketIds(ids, 16).subsetOf(ids) shouldBe true
   }
 
+  test("driftDecision kernel: clear-margin sampled readings decide " +
+    "WITHOUT the full gauge; only the ambiguity band forces (and defers " +
+    "to) the full scan; an empty store never refits") {
+    var fullReads = 0
+    def d(sampled: Option[Double], fullV: Option[Double] = None,
+          mb: Double = 4.0, band: Double = 0.25,
+          isFull: Boolean = false): Boolean =
+      Layout.driftDecision(sampled, { fullReads += 1; fullV }, mb, band,
+        sampledIsFull = isFull)
+    // empty store: no drift to act on, full gauge untouched
+    d(None, fullV = Some(99.0)) shouldBe false
+    fullReads shouldBe 0
+    // clear margins decide outright (boundaries included on the ok side)
+    d(Some(2.9)) shouldBe false
+    d(Some(3.0)) shouldBe false // == mb*(1-band)
+    d(Some(5.1)) shouldBe true
+    fullReads shouldBe 0
+    // ambiguity band (3, 5]: the full gauge is read EXACTLY once and its
+    // verdict wins — in both directions
+    d(Some(4.0), fullV = Some(4.5)) shouldBe true
+    fullReads shouldBe 1
+    d(Some(4.9), fullV = Some(3.9)) shouldBe false
+    fullReads shouldBe 2
+    d(Some(3.5), fullV = Some(4.01)) shouldBe true
+    fullReads shouldBe 3
+    // a full-resolution "sample" (store smaller than the sample budget)
+    // bypasses the band entirely — never re-reads identical data
+    fullReads = 0
+    d(Some(4.1), isFull = true) shouldBe true
+    d(Some(4.0), isFull = true) shouldBe false
+    fullReads shouldBe 0
+    // band = 0 degenerates to the plain threshold with no escalation
+    d(Some(4.0), band = 0.0) shouldBe false
+    d(Some(4.0001), band = 0.0) shouldBe true
+    fullReads shouldBe 0
+  }
+
   test("storeMaintain checks drift FIRST: a refit night skips the " +
     "compaction the rewrite would supersede (and leaves nothing to " +
     "compact); an undrifted fragmented store still compacts") {
