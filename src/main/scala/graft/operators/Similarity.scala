@@ -1519,25 +1519,38 @@ object Similarity {
                       sampleRows: Int = 4096): PqDriftStats =
     pqDriftFrom(spark, path, "data", vecCol, "ivfPqBuild", seed, sampleRows)
 
-  /** Codebook-drift automation for an [[ivfPqBuild]] index — closes the
+  /** Full-health automation for an [[ivfPqBuild]] index — closes the
     * maintenance-doctrine hole [[ivfPqAppend]] documents: appended mass
     * from a shifted distribution quantizes ever worse against the frozen
     * codebooks, degrading ADC shortlist quality (hence recall) gradually
-    * and silently. Reads [[ivfPqDriftStats]] (bounded sample) and past
-    * `maxDrift` × the build-time baseline rebuilds the index from its own
-    * stored rows under the staged swap + `.rebuilding` fence: coarse
-    * quantizer AND codebooks refit on the current distribution, cell
-    * count re-derived for the grown corpus (`autoCells`), every row
-    * re-assigned + re-encoded, fresh baseline recorded. The rebuild also
-    * cures any cell skew the drift caused ([[ivfMaintain]]'s concern),
-    * since the quantizer refits too. Returns `"ok"` or `"rebuilt"`;
-    * `maxDrift` semantics as in [[pqMaintain]]. */
+    * and silently; appended mass can ALSO bloat few cells or outgrow the
+    * quantizer, exactly [[ivfMaintain]]'s skew/growth concerns. All three
+    * triggers are watched — codebook drift via [[ivfPqDriftStats]]
+    * (bounded sample), cell skew and corpus growth via [[ivfCellStats]]
+    * (directory metadata) — because ONE rebuild cures all three: past any
+    * bound the index rebuilds from its own stored rows under the staged
+    * swap + `.rebuilding` fence, refitting coarse quantizer AND codebooks
+    * on the current distribution, re-deriving the cell count for the
+    * grown corpus (`autoCells`), re-assigning + re-encoding every row,
+    * and recording a fresh drift baseline. Returns `"ok"` or `"rebuilt"`;
+    * `maxDrift` semantics as in [[pqMaintain]], `maxSkew`/`maxGrowth` as
+    * in [[ivfMaintain]]. */
   def ivfPqMaintain(spark: SparkSession, path: String, vecCol: String,
-                    maxDrift: Double = 2.0, seed: Long = 42L,
+                    maxDrift: Double = 2.0, maxSkew: Double = 4.0,
+                    maxGrowth: Double = 4.0, seed: Long = 42L,
                     fitSampleRows: Int = 4096): String = {
     require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
+    require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
+    require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
     val drift = ivfPqDriftStats(spark, path, vecCol, seed, fitSampleRows)
-    if (drift.ratio <= maxDrift) "ok"
+    val counts = ivfCellStats(spark, path).collect().map(_.getLong(1))
+    val nCellsStored = spark.read.parquet(s"$path/centroids").count().toInt
+    val total = counts.sum
+    val mean = total.toDouble / math.max(1, nCellsStored)
+    val skew = if (total == 0) 0.0 else counts.max / mean
+    val healthy = drift.ratio <= maxDrift && skew <= maxSkew &&
+      autoCells(total) <= nCellsStored * maxGrowth
+    if (healthy) "ok"
     else {
       val model = loadPqModel(spark, path)
       // original columns only: cell/norm/codes are recomputed by the build
@@ -1550,6 +1563,50 @@ object Similarity {
       }
       "rebuilt"
     }
+  }
+
+  /** One-call nightly maintenance for ANY persisted ANN index — the
+    * [[graft.operators.Layout.storeMaintain]] analogue for the index
+    * family, so a scheduler needs one cron line per index, not one per
+    * index KIND. The layout is detected from what is on disk (the
+    * relations each build writes are its signature) and the matching
+    * measured-trigger maintenance runs:
+    *
+    *  - `codes/` + `vectors/`            → flat-PQ ([[pqBuild]]):
+    *    [[pqMaintain]] (codebook drift; needs `idCol`);
+    *  - `data/` + `codebooks/`           → IVF-PQ ([[ivfPqBuild]]):
+    *    [[ivfPqMaintain]] (codebook drift + cell skew + growth);
+    *  - `data/` + `centroids/` alone     → plain IVF ([[ivfBuild]]):
+    *    [[ivfMaintain]] (cell skew + growth, optional recall
+    *    recalibration via `recallTarget`).
+    *
+    * An unrecognized directory fails loudly — running the WRONG family's
+    * rebuild would silently drop relations (e.g. [[ivfMaintain]] over an
+    * IVF-PQ index rebuilds via [[ivfBuild]] and loses the codes).
+    * Returns `(detected layout, decision)`. */
+  def indexMaintain(spark: SparkSession, path: String, vecCol: String,
+                    idCol: String = "id", maxDrift: Double = 2.0,
+                    maxSkew: Double = 4.0, maxGrowth: Double = 4.0,
+                    recallTarget: Option[Double] = None,
+                    seed: Long = 42L,
+                    fitSampleRows: Int = 4096): (String, String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def has(rel: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(root, rel))
+    if (has("codes") && has("vectors"))
+      ("flat-pq", pqMaintain(spark, path, vecCol, idCol, maxDrift, seed,
+        fitSampleRows))
+    else if (has("data") && has("codebooks"))
+      ("ivf-pq", ivfPqMaintain(spark, path, vecCol, maxDrift, maxSkew,
+        maxGrowth, seed, fitSampleRows))
+    else if (has("data") && has("centroids"))
+      ("ivf", ivfMaintain(spark, path, vecCol, maxSkew, maxGrowth, seed,
+        fitSampleRows, recallTarget))
+    else throw new IllegalArgumentException(
+      s"no recognized index layout at $path (expected codes+vectors " +
+        "[flat-PQ], data+codebooks [IVF-PQ], or data+centroids [IVF])")
   }
 
   /** Probe an [[ivfPqBuild]] index: the probed cell set becomes a literal

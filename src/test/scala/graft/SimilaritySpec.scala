@@ -803,10 +803,14 @@ class SimilaritySpec extends SparkSpec {
       ksub = 16)
     val fresh = Similarity.ivfPqDriftStats(spark, path, "embedding")
     fresh.ratio should be < 1.5
-    Similarity.ivfPqMaintain(spark, path, "embedding") shouldBe "ok"
+    // wide skew/growth bounds: this test exercises the DRIFT trigger
+    // alone (a 4-cell fixture is naturally skewed from birth)
+    def maintain() = Similarity.ivfPqMaintain(spark, path, "embedding",
+      maxSkew = 1e6, maxGrowth = 1e6)
+    maintain() shouldBe "ok"
     Similarity.ivfPqAppend(shiftedCopy(corp, 8.0), "embedding", path)
     Similarity.ivfPqDriftStats(spark, path, "embedding").ratio should be > 2.0
-    Similarity.ivfPqMaintain(spark, path, "embedding") shouldBe "rebuilt"
+    maintain() shouldBe "rebuilt"
     new java.io.File(path, ".staging").exists() shouldBe false
     new java.io.File(path, ".old").exists() shouldBe false
     new java.io.File(path, ".rebuilding").exists() shouldBe false
@@ -830,11 +834,103 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id", "cosine", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
     got shouldBe want
-    Similarity.ivfPqMaintain(spark, path, "embedding") shouldBe "ok"
+    maintain() shouldBe "ok"
     // a fenced index refuses the gauge like every other reader
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(path, ".rebuilding"))
     an[IllegalStateException] should be thrownBy
       Similarity.ivfPqDriftStats(spark, path, "embedding")
+  }
+
+  test("ivfPqMaintain also watches cell skew: an in-distribution append " +
+    "concentrated near one direction (codebooks still fit — the drift " +
+    "gauge alone would sleep through it) trips the skew bound and the " +
+    "rebuild rebalances the cells") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpqskew").toString
+    Similarity.ivfPqBuild(corp, "embedding", path, nCells = 8, m = 16,
+      ksub = 16)
+    def skewNow(): Double = {
+      val counts = Similarity.ivfCellStats(spark, path)
+        .select("n").as[Long].collect()
+      val cells = spark.read.parquet(s"$path/centroids").count()
+      counts.max.toDouble / (counts.sum.toDouble / cells)
+    }
+    // healthy at a bound just above the fixture's natural skew
+    val freshSkew = skewNow()
+    Similarity.ivfPqMaintain(spark, path, "embedding",
+      maxSkew = freshSkew + 0.5, maxGrowth = 1e6) shouldBe "ok"
+    // 2x the corpus as blends toward ONE member vector: every value stays
+    // inside the fitted range (quantization fine) but the mass piles into
+    // that vector's cell
+    val elem = corp.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val hot = corp.orderBy("vec_id").limit(1)
+      .select($"embedding".as("__hot"))
+    val blended = corp.crossJoin(org.apache.spark.sql.functions
+        .broadcast(hot))
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.zip_with($"embedding", $"__hot",
+            (a, b) => a * lit(0.3) + b * lit(0.7)),
+          x => x.cast(elem)).as("embedding"))
+    Similarity.ivfPqAppend(blended, "embedding", path)
+    Similarity.ivfPqAppend(blended.select(($"vec_id" + 1000000L)
+      .as("vec_id"), $"embedding"), "embedding", path)
+    // drift gauge alone stays calm; the skew trigger fires the rebuild
+    Similarity.ivfPqDriftStats(spark, path, "embedding").ratio should
+      be < 2.0
+    val driftedSkew = skewNow()
+    driftedSkew should be > freshSkew + 0.5
+    val cellsBefore = spark.read.parquet(s"$path/centroids").count()
+    Similarity.ivfPqMaintain(spark, path, "embedding",
+      maxSkew = freshSkew + 0.5, maxGrowth = 1e6) shouldBe "rebuilt"
+    // the rebuild re-derived the quantizer for the grown corpus (more
+    // cells — the hot pile gets cells of its own), kept every row, and a
+    // maintain at the post-rebuild equilibrium is quiet. (Absolute
+    // max/mean recovery on a near-duplicate pile is a SCALE property —
+    // measured for the family in SCALEPROBE ivf_maintain at sf0.1 — not
+    // asserted on this tiny fixture, where autoCells growth shrinks the
+    // mean and inflates the ratio even as the pile splits.)
+    spark.read.parquet(s"$path/centroids").count() should be > cellsBefore
+    spark.read.parquet(s"$path/data").count() shouldBe corp.count() * 3
+    Similarity.ivfPqMaintain(spark, path, "embedding",
+      maxSkew = skewNow() + 0.5, maxGrowth = 1e6) shouldBe "ok"
+  }
+
+  test("indexMaintain detects the persisted layout and runs the right " +
+    "family's maintenance — and refuses an unrecognized directory " +
+    "instead of running a rebuild that would drop relations") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_im_ivf").toString
+    Similarity.ivfBuild(corp, "embedding", ivfPath, nCells = 4)
+    Similarity.indexMaintain(spark, ivfPath, "embedding",
+      maxSkew = 1e6, maxGrowth = 1e6) shouldBe ("ivf", "ok")
+    val ivfpqPath = java.nio.file.Files
+      .createTempDirectory("graft_im_ivfpq").toString
+    Similarity.ivfPqBuild(corp, "embedding", ivfpqPath, nCells = 4,
+      m = 16, ksub = 16)
+    Similarity.indexMaintain(spark, ivfpqPath, "embedding",
+      maxSkew = 1e6, maxGrowth = 1e6) shouldBe ("ivf-pq", "ok")
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("graft_im_pq").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", pqPath, m = 16,
+      ksub = 16, idBuckets = 64)
+    Similarity.indexMaintain(spark, pqPath, "embedding",
+      idCol = "vec_id") shouldBe ("flat-pq", "ok")
+    // a drifted flat-PQ index rebuilds THROUGH the composite
+    Similarity.pqAppend(shiftedCopy(corp, 8.0), "embedding", "vec_id",
+      pqPath)
+    Similarity.indexMaintain(spark, pqPath, "embedding",
+      idCol = "vec_id") shouldBe ("flat-pq", "rebuilt")
+    // not an index -> loud refusal, nothing touched
+    val junk = java.nio.file.Files
+      .createTempDirectory("graft_im_junk").toString
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.indexMaintain(spark, junk, "embedding")
   }
 }
