@@ -357,6 +357,40 @@ class LayoutSpec extends SparkSpec {
     Layout.sampleBucketIds(ids, 16).subsetOf(ids) shouldBe true
   }
 
+  test("the drift gauge's scan is COLUMN-PRUNED to the z dimensions and " +
+    "the sampled form reads only the sampled buckets' files — the " +
+    "nightly health check never reads payload bytes or unsampled data") {
+    val rnd = new scala.util.Random(71)
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    val root = tempRoot("graft_zplan")
+    // a fat payload column the gauge must never read
+    val b = (0 until 2000).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        "payload-" * 8 + i)).toDF("id", "x", "y", "payload")
+    Layout.zOrderUpsert(spark, root, b, Seq("x", "y"), cfg,
+      nBuckets = 32, buckets = 64)
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    val full = scans(Layout.zOrderDriftStats(spark, root))
+    full should not be empty
+    // ReadSchema carries only the ranked dimensions
+    full.foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      read shouldBe Set("x", "y")
+    }
+    val sampled = scans(Layout.zOrderDriftStats(spark, root, 8))
+    sampled should not be empty
+    sampled.foreach { f =>
+      f.requiredSchema.fieldNames.toSet shouldBe Set("x", "y")
+      // 8 of the 32 bucket directories: the path list is the prune
+      f.relation.location.inputFiles.map(_.replaceAll("/[^/]*$", ""))
+        .distinct.length should be <= 8
+    }
+  }
+
   test("driftDecision kernel: clear-margin sampled readings decide " +
     "WITHOUT the full gauge; only the ambiguity band forces (and defers " +
     "to) the full scan; an empty store never refits") {
