@@ -130,17 +130,32 @@ object Layout {
     * with ≤ `sampleBuckets` manifest buckets (or a legacy pre-manifest
     * store) reads in full — sampling never costs a second pass. */
   def zOrderDriftStats(spark: SparkSession, root: String,
-                       sampleBuckets: Int = 0): DataFrame = {
-    import spark.implicits._
-    val model = zOrderModel(spark, root).getOrElse(throw
-      new IllegalArgumentException(s"store at $root has no z-order model"))
+                       sampleBuckets: Int = 0): DataFrame =
+    driftStatsFrom(spark, driftSource(spark, root, sampleBuckets)._1,
+      zOrderModel(spark, root).getOrElse(throw
+        new IllegalArgumentException(s"store at $root has no z-order model")))
+
+  /** The rows a drift gauge at `sampleBuckets` resolution reads, plus
+    * whether it ACTUALLY sampled — the single owner of the sampling
+    * predicate, so [[zOrderMaintain]]'s escalation logic can never
+    * disagree with what the gauge read (a store with ≤ `sampleBuckets`
+    * manifest buckets, or a legacy pre-manifest store, reads in full). */
+  private def driftSource(spark: SparkSession, root: String,
+                          sampleBuckets: Int): (DataFrame, Boolean) = {
     val ids = SnapshotStore.manifestBucketIds(spark, root)
-    val df =
-      if (sampleBuckets > 0 && ids.size > sampleBuckets)
-        SnapshotStore.readBucketSubset(spark, root,
-          sampleBucketIds(ids, sampleBuckets))
-      else SnapshotStore.read(spark, root).getOrElse(throw
-        new IllegalArgumentException(s"store at $root has no committed data"))
+    if (sampleBuckets > 0 && ids.size > sampleBuckets)
+      (SnapshotStore.readBucketSubset(spark, root,
+        sampleBucketIds(ids, sampleBuckets)), true)
+    else
+      (SnapshotStore.read(spark, root).getOrElse(throw
+        new IllegalArgumentException(
+          s"store at $root has no committed data")), false)
+  }
+
+  /** [[zOrderDriftStats]]'s aggregation over an already-resolved source. */
+  private def driftStatsFrom(spark: SparkSession, df: DataFrame,
+                             model: ZOrderModel): DataFrame = {
+    import spark.implicits._
     val dims = model.cols.indices.map { i =>
       struct(lit(model.cols(i)).as("zcol"),
         ZValueExpr(Seq(col(model.cols(i)).cast("double")),
@@ -260,22 +275,18 @@ object Layout {
     val effBuckets = recorded.getOrElse(if (buckets > 0) buckets else 256)
     // worst-dimension balance at a given gauge resolution; None = store
     // empty (a store delete() emptied out has zero rows → no drift to act
-    // on)
-    def worst(sample: Int): Option[Double] = {
-      val r = zOrderDriftStats(spark, root, sample)
+    // on). driftSource owns the sampling predicate and reports whether it
+    // actually sampled, so a borderline value on a small store is never
+    // "confirmed" by re-reading the identical data.
+    def worstOf(df: DataFrame): Option[Double] = {
+      val r = driftStatsFrom(spark, df, model)
         .agg(max(col("balance"))).collect()(0)
       if (r.isNullAt(0)) None else Some(r.getDouble(0))
     }
-    // a store whose manifest has <= sampleBuckets buckets reads in full
-    // either way — treat the gauge as full so a borderline value is never
-    // "confirmed" by re-reading the identical data
-    val effSample =
-      if (sampleBuckets > 0 &&
-          SnapshotStore.manifestBucketIds(spark, root).size > sampleBuckets)
-        sampleBuckets
-      else 0
-    val drifted = driftDecision(worst(effSample), worst(0), maxBalance,
-      confirmBand, sampledIsFull = effSample == 0)
+    val (src, sampledReal) = driftSource(spark, root, sampleBuckets)
+    val drifted = driftDecision(worstOf(src),
+      worstOf(driftSource(spark, root, 0)._1), maxBalance,
+      confirmBand, sampledIsFull = !sampledReal)
     if (!drifted) "ok"
     else {
       val data = SnapshotStore.read(spark, root).getOrElse(throw

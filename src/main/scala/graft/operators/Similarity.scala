@@ -441,15 +441,8 @@ object Similarity {
                   recallK: Int = 10): String = {
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
     require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
-    val counts = ivfCellStats(spark, path).collect().map(_.getLong(1))
-    val nCellsStored = spark.read.parquet(s"$path/centroids").count().toInt
-    val total = counts.sum
+    val (total, skew, wantCells, nCellsStored) = cellHealth(spark, path)
     if (total == 0) return "ok"
-    // mean over ALL stored cells (empty cells have no directory but do
-    // dilute the mean — an index where half the cells emptied out is skewed)
-    val mean = total.toDouble / math.max(1, nCellsStored)
-    val skew = counts.max / mean
-    val wantCells = autoCells(total)
     if (skew <= maxSkew && wantCells <= nCellsStored * maxGrowth) "ok"
     else {
       // original columns only: assignment/norm are recomputed by the build
@@ -519,6 +512,23 @@ object Similarity {
     // directories (FileStatusCache); drop them so same-session reads see
     // the rebuilt files instead of failing on vanished part files
     halves.foreach(d => spark.catalog.refreshByPath(s"$path/$d"))
+  }
+
+  /** Cell-health kernel shared by [[ivfMaintain]] and [[ivfPqMaintain]]:
+    * (total rows, max/mean skew over STORED cells, `autoCells(total)`,
+    * stored cell count). The mean is over ALL stored cells — empty cells
+    * have no directory but do dilute it: an index where half the cells
+    * emptied out is skewed. A bounded read: per-cell counts are directory
+    * metadata, centroids are nCells rows. */
+  private def cellHealth(spark: SparkSession,
+                         path: String): (Long, Double, Int, Int) = {
+    val counts = ivfCellStats(spark, path).collect().map(_.getLong(1))
+    val nCellsStored = spark.read.parquet(s"$path/centroids").count().toInt
+    val total = counts.sum
+    val skew =
+      if (counts.isEmpty || total == 0) 0.0
+      else counts.max / (total.toDouble / math.max(1, nCellsStored))
+    (total, skew, autoCells(total), nCellsStored)
   }
 
   /** Fence file a mid-swap [[ivfMaintain]] (or mid-overwrite [[ivfBuild]])
@@ -1233,22 +1243,63 @@ object Similarity {
   private def pqDriftFrom(spark: SparkSession, path: String,
                           vectorsRel: String, vecCol: String,
                           rebuildHint: String, seed: Long,
-                          sampleRows: Int): PqDriftStats = {
+                          sampleRows: Int, sampleFiles: Int): PqDriftStats = {
     requireNotRebuilding(spark, path)
     val model = loadPqModel(spark, path)
     val fit = readFitMqe(spark, path, rebuildHint)
-    val sample = fitSample(spark.read.parquet(s"$path/$vectorsRel"),
-      vecCol, sampleRows, seed)
+    val sample = gaugeSample(spark, s"$path/$vectorsRel", vecCol,
+      sampleRows, seed, sampleFiles)
     PqDriftStats(fit, meanQuantizationError(sample, model))
   }
 
+  /** Bounded gauge sample: fit-sample within a deterministic SUBSET of
+    * the relation's part files instead of over the whole relation — a
+    * full-relation uniform row sample must scan essentially every row
+    * group of the (dominant-bytes) vector column just to materialize a
+    * few thousand rows, making the nightly "ok" answer cost O(corpus),
+    * the exact full-scan-on-the-common-night economy the z-order gauge's
+    * bucket sampling exists to avoid. File membership is hashed-path
+    * ordered: stable within an index generation, re-drawn as appends add
+    * files, and every append's files enter the candidate set in
+    * proportion to its row share — a drifted batch cannot systematically
+    * hide (each write spreads its rows over many part files). Whole-file
+    * (clustered) sampling adds variance a drift-vs-2× threshold easily
+    * tolerates. Cost: one driver file listing (O(files) metadata) plus a
+    * ≤ `maxFiles`-file read; a relation with ≤ `maxFiles` files reads in
+    * full, exactly as before. */
+  private def gaugeSample(spark: SparkSession, relDir: String,
+                          vecCol: String, sampleRows: Int, seed: Long,
+                          maxFiles: Int): Array[Array[Double]] = {
+    require(maxFiles >= 1, "sampleFiles must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(relDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        files += st.getPath.toString
+    }
+    require(files.nonEmpty, s"no parquet files under $relDir to gauge")
+    val picked =
+      if (files.size <= maxFiles) files.toSeq
+      else files.toSeq.sortBy(f =>
+        (scala.util.hashing.MurmurHash3.stringHash(f, seed.toInt), f))
+        .take(maxFiles)
+    fitSample(spark.read.parquet(picked: _*).select(col(vecCol)),
+      vecCol, sampleRows, seed)
+  }
+
   /** Codebook-drift gauge for a [[pqBuild]] flat-PQ index — one bounded
-    * sample read of the vectors relation plus driver-side arithmetic,
-    * never a full scan; see [[PqDriftStats]]. */
+    * file-sampled read of the vectors relation (never a full scan; see
+    * [[gaugeSample]]) plus driver-side arithmetic; see [[PqDriftStats]]. */
   def pqDriftStats(spark: SparkSession, path: String, vecCol: String,
-                   seed: Long = 42L,
-                   sampleRows: Int = 4096): PqDriftStats =
-    pqDriftFrom(spark, path, "vectors", vecCol, "pqBuild", seed, sampleRows)
+                   seed: Long = 42L, sampleRows: Int = 4096,
+                   sampleFiles: Int = 16): PqDriftStats =
+    pqDriftFrom(spark, path, "vectors", vecCol, "pqBuild", seed,
+      sampleRows, sampleFiles)
 
   /** Codebook-drift automation for a [[pqBuild]] flat-PQ index — the
     * missing leg of the maintenance doctrine ([[ivfMaintain]] watches
@@ -1512,12 +1563,14 @@ object Similarity {
   }
 
   /** Codebook-drift gauge for an [[ivfPqBuild]] index — one bounded
-    * sample read of the data relation's vector column plus driver-side
-    * arithmetic, never a full scan; see [[PqDriftStats]]. */
+    * file-sampled read of the data relation's vector column (never a
+    * full scan; see [[gaugeSample]]) plus driver-side arithmetic; see
+    * [[PqDriftStats]]. */
   def ivfPqDriftStats(spark: SparkSession, path: String, vecCol: String,
-                      seed: Long = 42L,
-                      sampleRows: Int = 4096): PqDriftStats =
-    pqDriftFrom(spark, path, "data", vecCol, "ivfPqBuild", seed, sampleRows)
+                      seed: Long = 42L, sampleRows: Int = 4096,
+                      sampleFiles: Int = 16): PqDriftStats =
+    pqDriftFrom(spark, path, "data", vecCol, "ivfPqBuild", seed,
+      sampleRows, sampleFiles)
 
   /** Full-health automation for an [[ivfPqBuild]] index — closes the
     * maintenance-doctrine hole [[ivfPqAppend]] documents: appended mass
@@ -1542,14 +1595,13 @@ object Similarity {
     require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
     require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
+    val (total, skew, wantCells, nCellsStored) = cellHealth(spark, path)
+    // an emptied-out index has nothing to gauge — "ok" like ivfMaintain,
+    // and the drift sample (which cannot draw from zero rows) is skipped
+    if (total == 0) return "ok"
     val drift = ivfPqDriftStats(spark, path, vecCol, seed, fitSampleRows)
-    val counts = ivfCellStats(spark, path).collect().map(_.getLong(1))
-    val nCellsStored = spark.read.parquet(s"$path/centroids").count().toInt
-    val total = counts.sum
-    val mean = total.toDouble / math.max(1, nCellsStored)
-    val skew = if (total == 0) 0.0 else counts.max / mean
     val healthy = drift.ratio <= maxDrift && skew <= maxSkew &&
-      autoCells(total) <= nCellsStored * maxGrowth
+      wantCells <= nCellsStored * maxGrowth
     if (healthy) "ok"
     else {
       val model = loadPqModel(spark, path)
@@ -1595,13 +1647,26 @@ object Similarity {
     val fs = root.getFileSystem(conf)
     def has(rel: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(root, rel))
-    if (has("codes") && has("vectors"))
+    // recall calibration is an IVF probe-WIDTH concept (nProbeForRecall's
+    // persisted nprobe.json); the PQ layouts have no persisted probe
+    // width to calibrate — silently dropping the target would let a
+    // mixed-fleet scheduler believe the recall contract is enforced
+    // everywhere when only the IVF indexes honor it
+    def noRecallTarget(layout: String): Unit =
+      require(recallTarget.isEmpty,
+        s"recallTarget applies to the plain-IVF layout only (persisted " +
+          s"probe-width calibration); the $layout index at $path has no " +
+          "probe width to calibrate — tune shortlistFactor at query time " +
+          "instead")
+    if (has("codes") && has("vectors")) {
+      noRecallTarget("flat-pq")
       ("flat-pq", pqMaintain(spark, path, vecCol, idCol, maxDrift, seed,
         fitSampleRows))
-    else if (has("data") && has("codebooks"))
+    } else if (has("data") && has("codebooks")) {
+      noRecallTarget("ivf-pq")
       ("ivf-pq", ivfPqMaintain(spark, path, vecCol, maxDrift, maxSkew,
         maxGrowth, seed, fitSampleRows))
-    else if (has("data") && has("centroids"))
+    } else if (has("data") && has("centroids"))
       ("ivf", ivfMaintain(spark, path, vecCol, maxSkew, maxGrowth, seed,
         fitSampleRows, recallTarget))
     else throw new IllegalArgumentException(

@@ -97,9 +97,48 @@ object SnapshotStore {
 
   private def writeProps(f: FileSystem, root: String,
                          props: Map[String, String]): Unit =
-    writeSmallFile(f, new Path(root, metaName),
-      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"),
-      overwrite = true)
+    // ATOMIC replace, not create(overwrite=true): the meta file carries
+    // layout-load-bearing recordings (nBuckets, discriminant, clusterBy,
+    // z-order model) for the WHOLE store, and an in-place truncate-then-
+    // write crashing mid-way would leave it empty — the next upsert would
+    // silently fall back to DefaultBuckets and skip the discriminant
+    // check, hashing rows into wrong buckets. tmp + rename means a crash
+    // leaves either the old recordings or the new, never a torn subset —
+    // which is also what makes setProperties' multi-key atomicity claim
+    // true.
+    atomicReplaceSmallFile(f, root, metaName,
+      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+
+  /** Atomically replace a small control file (meta, pointer): write a tmp
+    * sibling, then swap it over the target with the filesystem's atomic
+    * rename. On `file:` filesystems Hadoop's OVERWRITE rename is emulated
+    * non-atomically (delete-then-rename, plus a second rename for the
+    * `.crc` sidecar — racing readers transiently see no file or a stale
+    * checksum), so the local path goes through POSIX `rename(2)` via NIO
+    * with no checksum sidecar (stale sidecars from older code are
+    * removed); HDFS keeps its native atomic `FileContext` rename. */
+  private def atomicReplaceSmallFile(f: FileSystem, root: String,
+                                     name: String, content: String): Unit = {
+    val target = new Path(root, name)
+    if (f.getScheme == "file") {
+      val dir = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s"$name.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      Seq(s".$name.crc", s".$name.tmp.crc").foreach(c =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(c)))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(root, s"$name.tmp")
+      writeSmallFile(f, tmp, content, overwrite = true)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, f.getConf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
 
   /** Application-level store property (e.g. the signature width a
     * streaming dedup store was built with), kept in the same tiny meta
@@ -542,7 +581,7 @@ object SnapshotStore {
       .parquet(s"$root/snapshot=$next")
     writeManifest(f, root, next,
       Manifest(m.schema, m.buckets ++ frag.map(_ -> next)))
-    commitPointer(spark, f, root, next)
+    commitPointer(f, root, next)
     frag.size
   }
 
@@ -620,7 +659,7 @@ object SnapshotStore {
       .toSet
     writeManifest(f, root, next,
       Manifest(m.schema, writtenBuckets.map(_ -> next).toMap))
-    commitPointer(spark, f, root, next)
+    commitPointer(f, root, next)
     next
   }
 
@@ -708,7 +747,7 @@ object SnapshotStore {
       Manifest(m.schema,
         m.buckets.view.filterKeys(!touched(_)).toMap ++
           writtenBuckets.map(_ -> next)))
-    commitPointer(spark, f, root, next)
+    commitPointer(f, root, next)
     nDel
   }
 
@@ -884,7 +923,7 @@ object SnapshotStore {
         ("discriminant" -> cfg.discriminant.mkString(",")) ++
         (if (cluster.nonEmpty) Map("clusterBy" -> cluster.mkString(","))
          else Map.empty))
-    commitPointer(spark, f, root, next)
+    commitPointer(f, root, next)
     MergeResult(
       target = readVersion(spark, root, next),
       written = result.written.localCheckpoint(true),
@@ -923,38 +962,11 @@ object SnapshotStore {
     }
   }
 
-  private def commitPointer(spark: SparkSession, f: FileSystem, root: String,
-                            version: Long): Unit = {
-    val target = new Path(root, pointerName)
-    if (f.getScheme == "file") {
-      // Hadoop's local filesystems cannot give this commit its atomic
-      // swap: FileContext over LocalFs (a ChecksumFs) implements the
-      // OVERWRITE rename as delete-then-rename and moves the `.crc`
-      // sidecar in a SECOND rename — racing readers transiently see no
-      // pointer at all, or a new pointer still guarded by the previous
-      // version's checksum (both observed as reader failures in the
-      // racing-writers spec). POSIX rename via NIO IS atomic; the tmp is
-      // written via NIO too so no crc sidecar exists to go stale, and
-      // sidecars left by the previous implementation are removed so old
-      // stores stop checksum-verifying a file that now bypasses it.
-      val dir = java.nio.file.Paths.get(new Path(root).toUri.getPath)
-      val tmp = dir.resolve(s"$pointerName.tmp")
-      java.nio.file.Files.write(tmp, version.toString.getBytes("UTF-8"))
-      Seq(s".$pointerName.crc", s".$pointerName.tmp.crc").foreach(c =>
-        java.nio.file.Files.deleteIfExists(dir.resolve(c)))
-      java.nio.file.Files.move(tmp, dir.resolve(pointerName),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      // single atomic rename-with-overwrite (FileContext supports
-      // OVERWRITE; FileSystem.rename does not) — a delete-then-rename
-      // would open a window where the store reads as empty
-      val tmp = new Path(root, s"$pointerName.tmp")
-      writeSmallFile(f, tmp, version.toString, overwrite = true)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        target.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
-  }
+  // the atomic swap is what makes the pointer commit safe: racing readers
+  // see the old version or the new, never an absent or torn pointer (the
+  // local-FS hazards are documented on atomicReplaceSmallFile — both were
+  // observed as reader failures in the racing-writers spec before it)
+  private def commitPointer(f: FileSystem, root: String,
+                            version: Long): Unit =
+    atomicReplaceSmallFile(f, root, pointerName, version.toString)
 }

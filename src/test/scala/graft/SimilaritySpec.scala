@@ -927,6 +927,24 @@ class SimilaritySpec extends SparkSpec {
       pqPath)
     Similarity.indexMaintain(spark, pqPath, "embedding",
       idCol = "vec_id") shouldBe ("flat-pq", "rebuilt")
+    // recallTarget is an IVF probe-width concept: the PQ layouts refuse
+    // it loudly instead of silently dropping the recall contract
+    val rt = intercept[IllegalArgumentException] {
+      Similarity.indexMaintain(spark, pqPath, "embedding",
+        idCol = "vec_id", recallTarget = Some(0.9))
+    }
+    rt.getMessage should include("plain-IVF layout only")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.indexMaintain(spark, ivfpqPath, "embedding",
+        recallTarget = Some(0.9))
+    // the drift gauge is file-SAMPLED: even a one-file budget returns a
+    // finite reading (bounded IO by construction; detection power at the
+    // default 16-file budget is exercised by the drift tests above, whose
+    // vectors relations hold ~64/128 part files)
+    val one = Similarity.pqDriftStats(spark, pqPath, "embedding",
+      sampleFiles = 1)
+    one.ratio should be >= 0.0
+    java.lang.Double.isFinite(one.currentMqe) shouldBe true
     // not an index -> loud refusal, nothing touched
     val junk = java.nio.file.Files
       .createTempDirectory("graft_im_junk").toString
