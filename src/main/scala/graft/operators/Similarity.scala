@@ -1532,7 +1532,19 @@ object Similarity {
       }.toSeq
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq(fitMqe).toDF("fit_mqe")
+    // build-time cell-skew baseline alongside the MQE baseline: clustered
+    // corpora are "skewed" at birth (max/mean over cells is a DATA
+    // property), so ivfPqMaintain's skew trigger must fire on skew GROWTH
+    // relative to this equilibrium — an absolute bound would re-fire the
+    // rebuild every night on data no quantizer can flatten (observed in
+    // the pq_drift probe before this baseline existed)
+    val cellCounts = spark.read.parquet(s"$path/data")
+      .groupBy("__cell").count().collect().map(_.getLong(1))
+    val fitSkew =
+      if (cellCounts.isEmpty || cellCounts.sum == 0) 1.0
+      else cellCounts.max /
+        (cellCounts.sum.toDouble / math.max(1, centroids.length))
+    Seq((fitMqe, fitSkew)).toDF("fit_mqe", "fit_skew")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     fs.delete(marker, false)
     Seq("data", "centroids", "codebooks", "meta").foreach(d =>
@@ -1562,6 +1574,21 @@ object Similarity {
     spark.catalog.refreshByPath(s"$path/data")
   }
 
+  /** Build-time cell-skew baseline (`fit_skew`), when the index records
+    * one ([[ivfPqBuild]] since it gauged skew); None on older indexes
+    * and on flat-PQ meta (no cells) — callers fall back to 1.0, i.e.
+    * absolute (uniform-equilibrium) skew units. */
+  private def readFitSkew(spark: SparkSession, path: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(path, "meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val meta = spark.read.parquet(s"$path/meta")
+      if (!meta.columns.contains("fit_skew")) None
+      else Some(meta.select(col("fit_skew")).collect()(0).getDouble(0))
+    }
+  }
+
   /** Codebook-drift gauge for an [[ivfPqBuild]] index — one bounded
     * file-sampled read of the data relation's vector column (never a
     * full scan; see [[gaugeSample]]) plus driver-side arithmetic; see
@@ -1585,9 +1612,20 @@ object Similarity {
     * swap + `.rebuilding` fence, refitting coarse quantizer AND codebooks
     * on the current distribution, re-deriving the cell count for the
     * grown corpus (`autoCells`), re-assigning + re-encoding every row,
-    * and recording a fresh drift baseline. Returns `"ok"` or `"rebuilt"`;
-    * `maxDrift` semantics as in [[pqMaintain]], `maxSkew`/`maxGrowth` as
-    * in [[ivfMaintain]]. */
+    * and recording fresh drift AND skew baselines. Returns `"ok"` or
+    * `"rebuilt"`; `maxDrift` semantics as in [[pqMaintain]].
+    *
+    * `maxSkew` is in BUILD-TIME units — the trigger fires when max/mean
+    * cell skew exceeds `maxSkew` × the recorded `fit_skew` baseline, NOT
+    * an absolute bound: clustered corpora are "skewed" at birth (a data
+    * property no quantizer can flatten), and an absolute bound would
+    * re-fire a full rebuild every night without ever converging (observed
+    * in the pq_drift probe before the baseline existed). Because each
+    * rebuild records its own equilibrium as the new baseline, the
+    * maintain loop converges by construction: the call after a rebuild
+    * reads ratio ≈ 1 on every gauge. Indexes built before the baseline
+    * fall back to absolute units ([[ivfMaintain]]'s semantics, which suit
+    * its near-uniform-corpus probe evidence). */
   def ivfPqMaintain(spark: SparkSession, path: String, vecCol: String,
                     maxDrift: Double = 2.0, maxSkew: Double = 4.0,
                     maxGrowth: Double = 4.0, seed: Long = 42L,
@@ -1600,7 +1638,8 @@ object Similarity {
     // and the drift sample (which cannot draw from zero rows) is skipped
     if (total == 0) return "ok"
     val drift = ivfPqDriftStats(spark, path, vecCol, seed, fitSampleRows)
-    val healthy = drift.ratio <= maxDrift && skew <= maxSkew &&
+    val fitSkew = readFitSkew(spark, path).getOrElse(1.0)
+    val healthy = drift.ratio <= maxDrift && skew <= maxSkew * fitSkew &&
       wantCells <= nCellsStored * maxGrowth
     if (healthy) "ok"
     else {
