@@ -1258,36 +1258,61 @@ object Similarity {
     * group of the (dominant-bytes) vector column just to materialize a
     * few thousand rows, making the nightly "ok" answer cost O(corpus),
     * the exact full-scan-on-the-common-night economy the z-order gauge's
-    * bucket sampling exists to avoid. File membership is hashed-path
-    * ordered: stable within an index generation, re-drawn as appends add
-    * files, and every append's files enter the candidate set in
-    * proportion to its row share — a drifted batch cannot systematically
-    * hide (each write spreads its rows over many part files). Whole-file
-    * (clustered) sampling adds variance a drift-vs-2× threshold easily
-    * tolerates. Cost: one driver file listing (O(files) metadata) plus a
-    * ≤ `maxFiles`-file read; a relation with ≤ `maxFiles` files reads in
-    * full, exactly as before. */
+    * bucket sampling exists to avoid. File selection is SIZE-WEIGHTED
+    * (Efraimidis–Spirakis order sampling with a hashed-path uniform, so
+    * it is deterministic for an index state and re-draws as the file set
+    * changes): a file's inclusion probability is proportional to its
+    * BYTES ≈ its row share, so a drifted append concentrated in a few
+    * LARGE files is near-certainly sampled — uniform per-file selection
+    * could permanently exclude it — while a batch whose byte share is
+    * negligible is exactly the batch that cannot move the corpus-level
+    * MQE ratio this gauge measures. Whole-file (clustered) sampling adds
+    * variance a drift-vs-2× threshold easily tolerates. Uncommitted
+    * write debris is excluded the way Spark's own directory reads do it:
+    * any path COMPONENT starting with `_`/`.` (e.g. a crashed append's
+    * `_temporary` tree) disqualifies the file. Cost: one driver file
+    * listing (O(files) metadata) plus a ≤ `maxFiles`-file read; a
+    * relation with ≤ `maxFiles` files reads in full, exactly as before. */
   private def gaugeSample(spark: SparkSession, relDir: String,
                           vecCol: String, sampleRows: Int, seed: Long,
                           maxFiles: Int): Array[Array[Double]] = {
     require(maxFiles >= 1, "sampleFiles must be >= 1")
     val p = new org.apache.hadoop.fs.Path(relDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val baseDepth = fs.makeQualified(p).depth()
+    // visible = no hidden/temporary component anywhere below the relation
+    // root (the leaf name is checked by the same climb)
+    def visible(fp: org.apache.hadoop.fs.Path): Boolean = {
+      var q = fp
+      while (q != null && q.depth() > baseDepth) {
+        val n = q.getName
+        // Spark's own hidden-path rule: `_`-prefixed components are
+        // metadata/temporary (e.g. _temporary, _SUCCESS) UNLESS they are
+        // partition directories (they contain '='— __cell=3, __vb=7)
+        if (n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+          return false
+        q = q.getParent
+      }
+      true
+    }
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith("."))
-        files += st.getPath.toString
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          visible(st.getPath))
+        files += ((st.getPath.toString, st.getLen))
     }
     require(files.nonEmpty, s"no parquet files under $relDir to gauge")
     val picked =
-      if (files.size <= maxFiles) files.toSeq
-      else files.toSeq.sortBy(f =>
-        (scala.util.hashing.MurmurHash3.stringHash(f, seed.toInt), f))
-        .take(maxFiles)
+      if (files.size <= maxFiles) files.toSeq.map(_._1)
+      else files.toSeq.sortBy { case (f, len) =>
+        // Efraimidis–Spirakis key: -ln(u)/w with u from the path hash —
+        // smallest keys form a size-weighted sample without replacement
+        val h = scala.util.hashing.MurmurHash3.stringHash(f, seed.toInt)
+        val u = ((h & 0x7fffffff).toDouble + 1.0) / (Int.MaxValue.toDouble + 2.0)
+        (-math.log(u) / math.max(1L, len).toDouble, f)
+      }.take(maxFiles).map(_._1)
     fitSample(spark.read.parquet(picked: _*).select(col(vecCol)),
       vecCol, sampleRows, seed)
   }

@@ -120,10 +120,19 @@ object SnapshotStore {
   private def atomicReplaceSmallFile(f: FileSystem, root: String,
                                      name: String, content: String): Unit = {
     val target = new Path(root, name)
+    // UNIQUE tmp per call: a fixed sibling name would let two racing
+    // replacers truncate each other's tmp mid-write — one could install
+    // the other's bytes and strand the loser on a vanished file, an
+    // exception path the old overwrite-in-place write never had. With a
+    // unique name each writer renames its own complete bytes; racing
+    // writers degrade to last-rename-wins, same as before. The leading
+    // dot keeps a crashed call's leftover hidden from directory readers
+    // (and the pointer-era fixed-name sidecars are still cleaned below).
+    val tmpName = s".$name.tmp-${java.util.UUID.randomUUID().toString}"
     if (f.getScheme == "file") {
       val dir = java.nio.file.Paths.get(new Path(root).toUri.getPath)
       java.nio.file.Files.createDirectories(dir)
-      val tmp = dir.resolve(s"$name.tmp")
+      val tmp = dir.resolve(tmpName)
       java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
       Seq(s".$name.crc", s".$name.tmp.crc").foreach(c =>
         java.nio.file.Files.deleteIfExists(dir.resolve(c)))
@@ -131,7 +140,7 @@ object SnapshotStore {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      val tmp = new Path(root, s"$name.tmp")
+      val tmp = new Path(root, tmpName)
       writeSmallFile(f, tmp, content, overwrite = true)
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         target.toUri, f.getConf)

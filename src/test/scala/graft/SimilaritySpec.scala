@@ -950,6 +950,16 @@ class SimilaritySpec extends SparkSpec {
       sampleFiles = 1)
     one.ratio should be >= 0.0
     java.lang.Double.isFinite(one.currentMqe) shouldBe true
+    // a crashed append's _temporary debris (not even valid parquet) must
+    // never enter the gauge sample — hidden path COMPONENTS disqualify,
+    // exactly as Spark's own directory reads filter them
+    val debris = java.nio.file.Paths.get(pqPath, "vectors", "_temporary", "0")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    java.lang.Double.isFinite(
+      Similarity.pqDriftStats(spark, pqPath, "embedding").currentMqe
+    ) shouldBe true
     // not an index -> loud refusal, nothing touched
     val junk = java.nio.file.Files
       .createTempDirectory("graft_im_junk").toString
