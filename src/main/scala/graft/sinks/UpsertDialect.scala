@@ -15,14 +15,19 @@ package graft.sinks
   * `UPDATE … WHERE` on the discriminant, which is engine-independent ANSI
   * SQL and shared by every dialect.
   *
-  * Live-execution status in this sandbox (no network, no server engines):
-  * the update-only path runs live on embedded Derby
-  * (`JdbcIntegrationSpec`). Neither single-statement upsert dialect can:
-  * Derby has no `ON CONFLICT`, and its `MERGE` rejects derived-table
-  * sources ("The source table of a MERGE statement must be a base table
-  * or table function" — probed against Derby 10.16; the ANSI dialect's
-  * `USING (VALUES …)` form needs DB2/SQL Server/H2-class MERGE support),
-  * so both are SQL-synthesis-tested only.
+  * Live-execution status in this sandbox: the JDBC write LOOP
+  * (connections, batched binds, commit-per-buffer) runs live on embedded
+  * Derby (`JdbcIntegrationSpec`), and the POSTGRES dialect's statements
+  * now also round-trip on a LIVE local PostgreSQL 15 server
+  * (`PostgresLiveSpec` — the sandbox ships server binaries but no JDBC
+  * jar, so the generated SQL executes through psql over a throwaway
+  * unix-socket cluster: ON CONFLICT insert-vs-update, EXCLUDED values,
+  * insert-only/created_at shielding, DO-NOTHING gating and update-only
+  * mode are all engine-verified). The ANSI MERGE dialect remains
+  * synthesis-tested only: Derby's MERGE rejects derived-table sources
+  * ("The source table of a MERGE statement must be a base table or table
+  * function" — probed against Derby 10.16; the `USING (VALUES …)` form
+  * needs DB2/SQL Server/H2-class MERGE support).
   */
 trait UpsertDialect {
 
