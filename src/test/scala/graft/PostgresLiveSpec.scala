@@ -53,6 +53,7 @@ object PostgresLive {
         else {
           Runtime.getRuntime.addShutdownHook(new Thread(() => {
             asPostgres(s"$b/pg_ctl", s"-D $dir/data -m immediate stop")
+            sh(Seq("rm", "-rf", dir))
             ()
           }))
           Some(dir)
