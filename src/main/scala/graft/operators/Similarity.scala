@@ -597,32 +597,11 @@ object Similarity {
     requireNotRebuilding(spark, path)
     val centroids = loadCentroids(spark, path)
     val nCells = centroids.length
-    val total = ivfCellStats(spark, path).agg(sum("n")).head().getLong(0)
     val data = spark.read.parquet(s"$path/data")
-    val fraction = math.min(1.0, sampleQueries * 4.0 / math.max(1L, total))
-    // sample ~4x the needed rows, then cut to sampleQueries under a HASH
-    // order: a bare limit() takes the scan's first partitions — the lowest
-    // __cell directories of a cell-partitioned index — and a sample
-    // concentrated in one corner of the space calibrates a width that is
-    // silently too narrow for everyone else (measured: chosen 3 of 44
-    // cells, actual recall 0.4 at a 0.9 target, before this order was
-    // added). The sort is over the ~4·sampleQueries sampled rows, not the
-    // corpus.
-    val sampled = data.select(col(vecCol))
-      .sample(withReplacement = false, fraction, seed)
-      .sort(xxhash64(col(vecCol)))
-      .limit(sampleQueries)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r) }
+    val sampled = selfQuerySample(data, vecCol, sampleQueries, seed)
     if (sampled.isEmpty) return math.max(1, nCells / 8)
-    val queries = spark.createDataFrame(
-      java.util.Arrays.asList(sampled.map { case (i, r) =>
-        org.apache.spark.sql.Row(i, r.get(0)) }: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__sqid",
-          org.apache.spark.sql.types.LongType),
-        data.schema(vecCol).copy(name = vecCol))))
+    val queries = queriesFromSample(spark, sampled, data.schema(vecCol),
+      vecCol)
     // exact ground truth in ONE scored pass, reusing the persisted norms;
     // ranking (cosine, cell) directly means no row id is needed — only
     // each true neighbor's CELL matters for the curve
@@ -647,20 +626,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     if (pairs.isEmpty) return math.max(1, nCells / 8)
-    // per-query cell ranking by quantizer distance — driver-side over the
-    // in-hand sample and the (nCells-bounded) centroids, identical order
-    // to cellDistStructs: (||c||^2 - 2 q.c, cellId) ascending
-    val cellRank: Map[Long, Array[Int]] = sampled.map { case (qid, r) =>
-      val q = r.getSeq[Number](0).map(_.doubleValue).toArray
-      val order = centroids.zipWithIndex.map { case (c, i) =>
-        var dot = 0.0; var n2 = 0.0; var j = 0
-        while (j < c.length) { dot += q(j) * c(j); n2 += c(j) * c(j); j += 1 }
-        (n2 - 2.0 * dot, i)
-      }.sortBy(identity).map(_._2)
-      val rank = new Array[Int](nCells)
-      order.zipWithIndex.foreach { case (cell, idx) => rank(cell) = idx + 1 }
-      qid -> rank
-    }.toMap
+    val cellRank: Map[Long, Array[Int]] = cellRanks(sampled, centroids)
     val ranks = pairs.map { case (qid, cell) => cellRank(qid)(cell) }.sorted
     // recall(p) = |ranks <= p| / |pairs|; smallest p meeting the target —
     // PLUS a one-sided finite-sample margin: the bare empirical quantile
@@ -684,6 +650,346 @@ object Similarity {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     chosen
+  }
+
+  /** Hash-ordered bounded self-sample of a relation's vector rows — the
+    * recall-calibration query batch ([[nProbeForRecall]],
+    * [[pqShortlistForRecall]], [[ivfPqCalibrate]]). Samples ~4× the
+    * needed rows, then cuts to `sampleQueries` under a HASH order: a
+    * bare limit() takes the scan's first partitions — the lowest
+    * `__cell=` directories of a cell-partitioned index — and a sample
+    * concentrated in one corner of the space calibrates a width that is
+    * silently too narrow for everyone else (measured: chosen 3 of 44
+    * cells, actual recall 0.4 at a 0.9 target, before this order was
+    * added). The sort is over the ~4·sampleQueries sampled rows, not
+    * the corpus. */
+  private def selfQuerySample(rel: DataFrame, vecCol: String,
+                              sampleQueries: Int, seed: Long)
+      : Array[(Long, org.apache.spark.sql.Row)] = {
+    val total = rel.count()
+    val fraction = math.min(1.0, sampleQueries * 4.0 / math.max(1L, total))
+    rel.select(col(vecCol))
+      .sample(withReplacement = false, fraction, seed)
+      .sort(xxhash64(col(vecCol)))
+      .limit(sampleQueries)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+  }
+
+  /** The [[selfQuerySample]] rows as a (`__sqid`, vector) query batch. */
+  private def queriesFromSample(spark: SparkSession,
+                                sampled: Array[(Long, org.apache.spark.sql.Row)],
+                                vecField: org.apache.spark.sql.types.StructField,
+                                vecCol: String): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(sampled.map { case (i, r) =>
+        org.apache.spark.sql.Row(i, r.get(0)) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__sqid",
+          org.apache.spark.sql.types.LongType),
+        vecField.copy(name = vecCol))))
+
+  /** Per-query cell ranking by quantizer distance — driver-side over the
+    * in-hand sample and the (nCells-bounded) centroids, identical order
+    * to [[cellDistStructs]]: (‖c‖² − 2 q·c, cellId) ascending. */
+  private def cellRanks(sampled: Array[(Long, org.apache.spark.sql.Row)],
+                        centroids: Array[Array[Double]])
+      : Map[Long, Array[Int]] =
+    sampled.map { case (qid, r) =>
+      val q = r.getSeq[Number](0).map(_.doubleValue).toArray
+      val order = centroids.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0; var n2 = 0.0; var j = 0
+        while (j < c.length) { dot += q(j) * c(j); n2 += c(j) * c(j); j += 1 }
+        (n2 - 2.0 * dot, i)
+      }.sortBy(identity).map(_._2)
+      val rank = new Array[Int](centroids.length)
+      order.zipWithIndex.foreach { case (cell, idx) => rank(cell) = idx + 1 }
+      qid -> rank
+    }.toMap
+
+  /** Exact ground truth for self-sampled calibration queries with the
+    * self row DROPPED (rank-(k+1), best removed — the [[nProbeForRecall]]
+    * discipline: self-sampled queries otherwise carry one guaranteed hit
+    * per query, inflating measured recall by up to 1/k relative to
+    * held-out queries). Returns (`__sqid`, idCol-as-long) pairs. */
+  private def selfTruthPairs(corpus: DataFrame, queries: DataFrame,
+                             vecCol: String, idCol: String,
+                             k: Int): DataFrame =
+    bruteForceTopK(corpus, queries, vecCol, idCol, "__sqid", k + 1)
+      .filter(col("rank") > 1)
+      .select(col("__sqid"), col(idCol))
+
+  /** Smallest count of truth pairs that must be retrieved to meet
+    * `target` plus the one-sided finite-sample margin — the bare
+    * empirical quantile undershoots on independent queries about half
+    * the time, and a query's k truth pairs are correlated, so the
+    * binomial unit is the QUERY count, not the pair count
+    * (see [[nProbeForRecall]]'s margin note). */
+  private def neededCount(target: Double, confidenceZ: Double,
+                          nQueries: Int, nPairs: Int): Int =
+    math.max(1, math.ceil(math.min(1.0, target +
+      confidenceZ * math.sqrt(target * (1.0 - target) /
+        math.max(1, nQueries))) * nPairs).toInt)
+
+  // --------------------------------------- PQ-family recall calibration
+
+  /** Persisted recall calibration for the PQ layouts (see
+    * [[pqShortlistForRecall]] / [[ivfPqCalibrate]]): generation-bound
+    * metadata, deleted by every codebook refit ([[pqBuild]]/
+    * [[ivfPqBuild]] overwrite, the maintain rebuilds) — widths tuned
+    * against replaced codebooks are silently miscalibrated, exactly the
+    * [[NProbeFile]] rationale. */
+  private val PqCalFile = "pqcal.json"
+
+  /** Uncalibrated shortlist width: re-rank `4·k` ADC candidates. */
+  private val DefaultShortlistFactor = 4
+
+  /** The persisted PQ-family calibration, if the index has been
+    * calibrated since its last codebook refit: (nProbe — 0 on flat-PQ,
+    * which probes no cells — and the ADC shortlist factor). */
+  def calibratedPqWidths(spark: SparkSession,
+                         path: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path, PqCalFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      for {
+        np <- """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt)
+        f <- """"shortlist_factor"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt)
+      } yield (np, f)
+    }
+  }
+
+  private def writePqCal(spark: SparkSession, path: String, nProbe: Int,
+                         factor: Int, target: Double, measured: Double,
+                         k: Int, nQueries: Int, cells: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, PqCalFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"nprobe":$nProbe,"shortlist_factor":$factor,""" +
+        s""""target":$target,"measured_recall":$measured,"k":$k,""" +
+        s""""sample_queries":$nQueries,"cells":$cells}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Calibrate a [[pqBuild]] flat-PQ index's SHORTLIST width to a recall
+    * target — the PQ analogue of [[nProbeForRecall]], closing the gap
+    * where a [[pqMaintain]] rebuild restores quantization quality (the
+    * MQE gauge reads ≈ 1 again) but recall stays depressed: the refitted
+    * codebooks spread their capacity over the GROWN corpus, so the
+    * shortlist width that met a recall target before the drift ranks too
+    * few candidates after it. Picks the smallest `shortlistFactor` whose
+    * measured recall@k meets `target` on the index's own data, persists
+    * it to `<path>/pqcal.json`, and returns it — after which
+    * [[pqProbeTopK]]'s DEFAULT shortlist width is the calibrated one.
+    *
+    * COST — one bounded measurement, not a sweep: `sampleQueries`
+    * self-sampled queries are (a) brute-force scored for exact ground
+    * truth (one vectors scan — [[nProbeForRecall]]'s cost class), and
+    * (b) ADC-scored against the NARROW codes relation to locate each
+    * true neighbor's exact shortlist RANK (1 + rows scoring ahead of it
+    * under the shortlist's (cosine desc, id asc) order — one codes scan
+    * with broadcast thresholds). The recall-vs-width CURVE then falls
+    * out driver-side without re-probing: a true neighbor is retrieved at
+    * width S iff its ADC rank ≤ S — exact-scored re-ranking means a true
+    * top-k member in the shortlist always survives. Driver memory:
+    * `sampleQueries`·k truth pairs + `sampleQueries` vectors. Same
+    * self-calibration assumption and one-sided `confidenceZ` margin as
+    * [[nProbeForRecall]].
+    *
+    * The persisted factor is capped at `maxShortlistFactor` — the
+    * re-rank join's fan-in is Q·factor·k, and an unreachable target must
+    * not silently turn every probe into a near-full re-rank; the
+    * artifact's `measured_recall` records what the cap actually achieves.
+    * Returns the uncalibrated default (4), persisting nothing, on an
+    * empty or all-zero-vector index. */
+  def pqShortlistForRecall(spark: SparkSession, path: String,
+                           vecCol: String, idCol: String, target: Double,
+                           k: Int = 10, sampleQueries: Int = 64,
+                           seed: Long = 42L, confidenceZ: Double = 1.0,
+                           maxShortlistFactor: Int = 64): Int = {
+    require(target > 0.0 && target <= 1.0,
+      s"recall target must be in (0, 1], got $target")
+    require(confidenceZ >= 0.0, "confidenceZ must be >= 0")
+    require(maxShortlistFactor >= 1, "maxShortlistFactor must be >= 1")
+    requireNotRebuilding(spark, path)
+    val model = loadPqModel(spark, path)
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val sampled = selfQuerySample(vectors, vecCol, sampleQueries, seed)
+    if (sampled.isEmpty) return DefaultShortlistFactor
+    val queries = queriesFromSample(spark, sampled,
+      vectors.schema(vecCol), vecCol)
+    val truth = selfTruthPairs(vectors.select(col(idCol), col(vecCol)),
+      queries, vecCol, idCol, k).localCheckpoint(true)
+    val codes = spark.read.parquet(s"$path/codes")
+    val q = withQueryNorm(queries, Seq(idCol), "__sqid", vecCol)
+    val pairRanks = adcTruthRanks(codes.select(col(idCol), col("__codes"),
+      col("__cn")), q, model, truth, idCol)
+    if (pairRanks.isEmpty) return DefaultShortlistFactor
+    val nQ = pairRanks.map(_._1).distinct.length
+    val need = neededCount(target, confidenceZ, nQ, pairRanks.length)
+    val sorted = pairRanks.map(_._2).sorted
+    val wantK = if (need > sorted.length) sorted.last else sorted(need - 1)
+    val factor = math.min(maxShortlistFactor.toLong,
+      math.max(1L, (wantK + k - 1) / k)).toInt
+    val measured =
+      sorted.count(_ <= factor.toLong * k).toDouble / sorted.length
+    writePqCal(spark, path, 0, factor, target, measured, k,
+      sampled.length, 0)
+    factor
+  }
+
+  /** Each truth pair's exact ADC shortlist rank: 1 + the number of
+    * corpus rows scoring AHEAD of the true neighbor under the
+    * shortlist's (cosine desc, id asc) order. Two bounded scans of the
+    * narrow encoded relation: thresholds (corpus restricted to the ≤ Q·k
+    * truth ids via a broadcast join), then competitor counts (full ADC
+    * scan against broadcast thresholds, grouped to ≤ Q·k rows). Returns
+    * (`__sqid`, rank) per truth pair. */
+  private def adcTruthRanks(encoded: DataFrame, q: DataFrame,
+                            model: PqModel, truth: DataFrame,
+                            idCol: String): Array[(Long, Long)] = {
+    val truthIds = truth.select(col(idCol)).distinct()
+    val thresholds = adcScored(encoded.join(broadcast(truthIds),
+        Seq(idCol)), q, model, Seq.empty)
+      .join(broadcast(truth), Seq("__sqid", idCol))
+      .filter(col("cosine").isNotNull)
+      .select(col("__sqid"), col(idCol).cast("long").as("__tid"),
+        col("cosine").as("__tcos"))
+      .localCheckpoint(true)
+    val ahead = adcScored(encoded, q, model, Seq.empty)
+      .join(broadcast(thresholds), Seq("__sqid"))
+      .filter(col("cosine").isNotNull &&
+        (col("cosine") > col("__tcos") ||
+          (col("cosine") === col("__tcos") &&
+            col(idCol).cast("long") < col("__tid"))))
+      .groupBy(col("__sqid"), col("__tid"))
+      .agg(count(lit(1)).as("__ahead"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    thresholds.select("__sqid", "__tid").collect()
+      .map(r => (r.getLong(0),
+        ahead.getOrElse((r.getLong(0), r.getLong(1)), 0L) + 1L))
+  }
+
+  /** Calibrate BOTH probe widths of an [[ivfPqBuild]] index — `nProbe`
+    * (cells scanned) and the ADC `shortlistFactor` (candidates re-ranked)
+    * — to a recall target, and persist them as [[ivfPqProbeTopK]]'s
+    * defaults: [[nProbeForRecall]]'s contract for the composed index,
+    * where recall is lost at two stages (the true neighbor's cell not
+    * probed; its ADC rank beyond the shortlist).
+    *
+    * ONE bounded measurement covers the whole 2-D width plane: exact
+    * ground truth (one scan), each truth pair's cell rank (driver-side
+    * vs the tiny centroids), and its ADC competitor counts grouped BY
+    * CORPUS CELL (one narrow codes-column scan, ≤ Q·k·nCells grouped
+    * rows) — a pair is retrieved at (P, S) iff its cell ranks ≤ P among
+    * the query's centroid distances AND 1 + its competitors in cells
+    * ranked ≤ P is ≤ S, so every (P, S) evaluates driver-side without
+    * re-scanning. Chooses the smallest `nProbe` admitting a within-cap
+    * shortlist at the target (probe width dominates cost: the scanned
+    * fraction is ≈ nProbe/nCells; the shortlist only sizes the re-rank
+    * join's fan-in), then the smallest such shortlist. Falls back to
+    * (nCells, `maxShortlistFactor`) when even full probing cannot meet
+    * the target under the cap, with the shortfall recorded in the
+    * artifact's `measured_recall`. Returns the chosen (nProbe,
+    * shortlistFactor); uncalibrated defaults, persisting nothing, on an
+    * empty or all-zero-vector index. */
+  def ivfPqCalibrate(spark: SparkSession, path: String, vecCol: String,
+                     idCol: String, target: Double, k: Int = 10,
+                     sampleQueries: Int = 64, seed: Long = 42L,
+                     confidenceZ: Double = 1.0,
+                     maxShortlistFactor: Int = 64): (Int, Int) = {
+    require(target > 0.0 && target <= 1.0,
+      s"recall target must be in (0, 1], got $target")
+    require(confidenceZ >= 0.0, "confidenceZ must be >= 0")
+    require(maxShortlistFactor >= 1, "maxShortlistFactor must be >= 1")
+    requireNotRebuilding(spark, path)
+    val centroids = loadCentroids(spark, path)
+    val nCells = centroids.length
+    val model = loadPqModel(spark, path)
+    val data = spark.read.parquet(s"$path/data")
+    val uncalibrated = (math.max(1, nCells / 8), DefaultShortlistFactor)
+    val sampled = selfQuerySample(data, vecCol, sampleQueries, seed)
+    if (sampled.isEmpty) return uncalibrated
+    val queries = queriesFromSample(spark, sampled, data.schema(vecCol),
+      vecCol)
+    val truth = selfTruthPairs(data.select(col(idCol), col(vecCol)),
+      queries, vecCol, idCol, k).localCheckpoint(true)
+    val q = withQueryNorm(queries, Seq(idCol), "__sqid", vecCol)
+    val narrow = data.select(col(idCol), col("__cell"), col("__codes"),
+      col("__cn"))
+    val truthIds = truth.select(col(idCol)).distinct()
+    // thresholds carry the truth row's own ADC score AND its cell
+    val thresholds = adcScored(narrow.join(broadcast(truthIds),
+        Seq(idCol)), q, model, Seq.empty)
+      .join(broadcast(truth), Seq("__sqid", idCol))
+      .filter(col("cosine").isNotNull)
+      .select(col("__sqid"), col(idCol).cast("long").as("__tid"),
+        col("cosine").as("__tcos"), col("__cell").cast("int").as("__tcell"))
+      .localCheckpoint(true)
+    val pairsArr = thresholds.select("__sqid", "__tid", "__tcell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    if (pairsArr.isEmpty) return uncalibrated
+    // competitor counts PER CORPUS CELL — the cell→probe-rank translation
+    // happens driver-side, so any (nProbe, shortlist) pair is evaluable
+    // without re-scanning
+    val perCell = adcScored(narrow, q, model, Seq.empty)
+      .join(broadcast(thresholds.drop("__tcell")), Seq("__sqid"))
+      .filter(col("cosine").isNotNull &&
+        (col("cosine") > col("__tcos") ||
+          (col("cosine") === col("__tcos") &&
+            col(idCol).cast("long") < col("__tid"))))
+      .groupBy(col("__sqid"), col("__tid"),
+        col("__cell").cast("int").as("__ccell"))
+      .agg(count(lit(1)).as("__ahead"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+      .groupBy(_._1)
+    val cellRank = cellRanks(sampled, centroids)
+    // per-pair: the truth cell's rank, and cumulative competitors over
+    // cells ranked ≤ p (so cum(p)+1 is the truth's shortlist rank at
+    // probe width p)
+    val curves = pairsArr.map { case (sq, tid, tcell) =>
+      val rankArr = cellRank(sq)
+      val cum = new Array[Long](nCells + 1)
+      perCell.getOrElse((sq, tid), Array.empty)
+        .foreach { case (_, (ccell, n)) => cum(rankArr(ccell)) += n }
+      var p = 1
+      while (p <= nCells) { cum(p) += cum(p - 1); p += 1 }
+      (rankArr(tcell), cum)
+    }
+    val nQ = pairsArr.map(_._1).distinct.length
+    val need = neededCount(target, confidenceZ, nQ, curves.length)
+    var chosen: Option[(Int, Long)] = None
+    var p = 1
+    while (p <= nCells && chosen.isEmpty) {
+      val feas = curves.collect {
+        case (tcr, cum) if tcr <= p => cum(p) + 1
+      }.sorted
+      if (feas.length >= need &&
+          feas(need - 1) <= maxShortlistFactor.toLong * k)
+        chosen = Some((p, feas(need - 1)))
+      p += 1
+    }
+    val (nProbe, wantK) =
+      chosen.getOrElse((nCells, maxShortlistFactor.toLong * k))
+    val factor = math.min(maxShortlistFactor.toLong,
+      math.max(1L, (wantK + k - 1) / k)).toInt
+    val measured = curves.count { case (tcr, cum) =>
+      tcr <= nProbe && cum(nProbe) + 1 <= factor.toLong * k
+    }.toDouble / curves.length
+    writePqCal(spark, path, nProbe, factor, target, measured, k,
+      sampled.length, nCells)
+    (nProbe, factor)
   }
 
   /** Readers AND routine writers call this before opening a persisted
@@ -973,15 +1279,24 @@ object Similarity {
     * [[fitCentroids]]'s auto path): ~`targetRows` vectors collected once. */
   private def fitSample(corpus: DataFrame, vecCol: String,
                         targetRows: Int, seed: Long): Array[Array[Double]] = {
+    val points = fitSampleRaw(corpus, vecCol, targetRows, seed)
+    require(points.nonEmpty, "cannot fit a quantizer on an empty corpus")
+    points
+  }
+
+  /** [[fitSample]] without the non-empty requirement — the drift GAUGES
+    * use this so an emptied-out relation (e.g. a corpus fully drained by
+    * opt-out deletes) reads as "nothing to gauge" instead of crashing the
+    * nightly maintenance. */
+  private def fitSampleRaw(corpus: DataFrame, vecCol: String,
+                           targetRows: Int, seed: Long): Array[Array[Double]] = {
     val vecs = corpus.select(V.toDouble(col(vecCol)).as("__v"))
     val n = vecs.count()
     val sampled =
       if (n <= targetRows) vecs
       else vecs.sample(withReplacement = false,
         math.min(1.0, targetRows.toDouble * 1.1 / n), seed).limit(targetRows)
-    val points = sampled.collect().map(_.getSeq[Double](0).toArray)
-    require(points.nonEmpty, "cannot fit a quantizer on an empty corpus")
-    points
+    sampled.collect().map(_.getSeq[Double](0).toArray)
   }
 
   /** Scan-side PQ encode: appends `codesCol` (array<int>, one nearest
@@ -1146,6 +1461,10 @@ object Similarity {
     fs.mkdirs(root)
     val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
     fs.create(marker, true).close()
+    // a shortlist calibration tuned against the codebooks this build
+    // replaces would be silently wrong-generation metadata (the
+    // NProbeFile rationale)
+    fs.delete(new org.apache.hadoop.fs.Path(root, PqCalFile), false)
     pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol, model)
       .drop(vecCol)
       .write.mode("overwrite").parquet(s"$path/codes")
@@ -1240,16 +1559,20 @@ object Similarity {
     meta.select(col("fit_mqe")).collect()(0).getDouble(0)
   }
 
+  /** None = nothing to gauge (the relation is empty — e.g. fully drained
+    * by opt-out deletes); maintain paths treat that as "ok". */
   private def pqDriftFrom(spark: SparkSession, path: String,
                           vectorsRel: String, vecCol: String,
                           rebuildHint: String, seed: Long,
-                          sampleRows: Int, sampleFiles: Int): PqDriftStats = {
+                          sampleRows: Int,
+                          sampleFiles: Int): Option[PqDriftStats] = {
     requireNotRebuilding(spark, path)
     val model = loadPqModel(spark, path)
     val fit = readFitMqe(spark, path, rebuildHint)
     val sample = gaugeSample(spark, s"$path/$vectorsRel", vecCol,
       sampleRows, seed, sampleFiles)
-    PqDriftStats(fit, meanQuantizationError(sample, model))
+    if (sample.isEmpty) None
+    else Some(PqDriftStats(fit, meanQuantizationError(sample, model)))
   }
 
   /** Bounded gauge sample: fit-sample within a deterministic SUBSET of
@@ -1303,7 +1626,10 @@ object Similarity {
           visible(st.getPath))
         files += ((st.getPath.toString, st.getLen))
     }
-    require(files.nonEmpty, s"no parquet files under $relDir to gauge")
+    // an emptied-out relation (e.g. fully drained by opt-out deletes) has
+    // nothing to gauge: empty sample, maintain paths degrade to "ok" the
+    // way zOrderMaintain does, instead of crashing the nightly run
+    if (files.isEmpty) return Array.empty
     val picked =
       if (files.size <= maxFiles) files.toSeq.map(_._1)
       else files.toSeq.sortBy { case (f, len) =>
@@ -1313,18 +1639,22 @@ object Similarity {
         val u = ((h & 0x7fffffff).toDouble + 1.0) / (Int.MaxValue.toDouble + 2.0)
         (-math.log(u) / math.max(1L, len).toDouble, f)
       }.take(maxFiles).map(_._1)
-    fitSample(spark.read.parquet(picked: _*).select(col(vecCol)),
+    fitSampleRaw(spark.read.parquet(picked: _*).select(col(vecCol)),
       vecCol, sampleRows, seed)
   }
 
   /** Codebook-drift gauge for a [[pqBuild]] flat-PQ index — one bounded
     * file-sampled read of the vectors relation (never a full scan; see
-    * [[gaugeSample]]) plus driver-side arithmetic; see [[PqDriftStats]]. */
+    * [[gaugeSample]]) plus driver-side arithmetic; see [[PqDriftStats]].
+    * Loud on an EMPTY vectors relation (a direct gauge of nothing is a
+    * caller error); [[pqMaintain]] degrades the same case to "ok". */
   def pqDriftStats(spark: SparkSession, path: String, vecCol: String,
                    seed: Long = 42L, sampleRows: Int = 4096,
                    sampleFiles: Int = 16): PqDriftStats =
     pqDriftFrom(spark, path, "vectors", vecCol, "pqBuild", seed,
-      sampleRows, sampleFiles)
+      sampleRows, sampleFiles).getOrElse(throw new IllegalStateException(
+      s"nothing to gauge at $path: the vectors relation is empty " +
+        "(fully drained corpus) — pqMaintain reports this case as \"ok\""))
 
   /** Codebook-drift automation for a [[pqBuild]] flat-PQ index — the
     * missing leg of the maintenance doctrine ([[ivfMaintain]] watches
@@ -1343,13 +1673,33 @@ object Similarity {
     * `maxDrift` is in baseline units: 2.0 means "typical row quantizes
     * 2× worse than at build time". The baseline carries k-means'
     * in-sample optimism (see [[pqBuild]]), so thresholds below ~1.5
-    * would fire on healthy indexes. */
+    * would fire on healthy indexes.
+    *
+    * `fitSampleRows` budgets the REBUILD's k-means fit;
+    * `gaugeSampleRows`/`gaugeSampleFiles` budget the nightly drift GAUGE
+    * — two independent knobs (a bigger codebook fit should not silently
+    * make every "ok" night read more of the store, and vice versa). An
+    * EMPTY vectors relation (corpus fully drained by opt-out deletes)
+    * reports "ok" and skips, like `Layout.zOrderMaintain`.
+    *
+    * `recallTarget`: a rebuild restores quantization quality (MQE ≈ 1)
+    * but NOT necessarily recall at the standing shortlist width — the
+    * refitted codebooks now cover the grown corpus, so the width that
+    * met a recall target before the drift may be too narrow after it.
+    * When set, a rebuild is followed by [[pqShortlistForRecall]] at this
+    * target (recall@`recallK`), so [[pqProbeTopK]]'s default width keeps
+    * the recall contract across rebuilds — [[ivfMaintain]]'s
+    * `recallTarget` semantics for the flat-PQ layout. */
   def pqMaintain(spark: SparkSession, path: String, vecCol: String,
                  idCol: String, maxDrift: Double = 2.0, seed: Long = 42L,
-                 fitSampleRows: Int = 4096): String = {
+                 fitSampleRows: Int = 4096, gaugeSampleRows: Int = 4096,
+                 gaugeSampleFiles: Int = 16,
+                 recallTarget: Option[Double] = None,
+                 recallK: Int = 10): String = {
     require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
-    val drift = pqDriftStats(spark, path, vecCol, seed, fitSampleRows)
-    if (drift.ratio <= maxDrift) "ok"
+    val drift = pqDriftFrom(spark, path, "vectors", vecCol, "pqBuild",
+      seed, gaugeSampleRows, gaugeSampleFiles)
+    if (drift.forall(_.ratio <= maxDrift)) "ok"
     else {
       val model = loadPqModel(spark, path)
       // original columns only; bucket count re-derived (idBuckets = 0)
@@ -1360,6 +1710,14 @@ object Similarity {
         pqBuild(data, vecCol, idCol, staging, m = model.m,
           ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
       }
+      // a shortlist calibration tuned against the REPLACED codebooks is
+      // stale; drop it, and when the caller states a recall target,
+      // re-calibrate against the rebuilt index immediately
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
+      recallTarget.foreach(t => pqShortlistForRecall(spark, path, vecCol,
+        idCol, t, k = recallK, seed = seed))
       "rebuilt"
     }
   }
@@ -1405,11 +1763,19 @@ object Similarity {
     * deterministic for the build's seed. */
   def pqProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                   vecCol: String, idCol: String, queryIdCol: String,
-                  k: Int, shortlistFactor: Int = 4): DataFrame = {
-    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+                  k: Int, shortlistFactor: Int = 0): DataFrame = {
+    // 0 (the default) = the pqShortlistForRecall-calibrated width when
+    // the index carries one, else the uncalibrated 4 — nProbeForRecall's
+    // calibrated-default contract for the flat-PQ layout
+    require(shortlistFactor >= 0,
+      "shortlistFactor must be >= 0 (0 = calibrated default)")
     requireNotRebuilding(spark, path)
+    val factor =
+      if (shortlistFactor > 0) shortlistFactor
+      else calibratedPqWidths(spark, path).map(_._2)
+        .getOrElse(DefaultShortlistFactor)
     val (shortlist, touched) = pqShortlistAndBuckets(spark, path, queries,
-      vecCol, idCol, queryIdCol, k * shortlistFactor)
+      vecCol, idCol, queryIdCol, k * factor)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("__vb").isin(touched.toIndexedSeq: _*))
     val qExact = withQueryNorm(queries, Seq(idCol), queryIdCol, vecCol)
@@ -1544,6 +1910,9 @@ object Similarity {
     fs.mkdirs(root)
     val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
     fs.create(marker, true).close()
+    // width calibrations tuned against the quantizer+codebooks this
+    // build replaces would be silently wrong-generation metadata
+    fs.delete(new org.apache.hadoop.fs.Path(root, PqCalFile), false)
     pqEncode(corpus, vecCol, model)
       .withColumn("__cell", nearestCell(col(vecCol), centroids))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
@@ -1622,7 +1991,9 @@ object Similarity {
                       seed: Long = 42L, sampleRows: Int = 4096,
                       sampleFiles: Int = 16): PqDriftStats =
     pqDriftFrom(spark, path, "data", vecCol, "ivfPqBuild", seed,
-      sampleRows, sampleFiles)
+      sampleRows, sampleFiles).getOrElse(throw new IllegalStateException(
+      s"nothing to gauge at $path: the data relation is empty " +
+        "(fully drained corpus) — ivfPqMaintain reports this case as \"ok\""))
 
   /** Full-health automation for an [[ivfPqBuild]] index — closes the
     * maintenance-doctrine hole [[ivfPqAppend]] documents: appended mass
@@ -1650,11 +2021,25 @@ object Similarity {
     * maintain loop converges by construction: the call after a rebuild
     * reads ratio ≈ 1 on every gauge. Indexes built before the baseline
     * fall back to absolute units ([[ivfMaintain]]'s semantics, which suit
-    * its near-uniform-corpus probe evidence). */
+    * its near-uniform-corpus probe evidence).
+    *
+    * `fitSampleRows` budgets the REBUILD's fits;
+    * `gaugeSampleRows`/`gaugeSampleFiles` budget the nightly drift gauge
+    * — independent knobs, as in [[pqMaintain]]. `recallTarget`: when
+    * set, a rebuild is followed by [[ivfPqCalibrate]] at this target
+    * (recall@`recallK`), re-deriving BOTH probe widths (`nProbe` and the
+    * ADC shortlist factor) against the refitted index — a rebuild
+    * restores quantization quality, but the widths that met a recall
+    * target on the old corpus may be too narrow for the grown one
+    * (measured: SCALEPROBE `pq_drift`). `idCol` names the id column the
+    * calibration's ground truth ranks (only used with `recallTarget`). */
   def ivfPqMaintain(spark: SparkSession, path: String, vecCol: String,
                     maxDrift: Double = 2.0, maxSkew: Double = 4.0,
                     maxGrowth: Double = 4.0, seed: Long = 42L,
-                    fitSampleRows: Int = 4096): String = {
+                    fitSampleRows: Int = 4096, gaugeSampleRows: Int = 4096,
+                    gaugeSampleFiles: Int = 16,
+                    recallTarget: Option[Double] = None,
+                    recallK: Int = 10, idCol: String = "id"): String = {
     require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
     require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
@@ -1662,10 +2047,11 @@ object Similarity {
     // an emptied-out index has nothing to gauge — "ok" like ivfMaintain,
     // and the drift sample (which cannot draw from zero rows) is skipped
     if (total == 0) return "ok"
-    val drift = ivfPqDriftStats(spark, path, vecCol, seed, fitSampleRows)
+    val drift = pqDriftFrom(spark, path, "data", vecCol, "ivfPqBuild",
+      seed, gaugeSampleRows, gaugeSampleFiles)
     val fitSkew = readFitSkew(spark, path).getOrElse(1.0)
-    val healthy = drift.ratio <= maxDrift && skew <= maxSkew * fitSkew &&
-      wantCells <= nCellsStored * maxGrowth
+    val healthy = drift.forall(_.ratio <= maxDrift) &&
+      skew <= maxSkew * fitSkew && wantCells <= nCellsStored * maxGrowth
     if (healthy) "ok"
     else {
       val model = loadPqModel(spark, path)
@@ -1677,6 +2063,13 @@ object Similarity {
         ivfPqBuild(data, vecCol, staging, nCells = 0, m = model.m,
           ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
       }
+      // widths tuned against the REPLACED quantizer+codebooks are stale;
+      // drop them, and re-calibrate now when a recall target is stated
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
+      recallTarget.foreach(t => ivfPqCalibrate(spark, path, vecCol, idCol,
+        t, k = recallK, seed = seed))
       "rebuilt"
     }
   }
@@ -1693,8 +2086,17 @@ object Similarity {
     *  - `data/` + `codebooks/`           → IVF-PQ ([[ivfPqBuild]]):
     *    [[ivfPqMaintain]] (codebook drift + cell skew + growth);
     *  - `data/` + `centroids/` alone     → plain IVF ([[ivfBuild]]):
-    *    [[ivfMaintain]] (cell skew + growth, optional recall
-    *    recalibration via `recallTarget`).
+    *    [[ivfMaintain]] (cell skew + growth).
+    *
+    * `recallTarget` is honored by EVERY layout — each rebuild is
+    * followed by its family's width recalibration at the target
+    * ([[nProbeForRecall]] / [[pqShortlistForRecall]] /
+    * [[ivfPqCalibrate]]), so a mixed index fleet keeps one recall
+    * contract under one cron line. `gaugeSampleRows`/`gaugeSampleFiles`
+    * budget the PQ layouts' nightly drift gauge independently of the
+    * rebuild's `fitSampleRows`. An index whose rows have been fully
+    * drained (e.g. by opt-out deletes) reports "ok" — nothing to gauge,
+    * nothing to rebuild.
     *
     * An unrecognized directory fails loudly — running the WRONG family's
     * rebuild would silently drop relations (e.g. [[ivfMaintain]] over an
@@ -1705,34 +2107,26 @@ object Similarity {
                     maxSkew: Double = 4.0, maxGrowth: Double = 4.0,
                     recallTarget: Option[Double] = None,
                     seed: Long = 42L,
-                    fitSampleRows: Int = 4096): (String, String) = {
+                    fitSampleRows: Int = 4096,
+                    gaugeSampleRows: Int = 4096,
+                    gaugeSampleFiles: Int = 16,
+                    recallK: Int = 10): (String, String) = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     def has(rel: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(root, rel))
-    // recall calibration is an IVF probe-WIDTH concept (nProbeForRecall's
-    // persisted nprobe.json); the PQ layouts have no persisted probe
-    // width to calibrate — silently dropping the target would let a
-    // mixed-fleet scheduler believe the recall contract is enforced
-    // everywhere when only the IVF indexes honor it
-    def noRecallTarget(layout: String): Unit =
-      require(recallTarget.isEmpty,
-        s"recallTarget applies to the plain-IVF layout only (persisted " +
-          s"probe-width calibration); the $layout index at $path has no " +
-          "probe width to calibrate — tune shortlistFactor at query time " +
-          "instead")
-    if (has("codes") && has("vectors")) {
-      noRecallTarget("flat-pq")
+    if (has("codes") && has("vectors"))
       ("flat-pq", pqMaintain(spark, path, vecCol, idCol, maxDrift, seed,
-        fitSampleRows))
-    } else if (has("data") && has("codebooks")) {
-      noRecallTarget("ivf-pq")
+        fitSampleRows, gaugeSampleRows, gaugeSampleFiles, recallTarget,
+        recallK))
+    else if (has("data") && has("codebooks"))
       ("ivf-pq", ivfPqMaintain(spark, path, vecCol, maxDrift, maxSkew,
-        maxGrowth, seed, fitSampleRows))
-    } else if (has("data") && has("centroids"))
+        maxGrowth, seed, fitSampleRows, gaugeSampleRows, gaugeSampleFiles,
+        recallTarget, recallK, idCol))
+    else if (has("data") && has("centroids"))
       ("ivf", ivfMaintain(spark, path, vecCol, maxSkew, maxGrowth, seed,
-        fitSampleRows, recallTarget))
+        fitSampleRows, recallTarget, recallK))
     else throw new IllegalArgumentException(
       s"no recognized index layout at $path (expected codes+vectors " +
         "[flat-PQ], data+codebooks [IVF-PQ], or data+centroids [IVF])")
@@ -1747,12 +2141,24 @@ object Similarity {
   def ivfPqProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int, nProbe: Int = 0,
-                     shortlistFactor: Int = 4): DataFrame = {
-    require(shortlistFactor >= 1, "shortlistFactor must be >= 1")
+                     shortlistFactor: Int = 0): DataFrame = {
+    // 0 defaults = the ivfPqCalibrate-persisted widths when the index
+    // carries them (recall-targeted), else cells/8 and factor 4 — the
+    // calibrated-default contract ivfProbeTopK has via nProbeForRecall
+    require(shortlistFactor >= 0,
+      "shortlistFactor must be >= 0 (0 = calibrated default)")
     requireNotRebuilding(spark, path)
     val centroids = loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
-    val probes = if (nProbe > 0) nProbe else math.max(1, centroids.length / 8)
+    val cal = calibratedPqWidths(spark, path)
+    val probes =
+      if (nProbe > 0) nProbe
+      else cal.map(_._1).filter(_ > 0)
+        .map(c => math.min(math.max(1, c), centroids.length))
+        .getOrElse(math.max(1, centroids.length / 8))
+    val factor =
+      if (shortlistFactor > 0) shortlistFactor
+      else cal.map(_._2).getOrElse(DefaultShortlistFactor)
     val corpus = spark.read.parquet(s"$path/data")
     val q = withProbeCells(
       withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
@@ -1766,7 +2172,7 @@ object Similarity {
     val shortlist = rankTopK(
       adcScored(pruned.select(col(idCol), col("__cell"), col("__codes"),
         col("__cn")), q, model, Seq("__cell")),
-      queryIdCol, idCol, k * shortlistFactor)
+      queryIdCol, idCol, k * factor)
       .select(col(queryIdCol), col(idCol))
     val qExact = withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
       allowed = Set("__cell", "__cn", "__codes"))

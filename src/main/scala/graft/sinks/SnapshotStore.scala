@@ -116,7 +116,18 @@ object SnapshotStore {
     * `.crc` sidecar — racing readers transiently see no file or a stale
     * checksum), so the local path goes through POSIX `rename(2)` via NIO
     * with no checksum sidecar (stale sidecars from older code are
-    * removed); HDFS keeps its native atomic `FileContext` rename. */
+    * removed); HDFS keeps its native atomic `FileContext` rename.
+    *
+    * The old-or-new guarantee holds only where rename IS an atomic
+    * metadata swap: `file:` (POSIX rename(2)) and HDFS-compatible
+    * filesystems (hdfs, viewfs, abfs). Object stores emulate rename as
+    * copy+delete, under which racing readers could observe an absent or
+    * torn pointer/meta — so those schemes are rejected loudly below
+    * rather than silently weakening the protocol. */
+  private val nonAtomicRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift",
+      "wasb", "wasbs")
+
   private def atomicReplaceSmallFile(f: FileSystem, root: String,
                                      name: String, content: String): Unit = {
     val target = new Path(root, name)
@@ -140,6 +151,13 @@ object SnapshotStore {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
+      require(!nonAtomicRenameSchemes.contains(f.getScheme),
+        s"SnapshotStore control files require an atomic rename, which " +
+          s"'${f.getScheme}' does not provide (object-store rename is " +
+          "copy+delete; racing readers could see an absent or torn " +
+          "pointer/meta). Host the store root on an HDFS-compatible " +
+          "filesystem or front the object store with a consistent " +
+          "metadata layer.")
       val tmp = new Path(root, tmpName)
       writeSmallFile(f, tmp, content, overwrite = true)
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(

@@ -84,11 +84,17 @@ class PostgresLiveSpec extends AnyFunSuite with Matchers {
   // binds, so the literals stand in (quoted, so injection-shaped values
   // round-trip too)
   private def lit(v: String): String = "'" + v.replace("'", "''") + "'"
+  // split on '?' and interleave positionally — iterative replaceFirst
+  // would match a '?' INSIDE an already-substituted literal and mis-bind
+  // every subsequent column
   private def fill(stmt: (String, Seq[String]),
-                   row: Map[String, String]): String =
-    stmt._2.foldLeft(stmt._1)((s, c) =>
-      s.replaceFirst("\\?",
-        java.util.regex.Matcher.quoteReplacement(row(c))))
+                   row: Map[String, String]): String = {
+    val parts = stmt._1.split("\\?", -1)
+    require(parts.length == stmt._2.length + 1,
+      s"${parts.length - 1} placeholders for ${stmt._2.length} bind columns")
+    parts.head + stmt._2.zip(parts.tail)
+      .map { case (c, rest) => row(c) + rest }.mkString
+  }
 
   test("PostgresUpsertDialect statements round-trip on a LIVE PostgreSQL " +
     "server: ON CONFLICT resolves insert-vs-update atomically, EXCLUDED " +
@@ -166,13 +172,15 @@ class PostgresLiveSpec extends AnyFunSuite with Matchers {
       Seq("id", "order", "created_at", "updated_at"),
       UpsertConfig(discriminant = Seq("id")),
       canInsert = true, canUpdate = true)
-    run(fill(tricky, Map("id" -> "7", "order" -> lit("o'1"),
+    // the '?' inside these literals must NOT capture the next column's
+    // placeholder (fill() substitutes positionally, like JDBC binds)
+    run(fill(tricky, Map("id" -> "7", "order" -> lit("o?'1"),
       "created_at" -> lit("2026-01-01 00:00:00"),
       "updated_at" -> lit("2026-01-01 00:00:00"))))
-    run(fill(tricky, Map("id" -> "7", "order" -> lit("o'2"),
+    run(fill(tricky, Map("id" -> "7", "order" -> lit("o?'2"),
       "created_at" -> lit("2026-05-05 00:00:00"),
       "updated_at" -> lit("2026-05-05 00:00:00"))))
     run("SELECT \"order\", created_at FROM \"select\" WHERE id = 7") shouldBe
-      Seq("o'2|2026-01-01 00:00:00")
+      Seq("o?'2|2026-01-01 00:00:00")
   }
 }

@@ -932,16 +932,6 @@ class SimilaritySpec extends SparkSpec {
       pqPath)
     Similarity.indexMaintain(spark, pqPath, "embedding",
       idCol = "vec_id") shouldBe ("flat-pq", "rebuilt")
-    // recallTarget is an IVF probe-width concept: the PQ layouts refuse
-    // it loudly instead of silently dropping the recall contract
-    val rt = intercept[IllegalArgumentException] {
-      Similarity.indexMaintain(spark, pqPath, "embedding",
-        idCol = "vec_id", recallTarget = Some(0.9))
-    }
-    rt.getMessage should include("plain-IVF layout only")
-    an[IllegalArgumentException] should be thrownBy
-      Similarity.indexMaintain(spark, ivfpqPath, "embedding",
-        recallTarget = Some(0.9))
     // the drift gauge is file-SAMPLED: even a one-file budget returns a
     // finite reading (bounded IO by construction; detection power at the
     // default 16-file budget is exercised by the drift tests above, whose
@@ -965,5 +955,114 @@ class SimilaritySpec extends SparkSpec {
       .createTempDirectory("graft_im_junk").toString
     an[IllegalArgumentException] should be thrownBy
       Similarity.indexMaintain(spark, junk, "embedding")
+  }
+
+  test("recall recalibration across PQ-family rebuilds: maintain with a " +
+    "recallTarget re-derives the shortlist width (and nProbe for IVF-PQ) " +
+    "against the REBUILT index — a rebuild restores quantization quality " +
+    "but the widths tuned for the old corpus are stale — and the " +
+    "calibrated widths become the probes' defaults until the next " +
+    "codebook refit invalidates them") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+
+    // ---- flat-PQ: pqMaintain(recallTarget) → pqShortlistForRecall
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("graft_cal_pq").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", pqPath, m = 16,
+      ksub = 16, idBuckets = 64)
+    Similarity.calibratedPqWidths(spark, pqPath) shouldBe None
+    Similarity.pqAppend(shiftedCopy(corp, 8.0), "embedding", "vec_id",
+      pqPath)
+    Similarity.pqMaintain(spark, pqPath, "embedding", "vec_id",
+      recallTarget = Some(0.9)) shouldBe "rebuilt"
+    val Some((np0, f0)) = Similarity.calibratedPqWidths(spark, pqPath)
+    np0 shouldBe 0 // flat-PQ probes no cells
+    f0 should be >= 1
+    // the calibrator's own on-sample measurement met the target (the
+    // one-sided margin makes this hold unless the factor cap binds,
+    // which this fixture is far from)
+    val calText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pqPath, "pqcal.json")), "UTF-8")
+    val measured = """"measured_recall":([0-9.]+)""".r
+      .findFirstMatchIn(calText).get.group(1).toDouble
+    measured should be >= 0.9
+    // the calibrated width IS the default: sentinel 0 ≡ explicit f0
+    val viaDefault = Similarity.pqProbeTopK(spark, pqPath, qs,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaExplicit = Similarity.pqProbeTopK(spark, pqPath, qs,
+        "embedding", "vec_id", "query_id", k = 5, shortlistFactor = f0)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    viaDefault shouldBe viaExplicit
+    // a codebook refit (overwrite build) invalidates the calibration —
+    // widths tuned against replaced codebooks are wrong-generation
+    Similarity.pqBuild(corp, "embedding", "vec_id", pqPath, m = 16,
+      ksub = 16, idBuckets = 64)
+    Similarity.calibratedPqWidths(spark, pqPath) shouldBe None
+
+    // ---- IVF-PQ through the composite entry point: both widths
+    val ipqPath = java.nio.file.Files
+      .createTempDirectory("graft_cal_ivfpq").toString
+    Similarity.ivfPqBuild(corp, "embedding", ipqPath, nCells = 8, m = 16,
+      ksub = 16)
+    Similarity.ivfPqAppend(shiftedCopy(corp, 8.0), "embedding", ipqPath)
+    Similarity.indexMaintain(spark, ipqPath, "embedding",
+      idCol = "vec_id", maxSkew = 1e6, maxGrowth = 1e6,
+      recallTarget = Some(0.9)) shouldBe ("ivf-pq", "rebuilt")
+    val Some((np1, f1)) = Similarity.calibratedPqWidths(spark, ipqPath)
+    np1 should be >= 1
+    f1 should be >= 1
+    val cells = spark.read.parquet(s"$ipqPath/centroids").count().toInt
+    np1 should be <= cells
+    val ipqDefault = Similarity.ivfPqProbeTopK(spark, ipqPath, qs,
+        "embedding", "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ipqExplicit = Similarity.ivfPqProbeTopK(spark, ipqPath, qs,
+        "embedding", "vec_id", "query_id", k = 5, nProbe = np1,
+        shortlistFactor = f1)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    ipqDefault shouldBe ipqExplicit
+    // standalone recalibration against a LIVE index (no rebuild) also
+    // lands: the nProbeForRecall usage pattern for the composed layout
+    val (np2, f2) = Similarity.ivfPqCalibrate(spark, ipqPath, "embedding",
+      "vec_id", target = 0.5)
+    Similarity.calibratedPqWidths(spark, ipqPath) shouldBe Some((np2, f2))
+    // a softer target never needs wider scanning than a harder one on
+    // the same measured curve
+    np2 should be <= np1
+  }
+
+  test("maintenance over a fully drained corpus (total opt-out) reports " +
+    "ok instead of crashing the nightly run: the gauge has nothing to " +
+    "sample, and the direct gauge call says so loudly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_empty_pq").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", path, m = 16,
+      ksub = 16, idBuckets = 64)
+    // drain the vectors relation the way a full opt-out purge would:
+    // every data file gone, the relation directory still standing
+    def drain(dir: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+    drain(java.nio.file.Paths.get(path, "vectors"))
+    spark.catalog.refreshByPath(s"$path/vectors")
+    Similarity.indexMaintain(spark, path, "embedding",
+      idCol = "vec_id") shouldBe ("flat-pq", "ok")
+    val ex = intercept[IllegalStateException] {
+      Similarity.pqDriftStats(spark, path, "embedding")
+    }
+    ex.getMessage should include("nothing to gauge")
   }
 }
