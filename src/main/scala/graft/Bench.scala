@@ -177,6 +177,19 @@ object Bench {
     val total = minTimes.collect { case (_, v) if v >= 0 => v }.sum
     val corePassTotals = corePerPass.map(BenchRuns.passTotal)
     val extPassTotals = extPerPass.map(BenchRuns.passTotal)
+    // OUTLIER TRIM: passes contaminated by an ambient burst (> factor ×
+    // the median total) stay in the raw pass_totals — the honesty
+    // artifact is complete — but are excluded from the summary median so
+    // it measures the box's steady state, not its worst moments (r16:
+    // two of ten passes at 1.4×/2.2× median inflated the median ~25%).
+    // The fastest-pair agreement gauges are outlier-immune by
+    // construction (they read the two SMALLEST totals).
+    val outlierFactor = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER")
+      .flatMap(_.trim.toDoubleOption).getOrElse(1.3)
+    val (coreKept, coreOutliers) =
+      BenchRuns.splitOutliers(corePassTotals, outlierFactor)
+    val (_, extOutliers) =
+      BenchRuns.splitOutliers(extPassTotals, outlierFactor)
     // recorded passes are post-warmup steady state; the delta between the
     // two LEAST-CONTENDED (fastest) core totals is the environment-noise
     // figure the ratio audit cares about — a lone ambient spike shows in
@@ -244,7 +257,11 @@ object Bench {
       s""""warmup_totals":${warmupTotals.mkString("[", ",", "]")},""" +
       s""""pass_totals":${corePassTotals.mkString("[", ",", "]")},""" +
       s""""ext_pass_totals":${extPassTotals.mkString("[", ",", "]")},""" +
-      s""""pass_total_median":${BenchRuns.medianTotal(corePassTotals)},""" +
+      s""""pass_total_median":${BenchRuns.medianTotal(coreKept)},""" +
+      s""""outlier_factor":$outlierFactor,""" +
+      s""""outlier_pass_totals":${coreOutliers.mkString("[", ",", "]")},""" +
+      s""""ext_outlier_pass_totals":${extOutliers
+        .mkString("[", ",", "]")},""" +
       s""""repeat_delta_pct":$repeatDeltaPct,""" +
       s""""ext_repeat_delta_pct":$extRepeatDeltaPct,""" +
       s""""noise_flag_pct":$noiseFlagPct,""" +

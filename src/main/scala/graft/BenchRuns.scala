@@ -39,6 +39,24 @@ object BenchRuns {
     else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
   }
 
+  /** Split positive pass totals into (kept, outliers): totals more than
+    * `factor` × the median of all positive totals are contaminated
+    * observations (an ambient burst, a background job landing mid-pass)
+    * — still recorded raw in the artifact, but excluded from the summary
+    * statistics, which otherwise pay for box noise (r16: two of ten
+    * recorded passes ran 1.4×/2.2× the median and inflated the
+    * pass-total median ~25%). The detection median is itself mildly
+    * inflated by the outliers it is hunting, which only makes the test
+    * conservative: in the motivating artifact (totals ≈ [13–19, 26.8,
+    * 41.2], median 19.1) both contaminated passes still clear
+    * 1.3 × 19.1. Order within each side is preserved. */
+  def splitOutliers(totals: Seq[Double], factor: Double = 1.3)
+      : (Seq[Double], Seq[Double]) = {
+    val med = medianTotal(totals)
+    if (med <= 0) (totals, Nil)
+    else totals.filter(_ > 0).partition(_ <= med * factor)
+  }
+
   /** Run `passes` recorded passes, then extend one at a time — never past
     * `maxPasses`, and never once `outOfTime()` reports the run's wall
     * budget spent — while the two fastest pass totals disagree by more

@@ -982,9 +982,14 @@ object ScaleProbe {
       val brute = Similarity.bruteForceTopK(corpusNow, mqP,
         "embedding", "vec_id", "query_id", k = 10)
         .select("query_id", "vec_id")
+      // BOTH widths pinned (quarter cells, factor 4): this is the
+      // FIXED-width recall series — post-calibration the defaults become
+      // the calibrated widths, which recallCalP measures separately, and
+      // an unpinned call here would silently mix the two series
       val probe = Similarity.ivfPqProbeTopK(spark, pqdPath, mqP,
         "embedding", "vec_id", "query_id", k = 10,
-        nProbe = math.max(1, cellsNow / 4)).select("query_id", "vec_id")
+        nProbe = math.max(1, cellsNow / 4), shortlistFactor = 4)
+        .select("query_id", "vec_id")
       def r(drifted: Boolean): Double = {
         val side = (q: org.apache.spark.sql.DataFrame) =>
           q.filter(if (drifted) col("query_id") >= 900000000L
@@ -1004,22 +1009,57 @@ object ScaleProbe {
     val ratioDriftP = Similarity.ivfPqDriftStats(spark, pqdPath,
       "embedding").ratio
     val (recallDriftOrigP, recallDriftShiftP) = recallP(grownP)
+    // maintain WITH a recall target: the rebuild refits quantizer +
+    // codebooks AND recalibrates both probe widths (nProbe, shortlist
+    // factor) against the rebuilt index via ivfPqCalibrate — the r16
+    // finding was that the rebuild restores MQE but recall stays below
+    // base at FIXED widths, because fixed widths are a stale tuning for
+    // the doubled corpus, not residual codebook damage
+    val mntTargetP = 0.9
     val tMntP = System.nanoTime()
-    val decisionP = Similarity.ivfPqMaintain(spark, pqdPath, "embedding")
+    val decisionP = Similarity.ivfPqMaintain(spark, pqdPath, "embedding",
+      recallTarget = Some(mntTargetP), idCol = "vec_id")
     val maintainSecP = (System.nanoTime() - tMntP) / 1e9
     val decisionAfterP = Similarity.ivfPqMaintain(spark, pqdPath, "embedding")
     val ratioAfterP = Similarity.ivfPqDriftStats(spark, pqdPath,
       "embedding").ratio
     val (recallAfterOrigP, recallAfterShiftP) = recallP(grownP)
+    val (calNProbeP, calFactorP) = Similarity
+      .calibratedPqWidths(spark, pqdPath).getOrElse((0, 0))
+    // recall of the DEFAULT-width probe — post-calibration, the widths
+    // ivfPqCalibrate chose for the target
+    def recallCalP(corpusNow: org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val brute = Similarity.bruteForceTopK(corpusNow, mqP,
+        "embedding", "vec_id", "query_id", k = 10)
+        .select("query_id", "vec_id")
+      val probe = Similarity.ivfPqProbeTopK(spark, pqdPath, mqP,
+        "embedding", "vec_id", "query_id", k = 10)
+        .select("query_id", "vec_id")
+      def r(drifted: Boolean): Double = {
+        val side = (q: org.apache.spark.sql.DataFrame) =>
+          q.filter(if (drifted) col("query_id") >= 900000000L
+            else col("query_id") < 900000000L)
+        side(probe).join(side(brute), Seq("query_id", "vec_id"), "left_semi")
+          .count().toDouble / math.max(1L, side(brute).count())
+      }
+      (r(drifted = false), r(drifted = true))
+    }
+    val (recallCalOrigP, recallCalShiftP) = recallCalP(grownP)
     // reading the numbers: drift damages BOTH regimes' recall (garbage
     // codes can score spuriously high and displace true candidates from
     // every query's bounded shortlist, not just drifted queries'), and
-    // the rebuild lifts both. Maintained recall does NOT return to the
-    // single-regime base — at fixed m/ksub the refitted codebooks now
-    // cover two disjoint regimes, halving per-regime code capacity;
-    // that is an intrinsic capacity fact about the grown corpus, not
-    // residual drift (the MQE gauge is back to ~1). The signal is the
-    // RECOVERY delta plus the gauge round-trip.
+    // the rebuild lifts both. The SPLIT the three recall blocks expose:
+    //  - recoverable codebook damage = recall_maintained − recall_drifted
+    //    (same fixed quarter-width probe, fresh vs drifted codebooks);
+    //  - inherent corpus shift = recall_base − recall_maintained at the
+    //    SAME fixed widths (the doubled corpus halves per-regime code
+    //    capacity at fixed m/ksub and adds competitors — a capacity/
+    //    tuning fact, NOT residual drift: the MQE gauge is back to ~1);
+    //  - recall_calibrated shows the tuning half of that shift is
+    //    recoverable by paying width: the post-rebuild calibration picks
+    //    (nprobe, shortlist) meeting the stated target on the grown
+    //    corpus.
     val pqdEntry = s"""{"base_vectors":${corpus0P.count()},""" +
       s""""appended":${appendedP.count()},""" +
       s""""decision":"$decisionP","decision_after":"$decisionAfterP",""" +
@@ -1031,9 +1071,15 @@ object ScaleProbe {
       s""""drift_queries":$recallDriftShiftP},""" +
       s""""recall_maintained":{"orig_queries":$recallAfterOrigP,""" +
       s""""drift_queries":$recallAfterShiftP},""" +
+      s""""recall_target":$mntTargetP,""" +
+      s""""calibrated":{"nprobe":$calNProbeP,""" +
+      s""""shortlist_factor":$calFactorP},""" +
+      s""""recall_calibrated":{"orig_queries":$recallCalOrigP,""" +
+      s""""drift_queries":$recallCalShiftP},""" +
       s""""signal":${decisionP == "rebuilt" && decisionAfterP == "ok" &&
         ratioDriftP > 2.0 && ratioAfterP < 1.5 &&
-        recallAfterShiftP > recallDriftShiftP},""" +
+        recallAfterShiftP > recallDriftShiftP &&
+        (recallCalOrigP + recallCalShiftP) / 2 >= mntTargetP - 0.1},""" +
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"pq_drift",${pqdEntry.tail}""")
     writeArtifact("pq_drift", pqdEntry)

@@ -147,4 +147,26 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     regressions(Map("grew" -> 0.05), Seq("grew" -> 0.5))
       .map(_._1) shouldBe Seq("grew")
   }
+
+  test("splitOutliers trims contaminated passes from the summary " +
+    "statistics while keeping them visible: totals past factor x median " +
+    "land on the outlier side, everything else (order preserved) feeds " +
+    "the median") {
+    // the r16 artifact that motivated the trim: two of ten passes at
+    // 1.4x/2.2x the median inflated the pass-total median ~25%
+    val r16 = Seq(14.1, 13.2, 26.8, 21.3, 18.7, 18.8, 19.3, 18.9, 19.4,
+      41.2)
+    val (kept, out) = splitOutliers(r16)
+    out shouldBe Seq(26.8, 41.2)
+    kept shouldBe Seq(14.1, 13.2, 21.3, 18.7, 18.8, 19.3, 18.9, 19.4)
+    medianTotal(kept) should be < medianTotal(r16)
+    // quiet run: nothing trimmed
+    splitOutliers(Seq(10.0, 10.2, 9.9)) shouldBe
+      ((Seq(10.0, 10.2, 9.9), Nil))
+    // failed passes (non-positive totals) never count as outliers or kept
+    splitOutliers(Seq(10.0, 0.0, 10.1))._1 shouldBe Seq(10.0, 10.1)
+    // degenerate inputs degrade to no-trim
+    splitOutliers(Nil) shouldBe ((Nil, Nil))
+    splitOutliers(Seq(0.0))._2 shouldBe empty
+  }
 }
