@@ -19,8 +19,14 @@ import graft.sinks.{SnapshotStore, UpsertConfig}
   *     post-delete versions classifies exactly the removed rows as
   *     `delete` with their PRE-image values — written to an audit table,
   *     the compliance artifact recording what was removed and at which
-  *     version. The audit MUST land before step 3: the feed needs both
-  *     endpoint manifests, and step 3 reclaims the older one.
+  *     version. The audit MUST land before step 3 (the feed needs both
+  *     endpoint manifests, and step 3 reclaims the older one), and it is
+  *     CRASH-RECOVERABLE: the audit step is a sweep over every retained
+  *     version whose feed shows deletions but whose audit slot is empty,
+  *     so a crash between the delete commit and the audit write is
+  *     repaired by replaying the batch — the replay deletes nothing
+  *     (keys already gone) but backfills the missing audit rows from the
+  *     still-retained manifests before any vacuum can reclaim them.
   *  3. **Forget the bytes**: `vacuum(keep = 1)` ends time-travel to the
   *     pre-delete versions NOW — an opt-out that leaves the rows
   *     readable at version v−1 has not forgotten anything.
@@ -43,30 +49,65 @@ object OptOutExample {
                                 maintain: Layout.MaintainReport)
 
   /** Process one opt-out batch against the store at `root`, appending the
-    * removed rows' pre-images to the audit table at `auditPath`. */
+    * removed rows' pre-images to the audit table at `auditPath`.
+    * Replay-safe end to end: a crash anywhere before the vacuum is
+    * repaired by re-running the same batch — the delete of absent keys
+    * commits nothing, and [[backfillAudit]] lands any audit rows the
+    * crashed run owed BEFORE the vacuum reclaims the manifests they need.
+    * `auditRows` reports rows written THIS call, which after a crashed
+    * predecessor includes its backfilled versions. */
   def optOut(spark: SparkSession, root: String, keys: DataFrame,
              auditPath: String): OptOutReport = {
-    val vBefore = SnapshotStore.currentVersion(spark, root).getOrElse(
+    SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed store at $root"))
     val requested = keys.distinct().count()
     val deleted = SnapshotStore.delete(spark, root, keys)
-    val auditRows =
-      if (deleted == 0L) 0L // no-match batch: no version burned, no feed
-      else {
-        val vAfter = SnapshotStore.currentVersion(spark, root).get
-        SnapshotStore.changes(spark, root, vBefore, vAfter)
-          .filter(col("_change_type") === "delete")
-          .withColumn("_opted_out_at_version", lit(vAfter))
-          .write.mode("append").parquet(auditPath)
-        // count from the WRITTEN table: the feed plan reads the pre-delete
-        // manifest, which the vacuum below reclaims — a lazy count after
-        // it would fail (and re-running the feed is wasted work anyway)
-        spark.read.parquet(auditPath)
-          .filter(col("_opted_out_at_version") === vAfter).count()
-      }
+    // audit BEFORE vacuum, as a repair sweep rather than a one-shot
+    // write: the sweep covers this batch's fresh delete AND any earlier
+    // delete whose audit a crash swallowed — without it, a replay seeing
+    // deleted == 0 would vacuum away the pre-delete manifest the feed
+    // needs, and the rows would be forgotten with no audit record ever
+    // landing
+    val auditRows = backfillAudit(spark, root, auditPath)
     val forgotten = SnapshotStore.vacuum(spark, root, keep = 1)
     val maintain = Layout.storeMaintain(spark, root, keep = 1)
     OptOutReport(requested, deleted, auditRows, forgotten, maintain)
+  }
+
+  /** Land audit rows for every retained version pair whose change feed
+    * shows deletions and whose audit slot (`_opted_out_at_version`) is
+    * still empty; returns rows written this call. Idempotent — audited
+    * versions are skipped, so replays never duplicate. Valid because in
+    * this pipeline only [[SnapshotStore.delete]] produces delete-type
+    * changes (ingest upserts insert/update, compaction rewrites in
+    * place), so delete-type feed rows ARE opt-out pre-images. Bounded
+    * work: retained versions are capped by the vacuum `keep` policy, and
+    * each feed is a bucket-diff read, not a table scan. */
+  def backfillAudit(spark: SparkSession, root: String,
+                    auditPath: String): Long = {
+    val audited: Set[Long] = {
+      val f = new org.apache.hadoop.fs.Path(auditPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.exists(new org.apache.hadoop.fs.Path(auditPath))) Set.empty
+      else spark.read.parquet(auditPath)
+        .select("_opted_out_at_version").distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    SnapshotStore.retainedVersions(spark, root).sliding(2).collect {
+      case Seq(prev, v) if !audited(v) =>
+        val deletes = SnapshotStore.changes(spark, root, prev, v)
+          .filter(col("_change_type") === "delete")
+          .withColumn("_opted_out_at_version", lit(v))
+          .persist() // the feed feeds both the emptiness gate and the write
+        try {
+          val n = deletes.count()
+          // versions with no deletions (ingest commits, compactions) get
+          // no audit slot — appending empty files every batch would only
+          // accrete clutter
+          if (n > 0L) deletes.write.mode("append").parquet(auditPath)
+          n
+        } finally { deletes.unpersist(); () }
+    }.sum
   }
 
   def main(args: Array[String]): Unit = {

@@ -266,7 +266,19 @@ object SnapshotStore {
 
   // ----------------------------------------------------------------- reads
 
-  /** Read the committed snapshot (None if the store is empty). */
+  /** Read the committed snapshot (None if the store is empty).
+    *
+    * READER-vs-VACUUM contract: the returned DataFrame scans the bucket
+    * directories its manifest referenced at RESOLUTION time. A
+    * concurrent [[vacuum]] never reclaims the version the pointer
+    * commits to — but a reader can hold a resolution STALE (the store
+    * advanced and vacuum dropped its version mid-scan), and then its
+    * next action fails LOUDLY (missing file/path errors: absent inputs
+    * are errors, not skips, under Spark's default
+    * `spark.sql.files.ignoreMissingFiles=false`) — it can never return
+    * silently partial rows. The failure is retryable: call `read` again
+    * to re-resolve the committed pointer. Pinned live in
+    * SnapshotStoreSpec's reader-vs-vacuum race. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root).map(readVersion(spark, root, _))
 
@@ -275,13 +287,37 @@ object SnapshotStore {
     * older `snapshot=` directories — that sharing is the incrementality).
     * Versions committed by the pre-manifest format (a plain full-snapshot
     * parquet directory) are read directly — old stores stay readable, and
-    * the next upsert migrates them to the bucketed layout. */
+    * the next upsert migrates them to the bucketed layout. Carries
+    * [[read]]'s reader-vs-vacuum contract: a `vacuum` that reclaims THIS
+    * version makes actions on the returned DataFrame fail loudly, never
+    * return partial rows — time-travel readers lagging behind the vacuum
+    * horizon must retry against a retained version. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val f = fs(spark, root)
     if (f.exists(manifestPath(root, version)))
       readBuckets(spark, root, readManifest(spark, root, version), None)
     else
       spark.read.parquet(s"$root/snapshot=$version") // legacy full snapshot
+  }
+
+  /** Versions whose manifests are still retained — readable for time
+    * travel and usable as [[changes]] endpoints — ascending, up to the
+    * committed version. A driver-side directory listing, no data scan.
+    * What [[vacuum]] has not reclaimed; consumers that must not miss a
+    * version window (audit backfill, lagging change feeds) enumerate
+    * this BEFORE vacuuming. */
+  def retainedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root))) Seq.empty
+    else currentVersion(spark, root) match {
+      case None => Seq.empty
+      case Some(current) =>
+        f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("snapshot=") =>
+            n.stripPrefix("snapshot=").toLong }
+          .filter(v => v <= current && f.exists(manifestPath(root, v)))
+          .sorted
+    }
   }
 
   /** Bucket ids the committed manifest references — empty when the store
@@ -426,7 +462,15 @@ object SnapshotStore {
     * leftovers and is reclaimed (this is also how a wedged `claim=0` from
     * a failed first commit is recovered). Returns the versions whose
     * readability was removed this call. Single-process only — do not run
-    * concurrently with a writer. */
+    * concurrently with a writer.
+    *
+    * Concurrent READERS are safe in the no-silent-partial sense: the
+    * committed version is always retained, and a reader whose resolved
+    * version this call reclaims fails LOUDLY on its next action (absent
+    * inputs are errors under `ignoreMissingFiles=false`) and re-resolves
+    * — it can never read a partial state ([[read]]'s contract; pinned by
+    * SnapshotStoreSpec's reader-vs-vacuum race). Size `keep` to cover
+    * the slowest reader's/change-feed consumer's lag. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     val f = fs(spark, root)
     if (!f.exists(new Path(root))) return Seq.empty

@@ -944,5 +944,72 @@ class SnapshotStoreSpec extends SparkSpec
         df => df.withColumn("value", upper(col("value")))),
       (a, _) => 60L - (if (a) 5L else 0L),
       legal = Set(60L, 55L))
+    // upsert vs upsert completes the writer matrix: same claim mechanism
+    // as the pairs above, but asserted as a PROTOCOL property here rather
+    // than inferred from the shared mechanism (disjoint key ranges, so
+    // both landing serially is additive)
+    val newRowsB = (201 to 215).map(i => (i, s"m$i")).toDF("id", "value")
+    runPair("up_up",
+      r => { SnapshotStore.upsert(spark, r, newRows, cfg); () },
+      r => { SnapshotStore.upsert(spark, r, newRowsB, cfg); () },
+      (a, b) => 60L + (if (a) 10L else 0L) + (if (b) 15L else 0L),
+      legal = Set(60L, 70L, 75L, 85L))
+  }
+
+  test("reader vs vacuum: a reader holding a resolution vacuum reclaims " +
+    "fails LOUDLY on its next action and recovers by re-resolving — " +
+    "never silently partial rows — and a reader hammering through an " +
+    "advance+vacuum loop observes only committed counts") {
+    val root = tempRoot("graft_rdvac")
+    SnapshotStore.upsert(spark, root,
+      (1 to 60).map(i => (i, s"v$i")).toDF("id", "value"), cfg, nBuckets = 8)
+    // deterministic half: resolve v0, rewrite EVERY bucket (full-overlap
+    // update), advance once more, reclaim v0 — the stale plan's file
+    // index names only snapshot=0 bucket directories, all now
+    // unreferenced and deleted, and absent inputs are ERRORS under
+    // Spark's default ignoreMissingFiles=false, not skips
+    val stale = SnapshotStore.read(spark, root).get
+    stale.count() shouldBe 60L
+    SnapshotStore.upsert(spark, root,
+      (1 to 60).map(i => (i, s"V$i")).toDF("id", "value"), cfg)
+    SnapshotStore.upsert(spark, root,
+      (101 to 110).map(i => (i, s"n$i")).toDF("id", "value"), cfg)
+    SnapshotStore.vacuum(spark, root, keep = 1) should contain(0L)
+    // loud, not partial: any missing-input failure qualifies; a count
+    // below 60 returned without error is exactly the forbidden outcome
+    intercept[Throwable] { stale.count() }
+    // the failure is retryable — re-resolving reads the committed state
+    SnapshotStore.read(spark, root).get.count() shouldBe 70L
+
+    // live half: reader re-resolving in a loop while the store advances
+    // and vacuums underneath it. Clean failures are IN contract (the
+    // reader may resolve a pointer whose version a racing vacuum just
+    // dropped); an ILLEGAL COUNT — a partial state — is the one
+    // forbidden outcome.
+    val legal = Set(70L, 80L, 90L, 100L, 110L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val successes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tr = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = SnapshotStore.read(spark, root).get.count()
+          if (legal(c)) successes.incrementAndGet()
+          else bad.add(s"reader saw partial count $c")
+        } catch { case _: Throwable => () } // loud + retryable: allowed
+      }
+    })
+    tr.start()
+    (2 to 5).foreach { i =>
+      SnapshotStore.upsert(spark, root,
+        ((i * 100 + 1) to (i * 100 + 10)).map(j => (j, s"b$j"))
+          .toDF("id", "value"), cfg)
+      SnapshotStore.vacuum(spark, root, keep = 1)
+    }
+    stop.set(true)
+    tr.join(120000)
+    bad.toArray.toSeq shouldBe empty
+    successes.get() should be >= 1L
+    SnapshotStore.read(spark, root).get.count() shouldBe 110L
   }
 }
