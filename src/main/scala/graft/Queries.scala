@@ -1759,6 +1759,82 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Recall-CALIBRATED flat-PQ probing —
+    * [[Similarity.pqShortlistForRecall]] measures the index's own
+    * recall-vs-shortlist-width curve from one bounded self-sample (exact
+    * ground truth + each true neighbor's exact ADC shortlist rank) and
+    * persists the smallest width meeting the target, which then becomes
+    * [[Similarity.pqProbeTopK]]'s DEFAULT — the
+    * [[Similarity.nProbeForRecall]] contract extended to the PQ family
+    * (the r16-measured gap: maintenance rebuilds restored quantization
+    * quality but recall stayed at widths tuned for the old corpus).
+    * Contract booleans, all DuckDB-expected true: the calibration
+    * persisted a usable width (nprobe 0 — flat-PQ probes no cells — and
+    * factor ≥ 1); the calibrator's own on-sample measured recall met the
+    * target (read back from its pqcal.json artifact); the sentinel-0
+    * default probe returns EXACTLY the explicit calibrated width's rows;
+    * probes stay full-k with exact re-ranked cosines. */
+  private def pqCalibratedTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = tab(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val target = 0.8
+    // built + calibrated ONCE per JVM (fixed seed → deterministic
+    // widths); the timed query is the calibrated-default PROBE
+    val path = fixtureRoot("pqcal", dir) { r =>
+      Similarity.pqBuild(corpus.select("vec_id", "embedding"), "embedding",
+        "vec_id", r, m = 16, ksub = 16, idBuckets = 256)
+      Similarity.pqShortlistForRecall(s, r, "embedding", "vec_id", target,
+        k = 10)
+      ()
+    }
+    val cal = Similarity.calibratedPqWidths(s, path)
+    val factor = cal.map(_._2).getOrElse(0)
+    val calibrated = cal.exists(_._1 == 0) && factor >= 1
+    val measuredOk = {
+      val p = java.nio.file.Paths.get(path, "pqcal.json")
+      java.nio.file.Files.exists(p) && {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"measured_recall"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(text)
+          .flatMap(_.group(1).toDoubleOption).exists(_ >= target)
+      }
+    }
+    // materialized once (tiny: 5 queries × k rows): both the
+    // default-is-calibrated comparison and the final contract plan read it
+    val viaDefault = Similarity.pqProbeTopK(s, path, queries, "embedding",
+      "vec_id", "query_id", k = 10).localCheckpoint(true)
+    def rowSet(df: DataFrame) = df
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("cosine"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val defaultIsCalibrated = rowSet(viaDefault) == rowSet(
+      Similarity.pqProbeTopK(s, path, queries, "embedding", "vec_id",
+        "query_id", k = 10, shortlistFactor = math.max(1, factor)))
+    val qv = queries.select(col("query_id").cast("long").as("query_id"),
+      col("embedding").as("__qv"), V.norm(col("embedding")).as("__qn"))
+    val allScores = corpus
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("__cv"), V.norm(col("embedding")).as("__cn"))
+      .join(broadcast(qv))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosineGivenNorms(col("__cv"), col("__qv"), col("__cn"),
+          col("__qn")), 6).as("__ce"))
+    viaDefault
+      .join(allScores, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(
+        (count(lit(1)) === 10).as("returned_full_k"),
+        coalesce(bool_and(col("cosine") === col("__ce")), lit(false))
+          .as("cosines_exact"),
+        lit(calibrated).as("calibration_persisted"),
+        lit(measuredOk).as("measured_recall_ok"),
+        lit(defaultIsCalibrated).as("default_is_calibrated"))
+      .orderBy("query_id")
+  }
+
   /** IVF-PQ composed ANN ([[Similarity.ivfPqTopK]]): coarse cells restrict
     * the probe set, PQ-ADC byte codes score within probed cells, the
     * shortlist re-ranks exact — the two approximations multiply their
@@ -2521,6 +2597,7 @@ object Queries {
     "ivf_topk" -> ivfTopK _,
     "pq_topk" -> pqTopKQ _,
     "pq_index_topk" -> pqIndexTopKQ _,
+    "pq_calibrated_topk" -> pqCalibratedTopKQ _,
     "ivfpq_topk" -> ivfPqTopKQ _,
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
@@ -4387,6 +4464,17 @@ object Queries {
         |  TRUE AS recall_floor_ok,
         |  TRUE AS cosines_exact,
         |  TRUE AS rerank_pruned
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // Recall-calibrated flat-PQ defaults: same bounded-assertion shape —
+    // the booleans are engine-verified (calibration persisted, on-sample
+    // recall met target, sentinel default == explicit calibrated width)
+    "pq_calibrated_topk" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  TRUE AS returned_full_k,
+        |  TRUE AS cosines_exact,
+        |  TRUE AS calibration_persisted,
+        |  TRUE AS measured_recall_ok,
+        |  TRUE AS default_is_calibrated
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // IVF-PQ composition: same bounded-assertion shape
     "ivfpq_topk" ->

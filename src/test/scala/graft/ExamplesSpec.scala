@@ -2,6 +2,7 @@ package graft
 
 import scala.jdk.CollectionConverters._
 
+import graft.operators.Similarity
 import graft.sinks.{SnapshotStore, UpsertConfig}
 
 /** The shipped example programs' logic, driven as specs (the mains
@@ -161,5 +162,97 @@ class ExamplesSpec extends SparkSpec {
     replay.auditRows shouldBe 0L
     SnapshotStore.read(spark, root).get.count() shouldBe 37L
     spark.read.parquet(auditPath).count() shouldBe 3L
+  }
+
+  test("opt-out audit survives a crash between the delete commit and " +
+    "the audit write: the replayed batch deletes nothing (keys already " +
+    "gone) but BACKFILLS the owed audit rows from the still-retained " +
+    "manifests before any vacuum can reclaim them — rows are never " +
+    "forgotten without an audit record") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_optout_crash").resolve("store").toString
+    val auditPath = java.nio.file.Files
+      .createTempDirectory("graft_optout_crash_a").resolve("audit").toString
+    val cfg = UpsertConfig(
+      clock = Some(to_timestamp(lit("2026-01-01 00:00:00"))))
+    SnapshotStore.upsert(spark, root,
+      (1 to 40).map(i => (i, s"doc-$i")).toDF("id", "value"), cfg,
+      nBuckets = 8)
+    // batch A lands normally
+    examples.OptOutExample.optOut(spark, root, Seq(3, 7).toDF("id"),
+      auditPath).auditRows shouldBe 2L
+    // batch B CRASHES mid-pipeline: the delete committed, the process
+    // died before the audit write — simulated by running only step 1
+    SnapshotStore.delete(spark, root, Seq(11, 13, 17).toDF("id")) shouldBe 3L
+    val vCrash = SnapshotStore.currentVersion(spark, root).get
+    // at-least-once delivery replays batch B through the full pipeline
+    val replay = examples.OptOutExample.optOut(spark, root,
+      Seq(11, 13, 17).toDF("id"), auditPath)
+    replay.deleted shouldBe 0L        // nothing left to delete
+    replay.auditRows shouldBe 3L      // the crashed run's owed audit rows
+    // the audit table now carries BOTH batches' pre-images at their
+    // versions, and the backfilled rows name the crashed delete's version
+    val audit = spark.read.parquet(auditPath)
+    audit.count() shouldBe 5L
+    audit.filter(col("_opted_out_at_version") === vCrash)
+      .collect().map(_.getAs[Int]("id")).sorted shouldBe Array(11, 13, 17)
+    audit.collect().foreach(
+      _.getAs[String]("_change_type") shouldBe "delete")
+    // and the replay's vacuum then forgot the pre-delete bytes as usual
+    SnapshotStore.read(spark, root).get.count() shouldBe 35L
+    // a SECOND replay is a clean no-op: audited versions are skipped
+    val again = examples.OptOutExample.optOut(spark, root,
+      Seq(11, 13, 17).toDF("id"), auditPath)
+    again.deleted shouldBe 0L
+    again.auditRows shouldBe 0L
+    spark.read.parquet(auditPath).count() shouldBe 5L
+  }
+
+  test("ANN ingest example: build once, appends ride the standing model " +
+    "while gauges stay quiet, a drifted batch trips the nightly " +
+    "maintenance into a staged rebuild WITH recall recalibration, and " +
+    "default-width probes then serve the calibrated contract") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_spec").resolve("index").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val elem = emb.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val corpus0 = emb.filter(col("vec_id") >= 20)
+    Similarity.ivfPqBuild(corpus0, "embedding", path, m = 16, ksub = 16)
+    // in-distribution day: quiet gauges, no rebuild, still uncalibrated
+    val day1 = examples.AnnIngestExample.ingestDay(spark,
+      corpus0.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")),
+      "embedding", "vec_id", path)
+    day1.layout shouldBe "ivf-pq"
+    day1.decision shouldBe "ok"
+    day1.calibrated shouldBe None
+    // drifted day: the codebook-drift gauge trips, the staged rebuild
+    // refits, and the recall target calibrates both probe widths
+    val day2 = examples.AnnIngestExample.ingestDay(spark,
+      corpus0.select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(8.0)).cast(elem))
+          .as("embedding")),
+      "embedding", "vec_id", path)
+    day2.decision shouldBe "rebuilt"
+    val Some((np, f)) = day2.calibrated
+    np should be >= 1
+    f should be >= 1
+    // converged: the next night is quiet again (fresh baselines)
+    examples.AnnIngestExample.ingestDay(spark,
+      corpus0.select((col("vec_id") + 3000000L).as("vec_id"),
+        col("embedding")),
+      "embedding", "vec_id", path).decision shouldBe "ok"
+    // default-width probes serve k exact-scored hits per query
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val hits = Similarity.ivfPqProbeTopK(spark, path, queries,
+      "embedding", "vec_id", "query_id", k = 5)
+    hits.groupBy("query_id").count().collect()
+      .foreach(_.getLong(1) shouldBe 5L)
   }
 }
