@@ -34,10 +34,12 @@ import graft.operators.Similarity
   *  4. **Query**: [[Similarity.ivfPqProbeTopK]] with default widths —
   *     which ARE the calibrated ones once maintenance has run.
   *
-  * Batches can equally arrive from a stream: run [[ingestDay]] per epoch
-  * from a foreachBatch sink, with the nightly maintain on its own
-  * schedule (it must own the index exclusively — the single-writer
-  * contract every maintain path documents). */
+  * Batches can equally arrive from a stream:
+  * [[graft.streaming.StreamOps.annAppendSink]] is this ingest day as an
+  * epoch-fenced foreachBatch sink (redelivered epochs are no-ops), with
+  * the nightly maintain on its own schedule (it must own the index
+  * exclusively — the single-writer contract every maintain path
+  * documents). */
 object AnnIngestExample {
 
   /** What one ingest-day did, for the pipeline's own logging: rows

@@ -441,6 +441,12 @@ object Similarity {
                   recallK: Int = 10): String = {
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
     require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
+    // layout guard: an IVF-PQ index ALSO has data/ + centroids/, so this
+    // call would "work" — and its rebuild (via ivfBuild) would silently
+    // DROP the codes/codebooks relations. indexMaintain routes correctly;
+    // the direct call must refuse just as loudly.
+    requireNotIvfPq(spark, path, "ivfMaintain's rebuild would drop them " +
+      "— run ivfPqMaintain or indexMaintain instead")
     val (total, skew, wantCells, nCellsStored) = cellHealth(spark, path)
     if (total == 0) return "ok"
     if (skew <= maxSkew && wantCells <= nCellsStored * maxGrowth) "ok"
@@ -595,6 +601,11 @@ object Similarity {
       s"recall target must be in (0, 1], got $target")
     require(confidenceZ >= 0.0, "confidenceZ must be >= 0")
     requireNotRebuilding(spark, path)
+    // an IVF-PQ index also has data/ + centroids/, so this call would
+    // "work" — but its probes read pqcal.json, never nprobe.json, so the
+    // calibration would be dead metadata the caller believes is in force
+    requireNotIvfPq(spark, path, "its probes read pqcal.json, not " +
+      "nprobe.json — calibrate with ivfPqCalibrate instead")
     val centroids = loadCentroids(spark, path)
     val nCells = centroids.length
     val data = spark.read.parquet(s"$path/data")
@@ -990,6 +1001,18 @@ object Similarity {
     writePqCal(spark, path, nProbe, factor, target, measured, k,
       sampled.length, nCells)
     (nProbe, factor)
+  }
+
+  /** Plain-IVF entry points whose semantics would silently corrupt an
+    * IVF-PQ index (which ALSO carries `data/` + `centroids/`) call this
+    * to refuse it loudly; `hazard` completes the error's "because". */
+  private def requireNotIvfPq(spark: SparkSession, path: String,
+                              hazard: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "codebooks")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"the index at $path has a codebooks/ relation (a PQ-family " +
+        s"layout, not plain IVF); " + hazard)
   }
 
   /** Readers AND routine writers call this before opening a persisted
@@ -2150,7 +2173,8 @@ object Similarity {
     requireNotRebuilding(spark, path)
     val centroids = loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
-    val cal = calibratedPqWidths(spark, path)
+    // lazy: a probe with both widths explicit never reads the cal file
+    lazy val cal = calibratedPqWidths(spark, path)
     val probes =
       if (nProbe > 0) nProbe
       else cal.map(_._1).filter(_ > 0)

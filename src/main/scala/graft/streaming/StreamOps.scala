@@ -999,4 +999,64 @@ object StreamOps {
     stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       applyBatch(b, id)
     }.start()
+
+  /** Streaming ANN-index ingest: append each micro-batch into a
+    * persisted index with the STANDING model —
+    * `graft.examples.AnnIngestExample`'s ingest day as a `foreachBatch`
+    * sink. The layout is detected from the index's relations exactly as
+    * `Similarity.indexMaintain` does (codes+vectors → `pqAppend`,
+    * data+codebooks → `ivfPqAppend`, data+centroids → `ivfAppend`), so
+    * one sink serves the whole index family; nightly `indexMaintain`
+    * runs on its own schedule from the single writer that owns the
+    * index (appends and maintenance must not interleave — the
+    * single-writer contract every append/maintain path documents).
+    *
+    * EPOCH FENCE — appends are not idempotent, and `foreachBatch`
+    * redelivers epochs at-least-once on recovery, so a replayed epoch
+    * would silently duplicate its vectors. The sink records the last
+    * appended epoch id in `<path>/.ingest_epoch` (hidden: never enters a
+    * relation read or the drift gauge's sample) and skips any epoch at
+    * or below it — the standard idempotent-`foreachBatch` recipe.
+    * Honest residual window: a crash BETWEEN the append and the epoch
+    * record replays that one epoch's rows (the append itself is not
+    * transactional); dedupe by id downstream, or run an upstream
+    * [[dedupeEmbeddingsAgainstStore]]/[[dedupeKeysWithTTL]] stage, where
+    * exact contents matter across crashes. */
+  def annAppendSink(stream: DataFrame, vecCol: String, path: String,
+                    idCol: String = "id")(
+      onEpoch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    val epochFile = new org.apache.hadoop.fs.Path(path, ".ingest_epoch")
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val fs = epochFile.getFileSystem(spark.sessionState.newHadoopConf())
+      val last: Long =
+        if (!fs.exists(epochFile)) -1L
+        else {
+          val in = fs.open(epochFile)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      if (epoch > last) {
+        def has(rel: String): Boolean =
+          fs.exists(new org.apache.hadoop.fs.Path(path, rel))
+        if (has("codes") && has("vectors"))
+          Similarity.pqAppend(batch, vecCol, idCol, path)
+        else if (has("data") && has("codebooks"))
+          Similarity.ivfPqAppend(batch, vecCol, path)
+        else if (has("data") && has("centroids"))
+          Similarity.ivfAppend(batch, vecCol, path)
+        else throw new IllegalArgumentException(
+          s"no recognized index layout at $path (build with pqBuild / " +
+            "ivfPqBuild / ivfBuild before streaming into it)")
+        val out = fs.create(epochFile, true)
+        try out.write(epoch.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        onEpoch(epoch)
+      }
+    }.start()
+  }
 }

@@ -1037,6 +1037,15 @@ class SimilaritySpec extends SparkSpec {
     // a softer target never needs wider scanning than a harder one on
     // the same measured curve
     np2 should be <= np1
+    // the plain-IVF entry points refuse the PQ-family layout loudly:
+    // ivfMaintain's rebuild would DROP codes/codebooks, and
+    // nProbeForRecall's nprobe.json is dead metadata to IVF-PQ probes
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.ivfMaintain(spark, ipqPath, "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.nProbeForRecall(spark, ipqPath, "embedding", 0.9)
+    // the index is untouched by the refusals
+    Similarity.calibratedPqWidths(spark, ipqPath) shouldBe Some((np2, f2))
   }
 
   test("maintenance over a fully drained corpus (total opt-out) reports " +
