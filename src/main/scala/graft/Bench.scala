@@ -184,8 +184,17 @@ object Bench {
     // two of ten passes at 1.4×/2.2× median inflated the median ~25%).
     // The fastest-pair agreement gauges are outlier-immune by
     // construction (they read the two SMALLEST totals).
+    // factor <= 1 would classify EVERY pass an outlier and report a
+    // silently-corrupt median of nothing — refuse it, keep the default
     val outlierFactor = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER")
-      .flatMap(_.trim.toDoubleOption).getOrElse(1.3)
+      .flatMap(_.trim.toDoubleOption) match {
+      case Some(f) if f > 1.0 => f
+      case Some(f) =>
+        System.err.println(s"[bench] ignoring SPARK_GRAFT_BENCH_OUTLIER=" +
+          s"$f (must exceed 1.0 — 1.0 is the median itself); using 1.3")
+        1.3
+      case None => 1.3
+    }
     val (coreKept, coreOutliers) =
       BenchRuns.splitOutliers(corePassTotals, outlierFactor)
     val (_, extOutliers) =

@@ -973,22 +973,22 @@ object ScaleProbe {
     // codebooks only damage the drifted regime's shortlists — original-
     // regime queries dilute the aggregate, so the per-regime numbers are
     // the story
-    def recallP(corpusNow: org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
-      // quarter-of-the-cells probe budget, re-read per call so pre- and
-      // post-rebuild indexes (different cell counts) get the same relative
-      // width; shortlistFactor stays at the default 4
+    // per-regime recall of ONE probe-width policy (shared by the fixed-
+    // width and calibrated-default series, so their arithmetic can never
+    // diverge): fixedWidths pins quarter-cells/factor-4 — re-read per
+    // call so pre- and post-rebuild indexes (different cell counts) get
+    // the same relative width; unpinned (0, 0) reads the index's
+    // CURRENT defaults, i.e. the calibrated widths once pqcal.json lands
+    def recallWith(corpusNow: org.apache.spark.sql.DataFrame,
+                   fixedWidths: Boolean): (Double, Double) = {
       val cellsNow = spark.read.parquet(s"$pqdPath/centroids").count().toInt
       val brute = Similarity.bruteForceTopK(corpusNow, mqP,
         "embedding", "vec_id", "query_id", k = 10)
         .select("query_id", "vec_id")
-      // BOTH widths pinned (quarter cells, factor 4): this is the
-      // FIXED-width recall series — post-calibration the defaults become
-      // the calibrated widths, which recallCalP measures separately, and
-      // an unpinned call here would silently mix the two series
       val probe = Similarity.ivfPqProbeTopK(spark, pqdPath, mqP,
         "embedding", "vec_id", "query_id", k = 10,
-        nProbe = math.max(1, cellsNow / 4), shortlistFactor = 4)
+        nProbe = if (fixedWidths) math.max(1, cellsNow / 4) else 0,
+        shortlistFactor = if (fixedWidths) 4 else 0)
         .select("query_id", "vec_id")
       def r(drifted: Boolean): Double = {
         val side = (q: org.apache.spark.sql.DataFrame) =>
@@ -999,6 +999,11 @@ object ScaleProbe {
       }
       (r(drifted = false), r(drifted = true))
     }
+    // the FIXED-width recall series — post-calibration the defaults
+    // become the calibrated widths, measured separately below; an
+    // unpinned call here would silently mix the two series
+    def recallP(corpusNow: org.apache.spark.sql.DataFrame)
+        : (Double, Double) = recallWith(corpusNow, fixedWidths = true)
     Similarity.ivfPqBuild(corpus0P, "embedding", pqdPath, m = 16, ksub = 16)
     val ratioBaseP = Similarity.ivfPqDriftStats(spark, pqdPath,
       "embedding").ratio
@@ -1027,25 +1032,10 @@ object ScaleProbe {
     val (calNProbeP, calFactorP) = Similarity
       .calibratedPqWidths(spark, pqdPath).getOrElse((0, 0))
     // recall of the DEFAULT-width probe — post-calibration, the widths
-    // ivfPqCalibrate chose for the target
-    def recallCalP(corpusNow: org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
-      val brute = Similarity.bruteForceTopK(corpusNow, mqP,
-        "embedding", "vec_id", "query_id", k = 10)
-        .select("query_id", "vec_id")
-      val probe = Similarity.ivfPqProbeTopK(spark, pqdPath, mqP,
-        "embedding", "vec_id", "query_id", k = 10)
-        .select("query_id", "vec_id")
-      def r(drifted: Boolean): Double = {
-        val side = (q: org.apache.spark.sql.DataFrame) =>
-          q.filter(if (drifted) col("query_id") >= 900000000L
-            else col("query_id") < 900000000L)
-        side(probe).join(side(brute), Seq("query_id", "vec_id"), "left_semi")
-          .count().toDouble / math.max(1L, side(brute).count())
-      }
-      (r(drifted = false), r(drifted = true))
-    }
-    val (recallCalOrigP, recallCalShiftP) = recallCalP(grownP)
+    // ivfPqCalibrate chose for the target (same arithmetic as the fixed
+    // series: recallWith)
+    val (recallCalOrigP, recallCalShiftP) =
+      recallWith(grownP, fixedWidths = false)
     // reading the numbers: drift damages BOTH regimes' recall (garbage
     // codes can score spuriously high and displace true candidates from
     // every query's bounded shortlist, not just drifted queries'), and

@@ -55,7 +55,15 @@ object OptOutExample {
     * commits nothing, and [[backfillAudit]] lands any audit rows the
     * crashed run owed BEFORE the vacuum reclaims the manifests they need.
     * `auditRows` reports rows written THIS call, which after a crashed
-    * predecessor includes its backfilled versions. */
+    * predecessor includes its backfilled versions.
+    *
+    * SCOPE of the repair guarantee: it holds while the pre-delete
+    * manifests are still retained — i.e. as long as every vacuum on this
+    * store runs through THIS pipeline (audit-then-vacuum, as here) or
+    * with a `keep` sized to cover opt-out replay lag. An independent
+    * `vacuum(keep=1)` from another job between the crash and the replay
+    * reclaims the feed window first, and the owed audit rows become
+    * unrecoverable — one governance owner per store. */
   def optOut(spark: SparkSession, root: String, keys: DataFrame,
              auditPath: String): OptOutReport = {
     SnapshotStore.currentVersion(spark, root).getOrElse(
@@ -75,38 +83,63 @@ object OptOutExample {
   }
 
   /** Land audit rows for every retained version pair whose change feed
-    * shows deletions and whose audit slot (`_opted_out_at_version`) is
-    * still empty; returns rows written this call. Idempotent — audited
-    * versions are skipped, so replays never duplicate. Valid because in
+    * shows MORE deletions than its audit slot (`_opted_out_at_version`)
+    * holds; returns rows written this call. The gate is COUNT-based, not
+    * existence-based: a crash mid parquet job commit can land a SUBSET
+    * of a version's audit rows, and an existence gate would then skip
+    * the version forever — the count comparison repairs the partial
+    * commit by appending only the rows not already written (anti-join
+    * under null-safe equality on the full pre-image). Idempotent: a
+    * fully-audited version writes nothing on replay. Valid because in
     * this pipeline only [[SnapshotStore.delete]] produces delete-type
     * changes (ingest upserts insert/update, compaction rewrites in
     * place), so delete-type feed rows ARE opt-out pre-images. Bounded
-    * work: retained versions are capped by the vacuum `keep` policy, and
-    * each feed is a bucket-diff read, not a table scan. */
+    * work: retained versions are capped by the vacuum `keep` policy,
+    * each feed is a bucket-diff read, and the audit-table read is
+    * filtered to the retained version window — parquet min/max stats
+    * prune the grown history's files. */
   def backfillAudit(spark: SparkSession, root: String,
                     auditPath: String): Long = {
-    val audited: Set[Long] = {
-      val f = new org.apache.hadoop.fs.Path(auditPath)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      if (!f.exists(new org.apache.hadoop.fs.Path(auditPath))) Set.empty
+    val retained = SnapshotStore.retainedVersions(spark, root)
+    if (retained.size < 2) return 0L
+    val auditExists = new org.apache.hadoop.fs.Path(auditPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(auditPath))
+    val writtenCounts: Map[Long, Long] =
+      if (!auditExists) Map.empty
       else spark.read.parquet(auditPath)
-        .select("_opted_out_at_version").distinct()
-        .collect().map(_.getLong(0)).toSet
-    }
-    SnapshotStore.retainedVersions(spark, root).sliding(2).collect {
-      case Seq(prev, v) if !audited(v) =>
-        val deletes = SnapshotStore.changes(spark, root, prev, v)
-          .filter(col("_change_type") === "delete")
-          .withColumn("_opted_out_at_version", lit(v))
-          .persist() // the feed feeds both the emptiness gate and the write
-        try {
-          val n = deletes.count()
-          // versions with no deletions (ingest commits, compactions) get
-          // no audit slot — appending empty files every batch would only
-          // accrete clutter
-          if (n > 0L) deletes.write.mode("append").parquet(auditPath)
-          n
-        } finally { deletes.unpersist(); () }
+        .filter(col("_opted_out_at_version") >= retained.min)
+        .groupBy("_opted_out_at_version").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    retained.sliding(2).collect { case Seq(prev, v) =>
+      val written = writtenCounts.getOrElse(v, 0L)
+      val deletes = SnapshotStore.changes(spark, root, prev, v)
+        .filter(col("_change_type") === "delete")
+        .withColumn("_opted_out_at_version", lit(v))
+        .persist() // feeds both the count gate and the write
+      try {
+        // versions with no deletions (ingest commits, compactions) get
+        // no audit slot — appending empty files every batch would only
+        // accrete clutter
+        val n = deletes.count()
+        if (n > written) {
+          val missing =
+            if (written == 0L) deletes
+            else {
+              // partial-commit repair: append only the not-yet-written
+              // rows; null-safe equality so null-valued pre-image
+              // columns still match their written copies
+              val existing = spark.read.parquet(auditPath)
+                .filter(col("_opted_out_at_version") === v)
+              deletes.join(existing,
+                deletes.columns.toIndexedSeq
+                  .map(c => deletes(c) <=> existing(c)).reduce(_ && _),
+                "left_anti")
+            }
+          missing.write.mode("append").parquet(auditPath)
+          n - written
+        } else 0L
+      } finally { deletes.unpersist(); () }
     }.sum
   }
 

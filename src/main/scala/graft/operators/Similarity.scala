@@ -451,19 +451,23 @@ object Similarity {
     if (total == 0) return "ok"
     if (skew <= maxSkew && wantCells <= nCellsStored * maxGrowth) "ok"
     else {
+      // a calibration tuned against the REPLACED quantizer is stale —
+      // dropped BEFORE the rebuild, because a crash between the fence
+      // lift and a post-swap delete would leave it silently in force on
+      // the refitted index (losing it on an unchanged index only
+      // degrades to the uncalibrated default). When the caller states a
+      // recall target, the width is re-checked against the rebuilt index
+      // immediately (the post-rebuild re-check nProbeForRecall's
+      // contract promises).
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
       // original columns only: assignment/norm are recomputed by the build
       val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
       stagedRebuild(spark, path, Seq("data", "centroids")) { staging =>
         ivfBuild(data, vecCol, staging, nCells = wantCells,
           seed = seed, fitSampleRows = fitSampleRows)
       }
-      // a calibration tuned against the REPLACED quantizer is stale; drop
-      // it, and when the caller states a recall target, re-check the probe
-      // width against the rebuilt index immediately (the post-rebuild
-      // re-check nProbeForRecall's contract promises)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
       recallTarget.foreach(t =>
         nProbeForRecall(spark, path, vecCol, t, k = recallK, seed = seed))
       "rebuilt"
@@ -1725,6 +1729,15 @@ object Similarity {
     if (drift.forall(_.ratio <= maxDrift)) "ok"
     else {
       val model = loadPqModel(spark, path)
+      // drop the calibration BEFORE the rebuild: widths tuned against the
+      // codebooks about to be replaced are wrong-generation metadata, and
+      // deleting after the swap would leave them silently in force if a
+      // crash lands between the fence lift and the delete — losing the
+      // calibration on an UNCHANGED index (build crashed pre-swap) only
+      // degrades probes to the conservative defaults
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
       // original columns only; bucket count re-derived (idBuckets = 0)
       // because the corpus has grown since the recorded one was sized
       val data = spark.read.parquet(s"$path/vectors").drop("__vb")
@@ -1733,12 +1746,6 @@ object Similarity {
         pqBuild(data, vecCol, idCol, staging, m = model.m,
           ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
       }
-      // a shortlist calibration tuned against the REPLACED codebooks is
-      // stale; drop it, and when the caller states a recall target,
-      // re-calibrate against the rebuilt index immediately
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
       recallTarget.foreach(t => pqShortlistForRecall(spark, path, vecCol,
         idCol, t, k = recallK, seed = seed))
       "rebuilt"
@@ -2078,6 +2085,12 @@ object Similarity {
     if (healthy) "ok"
     else {
       val model = loadPqModel(spark, path)
+      // drop the calibration BEFORE the rebuild (see pqMaintain): a crash
+      // between the fence lift and a post-swap delete would leave widths
+      // tuned against the replaced quantizer+codebooks silently in force
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
       // original columns only: cell/norm/codes are recomputed by the build
       val data = spark.read.parquet(s"$path/data")
         .drop("__cell", "__cn", "__codes")
@@ -2086,11 +2099,6 @@ object Similarity {
         ivfPqBuild(data, vecCol, staging, nCells = 0, m = model.m,
           ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
       }
-      // widths tuned against the REPLACED quantizer+codebooks are stale;
-      // drop them, and re-calibrate now when a recall target is stated
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
       recallTarget.foreach(t => ivfPqCalibrate(spark, path, vecCol, idCol,
         t, k = recallK, seed = seed))
       "rebuilt"
@@ -2125,6 +2133,32 @@ object Similarity {
     * rebuild would silently drop relations (e.g. [[ivfMaintain]] over an
     * IVF-PQ index rebuilds via [[ivfBuild]] and loses the codes).
     * Returns `(detected layout, decision)`. */
+  /** Persisted-index layout detection shared by [[indexMaintain]] and
+    * the streaming ingest sink (`StreamOps.annAppendSink`) — the
+    * relations each build writes are its signature. None = unrecognized
+    * (callers fail loudly: acting with the WRONG family's semantics
+    * silently drops relations). */
+  private[graft] def detectIndexLayout(spark: SparkSession,
+                                       path: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def has(rel: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(root, rel))
+    if (has("codes") && has("vectors")) Some("flat-pq")
+    else if (has("data") && has("codebooks")) Some("ivf-pq")
+    else if (has("data") && has("centroids")) Some("ivf")
+    else None
+  }
+
+  /** The loud half of [[detectIndexLayout]]'s contract, shared wording
+    * for every caller that must refuse an unrecognized directory. */
+  private[graft] def requireIndexLayout(spark: SparkSession,
+                                        path: String): String =
+    detectIndexLayout(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no recognized index layout at $path (expected codes+vectors " +
+          "[flat-PQ], data+codebooks [IVF-PQ], or data+centroids [IVF])"))
+
   def indexMaintain(spark: SparkSession, path: String, vecCol: String,
                     idCol: String = "id", maxDrift: Double = 2.0,
                     maxSkew: Double = 4.0, maxGrowth: Double = 4.0,
@@ -2133,27 +2167,20 @@ object Similarity {
                     fitSampleRows: Int = 4096,
                     gaugeSampleRows: Int = 4096,
                     gaugeSampleFiles: Int = 16,
-                    recallK: Int = 10): (String, String) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    def has(rel: String): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(root, rel))
-    if (has("codes") && has("vectors"))
-      ("flat-pq", pqMaintain(spark, path, vecCol, idCol, maxDrift, seed,
-        fitSampleRows, gaugeSampleRows, gaugeSampleFiles, recallTarget,
-        recallK))
-    else if (has("data") && has("codebooks"))
-      ("ivf-pq", ivfPqMaintain(spark, path, vecCol, maxDrift, maxSkew,
-        maxGrowth, seed, fitSampleRows, gaugeSampleRows, gaugeSampleFiles,
-        recallTarget, recallK, idCol))
-    else if (has("data") && has("centroids"))
-      ("ivf", ivfMaintain(spark, path, vecCol, maxSkew, maxGrowth, seed,
-        fitSampleRows, recallTarget, recallK))
-    else throw new IllegalArgumentException(
-      s"no recognized index layout at $path (expected codes+vectors " +
-        "[flat-PQ], data+codebooks [IVF-PQ], or data+centroids [IVF])")
-  }
+                    recallK: Int = 10): (String, String) =
+    requireIndexLayout(spark, path) match {
+      case "flat-pq" =>
+        ("flat-pq", pqMaintain(spark, path, vecCol, idCol, maxDrift, seed,
+          fitSampleRows, gaugeSampleRows, gaugeSampleFiles, recallTarget,
+          recallK))
+      case "ivf-pq" =>
+        ("ivf-pq", ivfPqMaintain(spark, path, vecCol, maxDrift, maxSkew,
+          maxGrowth, seed, fitSampleRows, gaugeSampleRows,
+          gaugeSampleFiles, recallTarget, recallK, idCol))
+      case _ =>
+        ("ivf", ivfMaintain(spark, path, vecCol, maxSkew, maxGrowth, seed,
+          fitSampleRows, recallTarget, recallK))
+    }
 
   /** Probe an [[ivfPqBuild]] index: the probed cell set becomes a literal
     * partition filter (same static pruning as [[ivfProbeTopK]]); the ADC

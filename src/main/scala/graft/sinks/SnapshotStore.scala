@@ -128,8 +128,9 @@ object SnapshotStore {
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift",
       "wasb", "wasbs")
 
-  private def atomicReplaceSmallFile(f: FileSystem, root: String,
-                                     name: String, content: String): Unit = {
+  private[graft] def atomicReplaceSmallFile(f: FileSystem, root: String,
+                                            name: String,
+                                            content: String): Unit = {
     val target = new Path(root, name)
     // UNIQUE tmp per call: a fixed sibling name would let two racing
     // replacers truncate each other's tmp mid-write — one could install

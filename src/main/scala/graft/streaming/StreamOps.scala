@@ -1015,9 +1015,23 @@ object StreamOps {
     * redelivers epochs at-least-once on recovery, so a replayed epoch
     * would silently duplicate its vectors. The sink records the last
     * appended epoch id in `<path>/.ingest_epoch` (hidden: never enters a
-    * relation read or the drift gauge's sample) and skips any epoch at
-    * or below it — the standard idempotent-`foreachBatch` recipe.
-    * Honest residual window: a crash BETWEEN the append and the epoch
+    * relation read or the drift gauge's sample; written tmp + atomic
+    * rename so a crash never leaves a torn fence) and resolves each
+    * incoming epoch three ways:
+    *
+    *  - `epoch > last`: genuinely new — append and advance the fence;
+    *  - `epoch == last`: the at-least-once redelivery of the one epoch a
+    *    crash can replay under a single checkpoint lineage — skipped
+    *    whole (the idempotent-`foreachBatch` recipe);
+    *  - `epoch < last`: IMPOSSIBLE under one checkpoint lineage (each
+    *    epoch records itself before the next runs), so it means the
+    *    stream was restarted against a DIFFERENT/FRESH checkpoint whose
+    *    epoch ids restarted — batch boundaries no longer correspond, and
+    *    silently skipping would LOSE new rows while appending would
+    *    duplicate old ones. The sink fails loudly: reconcile the index
+    *    contents, then remove `.ingest_epoch` to adopt the new lineage.
+    *
+    * Honest residual window: a crash BETWEEN the append and the fence
     * record replays that one epoch's rows (the append itself is not
     * transactional); dedupe by id downstream, or run an upstream
     * [[dedupeEmbeddingsAgainstStore]]/[[dedupeKeysWithTTL]] stage, where
@@ -1027,7 +1041,8 @@ object StreamOps {
       onEpoch: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    val epochFile = new org.apache.hadoop.fs.Path(path, ".ingest_epoch")
+    val fenceName = ".ingest_epoch"
+    val epochFile = new org.apache.hadoop.fs.Path(path, fenceName)
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       val fs = epochFile.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1035,26 +1050,27 @@ object StreamOps {
         if (!fs.exists(epochFile)) -1L
         else {
           val in = fs.open(epochFile)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          text.trim.toLongOption.getOrElse(throw new IllegalStateException(
+            s"unreadable ingest fence $epochFile (content: " +
+              s"'${text.trim.take(40)}'): verify the index contents, " +
+              "then delete the file to re-arm the fence"))
         }
+      if (epoch < last) throw new IllegalStateException(
+        s"epoch $epoch is below the recorded fence $last at $epochFile: " +
+          "the stream was restarted with a different checkpoint lineage " +
+          "(epoch ids restarted), under which skipping loses rows and " +
+          "appending duplicates them — reconcile the index contents, " +
+          s"then delete $fenceName to adopt the new lineage")
       if (epoch > last) {
-        def has(rel: String): Boolean =
-          fs.exists(new org.apache.hadoop.fs.Path(path, rel))
-        if (has("codes") && has("vectors"))
-          Similarity.pqAppend(batch, vecCol, idCol, path)
-        else if (has("data") && has("codebooks"))
-          Similarity.ivfPqAppend(batch, vecCol, path)
-        else if (has("data") && has("centroids"))
-          Similarity.ivfAppend(batch, vecCol, path)
-        else throw new IllegalArgumentException(
-          s"no recognized index layout at $path (build with pqBuild / " +
-            "ivfPqBuild / ivfBuild before streaming into it)")
-        val out = fs.create(epochFile, true)
-        try out.write(epoch.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        Similarity.requireIndexLayout(spark, path) match {
+          case "flat-pq" => Similarity.pqAppend(batch, vecCol, idCol, path)
+          case "ivf-pq"  => Similarity.ivfPqAppend(batch, vecCol, path)
+          case _         => Similarity.ivfAppend(batch, vecCol, path)
+        }
+        graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path,
+          fenceName, epoch.toString)
         onEpoch(epoch)
       }
     }.start()

@@ -208,6 +208,27 @@ class ExamplesSpec extends SparkSpec {
     again.deleted shouldBe 0L
     again.auditRows shouldBe 0L
     spark.read.parquet(auditPath).count() shouldBe 5L
+    // PARTIAL-COMMIT repair: the crashed run landed a SUBSET of its
+    // version's audit rows (a parquet job commit can die mid-move); an
+    // existence gate would skip the version forever — the count gate
+    // tops up exactly the missing pre-images, without duplicating the
+    // written one
+    val vB = SnapshotStore.currentVersion(spark, root).get
+    SnapshotStore.delete(spark, root, Seq(19, 23, 29).toDF("id")) shouldBe 3L
+    val vP = SnapshotStore.currentVersion(spark, root).get
+    SnapshotStore.changes(spark, root, vB, vP)
+      .filter(col("_change_type") === "delete")
+      .withColumn("_opted_out_at_version", lit(vP))
+      .orderBy("id").limit(1)
+      .write.mode("append").parquet(auditPath)
+    val repair = examples.OptOutExample.optOut(spark, root,
+      Seq(19, 23, 29).toDF("id"), auditPath)
+    repair.deleted shouldBe 0L
+    repair.auditRows shouldBe 2L // only the missing two
+    val forV = spark.read.parquet(auditPath)
+      .filter(col("_opted_out_at_version") === vP)
+    forV.count() shouldBe 3L
+    forV.select("id").distinct().count() shouldBe 3L // no duplicates
   }
 
   test("ANN ingest example: build once, appends ride the standing model " +

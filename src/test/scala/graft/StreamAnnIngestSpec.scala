@@ -69,6 +69,39 @@ class StreamAnnIngestSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     top shouldBe Set((100L, 100L, 1.0), (102L, 102L, 1.0))
 
+    // LINEAGE GUARD: with the fence at 1, a stream restarted against a
+    // fresh checkpoint restarts its epoch ids at 0 — batch boundaries no
+    // longer correspond to the recorded ones, so the sink must fail
+    // LOUDLY instead of silently skipping (losing rows) or appending
+    // (duplicating them)
+    val memL = MemoryStream[(Long, Seq[Double])]
+    val qL = StreamOps.annAppendSink(memL.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id")()
+    try {
+      memL.addData((103L, vec(103)))
+      val lex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qL.processAllAvailable()
+      }
+      lex.getMessage should include("checkpoint lineage")
+    } finally qL.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 43L // untouched
+
+    // a torn/corrupt fence fails loudly with the recovery step named,
+    // instead of wedging on a bare NumberFormatException
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, ".ingest_epoch"),
+      "garbage".getBytes("UTF-8"))
+    val memC = MemoryStream[(Long, Seq[Double])]
+    val qC = StreamOps.annAppendSink(memC.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id")()
+    try {
+      memC.addData((104L, vec(104)))
+      val cex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qC.processAllAvailable()
+      }
+      cex.getMessage should include("unreadable ingest fence")
+    } finally qC.stop()
+
     // an unbuilt path refuses loudly instead of inventing a layout
     val junk = java.nio.file.Files
       .createTempDirectory("graft_annstream_junk").toString
