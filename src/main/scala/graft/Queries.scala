@@ -1835,6 +1835,52 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Index opt-out deletion ([[Similarity.indexDelete]]) — the
+    * right-to-be-forgotten primitive for the serving indexes: deleting a
+    * user from the corpus store does nothing to the copies their vectors
+    * an index holds, and maintenance rebuilds re-encode the index's OWN
+    * rows, so without this the opted-out vectors stay retrievable
+    * forever. The deletion is bounded (hash-derived vector buckets +
+    * file-granular codes rewrite on flat-PQ — never a full rewrite;
+    * structural no-untouched-bucket-rewritten assertion in
+    * `SimilaritySpec`). Contract: `n_after` is an ENGINE-INDEPENDENT
+    * exact count DuckDB recomputes from the victim predicate
+    * (`vec_id % 7 = 3` — deterministic, no hash family involved); the
+    * booleans are engine-verified (codes and vectors agree, no victim
+    * row survives either relation, probes still serve full k). */
+  private def annIndexDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = tab(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    // built + deleted ONCE per JVM; the timed query is the post-delete
+    // read state (counts + a probe), deterministic across passes because
+    // replaying a delete of absent ids is a no-op
+    val path = fixtureRoot("idxdel", dir) { r =>
+      Similarity.pqBuild(corpus.select("vec_id", "embedding"), "embedding",
+        "vec_id", r, m = 16, ksub = 16, idBuckets = 256)
+      Similarity.indexDelete(s, r,
+        corpus.filter(col("vec_id") % 7 === 3).select("vec_id"),
+        idCol = "vec_id")
+      ()
+    }
+    val vecs = s.read.parquet(s"$path/vectors")
+    val codes = s.read.parquet(s"$path/codes")
+    val nAfter = vecs.count()
+    val codesMatch = codes.count() == nAfter
+    val victimsGone =
+      vecs.filter(col("vec_id") % 7 === 3).count() == 0L &&
+        codes.filter(col("vec_id") % 7 === 3).count() == 0L
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val probeFullK = Similarity.pqProbeTopK(s, path, queries, "embedding",
+        "vec_id", "query_id", k = 10, shortlistFactor = 8)
+      .groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() == 0L
+    Seq((nAfter, codesMatch, victimsGone, probeFullK))
+      .toDF("n_after", "codes_match_vectors", "victims_gone",
+        "probe_full_k")
+  }
+
   /** IVF-PQ composed ANN ([[Similarity.ivfPqTopK]]): coarse cells restrict
     * the probe set, PQ-ADC byte codes score within probed cells, the
     * shortlist re-ranks exact — the two approximations multiply their
@@ -2598,6 +2644,7 @@ object Queries {
     "pq_topk" -> pqTopKQ _,
     "pq_index_topk" -> pqIndexTopKQ _,
     "pq_calibrated_topk" -> pqCalibratedTopKQ _,
+    "ann_index_delete" -> annIndexDeleteQ _,
     "ivfpq_topk" -> ivfPqTopKQ _,
     "group_sketch" -> groupSketch _,
     "decontaminate" -> decontaminateQ _,
@@ -4476,6 +4523,15 @@ object Queries {
         |  TRUE AS measured_recall_ok,
         |  TRUE AS default_is_calibrated
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // Index opt-out deletion: n_after is the engine-independent exact
+    // survivor count (victims = vec_id % 7 = 3, a deterministic
+    // predicate DuckDB rebuilds); booleans engine-verified
+    "ann_index_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |  TRUE AS codes_match_vectors,
+        |  TRUE AS victims_gone,
+        |  TRUE AS probe_full_k
+        |FROM embeddings WHERE vec_id >= 5 AND vec_id % 7 <> 3""".stripMargin,
     // IVF-PQ composition: same bounded-assertion shape
     "ivfpq_topk" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,

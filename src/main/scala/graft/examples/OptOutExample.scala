@@ -27,10 +27,16 @@ import graft.sinks.{SnapshotStore, UpsertConfig}
   *     repaired by replaying the batch — the replay deletes nothing
   *     (keys already gone) but backfills the missing audit rows from the
   *     still-retained manifests before any vacuum can reclaim them.
-  *  3. **Forget the bytes**: `vacuum(keep = 1)` ends time-travel to the
+  *  3. **Forget the SERVING indexes**: `Similarity.indexDelete` removes
+  *     the victims' vectors from every ANN index built over the corpus
+  *     (`serveIndexes`) — bounded to the buckets/cells/files that hold
+  *     them, never a full rewrite. Without this step the corpus forgets
+  *     while retrieval still serves the user's vectors forever (index
+  *     maintenance rebuilds re-encode the index's OWN stored rows).
+  *  4. **Forget the bytes**: `vacuum(keep = 1)` ends time-travel to the
   *     pre-delete versions NOW — an opt-out that leaves the rows
   *     readable at version v−1 has not forgotten anything.
-  *  4. **Maintain**: [[Layout.storeMaintain]] — the nightly composite
+  *  5. **Maintain**: [[Layout.storeMaintain]] — the nightly composite
   *     (bucket-sampled drift gauge, compact-if-fragmented, vacuum) —
   *     keeps the store healthy after the churn.
   *
@@ -42,11 +48,12 @@ object OptOutExample {
 
   /** What one opt-out batch did, for the pipeline's own logging: keys
     * requested vs rows actually deleted (absent keys are legal), audit
-    * rows written, versions whose bytes were forgotten, and the
-    * maintenance decisions. */
+    * rows written, versions whose bytes were forgotten, rows removed
+    * from each serving ANN index, and the maintenance decisions. */
   final case class OptOutReport(requested: Long, deleted: Long,
                                 auditRows: Long, forgotten: Seq[Long],
-                                maintain: Layout.MaintainReport)
+                                maintain: Layout.MaintainReport,
+                                indexDeleted: Map[String, Long] = Map.empty)
 
   /** Process one opt-out batch against the store at `root`, appending the
     * removed rows' pre-images to the audit table at `auditPath`.
@@ -65,7 +72,8 @@ object OptOutExample {
     * reclaims the feed window first, and the owed audit rows become
     * unrecoverable — one governance owner per store. */
   def optOut(spark: SparkSession, root: String, keys: DataFrame,
-             auditPath: String): OptOutReport = {
+             auditPath: String, serveIndexes: Seq[String] = Nil,
+             indexIdCol: String = "id"): OptOutReport = {
     SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed store at $root"))
     val requested = keys.distinct().count()
@@ -77,9 +85,19 @@ object OptOutExample {
     // needs, and the rows would be forgotten with no audit record ever
     // landing
     val auditRows = backfillAudit(spark, root, auditPath)
+    // the forget must reach the SERVING indexes too: their relations hold
+    // copies of the vectors, and maintenance rebuilds re-encode the
+    // index's OWN rows — without this step an opted-out user stays
+    // retrievable forever. indexDelete is idempotent (absent ids are a
+    // no-op), so a crash anywhere in this loop is repaired by replay.
+    val idxKeys = keys.withColumnRenamed(keys.columns.head, indexIdCol)
+    val indexDeleted = serveIndexes.map(p =>
+      p -> graft.operators.Similarity.indexDelete(spark, p, idxKeys,
+        indexIdCol)).toMap
     val forgotten = SnapshotStore.vacuum(spark, root, keep = 1)
     val maintain = Layout.storeMaintain(spark, root, keep = 1)
-    OptOutReport(requested, deleted, auditRows, forgotten, maintain)
+    OptOutReport(requested, deleted, auditRows, forgotten, maintain,
+      indexDeleted)
   }
 
   /** Land audit rows for every retained version pair whose change feed
@@ -160,12 +178,22 @@ object OptOutExample {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("id"), col("text").as("value"))
     SnapshotStore.upsert(spark, root, docs, cfg, nBuckets = 16)
+    // a serving ANN index over the same corpus (embeddings keyed by the
+    // store's ids) — the retrieval surface the forget must also reach
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_optout_idx").resolve("index").toString
+    graft.operators.Similarity.ivfPqBuild(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding")),
+      "embedding", indexPath, m = 16, ksub = 16)
     // a user opt-out batch: every row of theirs must go, and be auditable
     val optedOut = docs.filter(col("id") % 97 === 3).select("id")
-    val report = optOut(spark, root, optedOut, auditPath)
+    val report = optOut(spark, root, optedOut, auditPath,
+      serveIndexes = Seq(indexPath))
     println(s"OPTOUT requested=${report.requested} " +
       s"deleted=${report.deleted} audit_rows=${report.auditRows} " +
       s"forgotten=${report.forgotten.mkString(",")} " +
+      s"index_deleted=${report.indexDeleted.values.sum} " +
       s"maintain=${report.maintain} root=$root audit=$auditPath")
     spark.stop()
   }

@@ -2105,6 +2105,32 @@ object Similarity {
     }
   }
 
+  /** Persisted-index layout detection shared by [[indexMaintain]],
+    * [[indexDelete]], and the streaming ingest sink
+    * (`StreamOps.annAppendSink`) — the relations each build writes are
+    * its signature. None = unrecognized (callers fail loudly: acting
+    * with the WRONG family's semantics silently drops relations). */
+  private[graft] def detectIndexLayout(spark: SparkSession,
+                                       path: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def has(rel: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(root, rel))
+    if (has("codes") && has("vectors")) Some("flat-pq")
+    else if (has("data") && has("codebooks")) Some("ivf-pq")
+    else if (has("data") && has("centroids")) Some("ivf")
+    else None
+  }
+
+  /** The loud half of [[detectIndexLayout]]'s contract, shared wording
+    * for every caller that must refuse an unrecognized directory. */
+  private[graft] def requireIndexLayout(spark: SparkSession,
+                                        path: String): String =
+    detectIndexLayout(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no recognized index layout at $path (expected codes+vectors " +
+          "[flat-PQ], data+codebooks [IVF-PQ], or data+centroids [IVF])"))
+
   /** One-call nightly maintenance for ANY persisted ANN index — the
     * [[graft.operators.Layout.storeMaintain]] analogue for the index
     * family, so a scheduler needs one cron line per index, not one per
@@ -2133,32 +2159,6 @@ object Similarity {
     * rebuild would silently drop relations (e.g. [[ivfMaintain]] over an
     * IVF-PQ index rebuilds via [[ivfBuild]] and loses the codes).
     * Returns `(detected layout, decision)`. */
-  /** Persisted-index layout detection shared by [[indexMaintain]] and
-    * the streaming ingest sink (`StreamOps.annAppendSink`) — the
-    * relations each build writes are its signature. None = unrecognized
-    * (callers fail loudly: acting with the WRONG family's semantics
-    * silently drops relations). */
-  private[graft] def detectIndexLayout(spark: SparkSession,
-                                       path: String): Option[String] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    def has(rel: String): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(root, rel))
-    if (has("codes") && has("vectors")) Some("flat-pq")
-    else if (has("data") && has("codebooks")) Some("ivf-pq")
-    else if (has("data") && has("centroids")) Some("ivf")
-    else None
-  }
-
-  /** The loud half of [[detectIndexLayout]]'s contract, shared wording
-    * for every caller that must refuse an unrecognized directory. */
-  private[graft] def requireIndexLayout(spark: SparkSession,
-                                        path: String): String =
-    detectIndexLayout(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"no recognized index layout at $path (expected codes+vectors " +
-          "[flat-PQ], data+codebooks [IVF-PQ], or data+centroids [IVF])"))
-
   def indexMaintain(spark: SparkSession, path: String, vecCol: String,
                     idCol: String = "id", maxDrift: Double = 2.0,
                     maxSkew: Double = 4.0, maxGrowth: Double = 4.0,
@@ -2234,5 +2234,156 @@ object Similarity {
       .withColumn("cosine", V.cosineGivenNorms(
         col(vecCol), col("__qvec"), col("__cn"), col("__qn")))
     rankTopK(rescored, queryIdCol, idCol, k)
+  }
+
+  // --------------------------------------------------- index opt-out delete
+
+  /** Delete rows from ANY persisted ANN index by id — the governance
+    * primitive that extends the right-to-be-forgotten pipeline
+    * (`SnapshotStore.delete` → audit → vacuum; `examples/OptOutExample`)
+    * to the indexes SERVING retrieval: deleting a user from the corpus
+    * store does nothing to the copies of their vectors an index holds,
+    * and every maintenance rebuild re-encodes the index's OWN stored
+    * rows, so without this the opted-out vectors would persist — and
+    * stay retrievable — forever.
+    *
+    * Bounded work, never a full rewrite (the `SnapshotStore.delete`
+    * economy, per layout):
+    *
+    *  - **flat-PQ**: the victims' vector buckets are DERIVED
+    *    (`pmod(xxhash64(id), idBuckets)` — no scan at all), and only
+    *    those `__vb=` directories are rewritten; the codes relation is
+    *    unpartitioned, so deletion there is FILE-granular — one scan of
+    *    the narrow codes relation (the cheap one by design: ~10× fewer
+    *    bytes than the vectors) locates the files containing victims,
+    *    and only those files are rewritten.
+    *  - **IVF / IVF-PQ**: the victims' cells are located by one
+    *    COLUMN-PRUNED scan (id + the directory-derived cell only — the
+    *    vector and code columns stay unread), and only those `__cell=`
+    *    directories are rewritten.
+    *
+    * Crash discipline: survivors are staged under `<path>/.staging`
+    * FIRST (probes keep running against the untouched live index), then
+    * the touched partitions/files swap under the `.rebuilding` fence —
+    * readers and appenders refuse a fenced index, and a crash mid-swap
+    * leaves the fence plus the `.old`/`.staging` halves for recovery,
+    * exactly the staged-rebuild contract. A partition whose rows are all
+    * deleted is removed outright; deleting EVERY row leaves an empty
+    * index that [[indexMaintain]] gauges as "ok". Width calibrations
+    * (`pqcal.json`/`nprobe.json`) are kept — a bounded opt-out batch
+    * does not shift the corpus distribution; the next
+    * `recallTarget`-bearing maintenance re-checks them anyway.
+    * Single-writer, like every mutation path.
+    *
+    * `keys` must carry a column named `idCol` (cast to the stored id
+    * type before hashing/joining — an unconformed key would probe the
+    * wrong bucket and silently delete nothing). Returns rows removed
+    * from the primary relation; ids absent from the index are a no-op,
+    * so replaying an opt-out batch converges. */
+  def indexDelete(spark: SparkSession, path: String, keys: DataFrame,
+                  idCol: String = "id"): Long = {
+    require(keys.columns.contains(idCol),
+      s"keys must carry the id column '$idCol'")
+    requireNotRebuilding(spark, path)
+    val layout = requireIndexLayout(spark, path)
+    val rel = if (layout == "flat-pq") "vectors" else "data"
+    val partCol = if (layout == "flat-pq") "__vb" else "__cell"
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val primary = spark.read.parquet(s"$path/$rel")
+    val storedIdType = primary.schema(idCol).dataType
+    // bounded opt-out batch, materialized once: it feeds several jobs,
+    // and a nondeterministic input re-evaluated per job would let
+    // victims outside the first evaluation's touched set survive while
+    // the count claimed them (SnapshotStore.delete's rationale)
+    val k = keys.select(col(idCol).cast(storedIdType).as(idCol))
+      .distinct().localCheckpoint(true)
+    val existingParts: Set[Int] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, rel)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$partCol=") =>
+        n.stripPrefix(s"$partCol=").toInt }.toSet
+    val touched: Set[Int] =
+      if (layout == "flat-pq") {
+        val buckets = spark.read.parquet(s"$path/meta")
+          .select("id_buckets").collect()(0).getInt(0)
+        k.select(pmod(xxhash64(col(idCol).cast("long")),
+            lit(buckets.toLong)).cast("int").as(partCol))
+          .distinct().collect().map(_.getInt(0)).toSet
+          .intersect(existingParts)
+      } else
+        primary.select(col(idCol), col(partCol))
+          .join(broadcast(k), Seq(idCol), "left_semi")
+          .select(partCol).distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return 0L
+    val target = primary
+      .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+    val nDel = target.join(broadcast(k), Seq(idCol), "left_semi").count()
+    if (nDel == 0L) return 0L
+    val staging = new org.apache.hadoop.fs.Path(root, ".staging")
+    fs.delete(staging, true)
+    // stage the touched partitions' survivors — live index untouched,
+    // probes keep running. Flat-PQ keeps the build's within-bucket id
+    // sort (tight row-group stats for the re-rank's point lookups).
+    val survivors = target.join(broadcast(k), Seq(idCol), "left_anti")
+    val arranged =
+      if (layout == "flat-pq")
+        survivors.repartition(col(partCol))
+          .sortWithinPartitions(col(partCol), col(idCol))
+      else survivors
+    arranged.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$staging/$rel")
+    // flat-PQ: locate and stage the codes files holding victims — one
+    // narrow codes scan; only matched files are rewritten
+    val codesFiles: Seq[String] =
+      if (layout != "flat-pq") Nil
+      else spark.read.parquet(s"$path/codes")
+        .withColumn("__f", input_file_name())
+        .join(broadcast(k), Seq(idCol), "left_semi")
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    if (codesFiles.nonEmpty)
+      spark.read.parquet(codesFiles: _*)
+        .join(broadcast(k), Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$staging/codes")
+    // fenced swap of exactly the touched pieces
+    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+    fs.create(marker, true).close()
+    val old = new org.apache.hadoop.fs.Path(root, ".old")
+    fs.delete(old, true)
+    fs.mkdirs(old)
+    def renameOrDie(from: org.apache.hadoop.fs.Path,
+                    to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to)) throw new IllegalStateException(
+        s"indexDelete: rename $from -> $to failed mid-swap; the index at " +
+          s"$path is fenced by its $RebuildMarker marker — restore the " +
+          "touched pieces from .old/.staging before removing the marker")
+    touched.toSeq.sorted.foreach { p =>
+      renameOrDie(
+        new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"),
+        new org.apache.hadoop.fs.Path(old, s"$partCol=$p"))
+      val stagedPart =
+        new org.apache.hadoop.fs.Path(staging, s"$rel/$partCol=$p")
+      // a partition whose rows were all victims has no staged survivors:
+      // it is removed outright (the probes' partition pruning and the
+      // maintainers' cell stats simply stop seeing it)
+      if (fs.exists(stagedPart))
+        renameOrDie(stagedPart,
+          new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"))
+    }
+    codesFiles.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+    val stagedCodes = new org.apache.hadoop.fs.Path(staging, "codes")
+    if (fs.exists(stagedCodes))
+      fs.listStatus(stagedCodes).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach(st => renameOrDie(st.getPath,
+          new org.apache.hadoop.fs.Path(root, s"codes/${st.getPath.getName}")))
+    fs.delete(marker, false)
+    fs.delete(old, true)
+    fs.delete(staging, true)
+    (rel +: (if (layout == "flat-pq") Seq("codes") else Nil))
+      .foreach(r => spark.catalog.refreshByPath(s"$path/$r"))
+    nDel
   }
 }

@@ -119,13 +119,33 @@ class ExamplesSpec extends SparkSpec {
     val rows = (1 to 40).map(i => (i, s"doc-$i"))
     SnapshotStore.upsert(spark, root, rows.toDF("id", "value"), cfg,
       nBuckets = 8)
+    // a serving ANN index over the same id space — the forget must reach
+    // it too, or retrieval keeps serving the opted-out vectors forever
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_optout_spec_i").resolve("index").toString
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => math.abs(math.sin(i.toDouble * 31 + d)) + 0.1)
+    graft.operators.Similarity.ivfPqBuild(
+      (1L to 40L).map(i => (i, vec(i))).toDF("id", "embedding"),
+      "embedding", idxPath, nCells = 4, m = 4, ksub = 8)
     val victims = Seq(3, 7, 11)
     val report = examples.OptOutExample.optOut(spark, root,
-      victims.toDF("id"), auditPath)
+      victims.toDF("id"), auditPath, serveIndexes = Seq(idxPath))
     report.requested shouldBe 3L
     report.deleted shouldBe 3L
     report.auditRows shouldBe 3L
+    report.indexDeleted shouldBe Map(idxPath -> 3L)
     report.maintain.layout shouldBe "n/a" // plain store, no z-order model
+    // the index no longer holds — or serves — the victims
+    val idxData = spark.read.parquet(s"$idxPath/data")
+    idxData.count() shouldBe 37L
+    idxData.filter(col("id").isin(victims: _*)).count() shouldBe 0L
+    val victimProbe = graft.operators.Similarity.ivfPqProbeTopK(spark,
+        idxPath, Seq((3L, vec(3))).toDF("query_id", "embedding"),
+        "embedding", "id", "query_id", k = 3, nProbe = 4,
+        shortlistFactor = 64)
+      .select("id").as[Long].collect().toSet
+    victimProbe.intersect(victims.map(_.toLong).toSet) shouldBe empty
     // the live store lost exactly the victims
     val live = SnapshotStore.read(spark, root).get
     live.count() shouldBe 37L

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.{lit, transform}
 
 import graft.operators.Similarity
@@ -1046,6 +1048,139 @@ class SimilaritySpec extends SparkSpec {
       Similarity.nProbeForRecall(spark, ipqPath, "embedding", 0.9)
     // the index is untouched by the refusals
     Similarity.calibratedPqWidths(spark, ipqPath) shouldBe Some((np2, f2))
+  }
+
+  test("indexDelete on a flat-PQ index: victims leave BOTH relations, " +
+    "only their hash-derived buckets and the codes files that held them " +
+    "are rewritten, probes never retrieve them again and stay exact on " +
+    "the survivors, replay is a no-op, and draining the whole index " +
+    "leaves one that maintenance gauges as ok") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idxdel_pq").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", path, m = 16,
+      ksub = 16, idBuckets = 64)
+    val n0 = corp.count()
+    val victims = corp.select("vec_id").orderBy("vec_id").limit(7)
+    val victimIds = victims.as[Long].collect().toSet
+    def partFiles(rel: String): Map[String, Set[String]] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path, rel))
+      try {
+        val byDir = s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (p.getParent.getFileName.toString, p.toString))
+          .toSeq.groupBy(_._1)
+        byDir.map { case (d, fs) => d -> fs.map(_._2).toSet }
+      } finally s.close()
+    }
+    val vecBefore = partFiles("vectors")
+    Similarity.indexDelete(spark, path, victims.toDF("vec_id"),
+      idCol = "vec_id") shouldBe 7L
+    // no debris, no fence
+    new java.io.File(path, ".staging").exists() shouldBe false
+    new java.io.File(path, ".old").exists() shouldBe false
+    new java.io.File(path, ".rebuilding").exists() shouldBe false
+    // victims physically gone from BOTH relations
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val codes = spark.read.parquet(s"$path/codes")
+    vecs.count() shouldBe n0 - 7
+    codes.count() shouldBe n0 - 7
+    vecs.filter($"vec_id".isin(victimIds.toSeq: _*)).count() shouldBe 0L
+    codes.filter($"vec_id".isin(victimIds.toSeq: _*)).count() shouldBe 0L
+    // BOUNDED REWRITE: buckets the victims did not hash into kept their
+    // exact files (not rewritten, not touched) — the touched set is
+    // derived from which dirs actually changed
+    val vecAfter = partFiles("vectors")
+    val changedDirs = vecBefore.keySet.filter(d =>
+      vecAfter.getOrElse(d, Set.empty) != vecBefore(d))
+    changedDirs.size should be <= 7 // at most one bucket per victim
+    (vecBefore.keySet -- changedDirs).foreach { d =>
+      vecAfter(d) shouldBe vecBefore(d)
+    }
+    // a probe with a victim's own vector retrieves its nearest SURVIVOR,
+    // never the victim; survivors stay exactly scored vs brute force
+    val survivors = corp.filter(!$"vec_id".isin(victimIds.toSeq: _*))
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .unionByName(corp.filter($"vec_id".isin(victimIds.toSeq.take(2): _*))
+        .select(($"vec_id" + 500000L).as("query_id"), $"embedding"))
+    val got = Similarity.pqProbeTopK(spark, path, qs, "embedding",
+        "vec_id", "query_id", k = 5, shortlistFactor = 64)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    got.map(_._2).toSet.intersect(victimIds) shouldBe empty
+    val want = Similarity.bruteForceTopK(survivors, qs, "embedding",
+        "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    got.toSet shouldBe want
+    // replay converges: the ids are already gone
+    Similarity.indexDelete(spark, path, victims.toDF("vec_id"),
+      idCol = "vec_id") shouldBe 0L
+    // full drain: an emptied index still maintains as "ok"
+    Similarity.indexDelete(spark, path,
+      corp.select("vec_id").toDF("vec_id"),
+      idCol = "vec_id") shouldBe n0 - 7
+    spark.read.parquet(s"$path/codes").count() shouldBe 0L
+    Similarity.indexMaintain(spark, path, "embedding",
+      idCol = "vec_id") shouldBe ("flat-pq", "ok")
+  }
+
+  test("indexDelete on IVF-PQ and plain IVF: victims located by a " +
+    "column-pruned scan, only their cells rewritten, exhaustive probes " +
+    "match brute force over the survivors, and a fenced index refuses " +
+    "the delete") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val n0 = corp.count()
+    val victims = corp.select("vec_id").orderBy("vec_id").limit(5)
+    val victimIds = victims.as[Long].collect().toSet
+    val survivors = corp.filter(!$"vec_id".isin(victimIds.toSeq: _*))
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+
+    val ipq = java.nio.file.Files
+      .createTempDirectory("graft_idxdel_ipq").toString
+    Similarity.ivfPqBuild(corp, "embedding", ipq, nCells = 8, m = 16,
+      ksub = 16)
+    Similarity.indexDelete(spark, ipq, victims.toDF("vec_id"),
+      idCol = "vec_id") shouldBe 5L
+    val data = spark.read.parquet(s"$ipq/data")
+    data.count() shouldBe n0 - 5
+    data.filter($"vec_id".isin(victimIds.toSeq: _*)).count() shouldBe 0L
+    val cells = spark.read.parquet(s"$ipq/centroids").count().toInt
+    val gotIpq = Similarity.ivfPqProbeTopK(spark, ipq, qs, "embedding",
+        "vec_id", "query_id", k = 5, nProbe = cells, shortlistFactor = 64)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    gotIpq shouldBe Similarity.bruteForceTopK(survivors, qs, "embedding",
+        "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft_idxdel_ivf").toString
+    Similarity.ivfBuild(corp, "embedding", ivf, nCells = 8)
+    Similarity.indexDelete(spark, ivf, victims.toDF("vec_id"),
+      idCol = "vec_id") shouldBe 5L
+    spark.read.parquet(s"$ivf/data").count() shouldBe n0 - 5
+    val gotIvf = Similarity.ivfProbeTopK(spark, ivf, qs, "embedding",
+        "vec_id", "query_id", k = 5, nProbe = 8)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    gotIvf shouldBe Similarity.bruteForceTopK(survivors, qs, "embedding",
+        "vec_id", "query_id", k = 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    // a fenced index refuses the delete like every other reader/writer
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(ivf, ".rebuilding"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.indexDelete(spark, ivf, victims.toDF("vec_id"),
+        idCol = "vec_id")
   }
 
   test("maintenance over a fully drained corpus (total opt-out) reports " +
