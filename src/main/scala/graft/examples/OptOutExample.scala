@@ -43,7 +43,10 @@ import graft.sinks.{SnapshotStore, UpsertConfig}
   * Batch keys can equally arrive from a stream: run this per epoch from
   * `StreamOps.upsertSink`'s foreachBatch — replayed epochs converge
   * because deleting absent keys commits nothing (the at-least-once
-  * contract, pinned in `StreamDedupSpec`). */
+  * contract, pinned in `StreamDedupSpec`). Pipelines that also run
+  * durable streaming dedup hold a THIRD copy of user-derived data (the
+  * fingerprint/signature/vector state) — forget it with
+  * `StreamOps.forgetFromDedupState`, the same idempotent shape. */
 object OptOutExample {
 
   /** What one opt-out batch did, for the pipeline's own logging: keys

@@ -1000,6 +1000,52 @@ object StreamOps {
       applyBatch(b, id)
     }.start()
 
+  /** Right-to-be-forgotten for the DURABLE DEDUP STATE — the third place
+    * the engine persists user-derived data, after the corpus store
+    * (`SnapshotStore.delete`) and the serving ANN indexes
+    * (`Similarity.indexDelete`): the `dedupe*AgainstStore` family retains
+    * per-document fingerprints, MinHash signatures, dHashes, or FULL
+    * EMBEDDING VECTORS, keyed forever, and none of the other forget paths
+    * touch them. Removes every state row belonging to the victim ids and
+    * returns the count.
+    *
+    * Cost follows the store's own delete economy: the sketch-family
+    * stores ([[dedupeNearAgainstStore]]/[[dedupeImagesAgainstStore]]/
+    * [[dedupeEmbeddingsAgainstStore]]) key state BY THE DOCUMENT ID, so
+    * the delete is O(touched buckets) with no scan; the exact-dedup store
+    * ([[dedupeExactAgainstStore]]) keys by fingerprint, so the victims'
+    * keys are first located with one scan of the state table — which is
+    * fingerprints + ids only, a vanishing fraction of corpus bytes by
+    * that path's own design.
+    *
+    * Semantics: deleting a victim's state re-admits FUTURE copies of
+    * their content — exactly right, forgotten content is new content.
+    * Run it from the single writer that owns the store (pause the
+    * streaming query or call between epochs), and follow with
+    * `SnapshotStore.vacuum`/`Layout.storeMaintain` when the bytes must
+    * be forgotten — the state store is a versioned SnapshotStore, and
+    * pre-delete versions stay readable until vacuumed. */
+  def forgetFromDedupState(spark: org.apache.spark.sql.SparkSession,
+                           storeRoot: String, keys: DataFrame,
+                           idCol: String = "id"): Long = {
+    require(keys.columns.contains(idCol),
+      s"keys must carry the id column '$idCol'")
+    if (SnapshotStore.currentVersion(spark, storeRoot).isEmpty) return 0L
+    val disc = SnapshotStore.discriminantColumns(spark, storeRoot)
+    val deleteKeys =
+      if (disc == Seq(idCol)) keys.select(col(idCol))
+      else {
+        val state = SnapshotStore.read(spark, storeRoot).get
+        require(state.columns.contains(idCol),
+          s"state store at $storeRoot has no '$idCol' column " +
+            s"(columns: ${state.columns.mkString(", ")})")
+        state.join(broadcast(keys.select(col(idCol)).distinct()),
+            Seq(idCol), "left_semi")
+          .select(disc.map(col): _*)
+      }
+    SnapshotStore.delete(spark, storeRoot, deleteKeys)
+  }
+
   /** Streaming ANN-index ingest: append each micro-batch into a
     * persisted index with the STANDING model —
     * `graft.examples.AnnIngestExample`'s ingest day as a `foreachBatch`

@@ -581,4 +581,75 @@ class StreamDedupSpec extends SparkSpec {
     } finally q2.stop()
     emitted2.sorted shouldBe Seq(9L)
   }
+
+  test("forgetFromDedupState: the right-to-be-forgotten reaches the " +
+    "durable dedup state — the victim's rows (full vectors on the " +
+    "embedding path; fingerprints on the exact path, located through " +
+    "the store's own key) are removed, and future copies of the " +
+    "forgotten content are re-admitted as NEW content") {
+    implicit val sql = spark.sqlContext
+    // EMBEDDING state: keyed by the document id -> O(touched buckets)
+    val rootE = tmpRoot("graft_forget_e")
+    val memE = MemoryStream[(Long, Array[Float])]
+    val emittedE = ArrayBuffer[Long]()
+    def runE(m: MemoryStream[(Long, Array[Float])], sink: ArrayBuffer[Long]) =
+      StreamOps.dedupeEmbeddingsAgainstStore(
+        m.toDF.toDF("vec_id", "embedding"), "embedding", "vec_id", rootE,
+        threshold = 0.95, nPlanes = 12, dim = 4, tables = 4) { (df, _) =>
+        sink ++= df.select("vec_id").as[Long].collect()
+      }
+    val qE = runE(memE, emittedE)
+    try {
+      memE.addData((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      qE.processAllAvailable()
+    } finally qE.stop()
+    StreamOps.forgetFromDedupState(spark, rootE, Seq(1L).toDF("vec_id"),
+      idCol = "vec_id") shouldBe 1L
+    val stateE = SnapshotStore.read(spark, rootE).get
+    stateE.select("vec_id").as[Long].collect() shouldBe Array(2L)
+    // a copy of the forgotten vector is NEW content now; a copy of the
+    // retained one is still suppressed
+    val memE2 = MemoryStream[(Long, Array[Float])]
+    val emittedE2 = ArrayBuffer[Long]()
+    val qE2 = runE(memE2, emittedE2)
+    try {
+      memE2.addData((3L, Array(2.0f, 0.0f, 0.0f, 0.0f)), // ex-victim dir
+        (4L, Array(0.0f, 2.0f, 0.0f, 0.0f))) // retained dir: suppressed
+      qE2.processAllAvailable()
+    } finally qE2.stop()
+    emittedE2.sorted shouldBe Seq(3L)
+    // replay converges: the id is already forgotten
+    StreamOps.forgetFromDedupState(spark, rootE, Seq(1L).toDF("vec_id"),
+      idCol = "vec_id") shouldBe 0L
+
+    // EXACT state: keyed by FINGERPRINT — the victims' keys are located
+    // through the state table itself
+    val rootX = tmpRoot("graft_forget_x")
+    val memX = MemoryStream[(Long, String)]
+    val emittedX = ArrayBuffer[Long]()
+    def runX(m: MemoryStream[(Long, String)], sink: ArrayBuffer[Long]) =
+      StreamOps.dedupeExactAgainstStore(
+        m.toDF.toDF("doc_id", "text"), "text", "doc_id", rootX) { (df, _) =>
+        sink ++= df.select("doc_id").as[Long].collect()
+      }
+    val qX = runX(memX, emittedX)
+    try {
+      memX.addData((1L, "to be forgotten"), (2L, "to be retained"))
+      qX.processAllAvailable()
+    } finally qX.stop()
+    StreamOps.forgetFromDedupState(spark, rootX, Seq(1L).toDF("doc_id"),
+      idCol = "doc_id") shouldBe 1L
+    val memX2 = MemoryStream[(Long, String)]
+    val emittedX2 = ArrayBuffer[Long]()
+    val qX2 = runX(memX2, emittedX2)
+    try {
+      memX2.addData((3L, "to be forgotten"), (4L, "to be retained"))
+      qX2.processAllAvailable()
+    } finally qX2.stop()
+    emittedX2.sorted shouldBe Seq(3L)
+    // an empty store is a clean no-op, not an error
+    StreamOps.forgetFromDedupState(spark, tmpRoot("graft_forget_none"),
+      Seq(1L).toDF("doc_id"), idCol = "doc_id") shouldBe 0L
+  }
 }
