@@ -93,7 +93,12 @@ object OptOutExample {
     // index's OWN rows — without this step an opted-out user stays
     // retrievable forever. indexDelete is idempotent (absent ids are a
     // no-op), so a crash anywhere in this loop is repaired by replay.
-    val idxKeys = keys.withColumnRenamed(keys.columns.head, indexIdCol)
+    // The shared user key is the STORE's discriminant column, selected BY
+    // NAME (SnapshotStore.delete allows keys with extra columns in any
+    // order, so "first column" would be a silent wrong-key hash there).
+    val storeKeyCol = SnapshotStore.discriminantColumns(spark, root)
+      .headOption.getOrElse("id")
+    val idxKeys = keys.select(col(storeKeyCol).as(indexIdCol))
     val indexDeleted = serveIndexes.map(p =>
       p -> graft.operators.Similarity.indexDelete(spark, p, idxKeys,
         indexIdCol)).toMap

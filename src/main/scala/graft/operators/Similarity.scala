@@ -488,6 +488,31 @@ object Similarity {
     * BEFORE the first rename leaves only `.staging` to delete; the live
     * index is touched only after the staging build completed.
     * Single-writer, like every maintenance path. */
+  /** Checked rename shared by every fenced mutation ([[stagedRebuild]],
+    * [[indexDelete]]): a failed rename mid-swap must stop the swap WITH
+    * the recovery story, never continue past a half-moved piece. One
+    * wording, one discipline — the two fenced paths cannot drift. */
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, op: String)(
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to)) throw new IllegalStateException(
+      s"$op: rename $from -> $to failed mid-swap; the index at $path is " +
+        s"fenced by its $RebuildMarker marker — restore the pieces from " +
+        ".old/.staging (or rebuild from source) before removing the marker")
+
+  /** Run `body` (the swap section of a fenced mutation) under the
+    * `.rebuilding` marker: readers/appenders refuse the index while it
+    * holds, and a crash inside leaves the marker for recovery. */
+  private def withRebuildFence(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path)(
+      body: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+    fs.create(marker, true).close()
+    body
+    fs.delete(marker, false)
+  }
+
   private def stagedRebuild(spark: SparkSession, path: String,
                             halves: Seq[String])(
       build: String => Unit): Unit = {
@@ -500,22 +525,14 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(root, ".old")
     fs.delete(old, true)
     fs.mkdirs(old)
-    def renameOrDie(from: org.apache.hadoop.fs.Path,
-                    to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to)) throw new IllegalStateException(
-        s"index rebuild: rename $from -> $to failed mid-swap; the index " +
-          s"at $path is fenced by its .rebuilding marker — restore the " +
-          "halves from .old/.staging (or rebuild from source) before " +
-          "removing the marker")
+    val rod = renameOrDie(fs, path, "index rebuild") _
     def swap(name: String): Unit = {
-      renameOrDie(new org.apache.hadoop.fs.Path(root, name),
+      rod(new org.apache.hadoop.fs.Path(root, name),
         new org.apache.hadoop.fs.Path(old, name))
-      renameOrDie(new org.apache.hadoop.fs.Path(staging, name),
+      rod(new org.apache.hadoop.fs.Path(staging, name),
         new org.apache.hadoop.fs.Path(root, name))
     }
-    fs.create(new org.apache.hadoop.fs.Path(root, RebuildMarker), true).close()
-    halves.foreach(swap)
-    fs.delete(new org.apache.hadoop.fs.Path(root, RebuildMarker), false)
+    withRebuildFence(fs, root) { halves.foreach(swap) }
     fs.delete(old, true)
     fs.delete(staging, true)
     // the session may hold cached file listings for the replaced
@@ -2336,50 +2353,76 @@ object Similarity {
       .parquet(s"$staging/$rel")
     // flat-PQ: locate and stage the codes files holding victims — one
     // narrow codes scan; only matched files are rewritten
-    val codesFiles: Seq[String] =
-      if (layout != "flat-pq") Nil
-      else spark.read.parquet(s"$path/codes")
-        .withColumn("__f", input_file_name())
+    val codesDf =
+      if (layout == "flat-pq") Some(spark.read.parquet(s"$path/codes"))
+      else None
+    val codesFiles: Seq[String] = codesDf.fold(Seq.empty[String])(
+      _.withColumn("__f", input_file_name())
         .join(broadcast(k), Seq(idCol), "left_semi")
-        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq)
     if (codesFiles.nonEmpty)
       spark.read.parquet(codesFiles: _*)
         .join(broadcast(k), Seq(idCol), "left_anti")
         .write.mode("overwrite").parquet(s"$staging/codes")
     // fenced swap of exactly the touched pieces
-    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
-    fs.create(marker, true).close()
     val old = new org.apache.hadoop.fs.Path(root, ".old")
     fs.delete(old, true)
     fs.mkdirs(old)
-    def renameOrDie(from: org.apache.hadoop.fs.Path,
-                    to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to)) throw new IllegalStateException(
-        s"indexDelete: rename $from -> $to failed mid-swap; the index at " +
-          s"$path is fenced by its $RebuildMarker marker — restore the " +
-          "touched pieces from .old/.staging before removing the marker")
-    touched.toSeq.sorted.foreach { p =>
-      renameOrDie(
-        new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"),
-        new org.apache.hadoop.fs.Path(old, s"$partCol=$p"))
-      val stagedPart =
-        new org.apache.hadoop.fs.Path(staging, s"$rel/$partCol=$p")
-      // a partition whose rows were all victims has no staged survivors:
-      // it is removed outright (the probes' partition pruning and the
-      // maintainers' cell stats simply stop seeing it)
-      if (fs.exists(stagedPart))
-        renameOrDie(stagedPart,
-          new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"))
+    val rod = renameOrDie(fs, path, "indexDelete") _
+    withRebuildFence(fs, root) {
+      touched.toSeq.sorted.foreach { p =>
+        rod(new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"),
+          new org.apache.hadoop.fs.Path(old, s"$partCol=$p"))
+        val stagedPart =
+          new org.apache.hadoop.fs.Path(staging, s"$rel/$partCol=$p")
+        // a partition whose rows were all victims has no staged
+        // survivors: it is removed outright (the probes' partition
+        // pruning and the maintainers' cell stats stop seeing it)
+        if (fs.exists(stagedPart))
+          rod(stagedPart,
+            new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"))
+      }
+      codesFiles.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+      val stagedCodes = new org.apache.hadoop.fs.Path(staging, "codes")
+      if (fs.exists(stagedCodes))
+        fs.listStatus(stagedCodes).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach(st => rod(st.getPath, new org.apache.hadoop.fs.Path(
+            root, s"codes/${st.getPath.getName}")))
+      // a FULLY drained relation must stay READABLE: a partitioned write
+      // of zero survivors produces no files at all, and a later probe's
+      // spark.read.parquet would die on schema inference instead of
+      // returning zero rows. Re-seed with ONE empty schema-carrying file
+      // INSIDE a partition-shaped subdir (a bare file at the relation
+      // root would conflict with partition discovery once appends
+      // resume) — the empty file carries the DATA-file schema, the
+      // partition column stays directory-derived, and probes/appends
+      // after a total drain keep working.
+      def ensureReadable(relName: String,
+                         fileSchema: org.apache.spark.sql.types.StructType,
+                         partitioned: Boolean): Unit = {
+        val dir = new org.apache.hadoop.fs.Path(root, relName)
+        val it = fs.listFiles(dir, true)
+        var any = false
+        while (it.hasNext && !any)
+          if ({ val st = it.next()
+                st.isFile && st.getPath.getName.endsWith(".parquet") })
+            any = true
+        if (!any)
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              fileSchema)
+            .repartition(1)
+            .write.mode("append").parquet(
+              if (partitioned) s"$dir/$partCol=0" else dir.toString)
+      }
+      ensureReadable(rel, org.apache.spark.sql.types.StructType(
+        primary.schema.fields.filterNot(_.name == partCol)),
+        partitioned = true)
+      codesDf.foreach(c =>
+        ensureReadable("codes", c.schema, partitioned = false))
     }
-    codesFiles.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
-    val stagedCodes = new org.apache.hadoop.fs.Path(staging, "codes")
-    if (fs.exists(stagedCodes))
-      fs.listStatus(stagedCodes).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .foreach(st => renameOrDie(st.getPath,
-          new org.apache.hadoop.fs.Path(root, s"codes/${st.getPath.getName}")))
-    fs.delete(marker, false)
     fs.delete(old, true)
     fs.delete(staging, true)
     (rel +: (if (layout == "flat-pq") Seq("codes") else Nil))

@@ -128,6 +128,15 @@ object SnapshotStore {
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift",
       "wasb", "wasbs")
 
+  /** Whether [[atomicReplaceSmallFile]] can give its old-or-new
+    * guarantee on this filesystem. Callers whose file is advisory rather
+    * than load-bearing (e.g. the streaming ingest fence, whose torn
+    * outcome is caught by a loud parse-and-recover path) use this to
+    * fall back to a plain overwrite on object stores instead of
+    * inheriting the control-file protocol's hard refusal. */
+  private[graft] def atomicRenameCapable(f: FileSystem): Boolean =
+    !nonAtomicRenameSchemes.contains(f.getScheme)
+
   private[graft] def atomicReplaceSmallFile(f: FileSystem, root: String,
                                             name: String,
                                             content: String): Unit = {

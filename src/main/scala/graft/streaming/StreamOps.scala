@@ -1062,8 +1062,10 @@ object StreamOps {
     * would silently duplicate its vectors. The sink records the last
     * appended epoch id in `<path>/.ingest_epoch` (hidden: never enters a
     * relation read or the drift gauge's sample; written tmp + atomic
-    * rename so a crash never leaves a torn fence) and resolves each
-    * incoming epoch three ways:
+    * rename on filesystems that can swap atomically, plain overwrite on
+    * object stores — a torn fence is caught by the loud unreadable-fence
+    * error with its recovery step) and resolves each incoming epoch
+    * three ways:
     *
     *  - `epoch > last`: genuinely new — append and advance the fence;
     *  - `epoch == last`: the at-least-once redelivery of the one epoch a
@@ -1115,8 +1117,20 @@ object StreamOps {
           case "ivf-pq"  => Similarity.ivfPqAppend(batch, vecCol, path)
           case _         => Similarity.ivfAppend(batch, vecCol, path)
         }
-        graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path,
-          fenceName, epoch.toString)
+        // tmp + atomic rename where the filesystem can swap atomically;
+        // object stores (no atomic rename) fall back to a plain
+        // overwrite so the sink stays AVAILABLE there — the rare torn
+        // outcome a crash mid-write can leave is caught by the loud
+        // unreadable-fence path above, whose recovery step applies
+        if (graft.sinks.SnapshotStore.atomicRenameCapable(fs))
+          graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path,
+            fenceName, epoch.toString)
+        else {
+          val out = fs.create(epochFile, true)
+          try out.write(epoch.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
         onEpoch(epoch)
       }
     }.start()

@@ -1119,13 +1119,29 @@ class SimilaritySpec extends SparkSpec {
     // replay converges: the ids are already gone
     Similarity.indexDelete(spark, path, victims.toDF("vec_id"),
       idCol = "vec_id") shouldBe 0L
-    // full drain: an emptied index still maintains as "ok"
+    // full drain: an emptied index still maintains as "ok", PROBES
+    // return zero rows instead of dying on schema inference (the drained
+    // relations are re-seeded with one empty schema-carrying file), and
+    // the drain -> append lifecycle keeps working
     Similarity.indexDelete(spark, path,
       corp.select("vec_id").toDF("vec_id"),
       idCol = "vec_id") shouldBe n0 - 7
     spark.read.parquet(s"$path/codes").count() shouldBe 0L
+    spark.read.parquet(s"$path/vectors").count() shouldBe 0L
     Similarity.indexMaintain(spark, path, "embedding",
       idCol = "vec_id") shouldBe ("flat-pq", "ok")
+    val qDrained = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    Similarity.pqProbeTopK(spark, path, qDrained, "embedding", "vec_id",
+      "query_id", k = 5, shortlistFactor = 64).count() shouldBe 0L
+    // re-ingest after the drain: the standing codebooks still encode,
+    // and probes serve the re-ingested rows
+    Similarity.pqAppend(corp.limit(3), "embedding", "vec_id", path)
+    spark.read.parquet(s"$path/vectors").count() shouldBe 3L
+    Similarity.pqProbeTopK(spark, path, qDrained, "embedding", "vec_id",
+        "query_id", k = 3, shortlistFactor = 64)
+      .groupBy("query_id").count().collect()
+      .foreach(_.getLong(1) shouldBe 3L)
   }
 
   test("indexDelete on IVF-PQ and plain IVF: victims located by a " +
