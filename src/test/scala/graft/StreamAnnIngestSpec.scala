@@ -134,5 +134,16 @@ class StreamAnnIngestSpec extends SparkSpec {
     spark.read.parquet(s"$path/codes").count() shouldBe 41L
     // the hidden epoch file never pollutes the drift gauge's file sample
     Similarity.pqDriftStats(spark, path, "embedding").ratio should be >= 0.0
+
+    // plain-IVF leg of the routing matrix (ivfAppend path)
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_annstream_ivf").resolve("index").toString
+    Similarity.ivfBuild(base, "embedding", ivfPath, nCells = 4)
+    val memV = MemoryStream[(Long, Seq[Double])]
+    val qV = StreamOps.annAppendSink(memV.toDF.toDF("vec_id", "embedding"),
+      "embedding", ivfPath, idCol = "vec_id")()
+    try { memV.addData((300L, vec(300))); qV.processAllAvailable() }
+    finally qV.stop()
+    spark.read.parquet(s"$ivfPath/data").count() shouldBe 41L
   }
 }
