@@ -2731,10 +2731,11 @@ object ScaleProbe {
     // locate scan, 8 bucket rewrites), so the wall contrast with the
     // O(index) naive leg only shows once the index dwarfs those
     // constants — measured COLD pruned wall stays FLAT across
-    // 1M -> 4M rows (~3.1s -> 3.4s) while the naive rewrite grows with
-    // the index (3.0s -> 8.0s, 2.4x); the rewrite-bytes fraction
-    // (~0.04) is the scale-transferable figure, and at
-    // storage-bandwidth-bound sizes it IS the wall ratio
+    // 1M -> 4M rows (~2.9-3.5s across runs) while the naive rewrite
+    // grows with the index (3.0s at 1M -> 5.0-8.0s at 4M; the local
+    // wall ratio is noisy, 1.4-2.4x). The rewrite-bytes fraction
+    // (~0.04) is the STABLE scale-transferable figure, and at
+    // storage-bandwidth-bound sizes it IS the wall ratio.
     val reps = scale * 200
     // scan-side fan-out (ONE plan node), not a reps-way union: a
     // 500-deep union tree overflows plan serialization before it runs
@@ -2767,38 +2768,37 @@ object ScaleProbe {
     }
     val vecBytes = dirBytesI(s"$idxP/vectors")
     val codeBytes = dirBytesI(s"$idxP/codes")
-    // the pruned path's rewrite set, derived the way the operator derives
-    // it — bucket sizes via getContentSummary (namenode metadata, no data
-    // read), and the matched-codes-file metric computed on the TWIN: a
-    // pre-scan of idxP's codes would leave its pages warm for the timed
-    // pruned leg, biasing the wall comparison in our favor; scanning the
-    // twin instead warms the NAIVE leg's input (conservative for the
-    // claim — both twins hold identical data written by identical plans,
-    // so matched counts/bytes transfer)
+    // the pruned path's rewrite set, measured on the PRUNED index itself
+    // from METADATA only (getContentSummary / directory listings — no
+    // data read, so the timed legs both run fully cold): bucket sizes up
+    // front, and the codes rewrite set OBSERVED post-delete as the diff
+    // of the codes file listing — the files the delete actually removed,
+    // with their pre-delete sizes
     val touchedI = victimsI
       .select(pmod(xxhash64(col("vec_id").cast("long")),
         lit(bucketsI.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val touchedVecBytes = touchedI.map(b =>
       dirBytesI(s"$idxP/vectors/__vb=$b")).sum
-    val matchedCodesFiles = spark.read.parquet(s"$idxN/codes")
-      .withColumn("__f", input_file_name())
-      .join(broadcast(victimsI), Seq("vec_id"), "left_semi")
-      .select("__f").distinct().collect().map(_.getString(0)).toSeq
-    val totalCodesFiles = {
+    def codesListing(): Map[String, Long] = {
       val fp = new org.apache.hadoop.fs.Path(s"$idxP/codes")
       fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(fp).count(st => st.isFile &&
-          st.getPath.getName.endsWith(".parquet"))
+        .listStatus(fp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
     }
-    val matchedCodesBytes = matchedCodesFiles.map(f => dirBytesI(
-      new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)).sum
+    val codesBefore = codesListing()
+    val totalCodesFiles = codesBefore.size
     val t0i = System.nanoTime()
     val nDelI = Similarity.indexDelete(spark, idxP, victimsI,
       idCol = "vec_id")
     val prunedSecI = (System.nanoTime() - t0i) / 1e9
     require(nDelI == nVictimsI,
       s"pruned index delete removed $nDelI of $nVictimsI")
+    // the OBSERVED codes rewrite set: exactly the files the delete
+    // removed, with their pre-delete sizes (listing diff, metadata only)
+    val codesRemoved = codesBefore.keySet -- codesListing().keySet
+    val matchedCodesBytes = codesRemoved.toSeq.map(codesBefore).sum
     // naive leg: full anti-join rewrite of BOTH relations on the twin
     val t0ni = System.nanoTime()
     spark.read.parquet(s"$idxN/vectors")
@@ -2826,7 +2826,7 @@ object ScaleProbe {
     val idxEntry = s"""{"scale":$scale,"rows":$rowsI,""" +
       s""""buckets":$bucketsI,"victims":$nVictimsI,"deleted":$nDelI,""" +
       s""""touched_buckets":${touchedI.size},""" +
-      s""""codes_files_rewritten":${matchedCodesFiles.size},""" +
+      s""""codes_files_rewritten":${codesRemoved.size},""" +
       s""""codes_files_total":$totalCodesFiles,""" +
       s""""pruned_sec":$prunedSecI,"naive_rewrite_sec":$naiveSecI,""" +
       s""""speedup":${

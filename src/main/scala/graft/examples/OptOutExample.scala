@@ -96,9 +96,17 @@ object OptOutExample {
     // The shared user key is the STORE's discriminant column, selected BY
     // NAME (SnapshotStore.delete allows keys with extra columns in any
     // order, so "first column" would be a silent wrong-key hash there).
-    val storeKeyCol = SnapshotStore.discriminantColumns(spark, root)
-      .headOption.getOrElse("id")
-    val idxKeys = keys.select(col(storeKeyCol).as(indexIdCol))
+    // A COMPOSITE discriminant has no single column to map onto the
+    // index id — mapping its head would hash the wrong values and make
+    // the index forget a silent no-op, so refuse loudly instead.
+    val storeDisc = SnapshotStore.discriminantColumns(spark, root)
+    require(serveIndexes.isEmpty || storeDisc.size == 1,
+      s"serveIndexes forgetting maps the store's user key onto the " +
+        s"index id column, which needs a SINGLE-column discriminant; " +
+        s"this store's is (${storeDisc.mkString(", ")}) — call " +
+        "Similarity.indexDelete directly with the right key mapping")
+    val idxKeys = keys.select(
+      col(storeDisc.headOption.getOrElse("id")).as(indexIdCol))
     val indexDeleted = serveIndexes.map(p =>
       p -> graft.operators.Similarity.indexDelete(spark, p, idxKeys,
         indexIdCol)).toMap

@@ -2403,11 +2403,27 @@ object Similarity {
                          fileSchema: org.apache.spark.sql.types.StructType,
                          partitioned: Boolean): Unit = {
         val dir = new org.apache.hadoop.fs.Path(root, relName)
+        val baseDepth = fs.makeQualified(dir).depth()
+        // only VISIBLE parquet counts as readability: a crashed append's
+        // _temporary debris is invisible to Spark's directory reads
+        // (the gaugeSample hidden-path rule), so counting it here would
+        // skip the re-seed and leave the relation unreadable anyway
+        def visible(fp: org.apache.hadoop.fs.Path): Boolean = {
+          var q = fp
+          while (q != null && q.depth() > baseDepth) {
+            val n = q.getName
+            if (n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+              return false
+            q = q.getParent
+          }
+          true
+        }
         val it = fs.listFiles(dir, true)
         var any = false
         while (it.hasNext && !any)
           if ({ val st = it.next()
-                st.isFile && st.getPath.getName.endsWith(".parquet") })
+                st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                  visible(st.getPath) })
             any = true
         if (!any)
           spark.createDataFrame(

@@ -1100,10 +1100,21 @@ object StreamOps {
           val in = fs.open(epochFile)
           val text = try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          text.trim.toLongOption.getOrElse(throw new IllegalStateException(
+          // the fence is the epoch written TWICE: a torn write on a
+          // store without atomic rename truncates to a PREFIX, and a
+          // single-number format would parse that prefix as a smaller
+          // valid epoch — silently re-appending the redelivered epoch;
+          // requiring two equal lines makes every truncation unreadable
+          // and therefore LOUD
+          val parsed = text.trim.linesIterator.map(_.trim).toSeq match {
+            case Seq(a, b) if a == b => a.toLongOption
+            case _ => None
+          }
+          parsed.getOrElse(throw new IllegalStateException(
             s"unreadable ingest fence $epochFile (content: " +
-              s"'${text.trim.take(40)}'): verify the index contents, " +
-              "then delete the file to re-arm the fence"))
+              s"'${text.trim.take(40)}'): likely a torn write on a " +
+              "filesystem without atomic rename — verify the index " +
+              "contents, then delete the file to re-arm the fence"))
         }
       if (epoch < last) throw new IllegalStateException(
         s"epoch $epoch is below the recorded fence $last at $epochFile: " +
@@ -1119,15 +1130,21 @@ object StreamOps {
         }
         // tmp + atomic rename where the filesystem can swap atomically;
         // object stores (no atomic rename) fall back to a plain
-        // overwrite so the sink stays AVAILABLE there — the rare torn
-        // outcome a crash mid-write can leave is caught by the loud
-        // unreadable-fence path above, whose recovery step applies
+        // overwrite so the sink stays AVAILABLE there. The twice-written
+        // format makes any truncation unreadable (loud, with recovery
+        // step) rather than a silently smaller epoch; the residual
+        // object-store hazard is a crash erasing the file ENTIRELY —
+        // indistinguishable from a fresh index, re-opening at-least-once
+        // for the redelivered epoch — so hold the fence on
+        // HDFS-compatible storage (it need not live with the data) when
+        // exactly-once matters there.
+        val fenceBody = s"$epoch\n$epoch"
         if (graft.sinks.SnapshotStore.atomicRenameCapable(fs))
           graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path,
-            fenceName, epoch.toString)
+            fenceName, fenceBody)
         else {
           val out = fs.create(epochFile, true)
-          try out.write(epoch.toString
+          try out.write(fenceBody
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
         }
