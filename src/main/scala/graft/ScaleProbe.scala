@@ -1022,8 +1022,18 @@ object ScaleProbe {
     // the doubled corpus, not residual codebook damage
     val mntTargetP = 0.9
     val tMntP = System.nanoTime()
+    // maxShortlistFactor raised from the 64 default: r17 measured the
+    // calibration CAP-BOUND on this two-regime corpus (pqcal.json
+    // recorded measured_recall 0.872 at nprobe=all-cells and factor=64 —
+    // the documented shortfall fallback), so no confidence margin could
+    // reach the target; the binding constraint was the cap. The deeper
+    // re-rank is the honest price of a 0.9 target on a drifted corpus:
+    // shortlist factor sizes only the exact re-rank's fan-in (Q·S·k
+    // broadcast rows), not the scanned fraction — nProbe still owns
+    // scan cost — so it stays O(queries), corpus-size-independent.
     val decisionP = Similarity.ivfPqMaintain(spark, pqdPath, "embedding",
-      recallTarget = Some(mntTargetP), idCol = "vec_id")
+      recallTarget = Some(mntTargetP), idCol = "vec_id",
+      maxShortlistFactor = 256)
     val maintainSecP = (System.nanoTime() - tMntP) / 1e9
     val decisionAfterP = Similarity.ivfPqMaintain(spark, pqdPath, "embedding")
     val ratioAfterP = Similarity.ivfPqDriftStats(spark, pqdPath,
@@ -1069,7 +1079,7 @@ object ScaleProbe {
       s""""signal":${decisionP == "rebuilt" && decisionAfterP == "ok" &&
         ratioDriftP > 2.0 && ratioAfterP < 1.5 &&
         recallAfterShiftP > recallDriftShiftP &&
-        (recallCalOrigP + recallCalShiftP) / 2 >= mntTargetP - 0.1},""" +
+        recallCalOrigP >= mntTargetP && recallCalShiftP >= mntTargetP},""" +
       s""""sf":"$sfDir"}"""
     println(s"""{"probe":"pq_drift",${pqdEntry.tail}""")
     writeArtifact("pq_drift", pqdEntry)

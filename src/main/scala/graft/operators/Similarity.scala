@@ -329,6 +329,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeGeneration(spark, path)
     fs.delete(marker, false)
     // a rebuild over an existing index replaces both halves' part files;
     // same-session plans may hold cached file listings naming the deleted
@@ -532,7 +533,13 @@ object Similarity {
       rod(new org.apache.hadoop.fs.Path(staging, name),
         new org.apache.hadoop.fs.Path(root, name))
     }
-    withRebuildFence(fs, root) { halves.foreach(swap) }
+    withRebuildFence(fs, root) {
+      halves.foreach(swap)
+      // new generation: in-flight probes that loaded the replaced
+      // quantizer re-check this after planning and fail loudly instead
+      // of pruning the rebuilt files with stale centroids
+      writeGeneration(spark, path)
+    }
     fs.delete(old, true)
     fs.delete(staging, true)
     // the session may hold cached file listings for the replaced
@@ -569,17 +576,97 @@ object Similarity {
   private val NProbeFile = "nprobe.json"
 
   /** The persisted [[nProbeForRecall]] recommendation, if the index has
-    * been calibrated since its last quantizer refit. */
-  def calibratedNProbe(spark: SparkSession, path: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path, NProbeFile)
+    * been calibrated since its last quantizer refit. Requires the
+    * file's trailing completeness sentinel (see [[writeCalFile]]): a
+    * torn calibration parses to None — the conservative uncalibrated
+    * default — never to a truncated-digits width silently installed as
+    * the probe default. */
+  def calibratedNProbe(spark: SparkSession, path: String): Option[Int] =
+    readCompleteCalFile(spark, path, NProbeFile).flatMap(text =>
+      """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toInt))
+
+  /** Write a calibration artifact so a crash can never install a torn
+    * width: tmp + atomic rename where the filesystem swaps atomically
+    * (the SnapshotStore control-file discipline), and — because these
+    * files are ADVISORY, so object stores keep the plain-overwrite
+    * fallback — the JSON closes with an `"eof":true` sentinel that any
+    * truncation drops. `fields` must NOT include the sentinel. */
+  private def writeCalFile(spark: SparkSession, path: String, name: String,
+                           fields: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val body = s"""{$fields,"eof":true}"""
+    if (graft.sinks.SnapshotStore.atomicRenameCapable(fs))
+      graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path, name, body)
+    else {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Read a [[writeCalFile]] artifact, returning None unless the
+    * completeness sentinel survived — a torn write (truncated digits
+    * included, e.g. factor 64 torn to a parseable 6) is treated as
+    * uncalibrated, not silently installed. Pre-sentinel legacy files
+    * also read as None: recalibrating is cheap, a wrong width is not. */
+  private def readCompleteCalFile(spark: SparkSession, path: String,
+                                  name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      if (""""eof"\s*:\s*true\s*\}\s*$""".r.findFirstIn(text).isDefined)
+        Some(text)
+      else None
     }
+  }
+
+  /** Generation marker: a fresh uuid written by every mutation that
+    * REPLACES the quantizer/codebooks or re-encodes the relations
+    * (overwrite builds, the maintain family's staged rebuilds) — NOT by
+    * appends or [[indexDelete]], which keep the standing model valid.
+    * Probes snapshot it at entry and re-check after their plan-time
+    * reads ([[requireGenerationUnchanged]]): without it, a rebuild that
+    * completes ENTIRELY inside the gap between a probe's quantizer load
+    * and its data-file listing (fence up and down again, nothing left to
+    * observe) would let the probe prune the NEW files with the OLD
+    * centroids — silently wrong neighbors. Hidden (dot-prefixed), so it
+    * never enters a relation read or the drift gauges' file samples. */
+  private val GenerationFile = ".generation"
+
+  private[graft] def readGeneration(spark: SparkSession,
+                                    path: String): Option[String] =
+    readCompleteCalFile(spark, path, GenerationFile).flatMap(t =>
+      """"gen"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(t)
+        .map(_.group(1)))
+
+  private def writeGeneration(spark: SparkSession, path: String): Unit =
+    writeCalFile(spark, path, GenerationFile,
+      s""""gen":"${java.util.UUID.randomUUID()}"""")
+
+  /** The post-plan half of the probes' race contract: after a probe has
+    * loaded the quantizer/codebooks AND built its data reads (file
+    * listings resolved), the index must still be the same GENERATION and
+    * unfenced — otherwise the loaded model no longer matches the listed
+    * files and pruning would be silently wrong. Loud and retryable, the
+    * reader half of [[indexDelete]]'s in-flight-readers contract. A
+    * legacy index that predates the marker compares None == None until
+    * its first rebuild writes one. */
+  private[graft] def requireGenerationUnchanged(spark: SparkSession,
+                                                path: String,
+                                                gen0: Option[String]): Unit = {
+    requireNotRebuilding(spark, path)
+    val gen1 = readGeneration(spark, path)
+    if (gen0 != gen1) throw new IllegalStateException(
+      s"index at $path was rebuilt while this probe was being planned " +
+        s"(generation ${gen0.getOrElse("<none>")} -> " +
+        s"${gen1.getOrElse("<none>")}): the already-loaded quantizer no " +
+        "longer matches the data files — retry the probe")
   }
 
   /** Calibrate the probe width of a persisted index to a RECALL TARGET,
@@ -673,14 +760,9 @@ object Similarity {
     val need = math.ceil(effTarget * ranks.length).toInt
     val chosen = if (need <= 0) 1 else ranks(need - 1)
     val measured = ranks.count(_ <= chosen).toDouble / ranks.length
-    val p = new org.apache.hadoop.fs.Path(path, NProbeFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      (s"""{"nprobe":$chosen,"target":$target,"measured_recall":$measured,""" +
-        s""""k":$k,"sample_queries":${sampled.length},"cells":$nCells}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeCalFile(spark, path, NProbeFile,
+      s""""nprobe":$chosen,"target":$target,"measured_recall":$measured,""" +
+        s""""k":$k,"sample_queries":${sampled.length},"cells":$nCells""")
     chosen
   }
 
@@ -779,16 +861,11 @@ object Similarity {
 
   /** The persisted PQ-family calibration, if the index has been
     * calibrated since its last codebook refit: (nProbe — 0 on flat-PQ,
-    * which probes no cells — and the ADC shortlist factor). */
+    * which probes no cells — and the ADC shortlist factor). Torn or
+    * pre-sentinel files read as None (see [[readCompleteCalFile]]). */
   def calibratedPqWidths(spark: SparkSession,
-                         path: String): Option[(Int, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(path, PqCalFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+                         path: String): Option[(Int, Int)] =
+    readCompleteCalFile(spark, path, PqCalFile).flatMap { text =>
       for {
         np <- """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
           .map(_.group(1).toInt)
@@ -796,21 +873,14 @@ object Similarity {
           .map(_.group(1).toInt)
       } yield (np, f)
     }
-  }
 
   private def writePqCal(spark: SparkSession, path: String, nProbe: Int,
                          factor: Int, target: Double, measured: Double,
-                         k: Int, nQueries: Int, cells: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, PqCalFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      (s"""{"nprobe":$nProbe,"shortlist_factor":$factor,""" +
+                         k: Int, nQueries: Int, cells: Int): Unit =
+    writeCalFile(spark, path, PqCalFile,
+      s""""nprobe":$nProbe,"shortlist_factor":$factor,""" +
         s""""target":$target,"measured_recall":$measured,"k":$k,""" +
-        s""""sample_queries":$nQueries,"cells":$cells}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+        s""""sample_queries":$nQueries,"cells":$cells""")
 
   /** Calibrate a [[pqBuild]] flat-PQ index's SHORTLIST width to a recall
     * target — the PQ analogue of [[nProbeForRecall]], closing the gap
@@ -1081,11 +1151,18 @@ object Similarity {
     * floor → 0.92 calibrated at target 0.9 on drifted data). The
     * `cells/8` fallback only applies to an uncalibrated index; full
     * probe remains the exactness baseline (equivalent to brute force
-    * over a pruned-nothing scan). */
+    * over a pruned-nothing scan).
+    *
+    * Racing a concurrent [[indexDelete]]/[[ivfMaintain]] swap: either a
+    * consistent pre-/post-swap answer or a LOUD retryable failure
+    * (fence refusal at plan time, missing-input mid-scan) — never
+    * silent partial results; see [[indexDelete]]'s in-flight-readers
+    * contract. */
   def ivfProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                    vecCol: String, idCol: String, queryIdCol: String,
                    k: Int, nProbe: Int = 0): DataFrame = {
     requireNotRebuilding(spark, path)
+    val gen0 = readGeneration(spark, path)
     val centroids = loadCentroids(spark, path)
     // nProbe <= 0: a [[nProbeForRecall]]-calibrated index probes its
     // persisted recommendation (recall-targeted, clamped to the cell
@@ -1107,6 +1184,10 @@ object Similarity {
       centroids, probes)
       .localCheckpoint(true)
     val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    // post-plan race check: centroids were loaded and data listed above —
+    // a rebuild completing in between would otherwise prune the NEW
+    // files with the OLD centroids (see requireGenerationUnchanged)
+    requireGenerationUnchanged(spark, path, gen0)
     val scored = corpus
       .filter(col("__cell").isin(probedCells.toIndexedSeq: _*))
       .join(broadcast(q), Seq("__cell"))
@@ -1529,6 +1610,7 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     Seq((buckets, fitMqe)).toDF("id_buckets", "fit_mqe")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeGeneration(spark, path)
     fs.delete(marker, false)
     Seq("codes", "vectors", "codebooks", "meta").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
@@ -1739,7 +1821,8 @@ object Similarity {
                  fitSampleRows: Int = 4096, gaugeSampleRows: Int = 4096,
                  gaugeSampleFiles: Int = 16,
                  recallTarget: Option[Double] = None,
-                 recallK: Int = 10): String = {
+                 recallK: Int = 10,
+                 maxShortlistFactor: Int = 64): String = {
     require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
     val drift = pqDriftFrom(spark, path, "vectors", vecCol, "pqBuild",
       seed, gaugeSampleRows, gaugeSampleFiles)
@@ -1764,7 +1847,8 @@ object Similarity {
           ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
       }
       recallTarget.foreach(t => pqShortlistForRecall(spark, path, vecCol,
-        idCol, t, k = recallK, seed = seed))
+        idCol, t, k = recallK, seed = seed,
+        maxShortlistFactor = maxShortlistFactor))
       "rebuilt"
     }
   }
@@ -1807,7 +1891,10 @@ object Similarity {
     * SCALEPROBE `pq_bytes_end_to_end`; the inline [[pqTopK]] documents
     * the full-rescan caveat this removes). Same output shape and
     * exact-returned-cosines contract as [[bruteForceTopK]];
-    * deterministic for the build's seed. */
+    * deterministic for the build's seed. Racing a concurrent
+    * [[indexDelete]]/[[pqMaintain]] swap: consistent answer or LOUD
+    * retryable failure, never silent partial results — see
+    * [[indexDelete]]'s in-flight-readers contract. */
   def pqProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                   vecCol: String, idCol: String, queryIdCol: String,
                   k: Int, shortlistFactor: Int = 0): DataFrame = {
@@ -1817,6 +1904,7 @@ object Similarity {
     require(shortlistFactor >= 0,
       "shortlistFactor must be >= 0 (0 = calibrated default)")
     requireNotRebuilding(spark, path)
+    val gen0 = readGeneration(spark, path)
     val factor =
       if (shortlistFactor > 0) shortlistFactor
       else calibratedPqWidths(spark, path).map(_._2)
@@ -1825,6 +1913,10 @@ object Similarity {
       vecCol, idCol, queryIdCol, k * factor)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("__vb").isin(touched.toIndexedSeq: _*))
+    // post-plan race check: codebooks were loaded and codes/vectors
+    // listed above — a rebuild completing in between would re-rank a
+    // stale-model shortlist against fresh files
+    requireGenerationUnchanged(spark, path, gen0)
     val qExact = withQueryNorm(queries, Seq(idCol), queryIdCol, vecCol)
     val rescored = vectors
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
@@ -1987,6 +2079,7 @@ object Similarity {
         (cellCounts.sum.toDouble / math.max(1, centroids.length))
     Seq((fitMqe, fitSkew)).toDF("fit_mqe", "fit_skew")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeGeneration(spark, path)
     fs.delete(marker, false)
     Seq("data", "centroids", "codebooks", "meta").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
@@ -2086,7 +2179,8 @@ object Similarity {
                     fitSampleRows: Int = 4096, gaugeSampleRows: Int = 4096,
                     gaugeSampleFiles: Int = 16,
                     recallTarget: Option[Double] = None,
-                    recallK: Int = 10, idCol: String = "id"): String = {
+                    recallK: Int = 10, idCol: String = "id",
+                    maxShortlistFactor: Int = 64): String = {
     require(maxDrift > 1.0, "maxDrift must exceed 1 (1 = freshly fit)")
     require(maxSkew > 1.0, "maxSkew must exceed 1 (1 = perfectly uniform)")
     require(maxGrowth >= 1.0, "maxGrowth must be >= 1")
@@ -2117,7 +2211,8 @@ object Similarity {
           ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
       }
       recallTarget.foreach(t => ivfPqCalibrate(spark, path, vecCol, idCol,
-        t, k = recallK, seed = seed))
+        t, k = recallK, seed = seed,
+        maxShortlistFactor = maxShortlistFactor))
       "rebuilt"
     }
   }
@@ -2184,16 +2279,18 @@ object Similarity {
                     fitSampleRows: Int = 4096,
                     gaugeSampleRows: Int = 4096,
                     gaugeSampleFiles: Int = 16,
-                    recallK: Int = 10): (String, String) =
+                    recallK: Int = 10,
+                    maxShortlistFactor: Int = 64): (String, String) =
     requireIndexLayout(spark, path) match {
       case "flat-pq" =>
         ("flat-pq", pqMaintain(spark, path, vecCol, idCol, maxDrift, seed,
           fitSampleRows, gaugeSampleRows, gaugeSampleFiles, recallTarget,
-          recallK))
+          recallK, maxShortlistFactor))
       case "ivf-pq" =>
         ("ivf-pq", ivfPqMaintain(spark, path, vecCol, maxDrift, maxSkew,
           maxGrowth, seed, fitSampleRows, gaugeSampleRows,
-          gaugeSampleFiles, recallTarget, recallK, idCol))
+          gaugeSampleFiles, recallTarget, recallK, idCol,
+          maxShortlistFactor))
       case _ =>
         ("ivf", ivfMaintain(spark, path, vecCol, maxSkew, maxGrowth, seed,
           fitSampleRows, recallTarget, recallK))
@@ -2204,7 +2301,11 @@ object Similarity {
     * pass projects only (id, codes, norm) — parquet column pruning keeps
     * the raw vectors unread — and the exact re-rank reads the vector
     * column for the broadcast shortlist alone, from the same pruned
-    * directories. Same output shape as [[bruteForceTopK]]. */
+    * directories. Same output shape as [[bruteForceTopK]]. Racing a
+    * concurrent [[indexDelete]]/[[ivfPqMaintain]] swap: consistent
+    * answer or LOUD retryable failure, never silent partial results —
+    * see [[indexDelete]]'s in-flight-readers contract (pinned live in
+    * `SimilaritySpec`). */
   def ivfPqProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                      vecCol: String, idCol: String, queryIdCol: String,
                      k: Int, nProbe: Int = 0,
@@ -2215,6 +2316,7 @@ object Similarity {
     require(shortlistFactor >= 0,
       "shortlistFactor must be >= 0 (0 = calibrated default)")
     requireNotRebuilding(spark, path)
+    val gen0 = readGeneration(spark, path)
     val centroids = loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
     // lazy: a probe with both widths explicit never reads the cal file
@@ -2234,6 +2336,10 @@ object Similarity {
       centroids, probes)
       .localCheckpoint(true)
     val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    // post-plan race check: centroids+codebooks were loaded and data
+    // listed above — a rebuild completing in between would prune the NEW
+    // files with the OLD quantizer (see requireGenerationUnchanged)
+    requireGenerationUnchanged(spark, path, gen0)
     val pruned = corpus
       .filter(col("__cell").isin(probedCells.toIndexedSeq: _*))
     // ADC leg: explicit narrow projection — the scan reads no vectors
@@ -2291,6 +2397,19 @@ object Similarity {
     * does not shift the corpus distribution; the next
     * `recallTarget`-bearing maintenance re-checks them anyway.
     * Single-writer, like every mutation path.
+    *
+    * IN-FLIGHT READERS during the swap (the probe-vs-delete race,
+    * pinned live in `SimilaritySpec`): a probe that passed the fence
+    * check and is MID-SCAN when the whole-relation rename runs either
+    * completes against a consistent snapshot (pre- or post-delete — its
+    * file listing resolved wholly before or after the swap) or fails
+    * LOUDLY on a vanished input (Spark's missing-file error; renamed-
+    * away relations are absent inputs, and absent inputs are errors,
+    * not skips, under the default `ignoreMissingFiles=false` — do not
+    * enable that flag on index paths, it would convert this loud
+    * failure into silent partial results). Clean-retry-or-consistent,
+    * never silently partial — the reader half of the store's
+    * reader-vs-vacuum contract.
     *
     * `keys` must carry a column named `idCol` (cast to the stored id
     * type before hashing/joining — an unconformed key would probe the
@@ -2364,32 +2483,66 @@ object Similarity {
       spark.read.parquet(codesFiles: _*)
         .join(broadcast(k), Seq(idCol), "left_anti")
         .write.mode("overwrite").parquet(s"$staging/codes")
-    // fenced swap of exactly the touched pieces
+    // fenced WHOLE-RELATION swap. Swapping partition directories one at
+    // a time (the pre-r18 scheme) left a window where a racing probe's
+    // file listing could catch SOME partitions swapped and others not —
+    // a READABLE mixed state, i.e. silent partial results, exactly what
+    // the in-flight-readers contract forbids. Renaming the relation
+    // directory wholesale leaves only three observable states: all-old,
+    // ABSENT (a loud, retryable listing/scan failure under the default
+    // ignoreMissingFiles=false), all-new. The untouched partitions carry
+    // over by METADATA rename (no data bytes move), so rewritten bytes
+    // stay O(touched); the metadata ops grow to O(partitions), a bounded
+    // count (nCells / idBuckets) of namenode-cheap renames.
     val old = new org.apache.hadoop.fs.Path(root, ".old")
     fs.delete(old, true)
     fs.mkdirs(old)
     val rod = renameOrDie(fs, path, "indexDelete") _
     withRebuildFence(fs, root) {
-      touched.toSeq.sorted.foreach { p =>
-        rod(new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"),
-          new org.apache.hadoop.fs.Path(old, s"$partCol=$p"))
-        val stagedPart =
-          new org.apache.hadoop.fs.Path(staging, s"$rel/$partCol=$p")
-        // a partition whose rows were all victims has no staged
-        // survivors: it is removed outright (the probes' partition
-        // pruning and the maintainers' cell stats stop seeing it)
-        if (fs.exists(stagedPart))
-          rod(stagedPart,
-            new org.apache.hadoop.fs.Path(root, s"$rel/$partCol=$p"))
-      }
-      codesFiles.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
-      val stagedCodes = new org.apache.hadoop.fs.Path(staging, "codes")
-      if (fs.exists(stagedCodes))
-        fs.listStatus(stagedCodes).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val stagedRel = new org.apache.hadoop.fs.Path(staging, rel)
+      if (!fs.exists(stagedRel)) fs.mkdirs(stagedRel)
+      rod(new org.apache.hadoop.fs.Path(root, rel),
+        new org.apache.hadoop.fs.Path(old, rel))
+      fs.listStatus(new org.apache.hadoop.fs.Path(old, rel)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.startsWith(s"$partCol=") &&
+            n.stripPrefix(s"$partCol=").toIntOption
+              .forall(p => !touched.contains(p))
+        }
+        .foreach(st => rod(st.getPath,
+          new org.apache.hadoop.fs.Path(stagedRel, st.getPath.getName)))
+      // touched partitions exist in staging only as their staged
+      // survivors; a partition whose rows were all victims has no staged
+      // directory and is removed outright (the probes' partition pruning
+      // and the maintainers' cell stats stop seeing it)
+      rod(stagedRel, new org.apache.hadoop.fs.Path(root, rel))
+      // flat-PQ codes: the same wholesale dance at FILE granularity —
+      // victim files stay behind in .old, untouched files carry over by
+      // rename, rewritten survivors come from staging
+      if (layout == "flat-pq") {
+        // input_file_name() returns the scan's URI-encoded path string
+        // (SparkPath.urlEncoded), so the URI round trip is the correct
+        // decode for e.g. %20 under a space-containing root; a string
+        // that is NOT URI-parseable (foreign producer) falls back to the
+        // plain Path constructor instead of aborting the delete mid-fence
+        val victimNames = codesFiles.map { f =>
+          (try new org.apache.hadoop.fs.Path(new java.net.URI(f))
+           catch { case _: java.net.URISyntaxException =>
+             new org.apache.hadoop.fs.Path(f) }).getName
+        }.toSet
+        val stagedCodes = new org.apache.hadoop.fs.Path(staging, "codes")
+        if (!fs.exists(stagedCodes)) fs.mkdirs(stagedCodes)
+        rod(new org.apache.hadoop.fs.Path(root, "codes"),
+          new org.apache.hadoop.fs.Path(old, "codes"))
+        fs.listStatus(new org.apache.hadoop.fs.Path(old, "codes")).toSeq
+          .filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet") &&
+            !victimNames.contains(st.getPath.getName))
           .foreach(st => rod(st.getPath, new org.apache.hadoop.fs.Path(
-            root, s"codes/${st.getPath.getName}")))
+            stagedCodes, st.getPath.getName)))
+        rod(stagedCodes, new org.apache.hadoop.fs.Path(root, "codes"))
+      }
       // a FULLY drained relation must stay READABLE: a partitioned write
       // of zero survivors produces no files at all, and a later probe's
       // spark.read.parquet would die on schema inference instead of

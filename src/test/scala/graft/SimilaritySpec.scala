@@ -305,8 +305,12 @@ class SimilaritySpec extends SparkSpec {
     // the Hadoop FS so the checksum sidecar stays consistent)
     val calPath = new org.apache.hadoop.fs.Path(path, "nprobe.json")
     val hfs = calPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the trailing eof sentinel is REQUIRED since the torn-write fix: a
+    // file without it reads as uncalibrated (see the generation-marker
+    // spec for the torn case)
     val o = hfs.create(calPath, true)
-    try o.write("""{"nprobe":4}""".getBytes("UTF-8")) finally o.close()
+    try o.write("""{"nprobe":4,"eof":true}""".getBytes("UTF-8"))
+    finally o.close()
     Similarity.ivfProbeTopK(spark, path, qs,
         "embedding", "vec_id", "query_id", k = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
@@ -1224,5 +1228,191 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqDriftStats(spark, path, "embedding")
     }
     ex.getMessage should include("nothing to gauge")
+  }
+
+  test("probe vs indexDelete race, live: probes hammering through three " +
+    "concurrent delete batches observe only COMPLETE answers (some " +
+    "committed state's exact top-k) or loud retryable failures — never " +
+    "silent partial results from a half-swapped index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idxdel_race").toString
+    Similarity.ivfPqBuild(corp, "embedding", path, nCells = 8, m = 16,
+      ksub = 16)
+    val ids = corp.select("vec_id").as[Long].collect().sorted
+    // the legal answers: exact top-k of each committed state (the same
+    // arithmetic the full-width probe returns on a consistent snapshot).
+    // Each batch deliberately includes current top-k members, so every
+    // committed state has a DIFFERENT answer — a partial read cannot
+    // hide behind two states sharing one.
+    def topk(gone: Set[Long]): Set[(Long, Long)] = {
+      val survivors =
+        if (gone.isEmpty) corp
+        else corp.filter(!$"vec_id".isin(gone.toSeq: _*))
+      Similarity.bruteForceTopK(survivors, qs, "embedding", "vec_id",
+          "query_id", k = 5)
+        .select("query_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+    }
+    var gone = Set.empty[Long]
+    val legal = scala.collection.mutable.ArrayBuffer(topk(gone))
+    val batches = (0 until 3).map { i =>
+      val currentTop = legal.last.map(_._2)
+      val fillers = ids.iterator
+        .filter(id => !gone.contains(id) && !currentTop.contains(id))
+        .slice(i * 8, i * 8 + 8).toArray
+      val b = (currentTop.toSeq.sorted.take(2) ++ fillers).toArray
+      gone ++= b
+      legal += topk(gone)
+      b
+    }
+    legal.distinct.size shouldBe legal.size // deletes must move the top-k
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val successes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val hammer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = Similarity.ivfPqProbeTopK(spark, path, qs,
+              "embedding", "vec_id", "query_id", k = 5, nProbe = 8,
+              shortlistFactor = 128)
+            .select("query_id", "vec_id")
+            .as[(Long, Long)].collect().toSet
+          if (legal.contains(got)) successes.incrementAndGet()
+          else bad.add(s"probe saw a state matching no committed " +
+            s"answer: $got")
+        } catch { case _: Throwable => () } // loud + retryable: allowed
+      }
+    })
+    hammer.start()
+    try {
+      // at least one probe lands on the clean pre-delete state, so the
+      // success assertion cannot be starved by mutation windows
+      val t0 = System.nanoTime()
+      while (successes.get() == 0L && bad.isEmpty &&
+          System.nanoTime() - t0 < 120e9.toLong) Thread.sleep(50)
+      batches.foreach { b =>
+        Similarity.indexDelete(spark, path, b.toSeq.toDF("vec_id"),
+          idCol = "vec_id") shouldBe b.length.toLong
+        Thread.sleep(300) // a breath of settled state between swaps
+      }
+    } finally {
+      stop.set(true)
+      hammer.join(120000)
+    }
+    bad.toArray.toSeq shouldBe empty
+    successes.get() should be >= 1L
+    // the settled index serves exactly the final committed answer
+    Similarity.ivfPqProbeTopK(spark, path, qs, "embedding", "vec_id",
+        "query_id", k = 5, nProbe = 8, shortlistFactor = 128)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet shouldBe legal.last
+  }
+
+  test("generation marker: rebuilds flip it (a probe planned against the " +
+    "old generation fails loudly), deletes and appends do not; torn " +
+    "calibration files parse as uncalibrated instead of installing " +
+    "truncated widths") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gen").toString
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 8)
+    val g0 = Similarity.readGeneration(spark, path)
+    g0 should not be empty
+    // appends and deletes keep the standing model valid: no flip
+    Similarity.ivfAppend(emb.filter($"vec_id" < 2)
+      .select(($"vec_id" + 90000L).as("vec_id"), $"embedding"),
+      "embedding", path)
+    Similarity.readGeneration(spark, path) shouldBe g0
+    Similarity.indexDelete(spark, path,
+      corp.select("vec_id").limit(3), idCol = "vec_id")
+    Similarity.readGeneration(spark, path) shouldBe g0
+    // a rebuild (overwrite build here; stagedRebuild shares the write)
+    // flips it...
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 8)
+    val g1 = Similarity.readGeneration(spark, path)
+    g1 should not be empty
+    g1 should not be g0
+    // ...and the post-plan guard the probes run (after quantizer load +
+    // data listing) fails LOUDLY against a pre-rebuild snapshot — the
+    // exact completed-swap-inside-the-planning-gap race, pinned at the
+    // guard level because the gap itself is sub-millisecond
+    val ex = intercept[IllegalStateException] {
+      Similarity.requireGenerationUnchanged(spark, path, g0)
+    }
+    ex.getMessage should include("rebuilt while this probe was being planned")
+    // the settled probe path (matching generations) stays green
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    Similarity.ivfProbeTopK(spark, path, qs, "embedding", "vec_id",
+      "query_id", k = 3, nProbe = 8).count() should be > 0L
+
+    // torn-write protection on the calibration artifacts: a truncated
+    // pqcal.json (digits torn to a smaller parseable number, sentinel
+    // lost) must read as UNCALIBRATED, never as the torn width
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft_torncal").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", pq, m = 16,
+      ksub = 16, idBuckets = 16)
+    Similarity.pqShortlistForRecall(spark, pq, "embedding", "vec_id",
+      target = 0.8, k = 5, sampleQueries = 16)
+    Similarity.calibratedPqWidths(spark, pq) should not be empty
+    val calPath = java.nio.file.Paths.get(pq, "pqcal.json")
+    val full = new String(java.nio.file.Files.readAllBytes(calPath), "UTF-8")
+    val torn = full.substring(0, full.indexOf("\"target\""))
+    java.nio.file.Files.write(calPath, torn.getBytes("UTF-8"))
+    Similarity.calibratedPqWidths(spark, pq) shouldBe empty
+  }
+
+  test("PQ calibration applies the one-sided finite-sample margin: a " +
+    "larger confidence z never narrows the chosen shortlist, and the " +
+    "persisted on-sample recall meets the margin-adjusted target") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqmargin").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", path, m = 16,
+      ksub = 16, idBuckets = 16)
+    val target = 0.7
+    val f0 = Similarity.pqShortlistForRecall(spark, path, "embedding",
+      "vec_id", target, k = 5, sampleQueries = 24, confidenceZ = 0.0,
+      maxShortlistFactor = 256)
+    val fz = Similarity.pqShortlistForRecall(spark, path, "embedding",
+      "vec_id", target, k = 5, sampleQueries = 24, confidenceZ = 3.0,
+      maxShortlistFactor = 256)
+    fz should be >= f0
+    // the z=3 calibration's persisted measurement clears the RAW target
+    // with room (the margin's whole point: on-sample meets
+    // target + z*sqrt(t(1-t)/nQ), so external batches land AT or above
+    // the stated target instead of distributed around it)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "pqcal.json")), "UTF-8")
+    val measured = """"measured_recall"\s*:\s*([0-9.]+)""".r
+      .findFirstMatchIn(text).get.group(1).toDouble
+    val nQ = """"sample_queries"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(text).get.group(1).toInt
+    measured should be >= math.min(1.0,
+      target + 3.0 * math.sqrt(target * (1 - target) / nQ)) - 1e-9
+    // same margin contract on the composed IVF-PQ calibration
+    val ipq = java.nio.file.Files
+      .createTempDirectory("graft_ipqmargin").toString
+    Similarity.ivfPqBuild(corp, "embedding", ipq, nCells = 8, m = 16,
+      ksub = 16)
+    val (np0, sf0w) = Similarity.ivfPqCalibrate(spark, ipq, "embedding",
+      "vec_id", target, k = 5, sampleQueries = 24, confidenceZ = 0.0,
+      maxShortlistFactor = 256)
+    val (npz, sfz) = Similarity.ivfPqCalibrate(spark, ipq, "embedding",
+      "vec_id", target, k = 5, sampleQueries = 24, confidenceZ = 3.0,
+      maxShortlistFactor = 256)
+    // more confidence never buys LESS work in the dominant (probe) axis,
+    // and at equal probes never a narrower shortlist
+    npz should be >= np0
+    if (npz == np0) sfz should be >= sf0w
   }
 }
