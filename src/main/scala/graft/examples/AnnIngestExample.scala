@@ -36,10 +36,14 @@ import graft.operators.Similarity
   *
   * Batches can equally arrive from a stream:
   * [[graft.streaming.StreamOps.annAppendSink]] is this ingest day as an
-  * epoch-fenced foreachBatch sink (redelivered epochs are no-ops), with
-  * the nightly maintain on its own schedule (it must own the index
-  * exclusively — the single-writer contract every maintain path
-  * documents). */
+  * epoch-fenced foreachBatch sink — pass `checkpointLocation` so the
+  * fence's lineage (the query id) survives restarts, and `strictFence`/
+  * `fencePath` where exactly-once matters on object-store-hosted
+  * indexes — with the nightly maintain on its own schedule between
+  * epochs (pause → maintain → resume from the same checkpoint: the
+  * fence survives the rebuild swap, pinned in `StreamAnnIngestSpec`;
+  * it must own the index exclusively — the single-writer contract
+  * every maintain path documents). */
 object AnnIngestExample {
 
   /** What one ingest-day did, for the pipeline's own logging: rows

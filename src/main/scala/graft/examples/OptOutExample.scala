@@ -27,11 +27,16 @@ import graft.sinks.{SnapshotStore, UpsertConfig}
   *     repaired by replaying the batch — the replay deletes nothing
   *     (keys already gone) but backfills the missing audit rows from the
   *     still-retained manifests before any vacuum can reclaim them.
-  *  3. **Forget the SERVING indexes**: `Similarity.indexDelete` removes
-  *     the victims' vectors from every ANN index built over the corpus
-  *     (`serveIndexes`) — bounded to the buckets/cells/files that hold
-  *     them, never a full rewrite. Without this step the corpus forgets
-  *     while retrieval still serves the user's vectors forever (index
+  *  3. **Forget the SERVING indexes and the DEDUP STATE**:
+  *     `Similarity.indexDelete` removes the victims' vectors from every
+  *     ANN index built over the corpus (`serveIndexes`) — bounded to
+  *     the buckets/cells/files that hold them, never a full rewrite —
+  *     and `StreamOps.forgetFromDedupState` removes their
+  *     fingerprints/signatures/vectors from every durable streaming-
+  *     dedup state store (`dedupStateRoots`), the third place the
+  *     engine persists user-derived data. Without these the corpus
+  *     forgets while retrieval still serves the user's vectors and the
+  *     ingest pipeline still holds their sketches forever (index
   *     maintenance rebuilds re-encode the index's OWN stored rows).
   *  4. **Forget the bytes**: `vacuum(keep = 1)` ends time-travel to the
   *     pre-delete versions NOW — an opt-out that leaves the rows
@@ -43,20 +48,20 @@ import graft.sinks.{SnapshotStore, UpsertConfig}
   * Batch keys can equally arrive from a stream: run this per epoch from
   * `StreamOps.upsertSink`'s foreachBatch — replayed epochs converge
   * because deleting absent keys commits nothing (the at-least-once
-  * contract, pinned in `StreamDedupSpec`). Pipelines that also run
-  * durable streaming dedup hold a THIRD copy of user-derived data (the
-  * fingerprint/signature/vector state) — forget it with
-  * `StreamOps.forgetFromDedupState`, the same idempotent shape. */
+  * contract, pinned in `StreamDedupSpec`), and the index/state forgets
+  * are equally idempotent (absent keys are no-ops). */
 object OptOutExample {
 
   /** What one opt-out batch did, for the pipeline's own logging: keys
     * requested vs rows actually deleted (absent keys are legal), audit
     * rows written, versions whose bytes were forgotten, rows removed
-    * from each serving ANN index, and the maintenance decisions. */
+    * from each serving ANN index and each durable dedup state store,
+    * and the maintenance decisions. */
   final case class OptOutReport(requested: Long, deleted: Long,
                                 auditRows: Long, forgotten: Seq[Long],
                                 maintain: Layout.MaintainReport,
-                                indexDeleted: Map[String, Long] = Map.empty)
+                                indexDeleted: Map[String, Long] = Map.empty,
+                                dedupForgotten: Map[String, Long] = Map.empty)
 
   /** Process one opt-out batch against the store at `root`, appending the
     * removed rows' pre-images to the audit table at `auditPath`.
@@ -76,7 +81,8 @@ object OptOutExample {
     * unrecoverable — one governance owner per store. */
   def optOut(spark: SparkSession, root: String, keys: DataFrame,
              auditPath: String, serveIndexes: Seq[String] = Nil,
-             indexIdCol: String = "id"): OptOutReport = {
+             indexIdCol: String = "id",
+             dedupStateRoots: Seq[String] = Nil): OptOutReport = {
     SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed store at $root"))
     val requested = keys.distinct().count()
@@ -100,20 +106,32 @@ object OptOutExample {
     // index id — mapping its head would hash the wrong values and make
     // the index forget a silent no-op, so refuse loudly instead.
     val storeDisc = SnapshotStore.discriminantColumns(spark, root)
-    require(serveIndexes.isEmpty || storeDisc.size == 1,
-      s"serveIndexes forgetting maps the store's user key onto the " +
-        s"index id column, which needs a SINGLE-column discriminant; " +
-        s"this store's is (${storeDisc.mkString(", ")}) — call " +
-        "Similarity.indexDelete directly with the right key mapping")
+    require((serveIndexes.isEmpty && dedupStateRoots.isEmpty) ||
+        storeDisc.size == 1,
+      s"serveIndexes/dedupStateRoots forgetting maps the store's user " +
+        s"key onto the index/state id column, which needs a " +
+        s"SINGLE-column discriminant; this store's is " +
+        s"(${storeDisc.mkString(", ")}) — call Similarity.indexDelete / " +
+        "StreamOps.forgetFromDedupState directly with the right key " +
+        "mapping")
     val idxKeys = keys.select(
       col(storeDisc.headOption.getOrElse("id")).as(indexIdCol))
     val indexDeleted = serveIndexes.map(p =>
       p -> graft.operators.Similarity.indexDelete(spark, p, idxKeys,
         indexIdCol)).toMap
+    // the THIRD persistence surface: durable streaming-dedup state
+    // retains per-document fingerprints/signatures/vectors keyed
+    // forever — forget there too, or the pipeline re-learns the
+    // opted-out content's sketches from state it should not hold.
+    // Idempotent like the other two surfaces (absent keys delete
+    // nothing), so crash-replay converges.
+    val dedupForgotten = dedupStateRoots.map(r =>
+      r -> graft.streaming.StreamOps.forgetFromDedupState(spark, r,
+        idxKeys, indexIdCol)).toMap
     val forgotten = SnapshotStore.vacuum(spark, root, keep = 1)
     val maintain = Layout.storeMaintain(spark, root, keep = 1)
     OptOutReport(requested, deleted, auditRows, forgotten, maintain,
-      indexDeleted)
+      indexDeleted, dedupForgotten)
   }
 
   /** Land audit rows for every retained version pair whose change feed
@@ -136,6 +154,22 @@ object OptOutExample {
                     auditPath: String): Long = {
     val retained = SnapshotStore.retainedVersions(spark, root)
     if (retained.size < 2) return 0L
+    // the sweep attributes the deletions between CONSECUTIVE retained
+    // versions to the later one and count-gates on that version's tag —
+    // valid only while retention is a contiguous suffix (which every
+    // API vacuum produces: versions step by 1 and vacuum keeps the
+    // newest `keep`). If an intermediate audited version were reclaimed
+    // out from under us (external surgery on snapshot= directories),
+    // the widened pair would re-attribute its already-audited deletions
+    // to the NEXT version's tag and duplicate them — so refuse loudly
+    // instead of writing wrong-version audit rows.
+    require(retained == (retained.min to retained.max),
+      s"retained versions at $root are non-contiguous " +
+        s"(${retained.mkString(", ")}): an intermediate version was " +
+        "reclaimed outside this store's vacuum, under which the audit " +
+        "sweep would mis-attribute and duplicate pre-images — restore " +
+        "the missing manifest or reconcile the audit table manually " +
+        "(one governance owner per store)")
     val auditExists = new org.apache.hadoop.fs.Path(auditPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
       .exists(new org.apache.hadoop.fs.Path(auditPath))
@@ -202,14 +236,34 @@ object OptOutExample {
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding")),
       "embedding", indexPath, m = 16, ksub = 16)
+    // the THIRD surface: a durable streaming-dedup state store holding
+    // the ingest pipeline's per-document embedding vectors (built by a
+    // short embedding-dedup stream over the same id space)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_optout_state").resolve("state").toString
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      val q = graft.streaming.StreamOps.dedupeEmbeddingsAgainstStore(
+        mem.toDF.toDF("id", "embedding"), "embedding", "id", statePath,
+        dim = emb.head._2.length)((_, _) => ())
+      try { mem.addData(emb: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
     // a user opt-out batch: every row of theirs must go, and be auditable
     val optedOut = docs.filter(col("id") % 97 === 3).select("id")
     val report = optOut(spark, root, optedOut, auditPath,
-      serveIndexes = Seq(indexPath))
+      serveIndexes = Seq(indexPath), dedupStateRoots = Seq(statePath))
     println(s"OPTOUT requested=${report.requested} " +
       s"deleted=${report.deleted} audit_rows=${report.auditRows} " +
       s"forgotten=${report.forgotten.mkString(",")} " +
       s"index_deleted=${report.indexDeleted.values.sum} " +
+      s"dedup_forgotten=${report.dedupForgotten.values.sum} " +
       s"maintain=${report.maintain} root=$root audit=$auditPath")
     spark.stop()
   }

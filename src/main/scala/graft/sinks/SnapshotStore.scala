@@ -161,19 +161,39 @@ object SnapshotStore {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      require(!nonAtomicRenameSchemes.contains(f.getScheme),
+      // BREAKING vs pre-r17 behavior (which overwrote non-atomically):
+      // deployments that know their object store is safe for this —
+      // a consistent metadata layer in front of it, or a guaranteed
+      // single reader — can acknowledge the trade explicitly instead
+      // of losing the store (see README "object stores" note):
+      //   spark.hadoop.graft.snapshot.allowNonAtomicControlFiles=true
+      require(!nonAtomicRenameSchemes.contains(f.getScheme) ||
+          f.getConf.getBoolean(
+            "graft.snapshot.allowNonAtomicControlFiles", false),
         s"SnapshotStore control files require an atomic rename, which " +
           s"'${f.getScheme}' does not provide (object-store rename is " +
           "copy+delete; racing readers could see an absent or torn " +
           "pointer/meta). Host the store root on an HDFS-compatible " +
-          "filesystem or front the object store with a consistent " +
-          "metadata layer.")
+          "filesystem, front the object store with a consistent " +
+          "metadata layer, or — acknowledging the torn-reader hazard — " +
+          "set graft.snapshot.allowNonAtomicControlFiles=true in the " +
+          "Hadoop conf.")
       val tmp = new Path(root, tmpName)
       writeSmallFile(f, tmp, content, overwrite = true)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        target.toUri, f.getConf)
-      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (nonAtomicRenameSchemes.contains(f.getScheme)) {
+        // acknowledged non-atomic deployment (opt-in above): there is no
+        // atomicity to preserve, so use the plain FileSystem rename —
+        // the FileContext API below would additionally require an
+        // AbstractFileSystem binding object stores often lack
+        f.delete(target, false)
+        require(f.rename(tmp, target),
+          s"rename $tmp -> $target failed on '${f.getScheme}'")
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          target.toUri, f.getConf)
+        fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     }
   }
 

@@ -1060,69 +1060,135 @@ object StreamOps {
     * EPOCH FENCE — appends are not idempotent, and `foreachBatch`
     * redelivers epochs at-least-once on recovery, so a replayed epoch
     * would silently duplicate its vectors. The sink records the last
-    * appended epoch id in `<path>/.ingest_epoch` (hidden: never enters a
-    * relation read or the drift gauge's sample; written tmp + atomic
-    * rename on filesystems that can swap atomically, plain overwrite on
-    * object stores — a torn fence is caught by the loud unreadable-fence
-    * error with its recovery step) and resolves each incoming epoch
-    * three ways:
+    * appended epoch id AND the owning query's LINEAGE (the streaming
+    * query id, which Spark persists in the checkpoint and restores on
+    * every restart from it) in `<path>/.ingest_epoch` (hidden: never
+    * enters a relation read or the drift gauge's sample; written tmp +
+    * atomic rename on filesystems that can swap atomically, plain
+    * overwrite on object stores — a torn fence is caught by the loud
+    * unreadable-fence error with its recovery step) and resolves each
+    * incoming epoch:
     *
-    *  - `epoch > last`: genuinely new — append and advance the fence;
-    *  - `epoch == last`: the at-least-once redelivery of the one epoch a
-    *    crash can replay under a single checkpoint lineage — skipped
-    *    whole (the idempotent-`foreachBatch` recipe);
-    *  - `epoch < last`: IMPOSSIBLE under one checkpoint lineage (each
-    *    epoch records itself before the next runs), so it means the
-    *    stream was restarted against a DIFFERENT/FRESH checkpoint whose
-    *    epoch ids restarted — batch boundaries no longer correspond, and
-    *    silently skipping would LOSE new rows while appending would
-    *    duplicate old ones. The sink fails loudly: reconcile the index
-    *    contents, then remove `.ingest_epoch` to adopt the new lineage.
+    *  - DIFFERENT lineage (any epoch, including `0 == 0`): the stream
+    *    was restarted against a fresh/foreign checkpoint whose epoch ids
+    *    restarted — batch boundaries no longer correspond, so skipping
+    *    loses rows and appending duplicates them. The sink fails LOUDLY:
+    *    reconcile the index contents, then remove `.ingest_epoch` to
+    *    adopt the new lineage. (Epoch ids alone cannot distinguish a
+    *    fresh lineage's first batch from a redelivery while the fence
+    *    reads 0 — the lineage line exists exactly for that case.)
+    *  - same lineage, `epoch > last`: genuinely new — append, advance;
+    *  - same lineage, `epoch == last`: the at-least-once redelivery of
+    *    the one epoch a crash can replay under a single checkpoint
+    *    lineage — skipped whole (the idempotent-`foreachBatch` recipe);
+    *  - same lineage, `epoch < last`: impossible under one checkpoint
+    *    lineage (each epoch records itself before the next runs) —
+    *    fails loudly with the same recovery step.
     *
-    * Honest residual window: a crash BETWEEN the append and the fence
-    * record replays that one epoch's rows (the append itself is not
-    * transactional); dedupe by id downstream, or run an upstream
+    * A LEGACY two-line fence (pre-lineage format: the epoch written
+    * twice) carries no lineage and keeps the epoch-only rules for one
+    * read; the next advance rewrites it in the lineage format. Pass
+    * `checkpointLocation` to make restarts resumable (same query id =
+    * same lineage); without a checkpoint every restart is a fresh
+    * lineage and the fence will refuse it by design.
+    *
+    * `strictFence = true` refuses AT START to run where the fence
+    * cannot be swapped atomically ([[graft.sinks.SnapshotStore]]'s
+    * atomic-rename capability check): on object stores the fallback is
+    * a plain overwrite, whose crash can erase the fence ENTIRELY —
+    * indistinguishable from a fresh index, silently re-opening
+    * at-least-once for the redelivered epoch. The default (`false`)
+    * keeps the sink available there with that documented downgrade; when
+    * exactly-once matters on an object store, hold the INDEX on it but
+    * the fence elsewhere — `fencePath` relocates just the fence file to
+    * HDFS-compatible storage (combine with `strictFence` to enforce
+    * that the chosen location actually swaps atomically).
+    *
+    * Honest residual window (both modes): a crash BETWEEN the append and
+    * the fence record replays that one epoch's rows (the append itself
+    * is not transactional); dedupe by id downstream, or run an upstream
     * [[dedupeEmbeddingsAgainstStore]]/[[dedupeKeysWithTTL]] stage, where
     * exact contents matter across crashes. */
   def annAppendSink(stream: DataFrame, vecCol: String, path: String,
-                    idCol: String = "id")(
+                    idCol: String = "id", strictFence: Boolean = false,
+                    checkpointLocation: Option[String] = None,
+                    fencePath: Option[String] = None)(
       onEpoch: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     val fenceName = ".ingest_epoch"
-    val epochFile = new org.apache.hadoop.fs.Path(path, fenceName)
-    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+    val epochFile = fencePath
+      .map(new org.apache.hadoop.fs.Path(_))
+      .getOrElse(new org.apache.hadoop.fs.Path(path, fenceName))
+    if (strictFence) {
+      val fs0 = epochFile.getFileSystem(
+        stream.sparkSession.sessionState.newHadoopConf())
+      require(graft.sinks.SnapshotStore.atomicRenameCapable(fs0),
+        s"strictFence: the fence at $epochFile sits on " +
+          s"'${fs0.getScheme}', which has no atomic rename — a crashed " +
+          "plain-overwrite can erase the fence entirely and silently " +
+          "re-open at-least-once for the redelivered epoch. Hold the " +
+          "fence on HDFS-compatible storage (the index data can stay " +
+          "here), or accept the documented downgrade with " +
+          "strictFence = false")
+    }
+    // the fence's lineage line is the streaming QUERY ID — stable across
+    // restarts from the same checkpoint (Spark persists it in the
+    // checkpoint metadata), fresh for a new/foreign checkpoint. It is
+    // only known once start() returns, so the first batch parks on the
+    // latch; start() does not wait for batch completion, so the
+    // countDown below cannot deadlock against it.
+    val lineageLatch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var lineageId: String = null
+    val writer = stream.writeStream.foreachBatch {
+        (batch: DataFrame, epoch: Long) =>
+      lineageLatch.await()
+      val lineage = lineageId
       val spark = batch.sparkSession
       val fs = epochFile.getFileSystem(spark.sessionState.newHadoopConf())
-      val last: Long =
-        if (!fs.exists(epochFile)) -1L
+      // fence format: epoch and lineage each written TWICE
+      // (epoch\nlineage\nepoch\nlineage) — a torn write on a store
+      // without atomic rename truncates to a PREFIX, and no strict
+      // prefix of the four lines can satisfy both equalities, so every
+      // truncation is unreadable and therefore LOUD. (A single-number
+      // format would parse a truncated "10" as a smaller valid epoch
+      // and silently re-append the redelivered epoch.)
+      val recorded: Option[(Long, Option[String])] =
+        if (!fs.exists(epochFile)) None
         else {
           val in = fs.open(epochFile)
           val text = try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          // the fence is the epoch written TWICE: a torn write on a
-          // store without atomic rename truncates to a PREFIX, and a
-          // single-number format would parse that prefix as a smaller
-          // valid epoch — silently re-appending the redelivered epoch;
-          // requiring two equal lines makes every truncation unreadable
-          // and therefore LOUD
           val parsed = text.trim.linesIterator.map(_.trim).toSeq match {
-            case Seq(a, b) if a == b => a.toLongOption
+            case Seq(e1, l1, e2, l2) if e1 == e2 && l1 == l2 =>
+              e1.toLongOption.map(e => (e, Some(l1)))
+            case Seq(a, b) if a == b => // legacy pre-lineage fence
+              a.toLongOption.map(e => (e, None))
             case _ => None
           }
-          parsed.getOrElse(throw new IllegalStateException(
+          Some(parsed.getOrElse(throw new IllegalStateException(
             s"unreadable ingest fence $epochFile (content: " +
-              s"'${text.trim.take(40)}'): likely a torn write on a " +
+              s"'${text.trim.take(60)}'): likely a torn write on a " +
               "filesystem without atomic rename — verify the index " +
-              "contents, then delete the file to re-arm the fence"))
+              "contents, then delete the file to re-arm the fence")))
         }
-      if (epoch < last) throw new IllegalStateException(
-        s"epoch $epoch is below the recorded fence $last at $epochFile: " +
-          "the stream was restarted with a different checkpoint lineage " +
-          "(epoch ids restarted), under which skipping loses rows and " +
-          "appending duplicates them — reconcile the index contents, " +
-          s"then delete $fenceName to adopt the new lineage")
-      if (epoch > last) {
+      recorded.foreach { case (last, fenceLineage) =>
+        if (fenceLineage.exists(_ != lineage)) throw new IllegalStateException(
+          s"ingest fence $epochFile belongs to query lineage " +
+            s"${fenceLineage.get}, but this stream runs as $lineage: it " +
+            "was restarted with a different checkpoint lineage, under " +
+            "which epoch ids no longer correspond — skipping loses rows " +
+            "and appending duplicates them, so reconcile the index " +
+            s"contents, then delete $fenceName to adopt the new lineage")
+        if (epoch < last) throw new IllegalStateException(
+          s"epoch $epoch is below the recorded fence $last at " +
+            s"$epochFile: the stream was restarted with a different " +
+            "checkpoint lineage (epoch ids restarted), under which " +
+            "skipping loses rows and appending duplicates them — " +
+            "reconcile the index contents, then delete " +
+            s"$fenceName to adopt the new lineage")
+      }
+      if (recorded.forall(_._1 < epoch)) {
         Similarity.requireIndexLayout(spark, path) match {
           case "flat-pq" => Similarity.pqAppend(batch, vecCol, idCol, path)
           case "ivf-pq"  => Similarity.ivfPqAppend(batch, vecCol, path)
@@ -1130,18 +1196,14 @@ object StreamOps {
         }
         // tmp + atomic rename where the filesystem can swap atomically;
         // object stores (no atomic rename) fall back to a plain
-        // overwrite so the sink stays AVAILABLE there. The twice-written
-        // format makes any truncation unreadable (loud, with recovery
-        // step) rather than a silently smaller epoch; the residual
-        // object-store hazard is a crash erasing the file ENTIRELY —
-        // indistinguishable from a fresh index, re-opening at-least-once
-        // for the redelivered epoch — so hold the fence on
-        // HDFS-compatible storage (it need not live with the data) when
-        // exactly-once matters there.
-        val fenceBody = s"$epoch\n$epoch"
+        // overwrite so the sink stays AVAILABLE there — unless
+        // strictFence refused at start. The residual object-store
+        // hazard is a crash erasing the file ENTIRELY (fresh-index
+        // ambiguity, at-least-once re-opened for the redelivered epoch).
+        val fenceBody = s"$epoch\n$lineage\n$epoch\n$lineage"
         if (graft.sinks.SnapshotStore.atomicRenameCapable(fs))
-          graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path,
-            fenceName, fenceBody)
+          graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs,
+            epochFile.getParent.toString, epochFile.getName, fenceBody)
         else {
           val out = fs.create(epochFile, true)
           try out.write(fenceBody
@@ -1150,6 +1212,12 @@ object StreamOps {
         }
         onEpoch(epoch)
       }
-    }.start()
+    }
+    val query = checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+    lineageId = query.id.toString
+    lineageLatch.countDown()
+    query
   }
 }

@@ -128,13 +128,57 @@ class ExamplesSpec extends SparkSpec {
     graft.operators.Similarity.ivfPqBuild(
       (1L to 40L).map(i => (i, vec(i))).toDF("id", "embedding"),
       "embedding", idxPath, nCells = 4, m = 4, ksub = 8)
+    // ...and the THIRD surface: durable streaming-dedup state holding
+    // the same users' embedding vectors keyed by id
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_optout_spec_s").resolve("state").toString
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      // near-exact threshold: the fixture vectors are all-positive (one
+      // orthant), so pairwise cosines routinely clear generic thresholds
+      val q = graft.streaming.StreamOps.dedupeEmbeddingsAgainstStore(
+        mem.toDF.toDF("id", "embedding"), "embedding", "id", statePath,
+        threshold = 0.99999, dim = 8)((_, _) => ())
+      try {
+        mem.addData((1L to 40L).map(i => (i, vec(i))): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    SnapshotStore.read(spark, statePath).get.count() shouldBe 40L
     val victims = Seq(3, 7, 11)
+    // ONE call drives all three surfaces: corpus store + serving index
+    // + dedup state
     val report = examples.OptOutExample.optOut(spark, root,
-      victims.toDF("id"), auditPath, serveIndexes = Seq(idxPath))
+      victims.toDF("id"), auditPath, serveIndexes = Seq(idxPath),
+      dedupStateRoots = Seq(statePath))
     report.requested shouldBe 3L
     report.deleted shouldBe 3L
     report.auditRows shouldBe 3L
     report.indexDeleted shouldBe Map(idxPath -> 3L)
+    report.dedupForgotten shouldBe Map(statePath -> 3L)
+    // the dedup state no longer holds the victims' vectors...
+    val state = SnapshotStore.read(spark, statePath).get
+    state.count() shouldBe 37L
+    state.filter(col("id").isin(victims: _*)).count() shouldBe 0L
+    // ...which re-admits FUTURE copies of their content (forgotten
+    // content is new content): a re-ingested victim vector is NOT
+    // suppressed as a duplicate of forgotten state
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      var kept = 0L
+      val q = graft.streaming.StreamOps.dedupeEmbeddingsAgainstStore(
+        mem.toDF.toDF("id", "embedding"), "embedding", "id", statePath,
+        threshold = 0.99999, dim = 8)((df, _) => kept += df.count())
+      try {
+        mem.addData((1003L, vec(3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      kept shouldBe 1L
+    }
     report.maintain.layout shouldBe "n/a" // plain store, no z-order model
     // the index no longer holds — or serves — the victims
     val idxData = spark.read.parquet(s"$idxPath/data")

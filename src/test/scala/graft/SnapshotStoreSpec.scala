@@ -1012,4 +1012,39 @@ class SnapshotStoreSpec extends SparkSpec
     successes.get() should be >= 1L
     SnapshotStore.read(spark, root).get.count() shouldBe 110L
   }
+
+  test("control files on an object-store scheme refuse loudly by " +
+    "default (no atomic rename = torn-reader hazard) and accept an " +
+    "EXPLICIT opt-in acknowledging a consistent-metadata-layer or " +
+    "single-reader deployment") {
+    val dir = tempRoot("graft_s3ctl")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.set("fs.s3a.impl", classOf[S3ALikeFileSystem].getName)
+    val root = s"s3a:$dir"
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    fs.getScheme shouldBe "s3a"
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.atomicReplaceSmallFile(fs, root, "meta", "k=v\n")
+    }
+    ex.getMessage should include("atomic rename")
+    ex.getMessage should include("allowNonAtomicControlFiles")
+    // the opt-in is read from the filesystem's OWN conf (reachable via
+    // spark.hadoop.* in a real deployment) — with it set, the write
+    // lands through the plain-rename path
+    conf.setBoolean("graft.snapshot.allowNonAtomicControlFiles", true)
+    val fsOk = org.apache.hadoop.fs.FileSystem.newInstance(
+      new org.apache.hadoop.fs.Path(root).toUri, conf)
+    SnapshotStore.atomicReplaceSmallFile(fsOk, root, "meta", "k=v\n")
+    val in = fsOk.open(new org.apache.hadoop.fs.Path(root, "meta"))
+    val text = try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+    text shouldBe "k=v\n"
+    // replace (not just create) also works through the opt-in path
+    SnapshotStore.atomicReplaceSmallFile(fsOk, root, "meta", "k=w\n")
+    val in2 = fsOk.open(new org.apache.hadoop.fs.Path(root, "meta"))
+    val text2 = try new String(in2.readAllBytes(), "UTF-8")
+    finally in2.close()
+    text2 shouldBe "k=w\n"
+  }
 }

@@ -10,8 +10,10 @@ import graft.streaming.StreamOps
 
 /** Streaming ingest into a persisted ANN index ([[StreamOps.annAppendSink]])
   * — the streaming form of `AnnIngestExample`'s ingest day: standing-model
-  * appends per epoch, with the epoch fence that makes at-least-once
-  * redelivery a no-op. */
+  * appends per epoch, with the epoch+lineage fence that makes at-least-once
+  * redelivery a no-op under ONE checkpoint lineage and a LOUD error under a
+  * foreign one (including the epoch-0-vs-fence-0 case epoch ids alone
+  * cannot distinguish). */
 class StreamAnnIngestSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,41 +22,55 @@ class StreamAnnIngestSpec extends SparkSpec {
   private def vec(i: Long): Seq[Double] =
     Seq.tabulate(8)(d => math.abs(math.sin(i.toDouble * 31 + d)) + 0.1)
 
-  test("streaming ANN ingest: epochs append with the STANDING model, a " +
-    "redelivered epoch is fenced to a no-op (same epoch id => already " +
-    "recorded => skipped), later epochs land, and probes retrieve the " +
-    "streamed rows exactly") {
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streaming ANN ingest: epochs append with the STANDING model; the " +
+    "crash window between fence record and checkpoint commit redelivers " +
+    "the epoch under the SAME lineage and is skipped whole; later epochs " +
+    "land; probes retrieve the streamed rows exactly") {
     implicit val sql = spark.sqlContext
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_annstream").resolve("index").toString
+    val path = s"${tmp("graft_annstream")}/index"
+    val cp = tmp("graft_annstream_cp")
     val base = (20L to 59L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     Similarity.ivfPqBuild(base, "embedding", path, nCells = 4, m = 4,
       ksub = 8)
     val batchA = Seq((100L, vec(100)), (101L, vec(101)))
     val epochs = ArrayBuffer[Long]()
 
-    // epoch 0 appends and is recorded
+    // epoch 0 appends and records the fence — then the injected crash
+    // fires in the exact at-least-once window (after the fence record,
+    // before the checkpoint commit), so the epoch WILL be redelivered
+    @volatile var crash = true
     val mem1 = MemoryStream[(Long, Seq[Double])]
     val q1 = StreamOps.annAppendSink(mem1.toDF.toDF("vec_id", "embedding"),
-      "embedding", path, idCol = "vec_id")(epochs += _)
-    try { mem1.addData(batchA: _*); q1.processAllAvailable() }
-    finally q1.stop()
-    spark.read.parquet(s"$path/data").count() shouldBe 42L
-    epochs.toSeq shouldBe Seq(0L)
-
-    // crash-redelivery simulation: a fresh (uncheckpointed) query
-    // re-delivers the SAME rows as epoch 0 again — the fence skips it
-    // whole instead of silently duplicating the vectors
-    val mem2 = MemoryStream[(Long, Seq[Double])]
-    val q2 = StreamOps.annAppendSink(mem2.toDF.toDF("vec_id", "embedding"),
-      "embedding", path, idCol = "vec_id")(epochs += _)
+      "embedding", path, idCol = "vec_id",
+      checkpointLocation = Some(cp)) { e =>
+      epochs += e
+      if (crash) throw new RuntimeException("injected crash after fence")
+    }
     try {
-      mem2.addData(batchA: _*)
+      mem1.addData(batchA: _*)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 42L // append landed
+    epochs.toSeq shouldBe Seq(0L)
+    crash = false
+
+    // restart FROM THE SAME CHECKPOINT: Spark restores the query id, so
+    // the fence sees the SAME lineage; the redelivered epoch 0 is
+    // skipped whole (no duplicate vectors, callback not fired), and a
+    // genuinely new epoch lands normally
+    val q2 = StreamOps.annAppendSink(mem1.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id",
+      checkpointLocation = Some(cp))(epochs += _)
+    try {
       q2.processAllAvailable()
       spark.read.parquet(s"$path/data").count() shouldBe 42L // no dup
-      epochs.toSeq shouldBe Seq(0L) // callback not fired for the replay
-      // a genuinely NEW epoch (id above the fence) lands normally
-      mem2.addData((102L, vec(102)))
+      epochs.toSeq shouldBe Seq(0L)
+      mem1.addData((102L, vec(102)))
       q2.processAllAvailable()
     } finally q2.stop()
     spark.read.parquet(s"$path/data").count() shouldBe 43L
@@ -69,11 +85,8 @@ class StreamAnnIngestSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     top shouldBe Set((100L, 100L, 1.0), (102L, 102L, 1.0))
 
-    // LINEAGE GUARD: with the fence at 1, a stream restarted against a
-    // fresh checkpoint restarts its epoch ids at 0 — batch boundaries no
-    // longer correspond to the recorded ones, so the sink must fail
-    // LOUDLY instead of silently skipping (losing rows) or appending
-    // (duplicating them)
+    // LINEAGE GUARD: a foreign (uncheckpointed) query hits the lineage
+    // line first — loud, whatever its epoch arithmetic says
     val memL = MemoryStream[(Long, Seq[Double])]
     val qL = StreamOps.annAppendSink(memL.toDF.toDF("vec_id", "embedding"),
       "embedding", path, idCol = "vec_id")()
@@ -86,25 +99,44 @@ class StreamAnnIngestSpec extends SparkSpec {
     } finally qL.stop()
     spark.read.parquet(s"$path/data").count() shouldBe 43L // untouched
 
-    // a torn/corrupt fence fails loudly with the recovery step named,
-    // instead of wedging on a bare NumberFormatException
+    // epoch-arithmetic leg, reachable only through a LEGACY (no-lineage)
+    // fence: epoch 0 below the recorded 5 fails loudly
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, ".ingest_epoch"),
-      "garbage".getBytes("UTF-8"))
-    val memC = MemoryStream[(Long, Seq[Double])]
-    val qC = StreamOps.annAppendSink(memC.toDF.toDF("vec_id", "embedding"),
+      "5\n5".getBytes("UTF-8"))
+    val memB = MemoryStream[(Long, Seq[Double])]
+    val qB = StreamOps.annAppendSink(memB.toDF.toDF("vec_id", "embedding"),
       "embedding", path, idCol = "vec_id")()
     try {
-      memC.addData((104L, vec(104)))
-      val cex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        qC.processAllAvailable()
+      memB.addData((105L, vec(105)))
+      val bex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qB.processAllAvailable()
       }
-      cex.getMessage should include("unreadable ingest fence")
-    } finally qC.stop()
+      bex.getMessage should include("below the recorded fence")
+    } finally qB.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 43L // untouched
+
+    // torn/corrupt fences fail loudly with the recovery step named —
+    // garbage, a 3-line truncation of the 4-line format, and a 4-line
+    // body whose repeated halves disagree are all unreadable
+    Seq("garbage", "1\nabc-lineage\n1", "1\nabc\n1\nxyz").foreach { body =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, ".ingest_epoch"),
+        body.getBytes("UTF-8"))
+      val memC = MemoryStream[(Long, Seq[Double])]
+      val qC = StreamOps.annAppendSink(memC.toDF.toDF("vec_id", "embedding"),
+        "embedding", path, idCol = "vec_id")()
+      try {
+        memC.addData((104L, vec(104)))
+        val cex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          qC.processAllAvailable()
+        }
+        cex.getMessage should include("unreadable ingest fence")
+      } finally qC.stop()
+    }
 
     // an unbuilt path refuses loudly instead of inventing a layout
-    val junk = java.nio.file.Files
-      .createTempDirectory("graft_annstream_junk").toString
+    val junk = tmp("graft_annstream_junk")
     val mem3 = MemoryStream[(Long, Seq[Double])]
     val q3 = StreamOps.annAppendSink(mem3.toDF.toDF("vec_id", "embedding"),
       "embedding", junk, idCol = "vec_id")()
@@ -117,11 +149,163 @@ class StreamAnnIngestSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("lineage guard closes the epoch-0 hole: a FRESH checkpoint lineage " +
+    "whose first batch arrives while the fence records epoch 0 fails " +
+    "LOUDLY instead of silently dropping genuinely new rows as a " +
+    "'redelivery'") {
+    implicit val sql = spark.sqlContext
+    val path = s"${tmp("graft_annstream_l0")}/index"
+    val base = (20L to 59L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.ivfPqBuild(base, "embedding", path, nCells = 4, m = 4,
+      ksub = 8)
+    // owner lineage appends epoch 0 — fence now (0, owner-id)
+    val mem1 = MemoryStream[(Long, Seq[Double])]
+    val q1 = StreamOps.annAppendSink(mem1.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id")()
+    try { mem1.addData((100L, vec(100))); q1.processAllAvailable() }
+    finally q1.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 41L
+    // a NEW uncheckpointed query (fresh lineage) delivers ITS epoch 0 —
+    // genuinely new rows that the epoch-only fence would have silently
+    // skipped (0 == 0); the lineage line makes it loud instead
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamOps.annAppendSink(mem2.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id")()
+    try {
+      mem2.addData((200L, vec(200)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      ex.getMessage should include("checkpoint lineage")
+    } finally q2.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 41L // untouched
+
+    // LEGACY two-line fence (pre-lineage format): carries no lineage, so
+    // the epoch-only rules hold for that one read — equal epoch skipped
+    // (the documented legacy blind spot) — and the next advance rewrites
+    // the fence in the 4-line lineage format
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, ".ingest_epoch"),
+      "0\n0".getBytes("UTF-8"))
+    val mem3 = MemoryStream[(Long, Seq[Double])]
+    val q3 = StreamOps.annAppendSink(mem3.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id")()
+    try {
+      mem3.addData((300L, vec(300)))
+      q3.processAllAvailable()
+      spark.read.parquet(s"$path/data").count() shouldBe 41L // skipped
+      mem3.addData((301L, vec(301)))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 42L
+    val fence = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, ".ingest_epoch")), "UTF-8")
+    fence.trim.linesIterator.size shouldBe 4 // upgraded to lineage format
+    fence should include(q3.id.toString)
+  }
+
+  test("strictFence refuses AT START on a filesystem without atomic " +
+    "rename instead of silently downgrading exactly-once to " +
+    "at-least-once; the default mode still runs there") {
+    implicit val sql = spark.sqlContext
+    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
+      classOf[S3ALikeFileSystem].getName)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.annAppendSink(mem.toDF.toDF("vec_id", "embedding"),
+        "embedding", "s3a:/graft/never/created", idCol = "vec_id",
+        strictFence = true)()
+    }
+    ex.getMessage should include("no atomic rename")
+    ex.getMessage should include("strictFence")
+    // strict mode on an atomic-rename filesystem starts and runs normally
+    val path = s"${tmp("graft_annstream_strict")}/index"
+    val base = (20L to 39L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.ivfBuild(base, "embedding", path, nCells = 2)
+    val memS = MemoryStream[(Long, Seq[Double])]
+    val qS = StreamOps.annAppendSink(memS.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id", strictFence = true)()
+    try { memS.addData((500L, vec(500))); qS.processAllAvailable() }
+    finally qS.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 21L
+
+    // fencePath relocates JUST the fence (the index-on-object-store,
+    // fence-on-HDFS recipe): the fence lands at the given location and
+    // nothing is written at the index root
+    val path2 = s"${tmp("graft_annstream_fp")}/index"
+    Similarity.ivfBuild(base, "embedding", path2, nCells = 2)
+    val fence = s"${tmp("graft_annstream_fpf")}/my_fence"
+    val memF = MemoryStream[(Long, Seq[Double])]
+    val qF = StreamOps.annAppendSink(memF.toDF.toDF("vec_id", "embedding"),
+      "embedding", path2, idCol = "vec_id", strictFence = true,
+      fencePath = Some(fence))()
+    try { memF.addData((600L, vec(600))); qF.processAllAvailable() }
+    finally qF.stop()
+    spark.read.parquet(s"$path2/data").count() shouldBe 21L
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(fence)) shouldBe true
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path2, ".ingest_epoch")) shouldBe false
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fence)), "UTF-8") should include(
+      qF.id.toString)
+  }
+
+  test("maintain interleaves with a LIVE stream's epochs: ingest, pause, " +
+    "indexMaintain (rebuild triggered by growth), resume from the same " +
+    "checkpoint — fence lineage still valid, probes exact over old and " +
+    "new rows") {
+    implicit val sql = spark.sqlContext
+    val path = s"${tmp("graft_annstream_mnt")}/index"
+    val cp = tmp("graft_annstream_mnt_cp")
+    // tiny base so the streamed mass trips the growth gauge (> 4x)
+    val base = (20L to 27L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.ivfBuild(base, "embedding", path, nCells = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def sink() = StreamOps.annAppendSink(
+      mem.toDF.toDF("vec_id", "embedding"), "embedding", path,
+      idCol = "vec_id", checkpointLocation = Some(cp))()
+    // ingest day: two epochs land under the standing model
+    val q1 = sink()
+    try {
+      mem.addData((100L to 119L).map(i => (i, vec(i))): _*)
+      q1.processAllAvailable()
+      mem.addData((120L to 139L).map(i => (i, vec(i))): _*)
+      q1.processAllAvailable()
+    } finally q1.stop() // PAUSE — maintenance owns the index now
+    spark.read.parquet(s"$path/data").count() shouldBe 48L
+    // nightly maintain on its own schedule: the 2-cell build is far
+    // under autoCells' floor for the grown corpus, tripping maxGrowth —
+    // a real staged REBUILD (fresh quantizer, swapped relations, new
+    // generation marker), not a no-op gauge
+    val (layout, decision) = Similarity.indexMaintain(spark, path,
+      "embedding", idCol = "vec_id")
+    layout shouldBe "ivf"
+    decision shouldBe "rebuilt"
+    // RESUME from the same checkpoint: the rebuild swapped relations but
+    // kept the fence — same lineage, so the stream continues without
+    // reconciliation and its next epoch appends into the REBUILT index
+    val q2 = sink()
+    try { mem.addData((140L, vec(140))); q2.processAllAvailable() }
+    finally q2.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 49L
+    // full-width probe = exact: every streamed row, pre- and
+    // post-rebuild, is retrieved at rank 1 with cosine exactly 1
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    val queries = Seq(100L, 139L, 140L).map(i => (i, vec(i)))
+      .toDF("query_id", "embedding")
+    val top = Similarity.ivfProbeTopK(spark, path, queries, "embedding",
+        "vec_id", "query_id", k = 1, nProbe = nCells)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    top shouldBe Set((100L, 100L, 1.0), (139L, 139L, 1.0),
+      (140L, 140L, 1.0))
+  }
+
   test("streaming ANN ingest serves the flat-PQ layout through the same " +
     "sink (layout detected from the relations, pqAppend path)") {
     implicit val sql = spark.sqlContext
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_annstream_pq").resolve("index").toString
+    val path = s"${tmp("graft_annstream_pq")}/index"
     val base = (20L to 59L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     Similarity.pqBuild(base, "embedding", "vec_id", path, m = 4, ksub = 8,
       idBuckets = 16)
@@ -136,8 +320,7 @@ class StreamAnnIngestSpec extends SparkSpec {
     Similarity.pqDriftStats(spark, path, "embedding").ratio should be >= 0.0
 
     // plain-IVF leg of the routing matrix (ivfAppend path)
-    val ivfPath = java.nio.file.Files
-      .createTempDirectory("graft_annstream_ivf").resolve("index").toString
+    val ivfPath = s"${tmp("graft_annstream_ivf")}/index"
     Similarity.ivfBuild(base, "embedding", ivfPath, nCells = 4)
     val memV = MemoryStream[(Long, Seq[Double])]
     val qV = StreamOps.annAppendSink(memV.toDF.toDF("vec_id", "embedding"),
