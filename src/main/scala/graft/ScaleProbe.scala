@@ -2740,12 +2740,15 @@ object ScaleProbe {
     // handful of fixed-size jobs (hash-derived buckets, one narrow
     // locate scan, 8 bucket rewrites), so the wall contrast with the
     // O(index) naive leg only shows once the index dwarfs those
-    // constants — measured COLD pruned wall stays FLAT across
-    // 1M -> 4M rows (~2.9-3.5s across runs) while the naive rewrite
-    // grows with the index (3.0s at 1M -> 5.0-8.0s at 4M; the local
-    // wall ratio is noisy, 1.4-2.4x). The rewrite-bytes fraction
-    // (~0.04) is the STABLE scale-transferable figure, and at
-    // storage-bandwidth-bound sizes it IS the wall ratio.
+    // constants — measured COLD pruned wall stays roughly FLAT across
+    // 1M -> 4M rows (~3-7s across runs) while the naive rewrite grows
+    // with the index (3.0s at 1M -> 5-12s at 4M). The LOCAL wall ratio
+    // is too noisy to headline (r18 measured 0.7x and 2.4x on
+    // back-to-back identical runs — both legs' constants are
+    // comparable to one local parquet job's scheduling jitter); the
+    // rewrite-bytes fraction (~0.04) is the STABLE scale-transferable
+    // figure, and at storage-bandwidth-bound sizes it IS the wall
+    // ratio.
     val reps = scale * 200
     // scan-side fan-out (ONE plan node), not a reps-way union: a
     // 500-deep union tree overflows plan serialization before it runs

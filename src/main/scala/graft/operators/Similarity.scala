@@ -2484,64 +2484,65 @@ object Similarity {
         .join(broadcast(k), Seq(idCol), "left_anti")
         .write.mode("overwrite").parquet(s"$staging/codes")
     // fenced WHOLE-RELATION swap. Swapping partition directories one at
-    // a time (the pre-r18 scheme) left a window where a racing probe's
-    // file listing could catch SOME partitions swapped and others not —
-    // a READABLE mixed state, i.e. silent partial results, exactly what
-    // the in-flight-readers contract forbids. Renaming the relation
-    // directory wholesale leaves only three observable states: all-old,
-    // ABSENT (a loud, retryable listing/scan failure under the default
-    // ignoreMissingFiles=false), all-new. The untouched partitions carry
-    // over by METADATA rename (no data bytes move), so rewritten bytes
-    // stay O(touched); the metadata ops grow to O(partitions), a bounded
-    // count (nCells / idBuckets) of namenode-cheap renames.
+    // a time IN PLACE (the pre-r18 scheme) left a window where a racing
+    // probe's file listing could catch SOME partitions swapped and
+    // others not — a READABLE mixed state, i.e. silent partial results,
+    // exactly what the in-flight-readers contract forbids. Instead the
+    // relation directory is renamed AWAY whole, mutated while it sits at
+    // the hidden `.old` path (displaced old partitions parked under
+    // `.old/parts` for crash recovery, staged survivors moved in), and
+    // renamed BACK whole — readers only ever observe all-old, ABSENT (a
+    // loud, retryable listing/scan failure under the default
+    // ignoreMissingFiles=false), or all-new, and the metadata ops stay
+    // O(touched) (2 whole-dir renames + 2 per touched partition), not
+    // O(partitions).
     val old = new org.apache.hadoop.fs.Path(root, ".old")
     fs.delete(old, true)
     fs.mkdirs(old)
+    val parked = new org.apache.hadoop.fs.Path(old, "parts")
+    fs.mkdirs(parked)
     val rod = renameOrDie(fs, path, "indexDelete") _
     withRebuildFence(fs, root) {
-      val stagedRel = new org.apache.hadoop.fs.Path(staging, rel)
-      if (!fs.exists(stagedRel)) fs.mkdirs(stagedRel)
-      rod(new org.apache.hadoop.fs.Path(root, rel),
-        new org.apache.hadoop.fs.Path(old, rel))
-      fs.listStatus(new org.apache.hadoop.fs.Path(old, rel)).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isDirectory && n.startsWith(s"$partCol=") &&
-            n.stripPrefix(s"$partCol=").toIntOption
-              .forall(p => !touched.contains(p))
-        }
-        .foreach(st => rod(st.getPath,
-          new org.apache.hadoop.fs.Path(stagedRel, st.getPath.getName)))
-      // touched partitions exist in staging only as their staged
-      // survivors; a partition whose rows were all victims has no staged
-      // directory and is removed outright (the probes' partition pruning
-      // and the maintainers' cell stats stop seeing it)
-      rod(stagedRel, new org.apache.hadoop.fs.Path(root, rel))
-      // flat-PQ codes: the same wholesale dance at FILE granularity —
-      // victim files stay behind in .old, untouched files carry over by
-      // rename, rewritten survivors come from staging
+      val hiddenRel = new org.apache.hadoop.fs.Path(old, rel)
+      rod(new org.apache.hadoop.fs.Path(root, rel), hiddenRel)
+      touched.toSeq.sorted.foreach { p =>
+        rod(new org.apache.hadoop.fs.Path(hiddenRel, s"$partCol=$p"),
+          new org.apache.hadoop.fs.Path(parked, s"$partCol=$p"))
+        val stagedPart =
+          new org.apache.hadoop.fs.Path(staging, s"$rel/$partCol=$p")
+        // a partition whose rows were all victims has no staged
+        // survivors: it is removed outright (the probes' partition
+        // pruning and the maintainers' cell stats stop seeing it)
+        if (fs.exists(stagedPart))
+          rod(stagedPart,
+            new org.apache.hadoop.fs.Path(hiddenRel, s"$partCol=$p"))
+      }
+      rod(hiddenRel, new org.apache.hadoop.fs.Path(root, rel))
+      // flat-PQ codes: the same hidden-path dance at FILE granularity —
+      // victim files deleted while the relation is hidden, rewritten
+      // survivors moved in, the directory renamed back whole
       if (layout == "flat-pq") {
+        val hiddenCodes = new org.apache.hadoop.fs.Path(old, "codes")
+        rod(new org.apache.hadoop.fs.Path(root, "codes"), hiddenCodes)
         // input_file_name() returns the scan's URI-encoded path string
         // (SparkPath.urlEncoded), so the URI round trip is the correct
         // decode for e.g. %20 under a space-containing root; a string
         // that is NOT URI-parseable (foreign producer) falls back to the
         // plain Path constructor instead of aborting the delete mid-fence
-        val victimNames = codesFiles.map { f =>
-          (try new org.apache.hadoop.fs.Path(new java.net.URI(f))
-           catch { case _: java.net.URISyntaxException =>
-             new org.apache.hadoop.fs.Path(f) }).getName
-        }.toSet
+        codesFiles.foreach { f =>
+          val name = (try new org.apache.hadoop.fs.Path(new java.net.URI(f))
+            catch { case _: java.net.URISyntaxException =>
+              new org.apache.hadoop.fs.Path(f) }).getName
+          fs.delete(new org.apache.hadoop.fs.Path(hiddenCodes, name), false)
+        }
         val stagedCodes = new org.apache.hadoop.fs.Path(staging, "codes")
-        if (!fs.exists(stagedCodes)) fs.mkdirs(stagedCodes)
-        rod(new org.apache.hadoop.fs.Path(root, "codes"),
-          new org.apache.hadoop.fs.Path(old, "codes"))
-        fs.listStatus(new org.apache.hadoop.fs.Path(old, "codes")).toSeq
-          .filter(st => st.isFile &&
-            st.getPath.getName.endsWith(".parquet") &&
-            !victimNames.contains(st.getPath.getName))
-          .foreach(st => rod(st.getPath, new org.apache.hadoop.fs.Path(
-            stagedCodes, st.getPath.getName)))
-        rod(stagedCodes, new org.apache.hadoop.fs.Path(root, "codes"))
+        if (fs.exists(stagedCodes))
+          fs.listStatus(stagedCodes).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .foreach(st => rod(st.getPath, new org.apache.hadoop.fs.Path(
+              hiddenCodes, st.getPath.getName)))
+        rod(hiddenCodes, new org.apache.hadoop.fs.Path(root, "codes"))
       }
       // a FULLY drained relation must stay READABLE: a partitioned write
       // of zero survivors produces no files at all, and a later probe's
