@@ -1314,6 +1314,67 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet shouldBe legal.last
   }
 
+  test("probe vs rebuild race, live: probes hammering through three " +
+    "fenced overwrite rebuilds return the exact answer or fail loudly — " +
+    "a stale-quantizer plan pruning the rebuilt files (the silent " +
+    "wrong-neighbors mode the generation marker exists for) never " +
+    "surfaces as data") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_race").toString
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 4)
+    // the rows never change, so the over-probed (all cells, whatever the
+    // current generation's cell count) top-k is ONE invariant answer —
+    // any deviation is exactly the silent mixed-generation read
+    val exact = Similarity.bruteForceTopK(corp, qs, "embedding", "vec_id",
+        "query_id", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val successes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val hammer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = Similarity.ivfProbeTopK(spark, path, qs, "embedding",
+              "vec_id", "query_id", k = 5, nProbe = 999)
+            .select("query_id", "vec_id")
+            .as[(Long, Long)].collect().toSet
+          if (got == exact) successes.incrementAndGet()
+          else bad.add(s"probe returned non-exact rows mid-rebuild: $got")
+        } catch { case _: Throwable => () } // fence/gen/missing-file: loud
+      }
+    })
+    hammer.start()
+    try {
+      val t0 = System.nanoTime()
+      while (successes.get() == 0L && bad.isEmpty &&
+          System.nanoTime() - t0 < 120e9.toLong) Thread.sleep(50)
+      // three fenced overwrite rebuilds with DIFFERENT cell counts: the
+      // dangerous window is a probe that loaded generation i's centroids
+      // and lists generation i+1's files — with 4 vs 8 vs 16 cells, a
+      // stale 4-cell plan over 16-cell files reads a quarter of the
+      // corpus and WOULD return wrong neighbors if the guard missed
+      (0 until 3).foreach { i =>
+        Similarity.ivfBuild(corp, "embedding", path, nCells = 4 << (i + 1))
+        Thread.sleep(300)
+      }
+    } finally {
+      stop.set(true)
+      hammer.join(120000)
+    }
+    bad.toArray.toSeq shouldBe empty
+    successes.get() should be >= 1L
+    Similarity.ivfProbeTopK(spark, path, qs, "embedding", "vec_id",
+        "query_id", k = 5, nProbe = 999)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet shouldBe exact
+  }
+
   test("generation marker: rebuilds flip it (a probe planned against the " +
     "old generation fails loudly), deletes and appends do not; torn " +
     "calibration files parse as uncalibrated instead of installing " +
