@@ -905,7 +905,14 @@ object Similarity {
     * top-k member in the shortlist always survives. Driver memory:
     * `sampleQueries`·k truth pairs + `sampleQueries` vectors. Same
     * self-calibration assumption and one-sided `confidenceZ` margin as
-    * [[nProbeForRecall]].
+    * [[nProbeForRecall]], but the PQ-family DEFAULT is z = 2 (vs IVF's
+    * 1): ADC rank quality varies with the codebook DRAW and splits by
+    * query REGIME on mixed corpora — measured per-regime external recall
+    * spread ±0.05 around the on-sample number across k-means draws
+    * (SCALEPROBE `pq_drift`), beyond what the per-query binomial term
+    * covers — so external batches land AT or above the stated target
+    * instead of distributed around it. The stronger margin costs
+    * shortlist width, never scan width.
     *
     * The persisted factor is capped at `maxShortlistFactor` — the
     * re-rank join's fan-in is Q·factor·k, and an unreachable target must
@@ -916,7 +923,7 @@ object Similarity {
   def pqShortlistForRecall(spark: SparkSession, path: String,
                            vecCol: String, idCol: String, target: Double,
                            k: Int = 10, sampleQueries: Int = 64,
-                           seed: Long = 42L, confidenceZ: Double = 1.0,
+                           seed: Long = 42L, confidenceZ: Double = 2.0,
                            maxShortlistFactor: Int = 64): Int = {
     require(target > 0.0 && target <= 1.0,
       s"recall target must be in (0, 1], got $target")
@@ -1008,7 +1015,7 @@ object Similarity {
   def ivfPqCalibrate(spark: SparkSession, path: String, vecCol: String,
                      idCol: String, target: Double, k: Int = 10,
                      sampleQueries: Int = 64, seed: Long = 42L,
-                     confidenceZ: Double = 1.0,
+                     confidenceZ: Double = 2.0,
                      maxShortlistFactor: Int = 64): (Int, Int) = {
     require(target > 0.0 && target <= 1.0,
       s"recall target must be in (0, 1], got $target")
