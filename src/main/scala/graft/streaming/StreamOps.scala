@@ -1127,9 +1127,9 @@ object StreamOps {
         s"strictFence: the fence at $epochFile sits on " +
           s"'${fs0.getScheme}', which has no atomic rename — a crashed " +
           "plain-overwrite can erase the fence entirely and silently " +
-          "re-open at-least-once for the redelivered epoch. Hold the " +
-          "fence on HDFS-compatible storage (the index data can stay " +
-          "here), or accept the documented downgrade with " +
+          "re-open at-least-once for the redelivered epoch. Point " +
+          "fencePath at HDFS-compatible storage (the index data can " +
+          "stay here), or accept the documented downgrade with " +
           "strictFence = false")
     }
     // the fence's lineage line is the streaming QUERY ID — stable across
