@@ -351,10 +351,14 @@ object Similarity {
     * carry the schema the index was built from.
     *
     * Concurrency discipline (the same single-writer assumption
-    * [[ivfMaintain]] documents): run appends from the one writer that
-    * owns the index — the fence check below refuses a `.rebuilding`
-    * index, so a crashed maintain can no longer be silently extended
-    * with whichever centroids file survived the torn swap. Visibility to
+    * [[ivfMaintain]] documents), now mechanically backstopped: the fence
+    * check refuses a `.rebuilding` index (a crashed maintain can no
+    * longer be silently extended with whichever centroids file survived
+    * the torn swap), and the `.mutating` writer-lease check refuses an
+    * index whose maintain/delete is MID-STAGING — an append landing in
+    * that window would be silently dropped by the coming swap (its rows
+    * are not among the staged survivors), the one interleaving the
+    * narrow fence alone could not make loud. Visibility to
     * CONCURRENT readers: an append writes part files into live `__cell=`
     * directories non-atomically — each part file appears whole, the
     * batch does not — so a probe racing an append may score a PREFIX of
@@ -384,6 +388,7 @@ object Similarity {
   def ivfAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
+    requireNotMutating(spark, path)
     val centroids = loadCentroids(spark, path)
     newRows
       .withColumn("__cn", V.norm(col(vecCol)))
@@ -460,14 +465,20 @@ object Similarity {
       // recall target, the width is re-checked against the rebuilt index
       // immediately (the post-rebuild re-check nProbeForRecall's
       // contract promises).
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
-      // original columns only: assignment/norm are recomputed by the build
-      val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
-      stagedRebuild(spark, path, Seq("data", "centroids")) { staging =>
-        ivfBuild(data, vecCol, staging, nCells = wantCells,
-          seed = seed, fitSampleRows = fitSampleRows)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // writer lease held from BEFORE the staging read to after the
+      // swap: an append landing inside that window would be silently
+      // replaced by the swap (its rows are not in the staged files), so
+      // appends refuse a leased index instead — see withMutationLease
+      withMutationLease(fs, root, "ivfMaintain") {
+        fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
+        // original columns only: assignment/norm recomputed by the build
+        val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
+        stagedRebuild(spark, path, Seq("data", "centroids")) { staging =>
+          ivfBuild(data, vecCol, staging, nCells = wantCells,
+            seed = seed, fitSampleRows = fitSampleRows)
+        }
       }
       recallTarget.foreach(t =>
         nProbeForRecall(spark, path, vecCol, t, k = recallK, seed = seed))
@@ -512,6 +523,55 @@ object Similarity {
     fs.create(marker, true).close()
     body
     fs.delete(marker, false)
+  }
+
+  /** Writer lease a whole-mutation path ([[stagedRebuild]],
+    * [[indexDelete]]) holds from its FIRST read of the relations to its
+    * last swap — the mechanical backstop behind the documented
+    * single-writer contract. The `.rebuilding` fence only covers the
+    * brief swap, which keeps PROBES live through the long staging build
+    * but leaves a silent-loss window for APPENDS: an append landing
+    * after the mutation's staging read and before its swap writes rows
+    * the swap then replaces — gone without an error. Appends therefore
+    * refuse a leased index loudly (probes do NOT check the lease — their
+    * availability is the reason the fence is narrow). Hidden
+    * (dot-prefixed): never enters a relation read or a gauge sample. */
+  private val MutatingMarker = ".mutating"
+
+  /** Acquire the writer lease create-exclusively (two racing mutations
+    * cannot both win), run `body`, release. A body that THROWS releases
+    * the lease — the live index was not touched before the fenced swap,
+    * and the swap's own crash story is the `.rebuilding` marker. A
+    * process CRASH leaves the lease; the loud message carries the
+    * recovery step (confirm no writer is running, delete the marker). */
+  private def withMutationLease[T](fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path,
+                                   op: String)(body: => T): T = {
+    val marker = new org.apache.hadoop.fs.Path(root, MutatingMarker)
+    val acquired =
+      try { fs.create(marker, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"$op: the index at $root is already leased by another mutation " +
+        s"($MutatingMarker exists) — appends/maintenance/deletes are " +
+        "single-writer, and interleaving them loses data silently. If " +
+        "no other writer is running (a crashed mutation left the " +
+        "lease), verify the index and delete the marker to release it")
+    try body finally { fs.delete(marker, false); () }
+  }
+
+  /** The append-side half of [[withMutationLease]]'s contract: appends
+    * into an index whose mutation is mid-staging would be silently
+    * replaced by the coming swap, so they refuse loudly instead. */
+  private def requireNotMutating(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MutatingMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) throw new IllegalStateException(
+      s"index at $path is leased by an in-progress mutation " +
+        s"($MutatingMarker): an append now would be silently dropped by " +
+        "the mutation's swap — retry after it completes (streaming " +
+        "ingest redelivers the epoch), or, if a crashed mutation left " +
+        "the lease, verify the index and delete the marker")
   }
 
   private def stagedRebuild(spark: SparkSession, path: String,
@@ -1638,6 +1698,7 @@ object Similarity {
                path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
+    requireNotMutating(spark, path)
     val model = loadPqModel(spark, path)
     val buckets = spark.read.parquet(s"$path/meta")
       .select("id_buckets").collect()(0).getInt(0)
@@ -1842,16 +1903,20 @@ object Similarity {
       // crash lands between the fence lift and the delete — losing the
       // calibration on an UNCHANGED index (build crashed pre-swap) only
       // degrades probes to the conservative defaults
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
-      // original columns only; bucket count re-derived (idBuckets = 0)
-      // because the corpus has grown since the recorded one was sized
-      val data = spark.read.parquet(s"$path/vectors").drop("__vb")
-      stagedRebuild(spark, path,
-        Seq("codes", "vectors", "codebooks", "meta")) { staging =>
-        pqBuild(data, vecCol, idCol, staging, m = model.m,
-          ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // writer lease across staging-read + swap (see withMutationLease):
+      // appends inside the window would be silently dropped by the swap
+      withMutationLease(fs, root, "pqMaintain") {
+        fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
+        // original columns only; bucket count re-derived (idBuckets = 0)
+        // because the corpus has grown since the recorded one was sized
+        val data = spark.read.parquet(s"$path/vectors").drop("__vb")
+        stagedRebuild(spark, path,
+          Seq("codes", "vectors", "codebooks", "meta")) { staging =>
+          pqBuild(data, vecCol, idCol, staging, m = model.m,
+            ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
+        }
       }
       recallTarget.foreach(t => pqShortlistForRecall(spark, path, vecCol,
         idCol, t, k = recallK, seed = seed,
@@ -2107,6 +2172,7 @@ object Similarity {
   def ivfPqAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
+    requireNotMutating(spark, path)
     val centroids = loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
     pqEncode(newRows, vecCol, model)
@@ -2206,16 +2272,20 @@ object Similarity {
       // drop the calibration BEFORE the rebuild (see pqMaintain): a crash
       // between the fence lift and a post-swap delete would leave widths
       // tuned against the replaced quantizer+codebooks silently in force
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
-      // original columns only: cell/norm/codes are recomputed by the build
-      val data = spark.read.parquet(s"$path/data")
-        .drop("__cell", "__cn", "__codes")
-      stagedRebuild(spark, path,
-        Seq("data", "centroids", "codebooks", "meta")) { staging =>
-        ivfPqBuild(data, vecCol, staging, nCells = 0, m = model.m,
-          ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // writer lease across staging-read + swap (see withMutationLease):
+      // appends inside the window would be silently dropped by the swap
+      withMutationLease(fs, root, "ivfPqMaintain") {
+        fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
+        // original columns only: cell/norm/codes recomputed by the build
+        val data = spark.read.parquet(s"$path/data")
+          .drop("__cell", "__cn", "__codes")
+        stagedRebuild(spark, path,
+          Seq("data", "centroids", "codebooks", "meta")) { staging =>
+          ivfPqBuild(data, vecCol, staging, nCells = 0, m = model.m,
+            ksub = model.ksub, seed = seed, fitSampleRows = fitSampleRows)
+        }
       }
       recallTarget.foreach(t => ivfPqCalibrate(spark, path, vecCol, idCol,
         t, k = recallK, seed = seed,
@@ -2403,7 +2473,10 @@ object Similarity {
     * (`pqcal.json`/`nprobe.json`) are kept — a bounded opt-out batch
     * does not shift the corpus distribution; the next
     * `recallTarget`-bearing maintenance re-checks them anyway.
-    * Single-writer, like every mutation path.
+    * Single-writer, like every mutation path — and mechanically so: the
+    * whole delete holds the `.mutating` writer lease ([[withMutationLease]]),
+    * under which interleaved appends fail loudly instead of being
+    * silently dropped by the swap.
     *
     * IN-FLIGHT READERS during the swap (the probe-vs-delete race,
     * pinned live in `SimilaritySpec`): a probe that passed the fence
@@ -2434,6 +2507,11 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    // writer lease held from BEFORE the primary listing to after the
+    // swap (see withMutationLease): an append landing in between writes
+    // rows the staged survivors do not contain — the swap would drop
+    // them silently, so appends refuse a leased index instead
+    withMutationLease(fs, root, "indexDelete") {
     val primary = spark.read.parquet(s"$path/$rel")
     val storedIdType = primary.schema(idCol).dataType
     // bounded opt-out batch, materialized once: it feeds several jobs,
@@ -2605,5 +2683,6 @@ object Similarity {
     (rel +: (if (layout == "flat-pq") Seq("codes") else Nil))
       .foreach(r => spark.catalog.refreshByPath(s"$path/$r"))
     nDel
+    } // withMutationLease
   }
 }

@@ -1375,6 +1375,74 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet shouldBe exact
   }
 
+  test("writer lease: appends into a leased index refuse LOUDLY instead " +
+    "of being silently dropped by the in-progress mutation's swap; " +
+    "mutations refuse a foreign/stale lease; the lease is released on " +
+    "completion and probes never check it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val newRows = emb.filter($"vec_id" < 2)
+      .select(($"vec_id" + 70000L).as("vec_id"), $"embedding")
+    val qs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lease").toString
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 2)
+    // a held lease (as a crashed or concurrent mutation would leave it)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".mutating"))
+    val aex = intercept[IllegalStateException] {
+      Similarity.ivfAppend(newRows, "embedding", path)
+    }
+    aex.getMessage should include("leased by an in-progress mutation")
+    val dex = intercept[IllegalStateException] {
+      Similarity.indexDelete(spark, path,
+        corp.select("vec_id").limit(2), idCol = "vec_id")
+    }
+    dex.getMessage should include("already leased")
+    // a rebuild-bound maintain refuses too (2 cells vs autoCells' floor
+    // trips maxGrowth, so this WOULD rebuild)
+    val mex = intercept[IllegalStateException] {
+      Similarity.ivfMaintain(spark, path, "embedding",
+        maxSkew = 1e9, maxGrowth = 1.0)
+    }
+    mex.getMessage should include("already leased")
+    // probes do NOT check the lease: reads stay live through long
+    // mutations (the fence, not the lease, guards the brief swap)
+    Similarity.ivfProbeTopK(spark, path, qs, "embedding", "vec_id",
+      "query_id", k = 3, nProbe = 2).count() should be > 0L
+    // releasing the stale lease re-admits every writer, and each path
+    // releases it again on completion
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, ".mutating"))
+    Similarity.ivfAppend(newRows, "embedding", path)
+    spark.read.parquet(s"$path/data").count() shouldBe corp.count() + 2
+    Similarity.ivfMaintain(spark, path, "embedding",
+      maxSkew = 1e9, maxGrowth = 1.0) shouldBe "rebuilt"
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".mutating")) shouldBe false
+    Similarity.indexDelete(spark, path,
+      newRows.select("vec_id"), idCol = "vec_id") shouldBe 2L
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".mutating")) shouldBe false
+    // the flat-PQ and IVF-PQ append paths share the refusal
+    val pqp = java.nio.file.Files
+      .createTempDirectory("graft_lease_pq").toString
+    Similarity.pqBuild(corp, "embedding", "vec_id", pqp, m = 16,
+      ksub = 16, idBuckets = 16)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(pqp, ".mutating"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.pqAppend(newRows, "embedding", "vec_id", pqp)
+    val ipqp = java.nio.file.Files
+      .createTempDirectory("graft_lease_ipq").toString
+    Similarity.ivfPqBuild(corp, "embedding", ipqp, nCells = 4, m = 16,
+      ksub = 16)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(ipqp, ".mutating"))
+    an[IllegalStateException] should be thrownBy
+      Similarity.ivfPqAppend(newRows, "embedding", ipqp)
+  }
+
   test("generation marker: rebuilds flip it (a probe planned against the " +
     "old generation fails loudly), deletes and appends do not; torn " +
     "calibration files parse as uncalibrated instead of installing " +
