@@ -158,12 +158,31 @@ object Bench {
     val extMaxPasses = math.max(extPasses,
       sys.env.get("SPARK_GRAFT_BENCH_EXT_MAX_PASSES")
         .flatMap(_.trim.toIntOption).getOrElse(5))
+    // noise fence threshold, declared before the chases because it doubles
+    // as their emergency-pass trigger: a budget-stopped chase whose fastest
+    // pair disagrees past the FENCE (not just the chase target) buys one
+    // overdraft pass rather than shipping a self-invalidating artifact
+    // (r18: ext totals 98 s vs 423 s, budget spent, noise_flagged:true —
+    // one more pass would almost certainly have paired with the 98).
+    val noiseFlagPct = sys.env.get("SPARK_GRAFT_BENCH_NOISE_FLAG")
+      .flatMap(_.trim.toDoubleOption).getOrElse(8.0)
     val extPerPass =
       if (extQ.isEmpty) Vector.empty[Map[String, Double]]
       else BenchRuns.adaptivePasses(extPasses, extMaxPasses, extDeltaTarget,
-        outOfTime = () => outOfTime())(() => runPassOn(extQ))
+        outOfTime = () => outOfTime(),
+        emergencyAbovePct = noiseFlagPct)(() => runPassOn(extQ))
     val corePerPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
-      outOfTime = () => outOfTime())(() => runPassOn(coreQ))
+      outOfTime = () => outOfTime(),
+      emergencyAbovePct = noiseFlagPct)(() => runPassOn(coreQ))
+    // Why each tier's chase stopped — "agreed" is the only healthy value;
+    // "budget"/"pass-cap" name a cut measurement so the artifact itself
+    // says whether a disagreement was chased to conclusion or truncated.
+    val extChaseStop =
+      if (extQ.isEmpty) "agreed"
+      else BenchRuns.chaseStop(extPerPass.map(BenchRuns.passTotal),
+        extMaxPasses, extDeltaTarget)
+    val coreChaseStop = BenchRuns.chaseStop(
+      corePerPass.map(BenchRuns.passTotal), maxPasses, deltaTarget)
     // A query that failed SOME passes still reports its best successful
     // time, but must not read as healthy — flag it. Summaries are
     // per-tier (a tier's queries appear only in its own passes) and merge.
@@ -212,8 +231,6 @@ object Bench {
     // tier's fastest-pair delta exceeds the threshold, the artifact
     // carries noise_flagged=true: its numbers must not become a
     // cross-round comparison base, stated BY the artifact itself.
-    val noiseFlagPct = sys.env.get("SPARK_GRAFT_BENCH_NOISE_FLAG")
-      .flatMap(_.trim.toDoubleOption).getOrElse(8.0)
     val noiseFlagged =
       repeatDeltaPct > noiseFlagPct || extRepeatDeltaPct > noiseFlagPct
     if (noiseFlagged)
@@ -273,6 +290,8 @@ object Bench {
         .mkString("[", ",", "]")},""" +
       s""""repeat_delta_pct":$repeatDeltaPct,""" +
       s""""ext_repeat_delta_pct":$extRepeatDeltaPct,""" +
+      s""""core_chase_stop":"$coreChaseStop",""" +
+      s""""ext_chase_stop":"$extChaseStop",""" +
       s""""noise_flag_pct":$noiseFlagPct,""" +
       s""""noise_flagged":$noiseFlagged,""" +
       s""""noop_passes":${noopPerPass.size},""" +

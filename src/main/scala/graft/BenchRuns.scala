@@ -64,17 +64,43 @@ object BenchRuns {
     * the budget bounds the CHASE for two quiet passes (unbounded, a
     * bursty box turns convergence into a 15-minute wait the harness
     * running this may not tolerate), not the baseline measurement.
+    *
+    * EMERGENCY PASS: when the budget stops the chase while the fastest
+    * pair still disagrees past `emergencyAbovePct` (the noise FENCE, not
+    * the chase target), exactly ONE more pass runs anyway. Rationale
+    * (r18): the ext tier recorded totals of 98 s and 423 s — one of the
+    * two is contamination — and the budget-stopped chase shipped a
+    * self-invalidating artifact (`noise_flagged: true`) that the next
+    * round's tripwire must refuse, which costs strictly more than one
+    * overdraft pass would have. The overdraft is bounded at one pass and
+    * never breaches `maxPasses`; a fence-level disagreement that survives
+    * it is genuine sustained contamination and flags honestly.
     */
   def adaptivePasses(passes: Int, maxPasses: Int, deltaTargetPct: Double,
-                     outOfTime: () => Boolean = () => false)(
+                     outOfTime: () => Boolean = () => false,
+                     emergencyAbovePct: Double = Double.PositiveInfinity)(
       runPass: () => Map[String, Double]): Vector[Map[String, Double]] = {
     var acc = (1 to math.max(1, passes)).map(_ => runPass()).toVector
     def totals = acc.map(passTotal)
     while (acc.size < maxPasses && !outOfTime() &&
         fastestPairDeltaPct(totals) > deltaTargetPct)
       acc = acc :+ runPass()
+    if (acc.size < maxPasses && fastestPairDeltaPct(totals) > emergencyAbovePct)
+      acc = acc :+ runPass()
     acc
   }
+
+  /** Why a chase stopped, for the bench artifact: "agreed" (fastest pair
+    * within target), "budget" (wall budget spent while still disagreeing),
+    * or "pass-cap" (hit `maxPasses` still disagreeing). A budget-stopped
+    * tier's numbers are a cut measurement, not a converged one — r18's
+    * artifact couldn't say which, so a 331% ext disagreement read as
+    * either box noise or a real regression until hand-adjudicated. */
+  def chaseStop(totals: Seq[Double], maxPasses: Int,
+                deltaTargetPct: Double): String =
+    if (fastestPairDeltaPct(totals) <= deltaTargetPct) "agreed"
+    else if (totals.size >= maxPasses) "pass-cap"
+    else "budget"
 
   /** Per-query headline times plus health classification.
     *

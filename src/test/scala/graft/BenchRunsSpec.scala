@@ -75,6 +75,71 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     calls2 shouldBe 4
   }
 
+  test("adaptivePasses emergency pass: a budget-stopped chase whose " +
+    "fastest pair disagrees past the FENCE buys exactly one overdraft " +
+    "pass (the r18 ext tier: totals 98/423, budget spent at 2 passes, " +
+    "shipped self-invalidated)") {
+    // budget expires immediately after the configured 2 passes; totals
+    // disagree 331% > fence 8% -> one emergency pass runs, pairs with the
+    // fast total, and the artifact records agreement instead of noise
+    val script = Iterator(98.1, 423.3, 99.0)
+    var calls = 0
+    val out = adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+      outOfTime = () => calls >= 2, emergencyAbovePct = 8.0) {
+      () => calls += 1; Map("q" -> script.next())
+    }
+    calls shouldBe 3
+    fastestPairDeltaPct(out.map(passTotal)) should be < 4.0
+    // the overdraft is bounded at ONE pass: sustained contamination
+    // (every pass a different number) does not loop
+    var calls2 = 0
+    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+      outOfTime = () => calls2 >= 2, emergencyAbovePct = 8.0) {
+      () => calls2 += 1; Map("q" -> (calls2 * 100.0))
+    }
+    calls2 shouldBe 3
+  }
+
+  test("adaptivePasses emergency pass does not fire under the fence, " +
+    "past maxPasses, or when the chase converged") {
+    // disagreement 5% is past the 4% chase target but under the 8% fence:
+    // budget-stopped run ships as-is (it will not self-invalidate)
+    val script = Iterator(100.0, 105.0)
+    var calls = 0
+    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+      outOfTime = () => calls >= 2, emergencyAbovePct = 8.0) {
+      () => calls += 1; Map("q" -> script.next())
+    }
+    calls shouldBe 2
+    // maxPasses is a hard cap even for the emergency pass
+    var calls2 = 0
+    adaptivePasses(passes = 2, maxPasses = 2, deltaTargetPct = 4.0,
+      emergencyAbovePct = 8.0) {
+      () => calls2 += 1; Map("q" -> (calls2 * 100.0))
+    }
+    calls2 shouldBe 2
+    // a converged chase never overdrafts
+    var calls3 = 0
+    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+      emergencyAbovePct = 8.0) {
+      () => calls3 += 1; Map("q" -> 10.0)
+    }
+    calls3 shouldBe 2
+  }
+
+  test("chaseStop names why a chase ended: agreed / pass-cap / budget") {
+    chaseStop(Seq(10.0, 10.1), maxPasses = 5, deltaTargetPct = 4.0) shouldBe
+      "agreed"
+    // still disagreeing at the cap -> the cap was the binding constraint
+    chaseStop(Seq(100.0, 200.0, 300.0, 400.0, 500.0), maxPasses = 5,
+      deltaTargetPct = 4.0) shouldBe "pass-cap"
+    // disagreeing short of the cap: only the wall budget can have stopped it
+    chaseStop(Seq(98.1, 423.3), maxPasses = 5, deltaTargetPct = 4.0) shouldBe
+      "budget"
+    // fewer than two observations cannot disagree
+    chaseStop(Seq(98.1), maxPasses = 5, deltaTargetPct = 4.0) shouldBe "agreed"
+  }
+
   test("adaptivePasses never exceeds maxPasses even when never converging") {
     val script = Iterator.from(1).map(_ * 100.0) // strictly growing: min pair fixed at (100, 200)
     var calls = 0
