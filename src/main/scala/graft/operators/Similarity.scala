@@ -354,11 +354,12 @@ object Similarity {
     * [[ivfMaintain]] documents), now mechanically backstopped: the fence
     * check refuses a `.rebuilding` index (a crashed maintain can no
     * longer be silently extended with whichever centroids file survived
-    * the torn swap), and the `.mutating` writer-lease check refuses an
-    * index whose maintain/delete is MID-STAGING — an append landing in
-    * that window would be silently dropped by the coming swap (its rows
-    * are not among the staged survivors), the one interleaving the
-    * narrow fence alone could not make loud. Visibility to
+    * the torn swap), and the append HOLDS the `.mutating` writer lease
+    * across its centroid read + data write — a maintain/delete whose
+    * staging would silently swap away in-flight appended rows (the one
+    * interleaving the narrow fence alone could not make loud) now
+    * refuses at acquisition, in whichever order the two writers arrive.
+    * Visibility to
     * CONCURRENT readers: an append writes part files into live `__cell=`
     * directories non-atomically — each part file appears whole, the
     * batch does not — so a probe racing an append may score a PREFIX of
@@ -388,12 +389,20 @@ object Similarity {
   def ivfAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
-    requireNotMutating(spark, path)
-    val centroids = loadCentroids(spark, path)
-    newRows
-      .withColumn("__cn", V.norm(col(vecCol)))
-      .withColumn("__cell", nearestCell(col(vecCol), centroids))
-      .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // the lease is HELD across centroid read + data write, not merely
+    // checked at entry: a maintain/delete acquiring it mid-append would
+    // stage from a listing missing the in-flight rows and swap them away
+    // silently — and a swapped quantizer between the read and the write
+    // would file rows under stale cells. Held, both races refuse loudly.
+    withMutationLease(fs, root, "ivfAppend", AppendLeaseHint) {
+      val centroids = loadCentroids(spark, path)
+      newRows
+        .withColumn("__cn", V.norm(col(vecCol)))
+        .withColumn("__cell", nearestCell(col(vecCol), centroids))
+        .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
+    }
     // same-session probes may hold a cached file listing for the cell
     // directories; drop it so they see the appended part files
     spark.catalog.refreshByPath(s"$path/data")
@@ -468,9 +477,10 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       // writer lease held from BEFORE the staging read to after the
-      // swap: an append landing inside that window would be silently
-      // replaced by the swap (its rows are not in the staged files), so
-      // appends refuse a leased index instead — see withMutationLease
+      // swap: an append interleaving with that window would be silently
+      // replaced by the swap (its rows are not in the staged files) —
+      // appends HOLD the same lease, so the interleaving is
+      // structurally impossible (see withMutationLease)
       withMutationLease(fs, root, "ivfMaintain") {
         fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
         // original columns only: assignment/norm recomputed by the build
@@ -525,53 +535,90 @@ object Similarity {
     fs.delete(marker, false)
   }
 
-  /** Writer lease a whole-mutation path ([[stagedRebuild]],
-    * [[indexDelete]]) holds from its FIRST read of the relations to its
-    * last swap — the mechanical backstop behind the documented
-    * single-writer contract. The `.rebuilding` fence only covers the
-    * brief swap, which keeps PROBES live through the long staging build
-    * but leaves a silent-loss window for APPENDS: an append landing
-    * after the mutation's staging read and before its swap writes rows
-    * the swap then replaces — gone without an error. Appends therefore
-    * refuse a leased index loudly (probes do NOT check the lease — their
-    * availability is the reason the fence is narrow). Hidden
+  /** Writer lease EVERY index writer holds for the span in which its
+    * reads and writes must be mutually consistent: whole-mutation paths
+    * ([[stagedRebuild]], [[indexDelete]]) from their FIRST read of the
+    * relations to their last swap, and APPENDS ([[ivfAppend]],
+    * [[pqAppend]], [[ivfPqAppend]]) from their quantizer/codebook read to
+    * their last data write — the mechanical backstop behind the
+    * documented single-writer contract. The `.rebuilding` fence only
+    * covers the brief swap, which keeps PROBES live through the long
+    * staging build but would leave a silent-loss window for appends that
+    * merely CHECKED the lease: an append whose write was in flight when a
+    * mutation's staging read listed the relation writes rows the swap
+    * then replaces — gone without an error (the r18 check-then-write
+    * hole). HELD for the whole append, the interleaving is structurally
+    * impossible: whichever writer acquires second refuses loudly. Probes
+    * do NOT touch the lease — their availability is the reason the fence
+    * is narrow. OVERWRITE builds ([[ivfBuild]] etc.) stay outside it:
+    * they replace the index from EXTERNAL data by definition (nothing
+    * staged from the index's own rows can go stale), must work on a
+    * root that does not exist yet, and remain under the documented
+    * single-writer contract plus their own `.rebuilding` fence. Hidden
     * (dot-prefixed): never enters a relation read or a gauge sample. */
   private val MutatingMarker = ".mutating"
 
-  /** Acquire the writer lease create-exclusively (two racing mutations
+  /** Appended to the lease-refusal message on the append paths: the
+    * retry story differs from a mutation's (streaming ingest redelivers
+    * the refused epoch; a maintain/delete just reruns). */
+  private val AppendLeaseHint =
+    " A refused append is safe to retry after the holder completes" +
+      " (streaming ingest redelivers the epoch)."
+
+  /** Acquire the writer lease create-exclusively (two racing writers
     * cannot both win), run `body`, release. A body that THROWS releases
     * the lease — the live index was not touched before the fenced swap,
     * and the swap's own crash story is the `.rebuilding` marker. A
     * process CRASH leaves the lease; the loud message carries the
-    * recovery step (confirm no writer is running, delete the marker). */
+    * recovery step (confirm no writer is running, delete the marker).
+    *
+    * The mutual exclusion rests on `create(marker, overwrite=false)`
+    * being ATOMIC, which holds on HDFS-compatible filesystems but not on
+    * object stores (s3a-like create is HEAD-then-PUT — two racing
+    * writers can both "win" and interleave, exactly the silent loss the
+    * lease exists to prevent). Those schemes are refused loudly, with
+    * the same explicit opt-in discipline as the SnapshotStore control
+    * files: a deployment that guarantees a single writer externally can
+    * acknowledge the downgrade-to-advisory with
+    * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
   private def withMutationLease[T](fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
-                                   op: String)(body: => T): T = {
+                                   op: String, hint: String = "")(
+      body: => T): T = {
+    require(graft.sinks.SnapshotStore.atomicRenameCapable(fs) ||
+        fs.getConf.getBoolean("graft.index.allowNonExclusiveLease", false),
+      s"$op: the $MutatingMarker writer lease requires an atomic " +
+        s"create-exclusive, which '${fs.getScheme}' does not provide " +
+        "(object-store create is HEAD-then-PUT; two racing writers could " +
+        "both acquire the lease and silently lose data). Host the index " +
+        "on an HDFS-compatible filesystem, or — acknowledging that the " +
+        "lease degrades to advisory and the single-writer contract must " +
+        "be enforced externally — set " +
+        "graft.index.allowNonExclusiveLease=true in the Hadoop conf.")
     val marker = new org.apache.hadoop.fs.Path(root, MutatingMarker)
     val acquired =
       try { fs.create(marker, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // a permission or transient-FS failure is NOT "already
+          // leased" — directing the operator to delete a marker that
+          // does not exist buries the real error. Only an existing
+          // marker reads as a lease conflict.
+          if (fs.exists(marker)) false
+          else throw new java.io.IOException(
+            s"$op: creating the $MutatingMarker lease at $root failed " +
+              "and no lease exists — a filesystem error, not a writer " +
+              "conflict (see cause)", e)
+      }
     if (!acquired) throw new IllegalStateException(
-      s"$op: the index at $root is already leased by another mutation " +
+      s"$op: the index at $root is already leased by another writer " +
         s"($MutatingMarker exists) — appends/maintenance/deletes are " +
-        "single-writer, and interleaving them loses data silently. If " +
-        "no other writer is running (a crashed mutation left the " +
+        "single-writer, and interleaving them loses data silently." +
+        hint +
+        " If no other writer is running (a crashed mutation left the " +
         "lease), verify the index and delete the marker to release it")
     try body finally { fs.delete(marker, false); () }
-  }
-
-  /** The append-side half of [[withMutationLease]]'s contract: appends
-    * into an index whose mutation is mid-staging would be silently
-    * replaced by the coming swap, so they refuse loudly instead. */
-  private def requireNotMutating(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, MutatingMarker)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) throw new IllegalStateException(
-      s"index at $path is leased by an in-progress mutation " +
-        s"($MutatingMarker): an append now would be silently dropped by " +
-        "the mutation's swap — retry after it completes (streaming " +
-        "ingest redelivers the epoch), or, if a crashed mutation left " +
-        "the lease, verify the index and delete the marker")
   }
 
   private def stagedRebuild(spark: SparkSession, path: String,
@@ -1698,25 +1745,32 @@ object Similarity {
                path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
-    requireNotMutating(spark, path)
-    val model = loadPqModel(spark, path)
-    val buckets = spark.read.parquet(s"$path/meta")
-      .select("id_buckets").collect()(0).getInt(0)
-    // vectors FIRST, codes second: the ADC shortlist scans codes/, the
-    // re-rank joins vectors/ — a probe racing this append must never
-    // shortlist an id whose vector is not yet readable (the inner re-rank
-    // join would silently drop it, displacing true top-k candidates).
-    // Vectors without codes are invisible to the ADC scan, so this order
-    // gives the true consistent-prefix the contract promises.
-    newRows.select(col(idCol), col(vecCol))
-      .withColumn("__vb", pmod(xxhash64(col(idCol).cast("long")),
-        lit(buckets.toLong)).cast("int"))
-      .repartition(col("__vb"))
-      .sortWithinPartitions(col("__vb"), col(idCol))
-      .write.mode("append").partitionBy("__vb").parquet(s"$path/vectors")
-    pqEncode(newRows.select(col(idCol), col(vecCol)), vecCol, model)
-      .drop(vecCol)
-      .write.mode("append").parquet(s"$path/codes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // lease HELD across codebook read + both writes (see ivfAppend): a
+    // mutation acquiring it mid-append can no longer swap away the
+    // in-flight rows, and the codes can never be encoded against
+    // codebooks a concurrent rebuild replaced between read and write
+    withMutationLease(fs, root, "pqAppend", AppendLeaseHint) {
+      val model = loadPqModel(spark, path)
+      val buckets = spark.read.parquet(s"$path/meta")
+        .select("id_buckets").collect()(0).getInt(0)
+      // vectors FIRST, codes second: the ADC shortlist scans codes/, the
+      // re-rank joins vectors/ — a probe racing this append must never
+      // shortlist an id whose vector is not yet readable (the inner re-rank
+      // join would silently drop it, displacing true top-k candidates).
+      // Vectors without codes are invisible to the ADC scan, so this order
+      // gives the true consistent-prefix the contract promises.
+      newRows.select(col(idCol), col(vecCol))
+        .withColumn("__vb", pmod(xxhash64(col(idCol).cast("long")),
+          lit(buckets.toLong)).cast("int"))
+        .repartition(col("__vb"))
+        .sortWithinPartitions(col("__vb"), col(idCol))
+        .write.mode("append").partitionBy("__vb").parquet(s"$path/vectors")
+      pqEncode(newRows.select(col(idCol), col(vecCol)), vecCol, model)
+        .drop(vecCol)
+        .write.mode("append").parquet(s"$path/codes")
+    }
     Seq("codes", "vectors").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
   }
@@ -1906,7 +1960,8 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       // writer lease across staging-read + swap (see withMutationLease):
-      // appends inside the window would be silently dropped by the swap
+      // an append inside the window would be silently dropped by the
+      // swap — appends hold the same lease, so it cannot start here
       withMutationLease(fs, root, "pqMaintain") {
         fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
         // original columns only; bucket count re-derived (idBuckets = 0)
@@ -2172,12 +2227,18 @@ object Similarity {
   def ivfPqAppend(newRows: DataFrame, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
     requireNotRebuilding(spark, path)
-    requireNotMutating(spark, path)
-    val centroids = loadCentroids(spark, path)
-    val model = loadPqModel(spark, path)
-    pqEncode(newRows, vecCol, model)
-      .withColumn("__cell", nearestCell(col(vecCol), centroids))
-      .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // lease HELD across quantizer/codebook read + data write (see
+    // ivfAppend): the mid-append swap race refuses loudly instead of
+    // silently dropping the in-flight rows
+    withMutationLease(fs, root, "ivfPqAppend", AppendLeaseHint) {
+      val centroids = loadCentroids(spark, path)
+      val model = loadPqModel(spark, path)
+      pqEncode(newRows, vecCol, model)
+        .withColumn("__cell", nearestCell(col(vecCol), centroids))
+        .write.mode("append").partitionBy("__cell").parquet(s"$path/data")
+    }
     spark.catalog.refreshByPath(s"$path/data")
   }
 
@@ -2275,7 +2336,8 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       // writer lease across staging-read + swap (see withMutationLease):
-      // appends inside the window would be silently dropped by the swap
+      // an append inside the window would be silently dropped by the
+      // swap — appends hold the same lease, so it cannot start here
       withMutationLease(fs, root, "ivfPqMaintain") {
         fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
         // original columns only: cell/norm/codes recomputed by the build
@@ -2508,9 +2570,10 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     // writer lease held from BEFORE the primary listing to after the
-    // swap (see withMutationLease): an append landing in between writes
-    // rows the staged survivors do not contain — the swap would drop
-    // them silently, so appends refuse a leased index instead
+    // swap (see withMutationLease): an append interleaving in between
+    // writes rows the staged survivors do not contain — the swap would
+    // drop them silently; appends HOLD the same lease, so the
+    // interleaving is structurally impossible
     withMutationLease(fs, root, "indexDelete") {
     val primary = spark.read.parquet(s"$path/$rel")
     val storedIdType = primary.schema(idCol).dataType

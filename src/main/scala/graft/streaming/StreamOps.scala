@@ -1054,8 +1054,11 @@ object StreamOps {
     * data+codebooks → `ivfPqAppend`, data+centroids → `ivfAppend`), so
     * one sink serves the whole index family; nightly `indexMaintain`
     * runs on its own schedule from the single writer that owns the
-    * index (appends and maintenance must not interleave — the
-    * single-writer contract every append/maintain path documents).
+    * index. Appends and maintenance must not interleave — and since the
+    * appends HOLD the `.mutating` writer lease, they cannot: an epoch
+    * arriving while a maintain/delete holds the lease fails loudly,
+    * advances no fence state, and is redelivered (and appended exactly
+    * once) on restart after the lease clears.
     *
     * EPOCH FENCE — appends are not idempotent, and `foreachBatch`
     * redelivers epochs at-least-once on recovery, so a replayed epoch
@@ -1086,11 +1089,19 @@ object StreamOps {
     *    fails loudly with the same recovery step.
     *
     * A LEGACY two-line fence (pre-lineage format: the epoch written
-    * twice) carries no lineage and keeps the epoch-only rules for one
-    * read; the next advance rewrites it in the lineage format. Pass
-    * `checkpointLocation` to make restarts resumable (same query id =
-    * same lineage); without a checkpoint every restart is a fresh
-    * lineage and the fence will refuse it by design.
+    * twice) carries no lineage, so `epoch == last` is AMBIGUOUS — a
+    * redelivery by the fence's own (unrecorded) lineage, which must be
+    * skipped, or a fresh/foreign lineage's genuinely new batch, which a
+    * skip silently loses (the exact hole the lineage line was added to
+    * close). The sink refuses to guess: it fails loudly with both
+    * recovery paths named — migrate the fence to the lineage format
+    * (redelivery case) or delete it (fresh-lineage case). `epoch > last`
+    * is unambiguous (append is correct under either lineage) and
+    * advances the fence into the lineage format; `epoch < last` fails
+    * loudly as before. Pass `checkpointLocation` to make restarts
+    * resumable (same query id = same lineage); without a checkpoint
+    * every restart is a fresh lineage and the fence will refuse it by
+    * design.
     *
     * `strictFence = true` refuses AT START to run where the fence
     * cannot be swapped atomically ([[graft.sinks.SnapshotStore]]'s
@@ -1187,6 +1198,24 @@ object StreamOps {
             "skipping loses rows and appending duplicates them — " +
             "reconcile the index contents, then delete " +
             s"$fenceName to adopt the new lineage")
+        // LEGACY (pre-lineage) fence at equal epoch: without a lineage
+        // line the fence cannot attribute the batch — a redelivery by
+        // its own lineage must be skipped, a fresh lineage's first
+        // batch must be appended, and guessing silently duplicates or
+        // loses rows. The one formerly-silent case left open when the
+        // lineage line landed; refuse it loudly with both recoveries.
+        if (fenceLineage.isEmpty && epoch == last)
+          throw new IllegalStateException(
+            s"legacy (pre-lineage) ingest fence $epochFile records " +
+              s"epoch $last and this stream delivers epoch $epoch — " +
+              "ambiguous without a lineage line: a redelivery must be " +
+              "skipped, a fresh lineage's batch must be appended. " +
+              "Reconcile: if the index already contains this batch's " +
+              "rows (redelivery), migrate the fence to the lineage " +
+              "format by replacing its content with the four lines " +
+              s"'$last', '$lineage', '$last', '$lineage'; if not " +
+              s"(fresh lineage), delete $fenceName — the batch is " +
+              "redelivered and appended under this lineage")
       }
       if (recorded.forall(_._1 < epoch)) {
         Similarity.requireIndexLayout(spark, path) match {

@@ -1394,7 +1394,8 @@ class SimilaritySpec extends SparkSpec {
     val aex = intercept[IllegalStateException] {
       Similarity.ivfAppend(newRows, "embedding", path)
     }
-    aex.getMessage should include("leased by an in-progress mutation")
+    aex.getMessage should include("already leased by another writer")
+    aex.getMessage should include("redelivers the epoch") // append retry story
     val dex = intercept[IllegalStateException] {
       Similarity.indexDelete(spark, path,
         corp.select("vec_id").limit(2), idCol = "vec_id")
@@ -1441,6 +1442,112 @@ class SimilaritySpec extends SparkSpec {
       java.nio.file.Paths.get(ipqp, ".mutating"))
     an[IllegalStateException] should be thrownBy
       Similarity.ivfPqAppend(newRows, "embedding", ipqp)
+  }
+
+  test("writer lease is HELD by appends, live: a maintain/delete arriving " +
+    "while an append's write is in flight refuses at acquisition — the " +
+    "check-then-write window (in-flight rows silently swapped away by a " +
+    "mutation's staging read) is structurally closed — and the appended " +
+    "rows land intact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val newRows = emb.filter($"vec_id" < 2)
+      .select(($"vec_id" + 80000L).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lease_hold").toString
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 2)
+    // the appended batch parks its one write task on a gate: the append
+    // is mid-write — lease acquired, rows NOT yet committed — exactly
+    // the in-flight state whose rows a concurrent mutation's staging
+    // listing used to miss and whose swap then dropped them
+    val gated = org.apache.spark.sql.functions.udf { (id: Long) =>
+      AppendLeaseGate.entered.countDown()
+      AppendLeaseGate.release.await(120,
+        java.util.concurrent.TimeUnit.SECONDS)
+      id
+    }
+    val slowRows = newRows.repartition(1)
+      .select(gated($"vec_id").as("vec_id"), $"embedding")
+    val appendErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try Similarity.ivfAppend(slowRows, "embedding", path)
+      catch { case t: Throwable => appendErr.set(t) }
+    })
+    appender.start()
+    try {
+      AppendLeaseGate.entered.await(120,
+        java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      // mid-append the lease is visibly held...
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, ".mutating")) shouldBe true
+      // ...so every mutation path refuses AT ACQUISITION, before any
+      // staging read could list a snapshot missing the in-flight rows
+      val mex = intercept[IllegalStateException] {
+        Similarity.ivfMaintain(spark, path, "embedding",
+          maxSkew = 1e9, maxGrowth = 1.0)
+      }
+      mex.getMessage should include("already leased by another writer")
+      val dex = intercept[IllegalStateException] {
+        Similarity.indexDelete(spark, path,
+          corp.select("vec_id").limit(1), idCol = "vec_id")
+      }
+      dex.getMessage should include("already leased by another writer")
+    } finally {
+      AppendLeaseGate.release.countDown()
+      appender.join(240000)
+    }
+    appendErr.get() shouldBe null
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".mutating")) shouldBe false
+    spark.read.parquet(s"$path/data")
+      .filter($"vec_id" >= 80000L).count() shouldBe 2L
+    // the same maintain, run after the append released the lease,
+    // rebuilds WITH the appended rows — nothing vanished
+    Similarity.ivfMaintain(spark, path, "embedding",
+      maxSkew = 1e9, maxGrowth = 1.0) shouldBe "rebuilt"
+    spark.read.parquet(s"$path/data")
+      .filter($"vec_id" >= 80000L).count() shouldBe 2L
+  }
+
+  test("writer lease on an object-store scheme refuses loudly — " +
+    "create-exclusive is HEAD-then-PUT there, so two writers could both " +
+    "acquire — and the documented opt-in downgrades it to advisory") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corp = emb.filter($"vec_id" >= 5).select("vec_id", "embedding")
+    val local = java.nio.file.Files
+      .createTempDirectory("graft_lease_s3a").toString
+    Similarity.ivfBuild(corp, "embedding", local, nCells = 2)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3ALikeFileSystem].getName)
+    // fresh fs per lookup, so the opt-in leg below reads the UPDATED conf
+    // instead of a cached pre-opt-in instance
+    hc.set("fs.s3a.impl.disable.cache", "true")
+    val s3aPath = s"s3a:$local"
+    val newRows = emb.filter($"vec_id" < 2)
+      .select(($"vec_id" + 60000L).as("vec_id"), $"embedding")
+    val aex = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(newRows, "embedding", s3aPath)
+    }
+    aex.getMessage should include("allowNonExclusiveLease")
+    val dex = intercept[IllegalArgumentException] {
+      Similarity.indexDelete(spark, s3aPath,
+        corp.select("vec_id").limit(1), idCol = "vec_id")
+    }
+    dex.getMessage should include("allowNonExclusiveLease")
+    // nothing ran: the refusal is at acquisition, before any write
+    spark.read.parquet(s"$local/data")
+      .filter($"vec_id" >= 60000L).count() shouldBe 0L
+    // the explicit opt-in (single-writer enforced externally) re-admits
+    // writers through the same code path
+    hc.setBoolean("graft.index.allowNonExclusiveLease", true)
+    try {
+      Similarity.ivfAppend(newRows, "embedding", s3aPath)
+      spark.read.parquet(s"$local/data")
+        .filter($"vec_id" >= 60000L).count() shouldBe 2L
+    } finally hc.unset("graft.index.allowNonExclusiveLease")
   }
 
   test("generation marker: rebuilds flip it (a probe planned against the " +
@@ -1544,4 +1651,12 @@ class SimilaritySpec extends SparkSpec {
     npz should be >= np0
     if (npz == np0) sfz should be >= sf0w
   }
+}
+
+/** Gate for the live append-holds-lease race: the appended batch's one
+  * write task parks here, freezing the append mid-write (lease held,
+  * rows uncommitted) while the test drives mutations against it. */
+private[graft] object AppendLeaseGate {
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val release = new java.util.concurrent.CountDownLatch(1)
 }

@@ -181,9 +181,9 @@ class StreamAnnIngestSpec extends SparkSpec {
     spark.read.parquet(s"$path/data").count() shouldBe 41L // untouched
 
     // LEGACY two-line fence (pre-lineage format): carries no lineage, so
-    // the epoch-only rules hold for that one read — equal epoch skipped
-    // (the documented legacy blind spot) — and the next advance rewrites
-    // the fence in the 4-line lineage format
+    // equal epoch is AMBIGUOUS (redelivery to skip vs foreign batch to
+    // append) — refused LOUDLY with both recoveries named, never the
+    // silent skip the pre-lineage rules allowed
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, ".ingest_epoch"),
       "0\n0".getBytes("UTF-8"))
@@ -192,16 +192,94 @@ class StreamAnnIngestSpec extends SparkSpec {
       "embedding", path, idCol = "vec_id")()
     try {
       mem3.addData((300L, vec(300)))
-      q3.processAllAvailable()
-      spark.read.parquet(s"$path/data").count() shouldBe 41L // skipped
-      mem3.addData((301L, vec(301)))
-      q3.processAllAvailable()
+      val lex3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      lex3.getMessage should include("legacy (pre-lineage) ingest fence")
+      lex3.getMessage should include("migrate the fence")
     } finally q3.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 41L // untouched
+
+    // RECOVERY A (fresh lineage): delete the fence; the batch is
+    // redelivered on the next start and appends under the new lineage,
+    // which the advance records in the 4-line format
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, ".ingest_epoch"))
+    val mem4 = MemoryStream[(Long, Seq[Double])]
+    val q4 = StreamOps.annAppendSink(mem4.toDF.toDF("vec_id", "embedding"),
+      "embedding", path, idCol = "vec_id")()
+    try { mem4.addData((300L, vec(300))); q4.processAllAvailable() }
+    finally q4.stop()
     spark.read.parquet(s"$path/data").count() shouldBe 42L
-    val fence = new String(java.nio.file.Files.readAllBytes(
+    val fenceA = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, ".ingest_epoch")), "UTF-8")
-    fence.trim.linesIterator.size shouldBe 4 // upgraded to lineage format
-    fence should include(q3.id.toString)
+    fenceA.trim.linesIterator.size shouldBe 4 // lineage format
+    fenceA should include(q4.id.toString)
+
+    // RECOVERY B (redelivery/migration), staged as a REAL redelivery:
+    // a checkpointed stream appends epoch 0 and records the fence, then
+    // crashes before the checkpoint commit — and an operator downgrade
+    // leaves the fence in the legacy format. The restart redelivers
+    // epoch 0 against legacy last=0: refused (it cannot prove the rows
+    // are already there). Migrating the fence to the 4-line format with
+    // this lineage turns the redelivery into the normal same-lineage
+    // skip — no duplicate vectors — and the stream resumes.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, ".ingest_epoch"))
+    val cpB = tmp("graft_annstream_l0_cpB")
+    @volatile var crashB = true
+    val mem5 = MemoryStream[(Long, Seq[Double])]
+    def sinkB() = StreamOps.annAppendSink(
+      mem5.toDF.toDF("vec_id", "embedding"), "embedding", path,
+      idCol = "vec_id", checkpointLocation = Some(cpB)) { _ =>
+      if (crashB) throw new RuntimeException("injected crash after fence")
+    }
+    val q5 = sinkB()
+    try {
+      mem5.addData((301L, vec(301)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q5.processAllAvailable()
+      }
+    } finally q5.stop()
+    crashB = false
+    spark.read.parquet(s"$path/data").count() shouldBe 43L // append landed
+    java.nio.file.Files.write( // the operator-downgraded legacy fence
+      java.nio.file.Paths.get(path, ".ingest_epoch"),
+      "0\n0".getBytes("UTF-8"))
+    val q5b = sinkB() // same checkpoint -> same lineage; redelivers epoch 0
+    try {
+      val lexB = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q5b.processAllAvailable()
+      }
+      lexB.getMessage should include("legacy (pre-lineage) ingest fence")
+    } finally q5b.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 43L // no duplicate
+    java.nio.file.Files.write( // migrate exactly as the message instructs
+      java.nio.file.Paths.get(path, ".ingest_epoch"),
+      s"0\n${q5b.id}\n0\n${q5b.id}".getBytes("UTF-8"))
+    val q5c = sinkB()
+    try {
+      q5c.processAllAvailable() // redelivered epoch 0: same-lineage skip
+      spark.read.parquet(s"$path/data").count() shouldBe 43L // still no dup
+      mem5.addData((302L, vec(302)))
+      q5c.processAllAvailable() // epoch 1 > 0: normal advance
+    } finally q5c.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 44L
+
+    // legacy fence with epoch STRICTLY above it is unambiguous (append
+    // is correct under either lineage): appends and upgrades the fence
+    // to the lineage format in one advance
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, ".ingest_epoch"),
+      "0\n0".getBytes("UTF-8"))
+    val q5d = sinkB()
+    try {
+      mem5.addData((303L, vec(303)))
+      q5d.processAllAvailable() // epoch 2 > legacy 0
+    } finally q5d.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 45L
+    val fenceB = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, ".ingest_epoch")), "UTF-8")
+    fenceB.trim.linesIterator.size shouldBe 4 // upgraded to lineage format
+    fenceB should include(q5d.id.toString)
   }
 
   test("strictFence refuses AT START on a filesystem without atomic " +
@@ -300,6 +378,59 @@ class StreamAnnIngestSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     top shouldBe Set((100L, 100L, 1.0), (139L, 139L, 1.0),
       (140L, 140L, 1.0))
+  }
+
+  test("an epoch refused by the writer lease (a maintain holds the index " +
+    "mid-stream) fails LOUDLY, advances nothing, and is redelivered and " +
+    "appended exactly once on restart after the lease clears — the retry " +
+    "story the refusal message promises") {
+    implicit val sql = spark.sqlContext
+    val path = s"${tmp("graft_annstream_lease")}/index"
+    val cp = tmp("graft_annstream_lease_cp")
+    val base = (20L to 59L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.ivfBuild(base, "embedding", path, nCells = 4)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def sink() = StreamOps.annAppendSink(
+      mem.toDF.toDF("vec_id", "embedding"), "embedding", path,
+      idCol = "vec_id", checkpointLocation = Some(cp))()
+    // epoch 0 lands normally; fence records it
+    val q1 = sink()
+    try { mem.addData((400L, vec(400))); q1.processAllAvailable() }
+    finally q1.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 41L
+    // a mutation (nightly maintain, as the stream would see it) holds
+    // the lease when the next epoch arrives: the append refuses AT
+    // ACQUISITION — no rows, no fence advance — and the failure
+    // surfaces loudly through the query
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, ".mutating"))
+    val q2 = sink()
+    try {
+      mem.addData((401L, vec(401)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      ex.getMessage should include("already leased by another writer")
+      ex.getMessage should include("redelivers the epoch")
+    } finally q2.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 41L // untouched
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, ".ingest_epoch")), "UTF-8")
+      .trim.linesIterator.next() shouldBe "0" // fence did not advance
+    // the mutation completes (lease released); the restart from the
+    // SAME checkpoint redelivers the refused epoch, which appends
+    // exactly once under the standing fence arithmetic
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, ".mutating"))
+    val q3 = sink()
+    try {
+      q3.processAllAvailable()
+      spark.read.parquet(s"$path/data").count() shouldBe 42L // once
+      mem.addData((402L, vec(402))) // and the stream is healthy again
+      q3.processAllAvailable()
+    } finally q3.stop()
+    spark.read.parquet(s"$path/data").count() shouldBe 43L
+    spark.read.parquet(s"$path/data")
+      .filter($"vec_id" === 401L).count() shouldBe 1L // no duplicate
   }
 
   test("streaming ANN ingest serves the flat-PQ layout through the same " +
