@@ -171,18 +171,22 @@ object Bench {
       else BenchRuns.adaptivePasses(extPasses, extMaxPasses, extDeltaTarget,
         outOfTime = () => outOfTime(),
         emergencyAbovePct = noiseFlagPct)(() => runPassOn(extQ))
-    val corePerPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
-      outOfTime = () => outOfTime(),
-      emergencyAbovePct = noiseFlagPct)(() => runPassOn(coreQ))
     // Why each tier's chase stopped — "agreed" is the only healthy value;
     // "budget"/"pass-cap" name a cut measurement so the artifact itself
     // says whether a disagreement was chased to conclusion or truncated.
+    // The budget state is sampled IMMEDIATELY after each chase: pass
+    // counts alone cannot attribute a stop, and the core chase's own
+    // spending must not retroactively re-label the ext tier's.
     val extChaseStop =
       if (extQ.isEmpty) "agreed"
       else BenchRuns.chaseStop(extPerPass.map(BenchRuns.passTotal),
-        extMaxPasses, extDeltaTarget)
+        extMaxPasses, extDeltaTarget, budgetSpent = outOfTime())
+    val corePerPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
+      outOfTime = () => outOfTime(),
+      emergencyAbovePct = noiseFlagPct)(() => runPassOn(coreQ))
     val coreChaseStop = BenchRuns.chaseStop(
-      corePerPass.map(BenchRuns.passTotal), maxPasses, deltaTarget)
+      corePerPass.map(BenchRuns.passTotal), maxPasses, deltaTarget,
+      budgetSpent = outOfTime())
     // A query that failed SOME passes still reports its best successful
     // time, but must not read as healthy — flag it. Summaries are
     // per-tier (a tier's queries appear only in its own passes) and merge.

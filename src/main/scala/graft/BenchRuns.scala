@@ -85,22 +85,31 @@ object BenchRuns {
     while (acc.size < maxPasses && !outOfTime() &&
         fastestPairDeltaPct(totals) > deltaTargetPct)
       acc = acc :+ runPass()
-    if (acc.size < maxPasses && fastestPairDeltaPct(totals) > emergencyAbovePct)
+    // fire only past BOTH thresholds: a fence configured below the chase
+    // target must not turn a CONVERGED chase (delta <= target, which is
+    // how the loop exits healthy) into a perpetual overdraft
+    if (acc.size < maxPasses && fastestPairDeltaPct(totals) >
+        math.max(emergencyAbovePct, deltaTargetPct))
       acc = acc :+ runPass()
     acc
   }
 
   /** Why a chase stopped, for the bench artifact: "agreed" (fastest pair
     * within target), "budget" (wall budget spent while still disagreeing),
-    * or "pass-cap" (hit `maxPasses` still disagreeing). A budget-stopped
-    * tier's numbers are a cut measurement, not a converged one — r18's
-    * artifact couldn't say which, so a 331% ext disagreement read as
-    * either box noise or a real regression until hand-adjudicated. */
+    * or "pass-cap" (hit `maxPasses` still disagreeing, with budget left).
+    * A budget-stopped tier's numbers are a cut measurement, not a
+    * converged one — r18's artifact couldn't say which, so a 331% ext
+    * disagreement read as either box noise or a real regression until
+    * hand-adjudicated. `budgetSpent` must be sampled right after the
+    * chase: size alone cannot attribute the stop (an emergency overdraft
+    * can land a budget-stopped chase exactly at `maxPasses`), and when a
+    * disagreeing chase hit the cap with budget already gone, the budget
+    * is named — it would have stopped the chase regardless. */
   def chaseStop(totals: Seq[Double], maxPasses: Int,
-                deltaTargetPct: Double): String =
+                deltaTargetPct: Double, budgetSpent: Boolean): String =
     if (fastestPairDeltaPct(totals) <= deltaTargetPct) "agreed"
-    else if (totals.size >= maxPasses) "pass-cap"
-    else "budget"
+    else if (budgetSpent) "budget"
+    else "pass-cap"
 
   /** Per-query headline times plus health classification.
     *

@@ -396,7 +396,7 @@ object Similarity {
     // stage from a listing missing the in-flight rows and swap them away
     // silently — and a swapped quantizer between the read and the write
     // would file rows under stale cells. Held, both races refuse loudly.
-    withMutationLease(fs, root, "ivfAppend", AppendLeaseHint) {
+    withMutationLease(spark, fs, root, "ivfAppend", AppendLeaseHint) {
       val centroids = loadCentroids(spark, path)
       newRows
         .withColumn("__cn", V.norm(col(vecCol)))
@@ -481,7 +481,7 @@ object Similarity {
       // replaced by the swap (its rows are not in the staged files) —
       // appends HOLD the same lease, so the interleaving is
       // structurally impossible (see withMutationLease)
-      withMutationLease(fs, root, "ivfMaintain") {
+      withMutationLease(spark, fs, root, "ivfMaintain") {
         fs.delete(new org.apache.hadoop.fs.Path(path, NProbeFile), false)
         // original columns only: assignment/norm recomputed by the build
         val data = spark.read.parquet(s"$path/data").drop("__cell", "__cn")
@@ -581,12 +581,19 @@ object Similarity {
     * files: a deployment that guarantees a single writer externally can
     * acknowledge the downgrade-to-advisory with
     * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
-  private def withMutationLease[T](fs: org.apache.hadoop.fs.FileSystem,
+  private def withMutationLease[T](spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
                                    op: String, hint: String = "")(
       body: => T): T = {
+    // the opt-in is read from a FRESH session Hadoop conf, not
+    // fs.getConf: FileSystem instances are cached with the conf they
+    // were first created under, so an operator who hits the refusal and
+    // sets the flag as instructed would otherwise keep being refused by
+    // the stale cached copy
     require(graft.sinks.SnapshotStore.atomicRenameCapable(fs) ||
-        fs.getConf.getBoolean("graft.index.allowNonExclusiveLease", false),
+        spark.sessionState.newHadoopConf()
+          .getBoolean("graft.index.allowNonExclusiveLease", false),
       s"$op: the $MutatingMarker writer lease requires an atomic " +
         s"create-exclusive, which '${fs.getScheme}' does not provide " +
         "(object-store create is HEAD-then-PUT; two racing writers could " +
@@ -595,6 +602,11 @@ object Similarity {
         "lease degrades to advisory and the single-writer contract must " +
         "be enforced externally — set " +
         "graft.index.allowNonExclusiveLease=true in the Hadoop conf.")
+    // nothing to lease where no index exists: creating the marker would
+    // mkdirs the root as a side effect, littering a typo'd path with an
+    // empty directory the eventual read error never explains
+    if (!fs.exists(root)) throw new IllegalArgumentException(
+      s"$op: no index at $root — nothing to mutate; build it first")
     val marker = new org.apache.hadoop.fs.Path(root, MutatingMarker)
     val acquired =
       try { fs.create(marker, false).close(); true }
@@ -604,12 +616,17 @@ object Similarity {
           // a permission or transient-FS failure is NOT "already
           // leased" — directing the operator to delete a marker that
           // does not exist buries the real error. Only an existing
-          // marker reads as a lease conflict.
+          // marker reads as a lease conflict. (On a filesystem that
+          // reports existing-file conflicts as plain IOExceptions, a
+          // conflicting writer releasing between the create and this
+          // check can still land here — hence the retry hedge below.)
           if (fs.exists(marker)) false
           else throw new java.io.IOException(
             s"$op: creating the $MutatingMarker lease at $root failed " +
-              "and no lease exists — a filesystem error, not a writer " +
-              "conflict (see cause)", e)
+              "and no lease exists — likely a filesystem error, not a " +
+              "writer conflict (see cause); if the cause reads like " +
+              "'file exists', a racing writer completed meanwhile and " +
+              "a retry will acquire cleanly", e)
       }
     if (!acquired) throw new IllegalStateException(
       s"$op: the index at $root is already leased by another writer " +
@@ -1751,7 +1768,7 @@ object Similarity {
     // mutation acquiring it mid-append can no longer swap away the
     // in-flight rows, and the codes can never be encoded against
     // codebooks a concurrent rebuild replaced between read and write
-    withMutationLease(fs, root, "pqAppend", AppendLeaseHint) {
+    withMutationLease(spark, fs, root, "pqAppend", AppendLeaseHint) {
       val model = loadPqModel(spark, path)
       val buckets = spark.read.parquet(s"$path/meta")
         .select("id_buckets").collect()(0).getInt(0)
@@ -1962,7 +1979,7 @@ object Similarity {
       // writer lease across staging-read + swap (see withMutationLease):
       // an append inside the window would be silently dropped by the
       // swap — appends hold the same lease, so it cannot start here
-      withMutationLease(fs, root, "pqMaintain") {
+      withMutationLease(spark, fs, root, "pqMaintain") {
         fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
         // original columns only; bucket count re-derived (idBuckets = 0)
         // because the corpus has grown since the recorded one was sized
@@ -2232,7 +2249,7 @@ object Similarity {
     // lease HELD across quantizer/codebook read + data write (see
     // ivfAppend): the mid-append swap race refuses loudly instead of
     // silently dropping the in-flight rows
-    withMutationLease(fs, root, "ivfPqAppend", AppendLeaseHint) {
+    withMutationLease(spark, fs, root, "ivfPqAppend", AppendLeaseHint) {
       val centroids = loadCentroids(spark, path)
       val model = loadPqModel(spark, path)
       pqEncode(newRows, vecCol, model)
@@ -2338,7 +2355,7 @@ object Similarity {
       // writer lease across staging-read + swap (see withMutationLease):
       // an append inside the window would be silently dropped by the
       // swap — appends hold the same lease, so it cannot start here
-      withMutationLease(fs, root, "ivfPqMaintain") {
+      withMutationLease(spark, fs, root, "ivfPqMaintain") {
         fs.delete(new org.apache.hadoop.fs.Path(path, PqCalFile), false)
         // original columns only: cell/norm/codes recomputed by the build
         val data = spark.read.parquet(s"$path/data")
@@ -2574,7 +2591,7 @@ object Similarity {
     // writes rows the staged survivors do not contain — the swap would
     // drop them silently; appends HOLD the same lease, so the
     // interleaving is structurally impossible
-    withMutationLease(fs, root, "indexDelete") {
+    withMutationLease(spark, fs, root, "indexDelete") {
     val primary = spark.read.parquet(s"$path/$rel")
     val storedIdType = primary.schema(idCol).dataType
     // bounded opt-out batch, materialized once: it feeds several jobs,

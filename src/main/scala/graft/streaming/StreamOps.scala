@@ -1143,6 +1143,28 @@ object StreamOps {
           "stay here), or accept the documented downgrade with " +
           "strictFence = false")
     }
+    // the appends this sink performs HOLD the .mutating writer lease,
+    // whose create-exclusive is refused on object-store schemes — a
+    // separate gate from the fence checks above (it follows the INDEX
+    // location, not the fence's, and strictFence/fencePath do not lift
+    // it). Surface it AT START with the governing knob named, instead of
+    // letting every epoch fail with a message about a different opt-in.
+    {
+      val ifs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        stream.sparkSession.sessionState.newHadoopConf())
+      require(graft.sinks.SnapshotStore.atomicRenameCapable(ifs) ||
+          stream.sparkSession.sessionState.newHadoopConf()
+            .getBoolean("graft.index.allowNonExclusiveLease", false),
+        s"annAppendSink: the index at $path sits on '${ifs.getScheme}', " +
+          "where the .mutating writer lease's create-exclusive is not " +
+          "atomic — every epoch's append would refuse. Host the index " +
+          "on an HDFS-compatible filesystem, or — acknowledging the " +
+          "lease degrades to advisory and the single-writer contract " +
+          "must be enforced externally — set " +
+          "graft.index.allowNonExclusiveLease=true in the Hadoop conf " +
+          "(fencePath/strictFence govern only the fence location, not " +
+          "this)")
+    }
     // the fence's lineage line is the streaming QUERY ID — stable across
     // restarts from the same checkpoint (Spark persists it in the
     // checkpoint metadata), fresh for a new/foreign checkpoint. It is
@@ -1190,14 +1212,15 @@ object StreamOps {
             "was restarted with a different checkpoint lineage, under " +
             "which epoch ids no longer correspond — skipping loses rows " +
             "and appending duplicates them, so reconcile the index " +
-            s"contents, then delete $fenceName to adopt the new lineage")
+            s"contents, then delete the fence at $epochFile to adopt the " +
+            "new lineage")
         if (epoch < last) throw new IllegalStateException(
           s"epoch $epoch is below the recorded fence $last at " +
             s"$epochFile: the stream was restarted with a different " +
             "checkpoint lineage (epoch ids restarted), under which " +
             "skipping loses rows and appending duplicates them — " +
-            "reconcile the index contents, then delete " +
-            s"$fenceName to adopt the new lineage")
+            "reconcile the index contents, then delete the fence at " +
+            s"$epochFile to adopt the new lineage")
         // LEGACY (pre-lineage) fence at equal epoch: without a lineage
         // line the fence cannot attribute the batch — a redelivery by
         // its own lineage must be skipped, a fresh lineage's first
@@ -1214,7 +1237,7 @@ object StreamOps {
               "rows (redelivery), migrate the fence to the lineage " +
               "format by replacing its content with the four lines " +
               s"'$last', '$lineage', '$last', '$lineage'; if not " +
-              s"(fresh lineage), delete $fenceName — the batch is " +
+              s"(fresh lineage), delete the fence at $epochFile — the batch is " +
               "redelivered and appended under this lineage")
       }
       if (recorded.forall(_._1 < epoch)) {

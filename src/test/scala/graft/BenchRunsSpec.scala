@@ -100,6 +100,19 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     calls2 shouldBe 3
   }
 
+  test("adaptivePasses emergency pass does not fire on a CONVERGED chase " +
+    "even when the fence is configured below the chase target") {
+    // fence 3 < target 4, pair agreed at 3.5%: the loop exited healthy
+    // and the overdraft must not turn every run into an extra pass
+    val script = Iterator(100.0, 103.5)
+    var calls = 0
+    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+      emergencyAbovePct = 3.0) {
+      () => calls += 1; Map("q" -> script.next())
+    }
+    calls shouldBe 2
+  }
+
   test("adaptivePasses emergency pass does not fire under the fence, " +
     "past maxPasses, or when the chase converged") {
     // disagreement 5% is past the 4% chase target but under the 8% fence:
@@ -128,16 +141,21 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
   }
 
   test("chaseStop names why a chase ended: agreed / pass-cap / budget") {
-    chaseStop(Seq(10.0, 10.1), maxPasses = 5, deltaTargetPct = 4.0) shouldBe
-      "agreed"
-    // still disagreeing at the cap -> the cap was the binding constraint
+    chaseStop(Seq(10.0, 10.1), maxPasses = 5, deltaTargetPct = 4.0,
+      budgetSpent = false) shouldBe "agreed"
+    // still disagreeing at the cap with budget left -> the cap bound it
     chaseStop(Seq(100.0, 200.0, 300.0, 400.0, 500.0), maxPasses = 5,
-      deltaTargetPct = 4.0) shouldBe "pass-cap"
+      deltaTargetPct = 4.0, budgetSpent = false) shouldBe "pass-cap"
     // disagreeing short of the cap: only the wall budget can have stopped it
-    chaseStop(Seq(98.1, 423.3), maxPasses = 5, deltaTargetPct = 4.0) shouldBe
-      "budget"
+    chaseStop(Seq(98.1, 423.3), maxPasses = 5, deltaTargetPct = 4.0,
+      budgetSpent = true) shouldBe "budget"
+    // a budget-stopped chase whose emergency overdraft landed it exactly
+    // at maxPasses is still a BUDGET stop — size alone cannot attribute
+    chaseStop(Seq(100.0, 200.0, 300.0, 400.0, 500.0), maxPasses = 5,
+      deltaTargetPct = 4.0, budgetSpent = true) shouldBe "budget"
     // fewer than two observations cannot disagree
-    chaseStop(Seq(98.1), maxPasses = 5, deltaTargetPct = 4.0) shouldBe "agreed"
+    chaseStop(Seq(98.1), maxPasses = 5, deltaTargetPct = 4.0,
+      budgetSpent = true) shouldBe "agreed"
   }
 
   test("adaptivePasses never exceeds maxPasses even when never converging") {

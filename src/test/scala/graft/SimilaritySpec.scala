@@ -1458,6 +1458,7 @@ class SimilaritySpec extends SparkSpec {
     val path = java.nio.file.Files
       .createTempDirectory("graft_lease_hold").toString
     Similarity.ivfBuild(corp, "embedding", path, nCells = 2)
+    AppendLeaseGate.reset() // fresh latches per run (same-JVM re-runs)
     // the appended batch parks its one write task on a gate: the append
     // is mid-write — lease acquired, rows NOT yet committed — exactly
     // the in-flight state whose rows a concurrent mutation's staging
@@ -1522,9 +1523,6 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfBuild(corp, "embedding", local, nCells = 2)
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.s3a.impl", classOf[S3ALikeFileSystem].getName)
-    // fresh fs per lookup, so the opt-in leg below reads the UPDATED conf
-    // instead of a cached pre-opt-in instance
-    hc.set("fs.s3a.impl.disable.cache", "true")
     val s3aPath = s"s3a:$local"
     val newRows = emb.filter($"vec_id" < 2)
       .select(($"vec_id" + 60000L).as("vec_id"), $"embedding")
@@ -1541,13 +1539,41 @@ class SimilaritySpec extends SparkSpec {
     spark.read.parquet(s"$local/data")
       .filter($"vec_id" >= 60000L).count() shouldBe 0L
     // the explicit opt-in (single-writer enforced externally) re-admits
-    // writers through the same code path
+    // writers through the same code path — and it takes effect against
+    // the CACHED s3a FileSystem instance created by the refusal above,
+    // because the lease reads it from a fresh session conf, not from the
+    // conf frozen into the cached instance (the set-the-flag-as-
+    // instructed-and-retry story must actually work)
     hc.setBoolean("graft.index.allowNonExclusiveLease", true)
     try {
       Similarity.ivfAppend(newRows, "embedding", s3aPath)
       spark.read.parquet(s"$local/data")
         .filter($"vec_id" >= 60000L).count() shouldBe 2L
     } finally hc.unset("graft.index.allowNonExclusiveLease")
+  }
+
+  test("mutating a nonexistent index refuses loudly WITHOUT littering the " +
+    "path: the lease marker must not mkdirs a typo'd root as a side " +
+    "effect") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val newRows = emb.filter($"vec_id" < 2).select("vec_id", "embedding")
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft_lease_typo").toString
+    val typo = s"$parent/no/such/index"
+    val aex = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(newRows, "embedding", typo)
+    }
+    aex.getMessage should include("no index at")
+    // indexDelete's layout detection refuses even earlier — also loudly,
+    // also without writing
+    val dex = intercept[IllegalArgumentException] {
+      Similarity.indexDelete(spark, typo,
+        newRows.select("vec_id"), idCol = "vec_id")
+    }
+    dex.getMessage should include("no recognized index layout")
+    // the refusals wrote NOTHING — 'absent' stayed absent
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(parent, "no")) shouldBe false
   }
 
   test("generation marker: rebuilds flip it (a probe planned against the " +
@@ -1655,8 +1681,16 @@ class SimilaritySpec extends SparkSpec {
 
 /** Gate for the live append-holds-lease race: the appended batch's one
   * write task parks here, freezing the append mid-write (lease held,
-  * rows uncommitted) while the test drives mutations against it. */
+  * rows uncommitted) while the test drives mutations against it.
+  * `reset()` re-arms the latches so a same-JVM re-run of the spec
+  * (testQuick, a retried suite without fork) parks again instead of
+  * sailing through spent latches and asserting against a completed
+  * append. */
 private[graft] object AppendLeaseGate {
-  val entered = new java.util.concurrent.CountDownLatch(1)
-  val release = new java.util.concurrent.CountDownLatch(1)
+  @volatile var entered = new java.util.concurrent.CountDownLatch(1)
+  @volatile var release = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    entered = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
+  }
 }

@@ -296,6 +296,32 @@ class StreamAnnIngestSpec extends SparkSpec {
     }
     ex.getMessage should include("no atomic rename")
     ex.getMessage should include("strictFence")
+    // the INDEX location has its own start-time gate (appends hold the
+    // .mutating lease, whose create-exclusive object stores lack) — a
+    // separate knob from the fence's, named in the refusal so the
+    // operator is not sent chasing strictFence/fencePath remedies that
+    // cannot lift it
+    val lex = intercept[IllegalArgumentException] {
+      StreamOps.annAppendSink(mem.toDF.toDF("vec_id", "embedding"),
+        "embedding", "s3a:/graft/never/created", idCol = "vec_id")()
+    }
+    lex.getMessage should include("allowNonExclusiveLease")
+    lex.getMessage should include("fencePath/strictFence govern only")
+    // with the lease opt-in acknowledged, the sink starts on an
+    // s3a-hosted index (fence falls back to plain overwrite there)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("graft.index.allowNonExclusiveLease", true)
+    try {
+      val localIdx = s"${tmp("graft_annstream_s3idx")}/index"
+      Similarity.ivfBuild((20L to 39L).map(i => (i, vec(i)))
+        .toDF("vec_id", "embedding"), "embedding", localIdx, nCells = 2)
+      val memI = MemoryStream[(Long, Seq[Double])]
+      val qI = StreamOps.annAppendSink(memI.toDF.toDF("vec_id", "embedding"),
+        "embedding", s"s3a:$localIdx", idCol = "vec_id")()
+      try { memI.addData((700L, vec(700))); qI.processAllAvailable() }
+      finally qI.stop()
+      spark.read.parquet(s"$localIdx/data").count() shouldBe 21L
+    } finally hc.unset("graft.index.allowNonExclusiveLease")
     // strict mode on an atomic-rename filesystem starts and runs normally
     val path = s"${tmp("graft_annstream_strict")}/index"
     val base = (20L to 39L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
