@@ -696,19 +696,38 @@ object Similarity {
   /** Persisted probe-width calibration (see [[nProbeForRecall]]):
     * generation-bound metadata — any quantizer refit ([[ivfBuild]]
     * overwrite, [[ivfMaintain]] rebuild) deletes it, because a probe
-    * width tuned against replaced centroids is silently miscalibrated. */
+    * width tuned against replaced centroids is silently miscalibrated.
+    * The delete alone cannot close the race where a calibration RUNNING
+    * during the refit lands its file after the delete (the calibrators
+    * are readers and deliberately do not take the writer lease), so the
+    * artifact is also generation-STAMPED and readers ignore a stamp
+    * that does not match the current [[GenerationFile]]. */
   private val NProbeFile = "nprobe.json"
+
+  /** The stamped/current generation pair agrees — including the
+    * "none"=="none" case of an index predating the generation marker.
+    * A cal file with NO stamp (pre-stamp vintage) never validates:
+    * recalibrating is cheap, a width of unknown provenance is not. */
+  private def calGenerationCurrent(spark: SparkSession, path: String,
+                                   calText: String): Boolean =
+    """"gen"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(calText)
+      .map(_.group(1))
+      .contains(readGeneration(spark, path).getOrElse("none"))
 
   /** The persisted [[nProbeForRecall]] recommendation, if the index has
     * been calibrated since its last quantizer refit. Requires the
-    * file's trailing completeness sentinel (see [[writeCalFile]]): a
-    * torn calibration parses to None — the conservative uncalibrated
-    * default — never to a truncated-digits width silently installed as
-    * the probe default. */
+    * file's trailing completeness sentinel (see [[writeCalFile]]) AND a
+    * generation stamp matching the index's current one: a torn
+    * calibration, a pre-stamp file, or a stale calibration that landed
+    * after a concurrent rebuild's invalidating delete all parse to None
+    * — the conservative uncalibrated default — never to a width
+    * silently installed against the wrong model. */
   def calibratedNProbe(spark: SparkSession, path: String): Option[Int] =
-    readCompleteCalFile(spark, path, NProbeFile).flatMap(text =>
-      """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
-        .map(_.group(1).toInt))
+    readCompleteCalFile(spark, path, NProbeFile)
+      .filter(calGenerationCurrent(spark, path, _))
+      .flatMap(text =>
+        """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt))
 
   /** Write a calibration artifact so a crash can never install a torn
     * width: tmp + atomic rename where the filesystem swaps atomically
@@ -838,6 +857,11 @@ object Similarity {
     // calibration would be dead metadata the caller believes is in force
     requireNotIvfPq(spark, path, "its probes read pqcal.json, not " +
       "nprobe.json — calibrate with ivfPqCalibrate instead")
+    // generation snapshot BEFORE any model/data read: the persisted
+    // artifact carries it, and readers ignore a stamp that no longer
+    // matches — so a rebuild completing anywhere during this
+    // measurement can never leave a stale width silently in force
+    val gen0 = readGeneration(spark, path)
     val centroids = loadCentroids(spark, path)
     val nCells = centroids.length
     val data = spark.read.parquet(s"$path/data")
@@ -886,7 +910,8 @@ object Similarity {
     val measured = ranks.count(_ <= chosen).toDouble / ranks.length
     writeCalFile(spark, path, NProbeFile,
       s""""nprobe":$chosen,"target":$target,"measured_recall":$measured,""" +
-        s""""k":$k,"sample_queries":${sampled.length},"cells":$nCells""")
+        s""""k":$k,"sample_queries":${sampled.length},"cells":$nCells,""" +
+        s""""gen":"${gen0.getOrElse("none")}"""")
     chosen
   }
 
@@ -986,25 +1011,32 @@ object Similarity {
   /** The persisted PQ-family calibration, if the index has been
     * calibrated since its last codebook refit: (nProbe — 0 on flat-PQ,
     * which probes no cells — and the ADC shortlist factor). Torn or
-    * pre-sentinel files read as None (see [[readCompleteCalFile]]). */
+    * pre-sentinel files read as None (see [[readCompleteCalFile]]), and
+    * so does a generation stamp that no longer matches the index — the
+    * stale-calibration-landed-after-a-rebuild race [[NProbeFile]]
+    * documents. */
   def calibratedPqWidths(spark: SparkSession,
                          path: String): Option[(Int, Int)] =
-    readCompleteCalFile(spark, path, PqCalFile).flatMap { text =>
-      for {
-        np <- """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
-          .map(_.group(1).toInt)
-        f <- """"shortlist_factor"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
-          .map(_.group(1).toInt)
-      } yield (np, f)
-    }
+    readCompleteCalFile(spark, path, PqCalFile)
+      .filter(calGenerationCurrent(spark, path, _))
+      .flatMap { text =>
+        for {
+          np <- """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+            .map(_.group(1).toInt)
+          f <- """"shortlist_factor"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+            .map(_.group(1).toInt)
+        } yield (np, f)
+      }
 
   private def writePqCal(spark: SparkSession, path: String, nProbe: Int,
                          factor: Int, target: Double, measured: Double,
-                         k: Int, nQueries: Int, cells: Int): Unit =
+                         k: Int, nQueries: Int, cells: Int,
+                         gen: Option[String]): Unit =
     writeCalFile(spark, path, PqCalFile,
       s""""nprobe":$nProbe,"shortlist_factor":$factor,""" +
         s""""target":$target,"measured_recall":$measured,"k":$k,""" +
-        s""""sample_queries":$nQueries,"cells":$cells""")
+        s""""sample_queries":$nQueries,"cells":$cells,""" +
+        s""""gen":"${gen.getOrElse("none")}"""")
 
   /** Calibrate a [[pqBuild]] flat-PQ index's SHORTLIST width to a recall
     * target — the PQ analogue of [[nProbeForRecall]], closing the gap
@@ -1054,6 +1086,7 @@ object Similarity {
     require(confidenceZ >= 0.0, "confidenceZ must be >= 0")
     require(maxShortlistFactor >= 1, "maxShortlistFactor must be >= 1")
     requireNotRebuilding(spark, path)
+    val gen0 = readGeneration(spark, path) // see nProbeForRecall's note
     val model = loadPqModel(spark, path)
     val vectors = spark.read.parquet(s"$path/vectors")
     val sampled = selfQuerySample(vectors, vecCol, sampleQueries, seed)
@@ -1076,7 +1109,7 @@ object Similarity {
     val measured =
       sorted.count(_ <= factor.toLong * k).toDouble / sorted.length
     writePqCal(spark, path, 0, factor, target, measured, k,
-      sampled.length, 0)
+      sampled.length, 0, gen0)
     factor
   }
 
@@ -1146,6 +1179,7 @@ object Similarity {
     require(confidenceZ >= 0.0, "confidenceZ must be >= 0")
     require(maxShortlistFactor >= 1, "maxShortlistFactor must be >= 1")
     requireNotRebuilding(spark, path)
+    val gen0 = readGeneration(spark, path) // see nProbeForRecall's note
     val centroids = loadCentroids(spark, path)
     val nCells = centroids.length
     val model = loadPqModel(spark, path)
@@ -1221,7 +1255,7 @@ object Similarity {
       tcr <= nProbe && cum(nProbe) + 1 <= factor.toLong * k
     }.toDouble / curves.length
     writePqCal(spark, path, nProbe, factor, target, measured, k,
-      sampled.length, nCells)
+      sampled.length, nCells, gen0)
     (nProbe, factor)
   }
 

@@ -1630,6 +1630,31 @@ class SimilaritySpec extends SparkSpec {
     val torn = full.substring(0, full.indexOf("\"target\""))
     java.nio.file.Files.write(calPath, torn.getBytes("UTF-8"))
     Similarity.calibratedPqWidths(spark, pq) shouldBe empty
+
+    // GENERATION STAMP: a calibration racing a rebuild can land its file
+    // AFTER the rebuild's invalidating delete (calibrators are readers
+    // and hold no lease) — replay that outcome by restoring the
+    // pre-rebuild calibration verbatim over the rebuilt index: the stamp
+    // no longer matches and the widths read as UNCALIBRATED instead of
+    // silently governing the refitted codebooks
+    Similarity.pqBuild(corp, "embedding", "vec_id", pq, m = 16,
+      ksub = 16, idBuckets = 16) // refit: new generation
+    java.nio.file.Files.write(calPath, full.getBytes("UTF-8"))
+    Similarity.calibratedPqWidths(spark, pq) shouldBe empty
+    // recalibrating against the CURRENT generation restores the defaults
+    Similarity.pqShortlistForRecall(spark, pq, "embedding", "vec_id",
+      target = 0.8, k = 5, sampleQueries = 16)
+    Similarity.calibratedPqWidths(spark, pq) should not be empty
+    // same contract on the IVF width file
+    Similarity.nProbeForRecall(spark, path, "embedding", target = 0.8,
+      k = 3, sampleQueries = 16)
+    Similarity.calibratedNProbe(spark, path) should not be empty
+    val npPath = java.nio.file.Paths.get(path, "nprobe.json")
+    val npFull = new String(
+      java.nio.file.Files.readAllBytes(npPath), "UTF-8")
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 8) // refit
+    java.nio.file.Files.write(npPath, npFull.getBytes("UTF-8"))
+    Similarity.calibratedNProbe(spark, path) shouldBe None
   }
 
   test("PQ calibration applies the one-sided finite-sample margin: a " +
