@@ -109,7 +109,11 @@ object BenchRuns {
                 deltaTargetPct: Double, budgetSpent: Boolean): String =
     if (fastestPairDeltaPct(totals) <= deltaTargetPct) "agreed"
     else if (budgetSpent) "budget"
-    else "pass-cap"
+    else if (totals.size >= maxPasses) "pass-cap"
+    // disagreeing, under the cap, with budget left: unreachable from
+    // adaptivePasses (the loop would have kept extending) — name the
+    // budget rather than a cap that demonstrably was not hit
+    else "budget"
 
   /** Per-query headline times plus health classification.
     *

@@ -581,19 +581,29 @@ object Similarity {
     * files: a deployment that guarantees a single writer externally can
     * acknowledge the downgrade-to-advisory with
     * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
+  /** The ONE acceptance rule for holding the writer lease on `fs`:
+    * create-exclusive is atomic there, or the deployment explicitly
+    * opted into the advisory downgrade. Shared by [[withMutationLease]]
+    * and `StreamOps.annAppendSink`'s start-time gate so the sink's
+    * fail-fast can never drift from what the appends actually enforce.
+    * `conf` must be a FRESH session conf, not `fs.getConf`: FileSystem
+    * instances are cached with the conf they were first created under,
+    * so an operator who hits the refusal and sets the flag as
+    * instructed would otherwise keep being refused by the stale cached
+    * copy. */
+  private[graft] def leaseExclusiveOrOptedIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration): Boolean =
+    graft.sinks.SnapshotStore.atomicRenameCapable(fs) ||
+      conf.getBoolean("graft.index.allowNonExclusiveLease", false)
+
   private def withMutationLease[T](spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
                                    op: String, hint: String = "")(
       body: => T): T = {
-    // the opt-in is read from a FRESH session Hadoop conf, not
-    // fs.getConf: FileSystem instances are cached with the conf they
-    // were first created under, so an operator who hits the refusal and
-    // sets the flag as instructed would otherwise keep being refused by
-    // the stale cached copy
-    require(graft.sinks.SnapshotStore.atomicRenameCapable(fs) ||
-        spark.sessionState.newHadoopConf()
-          .getBoolean("graft.index.allowNonExclusiveLease", false),
+    require(leaseExclusiveOrOptedIn(fs,
+        spark.sessionState.newHadoopConf()),
       s"$op: the $MutatingMarker writer lease requires an atomic " +
         s"create-exclusive, which '${fs.getScheme}' does not provide " +
         "(object-store create is HEAD-then-PUT; two racing writers could " +
@@ -704,15 +714,15 @@ object Similarity {
     * that does not match the current [[GenerationFile]]. */
   private val NProbeFile = "nprobe.json"
 
-  /** The stamped/current generation pair agrees — including the
+  /** The stamped generation agrees with `gen` — including the
     * "none"=="none" case of an index predating the generation marker.
     * A cal file with NO stamp (pre-stamp vintage) never validates:
     * recalibrating is cheap, a width of unknown provenance is not. */
-  private def calGenerationCurrent(spark: SparkSession, path: String,
-                                   calText: String): Boolean =
+  private def calStampMatches(calText: String,
+                              gen: Option[String]): Boolean =
     """"gen"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(calText)
       .map(_.group(1))
-      .contains(readGeneration(spark, path).getOrElse("none"))
+      .contains(gen.getOrElse("none"))
 
   /** The persisted [[nProbeForRecall]] recommendation, if the index has
     * been calibrated since its last quantizer refit. Requires the
@@ -723,8 +733,16 @@ object Similarity {
     * — the conservative uncalibrated default — never to a width
     * silently installed against the wrong model. */
   def calibratedNProbe(spark: SparkSession, path: String): Option[Int] =
+    calibratedNProbeAt(spark, path, readGeneration(spark, path))
+
+  /** [[calibratedNProbe]] against an ALREADY-READ generation — the probe
+    * path's form: probes snapshot the generation once at entry and
+    * re-check it post-plan, so the calibration read must not add a
+    * third read of the same small file per query batch. */
+  private[graft] def calibratedNProbeAt(spark: SparkSession, path: String,
+                                        gen: Option[String]): Option[Int] =
     readCompleteCalFile(spark, path, NProbeFile)
-      .filter(calGenerationCurrent(spark, path, _))
+      .filter(calStampMatches(_, gen))
       .flatMap(text =>
         """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
           .map(_.group(1).toInt))
@@ -1017,8 +1035,15 @@ object Similarity {
     * documents. */
   def calibratedPqWidths(spark: SparkSession,
                          path: String): Option[(Int, Int)] =
+    calibratedPqWidthsAt(spark, path, readGeneration(spark, path))
+
+  /** [[calibratedPqWidths]] against an ALREADY-READ generation — see
+    * [[calibratedNProbeAt]]. */
+  private[graft] def calibratedPqWidthsAt(spark: SparkSession, path: String,
+                                          gen: Option[String])
+      : Option[(Int, Int)] =
     readCompleteCalFile(spark, path, PqCalFile)
-      .filter(calGenerationCurrent(spark, path, _))
+      .filter(calStampMatches(_, gen))
       .flatMap { text =>
         for {
           np <- """"nprobe"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
@@ -1336,7 +1361,7 @@ object Similarity {
     // index keeps its scored fraction instead of collapsing recall
     val probes =
       if (nProbe > 0) nProbe
-      else calibratedNProbe(spark, path)
+      else calibratedNProbeAt(spark, path, gen0)
         .map(c => math.min(math.max(1, c), centroids.length))
         .getOrElse(math.max(1, centroids.length / 8))
     val corpus = spark.read.parquet(s"$path/data")
@@ -2085,7 +2110,7 @@ object Similarity {
     val gen0 = readGeneration(spark, path)
     val factor =
       if (shortlistFactor > 0) shortlistFactor
-      else calibratedPqWidths(spark, path).map(_._2)
+      else calibratedPqWidthsAt(spark, path, gen0).map(_._2)
         .getOrElse(DefaultShortlistFactor)
     val (shortlist, touched) = pqShortlistAndBuckets(spark, path, queries,
       vecCol, idCol, queryIdCol, k * factor)
@@ -2510,7 +2535,7 @@ object Similarity {
     val centroids = loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
     // lazy: a probe with both widths explicit never reads the cal file
-    lazy val cal = calibratedPqWidths(spark, path)
+    lazy val cal = calibratedPqWidthsAt(spark, path, gen0)
     val probes =
       if (nProbe > 0) nProbe
       else cal.map(_._1).filter(_ > 0)

@@ -1150,11 +1150,12 @@ object StreamOps {
     // it). Surface it AT START with the governing knob named, instead of
     // letting every epoch fail with a message about a different opt-in.
     {
-      val ifs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        stream.sparkSession.sessionState.newHadoopConf())
-      require(graft.sinks.SnapshotStore.atomicRenameCapable(ifs) ||
-          stream.sparkSession.sessionState.newHadoopConf()
-            .getBoolean("graft.index.allowNonExclusiveLease", false),
+      val indexConf = stream.sparkSession.sessionState.newHadoopConf()
+      val ifs = new org.apache.hadoop.fs.Path(path).getFileSystem(indexConf)
+      // the SHARED acceptance rule (Similarity.leaseExclusiveOrOptedIn)
+      // — the sink's fail-fast must never drift from what the appends
+      // actually enforce at lease acquisition
+      require(Similarity.leaseExclusiveOrOptedIn(ifs, indexConf),
         s"annAppendSink: the index at $path sits on '${ifs.getScheme}', " +
           "where the .mutating writer lease's create-exclusive is not " +
           "atomic — every epoch's append would refuse. Host the index " +
