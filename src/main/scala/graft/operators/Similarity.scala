@@ -565,22 +565,6 @@ object Similarity {
     " A refused append is safe to retry after the holder completes" +
       " (streaming ingest redelivers the epoch)."
 
-  /** Acquire the writer lease create-exclusively (two racing writers
-    * cannot both win), run `body`, release. A body that THROWS releases
-    * the lease — the live index was not touched before the fenced swap,
-    * and the swap's own crash story is the `.rebuilding` marker. A
-    * process CRASH leaves the lease; the loud message carries the
-    * recovery step (confirm no writer is running, delete the marker).
-    *
-    * The mutual exclusion rests on `create(marker, overwrite=false)`
-    * being ATOMIC, which holds on HDFS-compatible filesystems but not on
-    * object stores (s3a-like create is HEAD-then-PUT — two racing
-    * writers can both "win" and interleave, exactly the silent loss the
-    * lease exists to prevent). Those schemes are refused loudly, with
-    * the same explicit opt-in discipline as the SnapshotStore control
-    * files: a deployment that guarantees a single writer externally can
-    * acknowledge the downgrade-to-advisory with
-    * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
   /** The ONE acceptance rule for holding the writer lease on `fs`:
     * create-exclusive is atomic there, or the deployment explicitly
     * opted into the advisory downgrade. Shared by [[withMutationLease]]
@@ -597,6 +581,23 @@ object Similarity {
     graft.sinks.SnapshotStore.atomicRenameCapable(fs) ||
       conf.getBoolean("graft.index.allowNonExclusiveLease", false)
 
+  /** Acquire the writer lease create-exclusively (two racing writers
+    * cannot both win), run `body`, release. A body that THROWS releases
+    * the lease — the live index was not touched before the fenced swap,
+    * and the swap's own crash story is the `.rebuilding` marker. A
+    * process CRASH leaves the lease; the loud message carries the
+    * recovery step (confirm no writer is running, delete the marker).
+    *
+    * The mutual exclusion rests on `create(marker, overwrite=false)`
+    * being ATOMIC, which holds on HDFS-compatible filesystems but not on
+    * object stores (s3a-like create is HEAD-then-PUT — two racing
+    * writers can both "win" and interleave, exactly the silent loss the
+    * lease exists to prevent). Those schemes are refused loudly per
+    * [[leaseExclusiveOrOptedIn]], with the same explicit opt-in
+    * discipline as the SnapshotStore control files: a deployment that
+    * guarantees a single writer externally can acknowledge the
+    * downgrade-to-advisory with
+    * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
   private def withMutationLease[T](spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
