@@ -131,10 +131,34 @@ object Bench {
       .flatMap(_.trim.toIntOption).getOrElse(if (noop) 0 else 1))
     // the honesty passes respect the run's wall budget like the chases —
     // rechecked BEFORE EACH pass (a strict filter would gate all passes
-    // on the budget at one instant, then run them all regardless)
+    // on the budget at one instant, then run them all regardless) and
+    // PREDICTIVELY: on a degraded box one noop pass can eat the entire
+    // remaining budget after the pre-pass check passed (the r19 driver
+    // re-run spent 1163 s on it and starved both chases), so a pass is
+    // skipped when the remaining budget cannot plausibly cover it —
+    // estimated from the slowest full-suite pass observed so far (the
+    // warm-ups run the same suite; 1.25x pad because noop materializes
+    // rows a count-mode warm-up prunes). A skip is recorded in the
+    // artifact (`noop_skipped_budget`) so a missing honesty pass reads
+    // as a budget decision, not a silent omission.
+    var fullSuiteTotals = warmupTotals.toVector
+    def remainingBudget(): Double =
+      maxSeconds - (System.nanoTime() - runStart) / 1e9
     val noopPerPass = (1 to noopPasses).iterator
-      .takeWhile(_ => !outOfTime())
-      .map(_ => runPassOn(selected, useNoop = true)).toVector
+      .takeWhile(_ => !outOfTime() &&
+        BenchRuns.passFitsBudget(remainingBudget(), fullSuiteTotals))
+      .map { _ =>
+        val p = runPassOn(selected, useNoop = true)
+        fullSuiteTotals = fullSuiteTotals :+ BenchRuns.passTotal(p)
+        p
+      }.toVector
+    val noopSkippedBudget = noopPerPass.size < noopPasses
+    if (noopSkippedBudget)
+      System.err.println("[bench] no-op honesty pass skipped: " +
+        (if (outOfTime()) "wall budget spent"
+         else f"remaining budget ${remainingBudget()}%.0f s cannot cover " +
+           f"an estimated ${BenchRuns.passEstimate(fullSuiteTotals)}%.0f s " +
+           "pass"))
     // summarize over EXECUTED passes only: with zero executed (noop-mode
     // run, or budget spent) the artifact must report an empty map, not
     // 119 spurious -1.0 "failures"
@@ -166,11 +190,12 @@ object Bench {
     // one more pass would almost certainly have paired with the 98).
     val noiseFlagPct = sys.env.get("SPARK_GRAFT_BENCH_NOISE_FLAG")
       .flatMap(_.trim.toDoubleOption).getOrElse(8.0)
-    val extPerPass =
-      if (extQ.isEmpty) Vector.empty[Map[String, Double]]
+    val extChase =
+      if (extQ.isEmpty) BenchRuns.Chase(Vector.empty, emergencyPass = false)
       else BenchRuns.adaptivePasses(extPasses, extMaxPasses, extDeltaTarget,
         outOfTime = () => outOfTime(),
         emergencyAbovePct = noiseFlagPct)(() => runPassOn(extQ))
+    val extPerPass = extChase.passes
     // Why each tier's chase stopped — "agreed" is the only healthy value;
     // "budget"/"pass-cap" name a cut measurement so the artifact itself
     // says whether a disagreement was chased to conclusion or truncated.
@@ -181,9 +206,10 @@ object Bench {
       if (extQ.isEmpty) "agreed"
       else BenchRuns.chaseStop(extPerPass.map(BenchRuns.passTotal),
         extMaxPasses, extDeltaTarget, budgetSpent = outOfTime())
-    val corePerPass = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
+    val coreChase = BenchRuns.adaptivePasses(passes, maxPasses, deltaTarget,
       outOfTime = () => outOfTime(),
       emergencyAbovePct = noiseFlagPct)(() => runPassOn(coreQ))
+    val corePerPass = coreChase.passes
     val coreChaseStop = BenchRuns.chaseStop(
       corePerPass.map(BenchRuns.passTotal), maxPasses, deltaTarget,
       budgetSpent = outOfTime())
@@ -296,9 +322,12 @@ object Bench {
       s""""ext_repeat_delta_pct":$extRepeatDeltaPct,""" +
       s""""core_chase_stop":"$coreChaseStop",""" +
       s""""ext_chase_stop":"$extChaseStop",""" +
+      s""""core_emergency_pass":${coreChase.emergencyPass},""" +
+      s""""ext_emergency_pass":${extChase.emergencyPass},""" +
       s""""noise_flag_pct":$noiseFlagPct,""" +
       s""""noise_flagged":$noiseFlagged,""" +
       s""""noop_passes":${noopPerPass.size},""" +
+      s""""noop_skipped_budget":$noopSkippedBudget,""" +
       s""""noop_pass_totals":${noopPerPass.map(BenchRuns.passTotal)
         .mkString("[", ",", "]")},""" +
       s""""noop_queries":${noopSummary.minTimes

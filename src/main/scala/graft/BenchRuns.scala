@@ -79,7 +79,7 @@ object BenchRuns {
   def adaptivePasses(passes: Int, maxPasses: Int, deltaTargetPct: Double,
                      outOfTime: () => Boolean = () => false,
                      emergencyAbovePct: Double = Double.PositiveInfinity)(
-      runPass: () => Map[String, Double]): Vector[Map[String, Double]] = {
+      runPass: () => Map[String, Double]): Chase = {
     var acc = (1 to math.max(1, passes)).map(_ => runPass()).toVector
     def totals = acc.map(passTotal)
     while (acc.size < maxPasses && !outOfTime() &&
@@ -88,10 +88,47 @@ object BenchRuns {
     // fire only past BOTH thresholds: a fence configured below the chase
     // target must not turn a CONVERGED chase (delta <= target, which is
     // how the loop exits healthy) into a perpetual overdraft
-    if (acc.size < maxPasses && fastestPairDeltaPct(totals) >
-        math.max(emergencyAbovePct, deltaTargetPct))
-      acc = acc :+ runPass()
-    acc
+    val emergency = acc.size < maxPasses &&
+      fastestPairDeltaPct(totals) > math.max(emergencyAbovePct, deltaTargetPct)
+    if (emergency) acc = acc :+ runPass()
+    Chase(acc, emergency)
+  }
+
+  /** Result of an adaptive chase: the recorded passes plus whether the
+    * bounded emergency overdraft fired (a budget-stopped chase whose
+    * fastest pair still disagreed past the noise fence). The flag lands in
+    * the bench artifact (`core_emergency_pass`/`ext_emergency_pass`) so a
+    * reader can distinguish "converged in budget" from "rescued by
+    * overdraft" — pass counts alone cannot: an overdrafted chase and a
+    * normally-extended one can record the same size. */
+  final case class Chase(passes: Vector[Map[String, Double]],
+                         emergencyPass: Boolean)
+
+  /** Predictive budget check for scheduling one more full-suite pass:
+    * true when `remainingSeconds` plausibly covers it, estimated as the
+    * slowest positive full-suite observation so far times `pad`. With no
+    * observation the pass runs — there is nothing to predict from, and
+    * refusing would starve a fresh run of its only measurement. Motivation
+    * (r19): the driver's degraded-box run spent 1163 s on the single no-op
+    * honesty pass — the `outOfTime()` check before the pass was green, the
+    * pass itself then ate the whole remaining budget and starved both
+    * chases. The warm-up totals had already measured the degradation; this
+    * check reads them. */
+  def passFitsBudget(remainingSeconds: Double, observedTotals: Seq[Double],
+                     pad: Double = 1.25): Boolean = {
+    val est = passEstimate(observedTotals, pad)
+    est == 0.0 || remainingSeconds > est
+  }
+
+  /** The padded cost estimate [[passFitsBudget]] compares against: the
+    * slowest POSITIVE observation times `pad`, 0 with none (the check
+    * then always passes — nothing to predict from). Exposed so the skip
+    * log line and the skip decision read one expression and can never
+    * desynchronize (e.g. an unfiltered max over failed 0.0-total passes
+    * printing an estimate the decision never used). */
+  def passEstimate(observedTotals: Seq[Double], pad: Double = 1.25): Double = {
+    val ok = observedTotals.filter(_ > 0)
+    if (ok.isEmpty) 0.0 else ok.max * pad
   }
 
   /** Why a chase stopped, for the bench artifact: "agreed" (fastest pair

@@ -302,7 +302,15 @@ object Similarity {
     * rebuild-from-source the self-healing recovery for a fenced index —
     * both halves are rewritten from one generation, so the marker (from
     * this build, a crashed maintain, or a crashed earlier build) is
-    * deleted instead of demanding manual restoration. */
+    * deleted instead of demanding manual restoration. The build also
+    * HOLDS the `.mutating` writer lease (acquire-or-create — a fresh
+    * root works): a build racing a live append refuses at acquisition
+    * instead of replacing `data/` under the append's in-flight write.
+    * Consequently a crashed WRITER'S leftover lease blocks the rebuild
+    * too — the refusal quotes the stamped holder (op/time/host/pid);
+    * after confirming that writer is dead, delete `.mutating` and rerun,
+    * and the completed build self-heals the `.rebuilding` fence as
+    * before. */
   def ivfBuild(corpus: DataFrame, vecCol: String, path: String,
                nCells: Int = 0, seed: Long = 42L,
                fitSampleFraction: Double = 0.0,
@@ -315,22 +323,28 @@ object Similarity {
       fitSampleFraction, fitSampleRows, knownRows = known)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(root)
-    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
-    fs.create(marker, true).close()
-    // a probe-width calibration tuned against the centroids this build
-    // replaces would be silently wrong-generation metadata
-    fs.delete(new org.apache.hadoop.fs.Path(root, NProbeFile), false)
-    corpus
-      .withColumn("__cn", V.norm(col(vecCol)))
-      .withColumn("__cell", nearestCell(col(vecCol), centroids))
-      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    writeGeneration(spark, path)
-    fs.delete(marker, false)
+    // the build HOLDS the writer lease (acquire-or-create: a fresh root
+    // is created, an existing one leased like any mutation) across every
+    // write below — a build racing a live append would otherwise replace
+    // data/ while the append's write is in flight, silently dropping the
+    // appended rows after their fence advanced
+    withMutationLease(spark, fs, root, "ivfBuild", createRoot = true) {
+      val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+      fs.create(marker, true).close()
+      // a probe-width calibration tuned against the centroids this build
+      // replaces would be silently wrong-generation metadata
+      fs.delete(new org.apache.hadoop.fs.Path(root, NProbeFile), false)
+      corpus
+        .withColumn("__cn", V.norm(col(vecCol)))
+        .withColumn("__cell", nearestCell(col(vecCol), centroids))
+        .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      writeGeneration(spark, path)
+      fs.delete(marker, false)
+    }
     // a rebuild over an existing index replaces both halves' part files;
     // same-session plans may hold cached file listings naming the deleted
     // ones (the hazard ivfAppend/ivfMaintain already refresh against)
@@ -550,13 +564,83 @@ object Similarity {
     * hole). HELD for the whole append, the interleaving is structurally
     * impossible: whichever writer acquires second refuses loudly. Probes
     * do NOT touch the lease — their availability is the reason the fence
-    * is narrow. OVERWRITE builds ([[ivfBuild]] etc.) stay outside it:
-    * they replace the index from EXTERNAL data by definition (nothing
-    * staged from the index's own rows can go stale), must work on a
-    * root that does not exist yet, and remain under the documented
-    * single-writer contract plus their own `.rebuilding` fence. Hidden
-    * (dot-prefixed): never enters a relation read or a gauge sample. */
+    * is narrow. OVERWRITE builds ([[ivfBuild]], [[pqBuild]],
+    * [[ivfPqBuild]]) hold it too, acquire-or-create (a build is the one
+    * writer legitimately pointed at an absent root, so it creates the
+    * root and then takes the lease like everyone else): although a build
+    * stages nothing from the index's own rows, it REPLACES `data/` — a
+    * nightly rebuild-from-source racing a live append's in-flight write
+    * would otherwise overwrite the appended rows after their fence
+    * advanced, the exact silent-loss mode the lease exists to prevent
+    * (closed r20; r19 left builds outside by design and the race silent).
+    * Hidden (dot-prefixed): never enters a relation read or a gauge
+    * sample.
+    *
+    * The marker is not empty: acquisition stamps a diagnostic payload
+    * (`op=`/`acquired=`/`host=`/`pid=` lines) and the refusal message
+    * quotes it — a crashed mutation's leftover lease blocks every
+    * subsequent writer (including each streaming `annAppendSink` epoch)
+    * until an operator intervenes, and "confirm no writer is running"
+    * is only actionable when the refusal names WHICH writer, since WHEN,
+    * and WHERE to look for it. */
   private val MutatingMarker = ".mutating"
+
+  /** Diagnostic payload stamped into a freshly-acquired lease marker:
+    * who holds it, since when, from which JVM. Line-based `k=v` so the
+    * recovery runbook (and [[describeHolder]]) can read it with nothing
+    * but `cat`. */
+  private def leasePayload(op: String): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"op=$op\nacquired=${java.time.Instant.now()}\n" +
+      s"host=$host\npid=${ProcessHandle.current().pid()}\n"
+  }
+
+  /** Best-effort description of the current lease holder, read from the
+    * marker's payload for the refusal message: "held by ivfMaintain
+    * since 2026-08-16T12:00:00Z (age 42s) on host-7 pid 123". Degrades
+    * to naming WHY the holder is unknown (pre-payload marker, read
+    * mid-stamp, unreadable) — a diagnostic read must never replace the
+    * refusal with its own failure. */
+  private def describeHolder(fs: org.apache.hadoop.fs.FileSystem,
+                             marker: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(marker)
+      // readAllBytes, not a single read(buf): a first read may legally
+      // return a prefix, which would misreport a fully-stamped lease as
+      // payload-less (the fence reader uses the same discipline)
+      val content = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = content.linesIterator.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }).toMap
+      (kv.get("op"), kv.get("acquired")) match {
+        case (Some(op), Some(at)) =>
+          val age =
+            try {
+              val secs = java.time.Duration.between(
+                java.time.Instant.parse(at), java.time.Instant.now())
+                .getSeconds
+              if (secs < 0) " (age: negative — clock skew)"
+              else if (secs < 120) s" (age ${secs}s)"
+              else if (secs < 7200) s" (age ${secs / 60}m)"
+              else s" (age ${secs / 3600}h)"
+            } catch { case _: Exception => "" }
+          val where = (kv.get("host"), kv.get("pid")) match {
+            case (Some(h), Some(p)) => s" on $h pid $p"
+            case _                  => ""
+          }
+          s"held by $op since $at$age$where"
+        case _ =>
+          "holder unknown: the marker carries no payload (a pre-payload " +
+            "writer created it, or it was read mid-stamp)"
+      }
+    } catch {
+      case _: Exception =>
+        "holder unknown: the marker payload could not be read"
+    }
 
   /** Appended to the lease-refusal message on the append paths: the
     * retry story differs from a mutation's (streaming ingest redelivers
@@ -586,7 +670,9 @@ object Similarity {
     * the lease — the live index was not touched before the fenced swap,
     * and the swap's own crash story is the `.rebuilding` marker. A
     * process CRASH leaves the lease; the loud message carries the
-    * recovery step (confirm no writer is running, delete the marker).
+    * recovery step (confirm no writer is running, delete the marker)
+    * and QUOTES the crashed holder's stamped payload — op, acquisition
+    * time, host, pid — so "confirm" has something to confirm with.
     *
     * The mutual exclusion rests on `create(marker, overwrite=false)`
     * being ATOMIC, which holds on HDFS-compatible filesystems but not on
@@ -601,7 +687,8 @@ object Similarity {
   private def withMutationLease[T](spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
-                                   op: String, hint: String = "")(
+                                   op: String, hint: String = "",
+                                   createRoot: Boolean = false)(
       body: => T): T = {
     require(leaseExclusiveOrOptedIn(fs,
         spark.sessionState.newHadoopConf()),
@@ -615,9 +702,17 @@ object Similarity {
         "graft.index.allowNonExclusiveLease=true in the Hadoop conf.")
     // nothing to lease where no index exists: creating the marker would
     // mkdirs the root as a side effect, littering a typo'd path with an
-    // empty directory the eventual read error never explains
-    if (!fs.exists(root)) throw new IllegalArgumentException(
-      s"$op: no index at $root — nothing to mutate; build it first")
+    // empty directory the eventual read error never explains. Overwrite
+    // BUILDS are the exception (createRoot): a build is the one writer
+    // legitimately pointed at an absent root — it creates the root and
+    // then holds the lease like every other writer, so a build racing a
+    // live append refuses at acquisition instead of replacing data/ under
+    // the append's feet.
+    if (!fs.exists(root)) {
+      if (createRoot) fs.mkdirs(root)
+      else throw new IllegalArgumentException(
+        s"$op: no index at $root — nothing to mutate; build it first")
+    }
     val marker = new org.apache.hadoop.fs.Path(root, MutatingMarker)
     val acquired =
       try { fs.create(marker, false).close(); true }
@@ -641,11 +736,31 @@ object Similarity {
       }
     if (!acquired) throw new IllegalStateException(
       s"$op: the index at $root is already leased by another writer " +
-        s"($MutatingMarker exists) — appends/maintenance/deletes are " +
+        s"($MutatingMarker exists; ${describeHolder(fs, marker)}) — " +
+        "appends/maintenance/deletes/builds are " +
         "single-writer, and interleaving them loses data silently." +
         hint +
         " If no other writer is running (a crashed mutation left the " +
-        "lease), verify the index and delete the marker to release it")
+        "lease — check the quoted holder/host/age), verify the index " +
+        "and delete the marker to release it")
+    // the marker is OURS now: stamp the diagnostic payload (who/since
+    // when/where) so a crashed mutation's refusal can name the holder.
+    // The atomic create-exclusive above stays the mutual-exclusion
+    // primitive; this overwrite-create rewrites a file we hold. A failed
+    // stamp RELEASES the lease rather than leaking an anonymous one.
+    try {
+      val out = fs.create(marker, true)
+      try out.write(leasePayload(op).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: Throwable =>
+        // the release itself can fail on the same flaky filesystem — it
+        // must never REPLACE the stamp failure as the surfaced error
+        try fs.delete(marker, false)
+        catch { case d: Throwable => e.addSuppressed(d) }
+        throw e
+    }
     try body finally { fs.delete(marker, false); () }
   }
 
@@ -759,13 +874,8 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(path, name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val body = s"""{$fields,"eof":true}"""
-    if (graft.sinks.SnapshotStore.atomicRenameCapable(fs))
-      graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs, path, name, body)
-    else {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    graft.sinks.SnapshotStore.replaceSmallFilePreferAtomic(fs, path, name,
+      body)
   }
 
   /** Read a [[writeCalFile]] artifact, returning None unless the
@@ -1774,35 +1884,39 @@ object Similarity {
     val fitMqe = meanQuantizationError(fitPoints, model)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(root)
-    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
-    fs.create(marker, true).close()
-    // a shortlist calibration tuned against the codebooks this build
-    // replaces would be silently wrong-generation metadata (the
-    // NProbeFile rationale)
-    fs.delete(new org.apache.hadoop.fs.Path(root, PqCalFile), false)
-    pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol, model)
-      .drop(vecCol)
-      .write.mode("overwrite").parquet(s"$path/codes")
-    corpus.select(col(idCol), col(vecCol))
-      .withColumn("__vb", pmod(xxhash64(col(idCol).cast("long")),
-        lit(buckets.toLong)).cast("int"))
-      // one exchange on the bucket id, then a task-local sort: each
-      // bucket lands in ONE file, sorted by id (tight row-group min/max
-      // stats for within-bucket pruning at real row-group counts)
-      .repartition(col("__vb"))
-      .sortWithinPartitions(col("__vb"), col(idCol))
-      .write.mode("overwrite").partitionBy("__vb").parquet(s"$path/vectors")
-    model.codebooks.zipWithIndex
-      .flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-      }.toSeq
-      .toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((buckets, fitMqe)).toDF("id_buckets", "fit_mqe")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    writeGeneration(spark, path)
-    fs.delete(marker, false)
+    // writer lease held across all four relation writes (acquire-or-
+    // create) — see ivfBuild: a build racing a live pqAppend must refuse,
+    // not replace codes/vectors mid-append
+    withMutationLease(spark, fs, root, "pqBuild", createRoot = true) {
+      val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+      fs.create(marker, true).close()
+      // a shortlist calibration tuned against the codebooks this build
+      // replaces would be silently wrong-generation metadata (the
+      // NProbeFile rationale)
+      fs.delete(new org.apache.hadoop.fs.Path(root, PqCalFile), false)
+      pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol, model)
+        .drop(vecCol)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      corpus.select(col(idCol), col(vecCol))
+        .withColumn("__vb", pmod(xxhash64(col(idCol).cast("long")),
+          lit(buckets.toLong)).cast("int"))
+        // one exchange on the bucket id, then a task-local sort: each
+        // bucket lands in ONE file, sorted by id (tight row-group min/max
+        // stats for within-bucket pruning at real row-group counts)
+        .repartition(col("__vb"))
+        .sortWithinPartitions(col("__vb"), col(idCol))
+        .write.mode("overwrite").partitionBy("__vb").parquet(s"$path/vectors")
+      model.codebooks.zipWithIndex
+        .flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+        }.toSeq
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      Seq((buckets, fitMqe)).toDF("id_buckets", "fit_mqe")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeGeneration(spark, path)
+      fs.delete(marker, false)
+    }
     Seq("codes", "vectors", "codebooks", "meta").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
   }
@@ -2250,41 +2364,45 @@ object Similarity {
     val fitMqe = meanQuantizationError(fitPoints, model)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(root)
-    val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
-    fs.create(marker, true).close()
-    // width calibrations tuned against the quantizer+codebooks this
-    // build replaces would be silently wrong-generation metadata
-    fs.delete(new org.apache.hadoop.fs.Path(root, PqCalFile), false)
-    pqEncode(corpus, vecCol, model)
-      .withColumn("__cell", nearestCell(col(vecCol), centroids))
-      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    model.codebooks.zipWithIndex
-      .flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-      }.toSeq
-      .toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    // build-time cell-skew baseline alongside the MQE baseline: clustered
-    // corpora are "skewed" at birth (max/mean over cells is a DATA
-    // property), so ivfPqMaintain's skew trigger must fire on skew GROWTH
-    // relative to this equilibrium — an absolute bound would re-fire the
-    // rebuild every night on data no quantizer can flatten (observed in
-    // the pq_drift probe before this baseline existed)
-    val cellCounts = spark.read.parquet(s"$path/data")
-      .groupBy("__cell").count().collect().map(_.getLong(1))
-    val fitSkew =
-      if (cellCounts.isEmpty || cellCounts.sum == 0) 1.0
-      else cellCounts.max /
-        (cellCounts.sum.toDouble / math.max(1, centroids.length))
-    Seq((fitMqe, fitSkew)).toDF("fit_mqe", "fit_skew")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    writeGeneration(spark, path)
-    fs.delete(marker, false)
+    // writer lease held across every write (acquire-or-create) — see
+    // ivfBuild: a build racing a live ivfPqAppend must refuse, not
+    // replace data/ mid-append
+    withMutationLease(spark, fs, root, "ivfPqBuild", createRoot = true) {
+      val marker = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+      fs.create(marker, true).close()
+      // width calibrations tuned against the quantizer+codebooks this
+      // build replaces would be silently wrong-generation metadata
+      fs.delete(new org.apache.hadoop.fs.Path(root, PqCalFile), false)
+      pqEncode(corpus, vecCol, model)
+        .withColumn("__cell", nearestCell(col(vecCol), centroids))
+        .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/data")
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      model.codebooks.zipWithIndex
+        .flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+        }.toSeq
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      // build-time cell-skew baseline alongside the MQE baseline: clustered
+      // corpora are "skewed" at birth (max/mean over cells is a DATA
+      // property), so ivfPqMaintain's skew trigger must fire on skew GROWTH
+      // relative to this equilibrium — an absolute bound would re-fire the
+      // rebuild every night on data no quantizer can flatten (observed in
+      // the pq_drift probe before this baseline existed)
+      val cellCounts = spark.read.parquet(s"$path/data")
+        .groupBy("__cell").count().collect().map(_.getLong(1))
+      val fitSkew =
+        if (cellCounts.isEmpty || cellCounts.sum == 0) 1.0
+        else cellCounts.max /
+          (cellCounts.sum.toDouble / math.max(1, centroids.length))
+      Seq((fitMqe, fitSkew)).toDF("fit_mqe", "fit_skew")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeGeneration(spark, path)
+      fs.delete(marker, false)
+    }
     Seq("data", "centroids", "codebooks", "meta").foreach(d =>
       spark.catalog.refreshByPath(s"$path/$d"))
   }

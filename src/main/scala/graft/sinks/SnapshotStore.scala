@@ -137,6 +137,26 @@ object SnapshotStore {
   private[graft] def atomicRenameCapable(f: FileSystem): Boolean =
     !nonAtomicRenameSchemes.contains(f.getScheme)
 
+  /** The one ADVISORY small-file write discipline: tmp + atomic rename
+    * where the filesystem swaps atomically ([[atomicReplaceSmallFile]]),
+    * plain overwrite-create where it cannot — for files whose torn
+    * outcome is caught by a loud parse-and-recover path rather than by
+    * the control-file protocol's hard refusal (the streaming ingest
+    * fence and its migration, the index calibration artifacts). One
+    * helper so the fallback semantics cannot drift between the writers
+    * that share a file format. */
+  private[graft] def replaceSmallFilePreferAtomic(f: FileSystem,
+                                                  root: String,
+                                                  name: String,
+                                                  content: String): Unit =
+    if (atomicRenameCapable(f)) atomicReplaceSmallFile(f, root, name, content)
+    else {
+      val out = f.create(new Path(root, name), true)
+      try out.write(content.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
   private[graft] def atomicReplaceSmallFile(f: FileSystem, root: String,
                                             name: String,
                                             content: String): Unit = {

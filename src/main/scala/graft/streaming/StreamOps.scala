@@ -1095,7 +1095,8 @@ object StreamOps {
     * skip silently loses (the exact hole the lineage line was added to
     * close). The sink refuses to guess: it fails loudly with both
     * recovery paths named — migrate the fence to the lineage format
-    * (redelivery case) or delete it (fresh-lineage case). `epoch > last`
+    * (redelivery case; one validated atomic call:
+    * [[migrateIngestFence]]) or delete it (fresh-lineage case). `epoch > last`
     * is unambiguous (append is correct under either lineage) and
     * advances the fence into the lineage format; `epoch < last` fails
     * loudly as before. Pass `checkpointLocation` to make restarts
@@ -1236,8 +1237,10 @@ object StreamOps {
               "skipped, a fresh lineage's batch must be appended. " +
               "Reconcile: if the index already contains this batch's " +
               "rows (redelivery), migrate the fence to the lineage " +
-              "format by replacing its content with the four lines " +
-              s"'$last', '$lineage', '$last', '$lineage'; if not " +
+              "format with StreamOps.migrateIngestFence(spark, " +
+              s"""\"$epochFile\", \"$lineage\") — it validates the """ +
+              "legacy format and rewrites it atomically as the four " +
+              s"lines '$last', '$lineage', '$last', '$lineage'; if not " +
               s"(fresh lineage), delete the fence at $epochFile — the batch is " +
               "redelivered and appended under this lineage")
       }
@@ -1254,15 +1257,8 @@ object StreamOps {
         // hazard is a crash erasing the file ENTIRELY (fresh-index
         // ambiguity, at-least-once re-opened for the redelivered epoch).
         val fenceBody = s"$epoch\n$lineage\n$epoch\n$lineage"
-        if (graft.sinks.SnapshotStore.atomicRenameCapable(fs))
-          graft.sinks.SnapshotStore.atomicReplaceSmallFile(fs,
-            epochFile.getParent.toString, epochFile.getName, fenceBody)
-        else {
-          val out = fs.create(epochFile, true)
-          try out.write(fenceBody
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
+        graft.sinks.SnapshotStore.replaceSmallFilePreferAtomic(fs,
+          epochFile.getParent.toString, epochFile.getName, fenceBody)
         onEpoch(epoch)
       }
     }
@@ -1272,5 +1268,65 @@ object StreamOps {
     lineageId = query.id.toString
     lineageLatch.countDown()
     query
+  }
+
+  /** One-call migration of a LEGACY (pre-lineage, two-line) ingest fence
+    * into the four-line lineage format — the redelivery recovery the
+    * equal-epoch refusal in [[annAppendSink]] prescribes. After the
+    * operator confirms the index already contains the refused batch's
+    * rows (it was a redelivery), this stamps the fence with the owning
+    * query's lineage (`queryId`: the streaming query id the refusal
+    * message quotes) so the redelivered epoch resolves as the
+    * same-lineage skip it is, and the stream resumes exactly-once.
+    *
+    * Validates before writing, refusing each wrong state with its own
+    * recovery: a MISSING fence (nothing to migrate — the next epoch
+    * appends and writes a fresh lineage fence by itself), a fence
+    * ALREADY in the lineage format (migrating over it would overwrite a
+    * live lineage attribution), and an UNREADABLE fence (a torn write —
+    * the [[annAppendSink]] unreadable-fence recovery applies, not a
+    * migration). The recorded epoch is preserved verbatim, and the
+    * rewrite uses the same atomic-rename discipline as the sink's own
+    * fence advances (tmp + rename where the filesystem swaps
+    * atomically, plain overwrite on object stores). */
+  def migrateIngestFence(spark: org.apache.spark.sql.SparkSession,
+                         fencePath: String, queryId: String): Unit = {
+    val id = Option(queryId).map(_.trim).getOrElse("")
+    require(id.nonEmpty && !id.exists(c => c == '\n' || c == '\r'),
+      "migrateIngestFence: queryId must be a non-empty single line (the " +
+        "streaming query id quoted in the refusal message)")
+    val fence = new org.apache.hadoop.fs.Path(fencePath)
+    val fs = fence.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(fence)) throw new IllegalArgumentException(
+      s"migrateIngestFence: no fence at $fencePath — nothing to " +
+        "migrate. A missing fence needs no recovery: the next epoch " +
+        "appends and records a fresh lineage fence by itself")
+    val in = fs.open(fence)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.trim.linesIterator.map(_.trim).toSeq match {
+      case Seq(e1, l1, e2, l2) if e1 == e2 && l1 == l2 &&
+          e1.toLongOption.isDefined =>
+        throw new IllegalStateException(
+          s"migrateIngestFence: the fence at $fencePath already carries " +
+            s"lineage $l1 (four-line format) — nothing to migrate" +
+            (if (l1 == id) ""
+             else s". It belongs to a DIFFERENT lineage than the " +
+               s"requested $id: overwriting a live attribution would " +
+               "re-open the ambiguity this migration exists to close — " +
+               "if the stream really changed lineage, reconcile the " +
+               "index contents and delete the fence instead"))
+      case Seq(a, b) if a == b && a.toLongOption.isDefined =>
+        // the sink's own fence-advance discipline, via the shared helper
+        graft.sinks.SnapshotStore.replaceSmallFilePreferAtomic(fs,
+          fence.getParent.toString, fence.getName, s"$a\n$id\n$a\n$id")
+      case _ =>
+        throw new IllegalStateException(
+          s"migrateIngestFence: unreadable ingest fence at $fencePath " +
+            s"(content: '${text.trim.take(60)}') — not the legacy " +
+            "two-line format this migrates; likely a torn write. Verify " +
+            "the index contents, then delete the file to re-arm the " +
+            "fence (the annAppendSink unreadable-fence recovery)")
+    }
   }
 }

@@ -41,7 +41,8 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
       () => calls += 1; Map("q" -> 10.0) // identical totals -> 0% delta
     }
     calls shouldBe 3
-    out should have size 3
+    out.passes should have size 3
+    out.emergencyPass shouldBe false
   }
 
   test("adaptivePasses extends while the two fastest disagree, bounded by max") {
@@ -54,7 +55,7 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
       () => calls += 1; Map("q" -> script.next())
     }
     calls shouldBe 4
-    BenchRuns.fastestPairDeltaPct(out.map(passTotal)) shouldBe 0.0
+    BenchRuns.fastestPairDeltaPct(out.passes.map(passTotal)) shouldBe 0.0
   }
 
   test("adaptivePasses honors the wall budget: a spent budget stops the " +
@@ -89,15 +90,20 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
       () => calls += 1; Map("q" -> script.next())
     }
     calls shouldBe 3
-    fastestPairDeltaPct(out.map(passTotal)) should be < 4.0
+    fastestPairDeltaPct(out.passes.map(passTotal)) should be < 4.0
+    // the Chase result NAMES the overdraft — the artifact's
+    // core/ext_emergency_pass field distinguishes "rescued by overdraft"
+    // from "converged in budget" (same pass count either way)
+    out.emergencyPass shouldBe true
     // the overdraft is bounded at ONE pass: sustained contamination
     // (every pass a different number) does not loop
     var calls2 = 0
-    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+    val out2 = adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
       outOfTime = () => calls2 >= 2, emergencyAbovePct = 8.0) {
       () => calls2 += 1; Map("q" -> (calls2 * 100.0))
     }
     calls2 shouldBe 3
+    out2.emergencyPass shouldBe true // fired (and failed to pair) — still named
   }
 
   test("adaptivePasses emergency pass does not fire on a CONVERGED chase " +
@@ -106,11 +112,12 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     // and the overdraft must not turn every run into an extra pass
     val script = Iterator(100.0, 103.5)
     var calls = 0
-    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+    val out = adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
       emergencyAbovePct = 3.0) {
       () => calls += 1; Map("q" -> script.next())
     }
     calls shouldBe 2
+    out.emergencyPass shouldBe false
   }
 
   test("adaptivePasses emergency pass does not fire under the fence, " +
@@ -119,25 +126,42 @@ class BenchRunsSpec extends AnyFunSuite with Matchers {
     // budget-stopped run ships as-is (it will not self-invalidate)
     val script = Iterator(100.0, 105.0)
     var calls = 0
-    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+    val r1 = adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
       outOfTime = () => calls >= 2, emergencyAbovePct = 8.0) {
       () => calls += 1; Map("q" -> script.next())
     }
     calls shouldBe 2
+    r1.emergencyPass shouldBe false
     // maxPasses is a hard cap even for the emergency pass
     var calls2 = 0
-    adaptivePasses(passes = 2, maxPasses = 2, deltaTargetPct = 4.0,
+    val r2 = adaptivePasses(passes = 2, maxPasses = 2, deltaTargetPct = 4.0,
       emergencyAbovePct = 8.0) {
       () => calls2 += 1; Map("q" -> (calls2 * 100.0))
     }
     calls2 shouldBe 2
+    r2.emergencyPass shouldBe false
     // a converged chase never overdrafts
     var calls3 = 0
-    adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
+    val r3 = adaptivePasses(passes = 2, maxPasses = 5, deltaTargetPct = 4.0,
       emergencyAbovePct = 8.0) {
       () => calls3 += 1; Map("q" -> 10.0)
     }
     calls3 shouldBe 2
+    r3.emergencyPass shouldBe false
+  }
+
+  test("passFitsBudget skips a full-suite pass the remaining budget " +
+    "cannot plausibly cover (the r19 no-op pass that ate 1163 s after " +
+    "its pre-pass budget check passed)") {
+    // slowest observed pass 500 s, pad 1.25 -> estimate 625 s: a 200 s
+    // remainder refuses, a 700 s remainder proceeds
+    passFitsBudget(200.0, Seq(480.0, 500.0)) shouldBe false
+    passFitsBudget(700.0, Seq(480.0, 500.0)) shouldBe true
+    // no observation yet -> nothing to predict from, the pass runs
+    passFitsBudget(10.0, Nil) shouldBe true
+    // failed passes (non-positive totals) carry no cost signal
+    passFitsBudget(10.0, Seq(-1.0, 0.0)) shouldBe true
+    passFitsBudget(10.0, Seq(-1.0, 100.0)) shouldBe false
   }
 
   test("chaseStop names why a chase ended: agreed / pass-cap / budget") {

@@ -1396,6 +1396,10 @@ class SimilaritySpec extends SparkSpec {
     }
     aex.getMessage should include("already leased by another writer")
     aex.getMessage should include("redelivers the epoch") // append retry story
+    // an EMPTY marker (a pre-payload writer's, or hand-made like this
+    // one) degrades to naming WHY the holder is unknown — the refusal
+    // never invents a holder and never fails on its own diagnostics
+    aex.getMessage should include("holder unknown")
     val dex = intercept[IllegalStateException] {
       Similarity.indexDelete(spark, path,
         corp.select("vec_id").limit(2), idCol = "vec_id")
@@ -1491,11 +1495,26 @@ class SimilaritySpec extends SparkSpec {
           maxSkew = 1e9, maxGrowth = 1.0)
       }
       mex.getMessage should include("already leased by another writer")
+      // the refusal QUOTES the stamped holder payload — which op, since
+      // when (with age), from which JVM — so the prescribed recovery
+      // ("confirm no writer is running") has something to confirm WITH
+      mex.getMessage should include("held by ivfAppend since")
+      mex.getMessage should include("(age ")
+      mex.getMessage should include(" pid ")
       val dex = intercept[IllegalStateException] {
         Similarity.indexDelete(spark, path,
           corp.select("vec_id").limit(1), idCol = "vec_id")
       }
       dex.getMessage should include("already leased by another writer")
+      // an overwrite BUILD racing the live append refuses at acquisition
+      // too: it would replace data/ while the append's write is in
+      // flight, silently dropping the appended rows after their fence
+      // advanced — the last unserialized writer pair, closed r20
+      val bex = intercept[IllegalStateException] {
+        Similarity.ivfBuild(corp, "embedding", path, nCells = 2)
+      }
+      bex.getMessage should include("already leased by another writer")
+      bex.getMessage should include("held by ivfAppend since")
     } finally {
       AppendLeaseGate.release.countDown()
       appender.join(240000)
@@ -1511,6 +1530,17 @@ class SimilaritySpec extends SparkSpec {
       maxSkew = 1e9, maxGrowth = 1.0) shouldBe "rebuilt"
     spark.read.parquet(s"$path/data")
       .filter($"vec_id" >= 80000L).count() shouldBe 2L
+    // a rebuild-from-source acquires the lease on the EXISTING root
+    // (acquire-or-create), completes, and releases it — and REPLACES the
+    // index from the external corpus by definition (a build is a
+    // replace, not a merge: the appended rows are absent from `corp`,
+    // so they are gone from the replaced index — serialized and
+    // intentional, unlike the silent mid-append overwrite the lease
+    // now refuses)
+    Similarity.ivfBuild(corp, "embedding", path, nCells = 2)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".mutating")) shouldBe false
+    spark.read.parquet(s"$path/data").count() shouldBe corp.count()
   }
 
   test("writer lease on an object-store scheme refuses loudly — " +
@@ -1523,33 +1553,54 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfBuild(corp, "embedding", local, nCells = 2)
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.s3a.impl", classOf[S3ALikeFileSystem].getName)
-    val s3aPath = s"s3a:$local"
-    val newRows = emb.filter($"vec_id" < 2)
-      .select(($"vec_id" + 60000L).as("vec_id"), $"embedding")
-    val aex = intercept[IllegalArgumentException] {
-      Similarity.ivfAppend(newRows, "embedding", s3aPath)
-    }
-    aex.getMessage should include("allowNonExclusiveLease")
-    val dex = intercept[IllegalArgumentException] {
-      Similarity.indexDelete(spark, s3aPath,
-        corp.select("vec_id").limit(1), idCol = "vec_id")
-    }
-    dex.getMessage should include("allowNonExclusiveLease")
-    // nothing ran: the refusal is at acquisition, before any write
-    spark.read.parquet(s"$local/data")
-      .filter($"vec_id" >= 60000L).count() shouldBe 0L
-    // the explicit opt-in (single-writer enforced externally) re-admits
-    // writers through the same code path — and it takes effect against
-    // the CACHED s3a FileSystem instance created by the refusal above,
-    // because the lease reads it from a fresh session conf, not from the
-    // conf frozen into the cached instance (the set-the-flag-as-
-    // instructed-and-retry story must actually work)
-    hc.setBoolean("graft.index.allowNonExclusiveLease", true)
+    // EVERYTHING below runs under the finally that unsets the shim and
+    // evicts its cached FileSystem instance — the shared hadoopConf must
+    // not leak the S3ALikeFileSystem into later same-JVM tests that
+    // touch an s3a: path
     try {
-      Similarity.ivfAppend(newRows, "embedding", s3aPath)
+      val s3aPath = s"s3a:$local"
+      val newRows = emb.filter($"vec_id" < 2)
+        .select(($"vec_id" + 60000L).as("vec_id"), $"embedding")
+      val aex = intercept[IllegalArgumentException] {
+        Similarity.ivfAppend(newRows, "embedding", s3aPath)
+      }
+      aex.getMessage should include("allowNonExclusiveLease")
+      val dex = intercept[IllegalArgumentException] {
+        Similarity.indexDelete(spark, s3aPath,
+          corp.select("vec_id").limit(1), idCol = "vec_id")
+      }
+      dex.getMessage should include("allowNonExclusiveLease")
+      // overwrite BUILDS hold the same lease now (acquire-or-create), so
+      // they share the same object-store refusal and the same opt-in
+      val bex = intercept[IllegalArgumentException] {
+        Similarity.ivfBuild(corp, "embedding", s3aPath, nCells = 2)
+      }
+      bex.getMessage should include("allowNonExclusiveLease")
+      // nothing ran: the refusal is at acquisition, before any write
       spark.read.parquet(s"$local/data")
-        .filter($"vec_id" >= 60000L).count() shouldBe 2L
-    } finally hc.unset("graft.index.allowNonExclusiveLease")
+        .filter($"vec_id" >= 60000L).count() shouldBe 0L
+      // the explicit opt-in (single-writer enforced externally) re-admits
+      // writers through the same code path — and it takes effect against
+      // the CACHED s3a FileSystem instance created by the refusal above,
+      // because the lease reads it from a fresh session conf, not from the
+      // conf frozen into the cached instance (the set-the-flag-as-
+      // instructed-and-retry story must actually work)
+      hc.setBoolean("graft.index.allowNonExclusiveLease", true)
+      try {
+        Similarity.ivfAppend(newRows, "embedding", s3aPath)
+        spark.read.parquet(s"$local/data")
+          .filter($"vec_id" >= 60000L).count() shouldBe 2L
+      } finally hc.unset("graft.index.allowNonExclusiveLease")
+    } finally {
+      // evict the shim's cached FileSystem instance BEFORE unsetting the
+      // impl (close() removes it from the cache; the cache ignores the
+      // impl key on lookup, so unsetting alone would leave the instance
+      // live for any later s3a: touch)
+      try org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("s3a:///"), hc).close()
+      catch { case _: Exception => () }
+      hc.unset("fs.s3a.impl")
+    }
   }
 
   test("mutating a nonexistent index refuses loudly WITHOUT littering the " +

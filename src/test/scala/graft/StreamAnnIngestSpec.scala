@@ -250,11 +250,44 @@ class StreamAnnIngestSpec extends SparkSpec {
         q5b.processAllAvailable()
       }
       lexB.getMessage should include("legacy (pre-lineage) ingest fence")
+      // the refusal names the one-call migration helper, not a hand-edit
+      lexB.getMessage should include("migrateIngestFence")
     } finally q5b.stop()
     spark.read.parquet(s"$path/data").count() shouldBe 43L // no duplicate
-    java.nio.file.Files.write( // migrate exactly as the message instructs
-      java.nio.file.Paths.get(path, ".ingest_epoch"),
-      s"0\n${q5b.id}\n0\n${q5b.id}".getBytes("UTF-8"))
+    // migrate exactly as the message instructs — the validated helper,
+    // with the lineage the refusal quoted
+    StreamOps.migrateIngestFence(spark, s"$path/.ingest_epoch",
+      q5b.id.toString)
+    val fenceM = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, ".ingest_epoch")), "UTF-8")
+    fenceM.trim shouldBe s"0\n${q5b.id}\n0\n${q5b.id}" // epoch preserved
+    // re-running the migration refuses: the fence already carries a
+    // lineage, and overwriting a live attribution re-opens the ambiguity
+    val migTwice = intercept[IllegalStateException] {
+      StreamOps.migrateIngestFence(spark, s"$path/.ingest_epoch",
+        q5b.id.toString)
+    }
+    migTwice.getMessage should include("already carries lineage")
+    // a missing fence is not a migration case — refused with the
+    // nothing-to-recover story, and NOT created as a side effect
+    val migMissing = intercept[IllegalArgumentException] {
+      StreamOps.migrateIngestFence(spark,
+        s"$path/.no_such_fence", q5b.id.toString)
+    }
+    migMissing.getMessage should include("no fence at")
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, ".no_such_fence")) shouldBe false
+    // a torn fence is the unreadable-fence recovery's case, not a
+    // migration: refused with that story, content untouched
+    val torn = java.nio.file.Paths.get(path, ".torn_fence_probe")
+    java.nio.file.Files.write(torn, "7".getBytes("UTF-8"))
+    val migTorn = intercept[IllegalStateException] {
+      StreamOps.migrateIngestFence(spark, torn.toString, q5b.id.toString)
+    }
+    migTorn.getMessage should include("unreadable ingest fence")
+    new String(java.nio.file.Files.readAllBytes(torn),
+      "UTF-8") shouldBe "7"
+    java.nio.file.Files.delete(torn)
     val q5c = sinkB()
     try {
       q5c.processAllAvailable() // redelivered epoch 0: same-lineage skip
@@ -286,8 +319,12 @@ class StreamAnnIngestSpec extends SparkSpec {
     "rename instead of silently downgrading exactly-once to " +
     "at-least-once; the default mode still runs there") {
     implicit val sql = spark.sqlContext
-    spark.sparkContext.hadoopConfiguration.set("fs.s3a.impl",
-      classOf[S3ALikeFileSystem].getName)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3ALikeFileSystem].getName)
+    // the shim (and its cached FileSystem instance) must not leak into
+    // later same-JVM tests that touch an s3a: path — evicted + unset in
+    // the finally below
+    try {
     val mem = MemoryStream[(Long, Seq[Double])]
     val ex = intercept[IllegalArgumentException] {
       StreamOps.annAppendSink(mem.toDF.toDF("vec_id", "embedding"),
@@ -309,7 +346,6 @@ class StreamAnnIngestSpec extends SparkSpec {
     lex.getMessage should include("fencePath/strictFence govern only")
     // with the lease opt-in acknowledged, the sink starts on an
     // s3a-hosted index (fence falls back to plain overwrite there)
-    val hc = spark.sparkContext.hadoopConfiguration
     hc.setBoolean("graft.index.allowNonExclusiveLease", true)
     try {
       val localIdx = s"${tmp("graft_annstream_s3idx")}/index"
@@ -353,6 +389,15 @@ class StreamAnnIngestSpec extends SparkSpec {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(fence)), "UTF-8") should include(
       qF.id.toString)
+    } finally {
+      // evict the shim's cached instance BEFORE unsetting the impl (the
+      // FileSystem cache ignores the impl key on lookup, so unsetting
+      // alone leaves the instance live for any later s3a: touch)
+      try org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("s3a:///"), hc).close()
+      catch { case _: Exception => () }
+      hc.unset("fs.s3a.impl")
+    }
   }
 
   test("maintain interleaves with a LIVE stream's epochs: ingest, pause, " +
