@@ -1438,6 +1438,11 @@ class SimilaritySpec extends SparkSpec {
       java.nio.file.Paths.get(pqp, ".mutating"))
     an[IllegalStateException] should be thrownBy
       Similarity.pqAppend(newRows, "embedding", "vec_id", pqp)
+    // the flat-PQ overwrite build shares the refusal on an existing
+    // leased root (all three builds route through the same lease)
+    an[IllegalStateException] should be thrownBy
+      Similarity.pqBuild(corp, "embedding", "vec_id", pqp, m = 16,
+        ksub = 16, idBuckets = 16)
     val ipqp = java.nio.file.Files
       .createTempDirectory("graft_lease_ipq").toString
     Similarity.ivfPqBuild(corp, "embedding", ipqp, nCells = 4, m = 16,
@@ -1446,6 +1451,9 @@ class SimilaritySpec extends SparkSpec {
       java.nio.file.Paths.get(ipqp, ".mutating"))
     an[IllegalStateException] should be thrownBy
       Similarity.ivfPqAppend(newRows, "embedding", ipqp)
+    an[IllegalStateException] should be thrownBy
+      Similarity.ivfPqBuild(corp, "embedding", ipqp, nCells = 4, m = 16,
+        ksub = 16)
   }
 
   test("writer lease is HELD by appends, live: a maintain/delete arriving " +
