@@ -317,6 +317,10 @@ object Similarity {
                fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // fail fast (advisory; acquisition below still decides atomically):
+    // the auto-sizing count next is a FULL corpus scan at scale — it must
+    // not be paid ahead of a certain scheme refusal or a held lease
+    buildPrecheck(spark, path, "ivfBuild")
     val known = if (nCells > 0) -1L else corpus.count()
     val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed,
@@ -684,12 +688,12 @@ object Similarity {
     * guarantees a single writer externally can acknowledge the
     * downgrade-to-advisory with
     * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
-  private def withMutationLease[T](spark: SparkSession,
-                                   fs: org.apache.hadoop.fs.FileSystem,
-                                   root: org.apache.hadoop.fs.Path,
-                                   op: String, hint: String = "",
-                                   createRoot: Boolean = false)(
-      body: => T): T = {
+  /** The lease's scheme gate as a loud require, shared by
+    * [[withMutationLease]] and the builds' [[buildPrecheck]] fail-fast
+    * so the wording (and the opt-in it names) cannot drift. */
+  private def requireLeasableScheme(spark: SparkSession,
+                                    fs: org.apache.hadoop.fs.FileSystem,
+                                    op: String): Unit =
     require(leaseExclusiveOrOptedIn(fs,
         spark.sessionState.newHadoopConf()),
       s"$op: the $MutatingMarker writer lease requires an atomic " +
@@ -700,6 +704,48 @@ object Similarity {
         "lease degrades to advisory and the single-writer contract must " +
         "be enforced externally — set " +
         "graft.index.allowNonExclusiveLease=true in the Hadoop conf.")
+
+  /** The one already-leased refusal, shared by [[withMutationLease]]'s
+    * atomic acquisition and the builds' advisory precheck — one wording,
+    * one holder-quoting discipline. */
+  private def leaseRefusal(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           marker: org.apache.hadoop.fs.Path,
+                           op: String, hint: String): IllegalStateException =
+    new IllegalStateException(
+      s"$op: the index at $root is already leased by another writer " +
+        s"($MutatingMarker exists; ${describeHolder(fs, marker)}) — " +
+        "appends/maintenance/deletes/builds are " +
+        "single-writer, and interleaving them loses data silently." +
+        hint +
+        " If no other writer is running (a crashed mutation left the " +
+        "lease — check the quoted holder/host/age), verify the index " +
+        "and delete the marker to release it")
+
+  /** Fail-fast for the overwrite builds, run BEFORE the corpus count and
+    * quantizer/codebook fit: at scale the auto-sizing count is a full
+    * corpus scan, and paying it ahead of a CERTAIN refusal (non-leasable
+    * scheme) or a near-certain one (root already leased) wastes the most
+    * expensive part of the build. The marker check here is ADVISORY —
+    * acquisition inside [[withMutationLease]] still decides atomically;
+    * this only surfaces the refusal before the spend, quoting the same
+    * holder payload. */
+  private def buildPrecheck(spark: SparkSession, path: String,
+                            op: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    requireLeasableScheme(spark, fs, op)
+    val marker = new org.apache.hadoop.fs.Path(root, MutatingMarker)
+    if (fs.exists(marker)) throw leaseRefusal(fs, root, marker, op, "")
+  }
+
+  private def withMutationLease[T](spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path,
+                                   op: String, hint: String = "",
+                                   createRoot: Boolean = false)(
+      body: => T): T = {
+    requireLeasableScheme(spark, fs, op)
     // nothing to lease where no index exists: creating the marker would
     // mkdirs the root as a side effect, littering a typo'd path with an
     // empty directory the eventual read error never explains. Overwrite
@@ -734,15 +780,7 @@ object Similarity {
               "'file exists', a racing writer completed meanwhile and " +
               "a retry will acquire cleanly", e)
       }
-    if (!acquired) throw new IllegalStateException(
-      s"$op: the index at $root is already leased by another writer " +
-        s"($MutatingMarker exists; ${describeHolder(fs, marker)}) — " +
-        "appends/maintenance/deletes/builds are " +
-        "single-writer, and interleaving them loses data silently." +
-        hint +
-        " If no other writer is running (a crashed mutation left the " +
-        "lease — check the quoted holder/host/age), verify the index " +
-        "and delete the marker to release it")
+    if (!acquired) throw leaseRefusal(fs, root, marker, op, hint)
     // the marker is OURS now: stamp the diagnostic payload (who/since
     // when/where) so a crashed mutation's refusal can name the holder.
     // The atomic create-exclusive above stays the mutual-exclusion
@@ -1870,6 +1908,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(idBuckets >= 0, "idBuckets must be non-negative (0 = auto)")
+    // fail fast before the auto-bucket count and the codebook fit — see
+    // ivfBuild's precheck rationale
+    buildPrecheck(spark, path, "pqBuild")
     // the corpus count exists only to size auto-buckets — an explicit
     // idBuckets must not pay a full corpus scan for it
     val buckets =
@@ -2353,6 +2394,9 @@ object Similarity {
                  seed: Long = 42L, fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // fail fast before the auto-sizing count and the two fits — see
+    // ivfBuild's precheck rationale
+    buildPrecheck(spark, path, "ivfPqBuild")
     val known = if (nCells > 0) -1L else corpus.count()
     val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
