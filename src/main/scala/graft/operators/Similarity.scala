@@ -317,16 +317,16 @@ object Similarity {
                fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // fail fast (advisory; acquisition below still decides atomically):
     // the auto-sizing count next is a FULL corpus scan at scale — it must
     // not be paid ahead of a certain scheme refusal or a held lease
-    buildPrecheck(spark, path, "ivfBuild")
+    buildPrecheck(spark, fs, root, "ivfBuild")
     val known = if (nCells > 0) -1L else corpus.count()
     val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed,
       fitSampleFraction, fitSampleRows, knownRows = known)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // the build HOLDS the writer lease (acquire-or-create: a fresh root
     // is created, an existing one leased like any mutation) across every
     // write below — a build racing a live append would otherwise replace
@@ -669,25 +669,6 @@ object Similarity {
     graft.sinks.SnapshotStore.atomicRenameCapable(fs) ||
       conf.getBoolean("graft.index.allowNonExclusiveLease", false)
 
-  /** Acquire the writer lease create-exclusively (two racing writers
-    * cannot both win), run `body`, release. A body that THROWS releases
-    * the lease — the live index was not touched before the fenced swap,
-    * and the swap's own crash story is the `.rebuilding` marker. A
-    * process CRASH leaves the lease; the loud message carries the
-    * recovery step (confirm no writer is running, delete the marker)
-    * and QUOTES the crashed holder's stamped payload — op, acquisition
-    * time, host, pid — so "confirm" has something to confirm with.
-    *
-    * The mutual exclusion rests on `create(marker, overwrite=false)`
-    * being ATOMIC, which holds on HDFS-compatible filesystems but not on
-    * object stores (s3a-like create is HEAD-then-PUT — two racing
-    * writers can both "win" and interleave, exactly the silent loss the
-    * lease exists to prevent). Those schemes are refused loudly per
-    * [[leaseExclusiveOrOptedIn]], with the same explicit opt-in
-    * discipline as the SnapshotStore control files: a deployment that
-    * guarantees a single writer externally can acknowledge the
-    * downgrade-to-advisory with
-    * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
   /** The lease's scheme gate as a loud require, shared by
     * [[withMutationLease]] and the builds' [[buildPrecheck]] fail-fast
     * so the wording (and the opt-in it names) cannot drift. */
@@ -730,15 +711,34 @@ object Similarity {
     * acquisition inside [[withMutationLease]] still decides atomically;
     * this only surfaces the refusal before the spend, quoting the same
     * holder payload. */
-  private def buildPrecheck(spark: SparkSession, path: String,
+  private def buildPrecheck(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
                             op: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     requireLeasableScheme(spark, fs, op)
     val marker = new org.apache.hadoop.fs.Path(root, MutatingMarker)
     if (fs.exists(marker)) throw leaseRefusal(fs, root, marker, op, "")
   }
 
+  /** Acquire the writer lease create-exclusively (two racing writers
+    * cannot both win), run `body`, release. A body that THROWS releases
+    * the lease — the live index was not touched before the fenced swap,
+    * and the swap's own crash story is the `.rebuilding` marker. A
+    * process CRASH leaves the lease; the loud message carries the
+    * recovery step (confirm no writer is running, delete the marker)
+    * and QUOTES the crashed holder's stamped payload — op, acquisition
+    * time, host, pid — so "confirm" has something to confirm with.
+    *
+    * The mutual exclusion rests on `create(marker, overwrite=false)`
+    * being ATOMIC, which holds on HDFS-compatible filesystems but not on
+    * object stores (s3a-like create is HEAD-then-PUT — two racing
+    * writers can both "win" and interleave, exactly the silent loss the
+    * lease exists to prevent). Those schemes are refused loudly per
+    * [[leaseExclusiveOrOptedIn]], with the same explicit opt-in
+    * discipline as the SnapshotStore control files: a deployment that
+    * guarantees a single writer externally can acknowledge the
+    * downgrade-to-advisory with
+    * `graft.index.allowNonExclusiveLease=true` in the Hadoop conf. */
   private def withMutationLease[T](spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path,
@@ -1908,9 +1908,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(idBuckets >= 0, "idBuckets must be non-negative (0 = auto)")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // fail fast before the auto-bucket count and the codebook fit — see
     // ivfBuild's precheck rationale
-    buildPrecheck(spark, path, "pqBuild")
+    buildPrecheck(spark, fs, root, "pqBuild")
     // the corpus count exists only to size auto-buckets — an explicit
     // idBuckets must not pay a full corpus scan for it
     val buckets =
@@ -1923,8 +1925,6 @@ object Similarity {
     // k-means' small in-sample optimism — an undrifted gauge reads
     // slightly above 1.0, which maxDrift thresholds >= 1.5 clear safely.
     val fitMqe = meanQuantizationError(fitPoints, model)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // writer lease held across all four relation writes (acquire-or-
     // create) — see ivfBuild: a build racing a live pqAppend must refuse,
     // not replace codes/vectors mid-append
@@ -2394,9 +2394,11 @@ object Similarity {
                  seed: Long = 42L, fitSampleRows: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // fail fast before the auto-sizing count and the two fits — see
     // ivfBuild's precheck rationale
-    buildPrecheck(spark, path, "ivfPqBuild")
+    buildPrecheck(spark, fs, root, "ivfPqBuild")
     val known = if (nCells > 0) -1L else corpus.count()
     val cells = if (nCells > 0) nCells else autoCells(known)
     val centroids = fitCentroids(corpus, vecCol, cells, seed, 0.0,
@@ -2406,8 +2408,6 @@ object Similarity {
     // build-time codebook-fit baseline for ivfPqDriftStats — see
     // pqBuild's fit_mqe note (training-sample optimism applies alike)
     val fitMqe = meanQuantizationError(fitPoints, model)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // writer lease held across every write (acquire-or-create) — see
     // ivfBuild: a build racing a live ivfPqAppend must refuse, not
     // replace data/ mid-append

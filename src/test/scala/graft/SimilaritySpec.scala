@@ -1443,6 +1443,27 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalStateException] should be thrownBy
       Similarity.pqBuild(corp, "embedding", "vec_id", pqp, m = 16,
         ksub = 16, idBuckets = 16)
+    // ...and the refusal is FAIL-FAST: it fires BEFORE the corpus
+    // count/fit (at scale the auto-sizing count is a full scan — wasted
+    // ahead of a certain refusal). Pinned with a corpus whose any action
+    // fails: on the leased root the build must throw the LEASE refusal,
+    // never reach the corpus — dropping the precheck (refusing only at
+    // acquisition, after the count and fit) surfaces the read failure
+    // instead and fails this assertion
+    val goneDir = java.nio.file.Files.createTempDirectory("graft_lease_gone")
+    corp.limit(3).write.mode("overwrite").parquet(goneDir.toString)
+    val doomed = spark.read.parquet(goneDir.toString)
+      .select("vec_id", "embedding")
+    val listing = java.nio.file.Files.list(goneDir)
+    try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally listing.close()
+    // the corpus really is doomed: any action on it fails
+    an[Exception] should be thrownBy doomed.count()
+    val ffex = intercept[IllegalStateException] {
+      Similarity.pqBuild(doomed, "embedding", "vec_id", pqp, m = 16,
+        ksub = 16, idBuckets = 0) // auto-buckets: the count WOULD run
+    }
+    ffex.getMessage should include("already leased by another writer")
     val ipqp = java.nio.file.Files
       .createTempDirectory("graft_lease_ipq").toString
     Similarity.ivfPqBuild(corp, "embedding", ipqp, nCells = 4, m = 16,
