@@ -540,12 +540,18 @@ object Queries {
     val kept = tab(s, dir, "documents")
       .withColumn("quality", T.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
+    // the deduplicated relation feeds the pair operator's shingle scan AND
+    // the final survivor anti join — persist so the regex-heavy quality
+    // scoring and the fingerprint window run once, not once per consumer
     val exact = Dedup.exactByFingerprint(kept, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
       shingleSize = 3, threshold = 0.1, strategy = "single")
-    Dedup.dropNearDuplicates(exact, "doc_id", pairs)
+    val out = Dedup.dropNearDuplicates(exact, "doc_id", pairs)
       .select("doc_id", "quality")
       .orderBy("doc_id")
+    graft.core.CacheAutoRelease.afterFirstUse(exact)
+    out
   }
 
   /** Deterministic 90/10 corpus split with per-split token accounting —

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -1140,12 +1142,46 @@ object Dedup {
     * DuckDB). */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 20, pointerDoubling: Boolean = false,
-               adaptAfter: Int = 6): DataFrame = {
+               adaptAfter: Int = 6,
+               maxDriverEdges: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // SIZE-GATED DRIVER FAST PATH (optimization guide §1.2: fix the
+    // distributed algorithm first). The propagation loop below costs
+    // O(hops) Spark jobs — each hop is a join + aggregation + (lazy)
+    // checkpoint, so even a 25-edge pair graph pays ~20 scheduled jobs of
+    // pure planning/codegen/scheduling overhead (measured ~1s per
+    // clustering query at sf0.1, ~40% of `dedup_clusters`). Near-duplicate
+    // pair lists are duplication-bounded, not corpus-bounded: a healthy
+    // corpus's edge list is tiny relative to the corpus, so below
+    // `maxDriverEdges` SYMMETRIZED edges the transitive closure runs as an
+    // in-memory union-find on the driver (same bounded-collect discipline
+    // as the size-gated broadcast joins and `fitCentroids`) and returns a
+    // LocalRelation — identical labels by construction (the component
+    // minimum is order-independent), one job instead of ~20, and the
+    // downstream anti/semi joins against it become broadcasts for free.
+    // Above the gate — the genuinely massive-duplication regime — the
+    // distributed loop runs exactly as before. `maxDriverEdges = 0`
+    // force-disables the fast path (the loop's own specs pin it).
+    val idType = edges.schema.head.dataType
+    if (maxDriverEdges > 0 && driverMinOrdering(idType).isDefined &&
+        sym.count() <= maxDriverEdges) {
+      val labeled = driverClusters(sym.collect(), driverMinOrdering(idType).get)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      val out = pairs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          labeled.map { case (id, cl) =>
+            org.apache.spark.sql.Row(id, cl): org.apache.spark.sql.Row
+          }.asJava),
+        schema)
+      sym.unpersist()
+      return out
+    }
     // Every hop is localCheckpoint-ed (lazily) so each hop's output enters
     // the next hop's plan as ONE cached RDD — a fused un-checkpointed
     // double-hop was tried and reverted: the inner hop is referenced twice
@@ -1198,6 +1234,70 @@ object Dedup {
     }
     sym.unpersist()
     labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Driver-side ordering matching Spark's `least`/`min` semantics for the
+    * id types the pair operators emit. Strings compare as UTF8String
+    * (binary / code-point order — java.lang.String's UTF-16 order differs
+    * for supplementary characters, so the engine comparator is used
+    * verbatim). Unsupported types return None and [[clusters]] keeps the
+    * distributed loop, whose comparisons are the engine's own. */
+  private def driverMinOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+    case org.apache.spark.sql.types.IntegerType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+    case org.apache.spark.sql.types.StringType =>
+      Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String]))
+      })
+    case _ => None
+  }
+
+  /** In-memory min-label connected components over collected symmetric
+    * edges: union-find with path compression, then one pass labeling every
+    * node with its component's minimum id under `ord`. Edges touching a
+    * NULL endpoint register the endpoints but never merge across the null
+    * (SQL join equality never matches NULL — the distributed loop leaves a
+    * NULL node labeled NULL, reproduced here). Output order is
+    * insertion-stable but callers sort anyway (the contract queries all
+    * end in ORDER BY). */
+  private def driverClusters(rows: Array[org.apache.spark.sql.Row],
+                             ord: Ordering[Any]): Seq[(Any, Any)] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    var sawNull = false
+    rows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (a == null || b == null) sawNull = true
+      if (a != null && parent.get(a) == null) parent.put(a, a)
+      if (b != null && parent.get(b) == null) parent.put(b, b)
+      if (a != null && b != null) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(ra, rb)
+      }
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet.forEach { k =>
+      val r = find(k)
+      val cur = minOf.get(r)
+      if (cur == null || ord.compare(k, cur) < 0) minOf.put(r, k)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    parent.keySet.forEach { k => out += ((k, minOf.get(find(k)))) }
+    if (sawNull) out += ((null, null))
+    out.toSeq
   }
 
   /** Keep one representative per duplicate cluster: drops every row whose
@@ -1321,7 +1421,12 @@ object Dedup {
                          threshold: Double = 0.95, nCells: Int = 0,
                          seed: Long = 42L, maxCell: Int = 2000): DataFrame = {
     import graft.functions.{VectorFunctions => V}
+    // consumed by the sizing count, the quantizer-fit sample AND the cell
+    // assignment — persist so the (possibly expensive — unions, planted
+    // transforms, quality filters upstream) input pipeline and the
+    // norm/normalize arithmetic run once, not three times
     val unit = Similarity.unitized(df, vecCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val known = unit.count()
     val cells =
       if (nCells > 0) nCells else Similarity.autoCells(known)
@@ -1331,6 +1436,7 @@ object Dedup {
       Similarity.nearestCell(col("__unit"), centroids)
         .cast("string").as("__key"))
     val pairs = pairsFromBuckets(keyed, idCol, maxCell)
+    graft.core.CacheAutoRelease.afterFirstUse(unit)
     // norms once per row, not once per candidate pair; cosine on the
     // ORIGINAL vectors — normalization only steered the bucketing
     val vecs = df.select(col(idCol), col(vecCol),
@@ -1353,11 +1459,19 @@ object Dedup {
                     threshold: Double = 0.95, nCells: Int = 0,
                     seed: Long = 42L, maxCell: Int = 2000,
                     keepBy: Option[Column] = None): DataFrame = {
-    val pairs = semanticDedupPairs(df, vecCol, idCol, threshold, nCells,
+    // the input feeds the pair operator (assignment + both verification
+    // sides) and the survivor join(s) — persist so a derived input
+    // (unions, planted copies, quality filters) is computed once instead
+    // of once per consumer; MEMORY_AND_DISK spills at corpus scale, which
+    // is still cheaper than 4-5 re-derivations of the upstream pipeline
+    val in = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = semanticDedupPairs(in, vecCol, idCol, threshold, nCells,
       seed, maxCell)
-    keepBy match {
-      case Some(better) => dropNearDuplicatesBy(df, idCol, pairs, better)
-      case None => dropNearDuplicates(df, idCol, pairs)
+    val out = keepBy match {
+      case Some(better) => dropNearDuplicatesBy(in, idCol, pairs, better)
+      case None => dropNearDuplicates(in, idCol, pairs)
     }
+    graft.core.CacheAutoRelease.afterFirstUse(in)
+    out
   }
 }

@@ -149,6 +149,28 @@ class CorpusStatsSpec extends SparkSpec {
       (5L, 0L, 0L, 0L))
   }
 
+  test("charLmApplyScan (the zero-shuffle expression path charLmScore now " +
+    "takes) matches the join-based charLmApply row for row on the fixture " +
+    "corpus, including non-ASCII and short docs") {
+    val docs01 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "héllо wörld héllо wörld"), // non-ASCII
+        (900002L, "ab"), (900003L, "")).toDF("doc_id", "text"))
+    val model = CorpusStats.charLmModel(docs01, "text", n = 3, topV = 500)
+    val viaJoin = CorpusStats.charLmApply(model, docs01, "text", "doc_id",
+        n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    val collected = model.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaScan = CorpusStats.charLmApplyScan(collected, docs01, "text",
+        "doc_id", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    viaScan shouldBe viaJoin
+    // and the scan path's plan carries no exchange before presentation
+    val plan = CorpusStats.charLmApplyScan(collected, docs01, "text",
+      "doc_id", n = 3).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   test("charLmApply scores a STREAM against a frozen model identically " +
     "to the batch path (train-offline / score-on-ingest regime)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -609,9 +609,12 @@ class DedupSpec extends SparkSpec {
     val star = Seq((200L, 201L), (200L, 202L), (200L, 203L))
     val pairs = (chainA ++ chainB ++ star ++ Seq((300L, 301L)))
       .toDF("id_a", "id_b")
-    val doubled = Dedup.clusters(pairs, maxIter = 16, pointerDoubling = true)
+    // maxDriverEdges = 0 pins the DISTRIBUTED loop (the default would
+    // route these tiny graphs onto the driver union-find fast path)
+    val doubled = Dedup.clusters(pairs, maxIter = 16, pointerDoubling = true,
+        maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toMap
-    val expected = Dedup.clusters(pairs, maxIter = 100)
+    val expected = Dedup.clusters(pairs, maxIter = 100, maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toMap
     doubled shouldBe expected
     doubled.filter(_._1 <= 40L).values.toSet shouldBe Set(0L)
@@ -632,16 +635,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("clusters is generic over the id type: string ids label by " +
-    "lexicographic minimum") {
+    "lexicographic minimum — on the driver fast path AND the loop") {
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs).as[(String, String)].collect().toMap
-    got shouldBe Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a")
+    val expected = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a")
+    Dedup.clusters(pairs).as[(String, String)].collect().toMap shouldBe expected
+    Dedup.clusters(pairs, maxDriverEdges = 0L)
+      .as[(String, String)].collect().toMap shouldBe expected
   }
 
   test("clusters converges on a long chain within the diameter bound") {
     // path graph 0-1-2-...-9: worst case for min-label propagation
+    // (maxDriverEdges = 0 pins the distributed loop)
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
+    val got = Dedup.clusters(chain, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect()
     got.length shouldBe 10
     got.forall(_._2 == 0L) shouldBe true
   }
@@ -653,10 +660,30 @@ class DedupSpec extends SparkSpec {
     // adaptive switch must kick in at adaptAfter hops and finish the rest
     // in O(log diameter). Offset doubles per escalated hop (o <- 2(o+1)),
     // so ~5 escalated hops reach 199 — well inside the default budget.
+    // (maxDriverEdges = 0 pins the distributed loop the escalation
+    // lives in; the size gate would otherwise route this chain onto the
+    // driver union-find.)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(chain).as[(Long, Long)].collect()
+    val got = Dedup.clusters(chain, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect()
     got.length shouldBe 200
     got.forall(_._2 == 0L) shouldBe true
+  }
+
+  test("clusters driver fast path matches the distributed loop label for " +
+    "label on chains, stars, merging components and isolated pairs") {
+    // deterministic messy graph: two chains later merged by a bridge, a
+    // star, an isolated pair, self-loop, duplicate + reversed edges
+    val edges = (0L until 30L).map(i => (i, i + 1)) ++
+      (100L until 130L).map(i => (i, i + 1)) ++
+      Seq((15L, 115L), (200L, 201L), (200L, 202L), (300L, 301L),
+        (301L, 300L), (300L, 301L), (400L, 400L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.clusters(pairs, maxDriverEdges = 0L, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    viaDriver shouldBe viaLoop
+    viaDriver(115L) shouldBe 0L // bridge merged both chains under min id 0
   }
 
   test("sharedSpans finds maximal verbatim runs: exact span length, " +
