@@ -536,8 +536,11 @@ object Queries {
     * has a composed DuckDB oracle. */
   private def corpusDedup(s: SparkSession, dir: String): DataFrame = {
     // score once; the column rides through dedup instead of re-running the
-    // regex-heavy formula over the post-join survivors
-    val kept = tab(s, dir, "documents")
+    // regex-heavy formula over the post-join survivors. The gated
+    // repartition parallelizes the regex scoring itself — on a
+    // single-row-group input the scan plans one task and the scoring pass
+    // would otherwise serialize on one core (guide §2.5)
+    val kept = graft.core.ScanParallelism.ensure(tab(s, dir, "documents"))
       .withColumn("quality", T.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
     // the deduplicated relation feeds the pair operator's shingle scan AND
@@ -2397,7 +2400,10 @@ object Queries {
     * cut. */
   private def bpeBudgetSelect(s: SparkSession, dir: String): DataFrame = {
     val t = lower(trim(col("text")))
-    val scored = tab(s, dir, "documents").select(
+    // gated repartition: the BPE closed-form count + quality regex are the
+    // scan-side cost and the fixture scan plans one task (guide §2.5)
+    val scored = graft.core.ScanParallelism.ensure(tab(s, dir, "documents"))
+      .select(
       col("doc_id"),
       T.langId(col("text")).as("lang_id"),
       T.qualityScore(col("text")).as("quality"),

@@ -53,6 +53,8 @@ object CorpusStats {
     * k rows per document ahead of the final exchange. */
   def tfidfTopK(df: DataFrame, textCol: String, idCol: String,
                 k: Int = 5): DataFrame = {
+    // token explode is cheap scan-side work; the gated repartition measured
+    // slower here (tfidf_topk 1.36x) — aggregation exchanges dominate
     val terms = df.select(col(idCol),
         explode(T.tokens(trim(lower(col(textCol))))).as("term"))
       .filter(col("term") =!= "")
@@ -112,12 +114,16 @@ object CorpusStats {
     // ~1.9 s on `chargram_lm` at sf0.1, identical rows). An absurdly
     // large topV keeps the join path — the model is then not
     // driver-resident by construction.
-    if (topV <= 1000000)
+    if (topV <= 1000000) {
+      // one gated repartition shared by the model's gram explode and the
+      // scan-side score pass (charLmApplyScan itself stays exchange-free —
+      // its zero-shuffle/stream-native contract is the point)
+      val dfp = graft.core.ScanParallelism.ensure(df)
       charLmApplyScan(
-        charLmModel(df, textCol, n, topV).collect()
+        charLmModel(dfp, textCol, n, topV).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq,
-        df, textCol, idCol, n)
-    else
+        dfp, textCol, idCol, n)
+    } else
       charLmApply(charLmModel(df, textCol, n, topV), df, textCol, idCol, n)
 
   /** The trained half of [[charLmScore]]: the corpus's `topV` most

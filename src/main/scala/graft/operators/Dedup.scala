@@ -59,7 +59,8 @@ object Dedup {
     * 100 TB-friendly variant — the shuffle key is 32 bytes instead of the
     * document body. */
   def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = df.withColumn("__fp", T.fingerprint(col(textCol)))
+    val fp = graft.core.ScanParallelism.ensure(df)
+      .withColumn("__fp", T.fingerprint(col(textCol)))
     val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
     fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
@@ -173,7 +174,7 @@ object Dedup {
     // exchanged every exploded shingle hash to regroup by document — at
     // corpus scale that shuffle carries |corpus|·|shingles| rows and
     // dwarfs the band-key exchange LSH actually needs.
-    val shingled = df.select(col(idCol),
+    val shingled = graft.core.ScanParallelism.ensure(df).select(col(idCol),
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = bandedCandidates(shingled, idCol, "__shingles",
@@ -250,6 +251,10 @@ object Dedup {
                         maxBucket: Int = 1000,
                         maxBroadcastRows: Long = 1000000L,
                         oldKeys: Option[DataFrame] = None): DataFrame = {
+    // NOTE deliberately NOT routed through ScanParallelism.ensure: the
+    // word-shingle pass over a small batch is cheap enough that the gated
+    // repartition's extra exchange + task fan-out measured SLOWER
+    // (incremental_dedup 1.46 s → 2.29 s steady-state at sf0.1)
     def shingle(d: DataFrame) = d.select(col(idCol),
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shingles"))
     // the batch's shingles feed the band-key branch and both verification
@@ -337,7 +342,8 @@ object Dedup {
                      maxBucket: Int = 10000): DataFrame = {
     require(maxHamming < chunks, "chunk-LSH is exact only for hamming < chunks")
     // consumed by the chunk-LSH branch and both verification joins
-    val withSk = df.select(col(idCol), sketch.as("__sim"))
+    val withSk = graft.core.ScanParallelism.ensure(df)
+      .select(col(idCol), sketch.as("__sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = withSk
       .select(col(idCol), explode(H.simHashChunks(col("__sim"), chunks)).as("__c"))
@@ -413,7 +419,7 @@ object Dedup {
                         minhashHashes: Int = 128, minhashBands: Int = 0,
                         maxBucket: Int = 2000): DataFrame =
     jaccardPairsDispatch(
-      df.select(col(idCol),
+      graft.core.ScanParallelism.ensure(df).select(col(idCol),
         H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs")),
       idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy,
       minhashHashes, minhashBands, maxBucket)
@@ -726,7 +732,7 @@ object Dedup {
                        minhashHashes: Int = 128, minhashBands: Int = 0,
                        maxBucket: Int = 2000): DataFrame =
     jaccardPairsDispatch(
-      df.select(col(idCol),
+      graft.core.ScanParallelism.ensure(df).select(col(idCol),
         H.charShingles(trim(lower(col(textCol))), shingleSize).as("__shs")),
       idCol, threshold, maxDf, hashedCandidates, maxBroadcastRows, strategy,
       minhashHashes, minhashBands, maxBucket)
@@ -758,7 +764,7 @@ object Dedup {
                        shingleSize: Int = 3, threshold: Double = 0.8,
                        maxDf: Long = 0L,
                        maxBroadcastRows: Long = 1000000L): DataFrame = {
-    val shingled = df.select(col(idCol),
+    val shingled = graft.core.ScanParallelism.ensure(df).select(col(idCol),
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs"))
     val sh = shingled
       .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
@@ -827,12 +833,15 @@ object Dedup {
                            maxBroadcastRows: Long = 1000000L,
                            model: Option[DataFrame] = None): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    def lines = df.select(col(idCol),
+    // line splitting is cheap scan-side work; the gated repartition
+    // measured slower here (line_dedup 1.5x) — reassembly exchange dominates
+    val dfp = df
+    def lines = dfp.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__l", trim(col("__line")))
     val boiler = model
       .map(_.select(col("line").as("__l")))
-      .getOrElse(boilerplateLines(df, textCol, idCol, maxDocFreq)
+      .getOrElse(boilerplateLines(dfp, textCol, idCol, maxDocFreq)
         .select(col("line").as("__l")))
     val kept = sizeGatedFilterJoin(lines, boiler, Seq("__l"), "left_anti",
       maxBroadcastRows)
@@ -847,7 +856,7 @@ object Dedup {
     // the guard the coalesce would rewrite a NULL document to '', making
     // the two paths diverge on exactly the rows where "no document" and
     // "fully-boilerplate document" must stay distinguishable
-    df.select(col(idCol), col(textCol).isNull.as("__textnull"),
+    dfp.select(col(idCol), col(textCol).isNull.as("__textnull"),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
@@ -918,7 +927,8 @@ object Dedup {
                     maxBroadcastRows: Long = 10000000L): DataFrame = {
     def shingles(df: DataFrame) =
       H.wordShingles(T.tokens(lower(col(textCol))), shingleSize)
-    val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
+    val corpusP = graft.core.ScanParallelism.ensure(corpus)
+    val cSh = corpusP.select(col(idCol), explode(shingles(corpusP)).as("__sh"))
     val eSh = evalSet.select(explode(shingles(evalSet)).as("__sh")).distinct()
     // shingle sets are distinct per doc (WordShingleExpr) and the eval set
     // is distinct, so count(*) == number of distinct shared shingles
@@ -927,7 +937,7 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("__overlap"))
       .filter(col("__overlap") >= minOverlap)
       .select(col(idCol))
-    sizeGatedFilterJoin(corpus, doomed, Seq(idCol), "left_anti",
+    sizeGatedFilterJoin(corpusP, doomed, Seq(idCol), "left_anti",
       maxBroadcastRows)
   }
 
@@ -976,7 +986,8 @@ object Dedup {
     val eSh = evalSet.select(explode(shingles(evalSet)).as("__sh")).distinct()
     val bloomBytes = buildShingleBloom(eSh, expectedItems, fpp)
     if (bloomBytes == null) return corpus // empty eval set: nothing to remove
-    val cSh = corpus.select(col(idCol), explode(shingles(corpus)).as("__sh"))
+    val corpusP = graft.core.ScanParallelism.ensure(corpus)
+    val cSh = corpusP.select(col(idCol), explode(shingles(corpusP)).as("__sh"))
     val mightContain = Bridge.column(new BloomFilterMightContain(
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
       Bridge.expression(xxhash64(col("__sh")))))
@@ -985,7 +996,7 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("__overlap"))
       .filter(col("__overlap") >= minOverlap)
       .select(col(idCol))
-    sizeGatedFilterJoin(corpus, doomed, Seq(idCol), "left_anti",
+    sizeGatedFilterJoin(corpusP, doomed, Seq(idCol), "left_anti",
       maxBroadcastRows)
   }
 
@@ -1022,7 +1033,8 @@ object Dedup {
       "a span cannot be shorter than one shingle")
     // positional grams: (id, pos, gram), duplicates preserved — a document
     // repeating a phrase contributes every occurrence's position
-    val toks = df.select(col(idCol), T.tokens(lower(col(textCol))).as("__t"))
+    val toks = graft.core.ScanParallelism.ensure(df)
+      .select(col(idCol), T.tokens(lower(col(textCol))).as("__t"))
       .select(col(idCol), col("__t"),
         (size(col("__t")) - shingleSize).as("__last"))
       .filter(col("__last") >= 0)
