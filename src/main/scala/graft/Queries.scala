@@ -1872,13 +1872,22 @@ object Queries {
         idCol = "vec_id")
       ()
     }
-    val vecs = s.read.parquet(s"$path/vectors")
-    val codes = s.read.parquet(s"$path/codes")
-    val nAfter = vecs.count()
-    val codesMatch = codes.count() == nAfter
-    val victimsGone =
-      vecs.filter(col("vec_id") % 7 === 3).count() == 0L &&
-        codes.filter(col("vec_id") % 7 === 3).count() == 0L
+    // one aggregation pass per relation (total + victim counts together)
+    // instead of two counts each: halves the reads — and for the
+    // directory-partitioned vectors relation each read pays a
+    // bucket-count directory listing before any byte is scanned
+    // (guide §6), so fewer reads is the lever here
+    def totalAndVictims(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        count(when(col("vec_id") % 7 === 3, 1))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nAfter, vecVictims) =
+      totalAndVictims(s.read.parquet(s"$path/vectors"))
+    val (nCodes, codeVictims) =
+      totalAndVictims(s.read.parquet(s"$path/codes"))
+    val codesMatch = nCodes == nAfter
+    val victimsGone = vecVictims == 0L && codeVictims == 0L
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val probeFullK = Similarity.pqProbeTopK(s, path, queries, "embedding",

@@ -529,8 +529,20 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
           round(col("jaccard"), 6).as("jaccard"))
     }
-    val result = if (!hashedCandidates) exactPairs(dropStopShingles(sh))
-    else {
+    val result = if (!hashedCandidates) {
+      // both pair-join sides read the post-stop exploded relation; persist
+      // it so the explode + stop anti join run ONCE. The intended
+      // ReusedExchange never fires in practice — the stop set rides in as
+      // a broadcast, and the two sides plan independent broadcast-build
+      // subtrees (measured: two identical 14 MB map jobs per
+      // chargram_pairs action at sf0.1). MEMORY_AND_DISK: corpus-shingle
+      // sized, spills instead of evicting — still cheaper than a second
+      // full explode+anti pass (guide §2.4: share the exchange input).
+      val base = dropStopShingles(sh).persist(StorageLevel.MEMORY_AND_DISK)
+      val out = exactPairs(base)
+      graft.core.CacheAutoRelease.afterFirstUse(base)
+      out
+    } else {
       // Candidate generation on hashed shingles (upper-bound Jaccard).
       val hashed = dropStopShingles(sh)
         .select(col(idCol), col("__n"), xxhash64(col("__sh")).as("__h"))
@@ -777,8 +789,14 @@ object Dedup {
           .select("__sh")
         sizeGatedFilterJoin(sh, stop, Seq("__sh"), "left_anti", maxBroadcastRows)
       }
-    val a = base.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
-    val b = base.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+    // both join sides read the exploded relation — persist so the explode
+    // (+ stop anti join) runs once, not once per side (the ReusedExchange
+    // the subplans theoretically share does not fire under a broadcast
+    // stop set; see jaccardPairsFromShingles)
+    val based = base.persist(StorageLevel.MEMORY_AND_DISK)
+    val a = based.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
+    val b = based.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+    graft.core.CacheAutoRelease.afterFirstUse(based)
     a.join(b, Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb")
@@ -1051,8 +1069,12 @@ object Dedup {
       sizeGatedFilterJoin(grams, stop, Seq("__g"), "left_anti",
         maxBroadcastRows)
     }
-    val a = sized.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__g"))
-    val b = sized.select(col(idCol).as("id_b"), col("__pos").as("__pb"), col("__g"))
+    // both join sides read the positional-gram relation — persist so the
+    // explode (+ stop anti join) runs once, not once per side
+    val sizedP = sized.persist(StorageLevel.MEMORY_AND_DISK)
+    val a = sizedP.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__g"))
+    val b = sizedP.select(col(idCol).as("id_b"), col("__pos").as("__pb"), col("__g"))
+    graft.core.CacheAutoRelease.afterFirstUse(sizedP)
     val hits = a.join(b, Seq("__g"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"),

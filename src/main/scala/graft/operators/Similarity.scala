@@ -1773,14 +1773,16 @@ object Similarity {
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
                codesCol: String = "__codes",
                normCol: String = "__cn"): DataFrame = {
+    // per-subspace NATIVE fused argmin (the same NearestCellExpr kernel
+    // cell assignment uses): identical distances (cNorm² − 2·dot, same
+    // left-to-right f64 accumulation) and identical lowest-code tie rule
+    // as the previous sorted-struct-array form, with zero per-candidate
+    // struct/array allocation and the loop compiled into the enclosing
+    // whole-stage method — the encode projection was the dominant cost of
+    // the inline PQ paths (guide §1.2 step 2: per-task work)
     val codes = array((0 until model.m).map { j =>
       val sub = slice(col(vecCol), j * model.dsub + 1, model.dsub)
-      element_at(array_sort(array(model.codebooks(j).zipWithIndex.map {
-        case (c, i) =>
-          val cNorm2 = c.map(x => x * x).sum
-          struct((lit(cNorm2) - lit(2.0) * V.dot(sub, lit(c))).as("d"),
-            lit(i).as("code"))
-      }.toIndexedSeq: _*)), 1)("code")
+      graft.functions.VectorExpressions.nearestCell(sub, model.codebooks(j))
     }: _*)
     df.withColumn(codesCol, codes)
       .withColumn(normCol, V.norm(col(vecCol)))
@@ -2270,7 +2272,26 @@ object Similarity {
         .getOrElse(DefaultShortlistFactor)
     val (shortlist, touched) = pqShortlistAndBuckets(spark, path, queries,
       vecCol, idCol, queryIdCol, k * factor)
-    val vectors = spark.read.parquet(s"$path/vectors")
+    // The shortlist names its buckets BEFORE the vectors relation is ever
+    // opened, so list ONLY the touched bucket directories instead of the
+    // whole id-bucketed tree (guide §6: directory listing is the hidden
+    // cost of partitioned reads — a full `vectors/` open lists every
+    // bucket dir, which at the 256-bucket fixture already runs a 256-task
+    // discovery job per probe and at object-store scale is bucket-count
+    // LIST calls for a probe that touches a handful). `basePath` keeps
+    // `__vb` a partition column and the isin filter stays, so the scan
+    // still carries the __vb partition filter the plan contract asserts;
+    // missing dirs (a bucket fully drained by deletes) are skipped the
+    // same way the full listing would. Empty shortlist → empty result
+    // with the probe's schema, no paths to read.
+    val fs = new org.apache.hadoop.fs.Path(s"$path/vectors")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val touchedDirs = touched.map(b => s"$path/vectors/__vb=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val vectors = (
+      if (touchedDirs.isEmpty) spark.read.parquet(s"$path/vectors")
+      else spark.read.option("basePath", s"$path/vectors")
+        .parquet(touchedDirs.toIndexedSeq: _*))
       .filter(col("__vb").isin(touched.toIndexedSeq: _*))
     // post-plan race check: codebooks were loaded and codes/vectors
     // listed above — a rebuild completing in between would re-rank a
