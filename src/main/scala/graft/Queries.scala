@@ -539,10 +539,16 @@ object Queries {
     // regex-heavy formula over the post-join survivors. The gated
     // repartition parallelizes the regex scoring itself — on a
     // single-row-group input the scan plans one task and the scoring pass
-    // would otherwise serialize on one core (guide §2.5)
-    val kept = graft.core.ScanParallelism.ensure(tab(s, dir, "documents"))
+    // would otherwise serialize on one core (guide §2.5). The persist
+    // BELOW the filter is deliberate: a filter on the quality column
+    // pushes through the repartition and re-evaluates the whole regex
+    // formula on the 1-task map side (then again in the projection) —
+    // caching the unfiltered scored relation pins the regex to exactly
+    // one parallel evaluation, and the filter reads the cached column.
+    val scored = graft.core.ScanParallelism.ensure(tab(s, dir, "documents"))
       .withColumn("quality", T.qualityScore(col("text")))
-      .filter(col("quality") >= 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = scored.filter(col("quality") >= 0.5)
     // the deduplicated relation feeds the pair operator's shingle scan AND
     // the final survivor anti join — persist so the regex-heavy quality
     // scoring and the fingerprint window run once, not once per consumer
@@ -553,6 +559,7 @@ object Queries {
     val out = Dedup.dropNearDuplicates(exact, "doc_id", pairs)
       .select("doc_id", "quality")
       .orderBy("doc_id")
+    graft.core.CacheAutoRelease.afterFirstUse(scored)
     graft.core.CacheAutoRelease.afterFirstUse(exact)
     out
   }
@@ -1882,10 +1889,17 @@ object Queries {
         count(when(col("vec_id") % 7 === 3, 1))).head
       (r.getLong(0), r.getLong(1))
     }
+    // list the 256 bucket dirs driver-side instead of in a 256-task
+    // discovery job (bounded path set; private cloned session so the
+    // caller's threshold is untouched — the probe-side rationale in
+    // Similarity.pqProbeTopK)
+    val lister = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+    lister.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384")
     val (nAfter, vecVictims) =
-      totalAndVictims(s.read.parquet(s"$path/vectors"))
+      totalAndVictims(lister.read.parquet(s"$path/vectors"))
     val (nCodes, codeVictims) =
-      totalAndVictims(s.read.parquet(s"$path/codes"))
+      totalAndVictims(lister.read.parquet(s"$path/codes"))
     val codesMatch = nCodes == nAfter
     val victimsGone = vecVictims == 0L && codeVictims == 0L
     val queries = emb.filter(col("vec_id") < 5)
@@ -2211,9 +2225,19 @@ object Queries {
     * is the "model" (ties cut by count desc, gram asc — deterministic in
     * both engines), each doc scores its total/in-model/out-of-model gram
     * occurrences. All-integer contract, hash-green. */
-  private def chargramLm(s: SparkSession, dir: String): DataFrame =
-    CorpusStats.charLmScore(tab(s, dir, "documents"), "text", "doc_id",
-        n = 3, topV = 5000)
+  private def chargramLm(s: SparkSession, dir: String): DataFrame = {
+    // the persist is a PUSHDOWN BARRIER, not a cache for reuse: the guard
+    // filter below references the score struct, and Catalyst pushes it
+    // through the scan-parallelism repartition — re-evaluating the whole
+    // char_lm_score expression on the 1-task map side (measured 1.4 s of
+    // chargram_lm's 2.0 s at sf0.1). Persisting the (tiny — id + 3
+    // longs) scored relation pins the scoring to one parallel
+    // evaluation; the filter then reads cached columns.
+    val scored = CorpusStats.charLmScore(tab(s, dir, "documents"), "text",
+        "doc_id", n = 3, topV = 5000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheAutoRelease.afterFirstUse(scored)
+    scored
       // always-true value-reading guard: a bare count() of the final
       // unique-key left join would let Catalyst eliminate the join and
       // skip the whole model+score computation (the bench's default
@@ -2221,6 +2245,7 @@ object Queries {
       // semantic effect — the columns are coalesced non-null.
       .filter(col("freq_sum") >= 0 && col("n_grams") >= 0)
       .orderBy("doc_id")
+  }
 
   /** Planted-vocabulary BPE tokenization ([[graft.operators.Bpe.encode]]
     * via the native scan-side [[graft.functions.BpeEncodeExpr]]): the five

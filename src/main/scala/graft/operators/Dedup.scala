@@ -539,6 +539,12 @@ object Dedup {
       // sized, spills instead of evicting — still cheaper than a second
       // full explode+anti pass (guide §2.4: share the exchange input).
       val base = dropStopShingles(sh).persist(StorageLevel.MEMORY_AND_DISK)
+      // populate the cache NOW: the self-join's two sides are independent
+      // AQE shuffle stages materialized concurrently — against a cold
+      // cache both race to compute it and the explode+anti runs twice
+      // anyway (measured: the persist alone did not remove the duplicate
+      // 14 MB map jobs). One counting pass pays the explode once.
+      base.count()
       val out = exactPairs(base)
       graft.core.CacheAutoRelease.afterFirstUse(base)
       out
@@ -794,6 +800,9 @@ object Dedup {
     // the subplans theoretically share does not fire under a broadcast
     // stop set; see jaccardPairsFromShingles)
     val based = base.persist(StorageLevel.MEMORY_AND_DISK)
+    // eager populate — the join sides race a cold cache otherwise (see
+    // jaccardPairsFromShingles)
+    based.count()
     val a = based.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
     val b = based.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
     graft.core.CacheAutoRelease.afterFirstUse(based)
@@ -1072,6 +1081,9 @@ object Dedup {
     // both join sides read the positional-gram relation — persist so the
     // explode (+ stop anti join) runs once, not once per side
     val sizedP = sized.persist(StorageLevel.MEMORY_AND_DISK)
+    // eager populate — the join sides race a cold cache otherwise (see
+    // jaccardPairsFromShingles)
+    sizedP.count()
     val a = sizedP.select(col(idCol).as("id_a"), col("__pos").as("__pa"), col("__g"))
     val b = sizedP.select(col(idCol).as("id_b"), col("__pos").as("__pb"), col("__g"))
     graft.core.CacheAutoRelease.afterFirstUse(sizedP)

@@ -2288,9 +2288,26 @@ object Similarity {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val touchedDirs = touched.map(b => s"$path/vectors/__vb=$b")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // list the touched dirs DRIVER-SIDE: above the default 32-path
+    // parallel-discovery threshold Spark launches a |dirs|-task listing
+    // job per probe (0.28 s for a 193-bucket shortlist at the fixture),
+    // pure scheduling overhead for a bounded, shortlist-sized path set.
+    // Raised on a PRIVATE cloned session (the buildShingleBloom pattern)
+    // so the caller's session keeps its threshold for genuinely large
+    // discoveries.
+    val reader =
+      if (touchedDirs.size <= 32) spark
+      else {
+        val cloned = org.apache.spark.sql.graftbridge.Bridge
+          .cloneSession(spark)
+        cloned.conf.set(
+          "spark.sql.sources.parallelPartitionDiscovery.threshold",
+          math.max(32, touchedDirs.size).toString)
+        cloned
+      }
     val vectors = (
       if (touchedDirs.isEmpty) spark.read.parquet(s"$path/vectors")
-      else spark.read.option("basePath", s"$path/vectors")
+      else reader.read.option("basePath", s"$path/vectors")
         .parquet(touchedDirs.toIndexedSeq: _*))
       .filter(col("__vb").isin(touched.toIndexedSeq: _*))
     // post-plan race check: codebooks were loaded and codes/vectors
