@@ -93,6 +93,13 @@ object Dedup {
       .select("__key")
     val sized = sizeGatedFilterJoin(k, bigKeys, Seq("__key"), "left_anti",
       maxBroadcastRows = 1000000L)
+    // NOTE a bucket-grouped positional pair emission (one exchange — see
+    // groupedExactPairs in jaccardPairsFromShingles) was tried here and
+    // REVERTED: LSH band/chunk buckets are mostly 1-2 ids, where the
+    // collect_list + double-explode machinery measured SLOWER than this
+    // self-join (embcos_pairs 0.67 -> 1.04 s steady-state at sf0.1); the
+    // grouped form pays off only for meaty bounded buckets (the
+    // maxDf-capped exact-Jaccard path).
     val a = sized.select(col("__key"), col(idCol).as("id_a"))
     val b = sized.select(col("__key"), col(idCol).as("id_b"))
     val pairs = a.join(b, Seq("__key"))
@@ -516,20 +523,57 @@ object Dedup {
     // the exploded shingles, so no extra sizes join is needed after the
     // pair aggregation; the two join inputs are identical subplans, so the
     // shingle-key exchange is computed once and reused (ReusedExchange).
+    def pairScores(aggregated: DataFrame): DataFrame = aggregated
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        round(col("jaccard"), 6).as("jaccard"))
     def exactPairs(rel: DataFrame): DataFrame = {
       val a = rel.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
       val b = rel.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
-      a.join(b, Seq("__sh"))
+      pairScores(a.join(b, Seq("__sh"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("uni", col("__na") + col("__nb") - col("inter"))
-        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-          round(col("jaccard"), 6).as("jaccard"))
+        .agg(count(lit(1)).as("inter")))
     }
-    val result = if (!hashedCandidates) {
+    // Bounded-bucket form of the inverted-index join: under a maxDf cap
+    // every shingle's posting list is ≤ maxDf entries, so the ordered
+    // pairs can be emitted positionally from ONE exchange of the exploded
+    // rows (group → sorted bounded array → i<j explode) instead of
+    // exchanging the same relation twice and sort-merging it (guide
+    // §2.4: remove shuffles outright). sort_array orders the structs by
+    // the leading id field with the same comparator as the join's `<`
+    // filter, so the emitted pair multiset — and hence every
+    // (inter, uni, jaccard) — is identical. Only taken when the cap makes
+    // the per-key array provably small; the unbounded (maxDf = 0) path
+    // keeps the streaming sort-merge join, which no single degenerate
+    // key can OOM.
+    def groupedExactPairs(rel: DataFrame): DataFrame = pairScores(rel
+      // numbered repartition: pin the exchange width against AQE's
+      // bytes-based coalescing — the pair explosion above this exchange
+      // multiplies rows, so sizing the partitions by their input bytes
+      // serializes the expensive part (see pairsFromBuckets)
+      .repartition(rel.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__sh"))
+      .groupBy("__sh")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("__n").as("n")))).as("__b"))
+      .select(col("__b"), posexplode(col("__b")).as(Seq("__i", "__x")))
+      .select(col("__x"),
+        explode(slice(col("__b"), col("__i") + lit(2),
+          greatest(size(col("__b")) - col("__i") - lit(1), lit(0))))
+          .as("__y"))
+      .filter(col("__x.id") < col("__y.id"))
+      .groupBy(col("__x.id").as("id_a"), col("__y.id").as("id_b"),
+        col("__x.n").as("__na"), col("__y.n").as("__nb"))
+      .agg(count(lit(1)).as("inter")))
+    val boundedBuckets = maxDf > 0 && maxDf <= 10000
+    val result = if (!hashedCandidates && boundedBuckets) {
+      // single consumer pass — no persist needed, the grouped form reads
+      // the exploded relation exactly once
+      groupedExactPairs(dropStopShingles(sh))
+    } else if (!hashedCandidates) {
       // both pair-join sides read the post-stop exploded relation; persist
       // it so the explode + stop anti join run ONCE. The intended
       // ReusedExchange never fires in practice — the stop set rides in as
