@@ -521,8 +521,10 @@ object Dedup {
       }
     // The exact string-keyed inverted-index join: set sizes ride along with
     // the exploded shingles, so no extra sizes join is needed after the
-    // pair aggregation; the two join inputs are identical subplans, so the
-    // shingle-key exchange is computed once and reused (ReusedExchange).
+    // pair aggregation. (r21 correction: the two sides' exchanges are NOT
+    // shared by ReusedExchange in practice — hence the persisted,
+    // eagerly-populated input below, and the grouped single-exchange form
+    // for bounded maxDf.)
     def pairScores(aggregated: DataFrame): DataFrame = aggregated
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
