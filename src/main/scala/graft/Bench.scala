@@ -281,10 +281,24 @@ object Bench {
     // jitter on short queries is scheduling, not code).
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
+    // same-cpus sibling (bench_queries_c32.json for a 32-core run): the
+    // preferred tripwire base AND an overwrite-proof per-tier artifact —
+    // see the write below
+    val perCpuPath = {
+      val n = outPath.getFileName.toString
+      val sib =
+        if (n.endsWith(".json"))
+          n.stripSuffix(".json") + s"_c$cpus.json"
+        else n + s"_c$cpus"
+      if (outPath.getParent == null) java.nio.file.Paths.get(sib)
+      else outPath.getParent.resolve(sib)
+    }
     val regressFactor = sys.env.get("SPARK_GRAFT_BENCH_REGRESS")
       .flatMap(_.trim.toDoubleOption).getOrElse(1.5)
     val prevJson =
-      if (java.nio.file.Files.isReadable(outPath))
+      if (java.nio.file.Files.isReadable(perCpuPath))
+        java.nio.file.Files.readString(perCpuPath)
+      else if (java.nio.file.Files.isReadable(outPath))
         java.nio.file.Files.readString(outPath)
       else ""
     val prevTimes =
@@ -303,6 +317,7 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpus":"$cpus",""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""flaky":${flaky.mkString("[", ",", "]")},""" +
       s""""passes":${corePerPass.size},""" +
@@ -344,6 +359,50 @@ object Bench {
     // see the full map.
     java.nio.file.Files.write(outPath,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Per-cpu-count artifact: the driver re-runs the bench at a lower core
+    // count into the SAME working tree, and r21's c8 re-run overwrote the
+    // c32 artifact — the 32-core per-query data was simply destroyed. A
+    // `bench_queries_c$cpus.json` sibling keeps each core tier's run at
+    // its own path; the cross-round tripwire above prefers the same-cpus
+    // sibling as its base (comparing c8 minima against c32 minima flags
+    // scaling, not regressions). Focused SPARK_GRAFT_BENCH_ONLY runs skip
+    // the sibling — a partial map must not become a full run's base.
+    if (only.isEmpty)
+      java.nio.file.Files.write(perCpuPath,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Compact DRIVER-READABLE summary, printed LAST. The full line above
+    // is ~7.6 KB; the driver's BENCH artifact keeps only a 2000-char
+    // stdout tail, so the line start — and any parseable JSON — has been
+    // lost every round since r14 (`parsed: null` throughout). The 121
+    // query names alone exceed 1500 bytes, so the full map can never fit
+    // the tail: this line carries the headline numbers in < 1500 bytes
+    // (lists capped, values rounded) and points at the file artifact that
+    // holds the complete per-query map. The full line and both file
+    // artifacts are unchanged — this is additive output, not a
+    // methodology change (OPTIMIZATION_r22.md "bench contract").
+    def capped(xs: Seq[String]): String =
+      xs.take(10).mkString("[", ",", "]")
+    val regCompact = regressed.take(12)
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    // point at an artifact that was actually written this run: focused
+    // SPARK_GRAFT_BENCH_ONLY runs skip the per-cpu sibling
+    val fullMapPath = if (only.isEmpty) perCpuPath else outPath
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""full_map_in":"${fullMapPath.getFileName}",""" +
+      s""""n_queries":${minTimes.size},""" +
+      s""""n_failed":${failed.size},"failed":${capped(failed)},""" +
+      s""""n_flaky":${flaky.size},"flaky":${capped(flaky)},""" +
+      s""""noise_flagged":$noiseFlagged,""" +
+      f""""repeat_delta_pct":$repeatDeltaPct%.2f,""" +
+      f""""ext_repeat_delta_pct":$extRepeatDeltaPct%.2f,""" +
+      s""""core_chase_stop":"$coreChaseStop",""" +
+      s""""ext_chase_stop":"$extChaseStop",""" +
+      s""""passes":${corePerPass.size},"ext_passes":${extPerPass.size},""" +
+      s""""cpus":"$cpus","n_regressions":${regressed.size},""" +
+      s""""regressions":$regCompact,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -505,10 +505,46 @@ object Dedup {
     // read the cached arrays (projection collapse would otherwise re-run it
     // for each consumer).
     val shingled = shingledIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // The exploded relation carries (id, shingle) ONLY: per-document set
+    // sizes are functionally dependent on the id, so carrying __n through
+    // the explode, the stop anti join, the pair join's both sides and the
+    // pair-aggregation exchange was dead weight on every exchanged row
+    // (guide §2.3 — r21 measured the pair-partial exchange of
+    // (id_a, id_b, na, nb, count) at ~118 MB for chargram_pairs at sf0.1,
+    // ~40% of it the na/nb columns). Sizes are recovered AFTER the pair
+    // aggregation from the corpus-sized (id, n) relation — see
+    // [[attachSizes]] below.
     def explodeShingles(rel: DataFrame): DataFrame = rel
-      .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
-        explode(col("__shs")).as("__sh"))
+      .select(col(idCol), explode(col("__shs")).as("__sh"))
     val sh = explodeShingles(shingled)
+    // Per-document PRE-drop set size (the stop anti join must not change
+    // the union arithmetic — same contract as before this refactor, where
+    // __n was computed before the drop). One row per input document,
+    // derived from the cached array relation — no extra shingle pass.
+    // Broadcast under the measured row gate; above it the join degrades
+    // to a shuffled join of the AGGREGATED pairs (far fewer rows than the
+    // pair partials the exchange used to carry) against the sizes
+    // relation — the sizes side is corpus-sized at 100 TB and must never
+    // unconditionally broadcast. The eager limit-probe count doubles as
+    // the `shingled` cache populate: it runs at construction time, before
+    // the action's join sides could race the cold cache (the r21 lesson).
+    lazy val sizesHinted: DataFrame = {
+      val sizes = shingled
+        .select(col(idCol), size(col("__shs")).cast("long").as("__n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+      val hinted =
+        if (sizes.limit(probeLimit).count() <= maxBroadcastRows)
+          broadcast(sizes)
+        else sizes
+      graft.core.CacheAutoRelease.afterFirstUse(sizes)
+      hinted
+    }
+    def attachSizes(pairs: DataFrame): DataFrame = pairs
+      .join(sizesHinted.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizesHinted.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
     // The stop set is ≤ |shingles|/maxDf entries by construction, so the
     // gated join takes the broadcast branch except on degenerate corpora.
     def dropStopShingles(rel: DataFrame): DataFrame =
@@ -519,24 +555,25 @@ object Dedup {
           .select("__sh")
         sizeGatedFilterJoin(rel, stop, Seq("__sh"), "left_anti", maxBroadcastRows)
       }
-    // The exact string-keyed inverted-index join: set sizes ride along with
-    // the exploded shingles, so no extra sizes join is needed after the
-    // pair aggregation. (r21 correction: the two sides' exchanges are NOT
+    // Scores from the aggregated (id_a, id_b, inter) pairs: sizes join
+    // back here — AFTER the pair aggregation, so the threshold filter
+    // still sees them — instead of riding through every exchanged row.
+    // (r21 correction, still true: the two sides' exchanges are NOT
     // shared by ReusedExchange in practice — hence the persisted,
     // eagerly-populated input below, and the grouped single-exchange form
     // for bounded maxDf.)
-    def pairScores(aggregated: DataFrame): DataFrame = aggregated
+    def pairScores(aggregated: DataFrame): DataFrame = attachSizes(aggregated)
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         round(col("jaccard"), 6).as("jaccard"))
     def exactPairs(rel: DataFrame): DataFrame = {
-      val a = rel.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
-      val b = rel.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+      val a = rel.select(col(idCol).as("id_a"), col("__sh"))
+      val b = rel.select(col(idCol).as("id_b"), col("__sh"))
       pairScores(a.join(b, Seq("__sh"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
+        .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("inter")))
     }
     // Bounded-bucket form of the inverted-index join: under a maxDf cap
@@ -544,14 +581,20 @@ object Dedup {
     // pairs can be emitted positionally from ONE exchange of the exploded
     // rows (group → sorted bounded array → i<j explode) instead of
     // exchanging the same relation twice and sort-merging it (guide
-    // §2.4: remove shuffles outright). sort_array orders the structs by
-    // the leading id field with the same comparator as the join's `<`
-    // filter, so the emitted pair multiset — and hence every
-    // (inter, uni, jaccard) — is identical. Only taken when the cap makes
+    // §2.4: remove shuffles outright). sort_array orders the ids with
+    // the same comparator as the join's `<` filter, so the emitted pair
+    // multiset — and hence every (inter, uni, jaccard) — is identical.
+    // Only taken when the cap makes
     // the per-key array provably small; the unbounded (maxDf = 0) path
     // keeps the streaming sort-merge join, which no single degenerate
     // key can OOM.
     def groupedExactPairs(rel: DataFrame): DataFrame = pairScores(rel
+      // defensive: the join form drops null keys structurally; groupBy
+      // would keep a null-key bucket (and the maxDf stop anti join never
+      // removes null keys, so it would be unbounded). The shingle
+      // expressions emit non-null elements today — this pins the
+      // equivalence rather than relying on that.
+      .filter(col("__sh").isNotNull)
       // numbered repartition: pin the exchange width against AQE's
       // bytes-based coalescing — the pair explosion above this exchange
       // multiplies rows, so sizing the partitions by their input bytes
@@ -559,21 +602,24 @@ object Dedup {
       .repartition(rel.sparkSession.sessionState.conf.numShufflePartitions,
         col("__sh"))
       .groupBy("__sh")
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("__n").as("n")))).as("__b"))
+      // bare ids, not (id, n) structs: same sort_array order for the
+      // unique ids the pair contract assumes (the struct sort compared n
+      // only after equal ids), smaller collect buffers, and the emitted
+      // pair rows carry 2 longs instead of 2 structs
+      .agg(sort_array(collect_list(col(idCol))).as("__b"))
       .select(col("__b"), posexplode(col("__b")).as(Seq("__i", "__x")))
       .select(col("__x"),
         explode(slice(col("__b"), col("__i") + lit(2),
           greatest(size(col("__b")) - col("__i") - lit(1), lit(0))))
           .as("__y"))
-      .filter(col("__x.id") < col("__y.id"))
-      .groupBy(col("__x.id").as("id_a"), col("__y.id").as("id_b"),
-        col("__x.n").as("__na"), col("__y.n").as("__nb"))
+      .filter(col("__x") < col("__y"))
+      .groupBy(col("__x").as("id_a"), col("__y").as("id_b"))
       .agg(count(lit(1)).as("inter")))
     val boundedBuckets = maxDf > 0 && maxDf <= 10000
     val result = if (!hashedCandidates && boundedBuckets) {
-      // single consumer pass — no persist needed, the grouped form reads
-      // the exploded relation exactly once
+      // the grouped form reads the exploded relation exactly once; the
+      // only other `shingled` consumer is the tiny sizes projection, and
+      // the stop-set probe populates the cache before either runs
       groupedExactPairs(dropStopShingles(sh))
     } else if (!hashedCandidates) {
       // both pair-join sides read the post-stop exploded relation; persist
@@ -596,14 +642,17 @@ object Dedup {
       out
     } else {
       // Candidate generation on hashed shingles (upper-bound Jaccard).
+      // Same na/nb slimming as the exact paths: the candidate exchange
+      // carries (id_a, id_b, count) partials and the sizes join back in
+      // for the estimate filter.
       val hashed = dropStopShingles(sh)
-        .select(col(idCol), col("__n"), xxhash64(col("__sh")).as("__h"))
-      val ha = hashed.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__h"))
-      val hb = hashed.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__h"))
-      val cand = ha.join(hb, Seq("__h"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(count(lit(1)).as("__est"))
+        .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+      val ha = hashed.select(col(idCol).as("id_a"), col("__h"))
+      val hb = hashed.select(col(idCol).as("id_b"), col("__h"))
+      val cand = attachSizes(ha.join(hb, Seq("__h"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("__est")))
         .filter(col("__est").cast("double") /
           (col("__na") + col("__nb") - col("__est")) >= threshold)
       val candIds = cand.select(col("id_a").as(idCol))
@@ -828,11 +877,20 @@ object Dedup {
                        shingleSize: Int = 3, threshold: Double = 0.8,
                        maxDf: Long = 0L,
                        maxBroadcastRows: Long = 1000000L): DataFrame = {
+    // array-level persist: the shingle pass feeds the exploded join input
+    // AND the per-document sizes relation (jaccardPairsFromShingles'
+    // structure — sizes no longer ride the exploded rows, see below)
     val shingled = graft.core.ScanParallelism.ensure(df).select(col(idCol),
-      H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs"))
-    val sh = shingled
-      .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
-        explode(col("__shs")).as("__sh"))
+        H.wordShingles(T.tokens(lower(col(textCol))), shingleSize).as("__shs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (id, shingle) only: the per-document set size is functionally
+    // dependent on the id, so carrying it through the explode, both join
+    // sides and the pair-aggregation exchange was dead weight on every
+    // exchanged row (guide §2.3); it joins back onto the aggregated pairs
+    // below. PRE-drop size, as before — stop-shingles stay in the
+    // denominator (containment on stop-heavy documents underestimates,
+    // never overestimates).
+    val sh = shingled.select(col(idCol), explode(col("__shs")).as("__sh"))
     val base =
       if (maxDf <= 0) sh
       else {
@@ -847,15 +905,34 @@ object Dedup {
     // stop set; see jaccardPairsFromShingles)
     val based = base.persist(StorageLevel.MEMORY_AND_DISK)
     // eager populate — the join sides race a cold cache otherwise (see
-    // jaccardPairsFromShingles)
+    // jaccardPairsFromShingles); also populates the array-level cache the
+    // sizes probe below then reads warm
     based.count()
-    val a = based.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh"))
-    val b = based.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh"))
+    // sizes join-back, broadcast under the measured gate (the sizes side
+    // is corpus-sized at 100 TB — above the gate the join degrades to a
+    // shuffled join of the aggregated pairs, far fewer rows than the
+    // partials the exchange used to carry)
+    val sizes = shingled
+      .select(col(idCol), size(col("__shs")).cast("long").as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val sizesHinted =
+      if (sizes.limit(probeLimit).count() <= maxBroadcastRows)
+        broadcast(sizes)
+      else sizes
+    val a = based.select(col(idCol).as("id_a"), col("__sh"))
+    val b = based.select(col(idCol).as("id_b"), col("__sh"))
     graft.core.CacheAutoRelease.afterFirstUse(based)
+    graft.core.CacheAutoRelease.afterFirstUse(sizes)
+    graft.core.CacheAutoRelease.afterFirstUse(shingled)
     a.join(b, Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "__na", "__nb")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+      .join(sizesHinted.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizesHinted.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
       .withColumn("cont_a",
         round(col("inter").cast("double") / col("__na").cast("double"), 6))
       .withColumn("cont_b",
