@@ -2863,6 +2863,82 @@ object ScaleProbe {
     writeArtifact("index_delete_scale", idxEntry)
     }
 
+    if (probes("core_scaling")) {
+    // Core-count scaling of the heavy operator families at manufactured
+    // sf1 (SCALE× rotated replicas of sf0.1 — the pair_join_scale /
+    // semdedup_scale construction). Motivation (r21 verdict): at sf0.1 the
+    // bench suite is scheduling-bound, so 8→32-core ratios read ≈1 for
+    // most queries and say nothing about whether the operators
+    // parallelize; this probe measures the same operators at a volume
+    // where compute dominates. Run it TWICE — SPARK_GRAFT_CPUS=8 and =32
+    // with SPARK_GRAFT_PROBES=core_scaling — and compare the
+    // `core_scaling_c8` / `core_scaling_c32` entries. The staged corpora
+    // are written at a FIXED partition count (32, not `cpus`) so both
+    // runs scan the identical file layout and the ratio measures the
+    // engine, not the staging.
+    val csAlpha = "abcdefghijklmnopqrstuvwxyz"
+    def csRot(i: Int) = csAlpha.drop(i % 26) + csAlpha.take(i % 26)
+    val csParts = 32
+    val csTmp = java.nio.file.Files.createTempDirectory("graft_coresc")
+    val csDocs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    (0 until scale).map { i =>
+      csDocs0.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        translate(lower(col("text")), csAlpha, csRot(i)).as("text"))
+    }.reduce(_ union _)
+      .repartition(csParts).write.mode("overwrite")
+      .parquet(csTmp.resolve("docs.parquet").toString)
+    val csDocs = spark.read.parquet(csTmp.resolve("docs.parquet").toString)
+    val nCsDocs = csDocs.count()
+    val csEmb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    (0 until scale).map { i =>
+      csEmb0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
+    }.reduce(_ union _)
+      .repartition(csParts).write.mode("overwrite")
+      .parquet(csTmp.resolve("emb.parquet").toString)
+    val csEmb = spark.read.parquet(csTmp.resolve("emb.parquet").toString)
+    val nCsVecs = csEmb.count()
+    val csQueries = csEmb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val csOps: Seq[(String, () => Long)] = Seq(
+      "ngram_pairs" -> (() => Dedup.ngramJaccardPairs(
+        csDocs, "text", "doc_id", shingleSize = 3, threshold = 0.1,
+        strategy = "single").count()),
+      "chargram_minhash" -> (() => Dedup.charJaccardPairs(
+        csDocs, "text", "doc_id", shingleSize = 12, threshold = 0.3,
+        maxDf = 50L * scale, strategy = "minhash").count()),
+      "simhash_pairs" -> (() => Dedup.simHash(
+        csDocs, "text", "doc_id").count()),
+      "charlm_score" -> (() => graft.operators.CorpusStats
+        .charLmScore(csDocs, "text", "doc_id", n = 3, topV = 5000)
+        .agg(count(lit(1)), sum("freq_sum"), sum("oov"))
+        .collect()(0).getLong(0)),
+      "semdedup_pairs" -> (() => Dedup.semanticDedupPairs(
+        csEmb, "embedding", "vec_id", threshold = 0.9).count()),
+      "pq_topk" -> (() => Similarity.pqTopK(csEmb, csQueries,
+        "embedding", "vec_id", "query_id", k = 10, m = 16).count()))
+    val csResults = csOps.map { case (name, run) =>
+      val times = (1 to passes).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = run()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (name, times.map(_._1).min, times.head._2)
+    }
+    val csOpsJson = csResults.map { case (n, sec, rows) =>
+      s""""$n":{"sec":$sec,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    val csEntry = s"""{"scale":$scale,"cpus":$cpus,"docs":$nCsDocs,""" +
+      s""""vectors":$nCsVecs,"passes":$passes,"staged_partitions":$csParts,""" +
+      s""""ops":$csOpsJson,"sf":"$sfDir"}"""
+    println(s"""{"probe":"core_scaling_c$cpus",${csEntry.tail}""")
+    writeArtifact(s"core_scaling_c$cpus", csEntry)
+    }
+
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, Union}
 
 /** Gated scan-parallelism floor for expensive scan-side compute
   * (optimization guide §2.5 "input skew" / §6 "input split size").
@@ -38,14 +39,30 @@ import org.apache.spark.sql.DataFrame
 object ScanParallelism {
 
   /** Repartition `df` to the session default parallelism iff its planned
-    * parallelism is under half of it (and the relation is not streaming).
-    * `factor` is the under-parallelism threshold: planned * factor <=
-    * default triggers the repartition. */
+    * parallelism is AT OR UNDER half of it (planned * factor <= default —
+    * an input already scanning with more than half passes through
+    * unchanged) and the relation is neither streaming nor downstream of a
+    * shuffle. `factor` is the under-parallelism threshold. */
   def ensure(df: DataFrame, factor: Int = 2): DataFrame = {
     if (df.isStreaming) return df
+    // Probe only NARROW (exchange-free) trees: scans, projections,
+    // filters, unions of those, cached relations. `Dataset.rdd` on a plan
+    // containing shuffles is NOT "planning only" under AQE — it
+    // materializes every shuffle query stage at operator-CONSTRUCTION
+    // time, and that work is discarded (exchange reuse does not span
+    // QueryExecutions), so the real query pays it again. Narrow trees are
+    // exactly where the single-row-group scan floor lives; a composed
+    // input already carries the session's shuffle parallelism downstream
+    // of its exchanges, so passing it through unchanged also matches what
+    // the gate would have decided (shuffle.partitions ≥ half the default
+    // parallelism in every session shape this repo runs).
+    val narrow = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        p.isInstanceOf[Union] || p.isInstanceOf[LeafNode]) => p
+    }.isEmpty
+    if (!narrow) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // physical planning only — no job runs; cheap relative to the
-    // operator construction probes that follow
+    // no shuffle stages in the plan, so the RDD probe runs no job
     val planned = df.rdd.getNumPartitions
     if (planned * factor <= target) df.repartition(target) else df
   }

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator coalesces, matching the join path's join-back zeros). */
 case class CharLmScoreExpr(child: Expression, model: Seq[(String, Long)],
                            n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(n >= 1, "n-gram size must be >= 1")
 

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -28,7 +27,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * produced no usable signature for them).
   */
 case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(numHashes >= 1, "numHashes must be >= 1")
 

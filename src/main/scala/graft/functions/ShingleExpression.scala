@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -20,12 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(tokens × shingleSize) interpreted steps per document, and it sits on
   * the hottest scan-side path of every near-dup operator (it dominated the
   * sf0.1 bench profile). This expression runs as one compiled JVM loop over
-  * the token array. `CodegenFallback` only affects how the *call* is
-  * emitted; the loop body itself is compiled Scala, which is what removes
-  * the interpreter overhead.
+  * the token array, invoked through [[KernelCodegen]] so the enclosing
+  * projection stays inside its WholeStageCodegen span.
   */
 case class WordShingleExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -79,7 +77,7 @@ object WordShingleExpr {
   * while this is one compiled loop using the same SQL substring semantics
   * (`UTF8String.substringSQL`, code-point indexed). */
 case class CharShingleExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -123,7 +121,7 @@ object CharShingleExpr {
   * the `substring`-transform HOF spec exactly while replacing its
   * O(chars) interpreted lambda evaluations with one compiled loop. */
 case class CharGramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(n >= 1, "gram size must be >= 1")
 

@@ -283,8 +283,30 @@ object Dedup {
       case None => Some(shingle(oldDf).persist(StorageLevel.MEMORY_AND_DISK))
       case Some(_) => None
     }
+    // STORED-keys path only: restrict the old side's keys to bands the
+    // BATCH actually emits, BEFORE anything exchanges them. Candidates
+    // form only where a new key matches (candNew ⋈ candAll is an inner
+    // join on __key) and the maxBucket cap only matters for keys that can
+    // form candidates, so stored keys on batch-absent bands are dead
+    // rows — yet they dominated the bucket-count groupBy's exchange, and
+    // the stored-keys relation is CORPUS-sized at the 100 TB ingest loop
+    // this path amortizes (its whole point is that a batch costs batch
+    // work, not corpus work). Under the size gate this is a broadcast
+    // semi join that never exchanges the stored side at all (guide §3.2 —
+    // pre-filter the big side before the shuffle); above it a shuffled
+    // semi join that exchanges the stored keys once, no worse than the
+    // union+groupBy did. Emitted pairs are identical: every dropped row's
+    // key joins nothing downstream (DedupSpec pins oldKeys/None parity).
+    // The None path deliberately keeps the plain union: its old side is
+    // re-tokenized in full anyway, and the r22 A/B measured the semi
+    // join's extra gate probe + plan growth at ~+0.4 s steady-state on
+    // incremental_ingest (QueryProfile 2.3–2.9 s → 2.7–3.3 s, 29 → 36
+    // jobs) against a KiB-scale exchange saving at sf0.1.
     val kOld = oldKeys match {
-      case Some(keys) => keys.select(col(idCol), col("band_key").as("__key"))
+      case Some(keys) => sizeGatedFilterJoin(
+        keys.select(col(idCol), col("band_key").as("__key")),
+        kNew.select("__key").distinct(), Seq("__key"), "left_semi",
+        maxBroadcastRows)
       case None => keyed(shOldFull.get)
     }
     val kAll = kNew.withColumn("__onew", lit(true))

@@ -1513,16 +1513,31 @@ object Similarity {
       else calibratedNProbeAt(spark, path, gen0)
         .map(c => math.min(math.max(1, c), centroids.length))
         .getOrElse(math.max(1, centroids.length / 8))
-    val corpus = spark.read.parquet(s"$path/data")
+    // The probed cells are known BEFORE `data/` needs to open (they come
+    // from the centroids and the query batch), so the scan opens ONLY the
+    // probed `__cell=` directories instead of discovering the whole tree
+    // (guide §6 — a full open lists every cell dir per probe; at
+    // object-store scale that is cell-count LIST calls for a probe that
+    // touches nProbe of them). One driver-side listStatus of `data/`
+    // answers existence; the query batch's schema needs come from a
+    // single cell directory (basePath keeps `__cell` a partition column,
+    // so the isin filter below stays the PartitionFilters entry the plan
+    // contract asserts). See [[readPartitionDirs]] for the driver-side
+    // listing above 32 dirs and the drained-subset fallback.
+    val existing = partitionDirs(spark, s"$path/data", "__cell")
+    val schemaProbe = readPartitionDirs(spark, s"$path/data",
+      existing.values.take(1).toSeq)
     // materialize the (small, broadcast-bound) probe-expanded query batch
     // once: both the collected IN-list below and the join read it, and
     // without this the nCells dot-product ranking would run twice
     val q = withProbeCells(
-      withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
+      withQueryNorm(queries, schemaProbe.columns, queryIdCol, vecCol,
         allowed = Set("__cell", "__cn")),
       centroids, probes)
       .localCheckpoint(true)
     val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val corpus = readPartitionDirs(spark, s"$path/data",
+      probedCells.toIndexedSeq.flatMap(existing.get))
     // post-plan race check: centroids were loaded and data listed above —
     // a rebuild completing in between would otherwise prune the NEW
     // files with the OLD centroids (see requireGenerationUnchanged)
@@ -1617,6 +1632,15 @@ object Similarity {
               fitSampleRows: Int = 4096): DataFrame = {
     require(idCol != "query_id",
       "idCol must not be named query_id — the self-join needs both roles")
+    // NOT persisted, although three consumers read it (sizing count, fit
+    // sample, cell assignment): r22 A/B'd the semanticDedupPairs persist
+    // pattern here and it measured ~2× SLOWER steady-state (QueryProfile
+    // knn_join 5-pass action 0.9–1.5 s → 2.5–3.3 s) — columnar-caching
+    // the float vector + double __unit array columns costs more to write
+    // and re-read than recomputing the codegen'd norm/normalize from the
+    // scan. The trade flips only when the UPSTREAM pipeline is expensive
+    // (semanticDedup's quality-filtered joins), which is exactly where
+    // the pattern stays.
     val unit = unitized(corpus, vecCol, idCol)
     val known = unit.count()
     val cells = if (nCells > 0) nCells else autoCells(known)
@@ -2214,6 +2238,86 @@ object Similarity {
     }
   }
 
+  /** ONE driver-side listing of a directory-partitioned relation's root:
+    * the `partCol=value` child directories as value → absolute path. The
+    * probes previously checked candidate dirs with one `fs.exists` RPC
+    * EACH — |touched| serial round trips at object-store latency — where
+    * a single `listStatus` of the parent answers every membership
+    * question in one call (guide §6: listing is the hidden cost of
+    * partitioned reads). Missing root = no dirs, same as all-exists-false. */
+  private def partitionDirs(spark: SparkSession, root: String,
+                            partCol: String): Map[Int, String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) Map.empty
+    else fs.listStatus(rootPath).iterator
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"$partCol="))
+          n.stripPrefix(s"$partCol=").toIntOption
+            .map(_ -> st.getPath.toString)
+        else None
+      }.toMap
+  }
+
+  /** Read ONLY the named partition directories of the tree at `root`
+    * (guide §6): `basePath` keeps the partition column in the schema so
+    * the caller's `isin` filter stays a PartitionFilters entry — the plan
+    * contract the specs assert. Above the default 32-path
+    * parallel-discovery threshold the listing runs DRIVER-SIDE via a
+    * private cloned session with a raised threshold (a |dirs|-task
+    * listing job per probe is pure scheduling overhead for a bounded,
+    * shortlist-sized path set). Falls back to the full tree when the
+    * subset holds no data files (schema inference fails — a drain that
+    * deleted every file but left the directories); with `dirs` empty the
+    * full tree is read directly, preserving the callers' empty-input
+    * semantics. */
+  private def readPartitionDirs(spark: SparkSession, root: String,
+                                dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) spark.read.parquet(root)
+    else {
+      val reader =
+        if (dirs.size <= 32) spark
+        else {
+          val cloned = org.apache.spark.sql.graftbridge.Bridge
+            .cloneSession(spark)
+          cloned.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            math.max(32, dirs.size).toString)
+          cloned
+        }
+      try reader.read.option("basePath", root).parquet(dirs: _*)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.read.parquet(root)
+      }
+    }
+
+  /** The driver-side loads a flat-PQ probe needs, factored so a caller
+    * issuing SEVERAL probes against the SAME index inside one query
+    * construction (`pq_calibrated_topk` compares the sentinel-default
+    * probe against the explicit calibrated width) pays ONE set of
+    * model/meta/cal/generation reads instead of one per probe. NOT a
+    * cross-run or cross-query cache: a state value lives only as a local
+    * inside one construction, and the race contract is unchanged — every
+    * probe built from it re-checks the generation post-plan against the
+    * snapshot taken here. */
+  private[graft] final case class PqProbeState(
+      gen0: Option[String], model: PqModel, buckets: Int, codes: DataFrame,
+      cal: Option[(Int, Int)])
+
+  private[graft] def pqProbeState(spark: SparkSession,
+                                  path: String): PqProbeState = {
+    requireNotRebuilding(spark, path)
+    val gen0 = readGeneration(spark, path)
+    PqProbeState(gen0, loadPqModel(spark, path),
+      spark.read.parquet(s"$path/meta")
+        .select("id_buckets").collect()(0).getInt(0),
+      spark.read.parquet(s"$path/codes"),
+      calibratedPqWidthsAt(spark, path, gen0))
+  }
+
   /** Shortlist + touched-bucket set for a [[pqBuild]] index: the ADC
     * codes-only scan ranks a `shortlistK` shortlist per query, and the
     * shortlist ids hash (with the PERSISTED bucket count) to the vector
@@ -2226,19 +2330,22 @@ object Similarity {
   private[graft] def pqShortlistAndBuckets(
       spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, idCol: String, queryIdCol: String,
+      shortlistK: Int): (DataFrame, Array[Int]) =
+    pqShortlistAndBucketsFrom(pqProbeState(spark, path), queries,
+      vecCol, idCol, queryIdCol, shortlistK)
+
+  private def pqShortlistAndBucketsFrom(
+      st: PqProbeState, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
       shortlistK: Int): (DataFrame, Array[Int]) = {
-    val model = loadPqModel(spark, path)
-    val buckets = spark.read.parquet(s"$path/meta")
-      .select("id_buckets").collect()(0).getInt(0)
-    val codes = spark.read.parquet(s"$path/codes")
     val shortlist = rankTopK(
-      adcScored(codes, withQueryNorm(queries, Seq(idCol), queryIdCol,
-        vecCol), model, Seq.empty),
+      adcScored(st.codes, withQueryNorm(queries, Seq(idCol), queryIdCol,
+        vecCol), st.model, Seq.empty),
       queryIdCol, idCol, shortlistK)
       .select(col(queryIdCol), col(idCol))
       .localCheckpoint(true)
     val touched = shortlist
-      .select(pmod(xxhash64(col(idCol).cast("long")), lit(buckets.toLong))
+      .select(pmod(xxhash64(col(idCol).cast("long")), lit(st.buckets.toLong))
         .cast("int").as("__vb"))
       .distinct().collect().map(_.getInt(0))
     (shortlist, touched)
@@ -2258,19 +2365,26 @@ object Similarity {
     * [[indexDelete]]'s in-flight-readers contract. */
   def pqProbeTopK(spark: SparkSession, path: String, queries: DataFrame,
                   vecCol: String, idCol: String, queryIdCol: String,
-                  k: Int, shortlistFactor: Int = 0): DataFrame = {
+                  k: Int, shortlistFactor: Int = 0): DataFrame =
+    pqProbeTopKFrom(pqProbeState(spark, path), spark, path, queries,
+      vecCol, idCol, queryIdCol, k, shortlistFactor)
+
+  /** [[pqProbeTopK]] against an already-loaded [[PqProbeState]] — the
+    * multi-probe-per-construction form (see [[pqProbeState]]). */
+  private[graft] def pqProbeTopKFrom(st: PqProbeState, spark: SparkSession,
+                                     path: String, queries: DataFrame,
+                                     vecCol: String, idCol: String,
+                                     queryIdCol: String, k: Int,
+                                     shortlistFactor: Int = 0): DataFrame = {
     // 0 (the default) = the pqShortlistForRecall-calibrated width when
     // the index carries one, else the uncalibrated 4 — nProbeForRecall's
     // calibrated-default contract for the flat-PQ layout
     require(shortlistFactor >= 0,
       "shortlistFactor must be >= 0 (0 = calibrated default)")
-    requireNotRebuilding(spark, path)
-    val gen0 = readGeneration(spark, path)
     val factor =
       if (shortlistFactor > 0) shortlistFactor
-      else calibratedPqWidthsAt(spark, path, gen0).map(_._2)
-        .getOrElse(DefaultShortlistFactor)
-    val (shortlist, touched) = pqShortlistAndBuckets(spark, path, queries,
+      else st.cal.map(_._2).getOrElse(DefaultShortlistFactor)
+    val (shortlist, touched) = pqShortlistAndBucketsFrom(st, queries,
       vecCol, idCol, queryIdCol, k * factor)
     // The shortlist names its buckets BEFORE the vectors relation is ever
     // opened, so list ONLY the touched bucket directories instead of the
@@ -2278,42 +2392,21 @@ object Similarity {
     // cost of partitioned reads — a full `vectors/` open lists every
     // bucket dir, which at the 256-bucket fixture already runs a 256-task
     // discovery job per probe and at object-store scale is bucket-count
-    // LIST calls for a probe that touches a handful). `basePath` keeps
-    // `__vb` a partition column and the isin filter stays, so the scan
-    // still carries the __vb partition filter the plan contract asserts;
-    // missing dirs (a bucket fully drained by deletes) are skipped the
-    // same way the full listing would. Empty shortlist → empty result
-    // with the probe's schema, no paths to read.
-    val fs = new org.apache.hadoop.fs.Path(s"$path/vectors")
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val touchedDirs = touched.map(b => s"$path/vectors/__vb=$b")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    // list the touched dirs DRIVER-SIDE: above the default 32-path
-    // parallel-discovery threshold Spark launches a |dirs|-task listing
-    // job per probe (0.28 s for a 193-bucket shortlist at the fixture),
-    // pure scheduling overhead for a bounded, shortlist-sized path set.
-    // Raised on a PRIVATE cloned session (the buildShingleBloom pattern)
-    // so the caller's session keeps its threshold for genuinely large
-    // discoveries.
-    val reader =
-      if (touchedDirs.size <= 32) spark
-      else {
-        val cloned = org.apache.spark.sql.graftbridge.Bridge
-          .cloneSession(spark)
-        cloned.conf.set(
-          "spark.sql.sources.parallelPartitionDiscovery.threshold",
-          math.max(32, touchedDirs.size).toString)
-        cloned
-      }
-    val vectors = (
-      if (touchedDirs.isEmpty) spark.read.parquet(s"$path/vectors")
-      else reader.read.option("basePath", s"$path/vectors")
-        .parquet(touchedDirs.toIndexedSeq: _*))
+    // LIST calls for a probe that touches a handful). Dir existence comes
+    // from ONE listStatus of `vectors/` instead of |touched| serial
+    // exists() RPCs; missing dirs (a bucket fully drained by deletes) are
+    // skipped the same way the full listing would; see
+    // [[readPartitionDirs]] for the driver-side listing and the
+    // empty-subset fallback. Empty shortlist → empty result with the
+    // probe's schema, no paths to read.
+    val existing = partitionDirs(spark, s"$path/vectors", "__vb")
+    val vectors = readPartitionDirs(spark, s"$path/vectors",
+        touched.toIndexedSeq.flatMap(existing.get))
       .filter(col("__vb").isin(touched.toIndexedSeq: _*))
     // post-plan race check: codebooks were loaded and codes/vectors
     // listed above — a rebuild completing in between would re-rank a
     // stale-model shortlist against fresh files
-    requireGenerationUnchanged(spark, path, gen0)
+    requireGenerationUnchanged(spark, path, st.gen0)
     val qExact = withQueryNorm(queries, Seq(idCol), queryIdCol, vecCol)
     val rescored = vectors
       .select(col(idCol).cast("long").as(idCol), col(vecCol),
@@ -2745,13 +2838,22 @@ object Similarity {
     val factor =
       if (shortlistFactor > 0) shortlistFactor
       else cal.map(_._2).getOrElse(DefaultShortlistFactor)
-    val corpus = spark.read.parquet(s"$path/data")
+    // probed-cell-only open of `data/` — same shape and rationale as
+    // [[ivfProbeTopK]]: one driver-side listStatus for existence, one
+    // cell dir for the query batch's schema needs, basePath keeping
+    // `__cell` a partition column so the isin filter stays the
+    // PartitionFilters entry the plan contract asserts
+    val existing = partitionDirs(spark, s"$path/data", "__cell")
+    val schemaProbe = readPartitionDirs(spark, s"$path/data",
+      existing.values.take(1).toSeq)
     val q = withProbeCells(
-      withQueryNorm(queries, corpus.columns, queryIdCol, vecCol,
+      withQueryNorm(queries, schemaProbe.columns, queryIdCol, vecCol,
         allowed = Set("__cell", "__cn", "__codes")),
       centroids, probes)
       .localCheckpoint(true)
     val probedCells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val corpus = readPartitionDirs(spark, s"$path/data",
+      probedCells.toIndexedSeq.flatMap(existing.get))
     // post-plan race check: centroids+codebooks were loaded and data
     // listed above — a rebuild completing in between would prune the NEW
     // files with the OLD quantizer (see requireGenerationUnchanged)

@@ -110,6 +110,30 @@ class DedupSpec extends SparkSpec {
       (10L, 0L, false), (10L, 1L, false), (11L, 12L, true))
   }
 
+  test("minHashLshAgainst stored-keys path: maxBucket caps COMBINED old+new " +
+    "bucket occupancy — the batch-band semi-join restriction of the stored " +
+    "side must not change the cap arithmetic or the emitted set") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "completely different content about spark engines and shuffles"
+    // identical texts collide in EVERY band, so each band bucket's size is
+    // the group size: a-group = 3 old + 1 new = 4 > cap (dropped whole),
+    // b-group = 1 old + 1 new = 2 <= cap (pair emitted)
+    val old = Seq((0L, a), (1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val fresh = Seq((10L, a), (11L, b)).toDF("doc_id", "text")
+    val keys = Dedup.minHashBandKeys(old, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16)
+    def run(ok: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minHashLshAgainst(fresh, old, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 1.0,
+        maxBucket = 3, oldKeys = ok)
+        .select("id_new", "id_other", "other_is_new")
+        .as[(Long, Long, Boolean)].collect().toSet
+    val direct = run(None)
+    val stored = run(Some(keys))
+    stored shouldBe direct
+    stored shouldBe Set((11L, 3L, false))
+  }
+
   test("PROPERTY: minHashLshAgainst equals the full self-join restricted to " +
     "pairs touching the batch — exactly, at a probabilistic threshold: both " +
     "paths derive identical signatures, so bucket collisions coincide") {
