@@ -2876,34 +2876,50 @@ object ScaleProbe {
     // are written at a FIXED partition count (32, not `cpus`) so both
     // runs scan the identical file layout and the ratio measures the
     // engine, not the staging.
+    // SPARK_GRAFT_CORE_OPS: comma list to re-run a subset (the text and
+    // vector families want different SCALE values — the embeddings
+    // fixture is 25× smaller than documents, so the vector ops need
+    // SCALE≈100 before compute dominates, where the text ops at 100
+    // would run far past any useful budget). Staging is per-family so a
+    // filtered run pays only for the corpora its ops read.
+    val csOpFilter = sys.env.get("SPARK_GRAFT_CORE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def csSelected(name: String): Boolean = csOpFilter.forall(_(name))
+    val csTextOps = Seq("ngram_pairs", "chargram_minhash", "simhash_pairs",
+      "charlm_score")
+    val csVecOps = Seq("semdedup_pairs", "pq_topk")
     val csAlpha = "abcdefghijklmnopqrstuvwxyz"
     def csRot(i: Int) = csAlpha.drop(i % 26) + csAlpha.take(i % 26)
     val csParts = 32
     val csTmp = java.nio.file.Files.createTempDirectory("graft_coresc")
-    val csDocs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
-    (0 until scale).map { i =>
-      csDocs0.select(
-        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        translate(lower(col("text")), csAlpha, csRot(i)).as("text"))
-    }.reduce(_ union _)
-      .repartition(csParts).write.mode("overwrite")
-      .parquet(csTmp.resolve("docs.parquet").toString)
-    val csDocs = spark.read.parquet(csTmp.resolve("docs.parquet").toString)
-    val nCsDocs = csDocs.count()
-    val csEmb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding")
-    (0 until scale).map { i =>
-      csEmb0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-        rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
-    }.reduce(_ union _)
-      .repartition(csParts).write.mode("overwrite")
-      .parquet(csTmp.resolve("emb.parquet").toString)
-    val csEmb = spark.read.parquet(csTmp.resolve("emb.parquet").toString)
-    val nCsVecs = csEmb.count()
-    val csQueries = csEmb.filter(col("vec_id") < 5)
+    lazy val csDocs: org.apache.spark.sql.DataFrame = {
+      val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      (0 until scale).map { i =>
+        d0.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          translate(lower(col("text")), csAlpha, csRot(i)).as("text"))
+      }.reduce(_ union _)
+        .repartition(csParts).write.mode("overwrite")
+        .parquet(csTmp.resolve("docs.parquet").toString)
+      spark.read.parquet(csTmp.resolve("docs.parquet").toString)
+    }
+    lazy val csEmb: org.apache.spark.sql.DataFrame = {
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      (0 until scale).map { i =>
+        e0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          rotate64(col("embedding"), (i * 7) % 64).as("embedding"))
+      }.reduce(_ union _)
+        .repartition(csParts).write.mode("overwrite")
+        .parquet(csTmp.resolve("emb.parquet").toString)
+      spark.read.parquet(csTmp.resolve("emb.parquet").toString)
+    }
+    val nCsDocs = if (csTextOps.exists(csSelected)) csDocs.count() else 0L
+    val nCsVecs = if (csVecOps.exists(csSelected)) csEmb.count() else 0L
+    lazy val csQueries = csEmb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val csOps: Seq[(String, () => Long)] = Seq(
+    val csOpsAll: Seq[(String, () => Long)] = Seq(
       "ngram_pairs" -> (() => Dedup.ngramJaccardPairs(
         csDocs, "text", "doc_id", shingleSize = 3, threshold = 0.1,
         strategy = "single").count()),
@@ -2920,6 +2936,10 @@ object ScaleProbe {
         csEmb, "embedding", "vec_id", threshold = 0.9).count()),
       "pq_topk" -> (() => Similarity.pqTopK(csEmb, csQueries,
         "embedding", "vec_id", "query_id", k = 10, m = 16).count()))
+    val csOps = csOpFilter match {
+      case Some(names) => csOpsAll.filter { case (n, _) => names(n) }
+      case None => csOpsAll
+    }
     val csResults = csOps.map { case (name, run) =>
       val times = (1 to passes).map { _ =>
         spark.catalog.clearCache()
@@ -2935,8 +2955,13 @@ object ScaleProbe {
     val csEntry = s"""{"scale":$scale,"cpus":$cpus,"docs":$nCsDocs,""" +
       s""""vectors":$nCsVecs,"passes":$passes,"staged_partitions":$csParts,""" +
       s""""ops":$csOpsJson,"sf":"$sfDir"}"""
-    println(s"""{"probe":"core_scaling_c$cpus",${csEntry.tail}""")
-    writeArtifact(s"core_scaling_c$cpus", csEntry)
+    // filtered re-runs get their own key so a family probed at a
+    // different SCALE doesn't overwrite the default full entry
+    val csKey =
+      if (csOpFilter.isEmpty) s"core_scaling_c$cpus"
+      else s"core_scaling_c${cpus}_x$scale"
+    println(s"""{"probe":"$csKey",${csEntry.tail}""")
+    writeArtifact(csKey, csEntry)
     }
 
     spark.stop()

@@ -439,7 +439,14 @@ object Dedup {
     * decision) — so recall becomes probabilistic (≥95% per pair at
     * jaccard = threshold) exactly on corpora dense enough that the exact
     * join was measured unusable; pin `"single"`/`"hashed"` when the
-    * contract is exactness at any volume. */
+    * contract is exactness at any volume.
+    *
+    * NOTE (eager construction): building the returned DataFrame runs
+    * bounded probe/populate jobs (size-gate limit counts, cache
+    * populates) BEFORE any action — a caller that constructs but never
+    * executes the result still pays them, and the operator-internal
+    * persists stay resident until the first consuming execution releases
+    * them (CacheAutoRelease) or the caller clears the cache. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.1,
                         maxDf: Long = 0L, hashedCandidates: Boolean = false,
@@ -858,7 +865,14 @@ object Dedup {
     * (CJK) and on heavily-concatenated text, at the cost of denser shingle
     * sets. Same inverted-index self-join, same exact integer arithmetic
     * (engine-independent, oracle-checkable), same `maxDf` stop-shingle
-    * skew guard. */
+    * skew guard.
+    *
+    * NOTE (eager construction): building the returned DataFrame runs
+    * bounded probe/populate jobs (size-gate limit counts, cache
+    * populates) BEFORE any action — a caller that constructs but never
+    * executes the result still pays them, and the operator-internal
+    * persists stay resident until the first consuming execution releases
+    * them (CacheAutoRelease) or the caller clears the cache. */
   def charJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int = 5, threshold: Double = 0.1,
                        maxDf: Long = 0L, hashedCandidates: Boolean = false,
@@ -894,7 +908,14 @@ object Dedup {
     * Scale: cost is Σ_shingle df² like every inverted-index pair join —
     * `maxDf` is the knob that bounds it; for dense corpora route
     * candidates through [[minHashLsh]] first and verify containment on
-    * the candidate pairs. */
+    * the candidate pairs.
+    *
+    * NOTE (eager construction): building the returned DataFrame runs
+    * bounded probe/populate jobs (size-gate limit counts, cache
+    * populates) BEFORE any action — a caller that constructs but never
+    * executes the result still pays them, and the operator-internal
+    * persists stay resident until the first consuming execution releases
+    * them (CacheAutoRelease) or the caller clears the cache. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.8,
                        maxDf: Long = 0L,
@@ -1195,7 +1216,14 @@ object Dedup {
     * the self-join quadratic). Exact integer arithmetic throughout —
     * engine-independent and oracle-checkable. Output: (id_a, id_b,
     * span_tokens = the pair's LONGEST shared run, n_spans = how many
-    * distinct maximal runs clear `minSpanTokens`), with id_a < id_b. */
+    * distinct maximal runs clear `minSpanTokens`), with id_a < id_b.
+    *
+    * NOTE (eager construction): building the returned DataFrame runs
+    * bounded probe/populate jobs (size-gate limit counts, cache
+    * populates) BEFORE any action — a caller that constructs but never
+    * executes the result still pays them, and the operator-internal
+    * persists stay resident until the first consuming execution releases
+    * them (CacheAutoRelease) or the caller clears the cache. */
   def sharedSpans(df: DataFrame, textCol: String, idCol: String,
                   shingleSize: Int = 8, minSpanTokens: Int = 16,
                   maxDf: Long = 1000L,
