@@ -22,6 +22,16 @@ import org.apache.spark.sql.types._
   * cannot kill a 100 TB scan. Decoding runs inside the scan projection:
   * no UDF serialization, no shuffle, the same placement as the image
   * decode expressions. */
+// CodegenFallback here is DELIBERATE (r22 A/B): this kernel is expensive
+// per row (real decode / line-split work), and inside a fused
+// whole-stage span its evaluation can be duplicated across the filter
+// and projection consumers of the output column — the focused bench read
+// image_pairs 2.5 -> 3.3 s and corpus_dedup 3.5 -> 4.2 s with real
+// doGenCode (KernelCodegen) before this was reverted. The fallback's
+// forced materialization evaluates the kernel once per row; the span
+// break it causes is noise next to the kernel's own cost. The CHEAP
+// arithmetic kernels (shingles, signatures, hashes) take the opposite
+// trade — see KernelCodegen.
 case class AudioFeaturesExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

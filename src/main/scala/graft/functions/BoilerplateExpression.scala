@@ -20,6 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialized plan like the BPE merge table and the IVF centroids; use
   * the join-based operator when the model must stay a relation (unbounded
   * or data-dependent boilerplate). NULL text yields NULL. */
+// CodegenFallback here is DELIBERATE (r22 A/B): this kernel is expensive
+// per row (real decode / line-split work), and inside a fused
+// whole-stage span its evaluation can be duplicated across the filter
+// and projection consumers of the output column — the focused bench read
+// image_pairs 2.5 -> 3.3 s and corpus_dedup 3.5 -> 4.2 s with real
+// doGenCode (KernelCodegen) before this was reverted. The fallback's
+// forced materialization evaluates the kernel once per row; the span
+// break it causes is noise next to the kernel's own cost. The CHEAP
+// arithmetic kernels (shingles, signatures, hashes) take the opposite
+// trade — see KernelCodegen.
 case class BoilerplateFilterExpr(child: Expression, boiler: Seq[String])
     extends UnaryExpression with CodegenFallback {
 

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -12,7 +11,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * stays columnar/whole-stage). A real decoder would replace this with a
   * codec call of the same shape. */
 case class MeanBytesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "mean_bytes"

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
@@ -21,11 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * path of every curation query (language-ID, stopword ratio, quality
   * score). This expression makes ONE compiled pass over the token array
   * with a hash-map marker lookup, producing every language's count at once.
-  * `CodegenFallback` only affects how the *call* is emitted; the loop body
-  * itself is compiled Scala.
+  * Invoked through [[KernelCodegen]] so the enclosing projection stays
+  * inside its WholeStageCodegen span; the loop body is compiled Scala.
   */
 case class MarkerCountsExpr(child: Expression, markers: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   require(markers.nonEmpty, "at least one marker list")
 

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -125,7 +124,7 @@ case class DotProductExpr(left: Expression, right: Expression)
   * pass: out(t) = Σ_i [dot(v, planes(t)(i)) ≥ 0] · 2^i. */
 case class SignBucketsExpr(child: Expression,
                            planes: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(planes.nonEmpty && planes.forall(_.length <= 62),
     "at most 62 hyperplanes per bucket key")
 
